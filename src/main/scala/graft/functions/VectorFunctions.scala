@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as Catalyst column expressions.
+  *
+  * The reference's kernels (dot, squared-euclidean, midpoint — reference
+  * src/vector.rs:8-36) become higher-order-function compositions
+  * (`zip_with` + `aggregate`), which stay inside whole-stage codegen — no
+  * UDF serialization, no Python boundary, and Catalyst can push the
+  * surrounding filter/project to the parquet scan.
+  *
+  * Accumulation is DOUBLE for numeric stability and to match what the
+  * DuckDB oracle computes; inputs are ARRAY<FLOAT> (f32 parity with the
+  * reference's `[f32; N]`).
+  */
+object VectorFunctions {
+
+  /** dot(a, b) = Σ aᵢ·bᵢ (reference src/vector.rs:20-23). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, v) => acc + v)
+
+  /** Squared euclidean distance Σ (aᵢ−bᵢ)² (reference src/vector.rs:33-36;
+    * squared — sqrt is display-only, src/main.rs:91). */
+  def sqEucDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0d),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Bit-exact dedup key (reference src/vector.rs:25-31, D1): each f32
+    * reinterpreted as its IEEE-754 bits, packed into one BINARY value.
+    * Distinguishes -0.0 from 0.0 and NaN payloads — Spark's native
+    * grouping equality normalizes both, so `dropDuplicates("embedding")`
+    * would NOT reproduce the reference's semantics.
+    *
+    * A single BINARY key also makes the dedup shuffle cheap: one
+    * fixed-width byte array per row instead of an ARRAY<INT> group key.
+    */
+  val floatBitsKeyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float]) =>
+      if (a == null) null
+      else {
+        val bb = java.nio.ByteBuffer.allocate(a.length * 4)
+        a.foreach(f => bb.putInt(java.lang.Float.floatToIntBits(f)))
+        bb.array()
+      }
+    }
+
+  def floatBitsKey(a: Column): Column = floatBitsKeyUdf(a)
+
+  /** Per-component IEEE-754 bits as ARRAY<INT> (the reference's
+    * HashKey<N> shape, for tests / inspection). */
+  val floatBitsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float]) =>
+      if (a == null) null else a.map(java.lang.Float.floatToIntBits)
+    }
+
+  def floatBits(a: Column): Column = floatBitsUdf(a)
+}

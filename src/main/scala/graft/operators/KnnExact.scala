@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Brute-force exact k-NN — the oracle path (SURVEY §7 M1).
+  *
+  * Shapes, not loops: a single-query search is a filter + broadcast cross
+  * join + `orderBy(dist).limit(k)`, which Catalyst plans as
+  * `TakeOrderedAndProject` (a true distributed top-k: per-partition heaps,
+  * no global sort). A query *batch* is a broadcast join of the (small)
+  * query set against the (huge) corpus plus a per-query window top-k —
+  * the corpus side never shuffles, so the plan scales to an arbitrarily
+  * large corpus as long as the query batch stays broadcastable.
+  *
+  * Distance is squared euclidean, matching the reference's contract
+  * (reference src/lib.rs:137-146: squared; sqrt only at display,
+  * src/main.rs:91).
+  */
+object KnnExact {
+
+  /** Exact top-k for one query vector identified by id (the reference's
+    * X1 "visualization" query shape, src/main.rs:80-93, minus the word
+    * dictionary — lookups are joins here).
+    */
+  def searchById(
+      corpus: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    corpus.crossJoin(broadcast(q))
+      .select(
+        col(idCol),
+        sqEucDist(col(vecCol), col("__qvec")).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Exact k-NN for a batch of queries: returns
+    * (query_id, neighbor_id, dist, rank), rank 1..k per query.
+    * Query batch is broadcast; corpus streams through unshuffled until
+    * the per-query top-k window (which shuffles only k·|queries| rows
+    * after AQE's partial TakeOrdered — acceptable; the exact path is the
+    * oracle, ANN is the scale path).
+    */
+  def knnBatch(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(
+        col(queryId),
+        col(corpusId).as("neighbor_id"),
+        sqEucDist(col(corpusVec), col(queryVec)).as("dist"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist"), col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123): every
+    * corpus vector queries the corpus (self included, as the reference
+    * does). Exact variant — O(n²), oracle/test scale only; the ANN
+    * `AnnForestModel.knnJoin` is the production path.
+    */
+  def selfJoinExact(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    knnBatch(corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Q3 projection: neighbor id-set per query (reference
+    * src/main.rs:125-136), distances dropped. */
+  def asIdSets(knn: DataFrame): DataFrame =
+    knn.groupBy("query_id")
+      .agg(sort_array(collect_set(col("neighbor_id"))).as("neighbor_ids"))
+}
