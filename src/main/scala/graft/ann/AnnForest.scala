@@ -1,0 +1,246 @@
+package graft.ann
+
+import scala.util.Random
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators.Dedup
+
+/** Hyperplane in implicit form n·x + c = 0 (reference src/hyperplane.rs:3-6). */
+case class HyperPlane(coefficients: Array[Float], constant: Float) extends Serializable {
+  /** Sidedness: n·x + c ≥ 0 ⇒ "above"; ties go above
+    * (reference src/hyperplane.rs:9-11). Accumulates in double — the
+    * reference sums f32, a documented precision divergence that only
+    * moves points sitting exactly on a plane. */
+  def isAbove(v: Array[Float]): Boolean = {
+    var acc = 0.0
+    var i = 0
+    while (i < coefficients.length) { acc += coefficients(i).toDouble * v(i); i += 1 }
+    acc + constant >= 0.0
+  }
+}
+
+/** Binary space-partition tree ADT (reference src/tree.rs:3-14). Leaves
+  * hold positions into the dedup'd store, not external ids
+  * (reference src/lib.rs:90-91). */
+sealed trait Node extends Serializable
+final case class Inner(plane: HyperPlane, left: Node, right: Node) extends Node
+final case class Leaf(rows: Array[Int]) extends Node
+
+/** The fitted index (reference ANNIndex, src/lib.rs:15-19): a forest of
+  * random-bisector trees + the dedup'd store. `ids(i)` is the external id
+  * of `vectors(i)`.
+  *
+  * Scale shape: the *forest* (hyperplanes only, ~numTrees·(n/maxLeaf)·dim
+  * floats) is broadcast — the analog of a broadcast-hash-join build side.
+  * The reference also keeps the whole vector store in process RAM
+  * (src/lib.rs:15-19); we hold it alongside the forest for the
+  * reference-parity search path, and additionally expose
+  * [[AnnForestModel.assignLeaves]] so that at 100 TB the store stays a
+  * DataFrame and candidate matching becomes a co-partitioned
+  * (treeId, leafId) equi-join instead of a broadcast lookup.
+  */
+class AnnForestModel(
+    val trees: Seq[Node],
+    val ids: Array[Long],
+    val vectors: Array[Array[Float]]) extends Serializable {
+
+  /** Per-tree candidate collection (reference tree_result,
+    * src/lib.rs:105-128): descend by sidedness; at a leaf contribute the
+    * *first* min(n, len) positions (not the nearest — reference quirk,
+    * src/lib.rs:110-113); on shortfall descend the sibling ("backup")
+    * subtree for the remainder (src/lib.rs:122-125).
+    */
+  private def treeCandidates(
+      query: Array[Float], n: Int, node: Node,
+      out: scala.collection.mutable.HashSet[Int]): Int = node match {
+    case Leaf(rows) =>
+      val take = math.min(n, rows.length)
+      var i = 0
+      while (i < take) { out += rows(i); i += 1 }
+      take
+    case Inner(plane, left, right) =>
+      val (main, backup) = if (plane.isAbove(query)) (right, left) else (left, right)
+      val k = treeCandidates(query, n, main, out)
+      if (k < n) k + treeCandidates(query, n - k, backup, out) else k
+  }
+
+  /** Top-k ANN search for one query (reference search_approximate,
+    * src/lib.rs:130-149): union candidates over trees, exact squared
+    * euclidean re-rank, ascending, take k, remap to external ids.
+    * Returns (id, squaredDistance) — squared, like the reference
+    * (sqrt is display-only, src/main.rs:91).
+    */
+  def search(query: Array[Float], topK: Int): Array[(Long, Double)] = {
+    val cand = new scala.collection.mutable.HashSet[Int]
+    trees.foreach(t => treeCandidates(query, topK, t, cand))
+    val scored = cand.iterator.map { pos =>
+      val v = vectors(pos)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - query(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      (ids(pos), acc)
+    }.toArray
+    // NaN distances: the reference panics (src/lib.rs:142); we sort them
+    // last (java.lang.Double.compare total order) — documented divergence.
+    java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    })
+    scored.take(topK)
+  }
+
+  /** Batch ANN search, fully distributed: one task per query partition,
+    * model via broadcast (no shuffle at all — the output is narrow).
+    * Input: (queryIdCol LONG, vecCol ARRAY<FLOAT>). Output:
+    * (query_id, neighbor_id, dist, rank).
+    */
+  def searchBatch(
+      queries: DataFrame, topK: Int,
+      queryIdCol: String = "query_id", vecCol: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc: Broadcast[AnnForestModel] = spark.sparkContext.broadcast(this)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    val in = queries.select(
+      col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      val model = bc.value
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        model.search(q, topK).iterator.zipWithIndex.map { case ((nid, d), i) =>
+          Row(qid, nid, d, i + 1)
+        }
+      }
+    }(enc)
+  }
+
+  /** Bulk approximate k-NN self-join (reference Q4, src/main.rs:100-123):
+    * every row of `df` queries the index. Self matches included, as the
+    * reference does. */
+  def knnJoin(df: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    searchBatch(
+      df.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), topK)
+
+  /** 100 TB path: route every corpus vector to its (treeId, leafId)
+    * bucket *distributively* (no driver collection). Queries routed the
+    * same way join on the bucket key — an LSH-style co-partitioned
+    * equi-join whose shuffle is on a compact int pair, never on vectors
+    * crossing a broadcast boundary.
+    */
+  def assignLeaves(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    // Broadcast only the planes (forest sans store) — rebuild a slim model.
+    val slim = new AnnForestModel(trees, Array.emptyLongArray, Array.empty)
+    val bc = spark.sparkContext.broadcast(slim)
+    val leafIdUdf = udf { (v: Seq[Float]) =>
+      val q = v.toArray
+      bc.value.trees.zipWithIndex.map { case (t, ti) =>
+        var node = t
+        var path = 1L // breadcrumb: 1=root, then 2*path+side
+        while (node.isInstanceOf[Inner]) {
+          val in = node.asInstanceOf[Inner]
+          val above = in.plane.isAbove(q)
+          node = if (above) in.right else in.left
+          path = 2 * path + (if (above) 1 else 0)
+        }
+        (ti, path)
+      }
+    }
+    df.withColumn("__buckets", leafIdUdf(col(vecCol)))
+      .withColumn("__b", explode(col("__buckets")))
+      .select(
+        df.columns.map(col) :+
+          col("__b._1").as("tree_id") :+
+          col("__b._2").as("leaf_id"): _*)
+  }
+}
+
+/** Estimator: builds the forest (reference build_index, src/lib.rs:81-103).
+  *
+  * MLlib-`Estimator`-shaped: `AnnForest(numTrees, maxLeafSize, seed)
+  * .fit(df)`. The build collects the (dedup'd) store to the driver — the
+  * reference's own memory model (its entire index is process RAM,
+  * src/lib.rs:15-19) — and parallelizes across trees. Each tree gets an
+  * independent seeded RNG so results are identical regardless of thread
+  * scheduling (the reference uses thread_rng and is nondeterministic,
+  * src/lib.rs:27 — we diverge deliberately for testability, SURVEY §2.3.6).
+  * Beyond driver memory (~10⁸ rows), the documented fallback is
+  * level-by-level DataFrame partitioning (SURVEY §2.1 B2); fixtures and
+  * the reference's own 1M-row corpus are far below that.
+  */
+case class AnnForest(numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L) {
+
+  /** Bisector plane of two sampled points a, b: n = b − a, passes through
+    * the midpoint, c = −n·mid (reference build_hyperplane,
+    * src/lib.rs:22-48; kernel arg-order quirk a.subtract_from(b) = b − a,
+    * src/vector.rs:8-12). */
+  private[ann] def buildHyperplane(
+      idx: Array[Int], vecs: Array[Array[Float]], rng: Random): (HyperPlane, Array[Int], Array[Int]) = {
+    val dim = vecs(idx(0)).length
+    // sample two distinct positions (reference choose_multiple(2), src/lib.rs:26-28)
+    val ai = rng.nextInt(idx.length)
+    var bi = rng.nextInt(idx.length)
+    var tries = 0
+    while (bi == ai && tries < 8) { bi = rng.nextInt(idx.length); tries += 1 }
+    val a = vecs(idx(ai)); val b = vecs(idx(math.max(0, if (bi == ai) (ai + 1) % idx.length else bi)))
+    val n = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { n(i) = b(i) - a(i); i += 1 }
+    var c = 0.0
+    i = 0
+    while (i < dim) { c += n(i).toDouble * ((a(i).toDouble + b(i).toDouble) / 2.0); i += 1 }
+    val plane = HyperPlane(n, (-c).toFloat)
+    val above = Array.newBuilder[Int]
+    val below = Array.newBuilder[Int]
+    idx.foreach { id => if (plane.isAbove(vecs(id))) above += id else below += id }
+    (plane, below.result(), above.result())
+  }
+
+  /** Recursive build (reference build_a_tree, src/lib.rs:50-62): leaf at
+    * ≤ maxLeafSize; left=below, right=above. Guards the reference's
+    * infinite-recursion hazard (identical/degenerate splits) with a
+    * forced leaf — the reference relies on dedup alone (SURVEY §7 M3). */
+  private[ann] def buildTree(
+      idx: Array[Int], vecs: Array[Array[Float]], rng: Random, depth: Int = 0): Node = {
+    if (idx.length <= maxLeafSize || depth >= 64) Leaf(idx)
+    else {
+      val (plane, below, above) = buildHyperplane(idx, vecs, rng)
+      if (below.isEmpty || above.isEmpty) Leaf(idx) // degenerate split guard
+      else Inner(plane, buildTree(below, vecs, rng, depth + 1), buildTree(above, vecs, rng, depth + 1))
+    }
+  }
+
+  /** Fit on (idCol LONG, vecCol ARRAY<FLOAT>). Bit-exact dedup first
+    * (reference src/lib.rs:87-88, minus its drop-row-0 bug), then
+    * numTrees independent trees in parallel. */
+  def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): AnnForestModel = {
+    val deduped = Dedup.exactVectors(df, vecCol, idCol)
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
+      .orderBy(col(idCol)) // deterministic store order = deterministic leaves
+      .collect()
+    val ids = deduped.map(_.getLong(0))
+    val vecs = deduped.map(_.getSeq[Float](1).toArray)
+    val positions = Array.range(0, vecs.length)
+    import scala.collection.parallel.CollectionConverters._
+    val trees = (0 until numTrees).par.map { t =>
+      buildTree(positions, vecs, new Random(seed * 1000003L + t))
+    }.seq
+    new AnnForestModel(trees, ids, vecs)
+  }
+}

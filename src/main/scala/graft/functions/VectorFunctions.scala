@@ -58,7 +58,9 @@ object VectorFunctions {
       if (a == null) null
       else {
         val bb = java.nio.ByteBuffer.allocate(a.length * 4)
-        a.foreach(f => bb.putInt(java.lang.Float.floatToIntBits(f)))
+        // raw bits: floatToIntBits would canonicalize NaN payloads; the
+        // reference's f32::to_bits does not (src/vector.rs:28)
+        a.foreach(f => bb.putInt(java.lang.Float.floatToRawIntBits(f)))
         bb.array()
       }
     }
@@ -69,7 +71,7 @@ object VectorFunctions {
     * HashKey<N> shape, for tests / inspection). */
   val floatBitsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float]) =>
-      if (a == null) null else a.map(java.lang.Float.floatToIntBits)
+      if (a == null) null else a.map(java.lang.Float.floatToRawIntBits)
     }
 
   def floatBits(a: Column): Column = floatBitsUdf(a)

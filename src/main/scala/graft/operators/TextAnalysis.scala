@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines — all Catalyst
+  * built-ins (regexp / split / filter / aggregate), fully codegen'd,
+  * no shuffle: every metric is a narrow per-row projection.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces + digits + punctuation
+    * counted separately (a cheap deterministic proxy for a tokenizer's
+    * token count — the usual pretraining-cost estimator). */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])|(?<=[a-z]{4})(?=[a-z])"))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Ratio of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  private val defaultStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Composite quality score in [0,1]: length band + stopword presence
+    * − punctuation excess (heuristic C4/Gopher-style filters). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 10000), 1.0).otherwise(0.0)
+    val swOk = when(stopwordRatio(text, defaultStopwords) >= 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    (lenOk * 0.4 + swOk * 0.3 + punctOk * 0.3)
+  }
+
+  /** Language ID by stopword-profile voting: score per language =
+    * fraction of tokens in that language's closed-class word list;
+    * argmax, "und" when nothing matches. N-gram-profile heuristics in
+    * the same spirit as published langid approaches; list-driven so it
+    * stays a pure Catalyst expression.
+    */
+  val languageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf"),
+    "pt" -> Seq("de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com", "uma"))
+
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = languageProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(
+        (size(filter(toks, t => array_contains(sw, t))).cast("double")
+          / greatest(size(toks), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit rolling hash of the normalized token
+    * stream (hash-chain fold — order-sensitive, so it's a
+    * whitespace/case-insensitive exact-dup key, stable across
+    * formatting changes). aggregate() keeps it codegen'd; xxhash64
+    * chaining avoids ANSI-mode overflow that a polynomial hash's
+    * wrapping multiply would trip.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text), lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+}

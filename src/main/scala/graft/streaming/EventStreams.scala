@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props-json).
+  *
+  * Each transform is written against a plain DataFrame so the SAME code
+  * runs in batch (for the DuckDB oracle) and under `readStream` (for
+  * the streaming tests) — the Structured Streaming model's core
+  * guarantee, which we lean on instead of maintaining two codepaths.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window aggregate (hourly). In streaming mode callers add
+    * `withWatermark("ts", ...)` before this; the plan is otherwise
+    * identical. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** Watermarked streaming variant: late data beyond 30 min dropped,
+    * state bounded — the production shape for an unbounded stream. */
+  def hourlyStatsStreaming(events: DataFrame): DataFrame =
+    hourlyStats(events.withWatermark("ts", "30 minutes"))
+
+  /** Sliding-window (1h window / 15m slide) event rate per type. */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n_events"))
+
+  /** JSON prop extraction (events.props is a JSON string). */
+  def withParsedProps(events: DataFrame): DataFrame =
+    events.withColumn("prop_k", get_json_object(col("props"), "$.k").cast(IntegerType))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, n_events: Int, total_value: Double,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+  private case class SessionState(n: Int, total: Double, start: Long, last: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session ends
+    * after `gapMinutes` of inactivity (processing-time timeout in
+    * streaming; in batch Spark runs the same function once per group
+    * with all data, emitting the final sessions).
+    */
+  // µs-precision Timestamp round-trips (getTime alone truncates to ms).
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // Batch semantics: fold the (sorted) events, splitting on gaps.
+          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            cur match {
+              case Some(s) if t - s.last <= gapUs =>
+                cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, t))
+              case Some(s) =>
+                sessions += Session(uid, s.n, s.total, fromMicros(s.start), fromMicros(s.last))
+                cur = Some(SessionState(1, e.value, t, t))
+              case None =>
+                cur = Some(SessionState(1, e.value, t, t))
+            }
+          }
+          cur.foreach { s =>
+            sessions += Session(uid, s.n, s.total, fromMicros(s.start), fromMicros(s.last))
+            state.remove()
+          }
+          sessions.iterator
+      }
+  }
+
+  /** Replay the events parquet through a real streaming query into a
+    * memory sink (synchronous, for tests). Returns the collected result. */
+  def runStreamingHourly(spark: SparkSession, parquetPath: String): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(parquetPath)
+    val q = hourlyStatsStreaming(stream).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_hourly")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_hourly")
+  }
+}

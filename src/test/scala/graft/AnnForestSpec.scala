@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann._
+import graft.operators.KnnExact
+import graft.sources.Tables
+
+class AnnForestSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+    .fit(emb, "vec_id", "embedding")
+
+  test("hyperplane bisector math matches hand computation") {
+    // a=(0,0), b=(2,0): n=(2,0), mid=(1,0), c=-2 → plane 2x-2=0 (x=1)
+    val plane = HyperPlane(Array(2f, 0f), -2f)
+    assert(plane.isAbove(Array(3f, 5f)))   // x>1 → above
+    assert(!plane.isAbove(Array(0f, 5f)))  // x<1 → below
+    assert(plane.isAbove(Array(1f, 0f)))   // tie → above (ref hyperplane.rs:10)
+  }
+
+  test("traversal shortfall-spill on a hand-built tree (ref src/lib.rs:105-128)") {
+    // x=1 split; left leaf has 1 row, right leaf 3 rows.
+    val tree = Inner(HyperPlane(Array(1f), -1f), Leaf(Array(0)), Leaf(Array(1, 2, 3)))
+    val vecs = Array(Array(0f), Array(2f), Array(3f), Array(4f))
+    val m = new AnnForestModel(Seq(tree), Array(10L, 11L, 12L, 13L), vecs)
+    // query below the plane wants 3: main leaf gives 1, spills 2 from sibling
+    val got = m.search(Array(0.5f), 3).map(_._1).toSet
+    assert(got.contains(10L))
+    assert(got.size === 3)
+    // leaf truncation takes FIRST n, not nearest n (ref quirk src/lib.rs:110-113):
+    // spilled candidates from right leaf are positions 1,2 (ids 11,12) even
+    // though 13 isn't farther from everything.
+    assert(got === Set(10L, 11L, 12L))
+  }
+
+  test("build is deterministic for a fixed seed") {
+    val m2 = AnnForest(50, 5, 42L).fit(emb, "vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 7L).head().getSeq[Float](1).toArray
+    assert(model.search(q, 10).toSeq === m2.search(q, 10).toSeq)
+  }
+
+  test("search returns ≤ k results, ascending distance, ids from corpus") {
+    val q = emb.filter($"vec_id" === 3L).head().getSeq[Float](1).toArray
+    val res = model.search(q, 10)
+    assert(res.length <= 10 && res.nonEmpty)
+    assert(res.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(res.map(_._1).forall(allIds))
+    // self is its own nearest neighbor at distance 0
+    assert(res.head._1 === 3L && res.head._2 === 0.0)
+  }
+
+  test("recall@10 >= 0.8 vs exact brute-force oracle over 50 queries") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = model.searchBatch(queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Seq.empty).toSet.intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 = $mean%.3f")
+    assert(mean >= 0.8, f"recall $mean%.3f below threshold")
+  }
+
+  test("searchBatch distributed output matches driver-side search") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val batch = model.searchBatch(queries, 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    queries.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val local = model.search(r.getSeq[Float](1).toArray, 5).map(_._1).toSeq
+      assert(batch(qid) === local, s"query $qid")
+    }
+  }
+
+  test("assignLeaves routes every row to one leaf per tree") {
+    val small = AnnForest(numTrees = 4, maxLeafSize = 10, seed = 1L)
+      .fit(emb, "vec_id", "embedding")
+    val routed = small.assignLeaves(emb.select("vec_id", "embedding"))
+    assert(routed.count() === emb.count() * 4)
+    assert(routed.groupBy("vec_id").count().filter($"count" =!= 4).count() === 0)
+  }
+
+  test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
+    val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")
+    val res = m.search(Array(1f, 1f), 3)
+    assert(res.length === 1 && res.head._1 === 0L) // dedup keeps first
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/char counts and mean token length") {
+    val df = Seq(("hello world foo", 1)).toDF("text", "id")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.meanTokenLen($"text")).head()
+    assert(r.getInt(0) === 3)
+    assert(math.abs(r.getDouble(1) - 13.0 / 3) < 1e-12)
+  }
+
+  test("punctuation ratio") {
+    val df = Seq(Tuple1("ab,.!?cd")).toDF("text")
+    val r = df.select(TextAnalysis.punctRatio($"text")).head().getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("language ID picks the dominant stopword profile") {
+    val df = Seq(
+      (1, "the cat sat on the mat and it was happy with that"),
+      (2, "el perro corre por la calle y se esconde en las casas"),
+      (3, "der hund läuft durch die strasse und die katze auf dem dach"),
+      (4, "zzz qqq xxx www")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.languageId($"text").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) === "en")
+    assert(got(2) === "es")
+    assert(got(3) === "de")
+    assert(got(4) === "und")
+  }
+
+  test("quality score favors normal prose over garbage") {
+    val good = "the engine reads data and writes results to the table " * 3
+    val bad = "!!!???;;;"
+    val df = Seq((1, good), (2, bad)).toDF("id", "text")
+    val s = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(s(1) > s(2))
+    assert(s(1) === 1.0)
+  }
+
+  test("fingerprint: stable under formatting, sensitive to word order") {
+    val df = Seq(
+      (1, "Hello   World Foo"), (2, "hello world foo"), (3, "foo world hello")
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fp(1) === fp(2)) // case/whitespace-insensitive
+    assert(fp(2) !== fp(3)) // order-sensitive
+  }
+
+  test("subword count exceeds word count for long words") {
+    val df = Seq(Tuple1("internationalization")).toDF("text")
+    val n = df.select(TextAnalysis.subwordCount($"text")).head().getInt(0)
+    assert(n > 1)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("shingles produce n-grams; short docs fall back to whole text") {
+    val df = Seq(("a b c d", 1), ("x", 2)).toDF("text", "id")
+    val sh = df.select($"id", TextDedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1) === Seq("a b c", "b c d"))
+    assert(sh(2) === Seq("x"))
+  }
+
+  test("jaccard is 1 for identical, 0 for disjoint sets") {
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L), Seq(9L))).toDF("a", "b", "c")
+    val r = df.select(
+      TextDedup.jaccard($"a", $"b"), TextDedup.jaccard($"a", $"c")).head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("minhash LSH finds all exact near-dup pairs at threshold 0.5 (full recall on fixture)") {
+    val exact = TextDedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashPairs(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // verify stage guarantees precision; banding should give full recall
+    // on the fixture's high-jaccard planted pairs
+    assert(lsh === exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale")
+    ).toDF("id", "text")
+    val fps = df.select($"id", TextDedup.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L) === fps(2L))
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("cosine near-dup pairs are symmetric-free (id_a < id_b) and thresholded") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pairs = TextDedup.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

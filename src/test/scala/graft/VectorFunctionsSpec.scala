@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / sqEucDist / cosine match hand-computed values") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      dot($"a", $"b").as("dot"),
+      sqEucDist($"a", $"b").as("sq"),
+      cosine($"a", $"b").as("cos")).head()
+    assert(r.getDouble(0) === 32.0)              // 4+10+18
+    assert(r.getDouble(1) === 27.0)              // 9+9+9
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("sqEucDist of identical vectors is 0; zero-norm cosine is 0") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f), Array(0f, 0f))).toDF("a", "b", "z")
+    val r = df.select(sqEucDist($"a", $"b"), cosine($"a", $"z")).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("floatBits distinguishes -0.0 from 0.0 and preserves NaN payloads") {
+    // reference semantics: src/vector.rs:25-31 (to_bits per component)
+    val nan2 = java.lang.Float.intBitsToFloat(0x7fc00001) // non-canonical NaN
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(-0.0f)),
+      (3L, Array(Float.NaN)), (4L, Array(nan2))
+    ).toDF("id", "v")
+    val keys = df.select($"id", floatBitsKey($"v").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("k").toSeq).toMap
+    assert(keys(1L) !== keys(2L), "-0.0 must differ from 0.0")
+    assert(keys(3L) !== keys(4L), "NaN payloads must stay distinct")
+    // and native Spark grouping would have merged them:
+    assert(df.select($"v").distinct().count() < 4)
+    assert(df.select(floatBitsKey($"v")).distinct().count() === 4)
+  }
+
+  test("floatBits array form matches floatToIntBits per component") {
+    val df = Seq(Tuple1(Array(1.5f, -2.25f))).toDF("v")
+    val got = df.select(floatBits($"v")).head().getSeq[Int](0)
+    assert(got === Seq(java.lang.Float.floatToRawIntBits(1.5f),
+                       java.lang.Float.floatToRawIntBits(-2.25f)))
+  }
+}
