@@ -22,6 +22,19 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Widen narrow inputs before CPU-heavy per-row stages: repartition
+    * only when the scan yields fewer partitions than the session's
+    * parallelism. The fixtures are single-row-group parquet (one
+    * unsplittable partition each), which would serialize e.g. the
+    * MinHash computation onto one core; a 100 TB table arrives in
+    * thousands of splits, making this a no-op there — the repartition
+    * cost is only ever paid on inputs small enough for it to be cheap.
+    */
+  def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = configure(

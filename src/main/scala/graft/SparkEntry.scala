@@ -290,7 +290,7 @@ object SparkEntry {
 
     // SimHash 64-bit fingerprints + near-dup pairs by Hamming radius.
     "q31_simhash_pairs" -> ((s, d) => {
-      val fp = Tables.documents(s, d)
+      val fp = GraftSession.widen(Tables.documents(s, d))
         .select(col("doc_id"), TextDedup.simhash(col("text"), 2).as("fp"))
       val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
       val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
@@ -347,7 +347,7 @@ object SparkEntry {
     // behavior asserted in TextAnalysisSpec).
     "q41_quality_lang" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d).select(
+      GraftSession.widen(Tables.documents(s, d)).select(
         col("doc_id"),
         TextAnalysis.qualityScore(t).as("quality"),
         TextAnalysis.languageId(t).as("lang_pred"),
@@ -381,8 +381,8 @@ object SparkEntry {
 
     "q52_sessionize" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("value"))
+      val ev = GraftSession.widen(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value")))
         .as[EventStreams.SessionEvent]
       EventStreams.sessionize(ev, gapMinutes = 60).toDF()
         .select(

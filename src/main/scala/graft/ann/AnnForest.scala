@@ -114,8 +114,8 @@ class AnnForestModel(
       StructField("neighbor_id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false),
       StructField("rank", IntegerType, nullable = false)))
-    val in = queries.select(
-      col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
+    val in = graft.GraftSession.widen(queries.select(
+      col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       val model = bc.value

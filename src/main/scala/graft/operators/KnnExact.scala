@@ -49,7 +49,7 @@ object KnnExact {
       corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val joined = graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
       .select(
         col(queryId),
         col(corpusId).as("neighbor_id"),

@@ -69,7 +69,7 @@ object Multimodal {
     * no shuffle, no driver data movement. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
-    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+    graft.GraftSession.widen(media.select(col("media_id"), col("payload"))).mapPartitions { rows =>
       rows.map { r =>
         val (w, h, f) = stubDecode(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), w, h, f)

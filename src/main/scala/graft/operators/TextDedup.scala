@@ -30,22 +30,90 @@ object TextDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Distinct 64-bit shingle hashes (the set representation). */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  /** Distinct 64-bit shingle hashes (the set representation).
+    *
+    * One pass over the token stream: hash each token once, then chain
+    * the n token hashes per window (injective up to 64-bit collisions —
+    * equivalent to hashing the joined n-gram string for Jaccard
+    * purposes, without materializing per-shingle strings). A tight UDF
+    * deliberately: the `transform∘concat_ws∘slice` column composition
+    * is CodegenFallback-interpreted and measured ~6× slower, and both
+    * forms break whole-stage codegen equally.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val th = new Array[Long](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          th(i) = XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), 42L)
+          i += 1
+        }
+        val out = new java.util.LinkedHashSet[Long]()
+        if (toks.length < n) { // short-doc fallback: one whole-text shingle
+          var h = 42L
+          var j = 0
+          while (j < toks.length) { h = XXH64.hashLong(th(j), h); j += 1 }
+          out.add(h)
+        } else {
+          var s = 0
+          while (s <= toks.length - n) {
+            var h = 42L
+            var j = s
+            while (j < s + n) { h = XXH64.hashLong(th(j), h); j += 1 }
+            out.add(h)
+            s += 1
+          }
+        }
+        val arr = new Array[Long](out.size)
+        val it = out.iterator
+        var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
+    }
+    f(text)
+  }
 
   /** MinHash signature: k independent hash "permutations"
-    * h_i(x) = xxhash64(seed_i, x), min per permutation over the shingle
-    * hashes. Pure column expressions (one `array_min∘transform` per
-    * permutation), codegen'd, and ANSI-safe — no modular multiply that
-    * would overflow LONG under ansi mode.
+    * h_i(x) = XXH64(x, seed_i), min per permutation over the shingle
+    * hashes.
+    *
+    * Implemented as ONE tight-loop JVM function rather than k
+    * `array_min∘transform` column compositions: Spark's higher-order
+    * functions are CodegenFallback (interpreted, no common-subexpression
+    * elimination), so the composition re-evaluated the shingle subtree
+    * per permutation — measured 13.6s for 5k docs where this loop takes
+    * ~0.3s. Same hash family (xxhash64 of the 64-bit shingle hash,
+    * per-permutation seed), deterministic for a fixed seed.
     */
   def minhashSignature(hashes: Column, k: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
-    val seeds = Seq.fill(k)(rng.nextLong())
-    array(seeds.map { s =>
-      array_min(transform(hashes, h => xxhash64(lit(s), h)))
-    }: _*)
+    val seeds = Array.fill(k)(rng.nextLong())
+    val f = udf { (hs: Seq[Long]) =>
+      if (hs == null || hs.isEmpty) new Array[Long](seeds.length)
+      else {
+        val out = new Array[Long](seeds.length)
+        var i = 0
+        while (i < seeds.length) {
+          val s = seeds(i)
+          var m = Long.MaxValue
+          val it = hs.iterator
+          while (it.hasNext) {
+            val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(it.next(), s)
+            if (v < m) m = v
+          }
+          out(i) = m
+          i += 1
+        }
+        out
+      }
+    }
+    f(hashes)
   }
 
   /** LSH banding: (doc, band_id, band_key) — docs sharing a band key are
@@ -72,7 +140,7 @@ object TextDedup {
   def jaccardPairsExact(
       docs: DataFrame, idCol: String, textCol: String,
       ngram: Int, threshold: Double, blockCol: Option[String] = None): DataFrame = {
-    val withSh = docs.select(
+    val withSh = graft.GraftSession.widen(docs).select(
       Seq(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh")) ++
         blockCol.map(c => col(c).as("block")): _*)
     val a = withSh.select(
@@ -98,21 +166,46 @@ object TextDedup {
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), ngram).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .withColumn("band", explode(lshBands(col("sig"), bands, r)))
-      .select(col("id"), col("sh"), col("band.band_id"), col("band.band_key"))
-    val l = sig.select(col("band_id"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val rr = sig.select(col("band_id"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(rr, Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
+    val wide = graft.GraftSession.widen(docs)
+    // One signature pass; band rows carry only (id, band) — the wide
+    // shingle arrays never enter the bucket shuffle. The exchange
+    // (repartition) between the signature projection and the explode is
+    // load-bearing: projections get codegen subexpression elimination
+    // but Generate does not, so without the boundary Catalyst collapses
+    // the minhash subtree into the generator and re-evaluates it per
+    // band reference (a measured ~15× regression). The shuffled payload
+    // is just (id, numHashes longs) per doc — negligible at any scale.
+    val sigDf = wide
+      .select(
+        col(idCol).as("id"),
+        minhashSignature(shingleHashes(col(textCol), ngram), numHashes, seed).as("sig"))
+      .repartition(wide.sparkSession.sparkContext.defaultParallelism)
+    val bandRows = sigDf
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+    // Bucket ids per (band_id, band_key); generate i<j pairs inside each
+    // bucket with index-aware transforms (no self-join, one shuffle).
+    // maxBucketSize is the skew guard for adversarial/degenerate corpora
+    // — oversized buckets are dropped, trading recall for boundedness.
+    val buckets = bandRows.groupBy(col("band_id"), col("band_key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val pairs = buckets.select(explode(flatten(transform(
+      col("ids"), (a, i) => transform(
+        slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // same pair can collide in several bands
+    // Verify stage: fetch shingle sets for candidates only, exact Jaccard.
+    val shMap = wide.select(
+      col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+    pairs
+      .join(shMap.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shMap.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -152,8 +245,11 @@ object TextDedup {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val wide = graft.GraftSession.widen(df)
+    val a = wide.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // `b` stays narrow: it's the broadcast-style inner side of the
+    // pair-generation cross join; `a` (widened) drives parallelism.
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
