@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Tables, VecReader}
-import graft.operators.{Dedup, KnnExact, Multimodal, TextAnalysis, TextDedup}
+import graft.operators.{Dedup, KnnExact, MlLsh, Multimodal, TextAnalysis, TextDedup}
 import graft.ann.AnnForest
 import graft.streaming.EventStreams
 import graft.functions.VectorFunctions._
@@ -268,6 +268,56 @@ object SparkEntry {
       val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
         .fit(e, "vec_id", "embedding")
       model.knnJoin(e, topK = 10).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Q3: k-NN result → id-set projection (reference src/main.rs:125-136)
+    // — distances dropped, one (query, neighbor) pair per set member.
+    "q28_knn_idsets" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      KnnExact.asIdSets(KnnExact.knnBatch(e, q, k = 5))
+        .select(col("query_id"), explode(col("neighbor_ids")).as("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // X1: point lookup by label over the .vec corpus — word → embedding →
+    // ANN search → neighbor ids mapped back to words via join (the
+    // reference's dictionary lookups become joins, src/main.rs:80-93).
+    "q29_word_neighbors" -> ((s, _) => {
+      val vecs = VecReader.read(s, "/root/reference/data/test.vec", dim = 300)
+      val model = AnnForest(numTrees = 10, maxLeafSize = 5, seed = 42L)
+        .fit(vecs, "id", "embedding")
+      val queries = vecs.filter(col("word").isin("the", "of", "in", "and"))
+        .select(col("id").as("query_id"), col("embedding").as("qvec"))
+      val res = model.searchBatch(queries, topK = 5)
+      res.join(vecs.select(col("id"), col("word").as("query_word")),
+          res("query_id") === col("id")).drop("id")
+        .join(vecs.select(col("id"), col("word").as("neighbor_word")),
+          res("neighbor_id") === col("id")).drop("id")
+        .select(col("query_word"), col("rank"), col("neighbor_word"))
+        .orderBy(col("query_word"), col("rank"))
+    }),
+
+    // The 100 TB ANN path: leaf-bucket co-partitioned k-NN join — no
+    // broadcast of the store, shuffles only on (tree_id, leaf_id).
+    "q35_ann_bucketed_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(e, "vec_id", "embedding")
+      val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      model.knnJoinBucketed(e, queries, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MLlib interop backend: BucketedRandomProjectionLSH approximate
+    // k-NN join (random projections, f64 — SURVEY §1.4).
+    "q36_mllib_lsh_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      MlLsh.approxKnnJoin(e, queries, k = 5, maxDist = 1e9)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // S1: fastText .vec text-format scan (the reference's own fixture).
@@ -546,6 +596,14 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_ts
            FROM events) t
          WHERE event_type = 'click' ORDER BY event_id""",
+    "q28_knn_idsets" ->
+      """SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+               e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 5 ORDER BY query_id, neighbor_id""",
     "q32_jaccard_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(

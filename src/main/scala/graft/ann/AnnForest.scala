@@ -169,6 +169,103 @@ class AnnForestModel(
           col("__b._1").as("tree_id") :+
           col("__b._2").as("leaf_id"): _*)
   }
+
+  /** The 100 TB k-NN join: route corpus and queries to (treeId, leafId)
+    * buckets distributively, equi-join on the bucket key, union
+    * candidates across trees, exact re-rank per query.
+    *
+    * Versus the broadcast [[knnJoin]] (reference-parity traversal): no
+    * vector store on the driver or in a broadcast — the store stays a
+    * DataFrame end to end, the only wide ops are (a) one shuffle of each
+    * side on a compact (int, long) bucket key and (b) the per-query
+    * top-k window. Candidates are whole leaves (no first-n truncation /
+    * shortfall spill — those are artifacts of the reference's serial
+    * traversal); recall is ≥ the traversal's for the same forest. For a
+    * standing corpus, persist `assignLeaves(corpus)` bucketed by
+    * (tree_id, leaf_id) and the corpus-side shuffle disappears from
+    * every subsequent query batch.
+    */
+  def knnJoinBucketed(
+      corpus: DataFrame, queries: DataFrame, topK: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val corpusRouted = assignLeaves(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec")), "__cvec")
+    val queriesRouted = assignLeaves(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv")
+    val candidates = queriesRouted
+      .join(corpusRouted, Seq("tree_id", "leaf_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cvec"), col("__qv")).as("dist"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("dist")).as("dist")) // union across trees
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Persist the fitted model as plain parquet (portable, splittable):
+    * a flattened node table + the dedup'd store. */
+  def save(path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[FlatNode]
+    trees.zipWithIndex.foreach { case (root, ti) =>
+      def walk(n: Node): Int = {
+        val myId = nodes.length
+        n match {
+          case Leaf(rows) =>
+            nodes += FlatNode(ti, myId, isLeaf = true, None, None, -1, -1, rows)
+          case Inner(plane, left, right) =>
+            nodes += FlatNode(ti, myId, isLeaf = false,
+              Some(plane.coefficients), Some(plane.constant), -1, -1, Array.empty)
+            val l = walk(left); val r = walk(right)
+            nodes(myId) = nodes(myId).copy(leftId = l, rightId = r)
+        }
+        myId
+      }
+      walk(root)
+    }
+    nodes.toSeq.toDS().write.mode("overwrite").parquet(s"$path/nodes")
+    // leaf rows index the store by POSITION — persist it explicitly,
+    // parquet read order is not guaranteed
+    ids.zip(vectors).zipWithIndex
+      .map { case ((id, vec), pos) => (pos, id, vec) }.toSeq
+      .toDF("pos", "id", "vec")
+      .write.mode("overwrite").parquet(s"$path/store")
+  }
+}
+
+/** Parquet-serializable node row (see [[AnnForestModel.save]]). */
+case class FlatNode(
+    treeId: Int, nodeId: Int, isLeaf: Boolean,
+    coeffs: Option[Array[Float]], constant: Option[Float],
+    leftId: Int, rightId: Int, leafRows: Array[Int])
+
+object AnnForestModel {
+  /** Load a model persisted by [[AnnForestModel.save]]. */
+  def load(path: String, spark: SparkSession): AnnForestModel = {
+    import spark.implicits._
+    val flat = spark.read.parquet(s"$path/nodes").as[FlatNode]
+      .collect().groupBy(_.treeId)
+    val trees = flat.keys.toSeq.sorted.map { ti =>
+      val byId = flat(ti).map(n => n.nodeId -> n).toMap
+      def build(id: Int): Node = {
+        val n = byId(id)
+        if (n.isLeaf) Leaf(n.leafRows)
+        else Inner(HyperPlane(n.coeffs.get, n.constant.get), build(n.leftId), build(n.rightId))
+      }
+      build(flat(ti).map(_.nodeId).min)
+    }
+    val store = spark.read.parquet(s"$path/store")
+      .select(col("pos"), col("id").cast("long"), col("vec"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), r.getSeq[Float](2).toArray))
+    new AnnForestModel(trees, store.map(_._1), store.map(_._2))
+  }
 }
 
 /** Estimator: builds the forest (reference build_index, src/lib.rs:81-103).

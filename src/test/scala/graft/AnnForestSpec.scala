@@ -91,6 +91,34 @@ class AnnForestSpec extends SparkSpec {
     assert(routed.groupBy("vec_id").count().filter($"count" =!= 4).count() === 0)
   }
 
+  test("bucketed (100TB-path) knnJoin recall >= broadcast traversal recall") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val bucketed = model.knnJoinBucketed(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (qid, truth) =>
+      bucketed.getOrElse(qid, Seq.empty).toSet.intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"bucketed mean recall@10 = $mean%.3f")
+    assert(mean >= 0.8)
+  }
+
+  test("save/load roundtrip preserves search results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val small = AnnForest(numTrees = 8, maxLeafSize = 5, seed = 9L)
+      .fit(emb, "vec_id", "embedding")
+    small.save(dir, spark)
+    val loaded = AnnForestModel.load(dir, spark)
+    val q = emb.filter($"vec_id" === 11L).head().getSeq[Float](1).toArray
+    assert(loaded.search(q, 10).toSeq === small.search(q, 10).toSeq)
+    assert(loaded.trees.size === 8)
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnExact, MlLsh}
+import graft.sources.Tables
+
+class MlLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("BRP-LSH knn join: rank-1 self match and reasonable recall with wide radius") {
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = MlLsh.approxKnnJoin(emb, queries, k = 5, maxDist = 1e9)
+    val r1 = got.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(r1.nonEmpty)
+    r1.foreach { case (q, n) => assert(q === n, s"rank-1 of $q should be itself") }
+
+    val exact = KnnExact.knnBatch(emb, queries, 5)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"BRP-LSH mean recall@5 = $mean%.3f")
+    assert(mean >= 0.5) // stateless projections; forest is the quality path
+  }
+
+  test("approx distance join returns only pairs within the radius") {
+    val pairs = MlLsh.approxDistanceJoin(emb, emb, maxDist = 3.0)
+    pairs.collect().foreach { r => assert(r.getDouble(2) <= 3.0) }
+  }
+}
