@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import graft.sources.Tables
+
+/** Physical-plan shape assertions: the scale claims in the operator
+  * scaladocs, checked against what Catalyst actually plans. A plan
+  * regression (lost pushdown, surprise sort, un-broadcast dim join)
+  * fails here even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02 filter+projection are pushed to the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    // column pruning: the scan must not read the unused wide columns
+    assert(!p.contains("l_returnflag"), "scan should prune l_returnflag")
+  }
+
+  test("q03 dimension joins are broadcast (no shuffle of the fact side)") {
+    val p = planOf("q03_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q06 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q06_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21 single-query kNN is broadcast + TakeOrderedAndProject") {
+    val p = planOf("q21_knn_exact_point")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen covers the relational pipeline (final AQE plan)") {
+    // AQE inserts codegen stages as query stages materialize — execute
+    // first, then inspect the final plan.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a *(stageId) prefix in the final plan
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("exact dedup aggregates partially (groupBy-min, not a window)") {
+    val p = planOf("q23_dedup_embeddings")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), "dedup must not use a window function")
+  }
+}

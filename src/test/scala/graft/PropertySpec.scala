@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ann.AnnForest
+import graft.operators.{Dedup, KnnExact}
+
+/** Property-based invariants (SURVEY §5.2) over ScalaCheck-generated
+  * corpora. Generators are sampled with fixed seeds (no scalatest bridge
+  * on the offline classpath), so failures are reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusGen: Gen[List[(Long, List[Float])]] = for {
+    n <- Gen.choose(12, 60)
+    dim <- Gen.choose(2, 8)
+    rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f)))
+  } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  private def samples(n: Int): Seq[List[(Long, List[Float])]] =
+    (1 to n).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("exact kNN is invariant under input permutation") {
+    samples(5).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val shuffled = new scala.util.Random(1).shuffle(rows).toDF("vec_id", "embedding")
+      val a = KnnExact.searchById(df, 0L, 5).select("vec_id").as[Long].collect().toSeq
+      val b = KnnExact.searchById(shuffled, 0L, 5).select("vec_id").as[Long].collect().toSeq
+      assert(a === b)
+    }
+  }
+
+  test("ANN results: ids ⊆ corpus, |result| ≤ k, distances ascending") {
+    samples(5).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val model = AnnForest(numTrees = 10, maxLeafSize = 3, seed = 7L)
+        .fit(df, "vec_id", "embedding")
+      val res = model.search(rows.head._2.toArray, 5)
+      assert(res.length <= 5 && res.nonEmpty)
+      assert(res.map(_._1).toSet.subsetOf(rows.map(_._1).toSet))
+      assert(res.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
+  test("dedup is idempotent and keeps exactly the distinct vectors") {
+    samples(5).foreach { rows =>
+      val withDups = rows ++ rows.take(rows.size / 2)
+      val df = withDups.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val once = Dedup.exactVectors(df, "embedding", "vec_id")
+      val twice = Dedup.exactVectors(once, "embedding", "vec_id")
+      assert(once.count() === twice.count())
+      assert(once.count() === rows.map(_._2).distinct.size)
+    }
+  }
+
+  test("ANN recall >= 0.6 vs brute force on random corpora (forest defaults)") {
+    samples(3).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 11L)
+        .fit(df, "vec_id", "embedding")
+      val recalls = rows.take(10).map { case (qid, v) =>
+        val truth = KnnExact.searchById(df, qid, 5).select("vec_id").as[Long].collect().toSet
+        val got = model.search(v.toArray, 5).map(_._1).toSet
+        got.intersect(truth).size.toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.6, f"recall $mean%.2f")
+    }
+  }
+}
