@@ -35,6 +35,15 @@ object GraftSession {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Register graft's native SQL functions (usable from spark.sql). */
+  def registerFunctions(s: SparkSession): Unit = {
+    import graft.functions.{CosineSimilarity, DotProduct, SqEucDistance}
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sq_euc_dist", es => SqEucDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = configure(
@@ -42,6 +51,7 @@ object GraftSession {
       cpus
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
   }
 }

@@ -17,16 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** dot(a, b) = Σ aᵢ·bᵢ (reference src/vector.rs:20-23). */
+  import org.apache.spark.sql.GraftBridge
+
+  private def toFloatArr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftBridge.expression(c.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)))
+
+  /** dot(a, b) = Σ aᵢ·bᵢ (reference src/vector.rs:20-23). Codegen'd
+    * native expression — fuses into whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d),
-      (acc, v) => acc + v)
+    GraftBridge.column(DotProduct(toFloatArr(a), toFloatArr(b)))
 
   /** Squared euclidean distance Σ (aᵢ−bᵢ)² (reference src/vector.rs:33-36;
-    * squared — sqrt is display-only, src/main.rs:91). */
+    * squared — sqrt is display-only, src/main.rs:91). Codegen'd. */
   def sqEucDist(a: Column, b: Column): Column =
+    GraftBridge.column(SqEucDistance(toFloatArr(a), toFloatArr(b)))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. One-pass
+    * codegen'd kernel. */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(toFloatArr(a), toFloatArr(b)))
+
+  /** v1 HOF composition of sqEucDist, kept as a cross-check for the
+    * native expression (identical accumulation order/precision). */
+  def sqEucDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -34,15 +51,6 @@ object VectorFunctions {
       }),
       lit(0.0d),
       (acc, v) => acc + v)
-
-  /** L2 norm. */
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
-  }
 
   /** Bit-exact dedup key (reference src/vector.rs:25-31, D1): each f32
     * reinterpreted as its IEEE-754 bits, packed into one BINARY value.

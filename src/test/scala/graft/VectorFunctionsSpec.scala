@@ -40,6 +40,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.select(floatBitsKey($"v")).distinct().count() === 4)
   }
 
+  test("native codegen sqEucDist matches the HOF composition bit-for-bit") {
+    val df = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val q = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val both = df.crossJoin(q).select(
+      sqEucDist($"embedding", $"q").as("native"),
+      sqEucDistHof($"embedding", $"q").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
+  test("SQL registration: sq_euc_dist / cosine_sim callable from spark.sql") {
+    graft.GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT sq_euc_dist(array(1.0F,2.0F), array(4.0F,6.0F)) AS d," +
+        " cosine_sim(array(1.0F,0.0F), array(1.0F,0.0F)) AS c").head()
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("floatBits array form matches floatToIntBits per component") {
     val df = Seq(Tuple1(Array(1.5f, -2.25f))).toDF("v")
     val got = df.select(floatBits($"v")).head().getSeq[Int](0)
