@@ -180,6 +180,42 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Cube (full grouping-set lattice).
+    "q17_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Math scalar functions (IEEE-exact subset — no libm divergence).
+    "q18_math_fns" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          pow(col("l_discount"), 2).as("disc_sq"),
+          abs(col("l_quantity") - lit(25.0)).as("abs_dev"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Pivot: market segments to columns (Spark .pivot; oracle via
+    // conditional aggregation — identical output schema).
+    "q19_pivot" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("n_name"))
+    }),
+
     // ---- Vector surface (reference parity; SURVEY §2.1) ----
 
     // X1/Q2 exact: top-10 nearest neighbors of vec_id=0, brute force.
@@ -308,6 +344,15 @@ object SparkEntry {
       val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       model.knnJoinBucketed(e, queries, topK = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN backend: k-means coarse quantizer, nprobe cell probing.
+    "q37_ivf_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = graft.ann.IvfIndex(nlist = 16, nprobe = 4).fit(e)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      model.knnJoin(e, queries, topK = 10).orderBy(col("query_id"), col("rank"))
     }),
 
     // MLlib interop backend: BucketedRandomProjectionLSH approximate
@@ -596,6 +641,28 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_ts
            FROM events) t
          WHERE event_type = 'click' ORDER BY event_id""",
+    "q17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q18_math_fns" ->
+      """SELECT l_orderkey, sqrt(l_quantity) AS sqrt_qty,
+         power(l_discount, 2) AS disc_sq,
+         abs(l_quantity - 25.0) AS abs_dev,
+         CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+         l_orderkey % 7 AS key_mod
+         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""",
+    "q19_pivot" ->
+      """SELECT n_name,
+         count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+         count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+         count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+         count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+         count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q28_knn_idsets" ->
       """SELECT query_id, neighbor_id FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

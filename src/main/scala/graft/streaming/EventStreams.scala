@@ -25,12 +25,16 @@ object EventStreams {
     * identical. */
   def hourlyStats(events: DataFrame): DataFrame =
     events
-      .groupBy(
-        window(col("ts"), "1 hour").getField("start").as("hour"),
-        col("event_type"))
+      // group by the window column itself (not an extracted field) —
+      // streaming append mode requires the event-time window in the
+      // grouping keys to track watermark finalization
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("win.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
 
   /** Watermarked streaming variant: late data beyond 30 min dropped,
     * state bounded — the production shape for an unbounded stream. */

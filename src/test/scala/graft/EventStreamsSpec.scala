@@ -44,6 +44,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(2).user_id === 2L)
   }
 
+  test("watermark drops late data in append mode across micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)], f: String) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(dir)
+    // batch 1: events up to t=180min → watermark advances to 150min
+    batch((0L until 8L).map(i => (i, ts(i * 25), 1L, "click", 1.0, "{}")), "b1")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = EventStreams.hourlyStats(stream.withWatermark("ts", "30 minutes"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_late_test").start()
+    q.processAllAvailable()
+    // batch 2: one event far in the past (t=10min) — behind the watermark
+    batch(Seq((100L, ts(10), 1L, "late_marker", 99.0, "{}")), "b2")
+    // and one current event to push processing forward
+    batch(Seq((101L, ts(200), 1L, "click", 1.0, "{}")), "b3")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_late_test")
+    // the late event's type must never appear in emitted (finalized) windows
+    assert(out.filter($"event_type" === "late_marker").count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("json props parse to integers") {
     val n = EventStreams.withParsedProps(Tables.events(spark, sf0001))
       .filter($"prop_k".isNotNull).count()

@@ -34,4 +34,25 @@ class MlLshSpec extends SparkSpec {
     val pairs = MlLsh.approxDistanceJoin(emb, emb, maxDist = 3.0)
     pairs.collect().foreach { r => assert(r.getDouble(2) <= 3.0) }
   }
+
+  test("IVF knn join: rank-1 self match and recall floor") {
+    val model = graft.ann.IvfIndex(nlist = 16, nprobe = 4).fit(emb)
+    val queries = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = model.knnJoin(emb, queries, topK = 10)
+    val r1 = got.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(r1.length === 30)
+    r1.foreach { case (q, n) => assert(q === n) }
+    val exact = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 (nlist=16, nprobe=4) = $mean%.3f")
+    assert(mean >= 0.6)
+  }
 }
