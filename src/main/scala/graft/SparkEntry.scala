@@ -511,6 +511,7 @@ object SparkEntry {
     "q05_window_top3", "q06_topk_orders", "q10_monthly_revenue",
     "q16_asof_prior_purchase", "q21_knn_exact_point", "q22_knn_exact_batch",
     "q23_dedup_embeddings", "q26_ann_knn_join", "q30_minhash_pairs",
+    "q35_ann_bucketed_join", "q37_ivf_join",
     "q40_text_stats", "q41_quality_lang", "q50_events_hourly",
     "q52_sessionize")
 

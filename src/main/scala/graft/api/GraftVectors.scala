@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.{AnnForest, AnnForestModel}
+import graft.operators.Dedup
+import graft.sources.VecReader
+
+/** Typed record for the vector-collection data model (SURVEY §1.4):
+  * the engine is DataFrame-first internally; this facade gives users
+  * compile-time field checks at the API boundary. */
+case class VectorRecord(id: Long, word: String, embedding: Array[Float])
+
+/** Typed search result: squared distance, rank 1..k per query (squared
+  * — the reference's contract, sqrt is presentation, src/main.rs:91). */
+case class Neighbor(query_id: Long, neighbor_id: Long, dist: Double, rank: Int)
+
+/** The library's typed public surface — the reference's two-function API
+  * (`build_index`, `search_approximate`, src/lib.rs:81,130) plus dedup,
+  * as Dataset transformations.
+  */
+object GraftVectors {
+
+  /** S1: read a fastText .vec corpus. */
+  def readVec(spark: SparkSession, path: String, dim: Int): Dataset[VectorRecord] = {
+    import spark.implicits._
+    VecReader.read(spark, path, dim).as[VectorRecord]
+  }
+
+  /** D1+D2: bit-exact first-seen-wins dedup. */
+  def dedup(ds: Dataset[VectorRecord]): Dataset[VectorRecord] = {
+    import ds.sparkSession.implicits._
+    Dedup.exactVectors(ds.toDF(), "embedding", "id").as[VectorRecord]
+  }
+
+  /** B3: fit the forest index (seeded — reproducible, unlike the
+    * reference's thread_rng). */
+  def buildIndex(
+      ds: Dataset[VectorRecord],
+      numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L): AnnForestModel =
+    AnnForest(numTrees, maxLeafSize, seed).fit(ds.toDF(), "id", "embedding")
+
+  /** Q2 batch: approximate top-k for every record in `queries`. */
+  def search(
+      model: AnnForestModel, queries: Dataset[VectorRecord], topK: Int): Dataset[Neighbor] = {
+    import queries.sparkSession.implicits._
+    model.searchBatch(
+      queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
+      topK).as[Neighbor]
+  }
+
+  /** Q4: bulk approximate k-NN self-join. */
+  def knnJoin(
+      model: AnnForestModel, ds: Dataset[VectorRecord], topK: Int): Dataset[Neighbor] = {
+    import ds.sparkSession.implicits._
+    model.knnJoin(ds.toDF(), topK, "id", "embedding").as[Neighbor]
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{GraftVectors, VectorRecord}
+import graft.operators.SkewJoin
+import graft.sources.Tables
+
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed facade: read -> dedup -> buildIndex -> search end to end") {
+    val vecs = GraftVectors.readVec(spark, "/root/reference/data/test.vec", 300)
+    assert(vecs.count() === 99) // fixture header lies (claims 100)
+    val clean = GraftVectors.dedup(vecs)
+    val model = GraftVectors.buildIndex(clean, numTrees = 10, maxLeafSize = 5)
+    val res = GraftVectors.search(model, clean.limit(5), topK = 3).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.query_id).foreach { case (qid, ns) =>
+      assert(ns.length <= 3)
+      val self = ns.find(_.rank === 1).get
+      assert(self.neighbor_id === qid && self.dist === 0.0)
+    }
+  }
+
+  test("typed knnJoin covers every input record") {
+    val ds = Tables.embeddings(spark, sf0001).limit(100)
+      .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
+      .as[VectorRecord]
+    val model = GraftVectors.buildIndex(ds, numTrees = 10)
+    val res = GraftVectors.knnJoin(model, ds, topK = 5)
+    assert(res.select("query_id").distinct().count() === 100)
+  }
+
+  test("salted join is result-equivalent to a plain inner join under skew") {
+    // skewed: 90% of rows share one key
+    val large = (0 until 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload")
+    val small = (0L until 200L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "attr")
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k", saltBuckets = 8)
+      .select("k", "payload", "attr")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+}
