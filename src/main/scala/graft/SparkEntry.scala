@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Tables, VecReader}
-import graft.operators.{Dedup, KnnExact, MlLsh, Multimodal, TextAnalysis, TextDedup}
+import graft.operators.{Dedup, DedupClusters, KnnExact, MlLsh, Multimodal, TextAnalysis, TextDedup}
 import graft.ann.AnnForest
 import graft.streaming.EventStreams
 import graft.functions.VectorFunctions._
@@ -404,6 +404,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup clusters: connected components over the exact-Jaccard
+    // edges (min-label propagation) — the dedup *decision* step.
+    "q38_dedup_clusters" -> ((s, d) => {
+      val pairs = TextDedup.jaccardPairsExact(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+      DedupClusters.components(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs.
     "q33_cosine_pairs" -> ((s, d) => {
       TextDedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -687,6 +697,27 @@ object SparkEntry {
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
+    "q38_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(lower(trim(text)), ' ')) - 2, 1)),
+             i -> string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+                  coalesce(string_split(lower(trim(text)), ' ')[i+2], '') || ' ' ||
+                  coalesce(string_split(lower(trim(text)), ' ')[i+3], ''))) AS sh
+           FROM documents),
+         pair AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pair
+               UNION SELECT id_b, id_a FROM pair),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM e
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
+         SELECT node AS doc_id, min(r) AS cluster
+         FROM reach GROUP BY node ORDER BY doc_id""",
     "q33_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupClusters
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, triangle, and singleton-free isolation") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comps = DedupClusters.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) === 10L))
+    assert(Seq(20L, 21L).forall(comps(_) === 20L))
+    assert(comps.size === 9) // only nodes that appear in edges
+  }
+
+  test("components handles a long chain within maxIter (label hops)") {
+    val n = 30
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val comps = DedupClusters.components(edges).as[(Long, Long)].collect()
+    assert(comps.forall(_._2 === 0L))
+  }
+
+  test("survivors drops every non-canonical cluster member") {
+    val docs = (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    val edges = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = DedupClusters.components(edges)
+    val kept = DedupClusters.survivors(docs, "doc_id", comps)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 4L, 6L, 8L, 9L)) // dropped: 5,7 (→1), 3 (→2)
+  }
+}
