@@ -497,6 +497,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_ts"))
     }),
 
+    // Interval (stream-stream-joinable) join: clicks ⋈ purchases of the
+    // same user within the preceding hour. Same code runs watermarked
+    // under readStream (EventStreamsSpec).
+    "q53_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStreams.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     "q60_media_decode" -> ((s, d) => {
@@ -756,6 +767,13 @@ object SparkEntry {
          event_type, count(*) AS n_events
          FROM events CROSS JOIN range(4) t(i)
          GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q53_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         c.ts AS click_ts, p.ts AS purchase_ts
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+         ORDER BY click_id, purchase_id""",
     "q52_sessionize" ->
       """WITH o AS (
            SELECT user_id, ts, value,

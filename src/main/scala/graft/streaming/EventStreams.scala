@@ -104,6 +104,26 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each click joined to
+    * purchases by the same user within the past hour. Both sides
+    * watermarked so join state is bounded (Spark buffers only rows
+    * young enough to still find a match). Works identically on batch
+    * DataFrames — the interval condition becomes a plain range join.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(
+      col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"))
+    c.join(p,
+      c("user_id") === p("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Replay the events parquet through a real streaming query into a
     * memory sink (synchronous, for tests). Returns the collected result. */
   def runStreamingHourly(spark: SparkSession, parquetPath: String): DataFrame = {

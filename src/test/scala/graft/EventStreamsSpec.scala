@@ -71,6 +71,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("stream-stream interval join runs watermarked under readStream and matches batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.clickPurchaseJoin(
+      stream.filter($"event_type" === "click").withWatermark("ts", "2 hours"),
+      stream.filter($"event_type" === "purchase").withWatermark("ts", "2 hours"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_ssj_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_ssj_test")
+      .orderBy("click_id", "purchase_id").collect()
+    val ev = spark.read.parquet(dir)
+    val batch = EventStreams.clickPurchaseJoin(
+      ev.filter($"event_type" === "click"), ev.filter($"event_type" === "purchase"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("json props parse to integers") {
     val n = EventStreams.withParsedProps(Tables.events(spark, sf0001))
       .filter($"prop_k".isNotNull).count()

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RecallAggregator
+import graft.sources.{Sinks, Tables}
+
+class SinksAndAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RecallAggregator: typed UDAF with map-side combine semantics") {
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 4L)), // 2/3 hit
+      (Seq(9L), Seq(9L)),                 // 1/1
+      (Seq.empty[Long], Seq(5L, 6L))      // 0/2
+    ).toDS()
+    val recall = pairs.select(RecallAggregator.toColumn).head()
+    assert(recall === 3.0 / 6.0)
+    // associativity: same result at any partitioning
+    val recall1 = pairs.repartition(3).select(RecallAggregator.toColumn).head()
+    assert(recall1 === recall)
+  }
+
+  test("partitioned parquet sink produces prunable directory layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Sinks.parquetPartitioned(
+      Tables.documents(spark, sf0001), dir, Seq("lang"), sortCols = Seq("doc_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === Tables.documents(spark, sf0001).count())
+    // partition pruning: reading one lang touches only that directory
+    val one = back.filter($"lang" === "es")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // physical layout
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")))
+  }
+
+  test("csv and json sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val df = Tables.region(spark, sf0001)
+    Sinks.csv(df, s"$dir/csv")
+    Sinks.json(df, s"$dir/json")
+    assert(spark.read.option("header", "true").csv(s"$dir/csv").count() === df.count())
+    assert(spark.read.json(s"$dir/json").count() === df.count())
+  }
+}
