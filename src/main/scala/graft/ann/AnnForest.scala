@@ -201,9 +201,12 @@ class AnnForestModel(
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("dist")).as("dist")) // union across trees
+    // custom bounded-heap prune (TopKPerKey) + rank window over ≤ k rows
+    val pruned = graft.plans.TopKPerKey.perKey(
+      candidates, Seq("query_id"), Seq("dist", "neighbor_id"), topK)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
 

@@ -71,13 +71,15 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
     val q = assignCells(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
-    q.join(c, Seq("cell"))
+    val candidates = q.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cv"), col("__qv")).as("dist"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w))
+    val pruned = graft.plans.TopKPerKey.perKey(
+      candidates, Seq("query_id"), Seq("dist", "neighbor_id"), topK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
 }

@@ -54,9 +54,14 @@ object KnnExact {
         col(queryId),
         col(corpusId).as("neighbor_id"),
         sqEucDist(col(corpusVec), col(queryVec)).as("dist"))
+    // bounded per-key heaps prune candidates to k per query BEFORE the
+    // shuffle (custom TopKPerKey operator — no full per-partition sort);
+    // the rank window then runs over ≤ k rows per query.
+    val pruned = graft.plans.TopKPerKey.perKey(
+      joined, Seq(queryId), Seq("dist", "neighbor_id"), k)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist"), col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
