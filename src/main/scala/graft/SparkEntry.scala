@@ -180,6 +180,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact percentiles (interpolated) per group.
+    "q20_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sketch aggregates (HLL distinct-count): approximate by design, so
+    // no cross-engine oracle — the exact/approx relative error is
+    // asserted in SinksAndAggSpec instead (rows-only driver check).
+    "q20b_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+    }),
+
     // Cube (full grouping-set lattice).
     "q17_cube" -> ((s, d) => {
       Tables.orders(s, d)
@@ -663,6 +685,12 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_ts
            FROM events) t
          WHERE event_type = 'click' ORDER BY event_id""",
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.95) AS p95,
+         round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q17_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          round(sum(o_totalprice), 2) AS total

@@ -35,6 +35,15 @@ class SinksAndAggSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("lang=")))
   }
 
+  test("HLL sketch aggregates land within 5% of exact counts") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      approx_count_distinct($"l_partkey").as("approx"),
+      countDistinct($"l_partkey").as("exact")).head()
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("csv and json sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     val df = Tables.region(spark, sf0001)
