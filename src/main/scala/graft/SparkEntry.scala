@@ -104,7 +104,7 @@ object SparkEntry {
         .limit(25)
     }),
 
-    // Set ops: customers with open orders vs high-balance customers.
+    // Set ops — intersect, except, and union all contribute rows.
     "q07_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -113,8 +113,9 @@ object SparkEntry {
       val highBal = c.filter(col("c_acctbal") > 5000)
         .select(col("c_custkey").as("custkey")).distinct()
       withOrders.intersect(highBal)
-        .union(withOrders.except(highBal).limit(0)) // keep op coverage: union+except in plan
-        .orderBy(col("custkey"))
+        .withColumn("op", lit("both"))
+        .union(withOrders.except(highBal).withColumn("op", lit("orders_only")))
+        .orderBy(col("custkey"), col("op"))
     }),
 
     // Distinct aggregation.
@@ -605,11 +606,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
     "q07_set_ops" ->
-      """SELECT custkey FROM (
-           SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-           INTERSECT
-           SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000) t
-         ORDER BY custkey""",
+      """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+         hb AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+         SELECT custkey, 'both' AS op FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM hb) a
+         UNION ALL
+         SELECT custkey, 'orders_only' AS op FROM (SELECT custkey FROM wo EXCEPT SELECT custkey FROM hb) b
+         ORDER BY custkey, op""",
     "q08_distinct_counts" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_partkey) AS n_parts,
@@ -724,10 +726,10 @@ object SparkEntry {
     "q32_jaccard_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(greatest(len(string_split(lower(trim(text)), ' ')) - 2, 1)),
-             i -> string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
-                  coalesce(string_split(lower(trim(text)), ' ')[i+2], '') || ' ' ||
-                  coalesce(string_split(lower(trim(text)), ' ')[i+3], ''))) AS sh
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
            FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -739,10 +741,10 @@ object SparkEntry {
     "q38_dedup_clusters" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(greatest(len(string_split(lower(trim(text)), ' ')) - 2, 1)),
-             i -> string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
-                  coalesce(string_split(lower(trim(text)), ' ')[i+2], '') || ' ' ||
-                  coalesce(string_split(lower(trim(text)), ' ')[i+3], ''))) AS sh
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
            FROM documents),
          pair AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -774,17 +776,17 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY rank""",
     "q40_text_stats" ->
       """SELECT doc_id,
-         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
          length(text) AS text_chars,
-         CASE WHEN len(string_split(lower(trim(text)), ' ')) = 0 THEN 0.0
-           ELSE list_aggregate(list_transform(string_split(lower(trim(text)), ' '),
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
+           ELSE list_aggregate(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
                   t -> length(t)), 'sum')::DOUBLE
-                / len(string_split(lower(trim(text)), ' ')) END AS mean_tok_len
+                / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS mean_tok_len
          FROM documents ORDER BY doc_id""",
     "q44_doc_group_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 2) AS avg_chars,
-         sum(len(string_split(lower(trim(text)), ' '))) AS total_tokens
+         sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS total_tokens
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q50_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

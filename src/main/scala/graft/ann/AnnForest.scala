@@ -202,12 +202,8 @@ class AnnForestModel(
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("dist")).as("dist")) // union across trees
     // custom bounded-heap prune (TopKPerKey) + rank window over ≤ k rows
-    val pruned = graft.plans.TopKPerKey.perKey(
-      candidates, Seq("query_id"), Seq("dist", "neighbor_id"), topK)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
-    pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    graft.plans.TopKPerKey.rankedTopK(
+      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
 
   /** Persist the fitted model as plain parquet (portable, splittable):
@@ -318,7 +314,10 @@ case class AnnForest(numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L)
     * forced leaf — the reference relies on dedup alone (SURVEY §7 M3). */
   private[ann] def buildTree(
       idx: Array[Int], vecs: Array[Array[Float]], rng: Random, depth: Int = 0): Node = {
-    if (idx.length <= maxLeafSize || depth >= 64) Leaf(idx)
+    // depth cap 62: assignLeaves encodes the root-to-leaf path as a
+    // 1-sentinel + one bit per level breadcrumb in a LONG — 62 levels
+    // keeps it within 63 bits (overflow would silently merge buckets)
+    if (idx.length <= maxLeafSize || depth >= 62) Leaf(idx)
     else {
       val (plane, below, above) = buildHyperplane(idx, vecs, rng)
       if (below.isEmpty || above.isEmpty) Leaf(idx) // degenerate split guard

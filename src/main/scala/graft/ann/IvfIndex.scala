@@ -34,10 +34,8 @@ case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L) {
   }
 }
 
-class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
-    extends Serializable {
-
-  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+object IvfModel {
+  private[ann] def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -45,17 +43,21 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
     acc
   }
 
-  private def nearestCells(v: Array[Float], n: Int): Array[Int] =
+  private[ann] def nearestCells(
+      centroids: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
     centroids.indices.sortBy(i => sqDist(centroids(i), v)).take(n).toArray
+}
+
+class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
+    extends Serializable {
 
   /** One row per probed cell: (input cols…, cell INT). n=1 for corpus
-    * assignment, n=nprobe for queries. */
+    * assignment, n=nprobe for queries. The closure captures only the
+    * centroid array — no per-row allocation beyond the probe result. */
   def assignCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
     val cs = centroids // stable reference for the closure (serialized once per task)
     val probes = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val local = new IvfModel(cs, 1)
-      local.nearestCells(arr, n)
+      IvfModel.nearestCells(cs, v.toArray, n)
     }
     df.withColumn("cell", explode(probes(col(vecCol))))
   }
@@ -75,11 +77,7 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cv"), col("__qv")).as("dist"))
       .dropDuplicates("query_id", "neighbor_id")
-    val pruned = graft.plans.TopKPerKey.perKey(
-      candidates, Seq("query_id"), Seq("dist", "neighbor_id"), topK)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
-    pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    graft.plans.TopKPerKey.rankedTopK(
+      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
 }

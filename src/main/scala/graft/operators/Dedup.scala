@@ -35,12 +35,19 @@ object Dedup {
     df.join(winners, keyCols :+ ordCol, "left_semi")
   }
 
-  /** Dedup stats: total rows, distinct keys, duplicates removed. */
-  def stats(df: DataFrame, keyCols: Seq[String]): DataFrame =
+  /** Dedup stats: total rows, distinct keys, duplicates removed.
+    * Single-key form counts the bare column so NULL keys are excluded —
+    * SQL COUNT(DISTINCT col) semantics (a struct-wrapped NULL would
+    * count as its own distinct value). */
+  def stats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val distinctExpr =
+      if (keyCols.size == 1) count_distinct(col(keyCols.head))
+      else count_distinct(struct(keyCols.map(col): _*))
     df.agg(
       count(lit(1)).as("total_rows"),
-      count_distinct(struct(keyCols.map(col): _*)).as("distinct_keys"))
+      distinctExpr.as("distinct_keys"))
       .select(
         col("total_rows"), col("distinct_keys"),
         (col("total_rows") - col("distinct_keys")).as("duplicates"))
+  }
 }

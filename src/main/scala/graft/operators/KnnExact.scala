@@ -55,14 +55,8 @@ object KnnExact {
         col(corpusId).as("neighbor_id"),
         sqEucDist(col(corpusVec), col(queryVec)).as("dist"))
     // bounded per-key heaps prune candidates to k per query BEFORE the
-    // shuffle (custom TopKPerKey operator — no full per-partition sort);
-    // the rank window then runs over ≤ k rows per query.
-    val pruned = graft.plans.TopKPerKey.perKey(
-      joined, Seq(queryId), Seq("dist", "neighbor_id"), k)
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("dist"), col("neighbor_id"))
-    pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // shuffle (custom TopKPerKey operator — no full per-partition sort)
+    graft.plans.TopKPerKey.rankedTopK(joined, queryId, Seq("dist", "neighbor_id"), k)
   }
 
   /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123): every

@@ -108,6 +108,21 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
 
+  /** Heap-prune to k rows per key, then rank 1..k with a window that
+    * only ever sees ≤ k rows per key — the shared tail of every kNN
+    * join path. Ordering must include full tiebreak columns so the heap
+    * keeps exactly the rows the window would rank. */
+  def rankedTopK(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String, orderAsc: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val pruned = perKey(df, Seq(keyCol), orderAsc, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderAsc.map(col): _*)
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** df rows reduced to the k smallest per key under the ascending
     * lexicographic order of `orderAsc` (give the same tiebreak columns
     * you would give a window, or boundary ties are arbitrary). */

@@ -57,13 +57,8 @@ object EventStreams {
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_events: Int, total_value: Double,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
-  private case class SessionState(n: Int, total: Double, start: Long, last: Long)
+  case class SessionState(n: Int, total: Double, startUs: Long, lastUs: Long)
 
-  /** Stateful sessionization via flatMapGroupsWithState: a session ends
-    * after `gapMinutes` of inactivity (processing-time timeout in
-    * streaming; in batch Spark runs the same function once per group
-    * with all data, emitting the final sessions).
-    */
   // µs-precision Timestamp round-trips (getTime alone truncates to ms).
   private def toMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -73,6 +68,13 @@ object EventStreams {
     t
   }
 
+  /** Batch sessionization via flatMapGroupsWithState: a session ends
+    * after `gapMinutes` of inactivity. BATCH ONLY — Spark invokes the
+    * function once per group with all data and discards state, so the
+    * trailing session is emitted eagerly. Under a stream that eager emit
+    * would fragment sessions spanning micro-batches; use
+    * [[sessionizeStreaming]] there.
+    */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L
@@ -87,20 +89,64 @@ object EventStreams {
           sorted.foreach { e =>
             val t = toMicros(e.ts)
             cur match {
-              case Some(s) if t - s.last <= gapUs =>
-                cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, t))
+              case Some(s) if t - s.lastUs <= gapUs =>
+                cur = Some(SessionState(s.n + 1, s.total + e.value, s.startUs, t))
               case Some(s) =>
-                sessions += Session(uid, s.n, s.total, fromMicros(s.start), fromMicros(s.last))
+                sessions += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
                 cur = Some(SessionState(1, e.value, t, t))
               case None =>
                 cur = Some(SessionState(1, e.value, t, t))
             }
           }
           cur.foreach { s =>
-            sessions += Session(uid, s.n, s.total, fromMicros(s.start), fromMicros(s.last))
+            sessions += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
             state.remove()
           }
           sessions.iterator
+      }
+  }
+
+  /** Streaming sessionization: open sessions live in state with an
+    * EVENT-TIME timeout at (last event + gap); a session is emitted only
+    * when a gap-exceeding event arrives or the watermark passes its
+    * timeout — so sessions spanning micro-batches stay whole and each
+    * session is emitted exactly once. Input must carry a watermark on
+    * `ts` before the groupByKey.
+    */
+  def sessionizeStreaming(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.startUs, t))
+                case Some(s) =>
+                  closed += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // ms epoch
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -71,6 +71,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("sessionizeStreaming keeps sessions whole across micro-batches and emits once") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    // base well past epoch 0: the initial watermark is 0, and events at
+    // or below the watermark are dropped as late before reaching state
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(dir)
+    // batch 1 and 2 form ONE session for user 1 (gap 30m < 60m threshold)
+    write(Seq((1L, ts(0), 1.0)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds").as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeStreaming(stream, gapMinutes = 60)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sess_stream_test").start()
+    q.processAllAvailable()
+    write(Seq((1L, ts(30), 2.0)))
+    q.processAllAvailable()
+    // advance the watermark far past user 1's timeout → session finalizes
+    write(Seq((2L, ts(600), 9.0)))
+    q.processAllAvailable()
+    write(Seq((2L, ts(1300), 1.0))) // push watermark again so user 2's first closes too
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sess_stream_test")
+      .filter($"user_id" === 1L).collect()
+    assert(out.length === 1, s"user 1 must emit exactly one session, got ${out.toSeq}")
+    assert(out.head.getAs[Int]("n_events") === 2)
+    assert(out.head.getAs[Double]("total_value") === 3.0)
+  }
+
   test("stream-stream interval join runs watermarked under readStream and matches batch") {
     import org.apache.spark.sql.streaming.OutputMode
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
