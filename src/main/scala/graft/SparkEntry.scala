@@ -531,6 +531,16 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // SQL front end: the same SQL text runs through Spark's parser →
+    // Catalyst and through DuckDB (TPC-H Q3 shape). Demonstrates the
+    // engine's spark.sql surface over registered views.
+    "q54_sql_frontend" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sharedSqlQ3)
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     "q60_media_decode" -> ((s, d) => {
@@ -559,9 +569,24 @@ object SparkEntry {
     "q40_text_stats", "q41_quality_lang", "q50_events_hourly",
     "q52_sessionize")
 
+  /** TPC-H Q3 shape in dialect-neutral SQL — executed verbatim by BOTH
+    * Spark (q54 query) and DuckDB (q54 oracle). */
+  private val sharedSqlQ3: String =
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1995-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""
+
   /** DuckDB-runnable oracle per query (same parquet tables, same column
     * names, same rounding, same ordering). */
   def oracleSql: Map[String, String] = Map(
+    "q54_sql_frontend" -> sharedSqlQ3,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
