@@ -50,25 +50,10 @@ class AnnForestModel(
     val ids: Array[Long],
     val vectors: Array[Array[Float]]) extends Serializable {
 
-  /** Per-tree candidate collection (reference tree_result,
-    * src/lib.rs:105-128): descend by sidedness; at a leaf contribute the
-    * *first* min(n, len) positions (not the nearest — reference quirk,
-    * src/lib.rs:110-113); on shortfall descend the sibling ("backup")
-    * subtree for the remainder (src/lib.rs:122-125).
-    */
-  private def treeCandidates(
-      query: Array[Float], n: Int, node: Node,
-      out: scala.collection.mutable.HashSet[Int]): Int = node match {
-    case Leaf(rows) =>
-      val take = math.min(n, rows.length)
-      var i = 0
-      while (i < take) { out += rows(i); i += 1 }
-      take
-    case Inner(plane, left, right) =>
-      val (main, backup) = if (plane.isAbove(query)) (right, left) else (left, right)
-      val k = treeCandidates(query, n, main, out)
-      if (k < n) k + treeCandidates(query, n - k, backup, out) else k
-  }
+  /** Primitive-array form used for every search/broadcast — built once,
+    * NOT serialized with the model (rebuilt cheaply where needed; the
+    * broadcasts below ship the compact form directly, never `this`). */
+  @transient lazy val compact: CompactIndex = CompactIndex.build(trees, ids, vectors)
 
   /** Top-k ANN search for one query (reference search_approximate,
     * src/lib.rs:130-149): union candidates over trees, exact squared
@@ -76,28 +61,10 @@ class AnnForestModel(
     * Returns (id, squaredDistance) — squared, like the reference
     * (sqrt is display-only, src/main.rs:91).
     */
-  def search(query: Array[Float], topK: Int): Array[(Long, Double)] = {
-    val cand = new scala.collection.mutable.HashSet[Int]
-    trees.foreach(t => treeCandidates(query, topK, t, cand))
-    val scored = cand.iterator.map { pos =>
-      val v = vectors(pos)
-      var acc = 0.0
-      var i = 0
-      while (i < v.length) {
-        val d = v(i).toDouble - query(i).toDouble
-        acc += d * d
-        i += 1
-      }
-      (ids(pos), acc)
-    }.toArray
+  def search(query: Array[Float], topK: Int): Array[(Long, Double)] =
     // NaN distances: the reference panics (src/lib.rs:142); we sort them
-    // last (java.lang.Double.compare total order) — documented divergence.
-    java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
-      val c = java.lang.Double.compare(a._2, b._2)
-      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
-    })
-    scored.take(topK)
-  }
+    // last (Double.compare total order) — documented divergence.
+    compact.search(query, topK)
 
   /** Batch ANN search, fully distributed: one task per query partition,
     * model via broadcast (no shuffle at all — the output is narrow).
@@ -108,7 +75,7 @@ class AnnForestModel(
       queries: DataFrame, topK: Int,
       queryIdCol: String = "query_id", vecCol: String = "qvec"): DataFrame = {
     val spark = queries.sparkSession
-    val bc: Broadcast[AnnForestModel] = spark.sparkContext.broadcast(this)
+    val bc: Broadcast[CompactIndex] = spark.sparkContext.broadcast(compact)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
@@ -118,11 +85,11 @@ class AnnForestModel(
       col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
-      val model = bc.value
+      val index = bc.value
       rows.flatMap { r =>
         val qid = r.getLong(0)
         val q = r.getSeq[Float](1).toArray
-        model.search(q, topK).iterator.zipWithIndex.map { case ((nid, d), i) =>
+        index.search(q, topK).iterator.zipWithIndex.map { case ((nid, d), i) =>
           Row(qid, nid, d, i + 1)
         }
       }
@@ -145,22 +112,10 @@ class AnnForestModel(
     */
   def assignLeaves(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
-    // Broadcast only the planes (forest sans store) — rebuild a slim model.
-    val slim = new AnnForestModel(trees, Array.emptyLongArray, Array.empty)
-    val bc = spark.sparkContext.broadcast(slim)
+    // Broadcast only topology+planes (compact, store stripped).
+    val bc = spark.sparkContext.broadcast(compact.structureOnly)
     val leafIdUdf = udf { (v: Seq[Float]) =>
-      val q = v.toArray
-      bc.value.trees.zipWithIndex.map { case (t, ti) =>
-        var node = t
-        var path = 1L // breadcrumb: 1=root, then 2*path+side
-        while (node.isInstanceOf[Inner]) {
-          val in = node.asInstanceOf[Inner]
-          val above = in.plane.isAbove(q)
-          node = if (above) in.right else in.left
-          path = 2 * path + (if (above) 1 else 0)
-        }
-        (ti, path)
-      }
+      bc.value.leafPaths(v.toArray).toSeq
     }
     df.withColumn("__buckets", leafIdUdf(col(vecCol)))
       .withColumn("__b", explode(col("__buckets")))
@@ -234,6 +189,151 @@ class AnnForestModel(
       .map { case ((id, vec), pos) => (pos, id, vec) }.toSeq
       .toDF("pos", "id", "vec")
       .write.mode("overwrite").parquet(s"$path/store")
+  }
+}
+
+/** Compact primitive-array index: the broadcast/search representation.
+  *
+  * The object-tree form (2M boxed `Node`s at 200k rows × 50 trees) costs
+  * tens of seconds in Java serialization per broadcast and pointer-chases
+  * during traversal; this layout is a handful of primitive arrays —
+  * serialization is a memcpy, traversal is array indexing, and the
+  * vector store is ONE flat float array (row r at offset r·dim).
+  * Semantics are identical to the tree walk (first-n leaf take,
+  * shortfall spill, ties above — reference src/lib.rs:105-128).
+  */
+final class CompactIndex(
+    val roots: Array[Int],
+    val left: Array[Int], val right: Array[Int],     // -1 when leaf
+    val planeIdx: Array[Int],                        // inner-node plane row
+    val planeCoef: Array[Float],                     // nPlanes × dim
+    val planeConst: Array[Float],
+    val leafOff: Array[Int], val leafLen: Array[Int],
+    val leafRows: Array[Int],
+    val ids: Array[Long],
+    val vecs: Array[Float],                          // nRows × dim
+    val dim: Int) extends Serializable {
+
+  private def isAbove(plane: Int, q: Array[Float]): Boolean = {
+    var acc = 0.0
+    val base = plane * dim
+    var i = 0
+    while (i < dim) { acc += planeCoef(base + i).toDouble * q(i); i += 1 }
+    acc + planeConst(plane) >= 0.0
+  }
+
+  private def treeCandidates(
+      q: Array[Float], n: Int, node: Int,
+      out: scala.collection.mutable.HashSet[Int]): Int = {
+    if (left(node) < 0) {
+      val take = math.min(n, leafLen(node))
+      val off = leafOff(node)
+      var i = 0
+      while (i < take) { out += leafRows(off + i); i += 1 }
+      take
+    } else {
+      val above = isAbove(planeIdx(node), q)
+      val main = if (above) right(node) else left(node)
+      val backup = if (above) left(node) else right(node)
+      val k = treeCandidates(q, n, main, out)
+      if (k < n) k + treeCandidates(q, n - k, backup, out) else k
+    }
+  }
+
+  /** Top-k: union candidates over trees, exact squared-euclidean
+    * re-rank ascending, id tiebreak, NaN last. */
+  def search(query: Array[Float], topK: Int): Array[(Long, Double)] = {
+    val cand = new scala.collection.mutable.HashSet[Int]
+    var t = 0
+    while (t < roots.length) { treeCandidates(query, topK, roots(t), cand); t += 1 }
+    val scored = cand.iterator.map { pos =>
+      var acc = 0.0
+      val base = pos * dim
+      var i = 0
+      while (i < dim) {
+        val d = vecs(base + i).toDouble - query(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      (ids(pos), acc)
+    }.toArray
+    java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    })
+    scored.take(topK)
+  }
+
+  /** (treeId, breadcrumb-path leaf id) per tree for one vector. */
+  def leafPaths(q: Array[Float]): Array[(Int, Long)] = {
+    val out = new Array[(Int, Long)](roots.length)
+    var t = 0
+    while (t < roots.length) {
+      var node = roots(t)
+      var path = 1L
+      while (left(node) >= 0) {
+        val above = isAbove(planeIdx(node), q)
+        node = if (above) right(node) else left(node)
+        path = 2 * path + (if (above) 1 else 0)
+      }
+      out(t) = (t, path)
+      t += 1
+    }
+    out
+  }
+
+  /** Structure-only copy (planes + topology, no store) for routing
+    * broadcasts — assignLeaves never touches ids/vecs. */
+  def structureOnly: CompactIndex = new CompactIndex(
+    roots, left, right, planeIdx, planeCoef, planeConst,
+    leafOff, leafLen, leafRows, Array.emptyLongArray, Array.emptyFloatArray, dim)
+}
+
+object CompactIndex {
+  def build(trees: Seq[Node], ids: Array[Long], vectors: Array[Array[Float]]): CompactIndex = {
+    val dim = if (vectors.nonEmpty) vectors(0).length else 0
+    val roots = new Array[Int](trees.length)
+    import scala.collection.mutable.ArrayBuffer
+    val aLeft = ArrayBuffer.empty[Int]
+    val aRight = ArrayBuffer.empty[Int]
+    val aPlaneIdx = ArrayBuffer.empty[Int]
+    val aPlaneCoef = ArrayBuffer.empty[Float]
+    val aPlaneConst = ArrayBuffer.empty[Float]
+    val aLeafOff = ArrayBuffer.empty[Int]
+    val aLeafLen = ArrayBuffer.empty[Int]
+    val aLeafRows = ArrayBuffer.empty[Int]
+    def walk2(n: Node): Int = {
+      val myId = aLeft.length
+      n match {
+        case Leaf(rows) =>
+          aLeft += -1; aRight += -1; aPlaneIdx += -1
+          aLeafOff += aLeafRows.length; aLeafLen += rows.length
+          aLeafRows ++= rows
+        case Inner(plane, l, r) =>
+          aLeft += 0; aRight += 0
+          aPlaneIdx += aPlaneConst.length
+          aPlaneCoef ++= plane.coefficients
+          aPlaneConst += plane.constant
+          aLeafOff += 0; aLeafLen += 0
+          val li = walk2(l)
+          val ri = walk2(r)
+          aLeft(myId) = li
+          aRight(myId) = ri
+      }
+      myId
+    }
+    trees.zipWithIndex.foreach { case (t, i) => roots(i) = walk2(t) }
+    val flatVecs = new Array[Float](vectors.length * dim)
+    var r = 0
+    while (r < vectors.length) {
+      System.arraycopy(vectors(r), 0, flatVecs, r * dim, dim)
+      r += 1
+    }
+    new CompactIndex(
+      roots, aLeft.toArray, aRight.toArray, aPlaneIdx.toArray,
+      aPlaneCoef.toArray, aPlaneConst.toArray,
+      aLeafOff.toArray, aLeafLen.toArray, aLeafRows.toArray,
+      ids, flatVecs, dim)
   }
 }
 
