@@ -282,11 +282,14 @@ final class CompactIndex(
     out
   }
 
-  /** Structure-only copy (planes + topology, no store) for routing
-    * broadcasts — assignLeaves never touches ids/vecs. */
+  /** Structure-only copy (planes + topology; leaf contents AND store
+    * stripped) for routing broadcasts — leafPaths walks inner nodes
+    * only, so shipping leafRows (one int per corpus row per tree) would
+    * bloat every routing broadcast for nothing. */
   def structureOnly: CompactIndex = new CompactIndex(
     roots, left, right, planeIdx, planeCoef, planeConst,
-    leafOff, leafLen, leafRows, Array.emptyLongArray, Array.emptyFloatArray, dim)
+    Array.emptyIntArray, Array.emptyIntArray, Array.emptyIntArray,
+    Array.emptyLongArray, Array.emptyFloatArray, dim)
 }
 
 object CompactIndex {

@@ -68,12 +68,46 @@ object EventStreams {
     t
   }
 
-  /** Batch sessionization via flatMapGroupsWithState: a session ends
-    * after `gapMinutes` of inactivity. BATCH ONLY — Spark invokes the
-    * function once per group with all data and discards state, so the
-    * trailing session is emitted eagerly. Under a stream that eager emit
-    * would fragment sessions spanning micro-batches; use
-    * [[sessionizeStreaming]] there.
+  /** Shared gap-split fold — the single source of session semantics for
+    * both batch and streaming paths. Events are processed in ts order;
+    * an event within `gapUs` of the open session's SPAN (start−gap ..
+    * last+gap) extends it — the max/min guards keep a late-but-valid
+    * out-of-order event (possible across micro-batches when the
+    * watermark delay > 0) from regressing `lastUs`/`startUs` and
+    * corrupting later gap tests. An event beyond last+gap closes the
+    * session; one before start−gap belongs to an already-gone earlier
+    * session and is emitted as its own closed single-event session.
+    * Returns (closed sessions, open trailing state).
+    */
+  private def foldSessions(
+      uid: Long, events: Seq[SessionEvent], gapUs: Long,
+      state0: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val sorted = events.sortBy(e => toMicros(e.ts))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur: Option[SessionState] = state0
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      cur match {
+        case Some(s) if t >= s.startUs - gapUs && t <= s.lastUs + gapUs =>
+          cur = Some(SessionState(
+            s.n + 1, s.total + e.value, math.min(s.startUs, t), math.max(s.lastUs, t)))
+        case Some(s) if t > s.lastUs + gapUs =>
+          closed += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
+          cur = Some(SessionState(1, e.value, t, t))
+        case Some(_) => // t < start - gap: straggler from a closed past session
+          closed += Session(uid, 1, e.value, e.ts, e.ts)
+        case None =>
+          cur = Some(SessionState(1, e.value, t, t))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
+  /** Batch sessionization via flatMapGroupsWithState. BATCH ONLY —
+    * Spark invokes the function once per group with all data and
+    * discards state, so the trailing session is emitted eagerly. Under
+    * a stream that eager emit would fragment sessions spanning
+    * micro-batches; use [[sessionizeStreaming]] there.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -82,27 +116,10 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          // Batch semantics: fold the (sorted) events, splitting on gaps.
-          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
-            cur match {
-              case Some(s) if t - s.lastUs <= gapUs =>
-                cur = Some(SessionState(s.n + 1, s.total + e.value, s.startUs, t))
-              case Some(s) =>
-                sessions += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
-                cur = Some(SessionState(1, e.value, t, t))
-              case None =>
-                cur = Some(SessionState(1, e.value, t, t))
-            }
-          }
-          cur.foreach { s =>
-            sessions += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
-            state.remove()
-          }
-          sessions.iterator
+          val (closed, open) = foldSessions(uid, it.toSeq, gapUs, state.getOption)
+          state.remove()
+          (closed ++ open.map(s =>
+            Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs)))).iterator
       }
   }
 
@@ -126,24 +143,14 @@ object EventStreams {
             Iterator.single(
               Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs)))
           } else {
-            val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var cur: Option[SessionState] = state.getOption
-            sorted.foreach { e =>
-              val t = toMicros(e.ts)
-              cur match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.startUs, t))
-                case Some(s) =>
-                  closed += Session(uid, s.n, s.total, fromMicros(s.startUs), fromMicros(s.lastUs))
-                  cur = Some(SessionState(1, e.value, t, t))
-                case None =>
-                  cur = Some(SessionState(1, e.value, t, t))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // ms epoch
+            val (closed, open) = foldSessions(uid, it.toSeq, gapUs, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // ceiling to ms: flooring could fire the timeout up to
+                // 1 ms before the true boundary and split a session
+                state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
+              case None => if (state.exists) state.remove()
             }
             closed.iterator
           }

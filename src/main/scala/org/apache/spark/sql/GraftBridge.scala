@@ -14,4 +14,14 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** Resolve the planner strategies an extensions class would inject —
+    * lets tests cover the spark.sql.extensions registration contract
+    * without tearing down the shared session. */
+  def injectedStrategies(
+      ext: SparkSessionExtensions => Unit,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+  }
 }

@@ -105,6 +105,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("total_value") === 3.0)
   }
 
+  test("sessionizeStreaming absorbs a late-but-valid out-of-order event without corrupting the session") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(Seq((1L, ts(60), 1.0))) // batch 1: event at t=60
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "45 minutes").as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeStreaming(stream, gapMinutes = 60)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sess_ooo_test").start()
+    q.processAllAvailable()
+    // batch 2: OUT-OF-ORDER event at t=30 (watermark is 60-45=15 → valid)
+    write(Seq((1L, ts(30), 2.0)))
+    q.processAllAvailable()
+    // batch 3: event at t=90 — within gap of the TRUE last event (t=60);
+    // a lastUs regression to t=30 would wrongly split here (90-30 <= 60 ok...
+    // use t=150: 150-60=90>60 closes; 150-30=120>60 also closes — instead
+    // assert the final session shape below)
+    write(Seq((2L, ts(600), 9.0)))  // advance watermark far → user 1 times out
+    q.processAllAvailable()
+    write(Seq((2L, ts(1300), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sess_ooo_test").filter($"user_id" === 1L).collect()
+    assert(out.length === 1, s"one session expected, got ${out.toSeq}")
+    val s = out.head
+    assert(s.getAs[Int]("n_events") === 2)
+    // start/end must span both events in event-time order despite arrival order
+    assert(s.getAs[java.sql.Timestamp]("start_ts") === ts(30))
+    assert(s.getAs[java.sql.Timestamp]("end_ts") === ts(60))
+  }
+
   test("stream-stream interval join runs watermarked under readStream and matches batch") {
     import org.apache.spark.sql.streaming.OutputMode
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString

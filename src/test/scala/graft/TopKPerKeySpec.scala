@@ -41,6 +41,12 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortexec"), "no full sort expected\n" + plan)
   }
 
+  test("GraftExtensions injects the strategy (spark.sql.extensions contract)") {
+    val strategies = org.apache.spark.sql.GraftBridge.injectedStrategies(
+      new graft.plans.GraftExtensions, spark)
+    assert(strategies.contains(graft.plans.TopKPerKeyStrategy), strategies.toString)
+  }
+
   test("knn batch via TopKPerKey matches window-based knnBatch") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 10)
