@@ -479,6 +479,7 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.qualityScore(t).as("quality"),
         TextAnalysis.languageId(t).as("lang_pred"),
+        TextAnalysis.languageIdCharNgram(t).as("lang_pred_ngram"),
         TextAnalysis.subwordCount(t).as("n_subwords"),
         TextAnalysis.fingerprint(t).as("fp"))
         .orderBy(col("doc_id"))

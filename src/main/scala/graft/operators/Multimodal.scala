@@ -77,6 +77,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize — stands in for image resizing. Deterministic byte
+    * downsample by `factor` (keep every factor-th byte); the real
+    * implementation swaps in a codec, the partition-parallel no-shuffle
+    * shape stays. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0)
+    val f = udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val out = new Array[Byte]((payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+        out
+      }
+    }
+    media.withColumn("payload", f(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.format"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        col("meta.source")))
+  }
+
   /** Frame-sample shape for video-ish payloads: split the payload into
     * fixed-size "frames", keep every `stride`-th — demonstrates the
     * explode-with-metadata pattern (one row per sampled frame). */

@@ -82,6 +82,30 @@ object TextAnalysis {
     when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Character-trigram language profiles (top distinctive trigrams per
+    * language, with spaces marking word boundaries) — the classic
+    * n-gram-profile heuristic; complements the stopword vote for text
+    * where function words are rare (short strings, hashtags). */
+  private val charProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", " th", "ion", "ent", " of", "ed "),
+    "es" -> Seq(" de", "os ", " la", "ión", "ent", "ado", " el", "que"),
+    "fr" -> Seq(" de", "es ", " le", "ent", "ion", " la", "eur", "que"),
+    "de" -> Seq("en ", "er ", "ch ", " de", "ein", "sch", "die", "und"),
+    "pt" -> Seq(" de", "os ", "ão ", " co", "ent", "ada", " se", "que"))
+
+  def languageIdCharNgram(text: Column): Column = {
+    val t = concat(lit(" "), lower(trim(text)), lit(" "))
+    val scores = charProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val hits = grams.map(g =>
+        (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), ""))) / g.length)
+      struct(
+        hits.reduce(_ + _).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Document fingerprint: 64-bit rolling hash of the normalized token
     * stream (hash-chain fold — order-sensitive, so it's a
     * whitespace/case-insensitive exact-dup key, stable across

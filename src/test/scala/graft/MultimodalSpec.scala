@@ -30,6 +30,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("resize downsamples payload bytes by the factor and updates metadata") {
+    val small = Multimodal.resize(media, factor = 4)
+    val r = media.select(length($"payload").as("orig"))
+      .crossJoin(small.limit(1).select(length($"payload").as("small"), $"meta.n_bytes"))
+      .limit(1).head()
+    assert(r.getAs[Long]("n_bytes") === r.getInt(1).toLong)
+    val pair = media.orderBy("media_id").limit(1).select(length($"payload")).head().getInt(0)
+    val resized = small.orderBy("media_id").limit(1).select(length($"payload")).head().getInt(0)
+    assert(resized === (pair + 3) / 4)
+  }
+
   test("frame sampling keeps every stride-th frame with correct byte slices") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
     val idx = frames.select("frame_idx").distinct().as[Int].collect()

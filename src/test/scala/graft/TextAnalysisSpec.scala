@@ -36,6 +36,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4) === "und")
   }
 
+  test("char-ngram language ID agrees with stopword ID on clear prose") {
+    val df = Seq(
+      (1, "the thing about the morning was that nothing was ending"),
+      (2, "la canción de la nación estaba sonando en la habitación")
+    ).toDF("id", "text")
+    val got = df.select($"id",
+      TextAnalysis.languageIdCharNgram($"text").as("l")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) === "en")
+    assert(got(2) === "es")
+  }
+
   test("quality score favors normal prose over garbage") {
     val good = "the engine reads data and writes results to the table " * 3
     val bad = "!!!???;;;"
