@@ -54,23 +54,22 @@ object VecReader {
 
   /** Read a .vec file; `dim` validated per-row (malformed rows are
     * rejected up front rather than the reference's parse-panic,
-    * src/main.rs:33-37). */
+    * src/main.rs:33-37). Sequential ids come from `zipWithIndex` —
+    * per-partition counting plus one count-aggregation pass, no
+    * single-partition global window (text splits keep file order, so
+    * ids are load-order stable like the reference's). */
   def read(spark: SparkSession, path: String, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = spark.read.text(path)
-    // The single metadata header line ("count dim") is the only line with
-    // exactly 2 tokens for dim>1 corpora; drop it positionally to be exact.
-    val withPos = raw
-      .withColumn("file", input_file_name())
-      .withColumn("pos", monotonically_increasing_id())
-    val w = Window.orderBy("pos") // fixture-scale total order; see scaladoc
-    withPos
-      .withColumn("rn", row_number().over(w) - lit(1))
-      .filter(col("rn") >= 1) // skip header (src/main.rs:21-22)
+    import spark.implicits._
+    val indexed = spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .map { case (line, pos) => (pos, line) }
+      .toDF("pos", "value")
+    indexed
+      .filter(col("pos") >= 1) // skip header line (src/main.rs:21-22)
       .withColumn("tok", split(trim(col("value")), "\\s+"))
       .filter(size(col("tok")) === dim + 1)
       .select(
-        (col("rn") - 1).cast(LongType).as("id"),
+        (col("pos") - 1).cast(LongType).as("id"),
         col("tok").getItem(0).as("word"),
         transform(slice(col("tok"), 2, dim), _.cast(FloatType)).as("embedding"))
   }

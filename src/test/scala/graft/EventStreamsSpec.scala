@@ -165,6 +165,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops replays") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("event_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "2 hours")
+    val q = stream.dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sdedup_test").start()
+    q.processAllAvailable()
+    // replay event 1 (at-least-once delivery) + a fresh event
+    write(Seq((1L, ts(0), 1.0), (3L, ts(2), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("graft_sdedup_test")
+      .select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), s"replay must dedup, got ${ids.toSeq}")
+  }
+
   test("json props parse to integers") {
     val n = EventStreams.withParsedProps(Tables.events(spark, sf0001))
       .filter($"prop_k".isNotNull).count()
