@@ -26,7 +26,9 @@ case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L) {
     val sample = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
     val train = sample.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    // few iterations suffice: cells only need to be a reasonable space
+    // partition, not converged clusters — recall is governed by nprobe
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(train)
     new IvfModel(
