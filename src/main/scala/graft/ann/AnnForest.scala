@@ -48,7 +48,26 @@ final case class Leaf(rows: Array[Int]) extends Node
 class AnnForestModel(
     val trees: Seq[Node],
     val ids: Array[Long],
-    val vectors: Array[Array[Float]]) extends Serializable {
+    val vectors: Array[Array[Float]],
+    val metric: String = "euclidean") extends Serializable {
+
+  /** Normalize a query when the model is cosine-metric (the store was
+    * normalized at fit; dist = 2·(1−cos) on the unit sphere). */
+  private[ann] def prepQuery(q: Array[Float]): Array[Float] =
+    if (metric != "cosine") q
+    else {
+      var n = 0.0
+      var i = 0
+      while (i < q.length) { n += q(i).toDouble * q(i); i += 1 }
+      val norm = math.sqrt(n)
+      if (norm == 0.0) q
+      else {
+        val out = new Array[Float](q.length)
+        i = 0
+        while (i < q.length) { out(i) = (q(i) / norm).toFloat; i += 1 }
+        out
+      }
+    }
 
   /** Primitive-array form used for every search/broadcast — built once,
     * NOT serialized with the model (rebuilt cheaply where needed; the
@@ -64,7 +83,7 @@ class AnnForestModel(
   def search(query: Array[Float], topK: Int): Array[(Long, Double)] =
     // NaN distances: the reference panics (src/lib.rs:142); we sort them
     // last (Double.compare total order) — documented divergence.
-    compact.search(query, topK)
+    compact.search(prepQuery(query), topK)
 
   /** Batch ANN search, fully distributed: one task per query partition,
     * model via broadcast (no shuffle at all — the output is narrow).
@@ -81,8 +100,11 @@ class AnnForestModel(
       StructField("neighbor_id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false),
       StructField("rank", IntegerType, nullable = false)))
+    val rawVec =
+      if (metric == "cosine") graft.functions.VectorFunctions.l2Normalize(col(vecCol))
+      else col(vecCol)
     val in = graft.GraftSession.widen(queries.select(
-      col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))))
+      col(queryIdCol).cast(LongType), rawVec.cast(ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       val index = bc.value
@@ -144,11 +166,13 @@ class AnnForestModel(
       corpus: DataFrame, queries: DataFrame, topK: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
-    import graft.functions.VectorFunctions.sqEucDist
+    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    def prep(c: org.apache.spark.sql.Column) =
+      if (metric == "cosine") l2Normalize(c) else c
     val corpusRouted = assignLeaves(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec")), "__cvec")
+      corpus.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv")
+      queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
     val candidates = queriesRouted
       .join(corpusRouted, Seq("tree_id", "leaf_id"))
       .select(
@@ -189,6 +213,7 @@ class AnnForestModel(
       .map { case ((id, vec), pos) => (pos, id, vec) }.toSeq
       .toDF("pos", "id", "vec")
       .write.mode("overwrite").parquet(s"$path/store")
+    Seq(metric).toDF("metric").write.mode("overwrite").parquet(s"$path/meta")
   }
 }
 
@@ -366,7 +391,10 @@ object AnnForestModel {
       .collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getLong(1), r.getSeq[Float](2).toArray))
-    new AnnForestModel(trees, store.map(_._1), store.map(_._2))
+    val metric =
+      try spark.read.parquet(s"$path/meta").head().getString(0)
+      catch { case _: Exception => "euclidean" } // pre-metric saves
+    new AnnForestModel(trees, store.map(_._1), store.map(_._2), metric)
   }
 }
 
@@ -383,7 +411,11 @@ object AnnForestModel {
   * level-by-level DataFrame partitioning (SURVEY §2.1 B2); fixtures and
   * the reference's own 1M-row corpus are far below that.
   */
-case class AnnForest(numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L) {
+case class AnnForest(
+    numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L,
+    metric: String = "euclidean") {
+  require(metric == "euclidean" || metric == "cosine",
+    s"metric must be euclidean|cosine, got $metric")
 
   /** Bisector plane of two sampled points a, b: n = b − a, passes through
     * the midpoint, c = −n·mid (reference build_hyperplane,
@@ -430,9 +462,15 @@ case class AnnForest(numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L)
 
   /** Fit on (idCol LONG, vecCol ARRAY<FLOAT>). Bit-exact dedup first
     * (reference src/lib.rs:87-88, minus its drop-row-0 bug), then
-    * numTrees independent trees in parallel. */
+    * numTrees independent trees in parallel. With metric="cosine" the
+    * store is L2-normalized at ingest — searches then rank by cosine
+    * (returned dist = 2·(1−cos); models normalize queries themselves). */
   def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): AnnForestModel = {
-    val deduped = Dedup.exactVectors(df, vecCol, idCol)
+    import graft.functions.VectorFunctions.l2Normalize
+    val prepared =
+      if (metric == "cosine") df.withColumn(vecCol, l2Normalize(col(vecCol)))
+      else df
+    val deduped = Dedup.exactVectors(prepared, vecCol, idCol)
       .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
       .orderBy(col(idCol)) // deterministic store order = deterministic leaves
       .collect()
@@ -443,6 +481,6 @@ case class AnnForest(numTrees: Int = 50, maxLeafSize: Int = 5, seed: Long = 42L)
     val trees = (0 until numTrees).par.map { t =>
       buildTree(positions, vecs, new Random(seed * 1000003L + t))
     }.seq
-    new AnnForestModel(trees, ids, vecs)
+    new AnnForestModel(trees, ids, vecs, metric)
   }
 }

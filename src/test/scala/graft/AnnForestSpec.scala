@@ -119,6 +119,34 @@ class AnnForestSpec extends SparkSpec {
     assert(loaded.trees.size === 8)
   }
 
+  test("cosine metric: ANN recall >= 0.8 vs brute-force cosine oracle; roundtrips metric") {
+    val cosModel = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L, metric = "cosine")
+      .fit(emb, "vec_id", "embedding")
+    import graft.functions.VectorFunctions.cosine
+    val queries = emb.filter($"vec_id" < 30)
+    val truth = queries.collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val top = emb.select($"vec_id",
+        cosine($"embedding", lit(qv.toArray)).as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      qid -> top
+    }.toMap
+    val recalls = truth.map { case (qid, t) =>
+      val q = emb.filter($"vec_id" === qid).head().getSeq[Float](1).toArray
+      val got = cosModel.search(q, 10).map(_._1).toSet
+      got.intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"cosine-metric recall@10 = $mean%.3f")
+    assert(mean >= 0.8)
+    // metric survives persistence
+    val dir = java.nio.file.Files.createTempDirectory("graft_cos").toString
+    cosModel.save(dir, spark)
+    assert(AnnForestModel.load(dir, spark).metric === "cosine")
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")
