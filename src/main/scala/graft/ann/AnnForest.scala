@@ -54,20 +54,7 @@ class AnnForestModel(
   /** Normalize a query when the model is cosine-metric (the store was
     * normalized at fit; dist = 2·(1−cos) on the unit sphere). */
   private[ann] def prepQuery(q: Array[Float]): Array[Float] =
-    if (metric != "cosine") q
-    else {
-      var n = 0.0
-      var i = 0
-      while (i < q.length) { n += q(i).toDouble * q(i); i += 1 }
-      val norm = math.sqrt(n)
-      if (norm == 0.0) q
-      else {
-        val out = new Array[Float](q.length)
-        i = 0
-        while (i < q.length) { out(i) = (q(i) / norm).toFloat; i += 1 }
-        out
-      }
-    }
+    if (metric != "cosine") q else AnnForestModel.l2NormalizeJvm(q)
 
   /** Primitive-array form used for every search/broadcast — built once,
     * NOT serialized with the model (rebuilt cheaply where needed; the
@@ -100,17 +87,16 @@ class AnnForestModel(
       StructField("neighbor_id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false),
       StructField("rank", IntegerType, nullable = false)))
-    val rawVec =
-      if (metric == "cosine") graft.functions.VectorFunctions.l2Normalize(col(vecCol))
-      else col(vecCol)
     val in = graft.GraftSession.widen(queries.select(
-      col(queryIdCol).cast(LongType), rawVec.cast(ArrayType(FloatType))))
+      col(queryIdCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val cosineMetric = metric == "cosine"
     in.mapPartitions { rows =>
       val index = bc.value
       rows.flatMap { r =>
         val qid = r.getLong(0)
-        val q = r.getSeq[Float](1).toArray
+        val q0 = r.getSeq[Float](1).toArray
+        val q = if (cosineMetric) AnnForestModel.l2NormalizeJvm(q0) else q0
         index.search(q, topK).iterator.zipWithIndex.map { case ((nid, d), i) =>
           Row(qid, nid, d, i + 1)
         }
@@ -134,10 +120,16 @@ class AnnForestModel(
     */
   def assignLeaves(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
-    // Broadcast only topology+planes (compact, store stripped).
+    // Broadcast only topology+planes (compact, store stripped). Under
+    // metric="cosine" the planes were fit on a NORMALIZED store and
+    // n·v + c is not scale-invariant — raw vectors must be normalized
+    // here too or they route to the wrong leaves.
     val bc = spark.sparkContext.broadcast(compact.structureOnly)
+    val cosineMetric = metric == "cosine"
     val leafIdUdf = udf { (v: Seq[Float]) =>
-      bc.value.leafPaths(v.toArray).toSeq
+      val q0 = v.toArray
+      val q = if (cosineMetric) AnnForestModel.l2NormalizeJvm(q0) else q0
+      bc.value.leafPaths(q).toSeq
     }
     df.withColumn("__buckets", leafIdUdf(col(vecCol)))
       .withColumn("__b", explode(col("__buckets")))
@@ -167,6 +159,9 @@ class AnnForestModel(
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    // carried vectors must be normalized under cosine so the re-rank
+    // distance is 2·(1−cos); routing normalizes independently inside
+    // assignLeaves (which must handle direct public calls too)
     def prep(c: org.apache.spark.sql.Column) =
       if (metric == "cosine") l2Normalize(c) else c
     val corpusRouted = assignLeaves(
@@ -372,6 +367,21 @@ case class FlatNode(
     leftId: Int, rightId: Int, leafRows: Array[Int])
 
 object AnnForestModel {
+  /** JVM-side one-pass L2 normalization (zero vectors pass through). */
+  private[ann] def l2NormalizeJvm(q: Array[Float]): Array[Float] = {
+    var n = 0.0
+    var i = 0
+    while (i < q.length) { n += q(i).toDouble * q(i); i += 1 }
+    val norm = math.sqrt(n)
+    if (norm == 0.0) q
+    else {
+      val out = new Array[Float](q.length)
+      i = 0
+      while (i < q.length) { out(i) = (q(i) / norm).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** Load a model persisted by [[AnnForestModel.save]]. */
   def load(path: String, spark: SparkSession): AnnForestModel = {
     import spark.implicits._
@@ -391,9 +401,17 @@ object AnnForestModel {
       .collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getLong(1), r.getSeq[Float](2).toArray))
+    // only ABSENCE of meta falls back (pre-metric saves) — a failed read
+    // of an existing meta must not silently degrade cosine to euclidean
     val metric =
-      try spark.read.parquet(s"$path/meta").head().getString(0)
-      catch { case _: Exception => "euclidean" } // pre-metric saves
+      if (new java.io.File(s"$path/meta").exists() ||
+          path.contains("://")) // non-local FS: attempt the read
+        try spark.read.parquet(s"$path/meta").head().getString(0)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") =>
+            "euclidean"
+        }
+      else "euclidean"
     new AnnForestModel(trees, store.map(_._1), store.map(_._2), metric)
   }
 }
@@ -466,16 +484,17 @@ case class AnnForest(
     * store is L2-normalized at ingest — searches then rank by cosine
     * (returned dist = 2·(1−cos); models normalize queries themselves). */
   def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): AnnForestModel = {
-    import graft.functions.VectorFunctions.l2Normalize
-    val prepared =
-      if (metric == "cosine") df.withColumn(vecCol, l2Normalize(col(vecCol)))
-      else df
-    val deduped = Dedup.exactVectors(prepared, vecCol, idCol)
+    // dedup on RAW vectors (bit-exact reference semantics — normalizing
+    // first would collapse distinct colinear vectors and silently drop
+    // their ids from the index); normalize the collected store after.
+    val deduped = Dedup.exactVectors(df, vecCol, idCol)
       .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
       .orderBy(col(idCol)) // deterministic store order = deterministic leaves
       .collect()
     val ids = deduped.map(_.getLong(0))
-    val vecs = deduped.map(_.getSeq[Float](1).toArray)
+    val raw = deduped.map(_.getSeq[Float](1).toArray)
+    val vecs =
+      if (metric == "cosine") raw.map(AnnForestModel.l2NormalizeJvm) else raw
     val positions = Array.range(0, vecs.length)
     import scala.collection.parallel.CollectionConverters._
     val trees = (0 until numTrees).par.map { t =>

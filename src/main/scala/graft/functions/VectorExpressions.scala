@@ -75,6 +75,42 @@ case class SqEucDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2-normalize in ONE pass (norm + divide); zero vectors pass through.
+  * A composed `transform(a, x -> x / sqrt(dot(a,a)))` re-evaluates the
+  * norm subtree per element (HOFs have no CSE) — O(d²) per row; this is
+  * O(d). CodegenFallback: array-valued codegen buys little for an
+  * ingest-side op. */
+case class L2Normalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; acc += v * v; i += 1 }
+    val norm = math.sqrt(acc)
+    if (norm == 0.0) x
+    else {
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) { out(i) = (x.getFloat(i) / norm).toFloat; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** Σ aᵢ·bᵢ — dot product. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryVectorExpression {

@@ -44,12 +44,10 @@ object VectorFunctions {
   /** L2-normalize an ARRAY<FLOAT> column (zero vectors pass through).
     * On the unit sphere, squared euclidean = 2·(1−cosine) — monotonic
     * in cosine, which is how the ANN forest supports metric="cosine"
-    * without touching its euclidean internals. */
-  def l2Normalize(a: Column): Column = {
-    val n = sqrt(dot(a, a))
-    when(n === 0.0d, a).otherwise(
-      transform(a, x => (x.cast("double") / n).cast("float")))
-  }
+    * without touching its euclidean internals. Single-pass native
+    * expression (see [[L2Normalize]]). */
+  def l2Normalize(a: Column): Column =
+    GraftBridge.column(L2Normalize(toFloatArr(a)))
 
   /** v1 HOF composition of sqEucDist, kept as a cross-check for the
     * native expression (identical accumulation order/precision). */

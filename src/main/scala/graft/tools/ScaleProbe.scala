@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale probe (ARCHITECTURE.md "Scale probe" section):
+  * exercises the heavy operators at ~100× fixture scale with synthetic
+  * data to surface shuffle/memory pathologies local fixtures can't.
+  * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.ScaleProbe" */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // 200k vectors, dim 64 (100x the sf0.1 embeddings table)
+    val vecs = spark.range(200000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)) / 1000.0).cast("float")).as("embedding"))
+      .repartition(64).cache()
+    println("SCALE vectors: " + vecs.count())
+
+    val model = time("forest fit (200k x 64, 50 trees)") {
+      graft.ann.AnnForest(50, 5, 42L).fit(vecs, "vec_id", "embedding")
+    }
+    val queries = vecs.filter(col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val qvecs = queries.limit(100).collect().map(_.getSeq[Float](1).toArray)
+    model.search(qvecs(0), 10) // materialize compact index + JIT warm
+    val t0 = System.nanoTime()
+    qvecs.foreach(q => model.search(q, 10))
+    println(f"SCALE per-search driver-side: ${(System.nanoTime() - t0) / 1e6 / 100}%.2f ms")
+    time("broadcast searchBatch (2k queries)") {
+      model.searchBatch(queries, 10).count()
+    }
+    time("bucketed knnJoin (2k queries vs 200k corpus)") {
+      model.knnJoinBucketed(vecs, queries, 10).count()
+    }
+    time("IVF fit+join (nlist 64, nprobe 8)") {
+      val ivf = graft.ann.IvfIndex(64, 8).fit(vecs)
+      ivf.knnJoin(vecs, queries, 10).count()
+    }
+
+    // 100k synthetic docs (20x sf0.1 documents)
+    val words = (0 until 500).map(i => s"w$i")
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => element_at(
+          array(words.map(lit): _*),
+          (pmod(xxhash64(col("id") * 100 + i), lit(500)) + 1).cast("int")))).as("text"))
+      .repartition(64).cache()
+    println("SCALE docs: " + docs.count())
+    time("minhashPairs (100k docs)") {
+      graft.operators.TextDedup.minhashPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count()
+    }
+    time("exact text dedup stats (100k docs)") {
+      graft.operators.Dedup.stats(docs, Seq("text")).collect()
+    }
+    spark.stop()
+  }
+}

@@ -147,6 +147,31 @@ class AnnForestSpec extends SparkSpec {
     assert(AnnForestModel.load(dir, spark).metric === "cosine")
   }
 
+  test("cosine metric: dedup is on RAW vectors (colinear distinct ids both kept)") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)), // colinear, distinct raw
+      (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val m = AnnForest(numTrees = 4, maxLeafSize = 2, seed = 3L, metric = "cosine")
+      .fit(df, "vec_id", "embedding")
+    assert(m.ids.toSet === Set(0L, 1L, 2L), "colinear ids must both survive dedup")
+    // both colinear vectors are perfect cosine matches for their direction
+    val res = m.search(Array(3f, 0f), 2).map(_._1).toSet
+    assert(res === Set(0L, 1L))
+  }
+
+  test("cosine metric: direct assignLeaves routes raw and pre-normalized vectors identically") {
+    val cosModel = AnnForest(numTrees = 8, maxLeafSize = 5, seed = 5L, metric = "cosine")
+      .fit(emb, "vec_id", "embedding")
+    import graft.functions.VectorFunctions.l2Normalize
+    val raw = cosModel.assignLeaves(emb.select($"vec_id", $"embedding"))
+      .select("vec_id", "tree_id", "leaf_id").as[(Long, Int, Long)].collect().toSet
+    val pre = cosModel.assignLeaves(
+      emb.select($"vec_id", l2Normalize($"embedding").as("embedding")))
+      .select("vec_id", "tree_id", "leaf_id").as[(Long, Int, Long)].collect().toSet
+    assert(raw === pre)
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")
