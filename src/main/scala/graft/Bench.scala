@@ -14,8 +14,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // A failed query must not masquerade as a fast one: record -1 and
     // keep it out of the total so the baseline comparison stays honest.
-    // Each query runs twice, reporting the min — first-run JIT/IO noise
-    // otherwise dominates round-to-round comparisons.
+    // Each query runs three times, reporting the min — first-run JIT/IO
+    // noise and transient host contention (observed 5-25× wall-time
+    // swings on a loaded host) otherwise dominate round-to-round
+    // comparisons; min-of-3 is the steady-state estimate.
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -27,9 +29,8 @@ object Bench {
       }
     }
     val results = SparkEntry.benchQueries.map { name =>
-      val a = timeOnce(name)
-      val b = timeOnce(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq.fill(3)(timeOnce(name))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -485,6 +485,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The SQL-expressible slice of the text-quality suite, under a full
+    // DuckDB oracle (unlike q41, whose fingerprint/subword columns are
+    // regex-lookaround/xxhash constructs DuckDB can't mirror): token
+    // count, punctuation ratio, stopword ratio, composite quality score,
+    // stopword-vote language ID. All narrow codegen'd projections.
+    "q42_quality_metrics" -> ((s, d) => {
+      val t = col("text")
+      GraftSession.widen(Tables.documents(s, d)).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(t, TextAnalysis.defaultStopwords).as("stopword_ratio"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.languageId(t).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q44_doc_group_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -544,10 +561,21 @@ object SparkEntry {
 
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
+    // Output kept scalar-only: the driver canonicalizes results with a
+    // pandas sort over every column, which cannot order an ARRAY column
+    // — so the 8-dim feature vector is summarized (dim + L1 mass + first
+    // component), not emitted raw. The full vector stays available via
+    // Multimodal.decodeFeatures.
     "q60_media_decode" -> ((s, d) => {
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), "doc_id", "text", "source")
-      Multimodal.decodeFeatures(media).orderBy(col("media_id"))
+      Multimodal.decodeFeatures(media)
+        .select(
+          col("media_id"), col("width"), col("height"),
+          size(col("features")).as("n_features"),
+          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_l1"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat_0"))
+        .orderBy(col("media_id"))
     }),
 
     "q61_media_frames" -> ((s, d) => {
@@ -809,10 +837,61 @@ object SparkEntry {
                   t -> length(t)), 'sum')::DOUBLE
                 / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS mean_tok_len
          FROM documents ORDER BY doc_id""",
+    // list literals must mirror TextAnalysis.defaultStopwords /
+    // languageProfiles exactly; all constants cast to DOUBLE so DuckDB
+    // doesn't fall into DECIMAL arithmetic (Spark computes IEEE doubles)
+    "q42_quality_metrics" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x)))::DOUBLE
+                 / len(toks) END AS stopword_ratio,
+             list_max([
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'de'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','in','is','that','it','for','with','was','on'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'en'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['el','la','de','que','y','en','los','del','se','las','por','un'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'es'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['le','la','de','et','les','des','en','un','du','une','que','est'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'fr'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['de','a','o','que','e','do','da','em','um','para','com','uma'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'pt')]) AS best
+           FROM t)
+         SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.4 AS DOUBLE)
+             + CASE WHEN stopword_ratio >= 0.01 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE)
+             + CASE WHEN punct_ratio <= 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE) AS quality,
+           CASE WHEN best.score > 0.0 THEN best.lang ELSE 'und' END AS lang_pred
+         FROM m ORDER BY doc_id""",
+    // q61: frame sampling is deterministic byte arithmetic — frame i
+    // covers payload bytes [i·64, min((i+1)·64, n)), strided by 2, with
+    // one empty frame for empty payloads (Spark's greatest(nFrames, 1)).
+    "q61_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+         CAST(least(64, octet_length(encode(text)) - i * 64) AS INT) AS frame_bytes
+         FROM documents,
+           LATERAL unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1))) t(i)
+         WHERE i % 2 = 0
+         ORDER BY media_id, frame_idx""",
     "q44_doc_group_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 2) AS avg_chars,
-         sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS total_tokens
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q50_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,9 +1,6 @@
 package graft.ann
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: a k-means coarse quantizer partitions
@@ -19,20 +16,107 @@ import org.apache.spark.sql.functions._
   * persist the assignment as a bucketed table (same amortization as the
   * forest path).
   */
-case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L) {
+case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+    sampleCap: Int = 65536) {
 
+  /** Train the coarse quantizer on a bounded sample collected to the
+    * driver, then run seeded kmeans++/Lloyd there. This is the standard
+    * IVF design (FAISS trains its quantizer on ~64·nlist…256·nlist
+    * sampled points): quantizer cost is O(sample · nlist · iters),
+    * independent of corpus size, so at 100 TB only the tiny sample ever
+    * leaves the executors — assignment stays a distributed narrow map.
+    * Driver-side Lloyd also avoids per-iteration Spark jobs (an MLlib
+    * KMeans fit here cost ~20 scheduler round-trips per fit for the
+    * same centroids); cells only need to be a reasonable space
+    * partition, not converged clusters — recall is governed by nprobe.
+    */
   def fit(df: DataFrame, vecCol: String = "embedding",
       trainFraction: Double = 1.0): IvfModel = {
     val sample = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
-    val train = sample.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // few iterations suffice: cells only need to be a reasonable space
-    // partition, not converged clusters — recall is governed by nprobe
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
-    new IvfModel(
-      km.clusterCenters.map(_.toArray.map(_.toFloat)), nprobe)
+    val train: Array[Array[Float]] = sample
+      .select(col(vecCol).cast("array<float>"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "IVF fit: empty training set")
+    new IvfModel(IvfIndex.lloyd(train, nlist, iters = 8, seed), nprobe)
+  }
+}
+
+object IvfIndex {
+  /** Seeded kmeans++ init + Lloyd iterations over primitive arrays.
+    * Deterministic for a fixed seed regardless of thread scheduling. */
+  private[ann] def lloyd(
+      points: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    val rng = new scala.util.Random(seed)
+    // kmeans++ seeding: first centroid uniform, then D²-weighted
+    val centroids = Array.ofDim[Float](kk, dim)
+    centroids(0) = points(rng.nextInt(n)).clone()
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = IvfModel.sqDist(points(i), centroids(c - 1))
+        if (d < minD2(i)) minD2(i) = d
+        total += minD2(i)
+        i += 1
+      }
+      val target = rng.nextDouble() * total
+      var pick = n - 1
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        acc += minD2(i)
+        if (acc >= target) { pick = i; i = n } else i += 1
+      }
+      centroids(c) = points(pick).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = IvfModel.sqDist(points(i), centroids(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (!moved && it > 0) it = iters // converged
+      else {
+        val sums = Array.ofDim[Double](kk, dim)
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < n) {
+          val a = assign(i); counts(a) += 1
+          var d = 0
+          while (d < dim) { sums(a)(d) += points(i)(d); d += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (counts(j) == 0) centroids(j) = points(rng.nextInt(n)).clone() // re-seed empty cell
+          else {
+            var d = 0
+            while (d < dim) { centroids(j)(d) = (sums(j)(d) / counts(j)).toFloat; d += 1 }
+          }
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centroids
   }
 }
 

@@ -42,7 +42,7 @@ object TextAnalysis {
         / size(toks).cast("double"))
   }
 
-  private val defaultStopwords = Seq(
+  val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
