@@ -378,6 +378,19 @@ object SparkEntry {
       model.knnJoin(e, queries, topK = 10).orderBy(col("query_id"), col("rank"))
     }),
 
+    // Fully distributed forest build (no driver collect of the store):
+    // level-synchronous construction, depth-bounded planes, bucket-join
+    // k-NN tail. The path that replaces AnnForest.fit beyond driver
+    // memory (~10⁸ rows); see DistributedAnnForest scaladoc.
+    "q39_ann_distributed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = graft.ann.DistributedAnnForest(
+        numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L).fit(e)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      model.knnJoin(queries, topK = 10).orderBy(col("query_id"), col("rank"))
+    }),
+
     // MLlib interop backend: BucketedRandomProjectionLSH approximate
     // k-NN join (random projections, f64 — SURVEY §1.4).
     "q36_mllib_lsh_join" -> ((s, d) => {

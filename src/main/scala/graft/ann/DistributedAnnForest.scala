@@ -1,0 +1,196 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Fully distributed forest build — the 100 TB counterpart of
+  * [[AnnForest.fit]] (which collects the dedup'd store to the driver,
+  * the reference's own memory model, src/lib.rs:15-19).
+  *
+  * Level-synchronous construction, the standard trick for building
+  * depth-bounded trees on a cluster (MLlib's decision-tree trainer
+  * builds level-by-level the same way): all trees × all open nodes
+  * advance one depth per pass, so the number of passes over the corpus
+  * is `maxDepth`, not `numNodes`.
+  *
+  * Per level:
+  *  1. one narrow pass explodes each row's per-tree breadcrumb path and
+  *     keeps only rows in still-open (tree, path) groups (broadcast join
+  *     against the open-node list — compact ints, never vectors);
+  *  2. a partially-aggregated groupBy samples two pseudo-random member
+  *     vectors per open group (`min_by`/`max_by` over a seeded xxhash64
+  *     order — deterministic, unlike the reference's thread_rng) and
+  *     counts the group — the only shuffle, carrying 2 vectors per OPEN
+  *     NODE, never per row;
+  *  3. the driver turns each still-too-big group's sample pair into a
+  *     bisector plane (n = b − a, c = −n·mid — reference
+  *     src/lib.rs:22-48) — driver state is planes only, never corpus;
+  *  4. one narrow pass advances every routed row's breadcrumb through
+  *     the new planes (broadcast of this level's planes only).
+  *
+  * `maxDepth` bounds the plane count (≤ numTrees·2^maxDepth), keeping
+  * the query-routing broadcast small no matter the corpus size — at
+  * 10⁸+ rows an unbounded maxLeafSize=5 forest would have ~corpus/5
+  * planes (hundreds of GB, unbroadcastable). Leaves then hold more than
+  * maxLeafSize rows; the bucket-join tail re-ranks exactly inside each
+  * bucket with bounded-heap pruning ([[graft.plans.TopKPerKey]]), so
+  * oversized leaves cost candidate-scoring time, not correctness —
+  * IVF-style semantics with hyperplane routing.
+  *
+  * Lineage is bounded with a localCheckpoint per level (reliable
+  * checkpoint on a real cluster), the same pattern as
+  * [[graft.operators.DedupClusters]].
+  */
+case class DistributedAnnForest(
+    numTrees: Int = 50, maxLeafSize: Int = 5, maxDepth: Int = 16,
+    seed: Long = 42L, metric: String = "euclidean") {
+  require(metric == "euclidean" || metric == "cosine",
+    s"metric must be euclidean|cosine, got $metric")
+  require(maxDepth >= 1 && maxDepth <= 62, "maxDepth must be in [1, 62]") // breadcrumb fits a Long
+
+  def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DistributedAnnModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2Normalize
+
+    // Bit-exact dedup on RAW vectors (same order as AnnForest.fit:
+    // normalizing first would collapse distinct colinear vectors).
+    val deduped = Dedup.exactVectors(df, vecCol, idCol)
+    val vecExpr =
+      if (metric == "cosine") l2Normalize(col(vecCol).cast(ArrayType(FloatType)))
+      else col(vecCol).cast(ArrayType(FloatType))
+    var cur = graft.GraftSession.widen(
+      deduped.select(
+        col(idCol).cast(LongType).as("__id"),
+        vecExpr.as("__vec"),
+        array_repeat(lit(1L), numTrees).as("__paths")))
+      .localCheckpoint()
+
+    val planes = scala.collection.mutable.Map.empty[(Int, Long), HyperPlane]
+    // open = nodes that may still split: all roots at depth 0
+    var open: Seq[(Int, Long)] = (0 until numTrees).map(t => (t, 1L))
+    var depth = 0
+    while (depth < maxDepth && open.nonEmpty) {
+      val openDf = open.toDF("tree", "path")
+      val h = xxhash64(lit(seed), lit(depth), col("tree"), col("path"), col("__id"))
+      val exploded = cur
+        .select(col("__id"), col("__vec"), posexplode(col("__paths")).as(Seq("tree", "path")))
+        .join(broadcast(openDf), Seq("tree", "path"))
+      val stats = exploded
+        .groupBy(col("tree"), col("path"))
+        .agg(
+          count(lit(1)).as("n"),
+          min_by(col("__vec"), struct(h, col("__id"))).as("a"),
+          max_by(col("__vec"), struct(h, col("__id"))).as("b"))
+        .collect()
+
+      val newPlanes = scala.collection.mutable.Map.empty[(Int, Long), HyperPlane]
+      stats.foreach { r =>
+        val (tree, path, n) = (r.getInt(0), r.getLong(1), r.getLong(2))
+        if (n > maxLeafSize) {
+          val a = r.getSeq[Float](3).toArray
+          val b = r.getSeq[Float](4).toArray
+          val dim = a.length
+          val nrm = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { nrm(i) = b(i) - a(i); i += 1 }
+          var c = 0.0
+          i = 0
+          while (i < dim) { c += nrm(i).toDouble * ((a(i).toDouble + b(i).toDouble) / 2.0); i += 1 }
+          newPlanes((tree, path)) = HyperPlane(nrm, (-c).toFloat)
+        }
+      }
+      planes ++= newPlanes
+      // children of split nodes are next level's open set; empty children
+      // simply produce no stats rows next round and close themselves
+      open = newPlanes.keys.toSeq.flatMap { case (t, p) => Seq((t, 2 * p), (t, 2 * p + 1)) }
+
+      if (newPlanes.nonEmpty) {
+        val bc = spark.sparkContext.broadcast(newPlanes.toMap)
+        val advance = udf { (vec: Seq[Float], paths: Seq[Long]) =>
+          val v = vec.toArray
+          paths.iterator.zipWithIndex.map { case (p, t) =>
+            bc.value.get((t, p)) match {
+              case Some(pl) => 2 * p + (if (pl.isAbove(v)) 1L else 0L)
+              case None => p
+            }
+          }.toSeq
+        }
+        cur = cur.withColumn("__paths", advance(col("__vec"), col("__paths")))
+          .localCheckpoint()
+      }
+      depth += 1
+    }
+
+    val buckets = cur.select(
+      col("__id").as("neighbor_id"), col("__vec").as("__cvec"),
+      posexplode(col("__paths")).as(Seq("tree_id", "leaf_id")))
+    new DistributedAnnModel(numTrees, planes.toMap, metric, buckets)
+  }
+}
+
+/** Fitted distributed forest: routing planes (driver/broadcast-side,
+  * ≤ numTrees·2^maxDepth entries) + the routed corpus as a DataFrame —
+  * the store never leaves the executors. For a standing corpus, persist
+  * `corpusBuckets` bucketed by (tree_id, leaf_id) and every subsequent
+  * query batch pays zero corpus-side shuffle. */
+class DistributedAnnModel(
+    val numTrees: Int,
+    val planes: Map[(Int, Long), HyperPlane],
+    val metric: String,
+    val corpusBuckets: DataFrame) extends Serializable {
+
+  /** Route queries to their (tree_id, leaf_id) buckets: walk the plane
+    * map from each root until the path leaves it (= a leaf). Narrow —
+    * one UDF over a broadcast of the plane map. */
+  def assignLeaves(queries: DataFrame, idCol: String = "query_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(planes)
+    val nt = numTrees
+    val cosine = metric == "cosine"
+    val route = udf { (vec: Seq[Float]) =>
+      val v0 = vec.toArray
+      val v = if (cosine) AnnForestModel.l2NormalizeJvm(v0) else v0
+      (0 until nt).map { t =>
+        var p = 1L
+        var pl = bc.value.get((t, p))
+        while (pl.isDefined) {
+          p = 2 * p + (if (pl.get.isAbove(v)) 1L else 0L)
+          pl = bc.value.get((t, p))
+        }
+        (t, p)
+      }
+    }
+    queries
+      .select(col(idCol).cast(LongType).as("query_id"),
+        col(vecCol).cast(ArrayType(FloatType)).as("__qv"))
+      .withColumn("__b", explode(route(col("__qv"))))
+      .select(col("query_id"), col("__qv"),
+        col("__b._1").as("tree_id"), col("__b._2").as("leaf_id"))
+  }
+
+  /** Approximate k-NN join against the routed corpus: equi-join on the
+    * (tree_id, leaf_id) bucket key, exact re-rank of bucket candidates,
+    * min across trees, bounded-heap top-k. Same tail as
+    * [[AnnForestModel.knnJoinBucketed]]. */
+  def knnJoin(queries: DataFrame, topK: Int,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    val routed = assignLeaves(queries, queryId, queryVec)
+    val routedQ =
+      if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
+      else routed
+    val candidates = routedQ
+      .join(corpusBuckets, Seq("tree_id", "leaf_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cvec"), col("__qv")).as("dist"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("dist")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(
+      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann._
+import graft.operators.KnnExact
+import graft.sources.Tables
+
+class DistributedAnnForestSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val model = DistributedAnnForest(numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L)
+    .fit(emb, "vec_id", "embedding")
+
+  test("build is deterministic: two fits route the corpus identically") {
+    val m2 = DistributedAnnForest(numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L)
+      .fit(emb, "vec_id", "embedding")
+    val b1 = model.corpusBuckets.select("neighbor_id", "tree_id", "leaf_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b2 = m2.corpusBuckets.select("neighbor_id", "tree_id", "leaf_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(b1 === b2)
+    assert(model.planes.keySet === m2.planes.keySet)
+  }
+
+  test("every corpus row lands in exactly one leaf per tree") {
+    val perTree = model.corpusBuckets.groupBy("neighbor_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("tree_id")).as("nt"))
+      .as[(Long, Long, Long)].collect()
+    val n = emb.count()
+    assert(perTree.length === n)
+    perTree.foreach { case (_, cnt, nt) => assert(cnt === 50L && nt === 50L) }
+  }
+
+  test("plane count is bounded and leaves respect the routing walk") {
+    // depth cap → planes ≤ trees · 2^maxDepth; fixture is far below that
+    assert(model.planes.size < 50 * (1 << 16))
+    // a routed corpus leaf must never itself be an inner node
+    val leafKeys = model.corpusBuckets.select("tree_id", "leaf_id")
+      .distinct().as[(Int, Long)].collect()
+    leafKeys.foreach { k => assert(!model.planes.contains(k)) }
+  }
+
+  test("knnJoin: rank-1 self match and recall floor vs exact oracle") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = model.knnJoin(queries, topK = 10).cache()
+    val r1 = got.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    r1.foreach { case (q, n) => assert(q === n) }
+    val exact = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"distributed-forest mean recall@10 (50 trees) = $mean%.3f")
+    assert(mean >= 0.6)
+  }
+
+  test("cosine metric: distances are 2(1-cos) on the unit sphere") {
+    val m = DistributedAnnForest(numTrees = 10, maxLeafSize = 5, seed = 7L, metric = "cosine")
+      .fit(emb, "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = m.knnJoin(queries, topK = 5).collect()
+    assert(got.nonEmpty)
+    // self match at distance ~0, all distances within [0, 4]
+    got.filter(r => r.getInt(r.fieldIndex("rank")) == 1).foreach { r =>
+      assert(r.getLong(r.fieldIndex("query_id")) === r.getLong(r.fieldIndex("neighbor_id")))
+      assert(math.abs(r.getDouble(r.fieldIndex("dist"))) < 1e-9)
+    }
+    got.foreach(r => assert(r.getDouble(r.fieldIndex("dist")) >= 0.0
+      && r.getDouble(r.fieldIndex("dist")) <= 4.0 + 1e-9))
+  }
+}
