@@ -31,6 +31,10 @@ object GraftSession {
     * cost is only ever paid on inputs small enough for it to be cheap.
     */
   def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // streaming plans can't be inspected via .rdd (and micro-batches
+    // already arrive split); pass them through untouched so the same
+    // operator code runs batch and stream
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -193,4 +193,36 @@ class DistributedAnnModel(
     graft.plans.TopKPerKey.rankedTopK(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
+
+  /** Persist as plain parquet: the routed corpus partitioned by tree_id
+    * (the standing-corpus amortization — subsequent query batches read
+    * only probed partitions and pay zero corpus-side routing), the
+    * plane table, and metric metadata. */
+  def save(path: String): Unit = {
+    val spark = corpusBuckets.sparkSession
+    import spark.implicits._
+    corpusBuckets.write.mode("overwrite")
+      .partitionBy("tree_id").parquet(s"$path/buckets")
+    planes.toSeq
+      .map { case ((t, p), pl) => (t, p, pl.coefficients, pl.constant) }
+      .toDF("tree", "path", "coeffs", "constant")
+      .write.mode("overwrite").parquet(s"$path/planes")
+    Seq((numTrees, metric)).toDF("num_trees", "metric")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+}
+
+object DistributedAnnModel {
+  /** Load a model persisted by [[DistributedAnnModel.save]]. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): DistributedAnnModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val planes = spark.read.parquet(s"$path/planes").collect()
+      .map { r => (r.getInt(0), r.getLong(1)) ->
+        HyperPlane(r.getSeq[Float](2).toArray, r.getFloat(3)) }
+      .toMap
+    new DistributedAnnModel(
+      meta.getInt(0), planes, meta.getString(1),
+      spark.read.parquet(s"$path/buckets")
+        .select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id")))
+  }
 }

@@ -60,6 +60,48 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(mean >= 0.6)
   }
 
+  test("save/load roundtrip preserves the k-NN join result") {
+    val dir = java.nio.file.Files.createTempDirectory("dist_ann_model").toString
+    model.save(dir)
+    val loaded = DistributedAnnModel.load(dir, spark)
+    assert(loaded.numTrees === model.numTrees && loaded.metric === model.metric)
+    // HyperPlane holds Arrays (reference equality) — compare contents
+    assert(loaded.planes.keySet === model.planes.keySet)
+    model.planes.foreach { case (k, pl) =>
+      assert(loaded.planes(k).constant === pl.constant)
+      assert(loaded.planes(k).coefficients.sameElements(pl.coefficients))
+    }
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val a = model.knnJoin(queries, topK = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = loaded.knnJoin(queries, topK = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("ANN batch search runs unchanged under Structured Streaming") {
+    // the broadcast-index search is a narrow mapPartitions — the same
+    // code must run on a readStream of queries (100 TB story: standing
+    // index + streaming query feed)
+    val bModel = AnnForest(numTrees = 10, maxLeafSize = 5, seed = 42L)
+      .fit(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream_q").toString
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    queries.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema).parquet(dir)
+    val out = bModel.searchBatch(stream, topK = 5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ann_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ann_stream_out")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val batch = bModel.searchBatch(queries, topK = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("cosine metric: distances are 2(1-cos) on the unit sphere") {
     val m = DistributedAnnForest(numTrees = 10, maxLeafSize = 5, seed = 7L, metric = "cosine")
       .fit(emb, "vec_id", "embedding")
