@@ -44,6 +44,14 @@ object ScaleProbe {
       val ivf = graft.ann.IvfIndex(64, 8).fit(vecs)
       ivf.knnJoin(vecs, queries, 10).count()
     }
+    val distModel = time("distributed forest fit (20 trees, depth 14)") {
+      graft.ann.DistributedAnnForest(numTrees = 20, maxLeafSize = 5, maxDepth = 14, seed = 42L)
+        .fit(vecs, "vec_id", "embedding")
+    }
+    println("SCALE distributed planes: " + distModel.planes.size)
+    time("distributed knnJoin (2k queries vs 200k corpus)") {
+      distModel.knnJoin(queries, 10).count()
+    }
 
     // 100k synthetic docs (20x sf0.1 documents)
     val words = (0 until 500).map(i => s"w$i")
