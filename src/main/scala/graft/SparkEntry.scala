@@ -504,14 +504,26 @@ object SparkEntry {
     // count, punctuation ratio, stopword ratio, composite quality score,
     // stopword-vote language ID. All narrow codegen'd projections.
     "q42_quality_metrics" -> ((s, d) => {
-      val t = col("text")
-      GraftSession.widen(Tables.documents(s, d)).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(t, TextAnalysis.defaultStopwords).as("stopword_ratio"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.languageId(t).as("lang_pred"))
+      // tokenize ONCE per row: HOF expressions are CodegenFallback with
+      // no CSE, so naive per-metric calls would re-expand the split
+      // ~10×. CollapseProject keeps the multiply-referenced non-cheap
+      // alias materialized; quality is derived from the emitted metric
+      // columns (identical doubles — same ops, same order).
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          col("punct_ratio"),
+          TextAnalysis.stopwordRatioT(col("__toks"), TextAnalysis.defaultStopwords)
+            .as("stopword_ratio"),
+          TextAnalysis.languageIdT(col("__toks")).as("lang_pred"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"),
+          TextAnalysis.qualityFromMetrics(
+            col("n_tokens"), col("stopword_ratio"), col("punct_ratio")).as("quality"),
+          col("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 

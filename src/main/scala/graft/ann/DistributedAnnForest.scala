@@ -96,11 +96,22 @@ case class DistributedAnnForest(
           val dim = a.length
           val nrm = new Array[Float](dim)
           var i = 0
-          while (i < dim) { nrm(i) = b(i) - a(i); i += 1 }
-          var c = 0.0
-          i = 0
-          while (i < dim) { c += nrm(i).toDouble * ((a(i).toDouble + b(i).toDouble) / 2.0); i += 1 }
-          newPlanes((tree, path)) = HyperPlane(nrm, (-c).toFloat)
+          var degenerate = true
+          while (i < dim) {
+            nrm(i) = b(i) - a(i)
+            if (nrm(i) != 0f) degenerate = false
+            i += 1
+          }
+          // a zero-normal plane (identical sample pair — e.g. colinear
+          // raw vectors collapsing under cosine normalization) routes
+          // every row one way and would re-split uselessly to maxDepth:
+          // close the node as an (oversized) leaf instead
+          if (!degenerate) {
+            var c = 0.0
+            i = 0
+            while (i < dim) { c += nrm(i).toDouble * ((a(i).toDouble + b(i).toDouble) / 2.0); i += 1 }
+            newPlanes((tree, path)) = HyperPlane(nrm, (-c).toFloat)
+          }
         }
       }
       planes ++= newPlanes
@@ -119,8 +130,12 @@ case class DistributedAnnForest(
             }
           }.toSeq
         }
+        val prev = cur
         cur = cur.withColumn("__paths", advance(col("__vec"), col("__paths")))
-          .localCheckpoint()
+          .localCheckpoint() // eager: prev and this level's broadcast are
+                             // dead once this materializes
+        prev.unpersist()
+        bc.destroy()
       }
       depth += 1
     }
@@ -143,13 +158,19 @@ class DistributedAnnModel(
     val metric: String,
     val corpusBuckets: DataFrame) extends Serializable {
 
+  /** One plane broadcast per model instance, shared by every query
+    * batch — re-broadcasting per assignLeaves call would leak a copy
+    * (~200 MB at 50 trees × depth 14) into the block managers per
+    * batch in a standing-corpus serving loop. */
+  @transient private lazy val planesBc =
+    corpusBuckets.sparkSession.sparkContext.broadcast(planes)
+
   /** Route queries to their (tree_id, leaf_id) buckets: walk the plane
     * map from each root until the path leaves it (= a leaf). Narrow —
     * one UDF over a broadcast of the plane map. */
   def assignLeaves(queries: DataFrame, idCol: String = "query_id",
       vecCol: String = "qvec"): DataFrame = {
-    val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(planes)
+    val bc = planesBc
     val nt = numTrees
     val cosine = metric == "cosine"
     val route = udf { (vec: Seq[Float]) =>

@@ -32,8 +32,18 @@ case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
     */
   def fit(df: DataFrame, vecCol: String = "embedding",
       trainFraction: Double = 1.0): IvfModel = {
-    val sample = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
-    val train: Array[Array[Float]] = sample
+    val sampled = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
+    // A bare limit(sampleCap) would take a partition-order PREFIX — for
+    // a corpus written in an order correlated with embedding space
+    // (clustered/time-ordered inserts, the normal standing-corpus case)
+    // that trains every centroid inside one region. Downsample uniformly
+    // instead when over the cap; the count is one cheap metadata-ish
+    // job, paid only at fit time.
+    val n = sampled.count()
+    val uniform =
+      if (n <= sampleCap) sampled
+      else sampled.sample(math.min(1.0, sampleCap * 1.2 / n), seed)
+    val train: Array[Array[Float]] = uniform
       .select(col(vecCol).cast("array<float>"))
       .limit(sampleCap)
       .collect()

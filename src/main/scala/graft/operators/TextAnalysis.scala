@@ -27,8 +27,14 @@ object TextAnalysis {
         / length(text).cast("double"))
 
   /** Ratio of tokens found in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioT(tokens(text), stopwords)
+
+  /** As [[stopwordRatio]], over a pre-tokenized column — HOF expressions
+    * are CodegenFallback with no common-subexpression elimination, so a
+    * caller computing several token metrics should materialize
+    * `tokens(text)` once and use the `…T` variants. */
+  def stopwordRatioT(toks: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks).cast("double"))
@@ -48,11 +54,17 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length band + stopword presence
     * − punctuation excess (heuristic C4/Gopher-style filters). */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
+  def qualityScore(text: Column): Column =
+    qualityFromMetrics(
+      tokenCount(text), stopwordRatio(text, defaultStopwords), punctRatio(text))
+
+  /** The quality formula over already-computed metrics — callers that
+    * also emit the metrics should feed their columns in, not re-derive
+    * (each `…Ratio(text)` re-expands the tokenization). */
+  def qualityFromMetrics(nTok: Column, swRatio: Column, pRatio: Column): Column = {
     val lenOk = when(nTok.between(10, 10000), 1.0).otherwise(0.0)
-    val swOk = when(stopwordRatio(text, defaultStopwords) >= 0.01, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val swOk = when(swRatio >= 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(pRatio <= 0.2, 1.0).otherwise(0.0)
     (lenOk * 0.4 + swOk * 0.3 + punctOk * 0.3)
   }
 
@@ -69,8 +81,10 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf"),
     "pt" -> Seq("de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com", "uma"))
 
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column = languageIdT(tokens(text))
+
+  /** As [[languageId]], over a pre-tokenized column. */
+  def languageIdT(toks: Column): Column = {
     val scores = languageProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val sw = array(words.map(lit): _*)
       struct(
