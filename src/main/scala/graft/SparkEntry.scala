@@ -609,6 +609,16 @@ object SparkEntry {
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Resize stub: keep every 3rd payload byte — deterministic byte
+    // arithmetic, so the metadata (n_bytes) is fully oracle-checkable.
+    "q62_media_resize" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "source")
+      Multimodal.resize(media, factor = 3)
+        .select(col("media_id"), col("meta.n_bytes").as("resized_bytes"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -913,6 +923,11 @@ object SparkEntry {
            LATERAL unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1))) t(i)
          WHERE i % 2 = 0
          ORDER BY media_id, frame_idx""",
+    // q62: resize keeps bytes 0, 3, 6, … → output length = ceil(n/3)
+    "q62_media_resize" ->
+      """SELECT doc_id AS media_id,
+         CAST(ceil(octet_length(encode(text)) / 3.0) AS BIGINT) AS resized_bytes
+         FROM documents ORDER BY media_id""",
     "q44_doc_group_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 2) AS avg_chars,
