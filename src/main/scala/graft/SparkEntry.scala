@@ -584,6 +584,22 @@ object SparkEntry {
       s.sql(sharedSqlQ3)
     }),
 
+    // SQL surface of the native codegen vector kernels: the same
+    // sq_euc_dist / vec_dot / cosine_sim expressions every ANN path
+    // re-ranks with, exercised through spark.sql and hash-checked
+    // bit-exactly against DuckDB (both sides accumulate f32 inputs in
+    // f64, left to right — verified identical to the last ulp).
+    "q55_sql_vector_fns" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        sq_euc_dist(a.embedding, b.embedding) AS dist,
+        vec_dot(a.embedding, b.embedding) AS dot_ab,
+        cosine_sim(a.embedding, b.embedding) AS cos_ab
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id < 5
+        ORDER BY query_id, neighbor_id""")
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -923,6 +939,31 @@ object SparkEntry {
            LATERAL unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1))) t(i)
          WHERE i % 2 = 0
          ORDER BY media_id, frame_idx""",
+    // q55: element-wise kernels mirrored in DuckDB list functions —
+    // unrounded doubles are safe here because both engines do the same
+    // f64 fold over the same f32 inputs in the same order (bit-exact,
+    // verified); this is deliberately a kernel-parity check, unlike
+    // shuffle-order-dependent aggregates which must round.
+    "q55_sql_vector_fns" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(a.embedding)+1),
+           i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)), 'sum') AS dist,
+         list_aggregate(list_transform(range(1, len(a.embedding)+1),
+           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum') AS dot_ab,
+         CASE WHEN sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')) = 0.0
+           THEN 0.0
+           ELSE list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+              / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                   i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+               * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+                   i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) END AS cos_ab
+         FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id < 5
+         ORDER BY query_id, neighbor_id""",
     // q62: resize keeps bytes 0, 3, 6, … → output length = ceil(n/3)
     "q62_media_resize" ->
       """SELECT doc_id AS media_id,
