@@ -9,7 +9,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
-import graft.operators.Dedup
 
 /** Hyperplane in implicit form n·x + c = 0 (reference src/hyperplane.rs:3-6). */
 case class HyperPlane(coefficients: Array[Float], constant: Float) extends Serializable {
@@ -484,15 +483,30 @@ case class AnnForest(
     * store is L2-normalized at ingest — searches then rank by cosine
     * (returned dist = 2·(1−cos); models normalize queries themselves). */
   def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): AnnForestModel = {
-    // dedup on RAW vectors (bit-exact reference semantics — normalizing
-    // first would collapse distinct colinear vectors and silently drop
-    // their ids from the index); normalize the collected store after.
-    val deduped = Dedup.exactVectors(df, vecCol, idCol)
+    // This path collects the store to the driver by design (reference
+    // memory model) — so dedup AFTER the collect, on the driver: same
+    // first-seen-wins bit-exact semantics as Dedup.exactVectors (min id
+    // per raw-bits key; dedup on RAW vectors — normalizing first would
+    // collapse distinct colinear vectors), without paying the groupBy +
+    // semi-join + sort shuffles per fit. Beyond driver memory the
+    // distributed dedup + build is DistributedAnnForest.
+    val collected = df
       .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
-      .orderBy(col(idCol)) // deterministic store order = deterministic leaves
       .collect()
-    val ids = deduped.map(_.getLong(0))
-    val raw = deduped.map(_.getSeq[Float](1).toArray)
+    val byKey = new java.util.HashMap[java.util.List[Integer], (Long, Array[Float])]()
+    collected.foreach { r =>
+      val id = r.getLong(0)
+      val vec = r.getSeq[Float](1).toArray
+      val key = new java.util.ArrayList[Integer](vec.length)
+      vec.foreach(f => key.add(java.lang.Float.floatToRawIntBits(f)))
+      val prev = byKey.get(key)
+      if (prev == null || id < prev._1) byKey.put(key, (id, vec))
+    }
+    import scala.jdk.CollectionConverters._
+    val deduped = byKey.values().asScala.toArray
+      .sortBy(_._1) // deterministic store order = deterministic leaves
+    val ids = deduped.map(_._1)
+    val raw = deduped.map(_._2)
     val vecs =
       if (metric == "cosine") raw.map(AnnForestModel.l2NormalizeJvm) else raw
     val positions = Array.range(0, vecs.length)
