@@ -56,7 +56,7 @@ case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
 object IvfIndex {
   /** Seeded kmeans++ init + Lloyd iterations over primitive arrays.
     * Deterministic for a fixed seed regardless of thread scheduling. */
-  private[ann] def lloyd(
+  private[graft] def lloyd(
       points: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
     val n = points.length
     val dim = points(0).length

@@ -35,6 +35,24 @@ class AnnForestSpec extends SparkSpec {
     assert(got === Set(10L, 11L, 12L))
   }
 
+  test("fit dedup is bit-exact first-seen-wins (driver-side path)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = Seq(
+      Row(5L, Seq(1.0f, 0.0f)),   // dup of id 1, higher id — dropped
+      Row(1L, Seq(1.0f, 0.0f)),   // first-seen winner (min id)
+      Row(2L, Seq(1.0f, -0.0f)),  // -0.0 differs bitwise from 0.0 — kept
+      Row(3L, Seq(2.0f, 0.0f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val m = AnnForest(numTrees = 2, maxLeafSize = 2, seed = 1L)
+      .fit(df, "vec_id", "embedding")
+    assert(m.ids.toSeq === Seq(1L, 2L, 3L)) // sorted, 5 dropped, -0.0 kept
+  }
+
   test("build is deterministic for a fixed seed") {
     val m2 = AnnForest(50, 5, 42L).fit(emb, "vec_id", "embedding")
     val q = emb.filter($"vec_id" === 7L).head().getSeq[Float](1).toArray

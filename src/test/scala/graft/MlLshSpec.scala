@@ -9,6 +9,18 @@ class MlLshSpec extends SparkSpec {
 
   lazy val emb = Tables.embeddings(spark, sf0001).cache()
 
+  test("lloyd: deterministic, k>n clamps, centroids finite") {
+    val pts = Array.tabulate(10)(i => Array(i.toFloat, (i * 2).toFloat))
+    val a = graft.ann.IvfIndex.lloyd(pts, k = 4, iters = 8, seed = 7L)
+    val b = graft.ann.IvfIndex.lloyd(pts, k = 4, iters = 8, seed = 7L)
+    assert(a.length === 4)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    a.foreach(_.foreach(v => assert(!v.isNaN && !v.isInfinite)))
+    // k > n: one centroid per point, no crash
+    val c = graft.ann.IvfIndex.lloyd(pts.take(3), k = 16, iters = 4, seed = 7L)
+    assert(c.length === 3)
+  }
+
   test("BRP-LSH knn join: rank-1 self match and reasonable recall with wide radius") {
     val queries = emb.filter($"vec_id" < 20)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
