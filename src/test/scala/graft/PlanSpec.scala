@@ -57,4 +57,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
     assert(!p.contains("Window"), "dedup must not use a window function")
   }
+
+  test("distributed-forest kNN join uses bounded heaps, not a full-candidate window") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf0001)
+    val model = graft.ann.DistributedAnnForest(numTrees = 5, maxLeafSize = 5, seed = 42L)
+      .fit(e, "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = model.knnJoin(q, topK = 5).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    // the rank window must sit above the heap prune (≤ k rows per key),
+    // and candidate dedup must partially aggregate before its shuffle
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
 }
