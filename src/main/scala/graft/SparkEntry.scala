@@ -584,6 +584,17 @@ object SparkEntry {
       s.sql(sharedSqlQ3)
     }),
 
+    // Correlated scalar subquery (TPC-H Q17 shape) through the shared
+    // SQL text: Catalyst decorrelates the per-part average into an
+    // aggregate + join — an optimizer capability the DataFrame-built
+    // queries don't reach. l_quantity is integral so the subquery avg
+    // is order-independent (exact integer sum in f64) on both engines.
+    "q56_correlated_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sharedSqlQ17)
+    }),
+
     // SQL surface of the native codegen vector kernels: the same
     // sq_euc_dist / vec_dot / cosine_sim expressions every ANN path
     // re-ranks with, exercised through spark.sql and hash-checked
@@ -663,10 +674,22 @@ object SparkEntry {
        GROUP BY l_orderkey, o_orderdate
        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""
 
+  /** TPC-H Q17 shape (small-quantity-order revenue) — dialect-neutral,
+    * executed verbatim by BOTH Spark (q56 query) and DuckDB (oracle). */
+  private val sharedSqlQ17: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND p_brand = 'Brand#4'
+         AND l_quantity < (
+           SELECT 0.2 * avg(l_quantity)
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
   /** DuckDB-runnable oracle per query (same parquet tables, same column
     * names, same rounding, same ordering). */
   def oracleSql: Map[String, String] = Map(
     "q54_sql_frontend" -> sharedSqlQ3,
+    "q56_correlated_subquery" -> sharedSqlQ17,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
