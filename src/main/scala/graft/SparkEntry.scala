@@ -295,6 +295,25 @@ object SparkEntry {
     // the most recent prior purchase timestamp of the same user — a
     // running conditional max over an ordered per-user window; no
     // cross-product, one shuffle on user_id.
+    // Window-function suite: running aggregate, offset (lag), ranking —
+    // one partitioned total-ordered frame each. The running sum folds
+    // rows in frame order on both engines (sequential, not
+    // shuffle-order-dependent), so the doubles agree; rounded anyway
+    // per convention.
+    "q14b_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("order_seq", row_number().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+          col("running_total"), col("prev_order_date"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    }),
+
     "q16_asof_prior_purchase" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -690,6 +709,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q54_sql_frontend" -> sharedSqlQ3,
     "q56_correlated_subquery" -> sharedSqlQ17,
+    "q14b_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS order_seq,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+         lag(o_orderdate, 1) OVER w AS prev_order_date
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, order_seq""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
