@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{AnnForest, AnnForestModel}
+import graft.ann.{AnnForest, AnnForestModel, DistributedAnnForest, DistributedAnnModel}
 import graft.operators.Dedup
 import graft.sources.VecReader
 
@@ -55,5 +55,25 @@ object GraftVectors {
       model: AnnForestModel, ds: Dataset[VectorRecord], topK: Int): Dataset[Neighbor] = {
     import ds.sparkSession.implicits._
     model.knnJoin(ds.toDF(), topK, "id", "embedding").as[Neighbor]
+  }
+
+  /** B3 at scale: fit the forest WITHOUT collecting the store to the
+    * driver (level-synchronous build; use beyond ~10⁸ rows, where
+    * [[buildIndex]]'s reference-parity collect stops fitting). */
+  def buildIndexDistributed(
+      ds: Dataset[VectorRecord],
+      numTrees: Int = 50, maxLeafSize: Int = 5, maxDepth: Int = 16,
+      seed: Long = 42L): DistributedAnnModel =
+    DistributedAnnForest(numTrees, maxLeafSize, maxDepth, seed)
+      .fit(ds.toDF(), "id", "embedding")
+
+  /** Q2/Q4 against the distributed model: bucket-join k-NN. */
+  def searchDistributed(
+      model: DistributedAnnModel, queries: Dataset[VectorRecord],
+      topK: Int): Dataset[Neighbor] = {
+    import queries.sparkSession.implicits._
+    model.knnJoin(
+      queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
+      topK).as[Neighbor]
   }
 }

@@ -31,6 +31,18 @@ class ApiSpec extends SparkSpec {
     assert(res.select("query_id").distinct().count() === 100)
   }
 
+  test("typed facade: distributed build + search, self at rank 1") {
+    val ds = Tables.embeddings(spark, sf0001).limit(100)
+      .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
+      .as[VectorRecord]
+    val model = GraftVectors.buildIndexDistributed(ds, numTrees = 10)
+    val res = GraftVectors.searchDistributed(model, ds.limit(10), topK = 3).collect()
+    assert(res.nonEmpty)
+    res.filter(_.rank == 1).foreach { n =>
+      assert(n.neighbor_id === n.query_id && n.dist === 0.0)
+    }
+  }
+
   test("salted join is result-equivalent to a plain inner join under skew") {
     // skewed: 90% of rows share one key
     val large = (0 until 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
