@@ -481,7 +481,13 @@ case class AnnForest(
     * (reference src/lib.rs:87-88, minus its drop-row-0 bug), then
     * numTrees independent trees in parallel. With metric="cosine" the
     * store is L2-normalized at ingest — searches then rank by cosine
-    * (returned dist = 2·(1−cos); models normalize queries themselves). */
+    * (returned dist = 2·(1−cos); models normalize queries themselves).
+    *
+    * Driver memory is bounded by the RAW row count, duplicates
+    * included: the collect happens before the dedup (one job per fit
+    * instead of four). On a duplicate-heavy corpus whose deduped size
+    * fits the driver but raw size doesn't, run [[Dedup.exactVectors]]
+    * first — or use [[DistributedAnnForest]], the scale path. */
   def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): AnnForestModel = {
     // This path collects the store to the driver by design (reference
     // memory model) — so dedup AFTER the collect, on the driver: same

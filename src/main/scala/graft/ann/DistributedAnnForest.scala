@@ -27,7 +27,15 @@ import graft.operators.Dedup
   *     NODE, never per row;
   *  3. the driver turns each still-too-big group's sample pair into a
   *     bisector plane (n = b − a, c = −n·mid — reference
-  *     src/lib.rs:22-48) — driver state is planes only, never corpus;
+  *     src/lib.rs:22-48) — driver state is planes only, never corpus.
+  *     The per-level stats collect is the transient peak: 2 sampled
+  *     vectors + counts per open node, i.e. ~2× the size of that
+  *     level's final plane map (which itself is bounded by
+  *     numTrees·2^maxDepth). At the deepest level of a very deep build
+  *     (e.g. depth 15 at 50 trees = up to 1.6M open nodes) that is a
+  *     multi-GB transient; size driver memory for ~2× the plane-map
+  *     bound, or lower maxDepth — the planes themselves are the same
+  *     order, so a depth that fits the plane map fits the collect;
   *  4. one narrow pass advances every routed row's breadcrumb through
   *     the new planes (broadcast of this level's planes only).
   *
@@ -244,6 +252,13 @@ object DistributedAnnModel {
     new DistributedAnnModel(
       meta.getInt(0), planes, meta.getString(1),
       spark.read.parquet(s"$path/buckets")
-        .select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id")))
+        // tree_id comes back as a parquet PARTITION column whose type is
+        // session-inferred: with partitionColumnTypeInference disabled it
+        // reads as STRING and the knnJoin equi-join would lean on implicit
+        // coercion. Cast both key columns explicitly so the restored
+        // schema matches fit()'s output regardless of session config.
+        .select(col("neighbor_id"), col("__cvec"),
+          col("tree_id").cast("int").as("tree_id"),
+          col("leaf_id").cast("long").as("leaf_id")))
   }
 }

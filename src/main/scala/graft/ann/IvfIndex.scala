@@ -37,15 +37,17 @@ case class IvfIndex(nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
     // a corpus written in an order correlated with embedding space
     // (clustered/time-ordered inserts, the normal standing-corpus case)
     // that trains every centroid inside one region. Downsample uniformly
-    // instead when over the cap; the count is one cheap metadata-ish
-    // job, paid only at fit time.
+    // instead when over the cap — NO limit afterwards: a limit would
+    // again take a partition-order prefix of the sample, cutting the
+    // tail partitions out of training. Bernoulli sampling at cap/n
+    // yields ~cap rows (±√cap noise), which is fine for a quantizer.
+    // The count is one cheap job, paid only at fit time.
     val n = sampled.count()
     val uniform =
       if (n <= sampleCap) sampled
-      else sampled.sample(math.min(1.0, sampleCap * 1.2 / n), seed)
+      else sampled.sample(math.min(1.0, sampleCap.toDouble / n), seed)
     val train: Array[Array[Float]] = uniform
       .select(col(vecCol).cast("array<float>"))
-      .limit(sampleCap)
       .collect()
       .map(_.getSeq[Float](0).toArray)
     require(train.nonEmpty, "IVF fit: empty training set")

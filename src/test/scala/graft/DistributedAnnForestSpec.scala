@@ -78,6 +78,22 @@ class DistributedAnnForestSpec extends SparkSpec {
     val b = loaded.knnJoin(queries, topK = 5)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(a === b)
+
+    // tree_id is a parquet PARTITION column: with type inference off it
+    // would read back STRING; load() must cast it so the restored schema
+    // matches fit()'s output regardless of session config
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val loaded2 = DistributedAnnModel.load(dir, spark)
+      val schema = loaded2.corpusBuckets.schema
+      assert(schema("tree_id").dataType === org.apache.spark.sql.types.IntegerType)
+      assert(schema("leaf_id").dataType === org.apache.spark.sql.types.LongType)
+      val c = loaded2.knnJoin(queries, topK = 5)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(a === c)
+    } finally spark.conf.set(key, prev)
   }
 
   test("ANN batch search runs unchanged under Structured Streaming") {
