@@ -593,6 +593,101 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Map scalar + higher-order map functions (map_from_arrays /
+    // create_map / map_keys / transform_values / map_filter), outputs
+    // kept scalar so the driver can canonicalize. The oracle mirrors
+    // the SEMANTICS (what each map op evaluates to), not the map type.
+    "q43_map_fns" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        element_at(m, "brand").as("brand"),
+        size(m).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys_csv"),
+        element_at(transform_values(
+          map(lit("t"), col("p_type")), (_, v) => upper(v)), "t").as("type_upper"),
+        element_at(map_filter(
+          map(lit("sz"), col("p_size")), (_, v) => v > 20), "sz").as("big_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Explicit GROUPING SETS + grouping() markers through the shared
+    // SQL front end (ROLLUP/CUBE cover the derived lattices; this is
+    // the general form with a hand-picked set list).
+    "q45_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sharedSqlGroupingSets)
+    }),
+
+    // Correlated LATERAL subquery in FROM — per-order aggregate over
+    // its lineitems, decorrelated by Catalyst into a join. The shared
+    // text filters the no-lineitem orders explicitly because the
+    // engines disagree on preserving them (Spark plans a left outer
+    // and keeps NULL rows; DuckDB's decorrelation drops them).
+    "q46_lateral_join" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sharedSqlLateral)
+    }),
+
+    // The custom whole-operator plan node (TopKPerKeyPlan → Strategy →
+    // Exec, SURVEY §4.3(c)): heap-bounded per-key top-k, oracled
+    // against the window formulation it replaces — same rows, O(n log k)
+    // and only map_partitions·k rows per key shuffled instead of a full
+    // per-partition sort of every candidate.
+    "q57_topk_perkey" -> ((s, d) => {
+      graft.plans.TopKPerKey.rankedTopK(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"), k = 3)
+        .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("rank"))
+    }),
+
+    // Salted skew join: hot-key-proof equi-join (probe side salted,
+    // build side replicated S ways) — result-identical to the plain
+    // inner join, which is exactly what the oracle checks.
+    "q58_salted_skew_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(Tables.lineitem(s, d), sup, "l_suppkey", saltBuckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Typed UDAF surface (Aggregator[IN,BUF,OUT] with map-side combine):
+    // mean recall of dimension-truncated search (first 16 of 64 dims)
+    // against the full-dimension exact top-5 — deterministic inputs, so
+    // the whole pipeline including the custom aggregate oracles.
+    "q59_recall_udaf" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+      def top5Ids(dist: org.apache.spark.sql.Column, out: String): DataFrame =
+        cand.withColumn("dist", dist)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
+          .filter(col("rank") <= 5)
+          .groupBy(col("query_id"))
+          .agg(sort_array(collect_list(col("neighbor_id"))).as(out))
+      val retrieved = top5Ids(
+        sqEucDist(slice(col("embedding"), 1, 16), slice(col("qvec"), 1, 16)), "retrieved")
+      val truth = top5Ids(sqEucDist(col("embedding"), col("qvec")), "truth")
+      val pairs = retrieved.join(truth, "query_id")
+        .select(col("retrieved"), col("truth")).as[(Seq[Long], Seq[Long])]
+      pairs.select(graft.functions.RecallAggregator.toColumn.name("mean_recall"))
+        .select(round(col("mean_recall"), 4).as("mean_recall"))
+    }),
+
     // SQL front end: the same SQL text runs through Spark's parser →
     // Catalyst and through DuckDB (TPC-H Q3 shape). Demonstrates the
     // engine's spark.sql surface over registered views.
@@ -693,6 +788,30 @@ object SparkEntry {
        GROUP BY l_orderkey, o_orderdate
        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""
 
+  /** GROUPING SETS with grouping() markers — dialect-neutral, executed
+    * verbatim by BOTH Spark (q45) and DuckDB (oracle). grouping() is
+    * TINYINT in Spark vs BIGINT in DuckDB, so both sides cast to INT. */
+  private val sharedSqlGroupingSets: String =
+    """SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS INTEGER) AS g_nation,
+       CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg,
+       count(*) AS n_rows
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+       ORDER BY g_nation, g_seg, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** Correlated LATERAL subquery — dialect-neutral, executed verbatim
+    * by BOTH Spark (q46) and DuckDB (oracle). The IS NOT NULL filter
+    * pins the engines to the same result on orders with no lineitems
+    * (Spark keeps them with NULL, DuckDB's decorrelation drops them). */
+  private val sharedSqlLateral: String =
+    """SELECT o_orderkey, o_totalprice, t.max_price
+       FROM orders, LATERAL (
+         SELECT max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_orderkey = o_orderkey) t
+       WHERE t.max_price IS NOT NULL
+       ORDER BY o_orderkey"""
+
   /** TPC-H Q17 shape (small-quantity-order revenue) — dialect-neutral,
     * executed verbatim by BOTH Spark (q56 query) and DuckDB (oracle). */
   private val sharedSqlQ17: String =
@@ -709,6 +828,58 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q54_sql_frontend" -> sharedSqlQ3,
     "q56_correlated_subquery" -> sharedSqlQ17,
+    "q45_grouping_sets" -> sharedSqlGroupingSets,
+    "q46_lateral_join" -> sharedSqlLateral,
+    // q27: DuckDB reads the same .vec text file and mirrors VecReader's
+    // semantics — skip the header line, id = file position - 1, token 0
+    // = word, reject rows without exactly dim+1 tokens. The two unnests
+    // zip positionally (DuckDB aligns parallel unnests), giving the
+    // line index that Spark gets from zipWithIndex.
+    "q27_vec_scan" ->
+      """WITH raw AS (
+           SELECT unnest(string_split(content, chr(10))) AS line,
+                  unnest(range(0, len(string_split(content, chr(10))))) AS pos
+           FROM read_text('/root/reference/data/test.vec'))
+         SELECT pos - 1 AS id,
+                regexp_split_to_array(trim(line), '\s+')[1] AS word,
+                300 AS dim
+         FROM raw
+         WHERE pos >= 1 AND len(regexp_split_to_array(trim(line), '\s+')) = 301
+         ORDER BY id""",
+    "q43_map_fns" ->
+      """SELECT p_partkey, p_brand AS brand, 2 AS n_keys,
+         'brand,type' AS keys_csv,
+         upper(p_type) AS type_upper,
+         CASE WHEN p_size > 20 THEN p_size END AS big_size
+         FROM part ORDER BY p_partkey""",
+    "q57_topk_perkey" ->
+      """SELECT l_suppkey, rank, l_orderkey, l_linenumber FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rank
+           FROM lineitem) t
+         WHERE rank <= 3
+         ORDER BY l_suppkey, rank""",
+    "q58_salted_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+         round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q59_recall_udaf" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 50),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         tr AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(e.v[1:16], q.v[1:16]), e.vec_id) AS rank
+           FROM e CROSS JOIN q) t WHERE rank <= 5),
+         fl AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(e.v, q.v), e.vec_id) AS rank
+           FROM e CROSS JOIN q) t WHERE rank <= 5)
+         SELECT round(count(*) / (50 * 5.0), 4) AS mean_recall
+         FROM tr JOIN fl USING (query_id, neighbor_id)""",
     "q14b_window_suite" ->
       """SELECT o_custkey, o_orderkey,
          row_number() OVER w AS order_seq,

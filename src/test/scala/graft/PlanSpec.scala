@@ -71,4 +71,22 @@ class PlanSpec extends SparkSpec {
     // and candidate dedup must partially aggregate before its shuffle
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
+
+  test("q57 plans the custom operator twice: narrow partial under clustered final") {
+    val p = planOf("q57_topk_perkey")
+    // two TopKPerKeyExec nodes (pre- and post-shuffle) with exactly one
+    // exchange between them — the aggregation-style two-phase shape
+    assert("TopKPerKey".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
+    // the ranking window sits above the prune, so it sees ≤ k rows/key
+    assert(p.indexOf("Window") < p.indexOf("TopKPerKey"), p)
+  }
+
+  test("q58 salted join replicates only the small side") {
+    val p = planOf("q58_salted_skew_join")
+    // the salt explode (build-side replication) must appear, and the
+    // join key must include the salt so hot keys spread across tasks
+    assert(p.toLowerCase.contains("generate explode") || p.contains("Generate"), p)
+    assert(p.contains("__salt"), p)
+  }
 }
