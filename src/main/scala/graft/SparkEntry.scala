@@ -731,7 +731,9 @@ object SparkEntry {
     // pandas sort over every column, which cannot order an ARRAY column
     // — so the 8-dim feature vector is summarized (dim + L1 mass + first
     // component), not emitted raw. The full vector stays available via
-    // Multimodal.decodeFeatures.
+    // Multimodal.decodeFeatures. The stub's lane sums are exact integer
+    // arithmetic with one f32 rounding per lane, so the whole decode is
+    // DuckDB-reproducible (hex(payload) → byte list → lane sums).
     "q60_media_decode" -> ((s, d) => {
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), "doc_id", "text", "source")
@@ -1151,6 +1153,38 @@ object SparkEntry {
              + CASE WHEN punct_ratio <= 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE) AS quality,
            CASE WHEN best.score > 0.0 THEN best.lang ELSE 'und' END AS lang_pred
          FROM m ORDER BY doc_id""",
+    // q60: the stub decode is exact integer byte arithmetic with one
+    // f32 rounding per lane (see Multimodal.stubDecode) — mirrored here
+    // by parsing hex(payload) into a byte list, summing every 8th byte
+    // per lane, and applying the identical (sum/255)/divisor → REAL
+    // cast. feat_l1 then sums the 8 f32 lane values as doubles in lane
+    // order, the same left fold Spark's aggregate() performs.
+    "q60_media_decode" -> {
+      val lanes = (0 until 8).map { j =>
+        s"""CAST((list_aggregate(list_transform(range(0, n), i ->
+           |  CASE WHEN i % 8 = $j THEN bytes[CAST(i+1 AS INT)] ELSE 0 END), 'sum')
+           |  / 255.0) / greatest(1, n // 8 + 1) AS REAL) AS f$j""".stripMargin
+      }.mkString(",\n         ")
+      s"""WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+           FROM documents),
+         v AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n), i ->
+               strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) * 16
+               + strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 17) AS bytes
+           FROM b),
+         f AS (
+           SELECT doc_id, n, $lanes
+           FROM v)
+         SELECT doc_id AS media_id,
+           CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height,
+           8 AS n_features,
+           round(list_aggregate([f0::DOUBLE, f1::DOUBLE, f2::DOUBLE, f3::DOUBLE,
+             f4::DOUBLE, f5::DOUBLE, f6::DOUBLE, f7::DOUBLE], 'sum'), 4) AS feat_l1,
+           round(f0::DOUBLE, 4) AS feat_0
+         FROM f ORDER BY media_id"""
+    },
     // q61: frame sampling is deterministic byte arithmetic — frame i
     // covers payload bytes [i·64, min((i+1)·64, n)), strided by 2, with
     // one empty frame for empty payloads (Spark's greatest(nFrames, 1)).

@@ -42,18 +42,26 @@ object Multimodal {
     * byte statistics, plus width/height pretending to be image dims.
     * Replace the body with a real codec; the signature and the
     * partition-parallel execution shape are production-real.
+    *
+    * Lane j accumulates an exact integer sum of every 8th byte, with
+    * ONE float rounding at the end ((sum/255)/divisor in f64, then
+    * toFloat) — not an incremental f32 fold — so the result is
+    * arithmetic any engine can reproduce bit-exactly, which is what
+    * lets q60 carry a full DuckDB oracle.
     */
   private def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     if (payload == null || payload.isEmpty) (0, 0, new Array[Float](8))
     else {
-      val feats = new Array[Float](8)
+      val sums = new Array[Long](8)
       var i = 0
       while (i < payload.length) {
-        feats(i % 8) += (payload(i) & 0xff) / 255.0f
+        sums(i % 8) += (payload(i) & 0xff)
         i += 1
       }
+      val divisor = math.max(1, payload.length / 8 + 1).toDouble
+      val feats = new Array[Float](8)
       var j = 0
-      while (j < 8) { feats(j) /= math.max(1, payload.length / 8 + 1).toFloat; j += 1 }
+      while (j < 8) { feats(j) = ((sums(j) / 255.0) / divisor).toFloat; j += 1 }
       (payload.length % 640, payload.length % 480, feats)
     }
   }
