@@ -69,6 +69,26 @@ object ScaleProbe {
     time("exact text dedup stats (100k docs)") {
       graft.operators.Dedup.stats(docs, Seq("text")).collect()
     }
+
+    // 20M candidate rows (4k keys x 5k candidates) — the per-key top-k
+    // tail every kNN join ends with, custom heap operator vs the window
+    // formulation it replaces. The heap shuffles ≤ partitions·k rows per
+    // key; the window shuffles and sorts all 5k candidates per key.
+    val cands = spark.range(20000000L).select(
+      pmod(col("id"), lit(4000)).as("query_id"),
+      col("id").as("neighbor_id"),
+      (pmod(xxhash64(col("id")), lit(1000000)) / 1000.0).as("dist"))
+      .repartition(64).cache()
+    println("SCALE candidates: " + cands.count())
+    time("top-10/key via TopKPerKey heap (20M rows, 4k keys)") {
+      graft.plans.TopKPerKey.rankedTopK(cands, "query_id", Seq("dist", "neighbor_id"), 10).count()
+    }
+    time("top-10/key via window row_number (20M rows, 4k keys)") {
+      import org.apache.spark.sql.expressions.Window
+      cands.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rank") <= 10).count()
+    }
     spark.stop()
   }
 }
