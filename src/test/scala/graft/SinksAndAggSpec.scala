@@ -44,6 +44,41 @@ class SinksAndAggSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("bucketed tables co-locate: recurring equi-join plans with no shuffle") {
+    // write both sides bucketed on the join key with the same bucket
+    // count — the per-query Exchange disappears (paid once at write)
+    val o = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_totalprice")
+    val l = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_extendedprice")
+    Sinks.parquetBucketed(o, "graft_orders_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    Sinks.parquetBucketed(l, "graft_lineitem_b", 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    try {
+      val ob = spark.table("graft_orders_b")
+      val lb = spark.table("graft_lineitem_b")
+      // force a non-broadcast join so the bucket layout is what saves
+      // the shuffle (broadcast would hide it at fixture scale)
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), plan)
+        assert(j.count() === Tables.lineitem(spark, sf0001)
+          .join(Tables.orders(spark, sf0001),
+            $"l_orderkey" === $"o_orderkey").count())
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("csv and json sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     val df = Tables.region(spark, sf0001)
