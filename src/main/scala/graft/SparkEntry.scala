@@ -546,6 +546,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val split — the curation primitive every
+    // training pipeline needs. Knuth multiplicative hash of the id
+    // (exact BIGINT arithmetic, engine-neutral), 90/10 by hash bucket:
+    // reproducible at any parallelism, no RNG state, and a narrow
+    // codegen'd projection at 100 TB.
+    "q47_hash_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
+            .otherwise("val"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // Vocabulary building: corpus-wide token frequencies, top 50 — the
+    // explode → count shape (map-side partial agg keeps the shuffle to
+    // distinct tokens, then TakeOrderedAndProject for the top-k).
+    "q48_vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Class-balanced downsample: 20 docs per language, chosen by the
+    // same multiplicative id hash — deterministic stratified sampling
+    // (per-group hash order ≈ uniform, reproducible across engines,
+    // partitionings, and reruns — none of which holds for RNG sampling).
+    "q49_balanced_sample" -> ((s, d) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     "q44_doc_group_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -1225,6 +1266,23 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CAST(ceil(octet_length(encode(text)) / 3.0) AS BIGINT) AS resized_bytes
          FROM documents ORDER BY media_id""",
+    "q47_hash_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+           THEN 'train' ELSE 'val' END AS split,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY split ORDER BY split""",
+    "q48_vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents) t
+         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    "q49_balanced_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 20 ORDER BY lang, doc_id""",
     "q44_doc_group_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 2) AS avg_chars,
