@@ -587,6 +587,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // TF-IDF scoring: tokens → per-doc term frequencies → document
+    // frequencies → join back → tf·ln(N/df). Two shuffles (per-doc
+    // tf, per-term df) + one broadcast-able join on the term — the
+    // textbook shape. The checked output is the per-doc tfidf SUM (not
+    // the argmax term): ranking by a libm-computed score could flip on
+    // last-ulp ln() differences between engines, while a rounded sum
+    // absorbs them.
+    "q48b_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val docFreq = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(docFreq), "token")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 4).as("tfidf_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q44_doc_group_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -1283,6 +1307,19 @@ object SparkEntry {
              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "q48b_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         docfreq AS (
+           SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+         n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         SELECT doc_id, count(*) AS n_terms,
+           round(sum(tf * ln(n.n / df)), 4) AS tfidf_sum
+         FROM tf JOIN docfreq USING (token), n
+         GROUP BY doc_id ORDER BY doc_id""",
     "q44_doc_group_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 2) AS avg_chars,

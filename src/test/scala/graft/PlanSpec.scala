@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("TopKPerKey"), p)
   }
 
+  test("q48 vocab top-k: partial token counts, then TakeOrderedAndProject") {
+    val p = planOf("q48_vocab_topk")
+    // the shuffle carries distinct tokens (map-side combined), and the
+    // top-50 never globally sorts
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q58 salted join replicates only the small side") {
     val p = planOf("q58_salted_skew_join")
     // the salt explode (build-side replication) must appear, and the
