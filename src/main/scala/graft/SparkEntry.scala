@@ -621,6 +621,43 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // End-to-end curation pipeline — the composition a training-data
+    // job actually runs, as ONE declarative plan: score quality →
+    // filter → exact near-dup clusters → keep one representative per
+    // cluster → deterministic hash split → per-split stats. Every
+    // stage is the already-oracled operator (q42 quality, q38
+    // components, q47 split), so the whole pipeline hash-checks.
+    // Catalyst fuses the scoring+filter into the scan-side projection;
+    // the only wide ops are the pair join and the final small agg.
+    "q70_curation_pipeline" -> ((s, d) => {
+      val scored = GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .select(col("doc_id"), col("text"),
+          size(col("__toks")).as("n_tokens"),
+          col("punct_ratio"),
+          TextAnalysis.stopwordRatioT(col("__toks"), TextAnalysis.defaultStopwords)
+            .as("stopword_ratio"),
+          TextAnalysis.languageIdT(col("__toks")).as("lang_pred"))
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("lang_pred"),
+          TextAnalysis.qualityFromMetrics(
+            col("n_tokens"), col("stopword_ratio"), col("punct_ratio")).as("quality"))
+      val good = scored.filter(col("quality") >= 0.7)
+      val pairs = TextDedup.jaccardPairsExact(
+        good.select(col("doc_id"), col("text")), "doc_id", "text", 3, 0.5)
+      val comps = DedupClusters.components(pairs)
+      val kept = good.join(comps, good("doc_id") === comps("node"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      kept
+        .withColumn("split",
+          when(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
+            .otherwise("val"))
+        .groupBy(col("split"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("lang_pred"))
+    }),
+
     // ---- Streaming shapes (batch-equivalent plans; the same code runs
     //      under readStream — proven in EventStreamsSpec) ----
 
@@ -1307,6 +1344,74 @@ object SparkEntry {
              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, doc_id""",
+    // q70: the q42 metric CTEs (verbatim stopword/language lists) feed
+    // a quality filter, then q38's recursive components over the
+    // SURVIVING docs pick one representative per near-dup cluster, then
+    // q47's hash split buckets them — one SQL mirror of the whole
+    // pipeline.
+    "q70_curation_pipeline" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x)))::DOUBLE
+                 / len(toks) END AS stopword_ratio,
+             list_max([
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'de'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','in','is','that','it','for','with','was','on'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'en'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['el','la','de','que','y','en','los','del','se','las','por','un'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'es'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['le','la','de','et','les','des','en','un','du','une','que','est'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'fr'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['de','a','o','que','e','do','da','em','um','para','com','uma'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'pt')]) AS best
+           FROM t),
+         g AS (
+           SELECT doc_id, text, n_tokens,
+             CASE WHEN best.score > 0.0 THEN best.lang ELSE 'und' END AS lang_pred
+           FROM m
+           WHERE CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.4 AS DOUBLE)
+               + CASE WHEN stopword_ratio >= 0.01 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE)
+               + CASE WHEN punct_ratio <= 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE) >= 0.7),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM g),
+         pair AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pair
+               UNION SELECT id_b, id_a FROM pair),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM e
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+         comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         kept AS (
+           SELECT g.doc_id, g.lang_pred, g.n_tokens
+           FROM g LEFT JOIN comp ON g.doc_id = comp.node
+           WHERE comp.cluster IS NULL OR comp.cluster = g.doc_id)
+         SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+             THEN 'train' ELSE 'val' END AS split,
+           lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY split, lang_pred ORDER BY split, lang_pred""",
     "q48b_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
