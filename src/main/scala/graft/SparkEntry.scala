@@ -621,6 +621,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Sequence packing: split each document into fixed-size token
+    // windows (the LLM context-chunking step) — one output row per
+    // chunk of 32 tokens, with the tail chunk short. Pure integer
+    // arithmetic over the token count (explode of a sequence, narrow,
+    // no shuffle), so it oracles exactly; empty docs still yield their
+    // single (empty) chunk like the frame sampler does.
+    "q71_token_chunks" -> ((s, d) => {
+      val n = TextAnalysis.tokenCount(col("text"))
+      Tables.documents(s, d)
+        .withColumn("__n", n)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), greatest(ceil(col("__n") / 32.0).cast("int"), lit(1)) - 1)))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          least(lit(32), col("__n") - col("chunk_idx") * 32).as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // End-to-end curation pipeline — the composition a training-data
     // job actually runs, as ONE declarative plan: score quality →
     // filter → exact near-dup clusters → keep one representative per
@@ -1344,6 +1362,15 @@ object SparkEntry {
              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, doc_id""",
+    // q71: chunk layout is pure integer arithmetic on the token count —
+    // same LATERAL-unnest shape as the q61 frame sampler.
+    "q71_token_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         CAST(least(32, n - i * 32) AS INT) AS chunk_tokens
+         FROM (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+               FROM documents) d,
+           LATERAL unnest(range(0, greatest(CAST(ceil(n / 32.0) AS BIGINT), 1))) t(i)
+         ORDER BY doc_id, chunk_idx""",
     // q70: the q42 metric CTEs (verbatim stopword/language lists) feed
     // a quality filter, then q38's recursive components over the
     // SURVIVING docs pick one representative per near-dup cluster, then

@@ -89,6 +89,33 @@ object ScaleProbe {
         Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
         .filter(col("rank") <= 10).count()
     }
+
+    // pathological key skew: 90% of a 40M-row probe side lands on one
+    // hot key; 1k-row build side. Compare a raw sort-merge join, AQE's
+    // skew-join splitting, and the salted join (which breaks the hot
+    // key itself). NOTE (measured): on one shared-memory node all three
+    // are bandwidth-bound and salting buys no wall-clock — its value is
+    // straggler elimination on a multi-node cluster, where the hot
+    // key's single task serializes the stage on one executor.
+    val skewed = spark.range(40000000L).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(pmod(col("id"), lit(1000))).as("k"),
+      col("id").as("payload")).repartition(64).cache()
+    val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v")).cache()
+    println("SCALE skewed rows: " + skewed.count() + ", dim rows: " + dim.count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("skew join: raw sort-merge (hot key = 90% of 40M)") {
+      skewed.join(dim, "k").agg(sum(col("v"))).collect()
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    time("skew join: AQE skew splitting") {
+      skewed.join(dim, "k").agg(sum(col("v"))).collect()
+    }
+    time("skew join: salted (16 buckets)") {
+      graft.operators.SkewJoin.saltedInnerJoin(skewed, dim, "k", 16)
+        .agg(sum(col("v"))).collect()
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }
