@@ -28,14 +28,12 @@ import graft.operators.Dedup
   *  3. the driver turns each still-too-big group's sample pair into a
   *     bisector plane (n = b − a, c = −n·mid — reference
   *     src/lib.rs:22-48) — driver state is planes only, never corpus.
-  *     The per-level stats collect is the transient peak: 2 sampled
-  *     vectors + counts per open node, i.e. ~2× the size of that
-  *     level's final plane map (which itself is bounded by
-  *     numTrees·2^maxDepth). At the deepest level of a very deep build
-  *     (e.g. depth 15 at 50 trees = up to 1.6M open nodes) that is a
-  *     multi-GB transient; size driver memory for ~2× the plane-map
-  *     bound, or lower maxDepth — the planes themselves are the same
-  *     order, so a depth that fits the plane map fits the collect;
+  *     The per-level stats arrive via toLocalIterator, one shuffle
+  *     partition at a time, so the transient peak is the accumulated
+  *     plane map (bounded by numTrees·2^maxDepth — the floor for any
+  *     driver-routed design) plus a single partition of sampled pairs;
+  *     non-splitting nodes' samples are dropped as each partition
+  *     folds in. Driver memory is sized by the plane map alone;
   *  4. one narrow pass advances every routed row's breadcrumb through
   *     the new planes (broadcast of this level's planes only).
   *
@@ -87,16 +85,21 @@ case class DistributedAnnForest(
       val exploded = cur
         .select(col("__id"), col("__vec"), posexplode(col("__paths")).as(Seq("tree", "path")))
         .join(broadcast(openDf), Seq("tree", "path"))
+      // toLocalIterator, not collect: the driver streams one shuffle
+      // partition of per-node stats at a time, so the level's transient
+      // footprint is (planes so far) + (one partition of samples), not
+      // 2× the whole level's plane map — the sampled vectors of nodes
+      // that DON'T split are dropped as each partition is folded in.
       val stats = exploded
         .groupBy(col("tree"), col("path"))
         .agg(
           count(lit(1)).as("n"),
           min_by(col("__vec"), struct(h, col("__id"))).as("a"),
           max_by(col("__vec"), struct(h, col("__id"))).as("b"))
-        .collect()
+        .toLocalIterator()
 
       val newPlanes = scala.collection.mutable.Map.empty[(Int, Long), HyperPlane]
-      stats.foreach { r =>
+      stats.forEachRemaining { r =>
         val (tree, path, n) = (r.getInt(0), r.getLong(1), r.getLong(2))
         if (n > maxLeafSize) {
           val a = r.getSeq[Float](3).toArray
