@@ -69,4 +69,33 @@ class PropertySpec extends SparkSpec {
       assert(mean >= 0.6, f"recall $mean%.2f")
     }
   }
+
+  test("salted join ≡ plain inner join on random data, any salt count") {
+    samples(3).zip(Seq(1, 4, 16)).foreach { case (rows, salts) =>
+      val large = rows.zipWithIndex
+        .map { case ((id, _), i) => (id % 7, i.toLong) }.toDF("k", "payload")
+      val small = (0L until 7L).map(k => (k, k * 10)).toDF("k", "v")
+      val plain = large.join(small, "k")
+        .select("k", "payload", "v").as[(Long, Long, Long)].collect().sorted.toSeq
+      val salted = graft.operators.SkewJoin.saltedInnerJoin(large, small, "k", salts)
+        .select("k", "payload", "v").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(salted === plain)
+    }
+  }
+
+  test("TopKPerKey ≡ window top-k on random keys and k") {
+    samples(3).zip(Seq(1, 3, 8)).foreach { case (rows, k) =>
+      val df = rows.map { case (id, v) => (id % 5, v.head.toDouble, id) }
+        .toDF("key", "score", "id")
+      val viaHeap = graft.plans.TopKPerKey
+        .perKey(df, Seq("key"), Seq("score", "id"), k)
+        .as[(Long, Double, Long)].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("score"), col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .as[(Long, Double, Long)].collect().sorted.toSeq
+      assert(viaHeap === viaWindow)
+    }
+  }
 }
