@@ -226,6 +226,34 @@ class DistributedAnnModel(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
 
+  /** Append new vectors to the standing corpus without a rebuild: route
+    * them through the FROZEN plane set (the same leaves queries probe)
+    * and union the routed rows into the buckets. Narrow — one
+    * broadcast-plane UDF pass over the new rows plus a union; this is
+    * the ingest path for a standing vector store (batch backfill or a
+    * foreachBatch streaming sink). Buckets grow with appended data
+    * (planes are not re-fit); re-fit when bucket sizes drift far past
+    * maxLeafSize, as with any frozen-quantizer index (IVF included).
+    * Dedup against the existing corpus is the caller's choice (e.g.
+    * [[graft.operators.Dedup.exactVectors]] over old ∪ new). */
+  def append(newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DistributedAnnModel = {
+    import graft.functions.VectorFunctions.l2Normalize
+    val routed = assignLeaves(newVecs, idCol, vecCol)
+    // the stored vector must match fit()'s store: normalized under
+    // cosine (routing normalizes internally but returns the raw vector)
+    val stored =
+      if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
+      else routed
+    val asBuckets = stored.select(
+      col("query_id").as("neighbor_id"), col("__qv").as("__cvec"),
+      col("tree_id"), col("leaf_id"))
+    new DistributedAnnModel(
+      numTrees, planes, metric,
+      corpusBuckets.select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id"))
+        .unionByName(asBuckets))
+  }
+
   /** Persist as plain parquet: the routed corpus partitioned by tree_id
     * (the standing-corpus amortization — subsequent query batches read
     * only probed partitions and pay zero corpus-side routing), the

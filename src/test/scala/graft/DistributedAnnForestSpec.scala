@@ -96,6 +96,33 @@ class DistributedAnnForestSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("append routes new vectors through frozen planes; they become findable") {
+    val old = emb.filter(col("vec_id") < 400)
+    val add = emb.filter(col("vec_id") >= 400)
+    val base = DistributedAnnForest(numTrees = 20, maxLeafSize = 5, maxDepth = 16, seed = 42L)
+      .fit(old, "vec_id", "embedding")
+    val grown = base.append(add, "vec_id", "embedding")
+    // every appended row lands in exactly one leaf per tree
+    val perTree = grown.corpusBuckets.filter(col("neighbor_id") >= 400)
+      .groupBy("neighbor_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("tree_id")).as("nt"))
+      .as[(Long, Long, Long)].collect()
+    assert(perTree.length === add.count().toInt)
+    assert(perTree.forall { case (_, n, nt) => n === 20L && nt === 20L })
+    // an appended vector is rank-1 findable (self match, dist 0)
+    val q = add.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = grown.knnJoin(q, topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (a, b) => a === b })
+    // old-corpus routing is untouched: planes identical, old buckets equal
+    val oldBuckets = base.corpusBuckets
+      .select("neighbor_id", "tree_id", "leaf_id").as[(Long, Int, Long)].collect().toSet
+    val grownOld = grown.corpusBuckets.filter(col("neighbor_id") < 400)
+      .select("neighbor_id", "tree_id", "leaf_id").as[(Long, Int, Long)].collect().toSet
+    assert(grownOld === oldBuckets)
+  }
+
   test("ANN batch search runs unchanged under Structured Streaming") {
     // the broadcast-index search is a narrow mapPartitions — the same
     // code must run on a readStream of queries (100 TB story: standing
