@@ -73,4 +73,25 @@ class TextAnalysisSpec extends SparkSpec {
     val n = df.select(TextAnalysis.subwordCount($"text")).head().getInt(0)
     assert(n > 1)
   }
+
+  test("dirty inputs (null / empty / whitespace text) never throw") {
+    // a 100 TB corpus WILL contain nulls and junk rows; every text
+    // operator must degrade (null/zero/'und'), not crash the stage
+    import graft.operators.{Dedup, Multimodal, TextDedup}
+    val dirty = Seq(
+      (1L, null: String), (2L, ""), (3L, "   "), (4L, "ok text here"))
+      .toDF("doc_id", "text")
+    dirty.select(
+      TextAnalysis.tokenCount($"text"), TextAnalysis.meanTokenLen($"text"),
+      TextAnalysis.punctRatio($"text"), TextAnalysis.qualityScore($"text"),
+      TextAnalysis.languageId($"text"), TextAnalysis.languageIdCharNgram($"text"),
+      TextAnalysis.subwordCount($"text"), TextAnalysis.fingerprint($"text"),
+      TextDedup.simhash($"text", 2)).collect()
+    TextDedup.minhashPairs(dirty, "doc_id", "text", 3, 8, 4, 0.5).collect()
+    TextDedup.jaccardPairsExact(dirty, "doc_id", "text", 3, 0.5).collect()
+    assert(Dedup.stats(dirty, Seq("text")).head().getLong(0) === 4L)
+    assert(Multimodal.decodeFeatures(Multimodal.asMediaTable(
+      dirty.withColumn("source", lit("s")), "doc_id", "text", "source"))
+      .count() === 4L)
+  }
 }
