@@ -237,7 +237,21 @@ class DistributedAnnModel(
     * Dedup against the existing corpus is the caller's choice (e.g.
     * [[graft.operators.Dedup.exactVectors]] over old ∪ new). */
   def append(newVecs: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DistributedAnnModel = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DistributedAnnModel =
+    new DistributedAnnModel(
+      numTrees, planes, metric,
+      corpusBuckets.select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id"))
+        .unionByName(routeForStore(newVecs, idCol, vecCol)))
+
+  /** New vectors as storable bucket rows (`neighbor_id, __cvec,
+    * tree_id, leaf_id`) — the streaming-ingest building block: inside a
+    * `foreachBatch` sink, `routeForStore(batch).write.mode("append")
+    * .partitionBy("tree_id").parquet(s"$dir/buckets")` upserts each
+    * micro-batch into a [[save]]d model's bucket table, and the next
+    * [[DistributedAnnModel.load]] serves old + streamed rows alike.
+    * Works under readStream unchanged (routing is one narrow UDF). */
+  def routeForStore(newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.l2Normalize
     val routed = assignLeaves(newVecs, idCol, vecCol)
     // the stored vector must match fit()'s store: normalized under
@@ -245,13 +259,9 @@ class DistributedAnnModel(
     val stored =
       if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
       else routed
-    val asBuckets = stored.select(
+    stored.select(
       col("query_id").as("neighbor_id"), col("__qv").as("__cvec"),
       col("tree_id"), col("leaf_id"))
-    new DistributedAnnModel(
-      numTrees, planes, metric,
-      corpusBuckets.select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id"))
-        .unionByName(asBuckets))
   }
 
   /** Persist as plain parquet: the routed corpus partitioned by tree_id

@@ -123,6 +123,39 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(grownOld === oldBuckets)
   }
 
+  test("streaming ingest: foreachBatch appends micro-batches into the saved bucket table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val old = emb.filter(col("vec_id") < 400)
+    val add = emb.filter(col("vec_id") >= 400)
+    val base = DistributedAnnForest(numTrees = 10, maxLeafSize = 5, maxDepth = 16, seed = 42L)
+      .fit(old, "vec_id", "embedding")
+    base.save(dir)
+
+    // stream the new vectors in and route each micro-batch straight
+    // into the persisted bucket table
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    add.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        base.routeForStore(batch, "vec_id", "embedding")
+          .write.mode("append").partitionBy("tree_id").parquet(s"$dir/buckets")
+      }
+      .option("checkpointLocation", s"$srcDir/_cp").start()
+    q.processAllAvailable(); q.stop()
+
+    // a fresh load serves old + streamed rows alike
+    val loaded = DistributedAnnModel.load(dir, spark)
+    assert(loaded.corpusBuckets.count() === emb.count() * 10)
+    val queries = emb.filter(col("vec_id") >= 400).limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = loaded.knnJoin(queries, topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (a, b) => a === b })
+  }
+
   test("ANN batch search runs unchanged under Structured Streaming") {
     // the broadcast-index search is a narrow mapPartitions — the same
     // code must run on a readStream of queries (100 TB story: standing
