@@ -76,4 +76,12 @@ object GraftVectors {
       queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
       topK).as[Neighbor]
   }
+
+  /** Standing-store ingest: route new vectors through the model's
+    * frozen planes and grow the bucket table — no rebuild. See
+    * [[DistributedAnnModel.routeForStore]] for the streaming
+    * (foreachBatch) form of the same operation. */
+  def appendToIndex(
+      model: DistributedAnnModel, ds: Dataset[VectorRecord]): DistributedAnnModel =
+    model.append(ds.toDF(), "id", "embedding")
 }

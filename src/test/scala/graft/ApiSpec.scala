@@ -43,6 +43,17 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("typed facade: appendToIndex grows the store; new records findable") {
+    val ds = Tables.embeddings(spark, sf0001).limit(100)
+      .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
+      .as[VectorRecord]
+    val model = GraftVectors.buildIndexDistributed(ds.filter($"id" < 80), numTrees = 10)
+    val grown = GraftVectors.appendToIndex(model, ds.filter($"id" >= 80))
+    val res = GraftVectors.searchDistributed(grown, ds.filter($"id" >= 80), topK = 1).collect()
+    assert(res.nonEmpty)
+    res.foreach(n => assert(n.neighbor_id === n.query_id))
+  }
+
   test("salted join is result-equivalent to a plain inner join under skew") {
     // skewed: 90% of rows share one key
     val large = (0 until 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
