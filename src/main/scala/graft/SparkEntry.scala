@@ -140,6 +140,46 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // Extended string functions: regex extraction, padding, translate,
+    // reverse/repeat, substring search.
+    "q09b_string_fns2" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_type"), "aeiou", "12345").as("type_tr"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(col("p_brand"), 2).as("brand_2x"),
+        instr(col("p_name"), "a").as("a_pos"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Extended date functions: part extraction, day-of-week, interval
+    // month arithmetic (end-of-month clamping), last_day, day diffs.
+    "q10b_date_fns" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        expr("o_orderdate + INTERVAL '3' MONTH").as("plus3m"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Conditional scalar functions: coalesce / nullif / greatest /
+    // least over nullable-by-construction values.
+    "q13b_conditional_fns" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap1k"),
+        when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("bal_nonneg"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Date math: monthly revenue.
     "q10_monthly_revenue" -> ((s, d) => {
       Tables.orders(s, d)
@@ -1073,6 +1113,33 @@ object SparkEntry {
          len(string_split(p_type, ' ')) AS type_words
          FROM part WHERE p_name LIKE '%a%'
          ORDER BY p_partkey""",
+    "q09b_string_fns2" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         lpad(p_brand, 12, '*') AS brand_pad,
+         translate(p_type, 'aeiou', '12345') AS type_tr,
+         reverse(p_brand) AS brand_rev,
+         repeat(p_brand, 2) AS brand_2x,
+         CAST(strpos(p_name, 'a') AS INT) AS a_pos
+         FROM part ORDER BY p_partkey""",
+    // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 (+1);
+    // month-interval addition clamps to month end identically.
+    "q10b_date_fns" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+         CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+         CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+         CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q13b_conditional_fns" ->
+      """SELECT c_custkey,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+         greatest(c_acctbal, 0.0) AS bal_floor0,
+         least(c_acctbal, 1000.0) AS bal_cap1k,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg
+         FROM customer ORDER BY c_custkey""",
     "q10_monthly_revenue" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
