@@ -354,6 +354,24 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("order_seq"))
     }),
 
+    // Extended window functions: ntile, percent_rank, cume_dist (exact
+    // rank rationals — bit-identical across engines, no rounding),
+    // first/last_value over a running frame, lead.
+    "q14c_window_suite2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("first_date", first(col("o_orderdate")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+          col("pr"), col("cd"), col("first_date"), col("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q16_asof_prior_purchase" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1051,6 +1069,18 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, order_seq""",
+    "q14c_window_suite2" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         first_value(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_date,
+         lead(o_orderkey, 1) OVER w AS next_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
