@@ -232,6 +232,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Statistical aggregates: stddev / variance / correlation /
+    // covariance. Computed over SMALL-magnitude columns (quantity,
+    // discount) so combine-order float noise stays orders below the
+    // rounding grain — stddev of a 1e8-scale column would not oracle.
+    "q20c_stats_aggs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Sketch aggregates (HLL distinct-count): approximate by design, so
     // no cross-engine oracle — the exact/approx relative error is
     // asserted in SinksAndAggSpec instead (rows-only driver check).
@@ -1233,6 +1248,13 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_ts
            FROM events) t
          WHERE event_type = 'click' ORDER BY event_id""",
+    "q20c_stats_aggs" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_pop(l_quantity), 4) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q20_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_extendedprice, 0.5) AS p50,
