@@ -294,6 +294,36 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Unpivot (melt) — the inverse of q19's pivot: wide per-line
+    // measures to (key, metric, value) long form. The oracle is a
+    // dialect-free UNION ALL, so the shape is pinned without relying
+    // on DuckDB's UNPIVOT syntax.
+    "q19b_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // Extended array functions, outputs scalarized (driver cannot
+    // canonicalize ARRAY columns): sort/distinct/flatten via joined
+    // strings, membership, search, slicing.
+    "q14d_array_fns2" -> ((s, d) => {
+      val toks = split(col("p_type"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        array_join(array_sort(toks), "|").as("types_sorted"),
+        size(array_distinct(toks)).as("n_distinct_words"),
+        array_contains(toks, "PLATED").as("has_plated"),
+        array_position(toks, "STEEL").cast("int").as("steel_pos"),
+        array_join(slice(toks, 1, 2), "|").as("first_two"),
+        element_at(array_repeat(col("p_brand"), 2), 2).as("brand_again"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- Vector surface (reference parity; SURVEY §2.1) ----
 
     // X1/Q2 exact: top-10 nearest neighbors of vec_id=0, brute force.
@@ -1206,6 +1236,28 @@ object SparkEntry {
          round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS high_disc_price,
          count(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_high_tax
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q19b: dialect-free long-form oracle — one SELECT per measure.
+    // Spark's unpivot casts the value column to the common DOUBLE type.
+    "q19b_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity::DOUBLE AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+         WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q14d_array_fns2" ->
+      """SELECT p_partkey,
+         array_to_string(list_sort(string_split(p_type, ' ')), '|') AS types_sorted,
+         CAST(len(list_distinct(string_split(p_type, ' '))) AS INT) AS n_distinct_words,
+         list_contains(string_split(p_type, ' '), 'PLATED') AS has_plated,
+         CAST(coalesce(list_position(string_split(p_type, ' '), 'STEEL'), 0) AS INT) AS steel_pos,
+         array_to_string(string_split(p_type, ' ')[1:2], '|') AS first_two,
+         p_brand AS brand_again
+         FROM part ORDER BY p_partkey""",
     "q21_knn_exact_point" ->
       """SELECT vec_id, rank FROM (
            SELECT vec_id, row_number() OVER (ORDER BY
