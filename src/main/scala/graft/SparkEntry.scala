@@ -201,6 +201,22 @@ object SparkEntry {
       withO.union(noO).orderBy(col("c_custkey"))
     }),
 
+    // Outer-join taxonomy: a full outer between two deliberately
+    // partial key sets, null-classified — completes inner/semi/anti/
+    // left/lateral coverage elsewhere.
+    "q11b_outer_joins" -> ((s, d) => {
+      val evens = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val high = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      evens.join(high, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("c_acctbal").isNull, "high_only")
+            .when(col("c_mktsegment").isNull, "even_only")
+            .otherwise("both").as("side"))
+        .orderBy(col("k"))
+    }),
+
     // Rollup (grouping sets family).
     "q12_rollup" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -1226,6 +1242,15 @@ object SparkEntry {
          SELECT c_custkey, 'no_orders' AS cls FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
+    "q11b_outer_joins" ->
+      """SELECT coalesce(e.k, h.k) AS k,
+         CASE WHEN e.k IS NULL THEN 'high_only'
+              WHEN h.k IS NULL THEN 'even_only'
+              ELSE 'both' END AS side
+         FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey % 2 = 0) e
+         FULL OUTER JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_acctbal > 5000) h
+           ON e.k = h.k
+         ORDER BY k""",
     "q12_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_rows
          FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -123,6 +123,26 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(grownOld === oldBuckets)
   }
 
+  test("append under cosine: stored vectors are normalized like fit()'s store") {
+    val old = emb.filter(col("vec_id") < 400)
+    val add = emb.filter(col("vec_id") >= 400)
+    val base = DistributedAnnForest(
+      numTrees = 10, maxLeafSize = 5, maxDepth = 16, seed = 42L, metric = "cosine")
+      .fit(old, "vec_id", "embedding")
+    val grown = base.append(add, "vec_id", "embedding")
+    // appended rows must carry unit-norm stored vectors (fit-parity)
+    val norms = grown.corpusBuckets.filter(col("neighbor_id") >= 400)
+      .select(graft.functions.VectorFunctions.dot(col("__cvec"), col("__cvec")).as("n2"))
+      .as[Double].collect()
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-3))
+    // and the appended vector is its own nearest neighbor under cosine
+    val q = add.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = grown.knnJoin(q, topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (a, b) => a === b })
+  }
+
   test("streaming ingest: foreachBatch appends micro-batches into the saved bucket table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val old = emb.filter(col("vec_id") < 400)
