@@ -144,6 +144,17 @@ object IvfModel {
   private[ann] def nearestCells(
       centroids: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
     centroids.indices.sortBy(i => sqDist(centroids(i), v)).take(n).toArray
+
+  /** Load a model persisted by [[IvfModel.save]]. Cell ids index the
+    * centroid array, so the load re-sorts by the persisted cell column
+    * (parquet read order is not guaranteed). */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): IvfModel = {
+    val nprobe = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    new IvfModel(centroids, nprobe)
+  }
 }
 
 class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
@@ -177,5 +188,17 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       .dropDuplicates("query_id", "neighbor_id")
     graft.plans.TopKPerKey.rankedTopK(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+  }
+
+  /** Persist the quantizer as plain parquet (centroids + nprobe) —
+    * the corpus itself is not part of the model; re-assign cells on
+    * load (or persist `assignCells(corpus, vec, 1)` bucketed by cell
+    * for the amortized standing-corpus layout). */
+  def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(nprobe).toDF("nprobe").write.mode("overwrite").parquet(s"$path/meta")
   }
 }

@@ -67,4 +67,20 @@ class MlLshSpec extends SparkSpec {
     info(f"IVF mean recall@10 (nlist=16, nprobe=4) = $mean%.3f")
     assert(mean >= 0.6)
   }
+
+  test("IVF save/load roundtrip preserves the k-NN join result") {
+    val model = graft.ann.IvfIndex(nlist = 16, nprobe = 4).fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    model.save(dir, spark)
+    val loaded = graft.ann.IvfModel.load(dir, spark)
+    assert(loaded.nprobe === model.nprobe)
+    assert(loaded.centroids.length === model.centroids.length)
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val a = model.knnJoin(emb, queries, topK = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = loaded.knnJoin(emb, queries, topK = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
 }
