@@ -60,6 +60,27 @@ class AnnForestModel(
     * broadcasts below ship the compact form directly, never `this`). */
   @transient lazy val compact: CompactIndex = CompactIndex.build(trees, ids, vectors)
 
+  // Broadcasts are cached per model: searchBatch / assignLeaves are
+  // called repeatedly against a standing model (every batch of a
+  // streaming ingest, both sides of a bucketed join), and re-broadcasting
+  // a multi-MB plane set per call costs more than the work it feeds at
+  // small batch sizes. Invalidated if the session changes (tests spin
+  // up multiple sessions).
+  @transient private var fullBc: (SparkSession, Broadcast[CompactIndex]) = null
+  @transient private var structBc: (SparkSession, Broadcast[CompactIndex]) = null
+
+  private def cachedBroadcast(spark: SparkSession, structureOnly: Boolean): Broadcast[CompactIndex] =
+    synchronized {
+      val cur = if (structureOnly) structBc else fullBc
+      if (cur != null && (cur._1 eq spark)) cur._2
+      else {
+        val bc = spark.sparkContext.broadcast(
+          if (structureOnly) compact.structureOnly else compact)
+        if (structureOnly) structBc = (spark, bc) else fullBc = (spark, bc)
+        bc
+      }
+    }
+
   /** Top-k ANN search for one query (reference search_approximate,
     * src/lib.rs:130-149): union candidates over trees, exact squared
     * euclidean re-rank, ascending, take k, remap to external ids.
@@ -80,7 +101,7 @@ class AnnForestModel(
       queries: DataFrame, topK: Int,
       queryIdCol: String = "query_id", vecCol: String = "qvec"): DataFrame = {
     val spark = queries.sparkSession
-    val bc: Broadcast[CompactIndex] = spark.sparkContext.broadcast(compact)
+    val bc: Broadcast[CompactIndex] = cachedBroadcast(spark, structureOnly = false)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
@@ -123,15 +144,21 @@ class AnnForestModel(
     // metric="cosine" the planes were fit on a NORMALIZED store and
     // n·v + c is not scale-invariant — raw vectors must be normalized
     // here too or they route to the wrong leaves.
-    val bc = spark.sparkContext.broadcast(compact.structureOnly)
+    val bc = cachedBroadcast(spark, structureOnly = true)
     val cosineMetric = metric == "cosine"
     val leafIdUdf = udf { (v: Seq[Float]) =>
       val q0 = v.toArray
       val q = if (cosineMetric) AnnForestModel.l2NormalizeJvm(q0) else q0
       bc.value.leafPaths(q).toSeq
     }
+    // explode_outer, not explode: InferFiltersFromGenerate would add
+    // `size(UDF(v)) > 0 AND isnotnull(UDF(v))` below a non-outer Generate,
+    // and Scala UDFs get no common-subexpression elimination — the 50-tree
+    // routing traversal would run 3× per row (measured). leafPaths always
+    // returns one path per tree (never empty/null), so outer semantics
+    // are identical and the UDF runs exactly once per row.
     df.withColumn("__buckets", leafIdUdf(col(vecCol)))
-      .withColumn("__b", explode(col("__buckets")))
+      .withColumn("__b", explode_outer(col("__buckets")))
       .select(
         df.columns.map(col) :+
           col("__b._1").as("tree_id") :+
@@ -167,11 +194,22 @@ class AnnForestModel(
       corpus.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
       queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
+    // One shuffle for the whole dedup+top-k tail: candidates are compact
+    // (query_id, neighbor_id, dist) rows; hash-partitioning them by
+    // query_id alone satisfies ClusteredDistribution for BOTH the
+    // min-dedup aggregate (grouping (q, n) ⊇ partitioning {q}) and
+    // TopKPerKey's final pass, so EnsureRequirements inserts no further
+    // exchange. The alternative — letting the agg shuffle on (q, n) and
+    // top-k reshuffle on q — moves the same rows twice: duplicates of a
+    // (q, n) pair come from different trees, which the bucket join left
+    // in different (tree, leaf) partitions, so the partial agg would
+    // compress almost nothing before its shuffle.
     val candidates = queriesRouted
       .join(corpusRouted, Seq("tree_id", "leaf_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("dist")).as("dist")) // union across trees
     // custom bounded-heap prune (TopKPerKey) + rank window over ≤ k rows

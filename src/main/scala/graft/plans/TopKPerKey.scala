@@ -47,6 +47,14 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Pruning is per-key and in-place: rows neither move between
+  // partitions nor change, so the child's clustering survives. Without
+  // this override the exec reports UnknownPartitioning and every
+  // downstream key-clustered consumer (the final TopK pass, the rank
+  // window in rankedTopK) re-shuffles data that is already placed.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
