@@ -497,13 +497,16 @@ object SparkEntry {
     }),
 
     // The 100 TB ANN path: leaf-bucket co-partitioned k-NN join — no
-    // broadcast of the store, shuffles only on (tree_id, leaf_id).
+    // broadcast of the store, shuffles only on (tree_id, leaf_id). The
+    // corpus doubles as the query set (reference Q4 bulk self-join), so
+    // the self-join fast path applies: one routing pass feeds both
+    // sides (result-identical to knnJoinBucketed(e, e, k) — asserted in
+    // AnnForestSpec).
     "q35_ann_bucketed_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
         .fit(e, "vec_id", "embedding")
-      val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      model.knnJoinBucketed(e, queries, topK = 10)
+      model.knnSelfJoinBucketed(e, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 

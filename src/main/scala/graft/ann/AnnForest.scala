@@ -217,6 +217,51 @@ class AnnForestModel(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
 
+  /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123: every corpus
+    * vector is also a query) — result-identical to
+    * `knnJoinBucketed(corpus, corpus, k)` but routes the store through
+    * the forest ONCE. The 50-tree traversal UDF is the dominant kernel
+    * of the bucketed path; the general two-sided form must run it per
+    * side, while here one routed table feeds both roles: members of each
+    * (tree_id, leaf_id) bucket are gathered with collect_list and all
+    * ordered pairs are generated in place with two Generates — no
+    * self-join, no second routing pass, and one fewer vector-bearing
+    * shuffle (the bucket groupBy moves each routed row once; the join
+    * formulation shuffles both sides).
+    *
+    * Skew note: a bucket with m members emits m² candidate rows either
+    * way (join or pair-generation) — leaf size is capped at fit time, so
+    * m stays ~maxLeafSize plus exact-duplicate multiplicity.
+    */
+  def knnSelfJoinBucketed(
+      corpus: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    def prep(c: org.apache.spark.sql.Column) =
+      if (metric == "cosine") l2Normalize(c) else c
+    val routed = assignLeaves(
+      corpus.select(col(idCol).as("neighbor_id"), prep(col(vecCol)).as("__cvec")), "__cvec")
+    val buckets = routed
+      .groupBy(col("tree_id"), col("leaf_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("__cvec"))).as("__members"))
+    val candidates = buckets
+      .select(explode(col("__members")).as("__q"), col("__members"))
+      .select(
+        col("__q.neighbor_id").as("query_id"),
+        col("__q.__cvec").as("__qv"),
+        explode(col("__members")).as("__n"))
+      .select(
+        col("query_id"),
+        col("__n.neighbor_id").as("neighbor_id"),
+        sqEucDist(col("__n.__cvec"), col("__qv")).as("dist"))
+      // same single-shuffle tail as knnJoinBucketed (see comment there)
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("dist")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(
+      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+  }
+
   /** Persist the fitted model as plain parquet (portable, splittable):
     * a flattened node table + the dedup'd store. */
   def save(path: String, spark: SparkSession): Unit = {

@@ -59,6 +59,14 @@ object ProfileQ35 {
         .orderBy(col("query_id"), col("rank")).count()
     }
 
+    val selfJoin = model.knnSelfJoinBucketed(e, topK = 10)
+    t("selfJoin (cold)") { selfJoin.count() }
+    t("selfJoin (warm)") { selfJoin.count() }
+    t("selfJoin + orderBy (bench shape)") {
+      model.knnSelfJoinBucketed(e, topK = 10)
+        .orderBy(col("query_id"), col("rank")).count()
+    }
+
     println("---- full knnJoinBucketed plan ----")
     model.knnJoinBucketed(e, queries, topK = 10).explain("formatted")
     spark.stop()

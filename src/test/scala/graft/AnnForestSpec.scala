@@ -126,6 +126,23 @@ class AnnForestSpec extends SparkSpec {
     assert(mean >= 0.8)
   }
 
+  test("knnSelfJoinBucketed is result-identical to the two-sided bucketed join") {
+    val queries = emb.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val twoSided = model.knnJoinBucketed(emb, queries, 10)
+      .select("query_id", "neighbor_id", "dist", "rank")
+    val selfJoin = model.knnSelfJoinBucketed(emb, 10)
+      .select("query_id", "neighbor_id", "dist", "rank")
+    // exceptAll both ways = multiset equality; distances are float-exact
+    // because both paths evaluate the same sqEucDist on the same pairs
+    assert(twoSided.exceptAll(selfJoin).count() === 0)
+    assert(selfJoin.exceptAll(twoSided).count() === 0)
+    // every query's rank-1 has distance 0 (the self pair is always
+    // generated; exact duplicates may win the id tiebreak, so assert on
+    // the distance, not on neighbor_id == query_id)
+    val n = emb.count()
+    assert(selfJoin.filter($"rank" === 1 && $"dist" === 0f).count() === n)
+  }
+
   test("save/load roundtrip preserves search results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     val small = AnnForest(numTrees = 8, maxLeafSize = 5, seed = 9L)
