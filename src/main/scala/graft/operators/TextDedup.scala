@@ -200,12 +200,23 @@ object TextDedup {
         b => struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct() // same pair can collide in several bands
-    // Verify stage: fetch shingle sets for candidates only, exact Jaccard.
-    val shMap = wide.select(
-      col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+    // Verify stage: exact Jaccard on candidates only. Shingle the
+    // CANDIDATE docs, not the corpus: joining a full (id, shingles)
+    // projection per pair side would re-run the n-gram hashing over
+    // every document twice more (candidates are a vanishing fraction of
+    // the corpus at scale). The broadcast semi-join filters the corpus
+    // scan BEFORE the shingle projection, so hashing runs only for docs
+    // that appear in some pair. `pairs` feeds both the id filter and the
+    // final join — its shuffle stages are canonically identical subtrees,
+    // which ReuseExchange evaluates once.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shCand = wide
+      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
     pairs
-      .join(shMap.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shMap.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shCand.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shCand.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
