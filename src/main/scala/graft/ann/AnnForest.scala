@@ -236,30 +236,12 @@ class AnnForestModel(
   def knnSelfJoinBucketed(
       corpus: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    import graft.functions.VectorFunctions.l2Normalize
     def prep(c: org.apache.spark.sql.Column) =
       if (metric == "cosine") l2Normalize(c) else c
     val routed = assignLeaves(
       corpus.select(col(idCol).as("neighbor_id"), prep(col(vecCol)).as("__cvec")), "__cvec")
-    val buckets = routed
-      .groupBy(col("tree_id"), col("leaf_id"))
-      .agg(collect_list(struct(col("neighbor_id"), col("__cvec"))).as("__members"))
-    val candidates = buckets
-      .select(explode(col("__members")).as("__q"), col("__members"))
-      .select(
-        col("__q.neighbor_id").as("query_id"),
-        col("__q.__cvec").as("__qv"),
-        explode(col("__members")).as("__n"))
-      .select(
-        col("query_id"),
-        col("__n.neighbor_id").as("neighbor_id"),
-        sqEucDist(col("__n.__cvec"), col("__qv")).as("dist"))
-      // same single-shuffle tail as knnJoinBucketed (see comment there)
-      .repartition(col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist"))
-    graft.plans.TopKPerKey.rankedTopK(
-      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+    BucketSelfJoin.pairsTopK(routed, "__cvec", topK)
   }
 
   /** Persist the fitted model as plain parquet (portable, splittable):

@@ -220,11 +220,24 @@ class DistributedAnnModel(
       .join(corpusBuckets, Seq("tree_id", "leaf_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
+      // one shuffle for the whole dedup+top-k tail: clustering the
+      // compact candidate rows by query_id satisfies both the min-dedup
+      // aggregate and TopKPerKey (see AnnForestModel.knnJoinBucketed)
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("dist")).as("dist"))
     graft.plans.TopKPerKey.rankedTopK(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }
+
+  /** Bulk k-NN self-join over the standing corpus (reference Q4's
+    * full-corpus bulk mode, src/main.rs:100-123): the corpus is already
+    * routed — `corpusBuckets` IS the routed table — so this pays zero
+    * routing work and generates candidate pairs directly inside each
+    * (tree_id, leaf_id) bucket. Result-identical to
+    * `knnJoin(corpus-as-queries, k)`. */
+  def knnSelfJoin(topK: Int): DataFrame =
+    BucketSelfJoin.pairsTopK(corpusBuckets, "__cvec", topK)
 
   /** Append new vectors to the standing corpus without a rebuild: route
     * them through the FROZEN plane set (the same leaves queries probe)

@@ -60,6 +60,18 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(mean >= 0.6)
   }
 
+  test("knnSelfJoin is result-identical to knnJoin with the corpus as queries") {
+    val asQueries = emb.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val twoSided = model.knnJoin(asQueries, topK = 10)
+      .select("query_id", "neighbor_id", "dist", "rank")
+    val selfJoin = model.knnSelfJoin(topK = 10)
+      .select("query_id", "neighbor_id", "dist", "rank")
+    assert(twoSided.exceptAll(selfJoin).count() === 0)
+    assert(selfJoin.exceptAll(twoSided).count() === 0)
+    // the self pair always exists, so every query's rank-1 distance is 0
+    assert(selfJoin.filter($"rank" === 1 && $"dist" === 0f).count() === emb.count())
+  }
+
   test("save/load roundtrip preserves the k-NN join result") {
     val dir = java.nio.file.Files.createTempDirectory("dist_ann_model").toString
     model.save(dir)
