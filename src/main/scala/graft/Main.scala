@@ -71,6 +71,14 @@ object Main {
         println(f"  ${r.getInt(1)}%2d. ${r.getString(2)}%-20s ${r.getDouble(3)}%.4f")
       }
     }
+
+    // Bulk k-NN self-join over the full corpus (the reference's
+    // sample_idx = None mode, src/main.rs:100-123, src/main.rs:169) —
+    // on the bucketed fast path: one routing pass, no store broadcast.
+    val t3 = System.nanoTime()
+    val pairs = model.knnSelfJoinBucketed(vecs, topK, "id", "embedding").count()
+    println(f"Bulk k-NN self-join: $pairs (query, neighbor) pairs " +
+      f"in ${(System.nanoTime() - t3) / 1e9}%.3f s")
     spark.stop()
   }
 }

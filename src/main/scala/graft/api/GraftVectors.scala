@@ -57,6 +57,26 @@ object GraftVectors {
     model.knnJoin(ds.toDF(), topK, "id", "embedding").as[Neighbor]
   }
 
+  /** Q4 at scale: bulk k-NN self-join on the bucketed path — one
+    * routing pass over the corpus, whole-leaf candidates (recall ≥ the
+    * traversal's), store never broadcast. Prefer this over [[knnJoin]]
+    * when the corpus is large; prefer [[knnSelfJoinDistributed]] when
+    * the index itself was built distributed. */
+  def knnSelfJoin(
+      model: AnnForestModel, ds: Dataset[VectorRecord], topK: Int): Dataset[Neighbor] = {
+    import ds.sparkSession.implicits._
+    model.knnSelfJoinBucketed(ds.toDF(), topK, "id", "embedding").as[Neighbor]
+  }
+
+  /** Q4 over the distributed model's standing corpus: the bucket table
+    * already is the routed corpus, so the bulk self-join pays zero
+    * routing work. */
+  def knnSelfJoinDistributed(
+      model: DistributedAnnModel, topK: Int): Dataset[Neighbor] = {
+    import model.corpusBuckets.sparkSession.implicits._
+    model.knnSelfJoin(topK).as[Neighbor]
+  }
+
   /** B3 at scale: fit the forest WITHOUT collecting the store to the
     * driver (level-synchronous build; use beyond ~10⁸ rows, where
     * [[buildIndex]]'s reference-parity collect stops fitting). */

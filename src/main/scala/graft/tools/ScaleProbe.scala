@@ -40,6 +40,16 @@ object ScaleProbe {
     time("bucketed knnJoin (2k queries vs 200k corpus)") {
       model.knnJoinBucketed(vecs, queries, 10).count()
     }
+    // Bulk self-join (reference Q4 full-corpus mode): two-sided routes
+    // the corpus through the traversal UDF twice and shuffles both join
+    // sides; the self-join path routes once and pair-generates in place.
+    time("two-sided bucketed join, corpus as queries (200k x 200k)") {
+      val asQ = vecs.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      model.knnJoinBucketed(vecs, asQ, 10).count()
+    }
+    time("knnSelfJoinBucketed (200k x 200k)") {
+      model.knnSelfJoinBucketed(vecs, 10).count()
+    }
     time("IVF fit+join (nlist 64, nprobe 8)") {
       val ivf = graft.ann.IvfIndex(64, 8).fit(vecs)
       ivf.knnJoin(vecs, queries, 10).count()
@@ -51,6 +61,9 @@ object ScaleProbe {
     println("SCALE distributed planes: " + distModel.planes.size)
     time("distributed knnJoin (2k queries vs 200k corpus)") {
       distModel.knnJoin(queries, 10).count()
+    }
+    time("distributed knnSelfJoin (200k x 200k, zero routing)") {
+      distModel.knnSelfJoin(10).count()
     }
 
     // 100k synthetic docs (20x sf0.1 documents)

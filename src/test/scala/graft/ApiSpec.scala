@@ -31,6 +31,20 @@ class ApiSpec extends SparkSpec {
     assert(res.select("query_id").distinct().count() === 100)
   }
 
+  test("typed knnSelfJoin covers every record on both backends, rank-1 dist 0") {
+    val ds = Tables.embeddings(spark, sf0001).limit(100)
+      .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
+      .as[VectorRecord]
+    val fm = GraftVectors.buildIndex(ds, numTrees = 10)
+    val a = GraftVectors.knnSelfJoin(fm, ds, topK = 5)
+    assert(a.select("query_id").distinct().count() === 100)
+    assert(a.filter($"rank" === 1 && $"dist" === 0.0).count() === 100)
+    val dm = GraftVectors.buildIndexDistributed(ds, numTrees = 10)
+    val b = GraftVectors.knnSelfJoinDistributed(dm, topK = 5)
+    assert(b.select("query_id").distinct().count() === 100)
+    assert(b.filter($"rank" === 1 && $"dist" === 0.0).count() === 100)
+  }
+
   test("typed facade: distributed build + search, self at rank 1") {
     val ds = Tables.embeddings(spark, sf0001).limit(100)
       .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
