@@ -235,13 +235,14 @@ class AnnForestModel(
     */
   def knnSelfJoinBucketed(
       corpus: DataFrame, topK: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      saltBlocks: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions.l2Normalize
     def prep(c: org.apache.spark.sql.Column) =
       if (metric == "cosine") l2Normalize(c) else c
     val routed = assignLeaves(
       corpus.select(col(idCol).as("neighbor_id"), prep(col(vecCol)).as("__cvec")), "__cvec")
-    BucketSelfJoin.pairsTopK(routed, "__cvec", topK)
+    BucketSelfJoin.pairsTopK(routed, "__cvec", topK, saltBlocks)
   }
 
   /** Persist the fitted model as plain parquet (portable, splittable):

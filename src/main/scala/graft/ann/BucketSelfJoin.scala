@@ -27,25 +27,61 @@ private[ann] object BucketSelfJoin {
 
   /** `routed` schema: (tree_id, leaf_id, neighbor_id, <vecCol>); under
     * metric="cosine" the vectors must already be normalized (both
-    * callers' routed tables are). */
-  def pairsTopK(routed: DataFrame, vecCol: String, topK: Int): DataFrame = {
+    * callers' routed tables are).
+    *
+    * `saltBlocks` (R): with R > 1, each member is hashed to one of R
+    * blocks and a bucket's pairs are computed in R² (query-block,
+    * neighbor-block) sub-groups instead of one — an oversized bucket's
+    * m² pair generation spreads across R² tasks at the cost of
+    * shuffling the routed rows 2R× instead of 1×. Result-identical for
+    * any R (each ordered pair lands in exactly one sub-group). Total
+    * pair work is unchanged, so this is straggler insurance for
+    * duplicate-heavy or depth-capped corpora whose largest buckets
+    * would otherwise serialize a stage on one executor. Measured ~2×
+    * SLOWER on one shared-memory node at R=4 (the 2R-fold routed-row
+    * replication is pure cost when no straggler exists — same honest
+    * caveat as SkewJoin): leave at 1 unless bucket-size skew is the
+    * observed bottleneck. */
+  def pairsTopK(routed: DataFrame, vecCol: String, topK: Int,
+      saltBlocks: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions.sqEucDist
-    val buckets = routed
-      .groupBy(col("tree_id"), col("leaf_id"))
-      .agg(collect_list(struct(col("neighbor_id"), col(vecCol))).as("__members"))
-    val candidates = buckets
-      .select(explode(col("__members")).as("__q"), col("__members"))
+    require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
+    val member = struct(col("neighbor_id"), col(vecCol))
+    val candidatePairs =
+      if (saltBlocks == 1) {
+        routed
+          .groupBy(col("tree_id"), col("leaf_id"))
+          .agg(collect_list(member).as("__qs"))
+          .withColumn("__ns", col("__qs"))
+      } else {
+        val r = saltBlocks
+        val blk = pmod(xxhash64(col("neighbor_id")), lit(r)).cast("int")
+        val every = explode(sequence(lit(0), lit(r - 1)))
+        // each row: query role in (own block, every neighbor block),
+        // neighbor role in (every query block, own block)
+        val qRep = routed.select(col("tree_id"), col("leaf_id"),
+          blk.as("__bq"), every.as("__bn"), member.as("__m"), lit(true).as("__isq"))
+        val nRep = routed.select(col("tree_id"), col("leaf_id"),
+          every.as("__bq"), blk.as("__bn"), member.as("__m"), lit(false).as("__isq"))
+        qRep.unionByName(nRep)
+          .groupBy(col("tree_id"), col("leaf_id"), col("__bq"), col("__bn"))
+          .agg( // collect_list drops the nulls of the opposite role
+            collect_list(when(col("__isq"), col("__m"))).as("__qs"),
+            collect_list(when(!col("__isq"), col("__m"))).as("__ns"))
+      }
+    val candidates = candidatePairs
+      .select(explode(col("__qs")).as("__q"), col("__ns"))
       .select(
         col("__q.neighbor_id").as("query_id"),
         col(s"__q.$vecCol").as("__qv"),
-        explode(col("__members")).as("__n"))
+        explode(col("__ns")).as("__n"))
       .select(
         col("query_id"),
         col(s"__n.neighbor_id").as("neighbor_id"),
         sqEucDist(col(s"__n.$vecCol"), col("__qv")).as("dist"))
       .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist")) // union across trees
+      .agg(min(col("dist")).as("dist")) // union across trees and blocks
     graft.plans.TopKPerKey.rankedTopK(
       candidates, "query_id", Seq("dist", "neighbor_id"), topK)
   }

@@ -235,9 +235,12 @@ class DistributedAnnModel(
     * routed — `corpusBuckets` IS the routed table — so this pays zero
     * routing work and generates candidate pairs directly inside each
     * (tree_id, leaf_id) bucket. Result-identical to
-    * `knnJoin(corpus-as-queries, k)`. */
-  def knnSelfJoin(topK: Int): DataFrame =
-    BucketSelfJoin.pairsTopK(corpusBuckets, "__cvec", topK)
+    * `knnJoin(corpus-as-queries, k)`. Depth-capped leaves can be large
+    * (bucket pair cost is Σm²) — `saltBlocks` spreads each bucket's
+    * pair generation over saltBlocks² tasks (see
+    * [[BucketSelfJoin.pairsTopK]]). */
+  def knnSelfJoin(topK: Int, saltBlocks: Int = 1): DataFrame =
+    BucketSelfJoin.pairsTopK(corpusBuckets, "__cvec", topK, saltBlocks)
 
   /** Append new vectors to the standing corpus without a rebuild: route
     * them through the FROZEN plane set (the same leaves queries probe)

@@ -141,6 +141,11 @@ class AnnForestSpec extends SparkSpec {
     // the distance, not on neighbor_id == query_id)
     val n = emb.count()
     assert(selfJoin.filter($"rank" === 1 && $"dist" === 0f).count() === n)
+    // salt-block decomposition is result-identical for any block count
+    val blocked = model.knnSelfJoinBucketed(emb, 10, saltBlocks = 3)
+      .select("query_id", "neighbor_id", "dist", "rank")
+    assert(blocked.exceptAll(selfJoin).count() === 0)
+    assert(selfJoin.exceptAll(blocked).count() === 0)
   }
 
   test("save/load roundtrip preserves search results") {
