@@ -1371,6 +1371,27 @@ object SparkEntry {
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, neighbor_id""",
+    // Same exact-Jaccard SQL as q32: the seeded MinHash+LSH pair set
+    // equals the exact pair set at fixture scale (full recall, also
+    // asserted in TextDedupSpec), and the jac values agree because
+    // 64-bit shingle-hash collisions are absent here — so this oracle
+    // doubles as a recall regression gate: a banding/seed change that
+    // drops a pair fails the driver compare, not just a spec.
+    "q30_minhash_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
     "q32_jaccard_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
