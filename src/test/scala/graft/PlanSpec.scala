@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
 
+  test("bulk self-join plans with no join operator and exactly two exchanges") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf0001)
+    val model = graft.ann.AnnForest(numTrees = 5, maxLeafSize = 5, seed = 42L)
+      .fit(e, "vec_id", "embedding")
+    val p = model.knnSelfJoinBucketed(e, topK = 5).queryExecution.executedPlan.toString
+    // pair generation replaces the self-join: no join node at all
+    assert(!p.contains("Join"), p)
+    // one vector-bearing exchange (bucket groupBy) + one compact-triple
+    // exchange (query_id clustering feeding dedup agg AND TopKPerKey)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges === 2, s"expected 2 shuffles, got $exchanges in:\n$p")
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("q57 plans the custom operator twice: narrow partial under clustered final") {
     val p = planOf("q57_topk_perkey")
     // two TopKPerKeyExec nodes (pre- and post-shuffle) with exactly one
