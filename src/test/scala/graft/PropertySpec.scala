@@ -70,6 +70,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("self-join ≡ two-sided bucketed join on random duplicate-heavy corpora") {
+    samples(3).foreach { rows =>
+      // duplicate ~half the vectors under fresh ids: oversized buckets +
+      // zero-distance ties are exactly the regimes the pair-generation
+      // and salt-block rewrites must not disturb
+      val withDups = (rows ++ rows.take(rows.size / 2)).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+      val df = withDups.toDF("vec_id", "embedding")
+      val model = AnnForest(numTrees = 8, maxLeafSize = 3, seed = 11L)
+        .fit(df, "vec_id", "embedding")
+      val qs = df.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val twoSided = model.knnJoinBucketed(df, qs, 4)
+        .select("query_id", "neighbor_id", "dist", "rank")
+      val self = model.knnSelfJoinBucketed(df, 4)
+        .select("query_id", "neighbor_id", "dist", "rank")
+      val blocked = model.knnSelfJoinBucketed(df, 4, saltBlocks = 2)
+        .select("query_id", "neighbor_id", "dist", "rank")
+      assert(twoSided.exceptAll(self).count() === 0)
+      assert(self.exceptAll(twoSided).count() === 0)
+      assert(blocked.exceptAll(self).count() === 0)
+      assert(self.exceptAll(blocked).count() === 0)
+    }
+  }
+
   test("salted join ≡ plain inner join on random data, any salt count") {
     samples(3).zip(Seq(1, 4, 16)).foreach { case (rows, salts) =>
       val large = rows.zipWithIndex
