@@ -200,7 +200,13 @@ class DistributedAnnModel(
     queries
       .select(col(idCol).cast(LongType).as("query_id"),
         col(vecCol).cast(ArrayType(FloatType)).as("__qv"))
-      .withColumn("__b", explode(route(col("__qv"))))
+      // explode_outer as defense against InferFiltersFromGenerate: with
+      // the UDF feeding the Generate directly no filter is inferred
+      // today (verified in the optimized plan), but materializing the
+      // routing column first would re-run the plane walk 3× per row
+      // under a non-outer explode (bit AnnForestModel.assignLeaves).
+      // route() always returns one path per tree, so outer ≡ inner.
+      .withColumn("__b", explode_outer(route(col("__qv"))))
       .select(col("query_id"), col("__qv"),
         col("__b._1").as("tree_id"), col("__b._2").as("leaf_id"))
   }

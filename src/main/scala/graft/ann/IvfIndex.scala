@@ -168,7 +168,13 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
     val probes = udf { (v: Seq[Float]) =>
       IvfModel.nearestCells(cs, v.toArray, n)
     }
-    df.withColumn("cell", explode(probes(col(vecCol))))
+    // explode_outer as defense against InferFiltersFromGenerate: no
+    // filter is inferred on a direct UDF generator today (verified),
+    // but a materialized probe column under a non-outer explode would
+    // re-run the centroid scan 3× per row (bit
+    // AnnForestModel.assignLeaves). nearestCells always returns
+    // min(n, nlist) ≥ 1 cells, so outer ≡ inner.
+    df.withColumn("cell", explode_outer(probes(col(vecCol))))
   }
 
   /** Approximate k-NN join: corpus in its home cell, queries probe
