@@ -47,4 +47,50 @@ object Sinks {
   /** Line-delimited JSON export. */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** fastText `.vec` export — the reference's input format
+    * (header `count dim`, then `word c1 … cN` per line,
+    * reference src/main.rs:11-40), written as ONE file at `path` so the
+    * reference loader (and [[VecReader.read]]) can consume it directly.
+    * Floats are rendered with Float.toString, the shortest decimal that
+    * parses back to the identical f32 — the round-trip is bit-exact
+    * except for non-canonical NaN payloads (toString collapses them to
+    * "NaN"). Rows are emitted in `idCol` order, so ids survive a
+    * read-back (VecReader re-derives them from line position).
+    *
+    * The format is inherently single-file sequential (one global header,
+    * position-significant lines) — this is an interop/export utility,
+    * not a scale path; at scale, store vectors as parquet. */
+  def vec(df: DataFrame, path: String,
+      wordCol: String = "word", vecCol: String = "embedding",
+      idCol: String = "id"): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val fmt = udf { (w: String, v: Seq[Float]) =>
+      val sb = new StringBuilder(w)
+      v.foreach { f => sb.append(' ').append(java.lang.Float.toString(f)) }
+      sb.toString
+    }
+    val hd = df.select(count(lit(1)), first(size(col(vecCol)))).head()
+    val n = hd.getLong(0)
+    val dim = if (hd.isNullAt(1)) 0 else hd.getInt(1)
+    val header = spark.range(1)
+      .select(lit(-1L).as("__ord"), lit(s"$n $dim").as("value"))
+    val body = df.select(col(idCol).cast("long").as("__ord"),
+      fmt(col(wordCol), col(vecCol)).as("value"))
+    val tmp = path + ".tmp.dir"
+    header.unionByName(body)
+      .coalesce(1).sortWithinPartitions(col("__ord"))
+      .select(col("value"))
+      .write.mode("overwrite").text(tmp)
+    // promote the single part file to a plain file at `path`
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(hconf)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*"))(0).getPath
+    val dest = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmpPath, true)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.RecallAggregator
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Sinks, Tables, VecReader}
 
 class SinksAndAggSpec extends SparkSpec {
   import spark.implicits._
@@ -86,5 +86,20 @@ class SinksAndAggSpec extends SparkSpec {
     Sinks.json(df, s"$dir/json")
     assert(spark.read.option("header", "true").csv(s"$dir/csv").count() === df.count())
     assert(spark.read.json(s"$dir/json").count() === df.count())
+  }
+
+  test(".vec sink round-trips the reference fixture bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    val orig = VecReader.read(spark, "/root/reference/data/test.vec", 300)
+    Sinks.vec(orig, s"$dir/out.vec")
+    // a plain single file, not a Spark output directory
+    assert(new java.io.File(s"$dir/out.vec").isFile)
+    val head = scala.io.Source.fromFile(s"$dir/out.vec").getLines().next()
+    assert(head === s"${orig.count()} 300") // honest header (fixture's lies)
+    val back = VecReader.read(spark, s"$dir/out.vec", 300)
+    assert(back.count() === orig.count())
+    // ids, words, and every float component survive the round-trip
+    assert(back.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(back).count() === 0)
   }
 }
