@@ -74,6 +74,12 @@ class AnnForestModel(
       val cur = if (structureOnly) structBc else fullBc
       if (cur != null && (cur._1 eq spark)) cur._2
       else {
+        // session switched: release the stale broadcast's blocks rather
+        // than waiting for GC-triggered ContextCleaner (best-effort —
+        // the old session may already be stopped)
+        if (cur != null) {
+          try cur._2.destroy() catch { case _: Throwable => () }
+        }
         val bc = spark.sparkContext.broadcast(
           if (structureOnly) compact.structureOnly else compact)
         if (structureOnly) structBc = (spark, bc) else fullBc = (spark, bc)
@@ -194,27 +200,15 @@ class AnnForestModel(
       corpus.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
       queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
-    // One shuffle for the whole dedup+top-k tail: candidates are compact
-    // (query_id, neighbor_id, dist) rows; hash-partitioning them by
-    // query_id alone satisfies ClusteredDistribution for BOTH the
-    // min-dedup aggregate (grouping (q, n) ⊇ partitioning {q}) and
-    // TopKPerKey's final pass, so EnsureRequirements inserts no further
-    // exchange. The alternative — letting the agg shuffle on (q, n) and
-    // top-k reshuffle on q — moves the same rows twice: duplicates of a
-    // (q, n) pair come from different trees, which the bucket join left
-    // in different (tree, leaf) partitions, so the partial agg would
-    // compress almost nothing before its shuffle.
     val candidates = queriesRouted
       .join(corpusRouted, Seq("tree_id", "leaf_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
-      .repartition(col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist")) // union across trees
-    // custom bounded-heap prune (TopKPerKey) + rank window over ≤ k rows
-    graft.plans.TopKPerKey.rankedTopK(
-      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+    // union across trees + bounded-heap top-k, one exchange for the
+    // whole tail (see BucketSelfJoin.dedupTopK for the partitioning
+    // argument)
+    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
   /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123: every corpus

@@ -25,6 +25,30 @@ import org.apache.spark.sql.functions._
   */
 private[ann] object BucketSelfJoin {
 
+  /** The canonical dedup+top-k tail shared by every kNN join backend
+    * (bucketed forest, distributed forest, IVF, and the self-joins).
+    * Input: compact candidate triples (query_id, neighbor_id, dist),
+    * possibly with duplicates of a (query, neighbor) pair from
+    * different trees/probed cells — all carrying the same or
+    * re-computable distance, so min-agg is the union.
+    *
+    * ONE exchange for the whole tail: hash-partitioning by query_id
+    * alone satisfies the ClusteredDistribution of BOTH the min-dedup
+    * aggregate (grouping (q, n) ⊇ {q}) and TopKPerKey's final pass, so
+    * EnsureRequirements inserts no further shuffle. The alternative —
+    * letting the agg shuffle on (q, n) and top-k re-shuffle on q —
+    * moves the same rows twice, and the partial agg would compress
+    * almost nothing first: duplicates of a (q, n) pair come from
+    * different (tree, leaf) partitions. */
+  def dedupTopK(candidates: DataFrame, topK: Int): DataFrame = {
+    val deduped = candidates
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("dist")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(
+      deduped, "query_id", Seq("dist", "neighbor_id"), topK)
+  }
+
   /** `routed` schema: (tree_id, leaf_id, neighbor_id, <vecCol>); under
     * metric="cosine" the vectors must already be normalized (both
     * callers' routed tables are).
@@ -79,10 +103,6 @@ private[ann] object BucketSelfJoin {
         col("query_id"),
         col(s"__n.neighbor_id").as("neighbor_id"),
         sqEucDist(col(s"__n.$vecCol"), col("__qv")).as("dist"))
-      .repartition(col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist")) // union across trees and blocks
-    graft.plans.TopKPerKey.rankedTopK(
-      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+    dedupTopK(candidates, topK) // union across trees and blocks
   }
 }

@@ -226,25 +226,25 @@ class DistributedAnnModel(
       .join(corpusBuckets, Seq("tree_id", "leaf_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
-      // one shuffle for the whole dedup+top-k tail: clustering the
-      // compact candidate rows by query_id satisfies both the min-dedup
-      // aggregate and TopKPerKey (see AnnForestModel.knnJoinBucketed)
-      .repartition(col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist"))
-    graft.plans.TopKPerKey.rankedTopK(
-      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
-  /** Bulk k-NN self-join over the standing corpus (reference Q4's
-    * full-corpus bulk mode, src/main.rs:100-123): the corpus is already
+  /** Bulk k-NN self-join over the standing STORE (reference Q4's
+    * full-corpus bulk mode, src/main.rs:100-123): the store is already
     * routed — `corpusBuckets` IS the routed table — so this pays zero
     * routing work and generates candidate pairs directly inside each
-    * (tree_id, leaf_id) bucket. Result-identical to
-    * `knnJoin(corpus-as-queries, k)`. Depth-capped leaves can be large
-    * (bucket pair cost is Σm²) — `saltBlocks` spreads each bucket's
-    * pair generation over saltBlocks² tasks (see
-    * [[BucketSelfJoin.pairsTopK]]). */
+    * (tree_id, leaf_id) bucket.
+    *
+    * Query set = the store's ids, which fit() DEDUP'D (bit-exact
+    * first-seen-wins, like the reference index build): an exact
+    * duplicate dropped at fit time does not reappear as a query_id
+    * here. Result-identical to `knnJoin(store-as-queries, k)`; for
+    * raw-corpus query coverage including duplicate ids, route the raw
+    * frame through `knnJoin` instead (or use
+    * [[AnnForestModel.knnSelfJoinBucketed]], which routes the frame the
+    * caller passes). Depth-capped leaves can be large (bucket pair cost
+    * is Σm²) — `saltBlocks` spreads each bucket's pair generation over
+    * saltBlocks² tasks (see [[BucketSelfJoin.pairsTopK]]). */
   def knnSelfJoin(topK: Int, saltBlocks: Int = 1): DataFrame =
     BucketSelfJoin.pairsTopK(corpusBuckets, "__cvec", topK, saltBlocks)
 

@@ -188,21 +188,12 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
     val q = assignCells(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
-    // One shuffle for the dedup+top-k tail (a query meeting the same
-    // neighbor in several probed cells computes the same dist, so
-    // min ≡ pick-any): clustering the compact candidate triples by
-    // query_id satisfies both the dedup aggregate and TopKPerKey —
-    // dropDuplicates on (query, neighbor) would shuffle on the pair and
-    // TopKPerKey would re-shuffle on the query (see
-    // AnnForestModel.knnJoinBucketed).
+    // a query meeting the same neighbor in several probed cells
+    // computes the same dist, so the min-dedup tail ≡ pick-any
     val candidates = q.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cv"), col("__qv")).as("dist"))
-      .repartition(col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(min(col("dist")).as("dist"))
-    graft.plans.TopKPerKey.rankedTopK(
-      candidates, "query_id", Seq("dist", "neighbor_id"), topK)
+    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
   /** Persist the quantizer as plain parquet (centroids + nprobe) —

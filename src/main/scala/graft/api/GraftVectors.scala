@@ -70,7 +70,10 @@ object GraftVectors {
 
   /** Q4 over the distributed model's standing corpus: the bucket table
     * already is the routed corpus, so the bulk self-join pays zero
-    * routing work. */
+    * routing work. The query set is the fit-time dedup'd STORE — exact
+    * duplicates dropped at build don't reappear as query ids (see
+    * [[DistributedAnnModel.knnSelfJoin]]); use [[knnSelfJoin]] for
+    * raw-frame query coverage. */
   def knnSelfJoinDistributed(
       model: DistributedAnnModel, topK: Int): Dataset[Neighbor] = {
     import model.corpusBuckets.sparkSession.implicits._

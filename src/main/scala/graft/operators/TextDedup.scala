@@ -212,7 +212,10 @@ object TextDedup {
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val shCand = wide
-      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      // wide(idCol), not col(idCol): when the caller's id column is
+      // itself named "id", the unqualified name is ambiguous between
+      // the two join sides and analysis fails
+      .join(broadcast(candIds), wide(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
     pairs
       .join(shCand.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -55,8 +55,11 @@ object Sinks {
     * Floats are rendered with Float.toString, the shortest decimal that
     * parses back to the identical f32 — the round-trip is bit-exact
     * except for non-canonical NaN payloads (toString collapses them to
-    * "NaN"). Rows are emitted in `idCol` order, so ids survive a
-    * read-back (VecReader re-derives them from line position).
+    * "NaN"). Rows are emitted in ascending `idCol` order (ids may be
+    * any non-null longs, dense or not); a read-back assigns fresh
+    * position-based ids 0..n-1, which coincide with the originals iff
+    * they were already dense from 0 — the reference format simply has
+    * no id column to preserve.
     *
     * The format is inherently single-file sequential (one global header,
     * position-significant lines) — this is an interop/export utility,
@@ -71,26 +74,36 @@ object Sinks {
       v.foreach { f => sb.append(' ').append(java.lang.Float.toString(f)) }
       sb.toString
     }
-    val hd = df.select(count(lit(1)), first(size(col(vecCol)))).head()
+    val hd = df.select(count(lit(1)), count(col(idCol)), first(size(col(vecCol)))).head()
     val n = hd.getLong(0)
-    val dim = if (hd.isNullAt(1)) 0 else hd.getInt(1)
+    require(hd.getLong(1) == n, s"Sinks.vec: $idCol contains nulls — " +
+      "line position is id in this format, every row needs an id")
+    val dim = if (hd.isNullAt(2)) 0 else hd.getInt(2)
+    // a dedicated header rank (not a sentinel id) keeps the header first
+    // for ANY id values, including negative ones
     val header = spark.range(1)
-      .select(lit(-1L).as("__ord"), lit(s"$n $dim").as("value"))
-    val body = df.select(col(idCol).cast("long").as("__ord"),
+      .select(lit(0).as("__hdr"), lit(0L).as("__ord"), lit(s"$n $dim").as("value"))
+    val body = df.select(lit(1).as("__hdr"), col(idCol).cast("long").as("__ord"),
       fmt(col(wordCol), col(vecCol)).as("value"))
     val tmp = path + ".tmp.dir"
     header.unionByName(body)
-      .coalesce(1).sortWithinPartitions(col("__ord"))
+      .coalesce(1).sortWithinPartitions(col("__hdr"), col("__ord"))
       .select(col("value"))
       .write.mode("overwrite").text(tmp)
-    // promote the single part file to a plain file at `path`
+    // promote the single part file to a plain file at `path`; fail loud
+    // on any step — silently returning with no output (or after deleting
+    // the only copy of the data) is the one unacceptable outcome
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val fs = tmpPath.getFileSystem(hconf)
-    val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*"))(0).getPath
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*"))
+    require(parts != null && parts.length == 1,
+      s"Sinks.vec: expected exactly one part file under $tmp")
     val dest = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(part, dest)
+    if (fs.exists(dest)) require(fs.delete(dest, true),
+      s"Sinks.vec: could not replace existing $path")
+    require(fs.rename(parts(0).getPath, dest),
+      s"Sinks.vec: rename ${parts(0).getPath} -> $dest failed (output left in $tmp)")
     fs.delete(tmpPath, true)
   }
 }

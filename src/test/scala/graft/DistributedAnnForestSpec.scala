@@ -72,6 +72,30 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(selfJoin.filter($"rank" === 1 && $"dist" === 0f).count() === emb.count())
   }
 
+  test("knnSelfJoin queries the dedup'd STORE: duplicate ids don't reappear") {
+    // the fixture has no exact duplicates (which is why the identity
+    // test above can use the raw corpus) — build a duped corpus to pin
+    // the documented semantics: fit() dedups, so the self-join's query
+    // set is the store's (first-seen) ids, not the raw corpus ids
+    val base = emb.filter($"vec_id" < 20).select($"vec_id", $"embedding")
+    val dups = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val duped = base.unionByName(dups)
+    val m = DistributedAnnForest(numTrees = 8, maxLeafSize = 3, maxDepth = 10, seed = 3L)
+      .fit(duped, "vec_id", "embedding")
+    val queryIds = m.knnSelfJoin(topK = 3)
+      .select("query_id").distinct().as[Long].collect().toSet
+    val storeIds = m.corpusBuckets
+      .select("neighbor_id").distinct().as[Long].collect().toSet
+    assert(queryIds === storeIds)
+    // first-seen-wins: the originals survive, the +1000 copies don't
+    assert(queryIds === (0L until 20L).toSet)
+    // and the raw-coverage path still answers for a duplicate id
+    val dupQuery = duped.filter($"vec_id" === 1000L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    assert(m.knnJoin(dupQuery, topK = 3).count() > 0)
+  }
+
   test("save/load roundtrip preserves the k-NN join result") {
     val dir = java.nio.file.Files.createTempDirectory("dist_ann_model").toString
     model.save(dir)

@@ -35,6 +35,18 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh === exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("minhashPairs resolves when the caller's id column is named \"id\"") {
+    // regression: the verify-stage semi-join joins against an internal
+    // frame whose column is "id" — an unqualified reference was
+    // ambiguous for this (perfectly normal) caller schema
+    val renamed = docs.select($"doc_id".as("id"), $"text")
+    val viaId = TextDedup.minhashPairs(renamed, "id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaDocId = TextDedup.minhashPairs(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaId === viaDocId)
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
