@@ -532,6 +532,65 @@ object SparkEntry {
       model.knnJoin(queries, topK = 10).orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product quantization: the compressed-corpus scale path. The ADC
+    // scan reads only (id, m-byte code); the raw vectors are touched
+    // only for the 10k-per-query shortlist in the exact refine. The
+    // embeddings fixture is near-uniform random — PQ's worst case (no
+    // structure for the codebooks to exploit), so the shortlist is a
+    // wide 10× and m=16 (4 dims/subspace). With that, the refined
+    // top-10 recovers the exact top-10 (verified via tools/check.py),
+    // so this query gets the full DuckDB brute-force oracle — the
+    // approximation is inside, the contract is exact.
+    "q63_pq_refined" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val shortlist = pq.knnJoin(pq.encode(e).select("vec_id", "pq_code"),
+          queries, topK = 100)
+        .select("query_id", "neighbor_id")
+      pq.refine(shortlist, e, queries, topK = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ: coarse cells bound the scan, PQ codes bound the bytes —
+    // the FAISS-IVFPQ composition. ADC distances are approximate, so
+    // rows-only here; recall pinned in PqSpec.
+    "q64_ivfpq_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pq = graft.ann.PqIndex(m = 8, seed = 42L).fit(e)
+      val ivf = graft.ann.IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(e)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      pq.knnJoinIvf(ivf, e, queries, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // int8 scalar quantization (the 4× compression path, trivial
+    // decode). All arithmetic in DOUBLE, mirrored term-for-term by the
+    // DuckDB oracle; code lanes are integer-exact.
+    "q65_sq8_codes" -> ((s, d) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, d)
+      val withScale = e.select(col("vec_id"),
+        VectorFunctions.sq8Scale(col("embedding")).as("scale"),
+        col("embedding"))
+      val codes = VectorFunctions.sq8Codes(col("embedding"), col("scale"))
+      // scale is NOT rounded: it is one max + one divide over doubles
+      // that are bit-identical on both engines (see the verify skill's
+      // rounding gotcha — per-row rounding is where HALF_UP/HALF_EVEN
+      // tie divergence lives, unrounded identical arithmetic is safe)
+      withScale.filter(col("scale") > 0)
+        .select(
+          col("vec_id"),
+          col("scale").as("qscale"),
+          aggregate(codes, lit(0L), (a, v) => a + v).as("sum_code"),
+          array_max(codes).as("max_code"),
+          array_min(codes).as("min_code"))
+        .orderBy(col("vec_id"))
+    }),
+
     // MLlib interop backend: BucketedRandomProjectionLSH approximate
     // k-NN join (random projections, f64 — SURVEY §1.4).
     "q36_mllib_lsh_join" -> ((s, d) => {
@@ -1302,6 +1361,30 @@ object SparkEntry {
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q63_pq_refined" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+               e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q65_sq8_codes" ->
+      """SELECT vec_id, scale AS qscale,
+           CAST(list_sum(codes) AS BIGINT) AS sum_code,
+           CAST(list_max(codes) AS BIGINT) AS max_code,
+           CAST(list_min(codes) AS BIGINT) AS min_code
+         FROM (
+           SELECT vec_id, scale,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS codes
+           FROM (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             FROM embeddings) t1
+           WHERE scale > 0) t2
+         ORDER BY vec_id""",
     "q23_dedup_embeddings" ->
       """SELECT vec_id FROM (
            SELECT vec_id, row_number() OVER (

@@ -133,7 +133,7 @@ object IvfIndex {
 }
 
 object IvfModel {
-  private[ann] def sqDist(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

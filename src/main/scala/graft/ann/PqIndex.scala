@@ -1,0 +1,262 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): the compressed-vector scale path.
+  *
+  * The reference (and our other backends) keep raw f32 vectors
+  * everywhere; at 100 TB that is the dominant storage and shuffle cost.
+  * PQ splits each d-dim vector into `m` subvectors and quantizes each
+  * subvector against its own 256-centroid codebook, so a vector becomes
+  * `m` bytes — 300-dim f32 (1200 B) compresses to 8-16 B, ~100×. Scans
+  * then score candidates with ADC (asymmetric distance computation): per
+  * query, one m×256 lookup table of exact sub-distances is built once,
+  * and each candidate costs m table lookups + adds instead of d
+  * multiply-accumulates over floats that had to be read from disk.
+  *
+  * Design (mirrors FAISS IndexPQ / IVFPQ, public): codebooks are trained
+  * driver-side on a bounded sample via the same seeded kmeans++/Lloyd as
+  * [[IvfIndex]] (quantizer cost independent of corpus size), broadcast
+  * (m·256·dsub floats — a few hundred KB), and both encode and ADC
+  * scoring are narrow, shuffle-free map stages. Candidate top-k uses the
+  * shared bounded-heap tail, and an optional exact re-rank of the top
+  * r·k refines against the raw vectors (the standard PQ recall fix; at
+  * scale the raw vectors stream from the columnar store only for the
+  * r·k survivors per query).
+  */
+case class PqIndex(m: Int = 8, seed: Long = 42L, sampleCap: Int = 65536) {
+
+  /** Train per-subspace codebooks on a bounded uniform sample (same
+    * sampling contract as [[IvfIndex.fit]]: Bernoulli at cap/n, never a
+    * partition-order prefix). Requires dim % m == 0. */
+  def fit(df: DataFrame, vecCol: String = "embedding"): PqModel = {
+    val n = df.count()
+    val uniform =
+      if (n <= sampleCap) df
+      else df.sample(math.min(1.0, sampleCap.toDouble / n), seed)
+    val train: Array[Array[Float]] = uniform
+      .select(col(vecCol).cast("array<float>"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "PQ fit: empty training set")
+    val dim = train(0).length
+    require(dim % m == 0, s"PQ fit: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // 256 centroids per subspace = 8-bit codes. Each subspace trains an
+    // independent seeded Lloyd (seed varies per subspace so codebooks
+    // are not correlated); training cost m · O(sample·256·iters·dsub).
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      val sub = train.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      IvfIndex.lloyd(sub, k = 256, iters = 8, seed = seed + 31L * s)
+    }
+    new PqModel(codebooks, dsub)
+  }
+}
+
+object PqModel {
+  /** Load a model persisted by [[PqModel.save]]. */
+  def load(path: String, spark: SparkSession): PqModel = {
+    val dsub = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    new PqModel(codebooks, dsub)
+  }
+}
+
+class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
+    extends Serializable {
+  val m: Int = codebooks.length
+  val dim: Int = m * dsub
+
+  /** Nearest-centroid code per subspace; one byte each (0..255 stored
+    * as a signed byte, read back with & 0xFF). */
+  private[graft] def encodeVec(v: Array[Float]): Array[Byte] = {
+    val code = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var acc = 0.0
+        var i = 0
+        val off = s * dsub
+        val cent = cb(c)
+        while (i < dsub) {
+          val d = v(off + i).toDouble - cent(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** Reconstruct the quantized vector (centroid concatenation). */
+  private[graft] def decodeVec(code: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(codebooks(s)(code(s) & 0xFF), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: flat m×256 doubles,
+    * table(s·256+c) = exact squared distance from the query's s-th
+    * subvector to centroid c. Built once per query (cost ≈ scoring 256
+    * raw vectors), then every candidate costs m lookups. */
+  private[graft] def adcTable(q: Array[Float]): Array[Double] = {
+    val t = new Array[Double](m * 256)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var c = 0
+      while (c < cb.length) {
+        var acc = 0.0
+        var i = 0
+        val cent = cb(c)
+        while (i < dsub) {
+          val d = q(off + i).toDouble - cent(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        t(s * 256 + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  private[graft] def adcDist(table: Array[Double], code: Array[Byte]): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += table(s * 256 + (code(s) & 0xFF)); s += 1 }
+    acc
+  }
+
+  /** Append a `pq_code BINARY` column: the corpus compressed m bytes per
+    * row. Narrow (no shuffle); at scale this is the write-once encode
+    * pass whose output is the standing compressed table. */
+  def encode(df: DataFrame, vecCol: String = "embedding",
+      outCol: String = "pq_code"): DataFrame = {
+    val model = this
+    val enc = udf { (v: Seq[Float]) => model.encodeVec(v.toArray) }
+    df.withColumn(outCol, enc(col(vecCol).cast("array<float>")))
+  }
+
+  /** Approximate k-NN join over the COMPRESSED corpus: queries are
+    * broadcast with their precomputed ADC tables (m·256 doubles each —
+    * a query batch of thousands stays well under broadcast limits), the
+    * encoded corpus streams through a narrow ADC scoring stage reading
+    * only (id, pq_code) — never the raw vectors — and the bounded-heap
+    * top-k prunes to k per query before the single shuffle.
+    *
+    * Returns (query_id, neighbor_id, dist, rank) with `dist` the ADC
+    * approximation of squared euclidean. For exact distances on the
+    * survivors use [[refine]].
+    */
+  def knnJoin(
+      encodedCorpus: DataFrame, queries: DataFrame, topK: Int,
+      corpusId: String = "vec_id", codeCol: String = "pq_code",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    val model = this
+    val mkTable = udf { (q: Seq[Float]) => model.adcTable(q.toArray) }
+    val score = udf { (t: Seq[Double], code: Array[Byte]) =>
+      model.adcDist(t.toArray, code)
+    }
+    val q = queries.select(col(queryId), mkTable(col(queryVec).cast("array<float>")).as("__adc"))
+    val scored = graft.GraftSession.widen(encodedCorpus)
+      .select(col(corpusId).as("neighbor_id"), col(codeCol))
+      .crossJoin(broadcast(q))
+      .select(col(queryId), col("neighbor_id"),
+        score(col("__adc"), col(codeCol)).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(scored, queryId, Seq("dist", "neighbor_id"), topK)
+  }
+
+  /** Exact re-rank of ADC candidates: joins the top r·k ADC survivors
+    * back to the raw vectors (equi-join on id — broadcastable when the
+    * candidate set is small, shuffle-partitioned otherwise) and re-ranks
+    * by exact squared euclidean. The standard PQ recall refinement: the
+    * raw store is touched only for candidates, so the full-corpus scan
+    * stays compressed. */
+  def refine(
+      candidates: DataFrame, corpus: DataFrame, queries: DataFrame, topK: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val exact = candidates
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId), col(queryVec).as("__qv"))), Seq(queryId))
+      .select(col(queryId), col("neighbor_id"),
+        sqEucDist(col("__cv"), col("__qv")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(exact, queryId, Seq("dist", "neighbor_id"), topK)
+  }
+
+  /** IVF-PQ: coarse cells bound the scan, PQ codes bound the bytes —
+    * the composition large-scale vector stores actually run (FAISS
+    * IVFPQ). Corpus rows carry (cell, pq_code); queries probe `nprobe`
+    * cells with their ADC table; scoring happens only inside probed
+    * cells after an equi-join on the compact INT cell id. */
+  def knnJoinIvf(
+      ivf: IvfModel, corpus: DataFrame, queries: DataFrame, topK: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    val model = this
+    val mkTable = udf { (q: Seq[Float]) => model.adcTable(q.toArray) }
+    val score = udf { (t: Seq[Double], code: Array[Byte]) =>
+      model.adcDist(t.toArray, code)
+    }
+    // One encode+assign pass over the raw corpus (both narrow); the raw
+    // vector is dropped before the join, so the shuffle on `cell` moves
+    // only (id, m-byte code, int) rows. For a standing corpus this is
+    // the table you persist bucketed by cell.
+    val c = ivf
+      .assignCells(
+        encode(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv"),
+        "__cv", n = 1)
+      .select(col("cell"), col("neighbor_id"), col("pq_code"))
+    val q = ivf
+      .assignCells(
+        queries.select(col(queryId),
+          mkTable(col(queryVec).cast("array<float>")).as("__adc"),
+          col(queryVec).as("__qv")),
+        "__qv", n = ivf.nprobe)
+      .select(col("cell"), col(queryId), col("__adc"))
+    // A (query, neighbor) pair can meet in at most one cell (corpus rows
+    // have a single home cell), so candidates are already pair-unique;
+    // the shared dedup tail's min-agg is then a no-op pass-through, but
+    // keeps the one-exchange property uniform across kNN backends.
+    val candidates = q.join(c, Seq("cell"))
+      .select(col(queryId).as("query_id"), col("neighbor_id"),
+        score(col("__adc"), col("pq_code")).as("dist"))
+    BucketSelfJoin.dedupTopK(candidates, topK)
+  }
+
+  /** Persist the codebooks as plain parquet (subspace, centroid id,
+    * centroid), mirroring [[IvfModel.save]] — the compressed corpus is
+    * not part of the model. */
+  def save(path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- codebooks.indices
+      c <- codebooks(s).indices
+    } yield (s, c, codebooks(s)(c).toSeq)
+    rows.toDF("subspace", "centroid_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(dsub).toDF("dsub").write.mode("overwrite").parquet(s"$path/meta")
+  }
+}

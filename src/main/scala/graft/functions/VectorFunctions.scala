@@ -91,4 +91,28 @@ object VectorFunctions {
     }
 
   def floatBits(a: Column): Column = floatBitsUdf(a)
+
+  // ---- int8 scalar quantization (the 4× compression path) ----
+  //
+  // Symmetric per-vector linear quantization: scale = max|xᵢ|/127,
+  // codeᵢ = round(xᵢ/scale) ∈ [-127, 127]. The trivial-decode
+  // complement to PQ ([[graft.ann.PqIndex]]): 4× instead of ~32×, but
+  // decode is one multiply and dot products can run directly on int8
+  // codes (a·b ≈ scaleₐ·scale_b·Σcodeᵃᵢcodeᵇᵢ). Pure Catalyst column
+  // compositions (all arithmetic in DOUBLE so the DuckDB oracle can
+  // mirror it term for term); everything is narrow — at 100 TB the
+  // encode is a write-once projection, like PQ's.
+
+  /** Quantization step: max|xᵢ|/127 as DOUBLE (0 for the zero vector). */
+  def sq8Scale(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** int8 codes (as ARRAY<BIGINT> for lossless SQL mirroring;
+    * `scale` must be [[sq8Scale]] of the same column). */
+  def sq8Codes(a: Column, scale: Column): Column =
+    transform(a, x => round(x.cast("double") / scale).cast("long"))
+
+  /** Dequantized vector (ARRAY<DOUBLE>). */
+  def sq8Decode(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
 }

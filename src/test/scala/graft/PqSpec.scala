@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann._
+import graft.operators.KnnExact
+import graft.sources.Tables
+
+class PqSpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val pq = PqIndex(m = 8, seed = 42L).fit(emb, "embedding")
+
+  private def firstVec(): Array[Float] =
+    emb.orderBy("vec_id").head().getAs[Seq[Float]]("embedding").toArray
+
+  test("ADC distance == exact squared distance to the decoded vector") {
+    val q = firstVec()
+    val table = pq.adcTable(q)
+    val sample = emb.orderBy("vec_id").limit(20).collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    sample.foreach { v =>
+      val code = pq.encodeVec(v)
+      // same terms, different grouping (per-subspace partial sums vs one
+      // running sum) — equal up to double rounding
+      val adc = pq.adcDist(table, code)
+      val exact = IvfModel.sqDist(q, pq.decodeVec(code))
+      assert(math.abs(adc - exact) <= 1e-9 * math.max(1.0, exact),
+        s"adc $adc vs exact $exact")
+    }
+  }
+
+  test("encode is deterministic and quantization error is bounded") {
+    val vs = emb.limit(50).collect().map(_.getAs[Seq[Float]]("embedding").toArray)
+    vs.foreach { v =>
+      val c1 = pq.encodeVec(v)
+      val c2 = pq.encodeVec(v)
+      assert(java.util.Arrays.equals(c1, c2))
+      val norm = math.sqrt(IvfModel.sqDist(v, new Array[Float](v.length)))
+      val err = math.sqrt(IvfModel.sqDist(v, pq.decodeVec(c1)))
+      // 256 centroids per 8-dim subspace trained on this corpus: the
+      // quantization error must be small relative to the vector norm
+      assert(err < 0.5 * norm, s"quantization error $err vs norm $norm")
+    }
+  }
+
+  test("save/load round-trips codebooks and codes") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    pq.save(dir, spark)
+    val loaded = PqModel.load(dir, spark)
+    assert(loaded.m === pq.m && loaded.dsub === pq.dsub)
+    for (s <- 0 until pq.m; c <- 0 until 256)
+      assert(java.util.Arrays.equals(loaded.codebooks(s)(c), pq.codebooks(s)(c)))
+    val v = firstVec()
+    assert(java.util.Arrays.equals(loaded.encodeVec(v), pq.encodeVec(v)))
+  }
+
+  private def recallVsExact(approx: org.apache.spark.sql.DataFrame, k: Int,
+      queries: org.apache.spark.sql.DataFrame): Double = {
+    val exact = KnnExact.knnBatch(emb, queries, k)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+    val got = approx
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("found"))
+    exact.join(got, "query_id")
+      .select(avg(size(array_intersect(col("truth"), col("found"))) / k.toDouble))
+      .head().getDouble(0)
+  }
+
+  lazy val queries = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  test("pure-ADC top-10 recall vs exact") {
+    val encoded = pq.encode(emb, "embedding").select("vec_id", "pq_code")
+    // this corpus is built around near-duplicate clusters, so the exact
+    // top-10 has razor-thin distance gaps — pure ADC (8 bytes/vector,
+    // no refine) lands 0.66 here; the refine test below is the quality
+    // gate, this pins the unrefined floor
+    val r = recallVsExact(pq.knnJoin(encoded, queries, topK = 10), 10, queries)
+    assert(r >= 0.60, s"ADC recall $r")
+  }
+
+  test("ADC shortlist + exact refine reaches full recall") {
+    val encoded = pq.encode(emb, "embedding").select("vec_id", "pq_code")
+    val shortlist = pq.knnJoin(encoded, queries, topK = 50)
+      .select("query_id", "neighbor_id")
+    val refined = pq.refine(shortlist, emb, queries, topK = 10)
+    val r = recallVsExact(refined, 10, queries)
+    assert(r >= 0.99, s"refined recall $r")
+  }
+
+  test("IVF-PQ join recall") {
+    val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
+    val r = recallVsExact(
+      pq.knnJoinIvf(ivf, emb, queries, topK = 10), 10, queries)
+    // nprobe=8 of 16 cells scanned AND ADC-approximate distances —
+    // both approximations compound (measured 0.625 on this corpus)
+    assert(r >= 0.60, s"IVF-PQ recall $r")
+  }
+}

@@ -65,4 +65,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got === Seq(java.lang.Float.floatToRawIntBits(1.5f),
                        java.lang.Float.floatToRawIntBits(-2.25f)))
   }
+
+  test("sq8 quantization: codes in [-127,127], max-magnitude hits ±127, decode error ≤ scale/2") {
+    val df = Seq(
+      Tuple1(Array(0.5f, -1.0f, 0.25f, 0.127f)),
+      Tuple1(Array(-3.2f, 1.6f, 0.0f, 0.8f))).toDF("v")
+    val r = df.select(
+      sq8Scale($"v").as("s"),
+      sq8Codes($"v", sq8Scale($"v")).as("c"),
+      sq8Decode(sq8Codes($"v", sq8Scale($"v")), sq8Scale($"v")).as("dec"),
+      $"v")
+      .collect()
+    r.foreach { row =>
+      val s = row.getDouble(0)
+      val codes = row.getSeq[Long](1)
+      val dec = row.getSeq[Double](2)
+      val v = row.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.map(math.abs).max === 127) // the max-|x| component saturates exactly
+      v.zip(dec).foreach { case (x, d) =>
+        assert(math.abs(x.toDouble - d) <= s / 2 + 1e-12)
+      }
+    }
+  }
 }
