@@ -591,6 +591,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Z-order layout codes (the multi-dimensional data-skipping story,
+    // Sinks.parquetZOrdered): Morton interleave as pure Catalyst bit
+    // arithmetic, integer-exact against a DuckDB list-fold mirror.
+    "q66_zorder_codes" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      p.select(col("p_partkey"),
+          graft.sources.Sinks.mortonCode2(
+            col("p_partkey") % 65536, col("p_size"), bits = 16).as("zcode"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // MLlib interop backend: BucketedRandomProjectionLSH approximate
     // k-NN join (random projections, f64 — SURVEY §1.4).
     "q36_mllib_lsh_join" -> ((s, d) => {
@@ -1385,6 +1396,12 @@ object SparkEntry {
              FROM embeddings) t1
            WHERE scale > 0) t2
          ORDER BY vec_id""",
+    "q66_zorder_codes" ->
+      """SELECT p_partkey,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+             ((((p_partkey % 65536) >> i) & 1) << (2*i)) +
+             (((p_size >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zcode
+         FROM part ORDER BY p_partkey""",
     "q23_dedup_embeddings" ->
       """SELECT vec_id FROM (
            SELECT vec_id, row_number() OVER (

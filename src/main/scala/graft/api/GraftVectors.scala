@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{AnnForest, AnnForestModel, DistributedAnnForest, DistributedAnnModel}
+import graft.ann.{AnnForest, AnnForestModel, DistributedAnnForest, DistributedAnnModel, PqIndex, PqModel}
 import graft.operators.Dedup
 import graft.sources.VecReader
 
@@ -107,4 +107,23 @@ object GraftVectors {
   def appendToIndex(
       model: DistributedAnnModel, ds: Dataset[VectorRecord]): DistributedAnnModel =
     model.append(ds.toDF(), "id", "embedding")
+
+  /** Compressed-corpus path: train PQ codebooks (driver-side, bounded
+    * sample) for ~32× smaller standing corpora. See [[graft.ann.PqIndex]]. */
+  def trainPq(ds: Dataset[VectorRecord], m: Int = 8, seed: Long = 42L): PqModel =
+    PqIndex(m, seed).fit(ds.toDF(), "embedding")
+
+  /** Approximate k-NN over the compressed corpus with exact re-rank of
+    * a `shortlist`-wide ADC candidate set. Encodes on the fly — persist
+    * `pq.encode(corpus)` once for a standing corpus instead. */
+  def searchPq(
+      pq: PqModel, ds: Dataset[VectorRecord], queries: Dataset[VectorRecord],
+      topK: Int, shortlist: Int = 100): Dataset[Neighbor] = {
+    import ds.sparkSession.implicits._
+    val corpus = ds.toDF().select(col("id").as("vec_id"), col("embedding"))
+    val q = queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec"))
+    val cand = pq.knnJoin(pq.encode(corpus).select("vec_id", "pq_code"), q, shortlist)
+      .select("query_id", "neighbor_id")
+    pq.refine(cand, corpus, q, topK).as[Neighbor]
+  }
 }

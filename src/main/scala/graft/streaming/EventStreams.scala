@@ -177,6 +177,38 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming exact deduplication with bounded state.
+    *
+    * Plain `dropDuplicates(keys)` on a stream retains every key seen
+    * since the query started — unbounded state on an unbounded stream.
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time, so state is bounded by the
+    * watermark horizon: the guarantee weakens from "globally unique"
+    * to "no duplicate arrives within the watermark delay of the
+    * first occurrence", which is the deliverable shape for at-least-
+    * once ingest pipelines (a redelivered event arrives close to the
+    * original; a true re-occurrence months later is a new event).
+    * One shuffle on the key, same as batch dedup.
+    */
+  def dedupStreaming(events: DataFrame, keys: Seq[String],
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming bit-exact VECTOR dedup: the batch `Dedup.exactVectors`
+    * semantics (reference src/lib.rs:64-79) on an unbounded vector
+    * stream — key = raw IEEE-754 bits (so -0.0 ≠ 0.0 and NaN payloads
+    * stay distinct, which Spark's native grouping equality would
+    * normalize away), eviction by watermark as above. Rows must carry
+    * an event-time column `ts`. */
+  def dedupVectorsStreaming(vectors: DataFrame, vecCol: String,
+      delay: String = "30 minutes"): DataFrame =
+    dedupStreaming(
+      vectors.withColumn("__bitkey",
+        graft.functions.VectorFunctions.floatBitsKey(col(vecCol))),
+      Seq("__bitkey"), delay)
+      .drop("__bitkey")
+
   /** Replay the events parquet through a real streaming query into a
     * memory sink (synchronous, for tests). Returns the collected result. */
   def runStreamingHourly(spark: SparkSession, parquetPath: String): DataFrame = {

@@ -176,8 +176,7 @@ class EventStreamsSpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withWatermark("ts", "2 hours")
-    val q = stream.dropDuplicatesWithinWatermark("event_id")
+    val q = EventStreams.dedupStreaming(stream, Seq("event_id"), "2 hours")
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("graft_sdedup_test").start()
     q.processAllAvailable()
@@ -188,6 +187,42 @@ class EventStreamsSpec extends SparkSpec {
     val ids = spark.table("graft_sdedup_test")
       .select("event_id").as[Long].collect().sorted
     assert(ids.toSeq === Seq(1L, 2L, 3L), s"replay must dedup, got ${ids.toSeq}")
+  }
+
+  test("streaming vector dedup keys on raw bits: -0.0 ≠ 0.0, replays dropped") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_svdedup").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Array[Float])]) =
+      rows.toDF("vec_id", "ts", "embedding").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(Seq(
+      (1L, ts(0), Array(0.0f, 1f)),
+      (2L, ts(1), Array(-0.0f, 1f)),    // bit-distinct from row 1 — a
+                                        // native dropDuplicates would
+                                        // normalize and merge these
+      (3L, ts(2), Array(Float.NaN, 1f))))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.dedupVectorsStreaming(stream, "embedding", "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_svdedup_test").start()
+    q.processAllAvailable()
+    write(Seq(
+      (4L, ts(3), Array(0.0f, 1f)),    // exact replay of row 1's bits → dropped
+      (5L, ts(4), Array(2f, 1f))))     // fresh vector → kept
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("graft_svdedup_test")
+      .select("vec_id").as[Long].collect().sorted
+    // NOTE: non-canonical NaN payloads do NOT survive this path — the
+    // UnsafeRow writer canonicalizes NaN on the way into the parquet
+    // file (SPARK-26021), before the bit key is ever computed. The key
+    // distinguishes payloads for in-memory rows (VectorFunctionsSpec);
+    // through a file sink every NaN is already the canonical one.
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 5L),
+      s"bit-key dedup must keep -0.0 and drop the replay, got ${ids.toSeq}")
   }
 
   test("json props parse to integers") {

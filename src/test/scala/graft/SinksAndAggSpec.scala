@@ -102,4 +102,58 @@ class SinksAndAggSpec extends SparkSpec {
     assert(back.exceptAll(orig).count() === 0)
     assert(orig.exceptAll(back).count() === 0)
   }
+
+  test("morton code matches a bit-twiddling reference implementation") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val rng = new scala.util.Random(7)
+    val pts = Seq.tabulate(50)(_ => (rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+      .withColumn("z", Sinks.mortonCode2($"x", $"y", bits = 16))
+    val got = df.select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z === ref(x, y, 16), s"($x,$y)") }
+  }
+
+  test("z-order clusters both dimensions: chunk bounding boxes shrink vs single-key sort") {
+    // uniform 64×64 grid; file = 128 consecutive rows after each sort.
+    // A z-sorted chunk is a compact rectangle; an x-sorted chunk spans
+    // the FULL y range. Summed bounding-box area is the proxy for
+    // parquet row-group min/max skipping power on 2-D range predicates.
+    val n = 64
+    val grid = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    def chunkArea(sorted: Seq[(Long, Long)]): Long =
+      sorted.grouped(128).map { c =>
+        val (xs, ys) = (c.map(_._1), c.map(_._2))
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.sum
+    val zcodes = grid.toDF("x", "y")
+      .withColumn("z", Sinks.mortonCode2($"x", $"y", bits = 6))
+      .orderBy("z").select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val zArea = chunkArea(zcodes)
+    val xArea = chunkArea(grid.sortBy(identity))
+    // 64×64 grid in 128-row chunks: z-order gives 16×8 rectangles
+    // (area 128/chunk); x-sort gives 2×64 stripes (area 128/chunk too —
+    // but the Y SPAN is what kills y-predicate skipping). Compare the
+    // max per-dimension span instead of area for the sharper claim:
+    def maxYSpan(sorted: Seq[(Long, Long)]): Long =
+      sorted.grouped(128).map(c => c.map(_._2).max - c.map(_._2).min).max
+    assert(maxYSpan(zcodes) <= 15, s"z-order y-span ${maxYSpan(zcodes)}")
+    assert(maxYSpan(grid.sortBy(identity)) === 63) // x-sort: full y range
+    assert(zArea <= xArea)
+  }
+
+  test("parquetZOrdered writes a readable sorted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val df = Tables.part(spark, sf0001)
+    Sinks.parquetZOrdered(df, s"$dir/part_z", "p_partkey", "p_size")
+    val back = spark.read.parquet(s"$dir/part_z")
+    assert(back.count() === df.count())
+    assert(back.columns.toSet === df.columns.toSet)
+  }
 }
