@@ -738,6 +738,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub: email/IPv4/phone redaction. The synthetic corpus has
+    // no PII, so the query plants deterministic PII derived from doc_id
+    // (same concat on both engines) and md5-compares the full redacted
+    // string — any regex-dialect divergence between Java regex and
+    // DuckDB's RE2 fails the hash.
+    "q67_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1 555 01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" 3456 from 10.2."), pmod(col("doc_id"), lit(256)), lit(".7"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextAnalysis.redactPii(aug)).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition/shape filters. Lines are synthesized by
+    // newline-injection (the fixture is single-line); every ratio is an
+    // unrounded integer-ratio double — identical arithmetic on both
+    // engines, and rounding is where HALF_UP/HALF_EVEN ties would
+    // diverge (verify-skill gotcha).
+    "q68_gopher_metrics" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          regexp_replace(col("text"), " table ", "\n").as("__aug"))
+        .select(col("doc_id"),
+          size(TextAnalysis.docLines(col("__aug"))).as("n_lines"),
+          TextAnalysis.dupLineRatio(col("__aug")).as("dup_line_ratio"),
+          TextAnalysis.symbolRatio(col("__aug")).as("symbol_ratio"),
+          TextAnalysis.alphaTokenRatio(col("__aug")).as("alpha_ratio"),
+          TextAnalysis.gopherKeep(col("__aug")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: n-gram overlap join between the train
+    // split and a held-out benchmark split (doc_id % 20). The standard
+    // pre-training hygiene op — train docs covering a benchmark doc's
+    // shingles are contamination hits.
+    "q69_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.contaminationPairs(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", ngram = 3, minFrac = 0.5)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // Deterministic train/val split — the curation primitive every
     // training pipeline needs. Knuth multiplicative hash of the id
     // (exact BIGINT arithmetic, engine-neutral), 90/10 by hash bucket:
@@ -1396,6 +1443,67 @@ object SparkEntry {
              FROM embeddings) t1
            WHERE scale > 0) t2
          ORDER BY vec_id""",
+    "q67_pii_redact" ->
+      """SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1 555 01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' 3456 from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+         FROM documents ORDER BY doc_id""",
+    "q68_gopher_metrics" ->
+      """WITH aug AS (
+           SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id, t,
+             list_filter(regexp_split_to_array(t, '\n'), l -> len(l) > 0) AS ls,
+             regexp_split_to_array(lower(trim(t)), '\s+') AS toks
+           FROM aug)
+         SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CASE WHEN len(ls) <= 1 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+           END AS dup_line_ratio,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(t) - len(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / len(t)
+           END AS symbol_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+                     AS DOUBLE) / len(toks)
+           END AS alpha_ratio,
+           CAST((len(toks) BETWEEN 10 AND 100000)
+             AND (CAST(list_sum(list_transform(toks, tk -> len(tk))) AS DOUBLE)
+                  / len(toks) BETWEEN 1.0 AND 12.0)
+             AND (CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(t) - len(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+                       AS DOUBLE) / len(t) END <= 0.2)
+             AND (CASE WHEN len(ls) <= 1 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                  END <= 0.3)
+             AND (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+                       AS DOUBLE) / len(toks) END >= 0.8) AS INT) AS keep
+         FROM m ORDER BY doc_id""",
+    "q69_decontaminate" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents)
+         SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+           CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) AS frac
+         FROM s t, s b
+         WHERE t.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+           AND CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.5
+         ORDER BY train_id, bench_id""",
     "q66_zorder_codes" ->
       """SELECT p_partkey,
            CAST(list_sum(list_transform(range(0, 16), i ->

@@ -131,4 +131,66 @@ object TextAnalysis {
     aggregate(
       tokens(text), lit(1469598103934665603L),
       (acc, t) => xxhash64(acc, t))
+
+  // ---- PII redaction (pre-training scrub) ----
+  //
+  // Deliberately dialect-neutral regexes (no lookarounds, no \p
+  // classes) so the same patterns run under Java regex (Spark) and RE2
+  // (DuckDB oracle) with identical semantics. Order matters: emails
+  // first (the phone pattern must not eat an address's digit runs),
+  // IPs before phones (dots already break the phone run, but explicit
+  // order keeps the result independent of pattern-overlap accidents).
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d ]{7,}\\d"
+
+  /** Replace emails / IPv4s / phone-like digit runs with typed tags.
+    * Narrow, codegen'd regexp_replace chain — a write-once projection
+    * at scale, like the quantization encodes. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  // ---- Repetition / shape filters (Gopher-style quality rules) ----
+
+  /** Non-empty lines of a document. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line —
+    * 1 − distinct/total (0 for ≤1 line). Boilerplate/template pages
+    * score high. */
+  def dupLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Fraction of characters outside [A-Za-z0-9 ] — markup/symbol soup
+    * detector. */
+  def symbolRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of tokens containing at least one ASCII letter. */
+  def alphaTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
+  }
+
+  /** Gopher-style keep/drop: token count in range, words look like
+    * words, not symbol soup, not line-repetitive. Thresholds are the
+    * published Gopher rules' shape, tunable per corpus. */
+  def gopherKeep(text: Column,
+      minTokens: Int = 10, maxTokens: Int = 100000): Column =
+    tokenCount(text).between(minTokens, maxTokens) &&
+      meanTokenLen(text).between(1.0, 12.0) &&
+      symbolRatio(text) <= 0.2 &&
+      dupLineRatio(text) <= 0.3 &&
+      alphaTokenRatio(text) >= 0.8
 }

@@ -269,4 +269,45 @@ object TextDedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Benchmark decontamination: for every (train doc, benchmark doc)
+    * pair sharing n-gram shingles, the fraction of the benchmark doc's
+    * distinct shingles present in the train doc. Pairs at/above
+    * `minFrac` are contamination hits (drop or flag the train doc).
+    *
+    * Shape: explode distinct shingles on both sides, equi-join on the
+    * shingle, count per pair — the standard MapReduce decontamination
+    * join. Two shuffles: the shingle join and the compact
+    * (train, bench) pair count. `maxShingleDf` (0 = off) drops
+    * shingles occurring in more than that many TRAIN docs before the
+    * join — stop-phrase shingles ("of the united states") otherwise
+    * produce quadratic join blowup at corpus scale; a shingle that
+    * common carries no contamination signal. This query-scale variant
+    * joins on shingle STRINGS for oracle parity; at 100 TB swap
+    * [[shingles]] for [[shingleHashes]] (8-byte join keys, same counts
+    * modulo 64-bit collisions).
+    */
+  def contaminationPairs(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, minFrac: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+    val t0 = train.select(col(idCol).as("train_id"),
+      explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+    val t =
+      if (maxShingleDf <= 0) t0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        t0.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxShingleDf).drop("__df")
+      }
+    val b = bench.select(col(idCol).as("bench_id"),
+        array_distinct(shingles(col(textCol), ngram)).as("shs"))
+      .select(col("bench_id"), size(col("shs")).as("n_bench"),
+        explode(col("shs")).as("sh"))
+    t.join(b, Seq("sh"))
+      .groupBy(col("train_id"), col("bench_id"), col("n_bench"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("frac", col("n_common").cast("double") / col("n_bench"))
+      .filter(col("frac") >= minFrac)
+      .select(col("train_id"), col("bench_id"), col("n_common"), col("frac"))
+  }
 }

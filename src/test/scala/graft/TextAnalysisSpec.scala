@@ -94,4 +94,35 @@ class TextAnalysisSpec extends SparkSpec {
       dirty.withColumn("source", lit("s")), "doc_id", "text", "source"))
       .count() === 4L)
   }
+
+  test("redactPii tags emails, IPv4s, and phone runs; leaves prose alone") {
+    val df = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk please",
+      "server 192.168.10.254 went down",
+      "call +1 555 0134 9876 now",
+      "version 2.5 of chapter 10 has 3 figures").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> please")
+    assert(out(1) === "server <IP> went down")
+    assert(out(2) === "call <PHONE> now")
+    assert(out(3) === "version 2.5 of chapter 10 has 3 figures") // untouched
+  }
+
+  test("gopher filters: dup-line ratio, symbol ratio, alpha ratio, keep verdict") {
+    val good = ("spark executes distributed dataframe pipelines with " +
+      "catalyst optimizing every stage of the physical plan nicely")
+    val repetitive = Array.fill(10)("buy now cheap deals").mkString("\n") +
+      "\nbuy now cheap deals"
+    val soup = "@#$% ^&*! ~~~~ ++++ <<<>>> {}{}[][] @#$% ^&*!"
+    val df = Seq(good, repetitive, soup).toDF("text")
+    val r = df.select(
+      TextAnalysis.dupLineRatio($"text").as("dup"),
+      TextAnalysis.symbolRatio($"text").as("sym"),
+      TextAnalysis.alphaTokenRatio($"text").as("alpha"),
+      TextAnalysis.gopherKeep($"text").as("keep")).collect()
+    assert(r(0).getBoolean(3), "clean prose must pass")
+    assert(r(1).getDouble(0) > 0.3 && !r(1).getBoolean(3), "template spam must fail on dup lines")
+    assert(r(2).getDouble(1) > 0.2 && r(2).getDouble(2) === 0.0 && !r(2).getBoolean(3),
+      "symbol soup must fail")
+  }
 }

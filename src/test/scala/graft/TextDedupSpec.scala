@@ -70,4 +70,35 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("contaminationPairs: containment hits at frac 1.0, disjoint docs absent") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark shuffles and joins"),
+      (3L, "the quick brown fox appears here too")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps"), // ⊂ doc 1 (all three 3-grams)
+      (101L, "unrelated benchmark text entirely")).toDF("doc_id", "text")
+    val hits = TextDedup.contaminationPairs(train, bench, "doc_id", "text",
+      ngram = 3, minFrac = 0.5).collect()
+    val byPair = hits.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(byPair((1L, 100L)) === 1.0) // full containment
+    assert(!byPair.contains((2L, 100L)))
+    assert(hits.forall(_.getLong(1) != 101L)) // disjoint bench doc clean
+  }
+
+  test("contaminationPairs maxShingleDf drops stop-phrase shingles") {
+    // "the quick brown" occurs in 3 train docs → df cap 2 removes it,
+    // and with it the only overlap with the bench doc
+    val train = Seq(
+      (1L, "the quick brown alpha"), (2L, "the quick brown beta"),
+      (3L, "the quick brown gamma")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown")).toDF("doc_id", "text")
+    val unCapped = TextDedup.contaminationPairs(train, bench, "doc_id", "text",
+      ngram = 3, minFrac = 0.5, maxShingleDf = 0).count()
+    val capped = TextDedup.contaminationPairs(train, bench, "doc_id", "text",
+      ngram = 3, minFrac = 0.5, maxShingleDf = 2).count()
+    assert(unCapped === 3L)
+    assert(capped === 0L)
+  }
 }
