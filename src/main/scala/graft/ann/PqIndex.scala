@@ -157,12 +157,20 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
     df.withColumn(outCol, enc(col(vecCol).cast("array<float>")))
   }
 
-  /** Approximate k-NN join over the COMPRESSED corpus: queries are
-    * broadcast with their precomputed ADC tables (m·256 doubles each —
-    * a query batch of thousands stays well under broadcast limits), the
-    * encoded corpus streams through a narrow ADC scoring stage reading
-    * only (id, pq_code) — never the raw vectors — and the bounded-heap
-    * top-k prunes to k per query before the single shuffle.
+  /** Approximate k-NN join over the COMPRESSED corpus: the query batch
+    * is collected and broadcast WITH its precomputed ADC tables (m·256
+    * doubles per query — thousands of queries stay well under broadcast
+    * limits), and the encoded corpus streams through one mapPartitions
+    * scan reading only (id, pq_code) — never the raw vectors. Each
+    * partition keeps a bounded (dist, id) heap per query, so at most
+    * partitions·topK rows per query cross the single shuffle into the
+    * final TopKPerKey merge.
+    *
+    * Deliberately NOT a crossJoin + scoring-UDF column: a joined-row UDF
+    * re-materializes the 2048-double table from the unsafe row for every
+    * (query, row) pair — measured unusable at 2k×200k (≫8 min); this
+    * shape scans the same pairs in ~seconds. For query sets too large to
+    * collect, use [[knnJoinIvf]] (both sides stay distributed).
     *
     * Returns (query_id, neighbor_id, dist, rank) with `dist` the ADC
     * approximation of squared euclidean. For exact distances on the
@@ -173,17 +181,43 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
       corpusId: String = "vec_id", codeCol: String = "pq_code",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
     val model = this
-    val mkTable = udf { (q: Seq[Float]) => model.adcTable(q.toArray) }
-    val score = udf { (t: Seq[Double], code: Array[Byte]) =>
-      model.adcDist(t.toArray, code)
-    }
-    val q = queries.select(col(queryId), mkTable(col(queryVec).cast("array<float>")).as("__adc"))
-    val scored = graft.GraftSession.widen(encodedCorpus)
-      .select(col(corpusId).as("neighbor_id"), col(codeCol))
-      .crossJoin(broadcast(q))
-      .select(col(queryId), col("neighbor_id"),
-        score(col("__adc"), col(codeCol)).as("dist"))
-    graft.plans.TopKPerKey.rankedTopK(scored, queryId, Seq("dist", "neighbor_id"), topK)
+    val spark = encodedCorpus.sparkSession
+    val qArr: Array[(Long, Array[Double])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), model.adcTable(r.getSeq[Float](1).toArray)))
+    val bc = spark.sparkContext.broadcast(qArr)
+    import spark.implicits._
+    val partial = graft.GraftSession.widen(encodedCorpus)
+      .select(col(corpusId).cast("long"), col(codeCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        // bounded max-heaps ordered by (dist, neighbor_id) — identical
+        // tiebreak to the window/TopKPerKey formulation, so the global
+        // merge is hash-identical to a full sort
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(nq)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (nid, code) =>
+          var qi = 0
+          while (qi < nq) {
+            val d = model.adcDist(qs(qi)._2, code)
+            val h = heaps(qi)
+            if (h.size < topK) h.enqueue((d, nid))
+            else if (ord.lt((d, nid), h.head)) { h.dequeue(); h.enqueue((d, nid)) }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, nid) => (qs(qi)._1, nid, d) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist")
+    graft.plans.TopKPerKey.rankedTopK(
+      partial.withColumnRenamed("query_id", queryId),
+      queryId, Seq("dist", "neighbor_id"), topK)
   }
 
   /** Exact re-rank of ADC candidates: joins the top r·k ADC survivors
@@ -216,9 +250,20 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
     val model = this
-    val mkTable = udf { (q: Seq[Float]) => model.adcTable(q.toArray) }
-    val score = udf { (t: Seq[Double], code: Array[Byte]) =>
-      model.adcDist(t.toArray, code)
+    // The ADC table is NOT carried through the join as a column — a
+    // joined-row UDF would re-materialize 2048 doubles per candidate
+    // row. The query row carries only (id, qvec); each executor builds
+    // a query's table once on first sight and caches it by id (the map
+    // starts empty on every executor — ConcurrentHashMap serializes
+    // its contents, which are none at closure-capture time).
+    val tableCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+    val score = udf { (qid: Long, qv: Seq[Float], code: Array[Byte]) =>
+      var t = tableCache.get(qid)
+      if (t == null) {
+        t = model.adcTable(qv.toArray)
+        tableCache.put(qid, t)
+      }
+      model.adcDist(t, code)
     }
     // One encode+assign pass over the raw corpus (both narrow); the raw
     // vector is dropped before the join, so the shuffle on `cell` moves
@@ -231,18 +276,16 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
       .select(col("cell"), col("neighbor_id"), col("pq_code"))
     val q = ivf
       .assignCells(
-        queries.select(col(queryId),
-          mkTable(col(queryVec).cast("array<float>")).as("__adc"),
-          col(queryVec).as("__qv")),
+        queries.select(col(queryId).cast("long").as(queryId), col(queryVec).as("__qv")),
         "__qv", n = ivf.nprobe)
-      .select(col("cell"), col(queryId), col("__adc"))
+      .select(col("cell"), col(queryId), col("__qv"))
     // A (query, neighbor) pair can meet in at most one cell (corpus rows
     // have a single home cell), so candidates are already pair-unique;
     // the shared dedup tail's min-agg is then a no-op pass-through, but
     // keeps the one-exchange property uniform across kNN backends.
     val candidates = q.join(c, Seq("cell"))
       .select(col(queryId).as("query_id"), col("neighbor_id"),
-        score(col("__adc"), col("pq_code")).as("dist"))
+        score(col(queryId), col("__qv"), col("pq_code")).as("dist"))
     BucketSelfJoin.dedupTopK(candidates, topK)
   }
 

@@ -54,6 +54,30 @@ object ScaleProbe {
       val ivf = graft.ann.IvfIndex(64, 8).fit(vecs)
       ivf.knnJoin(vecs, queries, 10).count()
     }
+    // PQ: the compressed path. Encode once (write-once at scale), then
+    // the ADC join scans only (id, 8-byte code) — compare against the
+    // bucketed join that reads raw 256-byte vectors.
+    val pqModel = time("PQ fit (m=8, 64k training sample)") {
+      graft.ann.PqIndex(m = 8, seed = 42L).fit(vecs)
+    }
+    val encoded = time("PQ encode 200k") {
+      val e = pqModel.encode(vecs).select("vec_id", "pq_code").cache()
+      e.count()
+      e
+    }
+    time("PQ ADC knnJoin (2k queries vs 200k codes, shortlist 100)") {
+      pqModel.knnJoin(encoded, queries, 100).count()
+    }
+    time("PQ ADC + exact refine to top-10 (2k queries)") {
+      val short = pqModel.knnJoin(encoded, queries, 100)
+        .select("query_id", "neighbor_id")
+      pqModel.refine(short, vecs, queries, 10).count()
+    }
+    time("IVF-PQ knnJoin (nlist 64, nprobe 8, 2k queries)") {
+      val ivf = graft.ann.IvfIndex(64, 8).fit(vecs)
+      pqModel.knnJoinIvf(ivf, vecs, queries, 10).count()
+    }
+
     val distModel = time("distributed forest fit (20 trees, depth 14)") {
       graft.ann.DistributedAnnForest(numTrees = 20, maxLeafSize = 5, maxDepth = 14, seed = 42L)
         .fit(vecs, "vec_id", "embedding")
@@ -81,6 +105,12 @@ object ScaleProbe {
     }
     time("exact text dedup stats (100k docs)") {
       graft.operators.Dedup.stats(docs, Seq("text")).collect()
+    }
+    time("decontamination join (100k train x 5k bench, df cap 1000)") {
+      graft.operators.TextDedup.contaminationPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", ngram = 3, minFrac = 0.5, maxShingleDf = 1000).count()
     }
 
     // 20M candidate rows (4k keys x 5k candidates) — the per-key top-k

@@ -112,4 +112,42 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("generate explode") || p.contains("Generate"), p)
     assert(p.contains("__salt"), p)
   }
+
+  test("PQ ADC join: query side broadcast, corpus never sort-merged, heap top-k") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf0001)
+    val pq = graft.ann.PqIndex(m = 8, seed = 42L).fit(e)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = pq.knnJoin(pq.encode(e).select("vec_id", "pq_code"), q, 10)
+      .queryExecution.executedPlan.toString
+    // the compressed corpus never enters a join: the query batch rides a
+    // broadcast variable into one mapPartitions scan with per-partition
+    // bounded heaps, then the global TopKPerKey merge
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
+  test("q66 morton codes stay a narrow projection over the scan (no exchange before sort)") {
+    val p = planOf("q66_zorder_codes")
+    // one TakeOrdered/Sort for the ORDER BY presentation; the code
+    // computation itself must not introduce a shuffle or a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q68 gopher metrics are a single-pass projection (no shuffle except final order)") {
+    val p = planOf("q68_gopher_metrics")
+    assert(!p.contains("Join"), p)
+    // exactly the presentation sort's exchange: rangepartitioning only
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(p).size
+    assert(exchanges === 0, s"unexpected non-sort exchange in:\n$p")
+  }
+
+  test("q69 decontamination: shingle equi-join then one compact pair aggregation") {
+    val p = planOf("q69_decontaminate")
+    // the shingle join may be broadcast at fixture scale; the pair agg
+    // must be partial (map-side combined) before its exchange
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
 }
