@@ -94,6 +94,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PQ refine with full-corpus shortlist ≡ exact brute force on random corpora") {
+    // the exact re-rank is total when the shortlist is the whole corpus,
+    // so the composition must equal brute force REGARDLESS of codebook
+    // quality — the invariant that makes shortlist width a pure
+    // recall/cost knob rather than a correctness parameter
+    samples(4).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding").cache()
+      val dim = rows.head._2.size
+      val n = rows.size
+      val pq = graft.ann.PqIndex(m = dim, seed = 7L).fit(df)
+      val queries = df.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val shortlist = pq.knnJoin(pq.encode(df).select("vec_id", "pq_code"), queries, n)
+        .select("query_id", "neighbor_id")
+      val refined = pq.refine(shortlist, df, queries, 5)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = KnnExact.knnBatch(df, queries, 5)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(refined === exact)
+    }
+  }
+
+  test("PQ ADC results: ids ⊆ corpus, |result| ≤ k, dists ascending and ≥ 0") {
+    samples(4).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val dim = rows.head._2.size
+      val ids = rows.map(_._1).toSet
+      val pq = graft.ann.PqIndex(m = dim, seed = 11L).fit(df)
+      val queries = df.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val res = pq.knnJoin(pq.encode(df).select("vec_id", "pq_code"), queries, 7)
+        .collect()
+      res.groupBy(_.getLong(0)).foreach { case (_, g) =>
+        assert(g.length <= 7)
+        val ds = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+        assert(ds.forall(_ >= 0.0))
+        assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      }
+      assert(res.map(_.getLong(1)).toSet.subsetOf(ids))
+    }
+  }
+
   test("salted join ≡ plain inner join on random data, any salt count") {
     samples(3).zip(Seq(1, 4, 16)).foreach { case (rows, salts) =>
       val large = rows.zipWithIndex
