@@ -826,6 +826,25 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Weighted domain mixing: per-group Bernoulli keep rates from a
+    // deterministic id hash — the "30% code, 60% web, 10% books"
+    // sampling step of a training-data mix. Zero shuffle (narrow
+    // filter), reproducible at any parallelism, and exact integer
+    // arithmetic both engines — unlike rand()-based sampling, the kept
+    // set is a pure function of (id, weights). Per-language rates here;
+    // group weights otherwise unrepresentable in the fixture.
+    "q72_weighted_mix" -> ((s, d) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000
+      val rate = when(col("lang") === "en", 900)
+        .when(col("lang") === "de", 500)
+        .otherwise(100)
+      Tables.documents(s, d)
+        .filter(h < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF scoring: tokens → per-doc term frequencies → document
     // frequencies → join back → tf·ln(N/df). Two shuffles (per-doc
     // tf, per-term df) + one broadcast-able join on the term — the
@@ -1784,6 +1803,13 @@ object SparkEntry {
            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
            FROM documents) t
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    "q72_weighted_mix" ->
+      """SELECT lang, count(*) AS n_kept
+         FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+           CASE WHEN lang = 'en' THEN 900
+                WHEN lang = 'de' THEN 500 ELSE 100 END
+         GROUP BY lang ORDER BY lang""",
     "q49_balanced_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -225,6 +225,41 @@ class EventStreamsSpec extends SparkSpec {
       s"bit-key dedup must keep -0.0 and drop the replay, got ${ids.toSeq}")
   }
 
+  test("streaming ingest composition: watermarked dedup → PQ encode on a live stream") {
+    // the full compressed-ingest shape: unbounded vector stream,
+    // duplicates dropped within the watermark, survivors encoded to
+    // m-byte PQ codes — dedup is the only stateful stage, the encode
+    // is a narrow stream-compatible projection
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_sing").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val batch = graft.sources.Tables.embeddings(spark, sf0001)
+    val pq = graft.ann.PqIndex(m = 8, seed = 42L).fit(batch)
+    def vec(seed: Int) = Array.tabulate(64)(i => (seed * 64 + i) / 4096.0f)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Array[Float])]) =
+      rows.toDF("vec_id", "ts", "embedding").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(Seq((1L, ts(0), vec(1)), (2L, ts(1), vec(2))))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = pq.encode(
+        EventStreams.dedupVectorsStreaming(stream, "embedding", "2 hours"))
+      .select("vec_id", "pq_code")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sing_test").start()
+    q.processAllAvailable()
+    write(Seq((3L, ts(2), vec(1)), (4L, ts(3), vec(4)))) // 3 = replay of 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_sing_test").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.keySet === Set(1L, 2L, 4L), s"got ${rows.keySet}")
+    // codes match the batch encoder bit for bit
+    assert(java.util.Arrays.equals(rows(1L), pq.encodeVec(vec(1))))
+    assert(java.util.Arrays.equals(rows(4L), pq.encodeVec(vec(4))))
+  }
+
   test("json props parse to integers") {
     val n = EventStreams.withParsedProps(Tables.events(spark, sf0001))
       .filter($"prop_k".isNotNull).count()
