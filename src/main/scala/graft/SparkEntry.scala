@@ -760,15 +760,27 @@ object SparkEntry {
     // engines, and rounding is where HALF_UP/HALF_EVEN ties would
     // diverge (verify-skill gotcha).
     "q68_gopher_metrics" -> ((s, d) => {
+      // tokenize and line-split ONCE per row (the q42 lesson: HOFs are
+      // CodegenFallback with no CSE), then derive every metric and the
+      // keep verdict from the materialized aliases
       GraftSession.widen(Tables.documents(s, d))
         .select(col("doc_id"),
           regexp_replace(col("text"), " table ", "\n").as("__aug"))
+        .select(col("doc_id"), col("__aug"),
+          TextAnalysis.docLines(col("__aug")).as("__ls"),
+          TextAnalysis.tokens(col("__aug")).as("__toks"))
         .select(col("doc_id"),
-          size(TextAnalysis.docLines(col("__aug"))).as("n_lines"),
-          TextAnalysis.dupLineRatio(col("__aug")).as("dup_line_ratio"),
+          size(col("__ls")).as("n_lines"),
+          TextAnalysis.dupLineRatioT(col("__ls")).as("dup_line_ratio"),
           TextAnalysis.symbolRatio(col("__aug")).as("symbol_ratio"),
-          TextAnalysis.alphaTokenRatio(col("__aug")).as("alpha_ratio"),
-          TextAnalysis.gopherKeep(col("__aug")).cast("int").as("keep"))
+          TextAnalysis.alphaTokenRatioT(col("__toks")).as("alpha_ratio"),
+          size(col("__toks")).as("__ntok"),
+          TextAnalysis.meanTokenLenT(col("__toks")).as("__meanlen"))
+        .select(col("doc_id"), col("n_lines"), col("dup_line_ratio"),
+          col("symbol_ratio"), col("alpha_ratio"),
+          TextAnalysis.gopherKeepFromMetrics(
+            col("__ntok"), col("__meanlen"), col("symbol_ratio"),
+            col("dup_line_ratio"), col("alpha_ratio")).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -789,11 +801,14 @@ object SparkEntry {
     // training pipeline needs. Knuth multiplicative hash of the id
     // (exact BIGINT arithmetic, engine-neutral), 90/10 by hash bucket:
     // reproducible at any parallelism, no RNG state, and a narrow
-    // codegen'd projection at 100 TB.
+    // codegen'd projection at 100 TB. The id is pre-reduced mod a prime
+    // so the multiply can never overflow BIGINT — 64-bit production ids
+    // would otherwise trip Spark's ANSI overflow check (and DuckDB's)
+    // at id ≈ 3.5e9.
     "q47_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("split",
-          when(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
+          when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
             .otherwise("val"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -817,7 +832,7 @@ object SparkEntry {
     // (per-group hash order ≈ uniform, reproducible across engines,
     // partitionings, and reruns — none of which holds for RNG sampling).
     "q49_balanced_sample" -> ((s, d) => {
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(4294967296L))
       Tables.documents(s, d)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))))
@@ -834,7 +849,7 @@ object SparkEntry {
     // set is a pure function of (id, weights). Per-language rates here;
     // group weights otherwise unrepresentable in the fixture.
     "q72_weighted_mix" -> ((s, d) => {
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(4294967296L)) % 1000
       val rate = when(col("lang") === "en", 900)
         .when(col("lang") === "de", 500)
         .otherwise(100)
@@ -927,7 +942,7 @@ object SparkEntry {
         .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       kept
         .withColumn("split",
-          when(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
+          when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(4294967296L)) % 100 < 90, "train")
             .otherwise("val"))
         .groupBy(col("split"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
@@ -1793,7 +1808,7 @@ object SparkEntry {
          CAST(ceil(octet_length(encode(text)) / 3.0) AS BIGINT) AS resized_bytes
          FROM documents ORDER BY media_id""",
     "q47_hash_split" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+      """SELECT CASE WHEN (doc_id % 1000003 * 2654435761) % 4294967296 % 100 < 90
            THEN 'train' ELSE 'val' END AS split,
          count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1806,14 +1821,14 @@ object SparkEntry {
     "q72_weighted_mix" ->
       """SELECT lang, count(*) AS n_kept
          FROM documents
-         WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+         WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 1000 <
            CASE WHEN lang = 'en' THEN 900
                 WHEN lang = 'de' THEN 500 ELSE 100 END
          GROUP BY lang ORDER BY lang""",
     "q49_balanced_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+             ORDER BY (doc_id % 1000003 * 2654435761) % 4294967296, doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, doc_id""",
     // q71: chunk layout is pure integer arithmetic on the token count —
@@ -1889,7 +1904,7 @@ object SparkEntry {
            SELECT g.doc_id, g.lang_pred, g.n_tokens
            FROM g LEFT JOIN comp ON g.doc_id = comp.node
            WHERE comp.cluster IS NULL OR comp.cluster = g.doc_id)
-         SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+         SELECT CASE WHEN (doc_id % 1000003 * 2654435761) % 4294967296 % 100 < 90
              THEN 'train' ELSE 'val' END AS split,
            lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM kept GROUP BY split, lang_pred ORDER BY split, lang_pred""",

@@ -172,6 +172,11 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
     * shape scans the same pairs in ~seconds. For query sets too large to
     * collect, use [[knnJoinIvf]] (both sides stay distributed).
     *
+    * CONTRACT: ids on both sides must be non-null numerics (they are
+    * cast to LONG — the engine-wide id type, see
+    * [[graft.api.VectorRecord]]); query ids must be unique (the top-k
+    * merge groups by query id, as in every kNN backend).
+    *
     * Returns (query_id, neighbor_id, dist, rank) with `dist` the ADC
     * approximation of squared euclidean. For exact distances on the
     * survivors use [[refine]].
@@ -252,10 +257,16 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
     val model = this
     // The ADC table is NOT carried through the join as a column — a
     // joined-row UDF would re-materialize 2048 doubles per candidate
-    // row. The query row carries only (id, qvec); each executor builds
-    // a query's table once on first sight and caches it by id (the map
-    // starts empty on every executor — ConcurrentHashMap serializes
-    // its contents, which are none at closure-capture time).
+    // row. The query row carries only (id, qvec); each TASK builds a
+    // query's table on first sight and caches it by id (the map starts
+    // empty in every task — ConcurrentHashMap serializes its contents,
+    // which are none at closure-capture time — so reuse is per-task,
+    // which is where the candidate fan-out lives).
+    // CONTRACT (all kNN-join backends): query ids must be unique — the
+    // shared dedupTopK tail merges candidates BY query id, so two
+    // different vectors sharing an id were never distinguishable; here
+    // a duplicate id would additionally score against the first-seen
+    // vector's table.
     val tableCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
     val score = udf { (qid: Long, qv: Seq[Float], code: Array[Byte]) =>
       var t = tableCache.get(qid)

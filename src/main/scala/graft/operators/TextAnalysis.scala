@@ -41,12 +41,7 @@ object TextAnalysis {
   }
 
   /** Mean token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(toks).cast("double"))
-  }
+  def meanTokenLen(text: Column): Column = meanTokenLenT(tokens(text))
 
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -163,11 +158,7 @@ object TextAnalysis {
   /** Fraction of lines that are duplicates of an earlier line —
     * 1 − distinct/total (0 for ≤1 line). Boilerplate/template pages
     * score high. */
-  def dupLineRatio(text: Column): Column = {
-    val ls = docLines(text)
-    when(size(ls) <= 1, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
-  }
+  def dupLineRatio(text: Column): Column = dupLineRatioT(docLines(text))
 
   /** Fraction of characters outside [A-Za-z0-9 ] — markup/symbol soup
     * detector. */
@@ -177,20 +168,46 @@ object TextAnalysis {
         .cast("double") / length(text))
 
   /** Fraction of tokens containing at least one ASCII letter. */
-  def alphaTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def alphaTokenRatio(text: Column): Column = alphaTokenRatioT(tokens(text))
+
+  /** [[alphaTokenRatio]] over a materialized token array — see the
+    * `…T` convention (stopwordRatioT): HOFs are CodegenFallback with no
+    * CSE, so hot callers tokenize once and pass the alias. */
+  def alphaTokenRatioT(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
-  }
+
+  /** [[dupLineRatio]] over a materialized non-empty-line array. */
+  def dupLineRatioT(ls: Column): Column =
+    when(size(ls) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+
+  /** [[meanTokenLen]] over a materialized token array. */
+  def meanTokenLenT(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+
+  /** Gopher keep/drop from PRE-COMPUTED metric columns (the scale
+    * form — one tokenization, one line split per row; q68 shape). */
+  def gopherKeepFromMetrics(
+      nTok: Column, meanLen: Column, symRatio: Column,
+      dupRatio: Column, alphaRatio: Column,
+      minTokens: Int = 10, maxTokens: Int = 100000): Column =
+    nTok.between(minTokens, maxTokens) &&
+      meanLen.between(1.0, 12.0) &&
+      symRatio <= 0.2 &&
+      dupRatio <= 0.3 &&
+      alphaRatio >= 0.8
 
   /** Gopher-style keep/drop: token count in range, words look like
     * words, not symbol soup, not line-repetitive. Thresholds are the
-    * published Gopher rules' shape, tunable per corpus. */
+    * published Gopher rules' shape, tunable per corpus. Convenience
+    * form — re-expands the tokenization per metric; hot paths
+    * materialize tokens/lines once and use [[gopherKeepFromMetrics]]. */
   def gopherKeep(text: Column,
       minTokens: Int = 10, maxTokens: Int = 100000): Column =
-    tokenCount(text).between(minTokens, maxTokens) &&
-      meanTokenLen(text).between(1.0, 12.0) &&
-      symbolRatio(text) <= 0.2 &&
-      dupLineRatio(text) <= 0.3 &&
-      alphaTokenRatio(text) >= 0.8
+    gopherKeepFromMetrics(
+      tokenCount(text), meanTokenLen(text), symbolRatio(text),
+      dupLineRatio(text), alphaTokenRatio(text), minTokens, maxTokens)
 }

@@ -278,7 +278,9 @@ object TextDedup {
     * Shape: explode distinct shingles on both sides, equi-join on the
     * shingle, count per pair — the standard MapReduce decontamination
     * join. Two shuffles: the shingle join and the compact
-    * (train, bench) pair count. `maxShingleDf` (0 = off) drops
+    * (train, bench) pair count (the optional df cap adds a third,
+    * compact one: partially-aggregated shingle counts). `maxShingleDf`
+    * (0 = off) drops
     * shingles occurring in more than that many TRAIN docs before the
     * join — stop-phrase shingles ("of the united states") otherwise
     * produce quadratic join blowup at corpus scale; a shingle that
@@ -295,9 +297,19 @@ object TextDedup {
     val t =
       if (maxShingleDf <= 0) t0
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        t0.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxShingleDf).drop("__df")
+        // the cap must not itself hit the skew it guards against: a
+        // window partitioned by shingle would land ALL of a hot
+        // stop-phrase's rows on one task just to discard them. Instead
+        // aggregate document frequencies with map-side partial counts
+        // (compact (shingle, count) rows cross the shuffle), keep only
+        // the over-cap shingles — a small set by construction,
+        // |hot| ≤ Σdf/cap — and broadcast-anti-join them out: the hot
+        // rows die in a narrow filter, never concentrating anywhere.
+        val hot = t0.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select(col("sh"))
+        t0.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     val b = bench.select(col(idCol).as("bench_id"),
         array_distinct(shingles(col(textCol), ngram)).as("shs"))

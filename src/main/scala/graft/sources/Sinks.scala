@@ -50,13 +50,26 @@ object Sinks {
   def mortonCode2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    // fail loud on out-of-range inputs instead of silently truncating:
+    // a key ≥ 2^bits would alias with keys 2^bits apart and quietly
+    // destroy the bounding-box property the layout exists for (callers
+    // with wider keys mask explicitly, e.g. q66's p_partkey % 65536);
+    // negatives would sign-extend through shiftright into garbage.
+    val max = 1L << bits
+    def checked(c: org.apache.spark.sql.Column) = {
+      val l = c.cast("long")
+      when(l < 0 || l >= max, raise_error(concat(
+        lit(s"mortonCode2: input outside [0, $max): "), l.cast("string"))))
+        .otherwise(l)
+    }
+    val (cx, cy) = (checked(x), checked(y))
     def bit(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
         off: Int) =
       call_function("shiftleft",
-        call_function("shiftright", c.cast("long"), i).bitwiseAND(lit(1L)),
+        call_function("shiftright", c, i).bitwiseAND(lit(1L)),
         i * 2 + lit(off))
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc + bit(x, i, 0) + bit(y, i, 1))
+      (acc, i) => acc + bit(cx, i, 0) + bit(cy, i, 1))
   }
 
   /** Z-ordered parquet: a total sort by the interleaved code gives each

@@ -191,8 +191,8 @@ object EventStreams {
     * One shuffle on the key, same as batch dedup.
     */
   def dedupStreaming(events: DataFrame, keys: Seq[String],
-      delay: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", delay)
+      delay: String = "30 minutes", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming bit-exact VECTOR dedup: the batch `Dedup.exactVectors`
@@ -202,11 +202,11 @@ object EventStreams {
     * normalize away), eviction by watermark as above. Rows must carry
     * an event-time column `ts`. */
   def dedupVectorsStreaming(vectors: DataFrame, vecCol: String,
-      delay: String = "30 minutes"): DataFrame =
+      delay: String = "30 minutes", tsCol: String = "ts"): DataFrame =
     dedupStreaming(
       vectors.withColumn("__bitkey",
         graft.functions.VectorFunctions.floatBitsKey(col(vecCol))),
-      Seq("__bitkey"), delay)
+      Seq("__bitkey"), delay, tsCol)
       .drop("__bitkey")
 
   /** Replay the events parquet through a real streaming query into a
