@@ -42,10 +42,23 @@ object GraftSession {
   /** Register graft's native SQL functions (usable from spark.sql). */
   def registerFunctions(s: SparkSession): Unit = {
     import graft.functions.{CosineSimilarity, DotProduct, SqEucDistance}
+    import org.apache.spark.sql.GraftBridge
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sq_euc_dist", es => SqEucDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+    // Column-composition operators exposed to the SQL frontend: the
+    // builder re-wraps the argument expressions as Columns, applies the
+    // same composition the DataFrame API uses (single source of
+    // semantics), and unwraps — the Analyzer resolves the result like
+    // any hand-written expression tree.
+    reg.createOrReplaceTempFunction("morton_code", es => GraftBridge.resolvedExpression(
+      graft.sources.Sinks.mortonCode2(GraftBridge.column(es(0)), GraftBridge.column(es(1)))),
+      "built-in")
+    reg.createOrReplaceTempFunction("redact_pii", es => GraftBridge.resolvedExpression(
+      graft.operators.TextAnalysis.redactPii(GraftBridge.column(es(0)))), "built-in")
+    reg.createOrReplaceTempFunction("sq8_scale", es => GraftBridge.resolvedExpression(
+      graft.functions.VectorFunctions.sq8Scale(GraftBridge.column(es(0)))), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

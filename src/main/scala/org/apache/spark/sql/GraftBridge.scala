@@ -11,6 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Eager ColumnNode→Expression conversion. [[expression]] wraps the
+    * node lazily (fine inside DataFrame plans, where the session
+    * converts at analysis); a FunctionRegistry builder must return a
+    * REAL expression tree — a lazy wrapper survives into physical
+    * planning as an Unevaluable and fails codegen. */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

@@ -59,6 +59,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("SQL registration: morton_code / redact_pii / sq8_scale callable from spark.sql") {
+    graft.GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT morton_code(3, 5) AS z," +
+        " redact_pii('mail a@b.co now') AS red," +
+        " sq8_scale(array(0.0F, -1.27F)) AS s").head()
+    // x=3 fills even bit lanes 0,2 → 1+4; y=5 fills odd lanes 1,5 → 2+32
+    assert(r.getLong(0) === 39L)
+    assert(r.getString(1) === "mail <EMAIL> now")
+    assert(r.getDouble(2) === 1.27f.toDouble / 127.0) // f32 widened, then /127
+  }
+
   test("floatBits array form matches floatToIntBits per component") {
     val df = Seq(Tuple1(Array(1.5f, -2.25f))).toDF("v")
     val got = df.select(floatBits($"v")).head().getSeq[Int](0)
