@@ -1155,6 +1155,112 @@ object SparkEntry {
       Multimodal.resize(media, factor = 3)
         .select(col("media_id"), col("meta.n_bytes").as("resized_bytes"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- Curation additions (round 5): LM scoring, span-dup metrics,
+    //      dimensionality reduction, semantic dedup ----
+
+    // Unigram-LM quality score (CCNet-style perplexity proxy): corpus
+    // token counts → per-doc mean ln p(token). One vocab agg (partial
+    // combine), one token join, one per-doc agg.
+    "q73_unigram_logprob" -> ((s, d) => {
+      graft.operators.UnigramLm.score(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-doc duplicated-span ratio (exact substring-dup metric, Lee
+    // et al. 2022): fraction of each doc's distinct 3-gram spans that
+    // occur in ≥1 other document.
+    "q76_dup_spans" -> ((s, d) => {
+      TextDedup.dupShingleStats(Tables.documents(s, d), "doc_id", "text", ngram = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sparse random projection (Achlioptas / Johnson–Lindenstrauss):
+    // 64 → 8 dims through a deterministic integer-arithmetic ±1 matrix.
+    // The kernel is a narrow codegen'd map (no shuffle); the oracle
+    // regenerates the same matrix from the same LCG in SQL. Output
+    // exploded to scalar (vec_id, k, y) rows for the driver's compare.
+    "q75_random_projection" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.RandomProjection.project(col("embedding"), 64, 8))
+            .as(Seq("k", "y")))
+        .select(col("vec_id"), col("k").cast("int").as("k"),
+          round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"), col("k"))
+    }),
+
+    // Per-dimension corpus statistics — the calibration pass scalar
+    // quantization (q65) and whitening need: one narrow posexplode +
+    // one 64-group aggregation with map-side combine.
+    "q77_dim_stats" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("x")), 4).as("mean"),
+          round(stddev_samp(col("x")), 4).as("std"),
+          min(col("x")).cast("double").as("mn"),
+          max(col("x")).cast("double").as("mx"))
+        .orderBy(col("dim"))
+    }),
+
+    // SemDeDup: IVF-cell-blocked cosine components, one representative
+    // per cluster (seeded quantizer ⇒ deterministic, but kmeans is not
+    // SQL-expressible → rows-only driver check; semantics pinned in
+    // SemanticDedupSpec).
+    "q74_semantic_dedup" -> ((s, d) => {
+      // τ = 0.4 matches q33's near-dup threshold on this fixture
+      // (synthetic embeddings — real corpora use ~0.95+)
+      graft.operators.SemanticDedup.survivors(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, nlist = 16)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // BM25 keyword relevance (the lexical leg of hybrid search): query
+    // = first 5 tokens of doc 0, scored over the whole corpus.
+    "q78_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      graft.operators.Bm25.score(docs, terms)
+        .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid search: BM25 rank ⊕ cosine rank fused by reciprocal-rank
+    // fusion (rrf = Σ 1/(60+rank)) — the standard lexical+vector serving
+    // query. Ranks are per-query global windows (a multi-query batch
+    // partitions the window by query id); rrf is exact rational
+    // arithmetic over integer ranks, so the fused ordering hashes
+    // identically across engines.
+    "q79_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      val bm = graft.operators.Bm25.score(docs, terms)
+      val rb = docs.select(col("doc_id"))
+        .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
+        .withColumn("rank_bm25",
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+      val rc = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), col("__qvec")).as("cos"))
+        .withColumn("rank_cos",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      rb.join(rc, "doc_id")
+        .withColumn("rrf", round(
+          lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_cos")), 6))
+        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -1954,6 +2060,112 @@ object SparkEntry {
            FROM o)
          SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
            min(ts) AS start_ts, max(ts) AS end_ts
-         FROM s GROUP BY user_id, sess_id ORDER BY user_id, start_ts"""
+         FROM s GROUP BY user_id, sess_id ORDER BY user_id, start_ts""",
+    "q73_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / total.total)), 4) AS logprob_avg
+         FROM toks JOIN counts USING (token), total
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q76_dup_spans" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
+         SELECT ex.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+         FROM ex JOIN df USING (sh)
+         GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "q75_random_projection" ->
+      """WITH sig AS (
+           SELECT k, j,
+             CASE (((1103515245*(k*64+j)+12345) % 2147483648) // 65536) % 6
+               WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS s
+           FROM range(8) t1(k), range(64) t2(j))
+         SELECT e.vec_id, CAST(sig.k AS INTEGER) AS k,
+           round(sum(sig.s * CAST(e.embedding[CAST(sig.j AS INTEGER)+1] AS DOUBLE))
+             * sqrt(3.0/8), 4) AS y
+         FROM embeddings e, sig
+         GROUP BY e.vec_id, sig.k ORDER BY vec_id, k""",
+    "q77_dim_stats" ->
+      """SELECT CAST(j AS INTEGER) AS dim, count(*) AS n,
+           round(avg(CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE)), 4) AS mean,
+           round(stddev_samp(CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE)), 4) AS std,
+           CAST(min(embedding[CAST(j AS INTEGER)+1]) AS DOUBLE) AS mn,
+           CAST(max(embedding[CAST(j AS INTEGER)+1]) AS DOUBLE) AS mx
+         FROM embeddings, range(64) t(j)
+         GROUP BY j ORDER BY dim""",
+    // constants cast to DOUBLE (DuckDB parses bare 1.2 as DECIMAL);
+    // expression structure mirrors Bm25.score term-for-term so both
+    // engines run the identical IEEE arithmetic
+    "q78_bm25" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
+    "q79_hybrid_rrf" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (
+           SELECT tf.doc_id,
+             sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl))) AS bm25
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+           GROUP BY tf.doc_id),
+         rb AS (
+           SELECT d.doc_id, row_number() OVER (
+             ORDER BY coalesce(bm.bm25, 0.0::DOUBLE) DESC, d.doc_id) AS rank_bm25
+           FROM documents d LEFT JOIN bm USING (doc_id)),
+         rc AS (
+           SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+             vec_id) AS rank_cos
+           FROM embeddings)
+         SELECT doc_id, rank_bm25, rank_cos,
+           round(1.0::DOUBLE / (60 + rank_bm25) + 1.0::DOUBLE / (60 + rank_cos), 6) AS rrf
+         FROM rb JOIN rc USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 20"""
   )
 }

@@ -322,4 +322,37 @@ object TextDedup {
       .filter(col("frac") >= minFrac)
       .select(col("train_id"), col("bench_id"), col("n_common"), col("frac"))
   }
+
+  /** Per-document duplicated-span metrics — the per-doc view of exact
+    * substring duplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): for every document, the
+    * fraction of its distinct n-gram spans that also occur in at least
+    * one OTHER document. High-ratio docs are boilerplate / template
+    * copies that near-dup pair mining (whole-doc Jaccard) can miss when
+    * the shared spans sit inside otherwise-distinct documents; pipelines
+    * threshold on `dup_ratio` or route high scorers to span-level
+    * scrubbing.
+    *
+    * Shape: explode distinct shingles (narrow), document-frequency
+    * aggregation with map-side partial counts (compact (shingle, df)
+    * rows cross the shuffle), one equi-join back, one per-doc agg.
+    * Same skew discipline as [[contaminationPairs]]: df is computed by
+    * aggregation, never a per-shingle window, so a hot boilerplate
+    * shingle costs one combine tree, not one giant task. At 100 TB swap
+    * [[shingles]] for [[shingleHashes]] (8-byte join keys). */
+  def dupShingleStats(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+    // distinct docs per shingle == row count per shingle (ex is distinct
+    // per doc by construction) — a plain count, partial-agg friendly
+    val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ex.join(df, "sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_shingles") / col("n_shingles"), 4))
+  }
 }

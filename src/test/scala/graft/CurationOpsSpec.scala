@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RandomProjection
+import graft.operators.{SemanticDedup, TextDedup, UnigramLm}
+import graft.sources.Tables
+
+/** Round-5 curation operators: unigram-LM scoring, duplicated-span
+  * metrics, sparse random projection, SemDeDup. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001).cache()
+  lazy val embs = Tables.embeddings(spark, sf0001).cache()
+
+  // ---- UnigramLm ----
+
+  test("unigram logprob: hand-computed corpus") {
+    // corpus tokens: a a a b  →  p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val r = UnigramLm.score(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((3L, BigDecimal(math.log(0.75)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r(2L) === ((1L, BigDecimal(math.log(0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("unigram logprob: OOV tokens drop from the mean on a reference corpus") {
+    val ref = Seq((1L, "a b")).toDF("doc_id", "text")
+    val scored = UnigramLm.scoreAgainst(Seq((9L, "a zzz")).toDF("doc_id", "text"), ref)
+      .collect().head
+    // only "a" scores (p = 1/2); zzz is OOV and dropped
+    assert(scored.getLong(1) === 1L)
+    assert(math.abs(scored.getDouble(2) - math.log(0.5)) < 1e-4)
+  }
+
+  // ---- dupShingleStats ----
+
+  test("dup spans: duplicated shingles across docs detected, self-only shingles not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sits"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val r = TextDedup.dupShingleStats(df, "doc_id", "text", 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // docs 1/2 share exactly the shingle "the quick brown"
+    assert(r(1L) === ((3L, 1L)))
+    assert(r(2L) === ((3L, 1L)))
+    assert(r(3L) === ((2L, 0L)))
+  }
+
+  test("dup spans: fixture docs with near-dup pairs have nonzero dup ratio") {
+    val pairs = TextDedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+    val stats = TextDedup.dupShingleStats(docs, "doc_id", "text", 3)
+    val zeroAmongPaired = stats.join(pairs, "doc_id")
+      .filter($"n_dup_shingles" === 0L).count()
+    assert(pairs.count() > 0)
+    assert(zeroAmongPaired === 0, "a doc with a >0.5-Jaccard partner must share spans")
+  }
+
+  // ---- Bm25 ----
+
+  test("bm25: hand-computed two-doc corpus") {
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val terms = Seq("a", "zzz").toDF("term") // zzz matches nothing
+    val r = graft.operators.Bm25.score(df, terms).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.keySet === Set(1L)) // doc 2 matches no term → absent
+    val (nMatched, score) = r(1L)
+    assert(nMatched === 1L)
+    // N=2, avgdl=2.5, tf=2, dl=3, df=1, k1=1.2, b=0.75
+    val idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    val expected = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.5))
+    assert(math.abs(score - expected) < 1e-12, s"$score vs $expected")
+  }
+
+  test("bm25: rarer matched term outweighs common one at equal tf/dl") {
+    // 4 docs; "rare" in 1 doc, "common" in 3 — idf monotonicity
+    val df = Seq(
+      (1L, "rare x y"), (2L, "common x y"), (3L, "common y z"), (4L, "common z w"))
+      .toDF("doc_id", "text")
+    val terms = Seq("rare", "common").toDF("term")
+    val scores = graft.operators.Bm25.score(df, terms).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  // ---- RandomProjection ----
+
+  test("sign matrix: deterministic, roughly 1/3 nonzero, balanced signs") {
+    val m = RandomProjection.signMatrix(16, 64)
+    assert(m === RandomProjection.signMatrix(16, 64))
+    val flat = m.flatten
+    val nonzero = flat.count(_ != 0)
+    assert(nonzero > flat.length / 5 && nonzero < flat.length / 2,
+      s"nonzero fraction ${nonzero.toDouble / flat.length} outside (0.2, 0.5)")
+    val pos = flat.count(_ == 1); val neg = flat.count(_ == -1)
+    assert(math.abs(pos - neg) < flat.length / 8, s"signs unbalanced: +$pos vs -$neg")
+  }
+
+  test("projection matches a naive per-row reference computation") {
+    val rows = embs.limit(5).select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val projected = embs.limit(5)
+      .select($"vec_id", RandomProjection.project($"embedding", 64, 8).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val m = RandomProjection.signMatrix(8, 64)
+    val scale = math.sqrt(3.0 / 8)
+    for ((id, v) <- rows; k <- 0 until 8) {
+      var acc = 0.0
+      for (j <- 0 until 64) if (m(k)(j) != 0) acc += m(k)(j) * v(j).toDouble
+      assert(projected(id)(k) === acc * scale, s"vec $id lane $k")
+    }
+  }
+
+  test("JL property: mean squared-norm ratio near 1 at dOut=16 on the fixture") {
+    val ratios = embs
+      .select(
+        aggregate(transform($"embedding", x => x * x), lit(0.0d), (a, x) => a + x).as("orig"),
+        aggregate(RandomProjection.project($"embedding", 64, 16), lit(0.0d),
+          (a, x) => a + x * x).as("proj"))
+      .select(($"proj" / $"orig").as("r")).as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    // E[ratio] = 1 under the Achlioptas scaling; fixed seed ⇒ deterministic
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+  }
+
+  // ---- SemanticDedup ----
+
+  test("semantic dedup: deterministic, partitions the corpus, survivors non-similar") {
+    // q33's near-dup threshold on the synthetic fixture: cos ≥ 0.4
+    // pairs exist (59 at sf0.01), so the dedup actually drops rows and
+    // the assertions below are non-vacuous
+    val τ = 0.4
+    val s1 = SemanticDedup.survivors(embs, "vec_id", "embedding", τ, nlist = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    val s2 = SemanticDedup.survivors(embs, "vec_id", "embedding", τ, nlist = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(s1 === s2, "seeded quantizer must make dedup deterministic")
+    val n = embs.count()
+    assert(s1.size.toLong <= n && s1.nonEmpty)
+
+    // no two survivors in the same cell may still be τ-similar: such a
+    // pair would be one component, of which only the min id survives
+    val pairs = SemanticDedup.cellPairs(embs, "vec_id", "embedding", τ, nlist = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val survivingPairs = pairs.filter { case (a, b) => s1(a) && s1(b) }
+    assert(survivingPairs.isEmpty, s"τ-similar survivor pairs: ${survivingPairs.take(5).toSeq}")
+
+    // every dropped row is τ-similar (within its cell) to at least one row
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val droppedIds = embs.select($"vec_id").as[Long].collect().toSet -- s1
+    assert(droppedIds.subsetOf(inPairs), "a dropped row must appear in a near-dup pair")
+  }
+}
