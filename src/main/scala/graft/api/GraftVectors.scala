@@ -113,6 +113,30 @@ object GraftVectors {
   def trainPq(ds: Dataset[VectorRecord], m: Int = 8, seed: Long = 42L): PqModel =
     PqIndex(m, seed).fit(ds.toDF(), "embedding")
 
+  /** Johnson–Lindenstrauss reduction of the embedding column (sparse
+    * Achlioptas projection, deterministic — see
+    * [[graft.functions.RandomProjection]]): the pre-step that shrinks
+    * every downstream kernel and shuffle by dOut/dIn. Narrow, no
+    * shuffle. */
+  def project(ds: Dataset[VectorRecord], dIn: Int, dOut: Int): Dataset[VectorRecord] = {
+    import ds.sparkSession.implicits._
+    ds.toDF().select(col("id"), col("word"),
+      graft.functions.RandomProjection.project(col("embedding"), dIn, dOut)
+        .cast("array<float>").as("embedding"))
+      .as[VectorRecord]
+  }
+
+  /** SemDeDup: drop all but one representative of every intra-cell
+    * cosine near-dup cluster (see [[graft.operators.SemanticDedup]]).
+    * Deterministic for a fixed seed. */
+  def semanticDedup(ds: Dataset[VectorRecord], threshold: Double,
+      nlist: Int = 16, seed: Long = 42L): Dataset[VectorRecord] = {
+    import ds.sparkSession.implicits._
+    graft.operators.SemanticDedup.survivors(
+      ds.toDF(), "id", "embedding", threshold, nlist, seed)
+      .select(col("id"), col("word"), col("embedding")).as[VectorRecord]
+  }
+
   /** Approximate k-NN over the compressed corpus with exact re-rank of
     * a `shortlist`-wide ADC candidate set. Encodes on the fly — persist
     * `pq.encode(corpus)` once for a standing corpus instead. */

@@ -125,6 +125,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
   }
 
+  // ---- typed facade ----
+
+  test("GraftVectors.project and semanticDedup operate on the typed surface") {
+    import graft.api.{GraftVectors, VectorRecord}
+    val recs = embs.limit(50)
+      .select($"vec_id".as("id"), concat(lit("w"), $"vec_id").as("word"), $"embedding")
+      .as[VectorRecord]
+    val projected = GraftVectors.project(recs, 64, 16).collect()
+    assert(projected.length === 50 && projected.forall(_.embedding.length === 16))
+    val kept = GraftVectors.semanticDedup(recs, threshold = 0.4, nlist = 4)
+    assert(kept.collect().forall(_.embedding.length === 64))
+    assert(kept.count() <= 50)
+  }
+
   // ---- SemanticDedup ----
 
   test("semantic dedup: deterministic, partitions the corpus, survivors non-similar") {

@@ -150,4 +150,31 @@ class PlanSpec extends SparkSpec {
     // must be partial (map-side combined) before its exchange
     assert(p.contains("partial_count") || p.contains("partial_"), p)
   }
+
+  test("q75 random projection is a narrow map — no exchange except the presentation sort") {
+    val p = planOf("q75_random_projection")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(p).size
+    assert(exchanges === 0, s"unexpected non-sort exchange in:\n$p")
+  }
+
+  test("q78 BM25: query-term table broadcast, tf/df aggregation partial") {
+    val p = planOf("q78_bm25")
+    // the terms join must broadcast (it pre-filters the token explode);
+    // the corpus side must never sort-merge against 5 terms
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("q73 unigram LM: vocab aggregation partial before its exchange") {
+    val p = planOf("q73_unigram_logprob")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("q76 dup spans: document-frequency via partial aggregation, not a window") {
+    val p = planOf("q76_dup_spans")
+    assert(!p.contains("Window"), "df must be an agg, never a per-shingle window")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
 }
