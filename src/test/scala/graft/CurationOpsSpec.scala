@@ -58,6 +58,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(zeroAmongPaired === 0, "a doc with a >0.5-Jaccard partner must share spans")
   }
 
+  test("unigram logprob bounds: always ≤ 0; all-modal-token docs score highest (random corpora)") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val vocab = (0 until 20).map(i => s"t$i")
+      val corpus = (0L until 40L).map { id =>
+        (id, Seq.fill(rng.nextInt(20) + 1)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val scored = UnigramLm.score(df)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(scored.values.forall(_ <= 0.0), "ln p ≤ 0 always")
+      // a doc of only the modal token must score ≥ every other doc
+      val toks = corpus.flatMap(_._2.split(" "))
+      val modal = toks.groupBy(identity).maxBy { case (t, xs) => (xs.size, t) }._1
+      val pure = corpus.filter(_._2.split(" ").forall(_ == modal)).map(_._1)
+      pure.foreach { id =>
+        assert(scored(id) >= scored.values.max - 1e-9, s"pure-modal doc $id not maximal")
+      }
+    }
+  }
+
   // ---- Bm25 ----
 
   test("bm25: hand-computed two-doc corpus") {
