@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 keyword relevance — the lexical half of hybrid search.
@@ -41,10 +41,63 @@ object Bm25 {
     tf.join(broadcast(df), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("w",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * (col("tf") * lit(k1 + 1.0))
-          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+  }
+
+  /** The BM25 term weight (one formula shared by both the ad-hoc and
+    * the indexed path, so their scores agree exactly). */
+  private def weight(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column, k1: Double, b: Double): Column =
+    log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+      (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
+
+  /** Build a STANDING inverted index for recurring queries — the
+    * lexical analog of the routed ANN bucket table: pay the corpus
+    * shuffle once at write, serve every later query from the layout.
+    *
+    * Three tables: `<name>_postings` (term, doc, tf, dl — dl
+    * denormalized so query time needs no per-doc join), bucketed AND
+    * sorted by term so a term-equality query reads only matching
+    * buckets (bucket pruning: `SelectedBucketsCount` in the scan);
+    * `<name>_terms` (term, df); `<name>_stats` (n_docs, avgdl). */
+  def buildIndex(docs: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val postings = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+    graft.sources.Sinks.parquetBucketed(
+      postings, s"${name}_postings", buckets, Seq("term"), Seq("term"))
+    graft.sources.Sinks.parquetBucketed(
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      s"${name}_terms", buckets, Seq("term"), Seq("term"))
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** Score a bag-of-terms query against a standing index built by
+    * [[buildIndex]]. The terms arrive as a literal IN filter (they are
+    * query parameters, not data), so the postings scan bucket-prunes to
+    * the terms' buckets and nothing corpus-sized shuffles — the serving
+    * cost is (matched postings) + a per-doc aggregation of the hits.
+    * Scores equal [[score]] on the same corpus (shared weight formula;
+    * specced). */
+  def scoreIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queryTerms: Seq[String], idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    val p = spark.table(s"${name}_postings").filter(col("term").isin(terms: _*))
+    val d = spark.table(s"${name}_terms").filter(col("term").isin(terms: _*))
+    p.join(broadcast(d), "term")
+      .crossJoin(broadcast(spark.table(s"${name}_stats")))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
   }

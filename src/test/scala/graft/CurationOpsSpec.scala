@@ -95,6 +95,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(score - expected) < 1e-12, s"$score vs $expected")
   }
 
+  test("bm25 standing index: bucket-pruned serving scores equal the ad-hoc path") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text")
+    Bm25.buildIndex(docsDf, "graft_bm25_idx", buckets = 8)
+    try {
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(explode(slice(graft.operators.TextAnalysis.tokens($"text"), 1, 5)).as("t"))
+        .as[String].collect().toSeq
+      val indexed = Bm25.scoreIndexed(spark, "graft_bm25_idx", qTerms)
+      // the serving win: the postings scan reads only the terms' buckets
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val adhoc = rows(Bm25.score(docsDf, qTerms.toDF("term")))
+      val idx = rows(indexed)
+      assert(adhoc.length === idx.length && adhoc.nonEmpty)
+      // shared weight formula, same inputs — only the per-doc sum order
+      // may differ between the two plans
+      adhoc.zip(idx).foreach { case ((d1, n1, s1), (d2, n2, s2)) =>
+        assert(d1 === d2 && n1 === n2 && math.abs(s1 - s2) < 1e-9, s"doc $d1")
+      }
+    } finally {
+      Seq("postings", "terms", "stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_idx_$t"))
+    }
+  }
+
   test("bm25: rarer matched term outweighs common one at equal tf/dl") {
     // 4 docs; "rare" in 1 doc, "common" in 3 — idf monotonicity
     val df = Seq(
