@@ -35,9 +35,19 @@ object ScaleProbeR5 {
     }
     val terms = docs.filter(col("doc_id") === 0)
       .select(explode(slice(graft.operators.TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
-    time("BM25 (100k docs, 5-term query)") {
+    time("BM25 ad-hoc (100k docs, 5-term query)") {
       graft.operators.Bm25.score(docs, terms).count()
     }
+    val qTerms = terms.collect().map(_.getString(0)).toSeq
+    time("BM25 buildIndex (100k docs, 32 buckets — one-time)") {
+      graft.operators.Bm25.buildIndex(docs, "graft_probe_bm25", 32)
+    }
+    time("BM25 scoreIndexed x5 (bucket-pruned serving)") {
+      (1 to 5).foreach(_ =>
+        graft.operators.Bm25.scoreIndexed(spark, "graft_probe_bm25", qTerms).count())
+    }
+    Seq("postings", "terms", "stats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_probe_bm25_$t"))
 
     val vecs = spark.range(200000).select(
       col("id").as("vec_id"),
