@@ -1261,6 +1261,21 @@ object SparkEntry {
         .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Batch BM25 — many queries served in one plan: corpus-side tf/df
+    // computed once over the term union, per-query fan-out via a
+    // broadcast of the tiny (query_id, term) table. Queries = first 5
+    // tokens of docs 0/1/2.
+    "q80_bm25_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id").isin(0, 1, 2))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      graft.operators.Bm25.scoreBatch(docs, queries)
+        .select(col("query_id"), col("doc_id"), col("n_matched"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("query_id"), col("doc_id"))
     })
   )
 
@@ -2166,6 +2181,30 @@ object SparkEntry {
          SELECT doc_id, rank_bm25, rank_cos,
            round(1.0::DOUBLE / (60 + rank_bm25) + 1.0::DOUBLE / (60 + rank_cos), 6) AS rrf
          FROM rb JOIN rc USING (doc_id)
-         ORDER BY rrf DESC, doc_id LIMIT 20"""
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q80_bm25_batch" ->
+      """WITH q AS (
+           SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id IN (0, 1, 2)),
+         allterms AS (SELECT DISTINCT term FROM q),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN allterms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT q.query_id, tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) JOIN q USING (term), stats
+         GROUP BY q.query_id, tf.doc_id ORDER BY query_id, doc_id"""
   )
 }

@@ -47,6 +47,38 @@ object Bm25 {
       .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
   }
 
+  /** Batch form — the realistic serving workload: `queries` holds
+    * (query_id, term) rows for many bag-of-terms queries at once. The
+    * corpus-side work (term-filtered tf, df, dl) is computed ONCE over
+    * the union of all query terms and shared; fan-out to queries is a
+    * broadcast join of the tiny (query_id, term) table at the end, and
+    * the per-(query, doc) aggregation shuffles only matched hits.
+    * Returns (query_id, idCol, n_matched, bm25 UNROUNDED). */
+  def scoreBatch(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val allTerms = q.select(col("term")).distinct()
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-(doc, term) stats once for the term union — queries sharing a
+    // term share the work
+    val tf = toks.join(broadcast(allTerms), col("token") === col("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .join(broadcast(q), "term") // fan out hits to the queries wanting the term
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+  }
+
   /** The BM25 term weight (one formula shared by both the ad-hoc and
     * the indexed path, so their scores agree exactly). */
   private def weight(tf: Column, df: Column, dl: Column,

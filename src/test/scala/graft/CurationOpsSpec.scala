@@ -123,6 +123,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 batch: per-query scores equal the single-query path") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text")
+    val queries = docs.filter($"doc_id".isin(0, 1))
+      .select($"doc_id".as("query_id"),
+        explode(slice(graft.operators.TextAnalysis.tokens($"text"), 1, 5)).as("term"))
+    val batch = Bm25.scoreBatch(docsDf, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val single = Bm25.score(docsDf, queries.filter($"query_id" === qid).select($"term"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val mine = batch.collect { case ((q, d), v) if q == qid => d -> v }
+      assert(mine.keySet === single.keySet, s"query $qid doc sets differ")
+      mine.foreach { case (d, (n, s)) =>
+        val (n2, s2) = single(d)
+        assert(n === n2 && math.abs(s - s2) < 1e-9, s"query $qid doc $d")
+      }
+    }
+  }
+
   test("bm25: rarer matched term outweighs common one at equal tf/dl") {
     // 4 docs; "rare" in 1 doc, "common" in 3 — idf monotonicity
     val df = Seq(
