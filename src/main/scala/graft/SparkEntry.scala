@@ -2087,13 +2087,16 @@ object SparkEntry {
          FROM toks JOIN counts USING (token), total
          GROUP BY doc_id ORDER BY doc_id""",
     "q76_dup_spans" ->
-      """WITH s AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
-             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
-                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
-                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
            FROM documents),
+         s AS (
+           SELECT doc_id, CASE WHEN len(toks) < 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(range(len(toks) - 2),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+             END AS sh
+           FROM t),
          ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
          df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
          SELECT ex.doc_id, count(*) AS n_shingles,

@@ -28,14 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object RandomProjection {
 
-  /** Deterministic Achlioptas sign at flattened index (k·dIn + j). */
+  /** Deterministic Achlioptas sign at flattened index (k·dIn + j).
+    * floorMod keeps the chain well-defined over the whole Long domain:
+    * past idx ≈ 8.4e9 the multiply wraps and a plain `%` would go
+    * negative, collapsing almost every entry to the `case _ => 0` arm
+    * and silently degrading the projection. Wrapped indices still see a
+    * deterministic, well-mixed value (identical to the unwrapped LCG for
+    * every idx below the wrap point, i.e. any realistic dOut·dIn). */
   def signAt(idx: Long): Int = {
-    val r = (1103515245L * idx + 12345L) % 2147483648L
-    ((r >> 16) % 6) match {
-      case 0 => 1
-      case 1 => -1
+    val r = Math.floorMod(1103515245L * idx + 12345L, 2147483648L)
+    (Math.floorMod(r >> 16, 6L) match {
+      case 0L => 1
+      case 1L => -1
       case _ => 0
-    }
+    })
   }
 
   /** The dOut × dIn sign matrix (bytes; 0 = skip). */
@@ -49,19 +55,22 @@ object RandomProjection {
     val m = signMatrix(dOut, dIn)
     val scale = math.sqrt(3.0 / dOut)
     val f = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val n = math.min(arr.length, dIn)
-      Array.tabulate(dOut) { k =>
-        val row = m(k)
-        var acc = 0.0
-        var j = 0
-        while (j < n) {
-          val s = row(j)
-          if (s != 0) acc += s * arr(j).toDouble
-          j += 1
-        }
-        acc * scale
-      }.toSeq
+      if (v == null) null // null embedding → null projection (SQL-like)
+      else {
+        val arr = v.toArray
+        val n = math.min(arr.length, dIn)
+        Array.tabulate(dOut) { k =>
+          val row = m(k)
+          var acc = 0.0
+          var j = 0
+          while (j < n) {
+            val s = row(j)
+            if (s != 0) acc += s * arr(j).toDouble
+            j += 1
+          }
+          acc * scale
+        }.toSeq
+      }
     }
     f(vec)
   }
