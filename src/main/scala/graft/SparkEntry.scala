@@ -510,6 +510,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Attribute-filtered kNN — the canonical production vector-search
+    // query ("nearest neighbors WHERE label = 3"). Exact path here so
+    // the query carries a full DuckDB oracle (hash-comparable like
+    // q22); the ANN form pushes the same predicate below the bucket
+    // join — AnnForestModel.knnJoinBucketed(corpusFilter = …) — with
+    // recall + filter-below-exchange plan shape pinned in
+    // AnnForestSpec/PlanSpec.
+    "q81_filtered_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      KnnExact.knnBatch(e.filter(col("label") === 3), q, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Distance-threshold ("radius") join: all neighbors within squared
+    // distance 1.2535 for 50 queries. Exact operator (KnnExact
+    // .radiusJoin — zero post-scan shuffles), so the output is a
+    // deterministic SET and carries a full DuckDB oracle, unlike top-k
+    // ANN. The threshold sits mid-gap in the fixture's pair-distance
+    // distribution (nearest boundary pair is >2e-3 away — f64 noise
+    // can't flip membership). The approximate forest/IVF forms
+    // (radiusJoinBucketed / IvfModel.radiusJoin) are recall-floored
+    // against this exact path in AnnForestSpec.
+    "q82_radius_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      KnnExact.radiusJoin(e, q, maxDist = 1.2535)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // IVF ANN backend: k-means coarse quantizer, nprobe cell probing.
     "q37_ivf_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1574,6 +1608,23 @@ object SparkEntry {
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q81_filtered_knn" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+               e.vec_id) AS rank
+           FROM (SELECT * FROM embeddings WHERE label = 3) e
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q82_radius_join" ->
+      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         FROM embeddings e
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q
+         WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               * list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               <= 1.2535
+         ORDER BY query_id, neighbor_id""",
     "q63_pq_refined" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

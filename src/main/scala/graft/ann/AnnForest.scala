@@ -3,7 +3,7 @@ package graft.ann
 import scala.util.Random
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -185,19 +185,34 @@ class AnnForestModel(
     * standing corpus, persist `assignLeaves(corpus)` bucketed by
     * (tree_id, leaf_id) and the corpus-side shuffle disappears from
     * every subsequent query batch.
+    *
+    * `corpusFilter` = attribute-filtered kNN ("nearest neighbors WHERE
+    * lang = 'en'"), the canonical production vector-search query shape.
+    * The predicate is applied to the raw corpus BEFORE routing — below
+    * the bucket exchange, so Catalyst pushes it into the corpus scan
+    * (asserted in PlanSpec) and non-matching rows are never routed,
+    * shuffled, or scored. Pre-filtering also keeps the result size k
+    * (post-filtering an unfiltered top-k would return fewer than k rows
+    * under selective predicates); candidates are the filtered rows
+    * sharing a leaf with the query, so recall is measured against the
+    * filtered exact oracle (AnnForestSpec). For very high selectivity
+    * (predicate keeps ≪ leaf-size rows), widen the forest (more trees)
+    * as you would for any sparse-candidate regime.
     */
   def knnJoinBucketed(
       corpus: DataFrame, queries: DataFrame, topK: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[Column] = None): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     // carried vectors must be normalized under cosine so the re-rank
     // distance is 2·(1−cos); routing normalizes independently inside
     // assignLeaves (which must handle direct public calls too)
     def prep(c: org.apache.spark.sql.Column) =
       if (metric == "cosine") l2Normalize(c) else c
+    val corpusSrc = corpusFilter.map(corpus.filter).getOrElse(corpus)
     val corpusRouted = assignLeaves(
-      corpus.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
+      corpusSrc.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
       queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
     val candidates = queriesRouted
@@ -209,6 +224,40 @@ class AnnForestModel(
     // whole tail (see BucketSelfJoin.dedupTopK for the partitioning
     // argument)
     BucketSelfJoin.dedupTopK(candidates, topK)
+  }
+
+  /** Distance-threshold ("radius") join via the bucket path: the same
+    * routing + (tree_id, leaf_id) equi-join as [[knnJoinBucketed]], with
+    * the top-k tail replaced by a `dist ≤ maxDist` filter and a pair
+    * dedup ([[BucketSelfJoin.dedupRadius]]). `maxDist` is SQUARED
+    * euclidean, like every dist this engine returns (under
+    * metric="cosine", dist = 2·(1−cos), so maxDist = 2·(1−minCos)).
+    *
+    * Approximate exactly the way top-k search is: a pair is reported
+    * only if it shares a leaf in ≥ 1 tree, so recall < 1 is possible at
+    * any radius — measured against [[graft.operators.KnnExact.radiusJoin]]
+    * (the exact oracle) in AnnForestSpec. Scale shape is strictly
+    * better than the top-k tail: the threshold filter prunes candidates
+    * before the only shuffle, and there is no per-query window/heap at
+    * all. `corpusFilter` composes as in [[knnJoinBucketed]]. */
+  def radiusJoinBucketed(
+      corpus: DataFrame, queries: DataFrame, maxDist: Double,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[Column] = None): DataFrame = {
+    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
+    def prep(c: Column) = if (metric == "cosine") l2Normalize(c) else c
+    val corpusSrc = corpusFilter.map(corpus.filter).getOrElse(corpus)
+    val corpusRouted = assignLeaves(
+      corpusSrc.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
+    val queriesRouted = assignLeaves(
+      queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
+    val candidates = queriesRouted
+      .join(corpusRouted, Seq("tree_id", "leaf_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cvec"), col("__qv")).as("dist"))
+    BucketSelfJoin.dedupRadius(candidates, maxDist)
   }
 
   /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123: every corpus

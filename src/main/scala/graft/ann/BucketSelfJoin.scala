@@ -49,6 +49,21 @@ private[ann] object BucketSelfJoin {
       deduped, "query_id", Seq("dist", "neighbor_id"), topK)
   }
 
+  /** Radius tail: the distance-threshold counterpart of [[dedupTopK]].
+    * The `dist <= maxDist` filter runs on the candidate stream BEFORE
+    * any exchange (map-side pruning — at a selective radius almost all
+    * candidate volume dies before the shuffle), then one partial-agg
+    * groupBy dedups (query, neighbor) pairs found in several
+    * trees/probed cells. No per-query tail op follows, so the agg's own
+    * (query_id, neighbor_id) hash exchange is the single shuffle —
+    * map-side combined, unlike dedupTopK's repartition-first shape
+    * whose explicit exchange exists to be shared with TopKPerKey. */
+  def dedupRadius(candidates: DataFrame, maxDist: Double): DataFrame =
+    candidates
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("dist")).as("dist"))
+
   /** `routed` schema: (tree_id, leaf_id, neighbor_id, <vecCol>); under
     * metric="cosine" the vectors must already be normalized (both
     * callers' routed tables are).

@@ -214,16 +214,27 @@ class DistributedAnnModel(
   /** Approximate k-NN join against the routed corpus: equi-join on the
     * (tree_id, leaf_id) bucket key, exact re-rank of bucket candidates,
     * min across trees, bounded-heap top-k. Same tail as
-    * [[AnnForestModel.knnJoinBucketed]]. */
+    * [[AnnForestModel.knnJoinBucketed]].
+    *
+    * `corpusFilter` (attribute-filtered kNN) is a predicate over the
+    * bucket-table columns, applied BELOW the bucket join — on a
+    * [[save]]d/[[DistributedAnnModel.load]]ed model the standing bucket
+    * table is a parquet scan, so the predicate pushes all the way down
+    * and filtered-out rows never join or score. For predicates over an
+    * external attribute table, semi-join it into the bucket frame on
+    * `neighbor_id` first (attributes you filter on routinely belong IN
+    * the bucket table — carry them through [[routeForStore]]'s input). */
   def knnJoin(queries: DataFrame, topK: Int,
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     val routed = assignLeaves(queries, queryId, queryVec)
     val routedQ =
       if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
       else routed
+    val buckets = corpusFilter.map(corpusBuckets.filter).getOrElse(corpusBuckets)
     val candidates = routedQ
-      .join(corpusBuckets, Seq("tree_id", "leaf_id"))
+      .join(buckets, Seq("tree_id", "leaf_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
     BucketSelfJoin.dedupTopK(candidates, topK)

@@ -196,6 +196,27 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
     BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
+  /** Distance-threshold ("radius") join via probed cells: same cell
+    * equi-join as [[knnJoin]], tail = `dist ≤ maxDist` filter + pair
+    * dedup ([[BucketSelfJoin.dedupRadius]]). Approximate like top-k
+    * (a pair outside every probed cell is missed — recall governed by
+    * nprobe, floor asserted in spec); exact oracle =
+    * [[graft.operators.KnnExact.radiusJoin]]. */
+  def radiusJoin(
+      corpus: DataFrame, queries: DataFrame, maxDist: Double,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val c = assignCells(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
+    val q = assignCells(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
+    val candidates = q.join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cv"), col("__qv")).as("dist"))
+    BucketSelfJoin.dedupRadius(candidates, maxDist)
+  }
+
   /** Persist the quantizer as plain parquet (centroids + nprobe) —
     * the corpus itself is not part of the model; re-assign cells on
     * load (or persist `assignCells(corpus, vec, 1)` bucketed by cell

@@ -72,6 +72,30 @@ object KnnExact {
     knnBatch(corpus, queries, k, idCol, vecCol)
   }
 
+  /** Exact distance-threshold ("radius") join: every (query, corpus)
+    * pair within `maxDist` SQUARED euclidean. Same scale shape as
+    * [[knnBatch]] — the query batch broadcasts, the corpus streams
+    * through unshuffled — but with NO shuffle at all after the scan:
+    * the threshold filter is a codegen'd predicate fused into the
+    * broadcast join stage, pairs are unique by construction (no dedup),
+    * and there is no per-query window/heap. Output is deterministic
+    * (set semantics, no rank ties), which is what lets q82 carry a full
+    * DuckDB oracle where top-k ANN queries cannot.
+    *
+    * The approximate counterparts for standing indexes are
+    * [[graft.ann.AnnForestModel.radiusJoinBucketed]] and
+    * [[graft.ann.IvfModel.radiusJoin]]. */
+  def radiusJoin(
+      corpus: DataFrame, queries: DataFrame, maxDist: Double,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+    graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
+      .select(
+        col(queryId),
+        col(corpusId).as("neighbor_id"),
+        sqEucDist(col(corpusVec), col(queryVec)).as("dist"))
+      .filter(col("dist") <= maxDist)
+
   /** Q3 projection: neighbor id-set per query (reference
     * src/main.rs:125-136), distances dropped. */
   def asIdSets(knn: DataFrame): DataFrame =

@@ -212,6 +212,52 @@ class AnnForestSpec extends SparkSpec {
     assert(raw === pre)
   }
 
+  test("filtered kNN: neighbors satisfy the predicate, recall vs filtered exact") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val res = model.knnJoinBucketed(emb, queries, topK = 10,
+      corpusFilter = Some($"label" === 3))
+    val labels = emb.select($"vec_id", $"label".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val got = res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, n) => labels(n) == 3 },
+      "every returned neighbor must satisfy the corpus filter")
+    val exact = KnnExact.knnBatch(emb.filter($"label" === 3), queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty[Long]).intersect(truth.toSet).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"filtered-kNN mean recall@10 = $mean%.3f")
+    assert(mean >= 0.5, f"filtered recall $mean%.3f below floor")
+  }
+
+  test("radius joins: exact-subset property and recall floors (forest + IVF)") {
+    val r2 = 1.2535 // q82's threshold — mid-gap in the fixture distances
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = KnnExact.radiusJoin(emb, queries, r2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val forest = model.radiusJoinBucketed(emb, queries, r2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // distances are exact inside buckets — no false positives, ever
+    assert(forest.subsetOf(exact), "forest radius must never invent a pair")
+    val fRec = forest.size.toDouble / exact.size
+    info(f"forest radius recall = $fRec%.3f (${forest.size}/${exact.size})")
+    assert(fRec >= 0.7, f"forest radius recall $fRec%.3f below floor")
+    val ivf = IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(emb)
+      .radiusJoin(emb, queries, r2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact), "IVF radius must never invent a pair")
+    val iRec = ivf.size.toDouble / exact.size
+    info(f"IVF radius recall = $iRec%.3f (${ivf.size}/${exact.size})")
+    assert(iRec >= 0.7, f"IVF radius recall $iRec%.3f below floor")
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")

@@ -87,6 +87,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("filtered kNN pushes the corpus predicate into the parquet scan (below the bucket exchange)") {
+    import org.apache.spark.sql.functions.col
+    // private parquet copy: other suites cache the shared embeddings
+    // relation, and CacheManager would swap this test's scan for an
+    // InMemoryTableScan — hiding the PushedFilters evidence under test
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planspec").toString
+    Tables.embeddings(spark, sf0001).write.mode("overwrite").parquet(tmp)
+    val e = spark.read.parquet(tmp)
+    val model = graft.ann.AnnForest(numTrees = 5, maxLeafSize = 5, seed = 42L)
+      .fit(e, "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = model.knnJoinBucketed(e, q, topK = 5,
+      corpusFilter = Some(col("label") === 3))
+      .queryExecution.executedPlan.toString
+    // the predicate must reach the corpus-side parquet scan itself —
+    // below the bucket exchange by construction, so filtered-out rows
+    // are never routed, shuffled, or scored
+    assert(p.contains("EqualTo(label,3)"), p)
+    // and the radius tail keeps its threshold filter below the dedup
+    // exchange (plan strings print parents first, so deeper = later):
+    // the candidate stream is pruned map-side before the only shuffle
+    val pr = model.radiusJoinBucketed(e, q, maxDist = 1.2535)
+      .queryExecution.executedPlan.toString
+    val exch = pr.indexOf("Exchange hashpartitioning(query_id")
+    val thr = pr.indexOf("1.2535")
+    assert(exch >= 0, pr)
+    assert(thr > exch, s"dist threshold must execute below the dedup exchange:\n$pr")
+  }
+
   test("q57 plans the custom operator twice: narrow partial under clustered final") {
     val p = planOf("q57_topk_perkey")
     // two TopKPerKeyExec nodes (pre- and post-shuffle) with exactly one
