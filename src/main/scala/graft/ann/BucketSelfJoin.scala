@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   * Skew note: a bucket with m members emits m² candidate rows — the
   * same blowup the join formulation has — and m is bounded by the fit
   * leaf cap plus exact-duplicate multiplicity.
+  *
+  * Round-5 profile (sf0.1, local[32], warm, tools/ProfileQ35): this
+  * path runs 0.80 s (0.97 s with the bench's orderBy), vs 1.04-1.20 s
+  * for the two-sided join formulation — the round-4 bench's 3.08 s
+  * reading was host contention, not plan cost (same code, while the
+  * rest of the bench moved only ~0.9×). A measured alternative — one
+  * per-bucket UDF emitting compact (q, n, dist) triples through a
+  * single Generate — was ~0.1 s faster warm (0.69 s) but is REJECTED:
+  * it materializes all m² triples of a bucket in one array, which on
+  * depth-capped distributed-forest buckets (m ≫ maxLeafSize by design)
+  * trades a streamed expansion for an allocation proportional to the
+  * square of the largest bucket. The double-Generate streams pairs and
+  * keeps peak memory per task at O(m·dim).
   */
 private[ann] object BucketSelfJoin {
 

@@ -67,6 +67,53 @@ object ProfileQ35 {
         .orderBy(col("query_id"), col("rank")).count()
     }
 
+    // ---- experiment: bucket-kernel pair generation (one Generate over
+    // a per-bucket UDF emitting compact (q, n, dist) triples) vs the
+    // current double-Generate struct expansion ----
+    {
+      import org.apache.spark.sql.Row
+      val routed = model.assignLeaves(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cvec")), "__cvec")
+      val pairsUdf = udf { (ms: Seq[Row]) =>
+        val n = ms.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Float]](n)
+        var i = 0
+        while (i < n) { ids(i) = ms(i).getLong(0); vecs(i) = ms(i).getSeq[Float](1).toArray; i += 1 }
+        val out = new Array[(Long, Long, Double)](n * n)
+        var k = 0
+        i = 0
+        while (i < n) {
+          var j = 0
+          val a = vecs(i)
+          while (j < n) {
+            val b = vecs(j)
+            var acc = 0.0
+            var d = 0
+            while (d < a.length) { val x = a(d).toDouble - b(d).toDouble; acc += x * x; d += 1 }
+            out(k) = (ids(i), ids(j), acc); k += 1
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      val kernel = routed
+        .groupBy(col("tree_id"), col("leaf_id"))
+        .agg(collect_list(struct(col("neighbor_id"), col("__cvec"))).as("__ms"))
+        .select(explode(pairsUdf(col("__ms"))).as("__p"))
+        .select(col("__p._1").as("query_id"), col("__p._2").as("neighbor_id"),
+          col("__p._3").as("dist"))
+      val kernelDedup = kernel.repartition(col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(min(col("dist")).as("dist"))
+      val kernelTopK = graft.plans.TopKPerKey.rankedTopK(
+        kernelDedup, "query_id", Seq("dist", "neighbor_id"), 10)
+      t("kernel selfJoin (cold)") { kernelTopK.count() }
+      t("kernel selfJoin (warm)") { kernelTopK.count() }
+      t("kernel selfJoin (warm 2)") { kernelTopK.count() }
+    }
+
     println("---- full knnJoinBucketed plan ----")
     model.knnJoinBucketed(e, queries, topK = 10).explain("formatted")
     spark.stop()
