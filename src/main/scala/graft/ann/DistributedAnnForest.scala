@@ -276,6 +276,36 @@ class DistributedAnnModel(
       corpusBuckets.select(col("neighbor_id"), col("__cvec"), col("tree_id"), col("leaf_id"))
         .unionByName(routeForStore(newVecs, idCol, vecCol)))
 
+  /** Delete ids from the standing corpus without a rebuild: a tombstone
+    * anti-join folded into the bucket frame. Lazy like every DataFrame
+    * op — each subsequent serve pays one anti-join against the delete
+    * set (small batches broadcast automatically under AQE) until the
+    * next [[save]] or [[compact]] physically drops the rows. Folding at
+    * the FRAME level rather than keeping a model-lifetime tombstone set
+    * is what makes delete→append of the same id roundtrip: a later
+    * [[append]] unions on top of the anti-join, so the re-added row is
+    * a fresh row, not a resurrected tombstone (pinned in spec).
+    *
+    * Deletes compose with everything downstream for free: [[knnJoin]],
+    * [[knnSelfJoin]] (deleted rows vanish as queries AND as neighbors —
+    * one table plays both roles), `corpusFilter`, and [[save]]. */
+  def remove(ids: DataFrame, idCol: String = "vec_id"): DistributedAnnModel =
+    new DistributedAnnModel(
+      numTrees, planes, metric,
+      corpusBuckets.join(
+        ids.select(col(idCol).cast(LongType).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_anti"))
+
+  /** Collapse accumulated [[remove]]/[[append]] plan layers for a
+    * long-lived serving session: materializes the current bucket frame
+    * (localCheckpoint here; a reliable checkpoint on a real cluster) so
+    * later query batches re-scan the compacted rows instead of
+    * re-running the anti-join/union chain. The durable form is [[save]]
+    * — the parquet rewrite IS the compaction, tombstoned rows are
+    * simply never written. */
+  def compact(): DistributedAnnModel =
+    new DistributedAnnModel(numTrees, planes, metric, corpusBuckets.localCheckpoint())
+
   /** New vectors as storable bucket rows (`neighbor_id, __cvec,
     * tree_id, leaf_id`) — the streaming-ingest building block: inside a
     * `foreachBatch` sink, `routeForStore(batch).write.mode("append")

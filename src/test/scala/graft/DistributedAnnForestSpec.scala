@@ -234,6 +234,42 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("remove: deleted ids vanish from serving, survive save/load, delete→append roundtrips") {
+    val victims = Seq(3L, 7L)
+    val removed = model.remove(victims.toDF("vec_id"))
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // gone as neighbors (including their own rank-1 self match)…
+    val got = removed.knnJoin(queries, topK = 10)
+    assert(got.filter($"neighbor_id".isin(victims: _*)).count() === 0)
+    assert(got.select("query_id").distinct().count() === 20) // …but they still query
+    // self-join: gone on BOTH sides (one table plays both roles)
+    val sj = removed.knnSelfJoin(topK = 5)
+    assert(sj.filter(
+      $"query_id".isin(victims: _*) || $"neighbor_id".isin(victims: _*)).count() === 0)
+    // save physically compacts: tombstoned rows are not written
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    removed.save(dir)
+    val loaded = DistributedAnnModel.load(dir, spark)
+    assert(loaded.corpusBuckets.filter($"neighbor_id".isin(victims: _*)).count() === 0)
+    assert(loaded.corpusBuckets.count() === removed.corpusBuckets.count())
+    assert(loaded.knnJoin(queries, topK = 10)
+      .filter($"neighbor_id".isin(victims: _*)).count() === 0)
+    // delete → append the SAME id with a new vector: fresh row serves
+    // (the anti-join is folded below the union, not a standing filter)
+    val newVec = Array.fill(64)(0.5f)
+    val re = removed.append(Seq((3L, newVec)).toDF("vec_id", "embedding"))
+    val hit = re.knnJoin(
+      Seq((999L, newVec)).toDF("query_id", "qvec"), topK = 1)
+    assert(hit.select("neighbor_id").as[Long].head() === 3L)
+    // compact() is serve-equivalent, just with the plan layers collapsed
+    val a = removed.knnJoin(queries, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = removed.compact().knnJoin(queries, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
   test("cosine metric: distances are 2(1-cos) on the unit sphere") {
     val m = DistributedAnnForest(numTrees = 10, maxLeafSize = 5, seed = 7L, metric = "cosine")
       .fit(emb, "vec_id", "embedding")
