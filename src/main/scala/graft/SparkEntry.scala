@@ -589,16 +589,72 @@ object SparkEntry {
     }),
 
     // IVF-PQ: coarse cells bound the scan, PQ codes bound the bytes —
-    // the FAISS-IVFPQ composition. ADC distances are approximate, so
-    // rows-only here; recall pinned in PqSpec.
+    // the FAISS-IVFPQ composition — then the exact refine recovers the
+    // exact top-10 from the ADC shortlist (q63's pattern), so this
+    // carries the full DuckDB brute-force oracle: approximation inside,
+    // exact contract outside. Parameters are sized for the fixture's
+    // worst case (near-uniform random vectors — no cluster structure,
+    // so neighbors scatter across every cell): nprobe = nlist and a
+    // wide shortlist are what exactness costs here, verified diff=0 vs
+    // exact at sf0.01 AND sf0.1 (tools/ProbeQ64; shortlist=100 left 2
+    // stragglers at sf0.1, 200 clears both). The cell-join machinery
+    // exercised is identical at any nprobe; the recall/nprobe trade on
+    // its own is pinned in PqSpec.
     "q64_ivfpq_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val pq = graft.ann.PqIndex(m = 8, seed = 42L).fit(e)
-      val ivf = graft.ann.IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(e)
+      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      val ivf = graft.ann.IvfIndex(nlist = 16, nprobe = 16, seed = 42L).fit(e)
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      pq.knnJoinIvf(ivf, e, queries, topK = 10)
+      val shortlist = pq.knnJoinIvf(ivf, e, queries, topK = 200)
+        .select("query_id", "neighbor_id")
+      pq.refine(shortlist, e, queries, topK = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN recall gate: makes approximate-backend quality visible in the
+    // driver's CORRECTNESS gate, not only in ScalaTest. Top-k ANN output
+    // can't hash-match an oracle (probabilistic result sets — q25/q26/
+    // q35/q36/q37/q39 are rows-only by design), but the property that
+    // matters — recall@10 vs the exact oracle crossing a per-backend
+    // floor — IS a deterministic bit for these seeded builds, so each
+    // backend emits one (backend, recall_ok) row and the oracle pins the
+    // constant truth. Floors sit ~0.05 under the measured sf0.01 values
+    // (tools/ProbeRecall: traversal .960, self_bucketed .806,
+    // distributed .840, ivf .616, mllib_lsh .940, pq_adc .818); a
+    // regression dropping any backend below its floor flips its bit and
+    // hash-mismatches. The whole gate is ONE lazy plan (a union of
+    // count-aggregates over hits joins) — no driver-side comparisons.
+    "q83_ann_recall_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = KnnExact.knnBatch(e, queries, 10).select("query_id", "neighbor_id")
+      def gate(name: String, floor: Double, got: DataFrame): DataFrame =
+        got.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("__hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("__total")))
+          .select(lit(name).as("backend"),
+            (col("__hits") / col("__total") >= lit(floor)).cast("int").as("recall_ok"))
+      val forest = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(e, "vec_id", "embedding")
+      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      gate("traversal", 0.90, forest.searchBatch(queries, 10))
+        .unionByName(gate("self_bucketed", 0.75,
+          forest.knnSelfJoinBucketed(e, topK = 10).filter(col("query_id") < 50)))
+        .unionByName(gate("distributed", 0.78,
+          graft.ann.DistributedAnnForest(numTrees = 50, maxLeafSize = 5,
+            maxDepth = 16, seed = 42L).fit(e).knnJoin(queries, topK = 10)))
+        .unionByName(gate("ivf", 0.55,
+          graft.ann.IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(e)
+            .knnJoin(e, queries, topK = 10)))
+        .unionByName(gate("mllib_lsh", 0.88,
+          MlLsh.approxKnnJoin(e, queries, k = 10, maxDist = 1e9)))
+        .unionByName(gate("pq_adc", 0.75,
+          pq.knnJoin(pq.encode(e).select("vec_id", "pq_code"), queries, topK = 10)))
+        .orderBy(col("backend"))
     }),
 
     // int8 scalar quantization (the 4× compression path, trivial
@@ -1632,6 +1688,19 @@ object SparkEntry {
                list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q83_ann_recall_gate" ->
+      """SELECT * FROM (VALUES
+           ('traversal', 1), ('self_bucketed', 1), ('distributed', 1),
+           ('ivf', 1), ('mllib_lsh', 1), ('pq_adc', 1)) t(backend, recall_ok)
+         ORDER BY backend""",
+    "q64_ivfpq_join" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+               e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q65_sq8_codes" ->
       """SELECT vec_id, scale AS qscale,
