@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media as opaque BINARY + typed metadata.
   *
-  * The Spark-side shape is the real deliverable here — schema, batch
-  * iteration, partition-parallel decode — while the codec itself is a
-  * clearly-marked deterministic stub (image/audio libraries are not in
-  * this container). Swapping `stubDecode` for a real JNI/ffmpeg/JPEG
-  * decoder changes nothing about the plan: decode stays a narrow
-  * per-partition map with no shuffle, exactly how a 100 TB media table
-  * wants to be processed (data-local, no driver involvement, columnar
-  * in/out).
+  * The decode path is REAL for the formats the stock JVM ships codecs
+  * for — PNG/JPEG/GIF/BMP via pure-JVM `javax.imageio`, no native libs
+  * — detected by payload magic bytes; any other payload falls back to
+  * the deterministic byte-statistics stub (which is what the text-bytes
+  * fixtures exercise, keeping q60–q62's DuckDB oracles bit-exact).
+  * Audio/video codecs are NOT in this container, so frame-sampling
+  * stays a byte-window stub. Either way the plan is the deliverable:
+  * decode is a narrow per-partition map with no shuffle, exactly how a
+  * 100 TB media table wants to be processed (data-local, no driver
+  * involvement, columnar in/out).
   */
 object Multimodal {
 
@@ -37,10 +39,70 @@ object Multimodal {
         length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes"),
         col(sourceCol).as("source")).as("meta"))
 
-  /** STUB decode — stands in for image decode / audio feature
-    * extraction. Deterministic: 8-dim "feature vector" derived from
-    * byte statistics, plus width/height pretending to be image dims.
-    * Replace the body with a real codec; the signature and the
+  /** Magic-byte sniff for the container formats `javax.imageio` decodes
+    * on any stock JVM. Cheaper and more honest than trusting metadata:
+    * a mislabeled payload can't crash the decode path. */
+  private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode + feature extraction (pure-JVM `javax.imageio`).
+    * Width/height from the decoded raster; 8-dim feature vector =
+    * [meanR, meanG, meanB, meanLum, lumHist0..3] — all accumulated as
+    * exact integers over the pixels with ONE double division per lane
+    * (deterministic across JVMs and retries, same discipline as the
+    * stub). Luminance = (299r + 587g + 114b) / 1000 integer-truncated;
+    * histogram bins are 64-wide. Returns null when ImageIO has no codec
+    * for the payload — the caller falls back to [[stubDecode]].
+    *
+    * Per-pixel getRGB is fine at spec scale; a production build would
+    * read the raster row-buffered — still inside this same narrow
+    * partition map, nothing about the plan changes. */
+  private[operators] def imageDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      val hist = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          sl += lum
+          hist(math.min(3, lum / 64)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val f = new Array[Float](8)
+      f(0) = (sr.toDouble / (255.0 * n)).toFloat
+      f(1) = (sg.toDouble / (255.0 * n)).toFloat
+      f(2) = (sb.toDouble / (255.0 * n)).toFloat
+      f(3) = (sl.toDouble / (255.0 * n)).toFloat
+      var j = 0
+      while (j < 4) { f(4 + j) = (hist(j).toDouble / n).toFloat; j += 1 }
+      (w, h, f)
+    }
+  }
+
+  /** STUB decode — stands in for the formats with no in-container codec
+    * (audio features, exotic image containers). Deterministic: 8-dim
+    * "feature vector" derived from byte statistics, plus width/height
+    * pretending to be image dims. The signature and the
     * partition-parallel execution shape are production-real.
     *
     * Lane j accumulates an exact integer sum of every 8th byte, with
@@ -74,25 +136,46 @@ object Multimodal {
 
   /** Partition-parallel decode + feature extraction: the distributed
     * analog of `mapInPandas` batches — one iterator pass per partition,
-    * no shuffle, no driver data movement. */
+    * no shuffle, no driver data movement. Real `javax.imageio` decode
+    * for PNG/JPEG/GIF/BMP payloads (magic-byte detected), byte-stat
+    * stub for everything else — one codepath, the row decides. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     graft.GraftSession.widen(media.select(col("media_id"), col("payload"))).mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = stubDecode(r.getAs[Array[Byte]]("payload"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded =
+          if (looksLikeImage(payload)) imageDecode(payload) else null
+        val (w, h, f) = if (decoded != null) decoded else stubDecode(payload)
         Row(r.getLong(0), w, h, f)
       }
     }(enc)
   }
 
-  /** STUB resize — stands in for image resizing. Deterministic byte
-    * downsample by `factor` (keep every factor-th byte); the real
-    * implementation swaps in a codec, the partition-parallel no-shuffle
-    * shape stays. */
+  /** Resize by integer `factor`: REAL raster scaling for decodable
+    * image payloads (Graphics2D nearest-neighbor draw onto a
+    * width/factor × height/factor canvas, re-encoded as PNG —
+    * deterministic), byte downsample for everything else. Either way a
+    * narrow partition-parallel map, no shuffle. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
     require(factor > 0)
     val f = udf { (payload: Array[Byte]) =>
-      if (payload == null) null
+      val img =
+        if (looksLikeImage(payload))
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        else null
+      if (img != null) {
+        val nw = math.max(1, img.getWidth / factor)
+        val nh = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      } else if (payload == null) null
       else {
         val out = new Array[Byte]((payload.length + factor - 1) / factor)
         var i = 0

@@ -49,4 +49,50 @@ class MultimodalSpec extends SparkSpec {
     val maxLen = frames.select(max(length($"frame"))).head().getInt(0)
     assert(maxLen <= 64)
   }
+
+  /** A real 8×4 PNG: left half pure red, right half pure white. */
+  private def pngFixture(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode through javax.imageio: dims and exact channel means") {
+    val png = pngFixture()
+    val textBytes = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, textBytes)).toDF("media_id", "payload")
+    val dec = Multimodal.decodeFeatures(df).orderBy("media_id").collect()
+    // row 1: the real decode — true raster dims, hand-computable means
+    val r1 = dec(0)
+    assert(r1.getInt(1) === 8 && r1.getInt(2) === 4)
+    val f = r1.getSeq[Float](3)
+    assert(f(0) === 1.0f)                    // meanR: every pixel has r=255
+    assert(f(1) === 0.5f && f(2) === 0.5f)   // meanG/meanB: white half only
+    // luminance: red=(255*299)/1000=76 (bin 1), white=255 (bin 3)
+    assert(f(4) === 0.0f && f(5) === 0.5f && f(6) === 0.0f && f(7) === 0.5f)
+    assert(f(3) === ((76L + 255L) * 16 / (255.0 * 32)).toFloat)
+    // row 2: non-image payload falls back to the byte-stat stub,
+    // bit-identical to calling the stub path directly (q60's oracle)
+    val r2 = dec(1)
+    assert(r2.getInt(1) === textBytes.length % 640)
+    assert(r2.getSeq[Float](3).length === 8)
+  }
+
+  test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
+    val png = pngFixture()
+    val df = Seq((1L, png)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        length($"payload").cast("long").as("n_bytes"), lit("spec").as("source")))
+    val half = Multimodal.resize(df, factor = 2)
+    val out = Multimodal.decodeFeatures(half).head()
+    assert(out.getInt(1) === 4 && out.getInt(2) === 2) // 8×4 → 4×2 raster
+    // nearest-neighbor scaling of a half-red/half-white image preserves
+    // the exact channel means
+    val f = out.getSeq[Float](3)
+    assert(f(0) === 1.0f && f(1) === 0.5f && f(2) === 0.5f)
+  }
 }
