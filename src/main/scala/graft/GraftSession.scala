@@ -29,12 +29,22 @@ object GraftSession {
     * MinHash computation onto one core; a 100 TB table arrives in
     * thousands of splits, making this a no-op there — the repartition
     * cost is only ever paid on inputs small enough for it to be cheap.
+    *
+    * The partition-count probe (`df.rdd.getNumPartitions` — the one
+    * reliable count, AQE or not) forces physical planning eagerly on the
+    * driver, which is an eager action inside otherwise-lazy composition.
+    * That cost is only justified where small unsplittable inputs are a
+    * real hazard, so it sits behind `spark.graft.widen.enabled`
+    * (default true for the fixture harness): on a production cluster
+    * whose tables arrive in thousands of splits, set it false and
+    * widen() is a zero-cost identity — no probe, no planning.
     */
   def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // streaming plans can't be inspected via .rdd (and micro-batches
     // already arrive split); pass them through untouched so the same
     // operator code runs batch and stream
     if (df.isStreaming) return df
+    if (!df.sparkSession.conf.get("spark.graft.widen.enabled", "true").toBoolean) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -22,6 +22,16 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("widen() is a zero-cost identity when spark.graft.widen.enabled=false") {
+    val df = Tables.embeddings(spark, sf0001)
+    spark.conf.set("spark.graft.widen.enabled", "false")
+    try assert(GraftSession.widen(df) eq df) // no probe, no planning, same frame
+    finally spark.conf.unset("spark.graft.widen.enabled")
+    // default path still widens the single-split fixture scan
+    assert(GraftSession.widen(df).rdd.getNumPartitions >=
+      math.min(spark.sparkContext.defaultParallelism, df.count().toInt))
+  }
+
   test("typed knnJoin covers every input record") {
     val ds = Tables.embeddings(spark, sf0001).limit(100)
       .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
