@@ -98,6 +98,13 @@ class AnnForestModel(
     // last (Double.compare total order) — documented divergence.
     compact.search(prepQuery(query), topK)
 
+  /** Single-point radius search: all ids within `maxDist` SQUARED
+    * euclidean among the query's leaf candidates (whole leaves across
+    * all trees — see [[CompactIndex.searchRadius]]). Under
+    * metric="cosine", maxDist = 2·(1−minCos) on the unit sphere. */
+  def searchRadius(query: Array[Float], maxDist: Double): Array[(Long, Double)] =
+    compact.searchRadius(prepQuery(query), maxDist)
+
   /** Batch ANN search, fully distributed: one task per query partition,
     * model via broadcast (no shuffle at all — the output is narrow).
     * Input: (queryIdCol LONG, vecCol ARRAY<FLOAT>). Output:
@@ -390,6 +397,42 @@ final class CompactIndex(
       if (c != 0) c else java.lang.Long.compare(a._1, b._1)
     })
     scored.take(topK)
+  }
+
+  /** All (id, dist ≤ maxDist) among the query's leaf candidates —
+    * WHOLE leaves, no first-n truncation (the first-n take and
+    * shortfall spill are artifacts of the reference's top-k traversal
+    * budget; a radius query has no budget to spill against).
+    * Approximate like every forest path: a row outside the query's
+    * leaf in every tree is missed. Ascending (dist, id). */
+  def searchRadius(query: Array[Float], maxDist: Double): Array[(Long, Double)] = {
+    val cand = new scala.collection.mutable.HashSet[Int]
+    var t = 0
+    while (t < roots.length) {
+      var node = roots(t)
+      while (left(node) >= 0)
+        node = if (isAbove(planeIdx(node), query)) right(node) else left(node)
+      val off = leafOff(node)
+      var i = 0
+      while (i < leafLen(node)) { cand += leafRows(off + i); i += 1 }
+      t += 1
+    }
+    val scored = cand.iterator.map { pos =>
+      var acc = 0.0
+      val base = pos * dim
+      var i = 0
+      while (i < dim) {
+        val d = vecs(base + i).toDouble - query(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      (ids(pos), acc)
+    }.filter(_._2 <= maxDist).toArray
+    java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    })
+    scored
   }
 
   /** (treeId, breadcrumb-path leaf id) per tree for one vector. */

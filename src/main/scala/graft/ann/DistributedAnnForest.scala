@@ -226,18 +226,34 @@ class DistributedAnnModel(
     * the bucket table — carry them through [[routeForStore]]'s input). */
   def knnJoin(queries: DataFrame, topK: Int,
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    BucketSelfJoin.dedupTopK(
+      bucketCandidates(queries, queryId, queryVec, corpusFilter), topK)
+
+  /** Distance-threshold ("radius") join against the standing bucket
+    * table: same bucket equi-join as [[knnJoin]], tail = `dist ≤
+    * maxDist` filter + pair dedup, pruned map-side before the single
+    * exchange. Approximate like top-k (bucket-sharing governs recall);
+    * exact oracle = [[graft.operators.KnnExact.radiusJoin]]. */
+  def radiusJoin(queries: DataFrame, maxDist: Double,
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    BucketSelfJoin.dedupRadius(
+      bucketCandidates(queries, queryId, queryVec, corpusFilter), maxDist)
+
+  private def bucketCandidates(queries: DataFrame,
+      queryId: String, queryVec: String,
+      corpusFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     val routed = assignLeaves(queries, queryId, queryVec)
     val routedQ =
       if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
       else routed
     val buckets = corpusFilter.map(corpusBuckets.filter).getOrElse(corpusBuckets)
-    val candidates = routedQ
+    routedQ
       .join(buckets, Seq("tree_id", "leaf_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
-    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
   /** Bulk k-NN self-join over the standing STORE (reference Q4's

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: a k-means coarse quantizer partitions
@@ -178,22 +178,37 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
   }
 
   /** Approximate k-NN join: corpus in its home cell, queries probe
-    * `nprobe` cells, exact re-rank within probed cells. */
+    * `nprobe` cells, exact re-rank within probed cells. `corpusFilter`
+    * (attribute-filtered kNN) applies before cell assignment — below
+    * the cell exchange, so it pushes into the corpus scan and
+    * filtered-out rows are never assigned, shuffled, or scored (same
+    * contract as [[AnnForestModel.knnJoinBucketed]]). */
   def knnJoin(
       corpus: DataFrame, queries: DataFrame, topK: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
-    import graft.functions.VectorFunctions.sqEucDist
-    val c = assignCells(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
-    val q = assignCells(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[Column] = None): DataFrame = {
     // a query meeting the same neighbor in several probed cells
     // computes the same dist, so the min-dedup tail ≡ pick-any
-    val candidates = q.join(c, Seq("cell"))
+    BucketSelfJoin.dedupTopK(
+      cellCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      topK)
+  }
+
+  private def cellCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      corpusFilter: Option[Column]): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val corpusSrc = corpusFilter.map(corpus.filter).getOrElse(corpus)
+    val c = assignCells(
+      corpusSrc.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
+    val q = assignCells(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
+    q.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cv"), col("__qv")).as("dist"))
-    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
   /** Distance-threshold ("radius") join via probed cells: same cell
@@ -205,17 +220,11 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
   def radiusJoin(
       corpus: DataFrame, queries: DataFrame, maxDist: Double,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
-    import graft.functions.VectorFunctions.sqEucDist
-    val c = assignCells(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv", 1)
-    val q = assignCells(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv", nprobe)
-    val candidates = q.join(c, Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"),
-        sqEucDist(col("__cv"), col("__qv")).as("dist"))
-    BucketSelfJoin.dedupRadius(candidates, maxDist)
-  }
+      queryId: String = "query_id", queryVec: String = "qvec",
+      corpusFilter: Option[Column] = None): DataFrame =
+    BucketSelfJoin.dedupRadius(
+      cellCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      maxDist)
 
   /** Persist the quantizer as plain parquet (centroids + nprobe) —
     * the corpus itself is not part of the model; re-assign cells on

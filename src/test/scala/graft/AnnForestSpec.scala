@@ -256,6 +256,25 @@ class AnnForestSpec extends SparkSpec {
     val iRec = ivf.size.toDouble / exact.size
     info(f"IVF radius recall = $iRec%.3f (${ivf.size}/${exact.size})")
     assert(iRec >= 0.7, f"IVF radius recall $iRec%.3f below floor")
+    // single-point traversal radius: whole-leaf candidates, exact subset
+    val q3 = emb.filter($"vec_id" === 3L).head().getSeq[Float](1).toArray
+    val single = model.searchRadius(q3, r2)
+    val truth3 = exact.filter(_._1 == 3L).map(_._2)
+    assert(single.map(_._1).toSet.subsetOf(truth3))
+    assert(single.head._1 === 3L && single.head._2 === 0.0) // self first
+    assert(single.forall(_._2 <= r2))
+  }
+
+  test("IVF filtered kNN: corpus predicate respected below the cell join") {
+    val queries = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(emb)
+      .knnJoin(emb, queries, topK = 5, corpusFilter = Some($"label" === 3))
+      .select("neighbor_id").as[Long].collect()
+    assert(got.nonEmpty)
+    val labels = emb.select($"vec_id", $"label".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.forall(labels(_) == 3))
   }
 
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {

@@ -234,6 +234,25 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("radiusJoin on the standing buckets: exact subset, recall floor, filter respected") {
+    val r2 = 1.2535 // q82's threshold
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = KnnExact.radiusJoin(emb, queries, r2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = model.radiusJoin(queries, r2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "standing-bucket radius must never invent a pair")
+    val rec = got.size.toDouble / exact.size
+    info(f"standing-bucket radius recall = $rec%.3f (${got.size}/${exact.size})")
+    assert(rec >= 0.7, f"radius recall $rec%.3f below floor")
+    // corpusFilter over the bucket columns composes with the radius tail
+    val even = model.radiusJoin(queries, r2,
+      corpusFilter = Some($"neighbor_id" % 2 === 0))
+      .select("neighbor_id").as[Long].collect()
+    assert(even.nonEmpty && even.forall(_ % 2 == 0))
+  }
+
   test("remove: deleted ids vanish from serving, survive save/load, delete→append roundtrips") {
     val victims = Seq(3L, 7L)
     val removed = model.remove(victims.toDF("vec_id"))
