@@ -16,6 +16,10 @@ case class VectorRecord(id: Long, word: String, embedding: Array[Float])
   * — the reference's contract, sqrt is presentation, src/main.rs:91). */
 case class Neighbor(query_id: Long, neighbor_id: Long, dist: Double, rank: Int)
 
+/** Typed radius-search match — no rank: a radius result is a SET (all
+  * neighbors within the threshold), not a ranked prefix. */
+case class RadiusMatch(query_id: Long, neighbor_id: Long, dist: Double)
+
 /** The library's typed public surface — the reference's two-function API
   * (`build_index`, `search_approximate`, src/lib.rs:81,130) plus dedup,
   * as Dataset transformations.
@@ -107,6 +111,43 @@ object GraftVectors {
   def appendToIndex(
       model: DistributedAnnModel, ds: Dataset[VectorRecord]): DistributedAnnModel =
     model.append(ds.toDF(), "id", "embedding")
+
+  /** Attribute-filtered k-NN ("nearest neighbors WHERE …"): the corpus
+    * predicate — over VectorRecord columns — is applied before routing,
+    * below the bucket exchange, so it pushes into the corpus scan and
+    * non-matching rows are never routed, shuffled, or scored. Results
+    * keep k rows per query (post-filtering an unfiltered top-k cannot). */
+  def searchFiltered(
+      model: AnnForestModel, corpus: Dataset[VectorRecord],
+      queries: Dataset[VectorRecord], topK: Int,
+      corpusFilter: org.apache.spark.sql.Column): Dataset[Neighbor] = {
+    import corpus.sparkSession.implicits._
+    model.knnJoinBucketed(
+      corpus.toDF(),
+      queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
+      topK, corpusId = "id", corpusFilter = Some(corpusFilter)).as[Neighbor]
+  }
+
+  /** Distance-threshold ("radius") search over the bucketed path: every
+    * neighbor within `maxDist` SQUARED euclidean that shares a leaf with
+    * the query in ≥ 1 tree. The exact (oracle) form is
+    * [[graft.operators.KnnExact.radiusJoin]]. */
+  def searchRadius(
+      model: AnnForestModel, corpus: Dataset[VectorRecord],
+      queries: Dataset[VectorRecord], maxDist: Double): Dataset[RadiusMatch] = {
+    import corpus.sparkSession.implicits._
+    model.radiusJoinBucketed(
+      corpus.toDF(),
+      queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
+      maxDist, corpusId = "id").as[RadiusMatch]
+  }
+
+  /** Standing-index delete: tombstone anti-join folded into the bucket
+    * frame — lazy until `save()` (physical compaction) or `compact()`.
+    * Delete→append of the same id roundtrips. */
+  def removeFromIndex(
+      model: DistributedAnnModel, ids: Dataset[Long]): DistributedAnnModel =
+    model.remove(ids.toDF("id"), "id")
 
   /** Compressed-corpus path: train PQ codebooks (driver-side, bounded
     * sample) for ~32× smaller standing corpora. See [[graft.ann.PqIndex]]. */

@@ -32,6 +32,28 @@ class ApiSpec extends SparkSpec {
       math.min(spark.sparkContext.defaultParallelism, df.count().toInt))
   }
 
+  test("typed filtered/radius/remove surface round-trips") {
+    val recs = Tables.embeddings(spark, sf0001).limit(200)
+      .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
+      .as[graft.api.VectorRecord].cache()
+    val model = GraftVectors.buildIndex(recs, numTrees = 20)
+    // filtered: only even ids may be neighbors
+    val filtered = GraftVectors.searchFiltered(
+      model, recs, recs.limit(10), topK = 3, corpusFilter = $"id" % 2 === 0)
+      .collect()
+    assert(filtered.nonEmpty && filtered.forall(_.neighbor_id % 2 == 0))
+    // radius: self match at dist 0 always present, all within threshold
+    val radius = GraftVectors.searchRadius(model, recs, recs.limit(10), maxDist = 1.2535)
+      .collect()
+    assert(radius.count(m => m.query_id == m.neighbor_id && m.dist == 0.0) === 10)
+    assert(radius.forall(_.dist <= 1.2535))
+    // remove: deleted id gone from the standing index's serving
+    val dModel = GraftVectors.buildIndexDistributed(recs, numTrees = 10)
+    val pruned = GraftVectors.removeFromIndex(dModel, spark.range(3, 4).as[Long])
+    val got = GraftVectors.searchDistributed(pruned, recs.limit(10), topK = 5).collect()
+    assert(got.nonEmpty && !got.exists(_.neighbor_id == 3L))
+  }
+
   test("typed knnJoin covers every input record") {
     val ds = Tables.embeddings(spark, sf0001).limit(100)
       .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")
