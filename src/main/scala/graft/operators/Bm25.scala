@@ -91,11 +91,14 @@ object Bm25 {
     * lexical analog of the routed ANN bucket table: pay the corpus
     * shuffle once at write, serve every later query from the layout.
     *
-    * Three tables: `<name>_postings` (term, doc, tf, dl — dl
+    * Four tables: `<name>_postings` (term, doc, tf, dl — dl
     * denormalized so query time needs no per-doc join), bucketed AND
     * sorted by term so a term-equality query reads only matching
     * buckets (bucket pruning: `SelectedBucketsCount` in the scan);
-    * `<name>_terms` (term, df); `<name>_stats` (n_docs, avgdl). */
+    * `<name>_terms` (term, df); `<name>_doclens` (doc, dl — the
+    * per-doc lengths [[removeDocs]] needs to adjust corpus stats
+    * exactly); `<name>_stats` (n_docs, sum_dl — the SUM, not the
+    * average: an average can't be exactly decremented, the sum can). */
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val toks = docs.select(col(idCol),
@@ -109,8 +112,52 @@ object Bm25 {
     graft.sources.Sinks.parquetBucketed(
       postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
       s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    dl.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_doclens")
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    // a fresh build starts with no deletions
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+  }
+
+  /** Delete documents from a standing index without a rebuild: appends
+    * the ids to `<name>_tombstones`. [[scoreIndexed]] then serves as if
+    * the docs were never indexed — postings anti-joined, per-term df
+    * decremented by the tombstoned postings, and corpus stats (N,
+    * avgdl) decremented EXACTLY from the persisted doc lengths (all
+    * integer arithmetic until the single avgdl division, so
+    * indexed-after-delete equals ad-hoc-on-remaining to the last bit
+    * of every weight input — specced). Deleting an id the index never
+    * held is a no-op. [[compactIndex]] makes deletions physical. */
+  def removeDocs(spark: org.apache.spark.sql.SparkSession, name: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_tombstones")
+
+  /** Physical compaction: rewrite the index minus the tombstoned docs
+    * (postings/terms/doclens/stats all recomputed from the surviving
+    * rows) and drop the tombstone table. Serving cost returns to the
+    * tombstone-free path; scores are unchanged (same surviving
+    * inputs). localCheckpoint severs lineage so each table can be
+    * overwritten while derived from its own previous contents. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      buckets: Int = 32, idCol: String = "doc_id"): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
+    val postings = spark.table(s"${name}_postings")
+      .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
+    val doclens = spark.table(s"${name}_doclens")
+      .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
+    graft.sources.Sinks.parquetBucketed(
+      postings, s"${name}_postings", buckets, Seq("term"), Seq("term"))
+    graft.sources.Sinks.parquetBucketed(
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      s"${name}_terms", buckets, Seq("term"), Seq("term"))
+    doclens.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_doclens")
+    doclens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
   }
 
   /** Score a bag-of-terms query against a standing index built by
@@ -124,10 +171,40 @@ object Bm25 {
       queryTerms: Seq[String], idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
-    val p = spark.table(s"${name}_postings").filter(col("term").isin(terms: _*))
-    val d = spark.table(s"${name}_terms").filter(col("term").isin(terms: _*))
+    val pRaw = spark.table(s"${name}_postings").filter(col("term").isin(terms: _*))
+    val dRaw = spark.table(s"${name}_terms").filter(col("term").isin(terms: _*))
+    val statsRaw = spark.table(s"${name}_stats")
+    // avgdl = sum_dl / n_docs: the same two exact operands the ad-hoc
+    // path's avg(dl) divides (integer-valued double sum / count), so
+    // indexed and ad-hoc weights agree bit-for-bit
+    val (p, d, stats) =
+      if (!spark.catalog.tableExists(s"${name}_tombstones"))
+        (pRaw, dRaw, statsRaw.select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+      else {
+        // serve as if tombstoned docs were never indexed: their
+        // postings drop out (anti-join, still bucket-pruned), each
+        // term's df loses their postings count, and (N, sum_dl) lose
+        // their doc count/lengths — exact integer decrements
+        val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
+        val dfRemoved = pRaw.join(tomb, Seq(idCol), "left_semi")
+          .groupBy(col("term")).agg(count(lit(1)).as("__df_rm"))
+        val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
+        val removed = spark.table(s"${name}_doclens")
+          .join(tomb, Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("__n_rm"),
+            coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
+        val statsAdj = statsRaw.crossJoin(removed)
+          .select(
+            (col("n_docs") - col("__n_rm")).as("n_docs"),
+            ((col("sum_dl") - col("__dl_rm")).cast("double") /
+              (col("n_docs") - col("__n_rm"))).as("avgdl"))
+        (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj, statsAdj)
+      }
     p.join(broadcast(d), "term")
-      .crossJoin(broadcast(spark.table(s"${name}_stats")))
+      .crossJoin(broadcast(stats))
       .withColumn("w", weight(col("tf"), col("df"), col("dl"),
         col("n_docs"), col("avgdl"), k1, b))
       .groupBy(col(idCol))

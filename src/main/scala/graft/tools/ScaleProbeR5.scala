@@ -46,7 +46,7 @@ object ScaleProbeR5 {
       (1 to 5).foreach(_ =>
         graft.operators.Bm25.scoreIndexed(spark, "graft_probe_bm25", qTerms).count())
     }
-    Seq("postings", "terms", "stats").foreach(t =>
+    Seq("postings", "terms", "doclens", "stats", "tombstones").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_probe_bm25_$t"))
 
     val vecs = spark.range(200000).select(

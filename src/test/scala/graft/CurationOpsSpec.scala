@@ -118,8 +118,46 @@ class CurationOpsSpec extends SparkSpec {
         assert(d1 === d2 && n1 === n2 && math.abs(s1 - s2) < 1e-9, s"doc $d1")
       }
     } finally {
-      Seq("postings", "terms", "stats").foreach(t =>
+      Seq("postings", "terms", "doclens", "stats", "tombstones").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS graft_bm25_idx_$t"))
+    }
+  }
+
+  test("bm25 standing index: delete serves as if never indexed; compaction preserves scores") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text")
+    Bm25.buildIndex(docsDf, "graft_bm25_del", buckets = 8)
+    try {
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(explode(slice(graft.operators.TextAnalysis.tokens($"text"), 1, 5)).as("t"))
+        .as[String].collect().toSeq
+      val victims = Seq(1L, 2L, 3L, 4L, 5L)
+      Bm25.removeDocs(spark, "graft_bm25_del", victims.toDF("doc_id"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      // ground truth: the ad-hoc scorer over the surviving documents —
+      // df, N, and avgdl all shift, not just the victims' own rows
+      val adhoc = rows(Bm25.score(
+        docsDf.filter(!$"doc_id".isin(victims: _*)), qTerms.toDF("term")))
+      val indexed = rows(Bm25.scoreIndexed(spark, "graft_bm25_del", qTerms))
+      assert(indexed.length === adhoc.length && indexed.nonEmpty)
+      assert(!indexed.exists(r => victims.contains(r._1)))
+      indexed.zip(adhoc).foreach { case ((d1, n1, s1), (d2, n2, s2)) =>
+        assert(d1 === d2 && n1 === n2 && math.abs(s1 - s2) < 1e-9, s"doc $d1")
+      }
+      // deleting an id the index never held is a no-op
+      Bm25.removeDocs(spark, "graft_bm25_del", Seq(999999L).toDF("doc_id"))
+      assert(rows(Bm25.scoreIndexed(spark, "graft_bm25_del", qTerms)).length === indexed.length)
+      // compaction drops tombstones physically; scores unchanged
+      Bm25.compactIndex(spark, "graft_bm25_del", buckets = 8)
+      assert(!spark.catalog.tableExists("graft_bm25_del_tombstones"))
+      val compacted = rows(Bm25.scoreIndexed(spark, "graft_bm25_del", qTerms))
+      compacted.zip(indexed).foreach { case ((d1, n1, s1), (d2, n2, s2)) =>
+        assert(d1 === d2 && n1 === n2 && math.abs(s1 - s2) < 1e-9, s"doc $d1")
+      }
+    } finally {
+      Seq("postings", "terms", "doclens", "stats", "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_del_$t"))
     }
   }
 
