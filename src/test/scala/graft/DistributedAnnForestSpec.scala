@@ -289,6 +289,37 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("serving loop: streaming query batches through foreachBatch, filter + top-k per batch") {
+    // the online-serving shape: a standing bucket table + a query
+    // STREAM, each micro-batch answered by the same knnJoin plan the
+    // batch path runs (batch ≡ stream, one codepath) — with the
+    // attribute filter composing unchanged
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_serve_src").toString
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    queries.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        model.knnJoin(batch, topK = 5,
+            corpusFilter = Some(col("neighbor_id") % 2 === 0))
+          .select("query_id", "neighbor_id", "rank").collect()
+          .foreach(r => acc.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      .option("checkpointLocation", s"$srcDir/_cp").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = { import scala.jdk.CollectionConverters._; acc.asScala.toSet }
+    val batchRes = model.knnJoin(queries, topK = 5,
+        corpusFilter = Some(col("neighbor_id") % 2 === 0))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batchRes)
+    assert(streamed.nonEmpty && streamed.forall(_._2 % 2 == 0))
+  }
+
   test("cosine metric: distances are 2(1-cos) on the unit sphere") {
     val m = DistributedAnnForest(numTrees = 10, maxLeafSize = 5, seed = 7L, metric = "cosine")
       .fit(emb, "vec_id", "embedding")
