@@ -1328,6 +1328,25 @@ object SparkEntry {
     // partitions the window by query id); rrf is exact rational
     // arithmetic over integer ranks, so the fused ordering hashes
     // identically across engines.
+    // Standing inverted-index serving under the driver gate: build the
+    // bucket-pruned index, tombstone 10% of the docs (doc_id % 10 = 1),
+    // serve from the index. The oracle computes BM25 over the SURVIVING
+    // documents directly, so the hash match proves the delete-adjusted
+    // statistics (per-term df, N, avgdl) are exact — not merely that
+    // tombstoned postings were filtered out.
+    "q84_bm25_indexed_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.buildIndex(docs, "graft_q84_idx", buckets = 8)
+      graft.operators.Bm25.removeDocs(s, "graft_q84_idx",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexed(s, "graft_q84_idx", qTerms)
+        .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q79_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val terms = docs.filter(col("doc_id") === 0)
@@ -2256,6 +2275,29 @@ object SparkEntry {
          dl AS (
            SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
            FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
+    "q84_bm25_indexed_delete" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM live),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM live),
          stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
          tf AS (
            SELECT doc_id, token AS term, count(*) AS tf
