@@ -294,6 +294,48 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
     BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
+  /** Persist the compressed, cell-assigned corpus as a bucketed table —
+    * the STANDING form of [[knnJoinIvf]]'s corpus side, and the layout a
+    * 100 TB compressed vector store actually keeps: one narrow
+    * encode+assign pass plus the one-time bucket-write shuffle on the
+    * INT cell id, and every later query batch pays zero corpus-side
+    * shuffle (the bucketed layout satisfies the join's distribution;
+    * asserted in PqSpec). Rows are (cell, neighbor_id, pq_code) — m
+    * bytes per vector instead of 4·dim. */
+  def saveCorpusIvf(ivf: IvfModel, corpus: DataFrame, table: String,
+      buckets: Int = 32,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    val c = ivf
+      .assignCells(
+        encode(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv"),
+        "__cv", n = 1)
+      .select(col("cell"), col("neighbor_id"), col("pq_code"))
+    graft.sources.Sinks.parquetBucketed(c, table, buckets, Seq("cell"), Seq("cell"))
+  }
+
+  /** IVF-PQ serving against a [[saveCorpusIvf]] table: probe cells,
+    * equi-join the standing compressed corpus on `cell` (no corpus-side
+    * exchange — the table is bucketed on the join key), decode+score,
+    * bounded-heap top-k. Result-identical to [[knnJoinIvf]] over the
+    * same corpus/quantizers (same home-cell assignment, same ADC
+    * distances — specced). */
+  def knnJoinIvfIndexed(spark: SparkSession, ivf: IvfModel, table: String,
+      queries: DataFrame, topK: Int,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    val model = this
+    val decodeUdf = udf { (code: Array[Byte]) => model.decodeVec(code) }
+    val q = ivf
+      .assignCells(
+        queries.select(col(queryId).cast("long").as(queryId), col(queryVec).as("__qv")),
+        "__qv", n = ivf.nprobe)
+      .select(col("cell"), col(queryId), col("__qv"))
+    val candidates = q.join(spark.table(table), Seq("cell"))
+      .select(col(queryId).as("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions
+          .sqEucDist(col("__qv"), decodeUdf(col("pq_code"))).as("dist"))
+    BucketSelfJoin.dedupTopK(candidates, topK)
+  }
+
   /** Persist the codebooks as plain parquet (subspace, centroid id,
     * centroid), mirroring [[IvfModel.save]] — the compressed corpus is
     * not part of the model. */

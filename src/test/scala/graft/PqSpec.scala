@@ -95,4 +95,25 @@ class PqSpec extends SparkSpec {
     // both approximations compound (measured 0.625 on this corpus)
     assert(r >= 0.60, s"IVF-PQ recall $r")
   }
+
+  test("standing compressed corpus: indexed IVF-PQ serve ≡ ad-hoc, no corpus-side exchange") {
+    import spark.implicits._
+    val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
+    pq.saveCorpusIvf(ivf, emb, "graft_pq_corpus", buckets = 8)
+    try {
+      val indexed = pq.knnJoinIvfIndexed(spark, ivf, "graft_pq_corpus", queries, topK = 10)
+      val adhoc = pq.knnJoinIvf(ivf, emb, queries, topK = 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(rows(indexed) === rows(adhoc))
+      // the compressed corpus must never move: at most the probed QUERY
+      // side exchanges on cell (at fixture scale Spark broadcasts the
+      // query side instead — zero cell exchanges; either way the
+      // corpus-side scan feeds the join directly, the bucketed layout
+      // covering the shuffle-join case at scale per SinksAndAggSpec)
+      val p = indexed.queryExecution.executedPlan.toString
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).length
+      assert(cellExchanges <= 1, s"corpus-side cell exchange crept in:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pq_corpus")
+  }
 }
