@@ -70,6 +70,23 @@ object ScaleProbeR6 {
     time("standing kNN 2k queries, post-compaction") {
       compacted.knnJoin(queries, topK = 10).count()
     }
+
+    // standing COMPRESSED corpus: encoded cell-assigned table bucketed
+    // on cell; serving joins it with zero corpus-side exchange
+    val pq = time("PQ fit (m=8)") {
+      graft.ann.PqIndex(m = 8, seed = 42L).fit(vecs)
+    }
+    val ivf = graft.ann.IvfIndex(nlist = 64, nprobe = 8, seed = 42L).fit(vecs)
+    time("saveCorpusIvf 200k (one-time bucket write)") {
+      pq.saveCorpusIvf(ivf, vecs, "graft_probe_pqcorpus", buckets = 32)
+    }
+    time("indexed IVF-PQ serve 2k queries") {
+      pq.knnJoinIvfIndexed(spark, ivf, "graft_probe_pqcorpus", queries, topK = 10).count()
+    }
+    time("ad-hoc IVF-PQ join 2k queries (comparison)") {
+      pq.knnJoinIvf(ivf, vecs, queries, topK = 10).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_probe_pqcorpus")
     spark.stop()
   }
 }

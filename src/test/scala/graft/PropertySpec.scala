@@ -31,6 +31,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("radius joins: subset-of-exact, monotone in the threshold, self always present") {
+    samples(5).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val queries = df.limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val model = AnnForest(numTrees = 10, maxLeafSize = 3, seed = 7L)
+        .fit(df, "vec_id", "embedding")
+      def pairsAt(r2: Double): (Set[(Long, Long)], Set[(Long, Long)]) = {
+        val exact = KnnExact.radiusJoin(df, queries, r2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        val forest = model.radiusJoinBucketed(df, queries, r2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        (exact, forest)
+      }
+      val (e1, f1) = pairsAt(4.0)
+      val (e2, f2) = pairsAt(64.0)
+      assert(f1.subsetOf(e1) && f2.subsetOf(e2)) // never invent a pair
+      assert(e1.subsetOf(e2) && f1.subsetOf(f2)) // monotone in threshold
+      // the self pair (dist 0) survives any threshold on both paths
+      val qids = queries.select("query_id").as[Long].collect()
+      qids.foreach { q => assert(e1.contains((q, q)) && f1.contains((q, q))) }
+    }
+  }
+
   test("ANN results: ids ⊆ corpus, |result| ≤ k, distances ascending") {
     samples(5).foreach { rows =>
       val df = rows.toDF("vec_id", "embedding")
