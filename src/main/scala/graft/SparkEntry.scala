@@ -1328,6 +1328,46 @@ object SparkEntry {
     // partitions the window by query id); rrf is exact rational
     // arithmetic over integer ranks, so the fused ordering hashes
     // identically across engines.
+    // Near-dup gate (the q83 pattern for the two by-design-no_oracle
+    // near-dup operators): deterministic property bits hash-checked
+    // against constant truth. simhash_recall: the Hamming≤8 pair set
+    // recovers ≥90% of the exact-Jaccard≥0.5 pairs (measured 24/25 at
+    // sf0.01, tools/ProbeCuration). semdedup_no_dup_survivors: no
+    // same-cell pair with cos ≥ τ has BOTH endpoints surviving — the
+    // defining invariant of SemDeDup's one-representative-per-component
+    // contract, checked against the pair set itself.
+    "q85_neardup_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = TextDedup.jaccardPairsExact(docs, "doc_id", "text",
+          ngram = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val fp = GraftSession.widen(docs)
+        .select(col("doc_id"), TextDedup.simhash(col("text"), 2).as("fp"))
+      val fa = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      val fb = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      val sim = fa.crossJoin(fb).filter(col("id_a") < col("id_b"))
+        .withColumn("ham", TextDedup.hamming(col("fp_a"), col("fp_b")))
+        .filter(col("ham") <= 8)
+        .select(col("id_a"), col("id_b"))
+      val simRecall = sim.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("__n")))
+        .select(lit("simhash_recall").as("component"),
+          (col("__hits") / col("__n") >= lit(0.9)).cast("int").as("ok"))
+      val e = Tables.embeddings(s, d)
+      val pairs = graft.operators.SemanticDedup.cellPairs(
+        e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
+      val surv = graft.operators.SemanticDedup.survivors(
+          e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
+        .select(col("vec_id"))
+      val noDupSurvivors = pairs
+        .join(surv.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(surv.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
+        .agg((count(lit(1)) === 0).cast("int").as("ok"))
+        .select(lit("semdedup_no_dup_survivors").as("component"), col("ok"))
+      simRecall.unionByName(noDupSurvivors).orderBy(col("component"))
+    }),
+
     // Standing inverted-index serving under the driver gate: build the
     // bucket-pruned index, tombstone 10% of the docs (doc_id % 10 = 1),
     // serve from the index. The oracle computes BM25 over the SURVIVING
@@ -2287,6 +2327,10 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    "q85_neardup_gate" ->
+      """SELECT * FROM (VALUES
+           ('semdedup_no_dup_survivors', 1), ('simhash_recall', 1)) t(component, ok)
+         ORDER BY component""",
     "q84_bm25_indexed_delete" ->
       """WITH terms AS (
            SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
