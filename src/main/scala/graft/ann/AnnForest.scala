@@ -210,27 +210,37 @@ class AnnForestModel(
       corpus: DataFrame, queries: DataFrame, topK: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[Column] = None): DataFrame = {
+      corpusFilter: Option[Column] = None): DataFrame =
+    // union across trees + bounded-heap top-k, one exchange for the
+    // whole tail (see BucketSelfJoin.dedupTopK for the partitioning
+    // argument)
+    BucketSelfJoin.dedupTopK(
+      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      topK)
+
+  /** Shared route/join/score head of the bucketed top-k and radius
+    * joins (mirrors DistributedAnnModel.bucketCandidates /
+    * IvfModel.cellCandidates). */
+  private def bucketCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      corpusFilter: Option[Column]): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     // carried vectors must be normalized under cosine so the re-rank
     // distance is 2·(1−cos); routing normalizes independently inside
     // assignLeaves (which must handle direct public calls too)
-    def prep(c: org.apache.spark.sql.Column) =
-      if (metric == "cosine") l2Normalize(c) else c
+    def prep(c: Column) = if (metric == "cosine") l2Normalize(c) else c
     val corpusSrc = corpusFilter.map(corpus.filter).getOrElse(corpus)
     val corpusRouted = assignLeaves(
       corpusSrc.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
       queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
-    val candidates = queriesRouted
+    queriesRouted
       .join(corpusRouted, Seq("tree_id", "leaf_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))
-    // union across trees + bounded-heap top-k, one exchange for the
-    // whole tail (see BucketSelfJoin.dedupTopK for the partitioning
-    // argument)
-    BucketSelfJoin.dedupTopK(candidates, topK)
   }
 
   /** Distance-threshold ("radius") join via the bucket path: the same
@@ -251,21 +261,10 @@ class AnnForestModel(
       corpus: DataFrame, queries: DataFrame, maxDist: Double,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[Column] = None): DataFrame = {
-    import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
-    def prep(c: Column) = if (metric == "cosine") l2Normalize(c) else c
-    val corpusSrc = corpusFilter.map(corpus.filter).getOrElse(corpus)
-    val corpusRouted = assignLeaves(
-      corpusSrc.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
-    val queriesRouted = assignLeaves(
-      queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
-    val candidates = queriesRouted
-      .join(corpusRouted, Seq("tree_id", "leaf_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        sqEucDist(col("__cvec"), col("__qv")).as("dist"))
-    BucketSelfJoin.dedupRadius(candidates, maxDist)
-  }
+      corpusFilter: Option[Column] = None): DataFrame =
+    BucketSelfJoin.dedupRadius(
+      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      maxDist)
 
   /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123: every corpus
     * vector is also a query) — result-identical to

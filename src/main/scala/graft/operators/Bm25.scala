@@ -101,6 +101,11 @@ object Bm25 {
     * average: an average can't be exactly decremented, the sum can). */
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // drop stale tombstones FIRST: if a rebuild dies mid-write, a
+    // leftover tombstone set from the previous index must not be
+    // applied to the fresh tables (silently wrong scores); a torn
+    // rebuild with no tombstones just fails loudly on mixed tables
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
@@ -116,8 +121,6 @@ object Bm25 {
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
-    // a fresh build starts with no deletions
-    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
   }
 
   /** Delete documents from a standing index without a rebuild: appends
@@ -130,9 +133,20 @@ object Bm25 {
     * of every weight input — specced). Deleting an id the index never
     * held is a no-op. [[compactIndex]] makes deletions physical. */
   def removeDocs(spark: org.apache.spark.sql.SparkSession, name: String,
-      ids: DataFrame, idCol: String = "doc_id"): Unit =
-    ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+      ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    // select by NAME when present; positional only for an unambiguous
+    // 1-column frame (a multi-column frame without idCol would silently
+    // tombstone the wrong column's values)
+    val src =
+      if (ids.columns.contains(idCol)) col(idCol)
+      else {
+        require(ids.columns.length == 1,
+          s"removeDocs: ids has columns ${ids.columns.mkString(",")} — none named '$idCol'")
+        col(ids.columns.head)
+      }
+    ids.select(src.cast("long").as(idCol)).distinct()
       .write.mode("append").format("parquet").saveAsTable(s"${name}_tombstones")
+  }
 
   /** Physical compaction: rewrite the index minus the tombstoned docs
     * (postings/terms/doclens/stats all recomputed from the surviving

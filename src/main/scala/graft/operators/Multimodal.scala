@@ -62,9 +62,13 @@ object Multimodal {
     * read the raster row-buffered — still inside this same narrow
     * partition map, nothing about the plan changes. */
   private[operators] def imageDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    // NonFatal, not just IOException: the JDK readers throw
+    // IllegalArgumentException / ArrayIndexOutOfBounds / NegativeArraySize
+    // on malformed headers that pass the magic-byte sniff — one bad row
+    // must fall back to the stub, never kill the stage
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) null
     else {
       val w = img.getWidth
@@ -163,7 +167,7 @@ object Multimodal {
       val img =
         if (looksLikeImage(payload))
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null } // see imageDecode
         else null
       if (img != null) {
         val nw = math.max(1, img.getWidth / factor)

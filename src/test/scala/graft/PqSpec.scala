@@ -102,18 +102,21 @@ class PqSpec extends SparkSpec {
     pq.saveCorpusIvf(ivf, emb, "graft_pq_corpus", buckets = 8)
     try {
       val indexed = pq.knnJoinIvfIndexed(spark, ivf, "graft_pq_corpus", queries, topK = 10)
+      // plan-shape assert BEFORE execution: after collect, AQE's
+      // executedPlan.toString prints final + original plan and a regex
+      // count double-counts (recorded pitfall)
+      // the compressed corpus must never move: at most the probed QUERY
+      // side exchanges on cell (Spark may broadcast the query side
+      // instead — zero cell exchanges; either way the corpus-side scan
+      // feeds the join directly, the bucketed layout covering the
+      // shuffle-join case at scale per SinksAndAggSpec)
+      val p = indexed.queryExecution.executedPlan.toString
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).length
+      assert(cellExchanges <= 1, s"corpus-side cell exchange crept in:\n$p")
       val adhoc = pq.knnJoinIvf(ivf, emb, queries, topK = 10)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
       assert(rows(indexed) === rows(adhoc))
-      // the compressed corpus must never move: at most the probed QUERY
-      // side exchanges on cell (at fixture scale Spark broadcasts the
-      // query side instead — zero cell exchanges; either way the
-      // corpus-side scan feeds the join directly, the bucketed layout
-      // covering the shuffle-join case at scale per SinksAndAggSpec)
-      val p = indexed.queryExecution.executedPlan.toString
-      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).length
-      assert(cellExchanges <= 1, s"corpus-side cell exchange crept in:\n$p")
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_corpus")
   }
 }
