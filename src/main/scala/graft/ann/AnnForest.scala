@@ -12,15 +12,31 @@ import org.apache.spark.sql.Row
 
 /** Hyperplane in implicit form n·x + c = 0 (reference src/hyperplane.rs:3-6). */
 case class HyperPlane(coefficients: Array[Float], constant: Float) extends Serializable {
-  /** Sidedness: n·x + c ≥ 0 ⇒ "above"; ties go above
-    * (reference src/hyperplane.rs:9-11). Accumulates in double — the
+  /** Signed unnormalized margin n·x + c. Accumulates in double — the
     * reference sums f32, a documented precision divergence that only
     * moves points sitting exactly on a plane. */
-  def isAbove(v: Array[Float]): Boolean = {
+  def signedMargin(v: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     while (i < coefficients.length) { acc += coefficients(i).toDouble * v(i); i += 1 }
-    acc + constant >= 0.0
+    acc + constant
+  }
+
+  /** Sidedness: n·x + c ≥ 0 ⇒ "above"; ties go above
+    * (reference src/hyperplane.rs:9-11). */
+  def isAbove(v: Array[Float]): Boolean = signedMargin(v) >= 0.0
+
+  /** ‖n‖ — divides [[signedMargin]] into a true point-to-plane
+    * distance (the spill-routing criterion). Computed once per
+    * executor-side object. */
+  @transient lazy val norm: Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < coefficients.length) {
+      acc += coefficients(i).toDouble * coefficients(i).toDouble
+      i += 1
+    }
+    math.sqrt(acc)
   }
 }
 
@@ -151,7 +167,8 @@ class AnnForestModel(
     * equi-join whose shuffle is on a compact int pair, never on vectors
     * crossing a broadcast boundary.
     */
-  def assignLeaves(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+  def assignLeaves(df: DataFrame, vecCol: String = "embedding",
+      spillEps: Double = 0.0, maxLeavesPerTree: Int = 4): DataFrame = {
     val spark = df.sparkSession
     // Broadcast only topology+planes (compact, store stripped). Under
     // metric="cosine" the planes were fit on a NORMALIZED store and
@@ -162,7 +179,8 @@ class AnnForestModel(
     val leafIdUdf = udf { (v: Seq[Float]) =>
       val q0 = v.toArray
       val q = if (cosineMetric) AnnForestModel.l2NormalizeJvm(q0) else q0
-      bc.value.leafPaths(q).toSeq
+      if (spillEps > 0.0) bc.value.leafPathsSpill(q, spillEps, maxLeavesPerTree).toSeq
+      else bc.value.leafPaths(q).toSeq
     }
     // explode_outer, not explode: InferFiltersFromGenerate would add
     // `size(UDF(v)) > 0 AND isnotnull(UDF(v))` below a non-outer Generate,
@@ -210,22 +228,33 @@ class AnnForestModel(
       corpus: DataFrame, queries: DataFrame, topK: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[Column] = None): DataFrame =
+      corpusFilter: Option[Column] = None,
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame =
     // union across trees + bounded-heap top-k, one exchange for the
     // whole tail (see BucketSelfJoin.dedupTopK for the partitioning
     // argument)
     BucketSelfJoin.dedupTopK(
-      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+        corpusFilter, querySpillEps, queryMaxLeaves),
       topK)
 
   /** Shared route/join/score head of the bucketed top-k and radius
     * joins (mirrors DistributedAnnModel.bucketCandidates /
-    * IvfModel.cellCandidates). */
+    * IvfModel.cellCandidates).
+    *
+    * `querySpillEps` > 0 enables QUERY-SIDE spill routing: queries
+    * within eps of a split plane probe both children (bounded by
+    * `queryMaxLeaves` leaves per tree) — the recall knob that costs
+    * only extra probed buckets, never touches the corpus side, and so
+    * composes with a persisted/standing corpus bucket table unchanged.
+    * Candidates grow monotonically with eps, so top-k recall is
+    * non-decreasing (specced). */
   private def bucketCandidates(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      corpusFilter: Option[Column]): DataFrame = {
+      corpusFilter: Option[Column],
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     // carried vectors must be normalized under cosine so the re-rank
     // distance is 2·(1−cos); routing normalizes independently inside
@@ -235,7 +264,8 @@ class AnnForestModel(
     val corpusRouted = assignLeaves(
       corpusSrc.select(col(corpusId).as("neighbor_id"), prep(col(corpusVec)).as("__cvec")), "__cvec")
     val queriesRouted = assignLeaves(
-      queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv")
+      queries.select(col(queryId).as("query_id"), prep(col(queryVec)).as("__qv")), "__qv",
+      spillEps = querySpillEps, maxLeavesPerTree = queryMaxLeaves)
     queriesRouted
       .join(corpusRouted, Seq("tree_id", "leaf_id"))
       .select(
@@ -450,6 +480,67 @@ final class CompactIndex(
       t += 1
     }
     out
+  }
+
+  /** ‖n‖ per plane — lazily computed once per executor-side index,
+    * normalizes [[isAbove]]'s accumulator into a true point-to-plane
+    * distance for the spill criterion. */
+  @transient private lazy val planeNorms: Array[Double] = {
+    val n = planeConst.length
+    val out = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      var acc = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < dim) { acc += planeCoef(base + i).toDouble * planeCoef(base + i); i += 1 }
+      out(p) = math.sqrt(acc)
+      p += 1
+    }
+    out
+  }
+
+  /** Spill routing (multi-probe): like [[leafPaths]], but at any inner
+    * node whose plane lies within `eps` (euclidean point-to-plane
+    * distance) of the vector, BOTH children are explored — the true
+    * nearest neighbors of a near-boundary query are equally likely on
+    * either side, which is exactly the pair the single-path walk
+    * loses. Main-side-first depth-first order with at most
+    * `maxLeavesPerTree` leaves emitted per tree, so the first leaf is
+    * always the [[leafPaths]] leaf and cost is bounded. eps = 0 ≡
+    * [[leafPaths]]. */
+  def leafPathsSpill(q: Array[Float], eps: Double, maxLeavesPerTree: Int): Array[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var t = 0
+    while (t < roots.length) {
+      var leaves = 0
+      var stack = List((roots(t), 1L))
+      while (stack.nonEmpty && leaves < maxLeavesPerTree) {
+        val (node, path) = stack.head
+        stack = stack.tail
+        if (left(node) < 0) {
+          out += ((t, path))
+          leaves += 1
+        } else {
+          val p = planeIdx(node)
+          var acc = 0.0
+          val base = p * dim
+          var i = 0
+          while (i < dim) { acc += planeCoef(base + i).toDouble * q(i); i += 1 }
+          acc += planeConst(p)
+          val above = acc >= 0.0
+          val main = (if (above) right(node) else left(node),
+            2 * path + (if (above) 1L else 0L))
+          // push backup first so the main child pops (explores) first
+          if (math.abs(acc) < eps * planeNorms(p))
+            stack = (if (above) left(node) else right(node),
+              2 * path + (if (above) 0L else 1L)) :: stack
+          stack = main :: stack
+        }
+      }
+      t += 1
+    }
+    out.toArray
   }
 
   /** Structure-only copy (planes + topology; leaf contents AND store

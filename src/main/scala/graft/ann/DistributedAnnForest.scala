@@ -178,23 +178,51 @@ class DistributedAnnModel(
 
   /** Route queries to their (tree_id, leaf_id) buckets: walk the plane
     * map from each root until the path leaves it (= a leaf). Narrow —
-    * one UDF over a broadcast of the plane map. */
+    * one UDF over a broadcast of the plane map. `spillEps` > 0 probes
+    * BOTH children of any plane within eps (point-to-plane distance) of
+    * the vector — main-path-first, ≤ `maxLeavesPerTree` leaves per tree
+    * (see [[CompactIndex.leafPathsSpill]]; this is the query-side
+    * recall knob that leaves the standing corpus buckets untouched). */
   def assignLeaves(queries: DataFrame, idCol: String = "query_id",
-      vecCol: String = "qvec"): DataFrame = {
+      vecCol: String = "qvec",
+      spillEps: Double = 0.0, maxLeavesPerTree: Int = 4): DataFrame = {
     val bc = planesBc
     val nt = numTrees
     val cosine = metric == "cosine"
     val route = udf { (vec: Seq[Float]) =>
       val v0 = vec.toArray
       val v = if (cosine) AnnForestModel.l2NormalizeJvm(v0) else v0
-      (0 until nt).map { t =>
-        var p = 1L
-        var pl = bc.value.get((t, p))
-        while (pl.isDefined) {
-          p = 2 * p + (if (pl.get.isAbove(v)) 1L else 0L)
-          pl = bc.value.get((t, p))
+      if (spillEps <= 0.0) {
+        (0 until nt).map { t =>
+          var p = 1L
+          var pl = bc.value.get((t, p))
+          while (pl.isDefined) {
+            p = 2 * p + (if (pl.get.isAbove(v)) 1L else 0L)
+            pl = bc.value.get((t, p))
+          }
+          (t, p)
         }
-        (t, p)
+      } else {
+        (0 until nt).flatMap { t =>
+          val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          var stack = List(1L)
+          while (stack.nonEmpty && found.length < maxLeavesPerTree) {
+            val p = stack.head
+            stack = stack.tail
+            bc.value.get((t, p)) match {
+              case None => found += ((t, p)) // no plane ⇒ leaf
+              case Some(pl) =>
+                val m = pl.signedMargin(v)
+                val above = m >= 0.0
+                val main = 2 * p + (if (above) 1L else 0L)
+                // backup below main so the single-path child pops first
+                if (math.abs(m) < spillEps * pl.norm)
+                  stack = (2 * p + (if (above) 0L else 1L)) :: stack
+                stack = main :: stack
+            }
+          }
+          found
+        }
       }
     }
     queries
@@ -226,9 +254,11 @@ class DistributedAnnModel(
     * the bucket table — carry them through [[routeForStore]]'s input). */
   def knnJoin(queries: DataFrame, topK: Int,
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+      corpusFilter: Option[org.apache.spark.sql.Column] = None,
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame =
     BucketSelfJoin.dedupTopK(
-      bucketCandidates(queries, queryId, queryVec, corpusFilter), topK)
+      bucketCandidates(queries, queryId, queryVec, corpusFilter,
+        querySpillEps, queryMaxLeaves), topK)
 
   /** Distance-threshold ("radius") join against the standing bucket
     * table: same bucket equi-join as [[knnJoin]], tail = `dist ≤
@@ -243,9 +273,11 @@ class DistributedAnnModel(
 
   private def bucketCandidates(queries: DataFrame,
       queryId: String, queryVec: String,
-      corpusFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+      corpusFilter: Option[org.apache.spark.sql.Column],
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
-    val routed = assignLeaves(queries, queryId, queryVec)
+    val routed = assignLeaves(queries, queryId, queryVec,
+      spillEps = querySpillEps, maxLeavesPerTree = queryMaxLeaves)
     val routedQ =
       if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
       else routed

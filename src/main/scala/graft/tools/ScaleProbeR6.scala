@@ -56,6 +56,9 @@ object ScaleProbeR6 {
     time("standing kNN 2k queries (compacted baseline)") {
       pinned.knnJoin(queries, topK = 10).count()
     }
+    time("standing kNN 2k queries, query spill eps=0.25") {
+      pinned.knnJoin(queries, topK = 10, querySpillEps = 0.25).count()
+    }
     val deletes = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id")) // 1% of the corpus
     val removed = pinned.remove(deletes)

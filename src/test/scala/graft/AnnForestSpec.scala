@@ -277,6 +277,33 @@ class AnnForestSpec extends SparkSpec {
     assert(got.forall(labels(_) == 3))
   }
 
+  test("query-side spill routing: recall non-decreasing in eps, first leaf = single-path leaf") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val truth = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def recallAt(eps: Double): Double = {
+      val got = model.knnJoinBucketed(emb, queries, topK = 10, querySpillEps = eps)
+        .groupBy("query_id").agg(collect_set("neighbor_id").as("g"))
+        .as[(Long, Seq[Long])].collect().toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val r0 = recallAt(0.0)
+    val r1 = recallAt(0.25)
+    val r2 = recallAt(0.5)
+    info(f"bucketed recall@10: eps=0 $r0%.3f, eps=0.25 $r1%.3f, eps=0.5 $r2%.3f")
+    assert(r1 >= r0 && r2 >= r1, "candidates grow with eps, recall must not drop")
+    // the spill walk's first leaf per tree is the single-path leaf
+    val q = emb.filter($"vec_id" === 3L).head().getSeq[Float](1).toArray
+    val single = model.compact.leafPaths(q).toSet
+    val spilled = model.compact.leafPathsSpill(q, 0.5, 4)
+    assert(single.subsetOf(spilled.toSet))
+    assert(model.compact.leafPathsSpill(q, 0.0, 4).toSet === single)
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")

@@ -289,6 +289,26 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("query-side spill raises standing-index recall; bucket table untouched") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val truth = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.groupBy("query_id").agg(collect_set("neighbor_id").as("g"))
+        .as[(Long, Seq[Long])].collect().toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val r0 = recallOf(model.knnJoin(queries, topK = 10))
+    val r1 = recallOf(model.knnJoin(queries, topK = 10, querySpillEps = 0.25))
+    info(f"standing-index recall@10: eps=0 $r0%.3f, eps=0.25 $r1%.3f")
+    assert(r1 >= r0, "spill candidates are a superset — recall must not drop")
+    assert(r1 >= 0.9, f"spill recall $r1%.3f below floor") // measured 0.84 -> ~0.98
+  }
+
   test("serving loop: streaming query batches through foreachBatch, filter + top-k per batch") {
     // the online-serving shape: a standing bucket table + a query
     // STREAM, each micro-batch answered by the same knnJoin plan the
