@@ -640,13 +640,18 @@ object SparkEntry {
             (col("__hits") / col("__total") >= lit(floor)).cast("int").as("recall_ok"))
       val forest = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
         .fit(e, "vec_id", "embedding")
+      val dist = graft.ann.DistributedAnnForest(numTrees = 50, maxLeafSize = 5,
+        maxDepth = 16, seed = 42L).fit(e)
       val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
       gate("traversal", 0.90, forest.searchBatch(queries, 10))
         .unionByName(gate("self_bucketed", 0.75,
           forest.knnSelfJoinBucketed(e, topK = 10).filter(col("query_id") < 50)))
+        .unionByName(gate("bucketed_spill", 0.93,
+          forest.knnJoinBucketed(e, queries, topK = 10, querySpillEps = 0.25)))
         .unionByName(gate("distributed", 0.78,
-          graft.ann.DistributedAnnForest(numTrees = 50, maxLeafSize = 5,
-            maxDepth = 16, seed = 42L).fit(e).knnJoin(queries, topK = 10)))
+          dist.knnJoin(queries, topK = 10)))
+        .unionByName(gate("distributed_spill", 0.93,
+          dist.knnJoin(queries, topK = 10, querySpillEps = 0.25)))
         .unionByName(gate("ivf", 0.55,
           graft.ann.IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(e)
             .knnJoin(e, queries, topK = 10)))
@@ -1750,7 +1755,8 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q83_ann_recall_gate" ->
       """SELECT * FROM (VALUES
-           ('traversal', 1), ('self_bucketed', 1), ('distributed', 1),
+           ('traversal', 1), ('self_bucketed', 1), ('bucketed_spill', 1),
+           ('distributed', 1), ('distributed_spill', 1),
            ('ivf', 1), ('mllib_lsh', 1), ('pq_adc', 1)) t(backend, recall_ok)
          ORDER BY backend""",
     "q64_ivfpq_join" ->

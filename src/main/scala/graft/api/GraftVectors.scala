@@ -94,14 +94,17 @@ object GraftVectors {
     DistributedAnnForest(numTrees, maxLeafSize, maxDepth, seed)
       .fit(ds.toDF(), "id", "embedding")
 
-  /** Q2/Q4 against the distributed model: bucket-join k-NN. */
+  /** Q2/Q4 against the distributed model: bucket-join k-NN.
+    * `spillEps` > 0 probes both children of near-margin planes on the
+    * QUERY side only — the recall knob (0.80→0.99 at eps=0.25 on the
+    * fixture) that leaves the standing corpus buckets untouched. */
   def searchDistributed(
       model: DistributedAnnModel, queries: Dataset[VectorRecord],
-      topK: Int): Dataset[Neighbor] = {
+      topK: Int, spillEps: Double = 0.0): Dataset[Neighbor] = {
     import queries.sparkSession.implicits._
     model.knnJoin(
       queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
-      topK).as[Neighbor]
+      topK, querySpillEps = spillEps).as[Neighbor]
   }
 
   /** Standing-store ingest: route new vectors through the model's
