@@ -304,6 +304,30 @@ class AnnForestSpec extends SparkSpec {
     assert(model.compact.leafPathsSpill(q, 0.0, 4).toSet === single)
   }
 
+  test("cosine radius: maxDist = 2(1-minCos) finds exactly cosine-threshold pairs (subset)") {
+    import graft.functions.VectorFunctions.cosine
+    val cosModel = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L, metric = "cosine")
+      .fit(emb, "vec_id", "embedding")
+    val minCos = 0.4 // q33's near-dup threshold on this fixture
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // exact truth: all (query, neighbor) with cos >= minCos
+    val exact = emb.select($"vec_id".as("neighbor_id"), $"embedding")
+      .crossJoin(broadcast(queries))
+      .filter(cosine($"embedding", $"qvec") >= minCos)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = cosModel.radiusJoinBucketed(emb, queries, maxDist = 2.0 * (1.0 - minCos))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(exact),
+      "on the unit sphere 2(1-cos) <= maxDist must imply cos >= minCos")
+    // self pair (cos 1) always found; recall floor vs the exact set
+    queries.select("query_id").as[Long].collect()
+      .foreach(q => assert(got.contains((q, q))))
+    val rec = got.size.toDouble / exact.size
+    info(f"cosine radius recall = $rec%.3f (${got.size}/${exact.size})")
+    assert(rec >= 0.7)
+  }
+
   test("degenerate corpus (all-identical vectors) terminates via dedup+guard") {
     val df = (0L until 100L).map(i => (i, Array(1f, 1f))).toDF("vec_id", "embedding")
     val m = AnnForest(5, 2, 7L).fit(df, "vec_id", "embedding")
