@@ -544,6 +544,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // The PRODUCTION radius path under the same exact oracle as q82:
+    // bucket join + threshold tail, with query-side spill routing at
+    // eps=0.25 recovering every in-radius pair of this fixture (the
+    // found set is provably ⊆ exact — distances are computed exactly —
+    // and spill makes it ⊇ here, so the hash match proves equality).
+    // Deterministic: seeded forest, set-semantics output.
+    "q86_radius_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(e, "vec_id", "embedding")
+      model.radiusJoinBucketed(e, q, maxDist = 1.2535, querySpillEps = 0.25)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // IVF ANN backend: k-means coarse quantizer, nprobe cell probing.
     "q37_ivf_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1738,6 +1755,14 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q82_radius_join" ->
+      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         FROM embeddings e
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q
+         WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               * list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               <= 1.2535
+         ORDER BY query_id, neighbor_id""",
+    "q86_radius_ann" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          FROM embeddings e
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q

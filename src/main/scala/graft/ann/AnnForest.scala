@@ -291,9 +291,11 @@ class AnnForestModel(
       corpus: DataFrame, queries: DataFrame, maxDist: Double,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[Column] = None): DataFrame =
+      corpusFilter: Option[Column] = None,
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame =
     BucketSelfJoin.dedupRadius(
-      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec, corpusFilter),
+      bucketCandidates(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+        corpusFilter, querySpillEps, queryMaxLeaves),
       maxDist)
 
   /** Bulk k-NN self-join (reference Q4, src/main.rs:100-123: every corpus

@@ -267,9 +267,11 @@ class DistributedAnnModel(
     * exact oracle = [[graft.operators.KnnExact.radiusJoin]]. */
   def radiusJoin(queries: DataFrame, maxDist: Double,
       queryId: String = "query_id", queryVec: String = "qvec",
-      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+      corpusFilter: Option[org.apache.spark.sql.Column] = None,
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame =
     BucketSelfJoin.dedupRadius(
-      bucketCandidates(queries, queryId, queryVec, corpusFilter), maxDist)
+      bucketCandidates(queries, queryId, queryVec, corpusFilter,
+        querySpillEps, queryMaxLeaves), maxDist)
 
   private def bucketCandidates(queries: DataFrame,
       queryId: String, queryVec: String,

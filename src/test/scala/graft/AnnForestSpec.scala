@@ -249,6 +249,11 @@ class AnnForestSpec extends SparkSpec {
     val fRec = forest.size.toDouble / exact.size
     info(f"forest radius recall = $fRec%.3f (${forest.size}/${exact.size})")
     assert(fRec >= 0.7, f"forest radius recall $fRec%.3f below floor")
+    // query-side spill widens the found set (never past exact)
+    val spilled = model.radiusJoinBucketed(emb, queries, r2, querySpillEps = 0.25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(forest.subsetOf(spilled) && spilled.subsetOf(exact))
+    info(f"forest radius recall with spill = ${spilled.size.toDouble / exact.size}%.3f")
     val ivf = IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(emb)
       .radiusJoin(emb, queries, r2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
