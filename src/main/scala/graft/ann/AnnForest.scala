@@ -169,6 +169,10 @@ class AnnForestModel(
     */
   def assignLeaves(df: DataFrame, vecCol: String = "embedding",
       spillEps: Double = 0.0, maxLeavesPerTree: Int = 4): DataFrame = {
+    // fail fast on the driver: a 0-leaf budget inside the routing UDF
+    // would silently route every row to nothing
+    require(spillEps <= 0.0 || maxLeavesPerTree >= 1,
+      s"maxLeavesPerTree must be >= 1 when spilling, got $maxLeavesPerTree")
     val spark = df.sparkSession
     // Broadcast only topology+planes (compact, store stripped). Under
     // metric="cosine" the planes were fit on a NORMALIZED store and
@@ -247,8 +251,10 @@ class AnnForestModel(
     * `queryMaxLeaves` leaves per tree) — the recall knob that costs
     * only extra probed buckets, never touches the corpus side, and so
     * composes with a persisted/standing corpus bucket table unchanged.
-    * Candidates grow monotonically with eps, so top-k recall is
-    * non-decreasing (specced). */
+    * Any eps > 0 probes a superset of the eps = 0 buckets, so recall
+    * vs the single-path walk never drops (specced); see
+    * [[CompactIndex.leafPathsSpill]] for why eps-vs-eps under a leaf
+    * cap is empirical rather than guaranteed. */
   private def bucketCandidates(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
@@ -380,13 +386,16 @@ final class CompactIndex(
     val vecs: Array[Float],                          // nRows × dim
     val dim: Int) extends Serializable {
 
-  private def isAbove(plane: Int, q: Array[Float]): Boolean = {
+  private def signedMargin(plane: Int, q: Array[Float]): Double = {
     var acc = 0.0
     val base = plane * dim
     var i = 0
     while (i < dim) { acc += planeCoef(base + i).toDouble * q(i); i += 1 }
-    acc + planeConst(plane) >= 0.0
+    acc + planeConst(plane)
   }
+
+  private def isAbove(plane: Int, q: Array[Float]): Boolean =
+    signedMargin(plane, q) >= 0.0
 
   private def treeCandidates(
       q: Array[Float], n: Int, node: Int,
@@ -510,8 +519,17 @@ final class CompactIndex(
     * loses. Main-side-first depth-first order with at most
     * `maxLeavesPerTree` leaves emitted per tree, so the first leaf is
     * always the [[leafPaths]] leaf and cost is bounded. eps = 0 ≡
-    * [[leafPaths]]. */
+    * [[leafPaths]].
+    *
+    * Guarantee scope: any eps > 0 probes a SUPERSET of the eps = 0
+    * leaves (the main leaf is emitted first in every tree), so recall
+    * vs the single-path walk never drops. Between two positive eps
+    * values under a binding leaf cap the sets are NOT nested — a larger
+    * eps admits deeper spills that can consume the budget ahead of a
+    * smaller eps's leaves — so eps-vs-eps improvements are empirical,
+    * not a theorem. */
   def leafPathsSpill(q: Array[Float], eps: Double, maxLeavesPerTree: Int): Array[(Int, Long)] = {
+    require(maxLeavesPerTree >= 1, s"maxLeavesPerTree must be >= 1, got $maxLeavesPerTree")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     var t = 0
     while (t < roots.length) {
@@ -525,11 +543,7 @@ final class CompactIndex(
           leaves += 1
         } else {
           val p = planeIdx(node)
-          var acc = 0.0
-          val base = p * dim
-          var i = 0
-          while (i < dim) { acc += planeCoef(base + i).toDouble * q(i); i += 1 }
-          acc += planeConst(p)
+          val acc = signedMargin(p, q)
           val above = acc >= 0.0
           val main = (if (above) right(node) else left(node),
             2 * path + (if (above) 1L else 0L))

@@ -186,6 +186,10 @@ class DistributedAnnModel(
   def assignLeaves(queries: DataFrame, idCol: String = "query_id",
       vecCol: String = "qvec",
       spillEps: Double = 0.0, maxLeavesPerTree: Int = 4): DataFrame = {
+    // fail fast on the driver: a 0-leaf budget inside the routing UDF
+    // would silently route every query to nothing
+    require(spillEps <= 0.0 || maxLeavesPerTree >= 1,
+      s"maxLeavesPerTree must be >= 1 when spilling, got $maxLeavesPerTree")
     val bc = planesBc
     val nt = numTrees
     val cosine = metric == "cosine"
