@@ -101,11 +101,16 @@ object Bm25 {
     * average: an average can't be exactly decremented, the sum can). */
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    // drop stale tombstones FIRST: if a rebuild dies mid-write, a
-    // leftover tombstone set from the previous index must not be
-    // applied to the fresh tables (silently wrong scores); a torn
-    // rebuild with no tombstones just fails loudly on mixed tables
-    docs.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+    val spark = docs.sparkSession
+    // crash safety: a build-in-progress marker goes down FIRST, and
+    // comes up only after the last table write succeeds. A crash at any
+    // point between leaves the marker behind, and scoreIndexed /
+    // compactIndex refuse a marked index outright — so a torn rebuild
+    // can never serve mixed tables, and the stale-tombstone hazard
+    // (old tombstones applied to fresh tables = silently wrong scores)
+    // is closed without ordering games.
+    setBuilding(spark, name, on = true)
+    graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
@@ -117,10 +122,38 @@ object Bm25 {
     graft.sources.Sinks.parquetBucketed(
       postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
       s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    dl.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_doclens")
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    graft.sources.Sinks.parquetTable(dl, s"${name}_doclens")
+    graft.sources.Sinks.parquetTable(
+      dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+      s"${name}_stats")
+    setBuilding(spark, name, on = false)
+  }
+
+  /** The build-in-progress marker is a plain warehouse file, not a
+    * catalog entry — it must survive the JVM and be visible to a fresh
+    * catalog, exactly like the table directories it guards. */
+  private def buildingMarker(spark: org.apache.spark.sql.SparkSession,
+      name: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT) + "__building")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def setBuilding(spark: org.apache.spark.sql.SparkSession,
+      name: String, on: Boolean): Unit = {
+    val (fs, p) = buildingMarker(spark, name)
+    if (on) fs.create(p, true).close()
+    else fs.delete(p, false)
+  }
+
+  private def requireServable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val (fs, p) = buildingMarker(spark, name)
+    require(!fs.exists(p),
+      s"index '$name': a rebuild is in progress or was interrupted " +
+        s"(marker $p present) — rerun buildIndex")
   }
 
   /** Delete documents from a standing index without a rebuild: appends
@@ -144,6 +177,10 @@ object Bm25 {
           s"removeDocs: ids has columns ${ids.columns.mkString(",")} — none named '$idCol'")
         col(ids.columns.head)
       }
+    // a fresh catalog over a stale warehouse: the first append would
+    // CREATE the table and trip over the leftover directory — clear it
+    if (!spark.catalog.tableExists(s"${name}_tombstones"))
+      graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     ids.select(src.cast("long").as(idCol)).distinct()
       .write.mode("append").format("parquet").saveAsTable(s"${name}_tombstones")
   }
@@ -156,8 +193,11 @@ object Bm25 {
     * overwritten while derived from its own previous contents. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       buckets: Int = 32, idCol: String = "doc_id"): Unit = {
+    requireServable(spark, name)
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
     val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
+    // the rewrite is a build: marker down while the tables are torn
+    setBuilding(spark, name, on = true)
     val postings = spark.table(s"${name}_postings")
       .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
     val doclens = spark.table(s"${name}_doclens")
@@ -167,11 +207,13 @@ object Bm25 {
     graft.sources.Sinks.parquetBucketed(
       postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
       s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    doclens.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_doclens")
-    doclens.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
+    graft.sources.Sinks.parquetTable(doclens, s"${name}_doclens")
+    graft.sources.Sinks.parquetTable(
+      doclens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+      s"${name}_stats")
+    graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
+    setBuilding(spark, name, on = false)
   }
 
   /** Score a bag-of-terms query against a standing index built by
@@ -184,10 +226,19 @@ object Bm25 {
   def scoreIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queryTerms: Seq[String], idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireServable(spark, name)
     val terms = queryTerms.distinct
     val pRaw = spark.table(s"${name}_postings").filter(col("term").isin(terms: _*))
     val dRaw = spark.table(s"${name}_terms").filter(col("term").isin(terms: _*))
     val statsRaw = spark.table(s"${name}_stats")
+    // layout/version check: the stats schema moved from (n_docs, avgdl)
+    // to (n_docs, sum_dl) + a doclens table when exact deletes landed.
+    // Serving an old index would otherwise die mid-plan with an
+    // unresolved-column error — fail fast with the actual remedy.
+    require(statsRaw.columns.contains("sum_dl") &&
+        spark.catalog.tableExists(s"${name}_doclens"),
+      s"index '$name' predates the (sum_dl, doclens) layout — " +
+        "rerun buildIndex to upgrade it")
     // avgdl = sum_dl / n_docs: the same two exact operands the ad-hoc
     // path's avg(dl) divides (integer-valued double sum / count), so
     // indexed and ad-hoc weights agree bit-for-bit

@@ -21,6 +21,32 @@ object Sinks {
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Drop a managed table AND its on-disk location. `DROP TABLE` alone
+    * is not enough across JVMs: a prior process's saveAsTable leaves
+    * the table directory under the warehouse, a fresh in-memory
+    * catalog doesn't know the table, and a later `mode("overwrite")
+    * .saveAsTable` fails with LOCATION_ALREADY_EXISTS (overwrite can
+    * only drop tables the catalog knows about). Every managed-table
+    * write in the engine goes through this first, so standing indexes
+    * rebuild cleanly in a new session over an old warehouse. */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      wh, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc))
+      require(fs.delete(loc, true),
+        s"dropTable: could not delete stale location $loc")
+  }
+
+  /** Plain managed parquet table, replaced location-safely (see
+    * [[dropTable]] for why overwrite alone is not enough). */
+  def parquetTable(df: DataFrame, table: String): Unit = {
+    dropTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Bucketed + sorted table: the standing-corpus layout. Both sides of
     * a recurring equi-join written with the same bucket count and key
     * hash-align on disk, so every subsequent join (or groupBy on the
@@ -33,6 +59,7 @@ object Sinks {
   def parquetBucketed(
       df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    dropTable(df.sparkSession, table)
     val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

@@ -161,6 +161,53 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 standing index: torn rebuild refuses to serve; stale location rebuilds; old layout fails fast") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text").limit(50)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def path(s: String) = new org.apache.hadoop.fs.Path(wh, s)
+    val fs = path("x").getFileSystem(hconf)
+    try {
+      // stale-location scenario: a prior JVM's table directory survives
+      // in the warehouse while this session's catalog has never heard of
+      // the table — buildIndex must replace it, not die on
+      // LOCATION_ALREADY_EXISTS (the exact failure that silently dropped
+      // q84 from the round-5 gate)
+      fs.mkdirs(path("graft_bm25_torn_postings"))
+      fs.create(path("graft_bm25_torn_postings/junk"), true).close()
+      Bm25.buildIndex(docsDf, "graft_bm25_torn", buckets = 4)
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(explode(slice(graft.operators.TextAnalysis.tokens($"text"), 1, 3)).as("t"))
+        .as[String].collect().toSeq
+      assert(Bm25.scoreIndexed(spark, "graft_bm25_torn", qTerms).collect().nonEmpty)
+      // torn rebuild: the build-in-progress marker refuses serving and
+      // compaction with an actionable message
+      fs.create(path("graft_bm25_torn__building"), true).close()
+      val e = intercept[IllegalArgumentException](
+        Bm25.scoreIndexed(spark, "graft_bm25_torn", qTerms))
+      assert(e.getMessage.contains("buildIndex"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        Bm25.compactIndex(spark, "graft_bm25_torn"))
+      assert(e2.getMessage.contains("buildIndex"), e2.getMessage)
+      // a rebuild clears the marker and serves again
+      Bm25.buildIndex(docsDf, "graft_bm25_torn", buckets = 4)
+      assert(!fs.exists(path("graft_bm25_torn__building")))
+      assert(Bm25.scoreIndexed(spark, "graft_bm25_torn", qTerms).collect().nonEmpty)
+      // pre-(sum_dl, doclens) layout: fail fast with the remedy, not an
+      // unresolved-column analysis error mid-plan
+      graft.sources.Sinks.parquetTable(
+        Seq((50L, 10.0)).toDF("n_docs", "avgdl"), "graft_bm25_torn_stats")
+      val e3 = intercept[IllegalArgumentException](
+        Bm25.scoreIndexed(spark, "graft_bm25_torn", qTerms))
+      assert(e3.getMessage.contains("rerun buildIndex"), e3.getMessage)
+    } finally {
+      fs.delete(path("graft_bm25_torn__building"), false)
+      Seq("postings", "terms", "doclens", "stats", "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_torn_$t"))
+    }
+  }
+
   test("bm25 batch: per-query scores equal the single-query path") {
     import graft.operators.Bm25
     val docsDf = docs.select($"doc_id", $"text")
