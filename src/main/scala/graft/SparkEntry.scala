@@ -1447,6 +1447,20 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("n_matched"),
           round(col("bm25"), 4).as("bm25"))
         .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // Streaming near-dup admission: dedup-at-ingest against the
+    // standing signature store, replayed in 4 id-ordered micro-batches
+    // through the SAME admitBatch the foreachBatch wiring runs.
+    // Seen-store semantics make the admitted set batching-independent,
+    // so the oracle is exact: a doc is admitted iff it is the later
+    // side of NO exact-Jaccard pair (q30's green hash row already
+    // proves LSH candidate recall is 1.0 on this fixture/threshold).
+    "q87_ingest_dedup" -> ((s, d) => {
+      graft.streaming.IngestDedup.replayInBatches(
+        Tables.documents(s, d), "graft_q87_seen", nBatches = 4)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2445,6 +2459,22 @@ object SparkEntry {
              / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) JOIN q USING (term), stats
-         GROUP BY q.query_id, tf.doc_id ORDER BY query_id, doc_id"""
+         GROUP BY q.query_id, tf.doc_id ORDER BY query_id, doc_id""",
+    "q87_ingest_dedup" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+
+/** Near-duplicate admission at INGEST time — the streaming face of the
+  * batch MinHash+LSH pipeline. A training-data pipeline doesn't dedup
+  * once; it admits documents continuously, and each arriving document
+  * must be checked against everything already seen WITHOUT rescanning
+  * the corpus. This operator maintains a standing signature store (two
+  * bucketed tables) and filters each micro-batch against it.
+  *
+  * Semantics (pinned, oracle-checkable): a document is ADMITTED iff no
+  * earlier-seen document is a near-duplicate (n-gram Jaccard ≥
+  * threshold). "Earlier" = any prior batch, or a smaller id within the
+  * same batch; every seen document (admitted or not) joins the store,
+  * so admission of d depends only on the set of documents before d —
+  * NOT on which of them were themselves admitted. That makes the
+  * result independent of how the stream is batched (any split of the
+  * id-ordered stream yields the same admitted set), which is what lets
+  * q87 carry a full DuckDB oracle: admitted = documents that appear as
+  * the LATER side of no exact-Jaccard pair.
+  *
+  * Scale shape (the point of the standing store):
+  *   - `<name>_bands` (band_id, band_key, id), bucketed AND sorted by
+  *     band_key: the batch's band keys are collected (batch_size×bands
+  *     longs — query parameters, same discipline as BM25's term list)
+  *     and probed as a literal IN filter, so the scan bucket-prunes and
+  *     row-group-prunes to the matching keys. Per-batch cost follows
+  *     matched bands, not corpus size.
+  *   - `<name>_shingles` (id, sh), bucketed by id: exact-verify fetches
+  *     shingle sets ONLY for the candidate old ids (broadcast
+  *     semi-join), never scanning corpus text again.
+  *   - The batch side is micro by definition: its signatures are
+  *     computed once and broadcast into both probes.
+  */
+object IngestDedup {
+
+  /** Drop the standing store (both tables), location-safely. */
+  def initStore(spark: SparkSession, name: String): Unit = {
+    graft.sources.Sinks.dropTable(spark, s"${name}_bands")
+    graft.sources.Sinks.dropTable(spark, s"${name}_shingles")
+  }
+
+  /** Admit one micro-batch against the standing store `name`, append
+    * the batch to the store, and return the admitted ids (one `id`
+    * column). The returned frame is materialized BEFORE the store
+    * append (a lazy plan would otherwise re-read the store after the
+    * batch's own rows landed and self-reject every document at
+    * jaccard 1.0). */
+  def admitBatch(batch: DataFrame, name: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    // one signature/shingle pass over the micro-batch, pinned so every
+    // consumer below reuses the arrays instead of re-hashing the text
+    val b = batch.select(
+        col(idCol).cast("long").as("id"),
+        TextDedup.shingleHashes(col(textCol), ngram).as("sh"),
+        TextDedup.minhashSignature(
+          TextDedup.shingleHashes(col(textCol), ngram), numHashes, seed).as("sig"))
+      .localCheckpoint()
+    val bandRows = b
+      .select(col("id"),
+        explode(TextDedup.lshBands(col("sig"), bands, numHashes / bands)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+    // in-batch rejections: the batch is micro, so the batch-vs-batch
+    // check is exactly the batch-mode pair pipeline on the batch alone
+    // (any verified pair a<b rejects b)
+    val rejInBatch = TextDedup.minhashPairs(batch, idCol, textCol,
+        ngram, numHashes, bands, threshold, seed)
+      .select(col("id_b").as("id")).distinct()
+    // cross-batch rejections: probe the standing store
+    val rejOld: DataFrame =
+      if (!spark.catalog.tableExists(s"${name}_bands"))
+        spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+      else {
+        val keys = bandRows.select(col("band_key")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val cand = spark.table(s"${name}_bands")
+          .filter(col("band_key").isin(keys: _*))
+          .join(broadcast(bandRows.select(
+            col("id").as("new_id"), col("band_id"), col("band_key"))),
+            Seq("band_id", "band_key"))
+          .select(col("id").as("old_id"), col("new_id")).distinct()
+        val oldSh = spark.table(s"${name}_shingles")
+          .join(broadcast(cand.select(col("old_id").as("id")).distinct()),
+            Seq("id"), "left_semi")
+        cand
+          .join(oldSh.select(col("id").as("old_id"), col("sh").as("sh_old")),
+            Seq("old_id"))
+          .join(broadcast(b.select(col("id").as("new_id"), col("sh").as("sh_new"))),
+            Seq("new_id"))
+          .filter(TextDedup.jaccard(col("sh_old"), col("sh_new")) >= threshold)
+          .select(col("new_id").as("id")).distinct()
+      }
+    val admitted = b.select(col("id"))
+      .join(rejInBatch, Seq("id"), "left_anti")
+      .join(rejOld, Seq("id"), "left_anti")
+      .localCheckpoint() // settle BEFORE the store grows (see scaladoc)
+    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")))
+    admitted
+  }
+
+  /** Append a batch's band rows and shingle sets to the store,
+    * creating the bucketed tables on first use (stale-location-safe:
+    * a leftover directory from a previous JVM is cleared, mirroring
+    * Bm25.removeDocs). Appends to a bucketed table keep the bucket
+    * spec, so the serving-side pruning survives growth. */
+  private def appendToStore(spark: SparkSession, name: String,
+      bandRows: DataFrame, shingles: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_bands"))
+      initStore(spark, name)
+    bandRows.write.mode("append").format("parquet")
+      .bucketBy(8, "band_key").sortBy("band_key")
+      .saveAsTable(s"${name}_bands")
+    shingles.write.mode("append").format("parquet")
+      .bucketBy(8, "id")
+      .saveAsTable(s"${name}_shingles")
+  }
+
+  /** Batch-mode replay: feed `docs` through [[admitBatch]] in
+    * `nBatches` contiguous id ranges (ascending — the pinned arrival
+    * order) and return every admitted id. This is the SAME code the
+    * streaming wiring runs per micro-batch; q87 drives it so the
+    * driver's oracle gate covers the ingest-admission path. */
+  def replayInBatches(docs: DataFrame, name: String, nBatches: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    initStore(spark, name)
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val step = (maxId + nBatches) / nBatches // ceil((max+1)/n)
+    (0 until nBatches).map { k =>
+      admitBatch(
+        docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step),
+        name, idCol, textCol, ngram, numHashes, bands, threshold, seed)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Streaming wiring: foreachBatch over a document stream, admitting
+    * each micro-batch against the standing store and handing the
+    * admitted ids to `sink`. Arrival order between batches is the
+    * stream order; [[admitBatch]] pins smaller-id-first within one. */
+  def ingestStream(docs: DataFrame, name: String,
+      sink: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(admitBatch(batch, name, idCol, textCol,
+          ngram, numHashes, bands, threshold, seed), batchId)
+      }
+}

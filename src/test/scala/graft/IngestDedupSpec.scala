@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.IngestDedup
+import graft.operators.TextDedup
+
+class IngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token-set (ngram=1) corpus engineered for threshold 0.5:
+  //   0 {t1 t2 t3} ~ 1 {t2 t3 t4} (jac 2/4) ~ 2 {t3 t4 t5} (jac 2/4),
+  //   while 0 !~ 2 (jac 1/5) — the a~b, b~c, a!~c chain
+  //   3 = copy of 0 (cross-batch dup), 4 unique, 5 = copy of 4 (in-batch dup)
+  private val docs = Seq(
+    (0L, "t1 t2 t3"), (1L, "t2 t3 t4"), (2L, "t3 t4 t5"),
+    (3L, "t1 t2 t3"), (4L, "u1 u2 u3"), (5L, "u1 u2 u3"))
+
+  private def admitted(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("seen-store semantics: rejected docs still reject later arrivals; batching-independent") {
+    val d = docs.toDF("doc_id", "text")
+    val r3 = admitted(IngestDedup.replayInBatches(
+      d, "graft_ingest_t1", nBatches = 3, ngram = 1, numHashes = 32, bands = 32))
+    // 1 rejected by 0; 2 rejected by SEEN (not admitted) 1 — greedy-admitted
+    // semantics would admit 2, seen-store must not; 3 dups 0 cross-batch;
+    // 5 dups 4 in-batch
+    assert(r3 === Set(0L, 4L))
+    // brute-force truth: admitted = later side of no exact-Jaccard pair
+    val rejTruth = TextDedup.jaccardPairsExact(d, "doc_id", "text", 1, 0.5)
+      .select("id_b").as[Long].collect().toSet
+    assert(r3 === docs.map(_._1).toSet.diff(rejTruth))
+    // any batching of the id-ordered stream yields the same admitted set
+    val r1 = admitted(IngestDedup.replayInBatches(
+      d, "graft_ingest_t2", nBatches = 1, ngram = 1, numHashes = 32, bands = 32))
+    assert(r1 === r3)
+  }
+
+  test("foreachBatch stream admits the same set as the batch replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString
+    def write(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
+    write(docs.slice(0, 2))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    IngestDedup.initStore(spark, "graft_ingest_t3")
+    val q = IngestDedup.ingestStream(stream, "graft_ingest_t3",
+        (adm, _) => adm.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().foreach(got.add),
+        ngram = 1, numHashes = 32, bands = 32)
+      .start()
+    q.processAllAvailable()
+    write(docs.slice(2, 4))
+    q.processAllAvailable()
+    write(docs.slice(4, 6))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet === Set(0L, 4L))
+  }
+
+  test("standing store is bucket-pruned on the band-key probe") {
+    val d = docs.toDF("doc_id", "text")
+    IngestDedup.initStore(spark, "graft_ingest_t4")
+    IngestDedup.admitBatch(d.filter($"doc_id" < 3), "graft_ingest_t4", ngram = 1, numHashes = 32, bands = 32)
+    // a later batch probes the standing _bands table with literal keys,
+    // then joins + distincts — the REAL admitBatch shape (a filter-only
+    // scan would be auto-unbucketed by DisableUnnecessaryBucketedScan,
+    // but the join between the scan and the distinct aggregate keeps
+    // the bucketed scan, and with it the bucket pruning this store's
+    // serving cost contract depends on)
+    val bandKeys = spark.table("graft_ingest_t4_bands")
+      .select("band_key").distinct().as[Long].collect().toSeq
+    val fakeBatch = bandKeys.take(2).zipWithIndex
+      .map { case (k, i) => (100L + i, 0, k) }
+      .toDF("new_id", "band_id", "band_key")
+    val probe = spark.table("graft_ingest_t4_bands")
+      .filter($"band_key".isin(bandKeys.take(2): _*))
+      .join(broadcast(fakeBatch), Seq("band_id", "band_key"))
+      .select($"id".as("old_id"), $"new_id").distinct()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+}
