@@ -1461,6 +1461,21 @@ object SparkEntry {
         Tables.documents(s, d), "graft_q87_seen", nBatches = 4)
         .select(col("id").as("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Quality-aware cluster dedup: connected components over the exact
+    // near-dup edges, then keep the highest-quality member per cluster
+    // (quality = token count; ties → smallest id) — the curation
+    // decision q38 stops short of. Survivors = winners + unclustered.
+    "q88_cluster_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      val withQ = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("quality"))
+      DedupClusters.keepBest(withQ, "doc_id", "quality",
+          DedupClusters.components(pairs))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2475,6 +2490,37 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
+         ORDER BY doc_id""",
+    "q88_cluster_keep_best" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         pair AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pair
+               UNION SELECT id_b, id_a FROM pair),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM e
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+         comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         q AS (SELECT doc_id,
+                 len(regexp_split_to_array(lower(trim(text)), '\s+')) AS quality
+               FROM documents),
+         ranked AS (
+           SELECT node, row_number() OVER (
+             PARTITION BY cluster ORDER BY quality DESC, node ASC) AS rn
+           FROM comp JOIN q ON node = doc_id)
+         SELECT q.doc_id, q.quality FROM q
+         WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
+            OR q.doc_id NOT IN (SELECT node FROM comp)
          ORDER BY doc_id"""
   )
 }

@@ -69,4 +69,31 @@ object DedupClusters {
       .select(col("node").as(idCol))
     allDocs.join(dupes, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware dedup decision: keep the HIGHEST-quality member of
+    * each near-dup cluster (ties → smallest id) instead of the smallest
+    * id — what a curation pipeline actually wants (near-dup groups often
+    * mix a clean original with truncated/boilerplated copies; keep-first
+    * keeps whichever crawled first). Docs in no cluster all survive.
+    *
+    * Scale shape: quality joins the (node, cluster) labels on the id
+    * (equi-join), then one argmax aggregation per cluster —
+    * `max_by(node, (quality, -node))` is an ordinary partial-aggregable
+    * agg, so the per-cluster selection map-side combines; no window, no
+    * per-cluster sort. The anti-join back to the corpus is keyed on id.
+    * Returns the surviving rows of `allDocs`. */
+  def keepBest(allDocs: DataFrame, idCol: String, qualityCol: String,
+      comps: DataFrame): DataFrame = {
+    val q = allDocs.select(col(idCol).cast("long").as("node"),
+      col(qualityCol).as("__q"))
+    // max of (quality, -node) = best quality, then smallest id — ids are
+    // non-negative so the negation cannot overflow
+    val winners = comps.join(q, Seq("node"))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("node"), struct(col("__q"), -col("node"))).as("node"))
+      .select(col("node").as(idCol))
+    val losers = comps.select(col("node").as(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    allDocs.join(losers, Seq(idCol), "left_anti")
+  }
 }

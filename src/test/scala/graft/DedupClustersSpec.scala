@@ -36,4 +36,19 @@ class DedupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(0L, 1L, 2L, 4L, 6L, 8L, 9L)) // dropped: 5,7 (→1), 3 (→2)
   }
+
+  test("keepBest keeps the highest-quality member; ties break to the smallest id") {
+    // cluster {1,5,7}: 5 has top quality → keep 5 (NOT min-id 1)
+    // cluster {2,3}: tied quality → keep 2 (smallest id)
+    // 0,4,6 unclustered → all survive
+    val docs = Seq(
+      (0L, 10.0), (1L, 3.0), (2L, 5.0), (3L, 5.0),
+      (4L, 1.0), (5L, 9.0), (6L, 2.0), (7L, 4.0))
+      .toDF("doc_id", "quality")
+    val edges = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DedupClusters.keepBest(docs, "doc_id", "quality",
+        DedupClusters.components(edges))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 4L, 5L, 6L))
+  }
 }
