@@ -561,6 +561,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // Radius search with ZONE-MAP bucket pruning on the standing
+    // distributed store: per-bucket centroid + covering radius let a
+    // query skip buckets the radius provably can't reach (reverse
+    // triangle inequality — sound, so the result set is identical and
+    // the exact q82 oracle applies unchanged). Spill routing buys the
+    // recall (eps 0.25 recovers every in-radius pair here), zone maps
+    // cancel the unreachable probes it added: 5% of probes pruned at
+    // this wide radius, 35% at maxDist=0.1 on the same fixture
+    // (tools/ProbeZoneMap; random vectors are the worst case — real
+    // corpora cluster, and near-dup radii are tight).
+    "q89_radius_zonemap" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val model = graft.ann.DistributedAnnForest(
+        numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L).fit(e)
+      model.radiusJoin(q, maxDist = 1.2535, querySpillEps = 0.25,
+          useZoneMaps = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // IVF ANN backend: k-means coarse quantizer, nprobe cell probing.
     "q37_ivf_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1784,6 +1806,14 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q82_radius_join" ->
+      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         FROM embeddings e
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q
+         WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               * list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               <= 1.2535
+         ORDER BY query_id, neighbor_id""",
+    "q89_radius_zonemap" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          FROM embeddings e
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q

@@ -176,6 +176,40 @@ class DistributedAnnModel(
   @transient private lazy val planesBc =
     corpusBuckets.sparkSession.sparkContext.broadcast(planes)
 
+  /** Per-bucket ZONE MAPS: centroid + covering radius of every
+    * (tree_id, leaf_id) bucket — the vector analog of parquet row-group
+    * min/max stats. A radius query can skip any bucket whose zone map
+    * proves it empty of results: for every corpus point x in bucket b,
+    * ‖q−x‖ ≥ ‖q−c_b‖ − cov_b (reverse triangle inequality), so if
+    * ‖q−c_b‖ − cov_b > r no point in b qualifies and the bucket never
+    * joins. Pruning is SOUND — it only removes provably-empty probes —
+    * so results (and q86/q89-style exact oracles) are unchanged; what
+    * changes is the serving cost: spill routing probes extra buckets
+    * for recall, zone maps cancel the ones the radius can't reach.
+    *
+    * Built in one pass over the standing buckets (posexplode → per-dim
+    * mean, then a max-distance sweep); numBuckets rows — broadcast
+    * weight, computed once per model and reused by every query batch
+    * (persist alongside the bucket table for a saved standing corpus).
+    * A bucket's map covers every subset of the bucket, so
+    * `corpusFilter` composes soundly (the bound just loosens). */
+  @transient lazy val zoneMaps: DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val centroids = corpusBuckets
+      .select(col("tree_id"), col("leaf_id"),
+        posexplode(col("__cvec")).as(Seq("__pos", "__v")))
+      .groupBy(col("tree_id"), col("leaf_id"), col("__pos"))
+      .agg(avg(col("__v")).as("__m"))
+      .groupBy(col("tree_id"), col("leaf_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m").cast(FloatType)).as("__centroid"))
+    corpusBuckets.join(centroids, Seq("tree_id", "leaf_id"))
+      .groupBy(col("tree_id"), col("leaf_id"))
+      .agg(first(col("__centroid")).as("__centroid"),
+        max(sqrt(sqEucDist(col("__cvec"), col("__centroid")))).as("__cov"))
+      .localCheckpoint()
+  }
+
   /** Route queries to their (tree_id, leaf_id) buckets: walk the plane
     * map from each root until the path leaves it (= a leaf). Narrow —
     * one UDF over a broadcast of the plane map. `spillEps` > 0 probes
@@ -272,23 +306,39 @@ class DistributedAnnModel(
   def radiusJoin(queries: DataFrame, maxDist: Double,
       queryId: String = "query_id", queryVec: String = "qvec",
       corpusFilter: Option[org.apache.spark.sql.Column] = None,
-      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame =
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4,
+      useZoneMaps: Boolean = false): DataFrame =
     BucketSelfJoin.dedupRadius(
       bucketCandidates(queries, queryId, queryVec, corpusFilter,
-        querySpillEps, queryMaxLeaves), maxDist)
+        querySpillEps, queryMaxLeaves,
+        zonePruneDist = if (useZoneMaps) Some(maxDist) else None), maxDist)
 
   private def bucketCandidates(queries: DataFrame,
       queryId: String, queryVec: String,
       corpusFilter: Option[org.apache.spark.sql.Column],
-      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4): DataFrame = {
+      querySpillEps: Double = 0.0, queryMaxLeaves: Int = 4,
+      zonePruneDist: Option[Double] = None): DataFrame = {
     import graft.functions.VectorFunctions.{l2Normalize, sqEucDist}
     val routed = assignLeaves(queries, queryId, queryVec,
       spillEps = querySpillEps, maxLeavesPerTree = queryMaxLeaves)
     val routedQ =
       if (metric == "cosine") routed.withColumn("__qv", l2Normalize(col("__qv")))
       else routed
+    // zone-map pruning: drop (query, bucket) probes the radius provably
+    // can't reach BEFORE the bucket join — per-probe cost is one
+    // distance against a broadcast of numBuckets centroids. The 1e-5
+    // slack absorbs f32 kernel rounding so a boundary point can never
+    // be pruned (bound must strictly exceed r to drop).
+    val probed = zonePruneDist match {
+      case Some(md) =>
+        routedQ.join(broadcast(zoneMaps), Seq("tree_id", "leaf_id"))
+          .filter(sqrt(sqEucDist(col("__qv"), col("__centroid"))) - col("__cov") <=
+            lit(math.sqrt(md) + 1e-5))
+          .drop("__centroid", "__cov")
+      case None => routedQ
+    }
     val buckets = corpusFilter.map(corpusBuckets.filter).getOrElse(corpusBuckets)
-    routedQ
+    probed
       .join(buckets, Seq("tree_id", "leaf_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cvec"), col("__qv")).as("dist"))

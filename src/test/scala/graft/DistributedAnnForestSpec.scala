@@ -253,6 +253,37 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(even.nonEmpty && even.forall(_ % 2 == 0))
   }
 
+  test("zone maps: pruning is sound (identical results) and actually drops probes") {
+    import graft.functions.VectorFunctions.sqEucDist
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // soundness: the zone-mapped result equals the unpruned result at
+    // every radius — pruning may only remove provably-empty probes
+    for (r2 <- Seq(1.2535, 0.3, 0.1)) {
+      val plain = model.radiusJoin(queries, r2, querySpillEps = 0.25)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val zoned = model.radiusJoin(queries, r2, querySpillEps = 0.25,
+          useZoneMaps = true)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(zoned === plain, s"zone maps changed the result at maxDist=$r2")
+    }
+    // the maps are real bounds: every bucket member is inside
+    // centroid ± cov (construction), and pruning removes probes
+    val probes = model.assignLeaves(queries, spillEps = 0.25, maxLeavesPerTree = 4)
+      .join(model.zoneMaps, Seq("tree_id", "leaf_id"))
+    val total = probes.count()
+    val kept = probes.filter(
+      sqrt(sqEucDist($"__qv", $"__centroid")) - $"__cov" <=
+        lit(math.sqrt(0.1) + 1e-5)).count()
+    assert(kept < total, s"no probes pruned at maxDist=0.1 ($kept of $total)")
+    // covering radius really covers: max member distance <= cov (+slack)
+    val viol = model.corpusBuckets
+      .join(model.zoneMaps, Seq("tree_id", "leaf_id"))
+      .filter(sqrt(sqEucDist($"__cvec", $"__centroid")) > $"__cov" + lit(1e-6))
+      .count()
+    assert(viol === 0L, s"$viol bucket members outside their covering radius")
+  }
+
   test("remove: deleted ids vanish from serving, survive save/load, delete→append roundtrips") {
     val victims = Seq(3L, 7L)
     val removed = model.remove(victims.toDF("vec_id"))
