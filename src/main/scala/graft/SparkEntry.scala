@@ -1498,6 +1498,23 @@ object SparkEntry {
           DedupClusters.components(pairs))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL-codec roundtrip under the hash gate: deterministic images
+    // are encoded as actual PNGs (javax.imageio) and decoded back by
+    // the production decode path; the output is exact integer channel
+    // sums, so the oracle reproduces them from the pixel formula alone
+    // — a codec-free engine hash-matching a real encode→decode proves
+    // the codec is lossless-correct, not stubbed.
+    "q90_codec_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      GraftSession.widen(docs)
+        .withColumn("payload", Multimodal.syntheticPng(col("doc_id")))
+        .select(col("doc_id"), Multimodal.imageChannelSums(col("payload")).as("st"))
+        .select(col("doc_id"),
+          col("st._1").as("width"), col("st._2").as("height"),
+          col("st._3").as("sum_r"), col("st._4").as("sum_g"), col("st._5").as("sum_b"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2551,6 +2568,16 @@ object SparkEntry {
          SELECT q.doc_id, q.quality FROM q
          WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
             OR q.doc_id NOT IN (SELECT node FROM comp)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q90_codec_roundtrip" ->
+      """WITH g AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h FROM documents),
+         px1 AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM g),
+         px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM px1)
+         SELECT doc_id, w AS width, h AS height,
+           sum((doc_id*31 + x*7 + y*13) % 256)::BIGINT AS sum_r,
+           sum((doc_id*17 + x*3 + y*5) % 256)::BIGINT AS sum_g,
+           sum((doc_id*23 + x*11 + y*2) % 256)::BIGINT AS sum_b
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""
   )
 }

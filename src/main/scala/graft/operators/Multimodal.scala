@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -192,6 +192,75 @@ object Multimodal {
         col("meta.format"),
         length(col("payload")).cast(LongType).as("n_bytes"),
         col("meta.source")))
+  }
+
+  /** Deterministic synthetic image, encoded as a REAL PNG via
+    * `javax.imageio` — pixel(x,y) of image `id` is the closed-form RGB
+    * ((id·31+x·7+y·13) mod 256, (id·17+x·3+y·5) mod 256,
+    * (id·23+x·11+y·2) mod 256) over an (8+id mod 5)×(8+id mod 3)
+    * canvas. PNG is lossless, so a decode recovers the formula exactly;
+    * q90 uses this to put the real codec path under the driver's hash
+    * gate (the oracle computes the same sums from the formula, never
+    * touching a codec). */
+  def syntheticPng(id: Column): Column = {
+    val f = udf { (id: Long) =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+          val b = ((id * 23 + x * 11 + y * 2) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    f(id)
+  }
+
+  /** Exact integer channel statistics from a REAL `javax.imageio`
+    * decode: (width, height, sum_r, sum_g, sum_b) — all integers, no
+    * float rounding anywhere, so the output is hash-comparable against
+    * an engine that never decodes (q90's closed-form oracle). Null when
+    * the payload doesn't decode (same NonFatal discipline as
+    * [[imageDecode]]). */
+  def imageChannelSums(payload: Column): Column = {
+    val f = udf { (p: Array[Byte]) =>
+      val img =
+        if (p == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sr, sg, sb)
+      }
+    }
+    f(payload)
   }
 
   /** Frame-sample shape for video-ish payloads: split the payload into

@@ -82,6 +82,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.getSeq[Float](3).length === 8)
   }
 
+  test("codec roundtrip: synthetic PNG decodes to the closed-form channel sums; garbage → null") {
+    val df = Seq(7L, 12L).toDF("id")
+      .withColumn("payload", Multimodal.syntheticPng($"id"))
+      .select($"id", Multimodal.imageChannelSums($"payload").as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    for ((id, st) <- df) {
+      val (w, h) = (8 + (id % 5).toInt, 8 + (id % 3).toInt)
+      assert(st.getInt(0) === w && st.getInt(1) === h)
+      def sums(ka: Long, kx: Long, ky: Long) =
+        (for (x <- 0 until w; y <- 0 until h)
+          yield (id * ka + x * kx + y * ky) % 256).sum
+      assert(st.getLong(2) === sums(31, 7, 13), s"sum_r of $id")
+      assert(st.getLong(3) === sums(17, 3, 5), s"sum_g of $id")
+      assert(st.getLong(4) === sums(23, 11, 2), s"sum_b of $id")
+    }
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .select(Multimodal.imageChannelSums($"payload").as("st")).head()
+    assert(bad.isNullAt(0), "undecodable payload must yield null, not crash")
+  }
+
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
     val png = pngFixture()
     val df = Seq((1L, png)).toDF("media_id", "payload")
