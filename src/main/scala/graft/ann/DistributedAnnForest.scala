@@ -167,7 +167,8 @@ class DistributedAnnModel(
     val numTrees: Int,
     val planes: Map[(Int, Long), HyperPlane],
     val metric: String,
-    val corpusBuckets: DataFrame) extends Serializable {
+    val corpusBuckets: DataFrame,
+    preloadedZoneMaps: Option[DataFrame] = None) extends Serializable {
 
   /** One plane broadcast per model instance, shared by every query
     * batch — re-broadcasting per assignLeaves call would leak a copy
@@ -193,7 +194,7 @@ class DistributedAnnModel(
     * (persist alongside the bucket table for a saved standing corpus).
     * A bucket's map covers every subset of the bucket, so
     * `corpusFilter` composes soundly (the bound just loosens). */
-  @transient lazy val zoneMaps: DataFrame = {
+  @transient lazy val zoneMaps: DataFrame = preloadedZoneMaps.getOrElse {
     import graft.functions.VectorFunctions.sqEucDist
     val centroids = corpusBuckets
       .select(col("tree_id"), col("leaf_id"),
@@ -435,7 +436,7 @@ class DistributedAnnModel(
     * (the standing-corpus amortization — subsequent query batches read
     * only probed partitions and pay zero corpus-side routing), the
     * plane table, and metric metadata. */
-  def save(path: String): Unit = {
+  def save(path: String, withZoneMaps: Boolean = false): Unit = {
     val spark = corpusBuckets.sparkSession
     import spark.implicits._
     corpusBuckets.write.mode("overwrite")
@@ -446,6 +447,13 @@ class DistributedAnnModel(
       .write.mode("overwrite").parquet(s"$path/planes")
     Seq((numTrees, metric)).toDF("num_trees", "metric")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // zone maps are derived state — opt-in at save so plain stores
+    // don't pay the stats pass; load() picks them up when present,
+    // and every radius batch then skips the recompute. (After
+    // append/remove, re-save: the maps describe the bucket table they
+    // were built from.)
+    if (withZoneMaps)
+      zoneMaps.write.mode("overwrite").parquet(s"$path/zonemaps")
   }
 }
 
@@ -457,6 +465,8 @@ object DistributedAnnModel {
       .map { r => (r.getInt(0), r.getLong(1)) ->
         HyperPlane(r.getSeq[Float](2).toArray, r.getFloat(3)) }
       .toMap
+    val zm = new org.apache.hadoop.fs.Path(s"$path/zonemaps")
+    val fs = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new DistributedAnnModel(
       meta.getInt(0), planes, meta.getString(1),
       spark.read.parquet(s"$path/buckets")
@@ -467,6 +477,9 @@ object DistributedAnnModel {
         // schema matches fit()'s output regardless of session config.
         .select(col("neighbor_id"), col("__cvec"),
           col("tree_id").cast("int").as("tree_id"),
-          col("leaf_id").cast("long").as("leaf_id")))
+          col("leaf_id").cast("long").as("leaf_id")),
+      preloadedZoneMaps =
+        if (fs.exists(zm)) Some(spark.read.parquet(s"$path/zonemaps"))
+        else None)
   }
 }

@@ -282,6 +282,18 @@ class DistributedAnnForestSpec extends SparkSpec {
       .filter(sqrt(sqEucDist($"__cvec", $"__centroid")) > $"__cov" + lit(1e-6))
       .count()
     assert(viol === 0L, s"$viol bucket members outside their covering radius")
+    // persisted standing layout: save(withZoneMaps) → load serves the
+    // identical zone-mapped radius result from the stored maps
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    model.save(dir, withZoneMaps = true)
+    val loaded = DistributedAnnModel.load(dir, spark)
+    val fromStored = loaded.radiusJoin(queries, 0.3, querySpillEps = 0.25,
+        useZoneMaps = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fresh = model.radiusJoin(queries, 0.3, querySpillEps = 0.25,
+        useZoneMaps = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fromStored === fresh)
   }
 
   test("remove: deleted ids vanish from serving, survive save/load, delete→append roundtrips") {
