@@ -1500,6 +1500,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Greedy sequence packing per source group: docs in id order fill
+    // token-budget bins (the pretraining batch-prep step). Packing is
+    // sequential WITHIN a group by nature, so groups are the parallel
+    // unit (the sessionization shape); the oracle replays the same
+    // greedy fold as a shallow recursive CTE (depth = max docs/group).
+    "q91_sequence_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      graft.operators.Packing.packGreedy(docs, "doc_id", "tokens", "source",
+          budget = 256)
+        .select(col("grp"), col("id").as("doc_id"), col("tokens"), col("bin"))
+        .orderBy(col("grp"), col("doc_id"))
+    }),
+
     // REAL-codec roundtrip under the hash gate: deterministic images
     // are encoded as actual PNGs (javax.imageio) and decoded back by
     // the production decode path; the output is exact integer channel
@@ -2569,6 +2583,23 @@ object SparkEntry {
          WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
             OR q.doc_id NOT IN (SELECT node FROM comp)
          ORDER BY doc_id""",
+    "q91_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+           SELECT source AS grp, doc_id AS id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT grp, id, tokens, rn, tokens AS acc, 0 AS bin
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.grp, t.id, t.tokens, t.rn,
+             CASE WHEN r.acc > 0 AND r.acc + t.tokens > 256
+                  THEN t.tokens ELSE r.acc + t.tokens END,
+             CASE WHEN r.acc > 0 AND r.acc + t.tokens > 256
+                  THEN r.bin + 1 ELSE r.bin END
+           FROM r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1)
+         SELECT grp, id AS doc_id, tokens, bin FROM r ORDER BY grp, doc_id""",
     "q90_codec_roundtrip" ->
       """WITH g AS (
            SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h FROM documents),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Long) =
+    Packing.packGreedy(rows.toDF("src", "doc_id", "tok"),
+        "doc_id", "tok", "src", budget)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+
+  test("greedy fill: first overflow starts a new bin, per group, in id order") {
+    val bins = pack(Seq(
+      ("a", 1L, 50L), ("a", 2L, 40L), ("a", 3L, 20L), ("a", 4L, 100L),
+      ("b", 1L, 100L), ("b", 2L, 1L)), budget = 100)
+    // group a: 50+40=90, +20 overflows → bin 1; 20+100 overflows → bin 2
+    assert(bins(("a", 1L)) === 0 && bins(("a", 2L)) === 0)
+    assert(bins(("a", 3L)) === 1)
+    assert(bins(("a", 4L)) === 2)
+    // group b packs independently: exactly-full bin, then next doc breaks
+    assert(bins(("b", 1L)) === 0 && bins(("b", 2L)) === 1)
+  }
+
+  test("oversized doc occupies one bin of its own; no empty bins; bins are contiguous") {
+    val bins = pack(Seq(
+      ("g", 1L, 10L), ("g", 2L, 500L), ("g", 3L, 10L)), budget = 100)
+    assert(bins(("g", 1L)) === 0)
+    assert(bins(("g", 2L)) === 1, "oversized doc gets its own bin, not two")
+    assert(bins(("g", 3L)) === 2)
+  }
+
+  test("fixture invariants: budget respected except single-doc bins; order monotone") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("tok"))
+    val packed = Packing.packGreedy(docs, "doc_id", "tok", "source", 256)
+    val perBin = packed.groupBy($"grp", $"bin")
+      .agg(sum($"tokens").as("t"), count(lit(1)).as("n")).collect()
+    perBin.foreach { r =>
+      assert(r.getLong(2) <= 256 || r.getLong(3) === 1L,
+        s"bin over budget with >1 doc: ${r.mkString(",")}")
+    }
+    // bin index is non-decreasing in doc order within each group
+    val bad = packed.as[(String, Long, Long, Int)].collect()
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._4).toSeq)
+      .count(s => s.zip(s.tail).exists { case (a, b) => b < a || b > a + 1 })
+    assert(bad === 0, "bin indices must step by 0 or 1 in id order")
+  }
+}
