@@ -1500,6 +1500,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch serving from the standing inverted index WITH deletes: the
+    // postings scan is probed once with the literal term union
+    // (bucket-pruned), weights fan out to queries via a broadcast of
+    // the (query_id, term) table, and the tombstone adjustments (df,
+    // N, avgdl) apply exactly. Oracle = ad-hoc batch BM25 over the
+    // SURVIVING documents, so the hash match proves delete-exactness
+    // and the shared-work batch fan-out together.
+    "q92_bm25_indexed_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.buildIndex(docs, "graft_q92_idx", buckets = 8)
+      graft.operators.Bm25.removeDocs(s, "graft_q92_idx",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
+      val queries = docs.filter(col("doc_id").isin(0, 2, 4))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      graft.operators.Bm25.scoreIndexedBatch(s, "graft_q92_idx", queries)
+        .select(col("query_id"), col("doc_id"), col("n_matched"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // Greedy sequence packing per source group: docs in id order fill
     // token-budget bins (the pretraining batch-prep step). Packing is
     // sequential WITHIN a group by nature, so groups are the parallel
@@ -2583,6 +2604,31 @@ object SparkEntry {
          WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
             OR q.doc_id NOT IN (SELECT node FROM comp)
          ORDER BY doc_id""",
+    "q92_bm25_indexed_batch" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+         q AS (
+           SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id IN (0, 2, 4)),
+         allterms AS (SELECT DISTINCT term FROM q),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM live),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM live),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN allterms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT q.query_id, tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) JOIN q USING (term), stats
+         GROUP BY q.query_id, tf.doc_id ORDER BY query_id, doc_id""",
     "q91_sequence_packing" ->
       """WITH RECURSIVE t AS (
            SELECT source AS grp, doc_id AS id,

@@ -226,8 +226,55 @@ object Bm25 {
   def scoreIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queryTerms: Seq[String], idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (p, d, stats) = adjustedIndex(spark, name, queryTerms.distinct, idCol)
+    p.join(broadcast(d), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+  }
+
+  /** BATCH serving from the standing index — the production shape for
+    * recurring query load: `queries` holds (query_id, term) rows for
+    * many bag-of-terms queries at once. The postings scan is probed
+    * ONCE with the literal union of all terms (bucket-pruned exactly
+    * like [[scoreIndexed]]); per-(doc, term) weights are computed once
+    * and fanned out to queries via a broadcast of the tiny query
+    * table, so queries sharing a term share the work and the only
+    * per-query cost is the final (query, doc) aggregation of matched
+    * hits. Scores equal [[scoreBatch]] over the surviving corpus
+    * (shared weight formula, same exact tombstone adjustments). */
+  def scoreIndexedBatch(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    // the term union arrives as a literal IN list so the postings scan
+    // bucket-prunes; it is query parameters (bounded by the batch), the
+    // same driver-side discipline as scoreIndexed's term list
+    val terms = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (p, d, stats) = adjustedIndex(spark, name, terms, idCol)
+    p.join(broadcast(d), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .join(broadcast(q), "term") // fan out hits to the queries wanting the term
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+  }
+
+  /** The tombstone-adjusted serving view of a standing index, shared by
+    * the single-query and batch paths: bucket-pruned postings filtered
+    * to `terms`, per-term df, and corpus stats — all exactly as if the
+    * tombstoned docs were never indexed (integer decrements; one avgdl
+    * division at the end, the same two operands the ad-hoc path's
+    * avg(dl) divides, so indexed and ad-hoc weights agree
+    * bit-for-bit). */
+  private def adjustedIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, terms: Seq[String], idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     requireServable(spark, name)
-    val terms = queryTerms.distinct
     val pRaw = spark.table(s"${name}_postings").filter(col("term").isin(terms: _*))
     val dRaw = spark.table(s"${name}_terms").filter(col("term").isin(terms: _*))
     val statsRaw = spark.table(s"${name}_stats")
@@ -239,40 +286,30 @@ object Bm25 {
         spark.catalog.tableExists(s"${name}_doclens"),
       s"index '$name' predates the (sum_dl, doclens) layout — " +
         "rerun buildIndex to upgrade it")
-    // avgdl = sum_dl / n_docs: the same two exact operands the ad-hoc
-    // path's avg(dl) divides (integer-valued double sum / count), so
-    // indexed and ad-hoc weights agree bit-for-bit
-    val (p, d, stats) =
-      if (!spark.catalog.tableExists(s"${name}_tombstones"))
-        (pRaw, dRaw, statsRaw.select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
-      else {
-        // serve as if tombstoned docs were never indexed: their
-        // postings drop out (anti-join, still bucket-pruned), each
-        // term's df loses their postings count, and (N, sum_dl) lose
-        // their doc count/lengths — exact integer decrements
-        val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
-        val dfRemoved = pRaw.join(tomb, Seq(idCol), "left_semi")
-          .groupBy(col("term")).agg(count(lit(1)).as("__df_rm"))
-        val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
-        val removed = spark.table(s"${name}_doclens")
-          .join(tomb, Seq(idCol), "left_semi")
-          .agg(count(lit(1)).as("__n_rm"),
-            coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
-        val statsAdj = statsRaw.crossJoin(removed)
-          .select(
-            (col("n_docs") - col("__n_rm")).as("n_docs"),
-            ((col("sum_dl") - col("__dl_rm")).cast("double") /
-              (col("n_docs") - col("__n_rm"))).as("avgdl"))
-        (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj, statsAdj)
-      }
-    p.join(broadcast(d), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
-        col("n_docs"), col("avgdl"), k1, b))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+    if (!spark.catalog.tableExists(s"${name}_tombstones"))
+      (pRaw, dRaw, statsRaw.select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+    else {
+      // serve as if tombstoned docs were never indexed: their
+      // postings drop out (anti-join, still bucket-pruned), each
+      // term's df loses their postings count, and (N, sum_dl) lose
+      // their doc count/lengths — exact integer decrements
+      val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
+      val dfRemoved = pRaw.join(tomb, Seq(idCol), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("__df_rm"))
+      val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
+      val removed = spark.table(s"${name}_doclens")
+        .join(tomb, Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("__n_rm"),
+          coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
+      val statsAdj = statsRaw.crossJoin(removed)
+        .select(
+          (col("n_docs") - col("__n_rm")).as("n_docs"),
+          ((col("sum_dl") - col("__dl_rm")).cast("double") /
+            (col("n_docs") - col("__n_rm"))).as("avgdl"))
+      (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj, statsAdj)
+    }
   }
 }

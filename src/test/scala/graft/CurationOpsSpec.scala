@@ -208,6 +208,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 indexed batch: equals per-query indexed serving, deletes applied") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text")
+    Bm25.buildIndex(docsDf, "graft_bm25_bi", buckets = 8)
+    try {
+      Bm25.removeDocs(spark, "graft_bm25_bi", Seq(1L, 2L, 3L).toDF("doc_id"))
+      val queries = docs.filter($"doc_id".isin(0, 4))
+        .select($"doc_id".as("query_id"),
+          explode(slice(graft.operators.TextAnalysis.tokens($"text"), 1, 5)).as("term"))
+      val batch = Bm25.scoreIndexedBatch(spark, "graft_bm25_bi", queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(batch.nonEmpty && !batch.keys.exists(k => Seq(1L, 2L, 3L).contains(k._2)))
+      for (qid <- Seq(0L, 4L)) {
+        val terms = queries.filter($"query_id" === qid)
+          .select($"term").as[String].collect().toSeq
+        val single = Bm25.scoreIndexed(spark, "graft_bm25_bi", terms)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val mine = batch.collect { case ((q, d), v) if q == qid => d -> v }
+        assert(mine.keySet === single.keySet, s"query $qid doc sets differ")
+        mine.foreach { case (d, (n, s)) =>
+          val (n2, s2) = single(d)
+          assert(n === n2 && math.abs(s - s2) < 1e-9, s"query $qid doc $d")
+        }
+      }
+    } finally {
+      Seq("postings", "terms", "doclens", "stats", "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_bi_$t"))
+    }
+  }
+
   test("bm25 batch: per-query scores equal the single-query path") {
     import graft.operators.Bm25
     val docsDf = docs.select($"doc_id", $"text")
