@@ -1500,6 +1500,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC near-dup admission at ingest — the embedding sibling of
+    // q87, composing the round's standing-store machinery: batch 1
+    // fits the forest, later batches append through frozen planes,
+    // cross-batch checks are one zone-map-pruned radius join per
+    // batch. Seen-store semantics → batching-independent → exact
+    // brute-force cosine oracle (probe: falseAdmit=0, falseReject=0).
+    "q93_vec_ingest_dedup" -> ((s, d) => {
+      graft.streaming.VectorIngest.replayInBatches(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nBatches = 4, minCos = 0.4)
+        .select(col("id").as("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Batch serving from the standing inverted index WITH deletes: the
     // postings scan is probed once with the literal term union
     // (bucket-pruned), weights fan out to queries via a broadcast of
@@ -2604,6 +2618,15 @@ object SparkEntry {
          WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
             OR q.doc_id NOT IN (SELECT node FROM comp)
          ORDER BY doc_id""",
+    "q93_vec_ingest_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         rej AS (
+           SELECT DISTINCT b.vec_id
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+         SELECT e.vec_id FROM e
+         WHERE e.vec_id NOT IN (SELECT vec_id FROM rej)
+         ORDER BY vec_id""",
     "q92_bm25_indexed_batch" ->
       """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
          q AS (

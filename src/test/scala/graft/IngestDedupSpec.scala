@@ -60,6 +60,37 @@ class IngestDedupSpec extends SparkSpec {
     assert(got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet === Set(0L, 4L))
   }
 
+  test("vector ingest: admitted set equals brute-force seen-store truth; stream == replay") {
+    import graft.streaming.VectorIngest
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val truthRej = TextDedup.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_b").as[Long].collect().toSet
+    val truth = e.select("vec_id").as[Long].collect().toSet.diff(truthRej)
+    val replayed = VectorIngest.replayInBatches(e, nBatches = 3, minCos = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(replayed === truth,
+      s"replay diverged from brute truth by ±${(replayed.diff(truth) ++ truth.diff(replayed)).size}")
+    // the foreachBatch wiring admits the same set (2 id-ordered files)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    val mid = 250L
+    e.filter($"vec_id" < mid).repartition(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = VectorIngest.ingestStream(stream,
+        (adm, _) => adm.select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().foreach(got.add),
+        minCos = 0.4)
+      .start()
+    q.processAllAvailable()
+    e.filter($"vec_id" >= mid).repartition(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet === truth)
+  }
+
   test("standing store is bucket-pruned on the band-key probe") {
     val d = docs.toDF("doc_id", "text")
     IngestDedup.initStore(spark, "graft_ingest_t4")
