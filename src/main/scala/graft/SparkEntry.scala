@@ -1500,6 +1500,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified quality floor: keep docs at/above their language's
+    // 30th percentile of length — the per-group selection step after
+    // quality scoring. Floor = aggregation + broadcast threshold table
+    // (never a per-group window: a corpus-scale 'en' partition must
+    // not sort in one task). Both engines interpolate (n-1)·p
+    // identically in f64, so the thresholds — and the kept set —
+    // hash-match.
+    "q94_quality_floor" -> ((s, d) => {
+      TextAnalysis.percentileFloor(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", 0.3)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SEMANTIC near-dup admission at ingest — the embedding sibling of
     // q87, composing the round's standing-store machinery: batch 1
     // fits the forest, later batches append through frozen planes,
@@ -2617,6 +2632,14 @@ object SparkEntry {
          SELECT q.doc_id, q.quality FROM q
          WHERE q.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
             OR q.doc_id NOT IN (SELECT node FROM comp)
+         ORDER BY doc_id""",
+    "q94_quality_floor" ->
+      """WITH thr AS (
+           SELECT lang, quantile_cont(n_chars, 0.3) AS t
+           FROM documents GROUP BY lang)
+         SELECT doc_id, documents.lang, n_chars
+         FROM documents JOIN thr ON documents.lang = thr.lang
+         WHERE n_chars >= t
          ORDER BY doc_id""",
     "q93_vec_ingest_dedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -210,4 +210,26 @@ object TextAnalysis {
     gopherKeepFromMetrics(
       tokenCount(text), meanTokenLen(text), symbolRatio(text),
       dupLineRatio(text), alphaTokenRatio(text), minTokens, maxTokens)
+
+  /** Per-group quality floor: keep rows whose `valueCol` is at or above
+    * the group's p-th percentile — "top (1−p) of each language by LM
+    * score", the stratified selection step after quality scoring
+    * (per-language floors stop high-resource languages from crowding
+    * out the rest, CCNet-style).
+    *
+    * Scale shape: the floor is a per-group AGGREGATION (linear-
+    * interpolated `percentile`, distributed partial buffers) broadcast
+    * back as one tiny threshold table — NOT a per-group window, which
+    * would sort each group in one task and die on a corpus-scale 'en'
+    * partition. */
+  def percentileFloor(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String, p: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"percentile must be in [0,1], got $p")
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $p)").as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -125,4 +125,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2).getDouble(1) > 0.2 && r(2).getDouble(2) === 0.0 && !r(2).getBoolean(3),
       "symbol soup must fail")
   }
+
+  test("percentileFloor keeps each group's top (1-p); plan is agg+broadcast, no window") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("b", 10), ("b", 20)).toDF("g", "v")
+    val out = TextAnalysis.percentileFloor(df, "g", "v", 0.5)
+    // p50(a) = 3 → keep {3,4,5}; p50(b) = 15 → keep {20}
+    val kept = out.select("g", "v").as[(String, Int)].collect().toSet
+    assert(kept === Set(("a", 3), ("a", 4), ("a", 5), ("b", 20)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), "the floor must not be a per-group window")
+  }
 }
