@@ -1431,6 +1431,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid serving over the STANDING index: identical fusion to q79,
+    // but the BM25 leg reads the bucket-pruned inverted index instead
+    // of scanning the corpus — scoreIndexed == score bit-for-bit
+    // (shared weight formula, specced), so q79's oracle applies
+    // unchanged and the hash match proves the standing index slots
+    // into the hybrid path without moving a single score.
+    "q95_hybrid_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.buildIndex(docs, "graft_q95_idx", buckets = 8)
+      val terms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+        .collect().map(_.getString(0)).toSeq
+      val bm = graft.operators.Bm25.scoreIndexed(s, "graft_q95_idx", terms)
+      val rb = docs.select(col("doc_id"))
+        .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
+        .withColumn("rank_bm25",
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+      val rc = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), col("__qvec")).as("cos"))
+        .withColumn("rank_cos",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      rb.join(rc, "doc_id")
+        .withColumn("rrf", round(
+          lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_cos")), 6))
+        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q79_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val terms = docs.filter(col("doc_id") === 0)
@@ -2525,6 +2558,43 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    "q95_hybrid_indexed" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (
+           SELECT tf.doc_id,
+             sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl))) AS bm25
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+           GROUP BY tf.doc_id),
+         rb AS (
+           SELECT d.doc_id, row_number() OVER (
+             ORDER BY coalesce(bm.bm25, 0.0::DOUBLE) DESC, d.doc_id) AS rank_bm25
+           FROM documents d LEFT JOIN bm USING (doc_id)),
+         rc AS (
+           SELECT vec_id AS doc_id, row_number() OVER (ORDER BY
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+             vec_id) AS rank_cos
+           FROM embeddings)
+         SELECT doc_id, rank_bm25, rank_cos,
+           round(1.0::DOUBLE / (60 + rank_bm25) + 1.0::DOUBLE / (60 + rank_cos), 6) AS rrf
+         FROM rb JOIN rc USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q79_hybrid_rrf" ->
       """WITH terms AS (
            SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
