@@ -1464,6 +1464,48 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // q96: late-interaction (MaxSim / ColBERT) multi-vector retrieval.
+    // Doc groups of 5 token vectors each; query = group 0. The SERVING
+    // path runs (per-token candidate heap → exact refine) and the
+    // oracle is the full exact MaxSim — candidate width recovers the
+    // exact top-10, the q63/q64 shortlist pattern.
+    "q96_maxsim" -> ((s, d) => {
+      val mv = Tables.embeddings(s, d)
+        .select(floor(col("vec_id") / 5).cast("long").as("gid"),
+          col("vec_id").as("qt"), col("embedding").as("vec"))
+      val corpus = mv.select(col("gid"), col("vec"))
+      val queries = mv.filter(col("gid") === 0)
+        .select(lit(0L).as("qid"), col("qt"), col("vec").as("qvec"))
+      graft.operators.MaxSim.topKRefined(corpus, queries, k = 10, candPerTok = 64)
+        .select(col("gid"), col("rank"), col("maxsim"))
+        .orderBy(col("rank"))
+    }),
+
+    // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
+    // to the unigram model) — the word-order-sensitive upgrade of q73.
+    "q97_bigram_logprob" -> ((s, d) =>
+      graft.operators.UnigramLm.bigramScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // q98: point-in-time-correct feature join — each click event gets
+    // the customer's latest order AT event time (no future leakage).
+    // Union-tag merge: ONE shuffle, no inequality-join explosion.
+    "q98_pit_feature_join" -> ((s, d) => {
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+      graft.operators.AsOfJoin.asOf(clicks, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq("last_orderkey", "last_totalprice"),
+          rightTieBreak = Seq("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     "q79_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val terms = docs.filter(col("doc_id") === 0)
@@ -2595,6 +2637,62 @@ object SparkEntry {
            round(1.0::DOUBLE / (60 + rank_bm25) + 1.0::DOUBLE / (60 + rank_cos), 6) AS rrf
          FROM rb JOIN rc USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q96: the oracle is the FULL exact MaxSim (no candidate stage) —
+    // the refined serving path must recover it exactly. round(,4) on
+    // the token-max sum per the DOUBLE-aggregate convention.
+    "q96_maxsim" ->
+      """WITH mv AS (
+           SELECT vec_id // 5 AS gid, vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, v FROM mv WHERE gid = 0),
+         mx AS (
+           SELECT q.vec_id AS qt, mv.gid,
+             max(list_cosine_similarity(q.v, mv.v)) AS m
+           FROM q CROSS JOIN mv GROUP BY q.vec_id, mv.gid),
+         sc AS (SELECT gid, round(sum(m), 4) AS maxsim FROM mx GROUP BY gid)
+         SELECT gid, rank, maxsim FROM (
+           SELECT gid, maxsim,
+             row_number() OVER (ORDER BY maxsim DESC, gid) AS rank
+           FROM sc) t
+         WHERE rank <= 10 ORDER BY rank""",
+    // q97: weights written as the exact literals the Scala passes
+    // (0.7 / 0.3, each ::DOUBLE — deriving 0.3 as 1 - 0.7 would give a
+    // different double). Arithmetic mirrors UnigramLm.bigramScore
+    // term-for-term: (wB*cb)/cp + (wU*cu)/total, left-associated.
+    "q97_bigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS prev,
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS cur
+           FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+         pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
+         uct AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS cur
+           FROM documents),
+         uc AS (SELECT cur, count(*) AS cu FROM uct GROUP BY cur),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uc)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(0.7::DOUBLE * cb / cp + 0.3::DOUBLE * cu / tot.total)), 4)
+             AS logprob_avg
+         FROM bg JOIN bc USING (prev, cur) JOIN pc USING (prev)
+           JOIN uc USING (cur), tot
+         GROUP BY bg.doc_id ORDER BY doc_id""",
+    // q98: per-row LATERAL argmax is the readable oracle form; the
+    // engine's union-tag merge must produce the identical picks
+    // (latest o_orderdate <= ts, max o_orderkey on date ties).
+    "q98_pit_feature_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+         FROM events e LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+           ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+         WHERE e.event_type = 'click'
+         ORDER BY event_id""",
     "q79_hybrid_rrf" ->
       """WITH terms AS (
            SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term

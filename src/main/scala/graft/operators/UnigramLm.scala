@@ -50,6 +50,76 @@ object UnigramLm {
       textCol: String = "text"): DataFrame =
     scoreAgainst(docs, docs, idCol, textCol)
 
+  /** Interpolated bigram LM — one step closer to the KenLM n-gram
+    * scorers CCNet actually deploys (Wenzek et al. 2020 use 5-gram;
+    * bigram captures the word-order signal the unigram model cannot:
+    * shuffled fluent text keeps its unigram score but collapses under
+    * the bigram model). Per document, the mean over positions i ≥ 2 of
+    *
+    *   ln( wB · c(w_{i-1} w_i)/c(w_{i-1} ·) + wU · c(w_i)/total )
+    *
+    * with counts estimated on `reference`. Interpolation (Jelinek-
+    * Mercer) backs unseen-in-context bigrams off to the unigram
+    * probability — the bigram term is a LEFT join (absent ⇒ 0), and
+    * only positions whose current TOKEN is unigram-OOV drop from the
+    * mean (inner join on the unigram table — same drop-unseen policy
+    * as [[scoreAgainst]]; self-trained scoring drops nothing).
+    *
+    * Both weights are explicit parameters rather than derived
+    * (`1 - wB` in binary is not the literal `0.3` an oracle writes).
+    *
+    * Scale shape mirrors the unigram scorer: bigram instances explode
+    * narrowly; the three model tables (bigram counts, context totals,
+    * unigram counts) aggregate with map-side combine and join on
+    * compact string keys — Zipf-bounded, typically broadcastable at
+    * plan time by AQE. Nothing collects to the driver. */
+  def bigramScoreAgainst(docs: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      wBigram: Double = 0.7, wUnigram: Double = 0.3): DataFrame = {
+    val occ = bigramInstances(docs, idCol, textCol)
+    val bc = bigramInstances(reference, idCol, textCol)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    val uc = tokenInstances(reference, idCol, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("token", "cur")
+    val total = uc.agg(sum(col("cu")).as("total"))
+    occ
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(pc, Seq("prev"), "left")
+      .join(uc, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // coalesce passes seen-bigram terms through bit-identically
+        // (the oracle mirrors the un-coalesced arithmetic; a DIFFERENT
+        // value only arises where cb is null, which a self-trained
+        // model never produces)
+        round(avg(log(
+          coalesce(lit(wBigram) * col("cb") / col("cp"), lit(0.0)) +
+          lit(wUnigram) * col("cu") / col("total"))), 4).as("logprob_avg"))
+  }
+
+  /** Self-trained bigram variant. */
+  def bigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      wBigram: Double = 0.7, wUnigram: Double = 0.3): DataFrame =
+    bigramScoreAgainst(docs, docs, idCol, textCol, wBigram, wUnigram)
+
   private def tokenInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+
+  /** One row per adjacent token pair: (id, prev, cur). Docs with fewer
+    * than two tokens contribute nothing (`sequence` with a negative
+    * stop would run DOWNWARD, so the guard is load-bearing). */
+  private def bigramInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(
+          element_at(col("toks"), i + 1).as("prev"),
+          element_at(col("toks"), i + 2).as("cur")))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
 }

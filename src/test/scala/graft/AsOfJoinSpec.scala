@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+/** Point-in-time as-of join: inclusive boundary, tie-breaks, missing
+  * history, and the one-shuffle union-tag plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // right: key 1 has two writers at t=5 (tb 1 and 2) and one at t=8;
+  // key 2 only has a FUTURE row (t=9).
+  lazy val left = Seq(
+    (100L, 1L, 5L), (101L, 1L, 7L), (102L, 1L, 10L), (103L, 2L, 7L))
+    .toDF("event_id", "k", "t")
+  lazy val right = Seq(
+    (1L, 5L, 11L, "A"), (1L, 5L, 12L, "B"), (1L, 8L, 13L, "C"),
+    (2L, 9L, 14L, "D"))
+    .toDF("rk", "rt", "ver", "feat")
+
+  lazy val joined = AsOfJoin.asOf(left, right,
+      leftKey = "k", rightKey = "rk", leftTime = "t", rightTime = "rt",
+      rightVals = Seq("ver", "feat"), rightTieBreak = Seq("ver"))
+    .collect().map(r => r.getAs[Long]("event_id") ->
+      (Option(r.getAs[java.lang.Long]("ver")), r.getAs[String]("feat"))).toMap
+
+  test("as-of is inclusive and same-timestamp ties pick the greatest tiebreak") {
+    // event at t=5 sees the t=5 writes; B (ver 12) wins the tie
+    assert(joined(100L) === ((Some(12L), "B")))
+  }
+
+  test("each event sees the latest preceding version, never a future one") {
+    assert(joined(101L) === ((Some(12L), "B")))  // t=7: still the t=5 state
+    assert(joined(102L) === ((Some(13L), "C")))  // t=10: the t=8 write
+    assert(joined(103L) === ((None, null)))      // key 2's only row is at t=9
+  }
+
+  test("plan: one exchange, no join node (union-tag merge)") {
+    val df = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      Seq("ver", "feat"), Seq("ver"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.contains("NestedLoop"), s"as-of must not plan a join node:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one shuffle:\n$plan")
+  }
+}

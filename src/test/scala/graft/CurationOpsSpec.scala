@@ -33,6 +33,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(scored.getDouble(2) - math.log(0.5)) < 1e-4)
   }
 
+  // ---- bigram LM ----
+
+  test("bigram logprob: hand-computed interpolated scores") {
+    // corpus: d1 = "a b a b" (bigrams ab, ba, ab), d2 = "b a" (ba)
+    // bc: ab→2, ba→2; pc: a→2, b→2; uc: a→3, b→3; total = 6.
+    // every position: ln(0.7·2/2 + 0.3·3/6) = ln(0.85)
+    val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val expected = BigDecimal(math.log(0.85))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = UnigramLm.bigramScore(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) === ((3L, expected)))
+    assert(r(2L) === ((1L, expected)))
+  }
+
+  test("bigram logprob: single-token docs contribute no bigrams and drop out") {
+    val df = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val ids = UnigramLm.bigramScore(df).select($"doc_id").as[Long].collect()
+    assert(ids.toSet === Set(1L))
+  }
+
+  test("bigram model penalizes shuffled word order where the unigram model cannot") {
+    // reference = fluent corpus; probe doc reuses the same words in an
+    // order the reference never produces. Unigram scores are identical
+    // (same bag of words); the bigram score must drop.
+    val ref = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val fluent = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val shuffled = Seq((200L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val uniF = UnigramLm.scoreAgainst(fluent, ref).collect().head.getDouble(2)
+    val uniS = UnigramLm.scoreAgainst(shuffled, ref).collect().head.getDouble(2)
+    assert(uniF === uniS, "unigram model is order-blind by construction")
+    val biF = UnigramLm.bigramScoreAgainst(fluent, ref).collect().head.getDouble(2)
+    val biS = UnigramLm.bigramScoreAgainst(shuffled, ref).collect().head.getDouble(2)
+    assert(biF > biS, s"fluent $biF must outscore shuffled $biS under the bigram model")
+  }
+
   // ---- dupShingleStats ----
 
   test("dup spans: duplicated shingles across docs detected, self-only shingles not") {
