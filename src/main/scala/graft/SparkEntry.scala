@@ -765,17 +765,13 @@ object SparkEntry {
     }),
 
     // SimHash 64-bit fingerprints + near-dup pairs by Hamming radius.
-    "q31_simhash_pairs" -> ((s, d) => {
-      val fp = GraftSession.widen(Tables.documents(s, d))
-        .select(col("doc_id"), TextDedup.simhash(col("text"), 2).as("fp"))
-      val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-      val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("ham", TextDedup.hamming(col("fp_a"), col("fp_b")))
-        .filter(col("ham") <= 8)
-        .select(col("id_a"), col("id_b"), col("ham"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // Banded (pigeonhole) pair generation — band-equality self-join +
+    // exact Hamming verify, never all-pairs; output EQUALS the brute
+    // cross join (TextDedupSpec pins the equivalence).
+    "q31_simhash_pairs" -> ((s, d) =>
+      TextDedup.simhashPairsBanded(Tables.documents(s, d), "doc_id", "text",
+          ngram = 2, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Exact n-gram Jaccard near-dup pairs (the oracle for q30).
     "q32_jaccard_pairs" -> ((s, d) => {
@@ -1481,11 +1477,51 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q100: batch MaxSim — three query bags in ONE plan sharing the
+    // corpus pass (the q80 batch-serving pattern): the cosine stage
+    // fans out per query from the same corpus scan, aggregations key
+    // by (qid, ...). Exact path ⇒ full oracle.
+    "q100_maxsim_batch" -> ((s, d) => {
+      val mv = Tables.embeddings(s, d)
+        .select(floor(col("vec_id") / 5).cast("long").as("gid"),
+          col("vec_id").as("qt"), col("embedding").as("vec"))
+      val corpus = mv.select(col("gid"), col("vec"))
+      val queries = mv.filter(col("gid") < 3)
+        .select(col("gid").as("qid"), col("qt"), col("vec").as("qvec"))
+      graft.operators.MaxSim.topK(corpus, queries, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
       graft.operators.UnigramLm.bigramScore(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // q99: CCNet-style corpus split — head/middle/tail terciles of the
+    // bigram-LM score (Wenzek et al. 2020 bucket by LM perplexity and
+    // train preferentially on the head). Thresholds are exact
+    // interpolated percentiles computed corpus-wide and broadcast; the
+    // per-doc score is q97's (already hash-verified). Tercile literals
+    // are the exact doubles 1.0/3 and 2.0/3 print as, mirrored in SQL.
+    "q99_ccnet_buckets" -> ((s, d) => {
+      val sc = graft.operators.UnigramLm.bigramScore(Tables.documents(s, d))
+      // thresholds snap to the scores' own 1e-4 grid: DuckDB's
+      // quantile_cont loses an ulp on EQUAL interpolation neighbors
+      // ((1-f)·v + f·v ≠ v in fp), Spark's percentile doesn't — round
+      // puts both engines on the identical double. Tercile fractions
+      // land at .33/.67 of a grid step, never a decimal half, so the
+      // HALF_UP/HALF_EVEN divergence can't trigger.
+      val thr = sc.agg(
+        round(expr("percentile(logprob_avg, 0.3333333333333333)"), 4).as("t33"),
+        round(expr("percentile(logprob_avg, 0.6666666666666666)"), 4).as("t67"))
+      sc.crossJoin(broadcast(thr))
+        .select(col("doc_id"),
+          when(col("logprob_avg") < col("t33"), "tail")
+            .when(col("logprob_avg") < col("t67"), "middle")
+            .otherwise("head").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
 
     // q98: point-in-time-correct feature join — each click event gets
     // the customer's latest order AT event time (no future leakage).
@@ -2655,6 +2691,23 @@ object SparkEntry {
              row_number() OVER (ORDER BY maxsim DESC, gid) AS rank
            FROM sc) t
          WHERE rank <= 10 ORDER BY rank""",
+    "q100_maxsim_batch" ->
+      """WITH mv AS (
+           SELECT vec_id // 5 AS gid, vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT gid AS qid, vec_id, v FROM mv WHERE gid < 3),
+         mx AS (
+           SELECT q.qid, q.vec_id AS qt, mv.gid,
+             max(list_cosine_similarity(q.v, mv.v)) AS m
+           FROM q CROSS JOIN mv GROUP BY q.qid, q.vec_id, mv.gid),
+         sc AS (
+           SELECT qid, gid, round(sum(m), 4) AS maxsim
+           FROM mx GROUP BY qid, gid)
+         SELECT qid, gid, rank, maxsim FROM (
+           SELECT qid, gid, maxsim,
+             row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, gid) AS rank
+           FROM sc) t
+         WHERE rank <= 5 ORDER BY qid, rank""",
     // q97: weights written as the exact literals the Scala passes
     // (0.7 / 0.3, each ::DOUBLE — deriving 0.3 as 1 - 0.7 would give a
     // different double). Arithmetic mirrors UnigramLm.bigramScore
@@ -2681,6 +2734,45 @@ object SparkEntry {
          FROM bg JOIN bc USING (prev, cur) JOIN pc USING (prev)
            JOIN uc USING (cur), tot
          GROUP BY bg.doc_id ORDER BY doc_id""",
+    // q99: rides on q97's hash-verified score; quantile_cont is
+    // DuckDB's exact interpolated percentile (same definition as
+    // Spark's `percentile`, the q94 pairing) — but on EQUAL
+    // interpolation neighbors DuckDB computes (1-f)·v + f·v, which is
+    // an ulp off v, while Spark returns v (measured: docs sitting
+    // exactly on the tercile flipped buckets). round(,4) snaps both
+    // thresholds to the scores' own 1e-4 grid, where they agree.
+    "q99_ccnet_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS prev,
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS cur
+           FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+         pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
+         uct AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS cur
+           FROM documents),
+         uc AS (SELECT cur, count(*) AS cu FROM uct GROUP BY cur),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uc),
+         sc AS (
+           SELECT bg.doc_id,
+             round(avg(ln(0.7::DOUBLE * cb / cp + 0.3::DOUBLE * cu / tot.total)), 4)
+               AS logprob_avg
+           FROM bg JOIN bc USING (prev, cur) JOIN pc USING (prev)
+             JOIN uc USING (cur), tot
+           GROUP BY bg.doc_id),
+         thr AS (
+           SELECT round(quantile_cont(logprob_avg, 0.3333333333333333), 4) AS t33,
+             round(quantile_cont(logprob_avg, 0.6666666666666666), 4) AS t67
+           FROM sc)
+         SELECT doc_id,
+           CASE WHEN logprob_avg < t33 THEN 'tail'
+                WHEN logprob_avg < t67 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sc, thr ORDER BY doc_id""",
     // q98: per-row LATERAL argmax is the readable oracle form; the
     // engine's union-tag merge must produce the identical picks
     // (latest o_orderdate <= ts, max o_orderkey on date ties).

@@ -20,6 +20,10 @@ case class Neighbor(query_id: Long, neighbor_id: Long, dist: Double, rank: Int)
   * neighbors within the threshold), not a ranked prefix. */
 case class RadiusMatch(query_id: Long, neighbor_id: Long, dist: Double)
 
+/** Typed late-interaction (MaxSim) hit: ranked doc groups per query
+  * bag. */
+case class MaxSimHit(query_id: Long, group_id: Long, rank: Int, maxsim: Double)
+
 /** The library's typed public surface — the reference's two-function API
   * (`build_index`, `search_approximate`, src/lib.rs:81,130) plus dedup,
   * as Dataset transformations.
@@ -179,6 +183,25 @@ object GraftVectors {
     graft.operators.SemanticDedup.survivors(
       ds.toDF(), "id", "embedding", threshold, nlist, seed)
       .select(col("id"), col("word"), col("embedding")).as[VectorRecord]
+  }
+
+  /** Late-interaction (ColBERT MaxSim) retrieval over multi-vector
+    * groups: `group` maps each record's id to its bag (e.g. passage
+    * id); queries are whole bags from `queries` likewise grouped. Exact
+    * when `candPerTok == 0`; otherwise the two-stage candidate/refine
+    * serving path (see [[graft.operators.MaxSim.topKRefined]]). */
+  def maxSimTopK(ds: Dataset[VectorRecord], queries: Dataset[VectorRecord],
+      group: org.apache.spark.sql.Column, k: Int,
+      candPerTok: Int = 0): Dataset[MaxSimHit] = {
+    import ds.sparkSession.implicits._
+    val corpus = ds.toDF().select(group.as("gid"), col("embedding").as("vec"))
+    val q = queries.toDF().select(group.as("qid"),
+      col("id").as("qt"), col("embedding").as("qvec"))
+    val hits =
+      if (candPerTok > 0) graft.operators.MaxSim.topKRefined(corpus, q, k, candPerTok)
+      else graft.operators.MaxSim.topK(corpus, q, k)
+    hits.select(col("qid").as("query_id"), col("gid").as("group_id"),
+      col("rank"), col("maxsim")).as[MaxSimHit]
   }
 
   /** Approximate k-NN over the compressed corpus with exact re-rank of

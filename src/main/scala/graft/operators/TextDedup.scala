@@ -254,6 +254,72 @@ object TextDedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs WITHOUT the all-pairs cross join: split the
+    * 64-bit fingerprint into `maxHamming + 1` disjoint bands — two
+    * fingerprints within Hamming distance `maxHamming` cannot differ in
+    * every band (pigeonhole), so an equality self-join on any one band
+    * finds every qualifying pair. Exact, not probabilistic: band-match
+    * candidates are verified with the true Hamming distance, so the
+    * output EQUALS the brute-force pair set (specced) — the same
+    * band-then-verify shape as MinHash-LSH but with a soundness
+    * guarantee.
+    *
+    * Scale, honestly quantified (ProbeBands, sf0.1): candidate pairs
+    * 1.10M vs 12.5M brute — an 11× cut. The reduction is a CONSTANT
+    * factor bounded by the band-value space: 9 bands of ~7 bits give at
+    * most ~128 buckets per band, so Σ|bucket|² stays Θ(n²/buckets) as
+    * the corpus grows. That is the fingerprint width's limit, not the
+    * operator's: Hamming ≤ 3 yields 4 × 16-bit bands (65k values/band),
+    * and a 128-bit fingerprint doubles every band width — multi-index
+    * hashing (Norouzi et al. 2012) sizes bands to corpus scale exactly
+    * this way. At fixture scale the brute cross join is FASTER (one
+    * codegen'd popcount pass, no shuffles) — banding pays off where the
+    * n² candidate stream stops fitting through one node. The verify
+    * stage re-joins fingerprints by id — narrow lookups, no text. */
+  def simhashPairsBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, maxHamming: Int = 8): DataFrame = {
+    // Fingerprinting (shingle + hash + vote over full text) dwarfs the
+    // pair stage; materialize the tiny (id, fp) table ONCE instead of
+    // recomputing it on both join sides and again at verify (eager
+    // localCheckpoint — the DedupClusters lineage-control pattern; at
+    // production scale fps are a standing table, see Bm25.buildIndex).
+    val fp = graft.GraftSession.widen(df)
+      .select(col(idCol).as("id"), simhash(col(textCol), ngram).as("fp"))
+      .localCheckpoint()
+    simhashPairsBandedFp(fp, maxHamming)
+  }
+
+  /** As [[simhashPairsBanded]], over precomputed fingerprints
+    * (id, fp) — the standing-table serving form. */
+  def simhashPairsBandedFp(fp: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
+    val nBands = maxHamming + 1
+    // disjoint band extraction: band i covers bits [i*64/n, (i+1)*64/n)
+    val banded = fp.select(col("id"), explode(array(
+      (0 until nBands).map { i =>
+        val lo = i * 64 / nBands
+        val hi = (i + 1) * 64 / nBands
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("fp"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
+    // candidates move as bare (id_a, id_b) pairs — the bucket-squared
+    // blowup carries 16 bytes/row, not fingerprints or text
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .withColumn("ham", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("ham") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("ham"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force over a blocking
     * key or all pairs; ANN/LSH is the scale path — see AnnForestModel). */
   def cosineNearDupPairs(

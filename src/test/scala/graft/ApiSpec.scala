@@ -32,6 +32,19 @@ class ApiSpec extends SparkSpec {
       math.min(spark.sparkContext.defaultParallelism, df.count().toInt))
   }
 
+  test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
+    val recs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id".as("id"), concat(lit("w"), $"vec_id").as("word"), $"embedding")
+      .as[VectorRecord]
+    val group = floor(col("id") / 5).cast("long")
+    val queries = recs.filter($"id" < 5)  // bag 0
+    val exact = GraftVectors.maxSimTopK(recs, queries, group, k = 5).collect()
+    val refined = GraftVectors.maxSimTopK(recs, queries, group, k = 5, candPerTok = 64).collect()
+    assert(exact.sortBy(_.rank).toSeq === refined.sortBy(_.rank).toSeq)
+    val top = exact.minBy(_.rank)
+    assert(top.group_id === 0L && top.maxsim === 5.0)
+  }
+
   test("typed filtered/radius/remove surface round-trips") {
     val recs = Tables.embeddings(spark, sf0001).limit(200)
       .select($"vec_id".as("id"), lit("w").as("word"), $"embedding")

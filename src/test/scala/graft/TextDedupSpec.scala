@@ -61,6 +61,30 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
   }
 
+  test("banded simhash pairs EQUAL the brute-force cross-join pair set") {
+    val docs = Tables.documents(spark, sf0001)
+    val fp = docs.select($"doc_id", TextDedup.simhash($"text", 2).as("fp"))
+    val a = fp.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+    val b = fp.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("ham", TextDedup.hamming($"fp_a", $"fp_b"))
+      .filter($"ham" <= 8)
+      .select($"id_a", $"id_b", $"ham").as[(Long, Long, Long)].collect().toSet
+    val banded = TextDedup.simhashPairsBanded(docs, "doc_id", "text", 2, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute, "pigeonhole banding must be exact, not approximate")
+    assert(brute.nonEmpty, "fixture must exercise the path")
+  }
+
+  test("banded simhash at maxHamming=0 degenerates to exact-fingerprint pairs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairsBanded(df, "doc_id", "text", 2, 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
+
   test("cosine near-dup pairs are symmetric-free (id_a < id_b) and thresholded") {
     val e = Tables.embeddings(spark, sf0001)
     val pairs = TextDedup.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
