@@ -1492,6 +1492,54 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // q101: length-weighted document sample per language WITHOUT
+    // replacement (Efraimidis-Spirakis priorities over the portable
+    // integer hash) — heap-served, no global sort. Complements q49's
+    // UNIFORM per-key sample.
+    "q101_weighted_sample" -> ((s, d) =>
+      graft.operators.WeightedSample.perKey(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          keyCol = "lang", idCol = "doc_id", weightCol = "n_chars", k = 5)
+        .select(col("lang"), col("doc_id"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
+
+    // q104: MaxSim served with an ANN stage 1 — candidate doc groups
+    // come from the seeded forest over the TOKEN store (the standing-
+    // index serving shape: stage-1 cost follows probes, stage-2 cost
+    // follows candidates; nothing scans the corpus per query). ANN
+    // candidates are probabilistic, so like q83 the driver-gated
+    // output is a constant-truth recall bit vs the exact MaxSim top-10
+    // (floor 0.9; MaxSimSpec pins the full top-10 SET equality at
+    // sf0.001 — the forest recalls token neighbors at 0.96+, and
+    // MaxSim only needs SOME high-cos token of each true top group to
+    // surface).
+    "q104_maxsim_indexed" -> ((s, d) => {
+      val mv = Tables.embeddings(s, d)
+        .select(floor(col("vec_id") / 5).cast("long").as("gid"),
+          col("vec_id").as("qt"), col("embedding").as("vec"))
+      val corpus = mv.select(col("gid"), col("vec"))
+      val queries = mv.filter(col("gid") === 0)
+        .select(lit(0L).as("qid"), col("qt"), col("vec").as("qvec"))
+      val tokens = mv.select(col("qt").as("vec_id"), col("vec").as("embedding"))
+      val forest = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(tokens, "vec_id", "embedding")
+      val annCands = forest.knnJoinBucketed(tokens,
+          queries.select(col("qt").as("query_id"), col("qvec")), topK = 64)
+        .select(col("query_id").as("qt"), col("neighbor_id"))
+      val cands = annCands
+        .join(mv.select(col("qt").as("neighbor_id"), col("gid")), Seq("neighbor_id"))
+        .join(queries.select(col("qid"), col("qt")), Seq("qt"))
+        .select(col("qid"), col("gid")).distinct()
+      val got = graft.operators.MaxSim.topKOnCandidates(corpus, queries, 10, cands)
+      val exact = graft.operators.MaxSim.topK(corpus, queries, 10)
+      got.select(col("qid"), col("gid"))
+        .join(exact.select(col("qid"), col("gid")), Seq("qid", "gid"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("__total")))
+        .select(lit("maxsim_indexed").as("component"),
+          (col("__hits") / col("__total") >= lit(0.9)).cast("int").as("ok"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
@@ -1539,6 +1587,27 @@ object SparkEntry {
           leftTime = "ts", rightTime = "o_orderdate",
           rightVals = Seq("last_orderkey", "last_totalprice"),
           rightTieBreak = Seq("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q102: nearest-in-time join (merge_asof direction='nearest') —
+    // each click matched to the time-CLOSEST order of the same
+    // customer within a 30-day tolerance, either direction; distance
+    // ties prefer the backward match. Same one-shuffle union-tag sort
+    // as q98: both direction fills are frames of a single window.
+    "q102_nearest_join" -> ((s, d) => {
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").as("near_orderkey"))
+      graft.operators.AsOfJoin.asOfNearest(clicks, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq("near_orderkey"),
+          rightTieBreak = Seq("near_orderkey"),
+          toleranceSec = Some(2592000.0))
         .orderBy(col("event_id"))
     }),
 
@@ -1592,6 +1661,27 @@ object SparkEntry {
     "q87_ingest_dedup" -> ((s, d) => {
       graft.streaming.IngestDedup.replayInBatches(
         Tables.documents(s, d), "graft_q87_seen", nBatches = 4)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q103: the signature store FORGETS — admit the first half, delete
+    // doc_id % 10 == 1 from the store, admit the second half. Second-
+    // half docs are rejected only by surviving (non-deleted) first-half
+    // docs or by their own batch; the deterministic seen-store
+    // semantics keep the whole run SQL-expressible (full oracle).
+    "q103_signature_delete" -> ((s, d) => {
+      val ing = graft.streaming.IngestDedup
+      val docs = Tables.documents(s, d)
+      ing.initStore(s, "graft_q103_seen")
+      val first = ing.admitBatch(
+        docs.filter(col("doc_id") < 250), "graft_q103_seen")
+      val removed = docs.filter(col("doc_id") < 250 && col("doc_id") % 10 === 1)
+        .select(col("doc_id"))
+      ing.removeFromStore(s, "graft_q103_seen", removed)
+      val second = ing.admitBatch(
+        docs.filter(col("doc_id") >= 250), "graft_q103_seen")
+      first.unionByName(second)
         .select(col("id").as("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -2691,6 +2781,8 @@ object SparkEntry {
              row_number() OVER (ORDER BY maxsim DESC, gid) AS rank
            FROM sc) t
          WHERE rank <= 10 ORDER BY rank""",
+    "q104_maxsim_indexed" ->
+      """SELECT * FROM (VALUES ('maxsim_indexed', 1)) t(component, ok)""",
     "q100_maxsim_batch" ->
       """WITH mv AS (
            SELECT vec_id // 5 AS gid, vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2708,6 +2800,16 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, gid) AS rank
            FROM sc) t
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // q101: the hash arithmetic is q49's (integer-exact in any engine);
+    // pow may differ from java.lang.Math.pow in the last ulp, so the
+    // priority is rounded to 6 decimals on BOTH sides before ranking.
+    "q101_weighted_sample" ->
+      """SELECT lang, doc_id, rank FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
+                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 5 ORDER BY lang, rank""",
     // q97: weights written as the exact literals the Scala passes
     // (0.7 / 0.3, each ::DOUBLE — deriving 0.3 as 1 - 0.7 would give a
     // different double). Arithmetic mirrors UnigramLm.bigramScore
@@ -2785,6 +2887,23 @@ object SparkEntry {
            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
          WHERE e.event_type = 'click'
          ORDER BY event_id""",
+    // q102: LATERAL min-distance argmax mirrors the engine's pick
+    // exactly: backward ties take the greatest orderkey (the as-of
+    // convention), forward ties the smallest, equal distances go
+    // backward. epoch() and Spark's timestamp→double cast derive the
+    // same IEEE double from the same integer timestamp.
+    "q102_nearest_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, o.near_orderkey
+         FROM events e LEFT JOIN LATERAL (
+           SELECT o_orderkey AS near_orderkey FROM orders
+           WHERE o_custkey = e.user_id
+             AND abs(epoch(o_orderdate) - epoch(e.ts)) <= 2592000.0
+           ORDER BY abs(epoch(o_orderdate) - epoch(e.ts)) ASC,
+             CASE WHEN o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+             CASE WHEN o_orderdate <= e.ts THEN -o_orderkey ELSE o_orderkey END ASC
+           LIMIT 1) o ON TRUE
+         WHERE e.event_type = 'click'
+         ORDER BY event_id""",
     "q79_hybrid_rrf" ->
       """WITH terms AS (
            SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
@@ -2846,6 +2965,30 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) JOIN q USING (term), stats
          GROUP BY q.query_id, tf.doc_id ORDER BY query_id, doc_id""",
+    // q103: q87's exact-Jaccard pair CTE with the delete schedule
+    // folded into the rejection predicate — a phase-2 doc is rejected
+    // by an in-batch predecessor (ida >= 250) or a SURVIVING store doc
+    // (ida < 250 with ida % 10 <> 1); deleted store docs reject nobody.
+    "q103_signature_delete" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         pair AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         rej AS (
+           SELECT DISTINCT idb AS doc_id FROM pair
+           WHERE idb < 250
+              OR (idb >= 250 AND (ida >= 250 OR ida % 10 <> 1)))
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
+         ORDER BY doc_id""",
     "q87_ingest_dedup" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(

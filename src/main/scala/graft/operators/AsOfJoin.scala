@@ -62,4 +62,71 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ rightVals.map(col): _*)
   }
+
+  /** Nearest-in-time variant (pandas `merge_asof direction='nearest'`):
+    * each left row gets the right row with the same key whose time is
+    * CLOSEST — before or after — optionally within `toleranceSec`.
+    * Equal distances prefer the backward (earlier) match; within one
+    * side, backward ties pick the greatest tiebreak (consistent with
+    * [[asOf]]) and forward ties the smallest (the first row the
+    * forward scan meets).
+    *
+    * Same union-tag merge, still ONE shuffle: the backward fill
+    * (`last` over preceding) and the forward fill (`first` over
+    * following) are two frames of the SAME window sort, so Catalyst
+    * plans one exchange + one sort and evaluates both in a single
+    * Window operator. Times must be timestamps or numerics; distance
+    * is |epoch seconds| (cast to double — both engines derive the
+    * identical IEEE value from the underlying integer timestamp). */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      rightTieBreak: Seq[String] = Nil,
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val carried = rightVals ++ rightTieBreak.filterNot(rightVals.contains)
+
+    val lSide = left.select(
+      left.columns.map(col) ++
+        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
+        carried.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
+    val rSide = right.select(
+      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        carried.map(c => col(c).as(s"__r_$c")): _*)
+
+    val ord: Seq[Column] =
+      Seq(col("__t").asc, col("__side").asc) ++
+        rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
+    val base = Window.partitionBy(col("__k")).orderBy(ord: _*)
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(1, Window.unboundedFollowing)
+
+    // carry the matched row's TIME on both sides to judge distance;
+    // __rt is the right row's own time, null on left rows
+    val tagged = lSide.unionByName(rSide)
+      .withColumn("__rt", when(col("__side") === 0, col("__t")))
+    val filledCols = ("__rt" +: rightVals).flatMap { c =>
+      val src = if (c == "__rt") col("__rt") else col(s"__r_$c")
+      Seq(last(src, ignoreNulls = true).over(back).as(s"__b_$c"),
+        first(src, ignoreNulls = true).over(fwd).as(s"__f_$c"))
+    }
+    val filled = tagged.select(col("*") +: filledCols: _*)
+
+    val lt = col("__t").cast("double")
+    val bDist = abs(lt - col("__b___rt").cast("double"))
+    val fDist = abs(col("__f___rt").cast("double") - lt)
+    val bOk = col("__b___rt").isNotNull &&
+      toleranceSec.map(t => bDist <= t).getOrElse(lit(true))
+    val fOk = col("__f___rt").isNotNull &&
+      toleranceSec.map(t => fDist <= t).getOrElse(lit(true))
+    val useBack = bOk && (!fOk || bDist <= fDist)  // tie -> backward
+    val picked = rightVals.foldLeft(filled) { (df, c) =>
+      df.withColumn(c,
+        when(useBack, col(s"__b_$c")).when(fOk, col(s"__f_$c")))
+    }
+    picked.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map(col): _*)
+  }
 }

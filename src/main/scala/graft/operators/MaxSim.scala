@@ -84,10 +84,24 @@ object MaxSim {
       .perKey(cos.withColumn("negcos", -col("cos")),
         Seq("qid", "qt"), Seq("negcos", "gid"), candPerTok)
       .select(col("qid"), col("gid")).distinct()
-    // Stage 2: exact MaxSim restricted to candidates. The semi-join
-    // keys are compact (qid, gid) pairs; scored rows re-derive from the
-    // same narrow cosine pass.
-    val scored = cos.join(cands, Seq("qid", "gid"), "left_semi")
+    topKOnCandidates(corpus, queries, k, cands)
+  }
+
+  /** Stage 2 alone: exact MaxSim restricted to a caller-provided
+    * candidate set (qid, gid) — the refine tail every stage-1 shares.
+    * The corpus prunes to candidate groups BEFORE the cosine pass, so
+    * the scoring cost follows |candidate groups| · |query tokens|, not
+    * corpus size — this is what an ANN stage-1 over the standing token
+    * store buys at scale (see the q104 wiring). */
+  def topKOnCandidates(corpus: DataFrame, queries: DataFrame, k: Int,
+      cands: DataFrame): DataFrame = {
+    val corpusCand = corpus
+      .join(cands.select(col("gid")).distinct(), Seq("gid"), "left_semi")
+    val scored = corpusCand
+      .crossJoin(broadcast(queries))
+      .join(cands, Seq("qid", "gid"), "left_semi")
+      .select(col("qid"), col("qt"), col("gid"),
+        cosine(col("vec"), col("qvec")).as("cos"))
       .groupBy(col("qid"), col("qt"), col("gid"))
       .agg(max(col("cos")).as("m"))
       .groupBy(col("qid"), col("gid"))

@@ -123,6 +123,35 @@ object IngestDedup {
       .saveAsTable(s"${name}_shingles")
   }
 
+  /** Remove documents from the standing signature store: lookalikes of
+    * a removed document are admissible again (takedowns, licence
+    * revocations, quality re-review — the signature store must forget,
+    * or the corpus can never re-admit a cleaned-up replacement). This
+    * completes the delete story across the three standing stores
+    * (inverted index: Bm25.removeDocs; vector store:
+    * DistributedAnnModel.remove; signature store: here).
+    *
+    * Physical rewrite, not a tombstone: both tables drop the ids via an
+    * anti-join and rewrite with the SAME bucket spec (the Bm25
+    * compactIndex pattern — localCheckpoint settles survivors before
+    * the location-safe overwrite, since Spark cannot overwrite a table
+    * its own plan is reading). Signature rows are small and the
+    * rewrite preserves bucket pruning for every later probe; a
+    * tombstone would instead tax every admission batch with an
+    * anti-join forever. */
+  def removeFromStore(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_bands")) return
+    val gone = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    val bands = spark.table(s"${name}_bands")
+      .join(gone, Seq("id"), "left_anti").localCheckpoint()
+    val shingles = spark.table(s"${name}_shingles")
+      .join(gone, Seq("id"), "left_anti").localCheckpoint()
+    graft.sources.Sinks.parquetBucketed(
+      bands, s"${name}_bands", 8, Seq("band_key"), Seq("band_key"))
+    graft.sources.Sinks.parquetBucketed(
+      shingles, s"${name}_shingles", 8, Seq("id"))
+  }
+
   /** Batch-mode replay: feed `docs` through [[admitBatch]] in
     * `nBatches` contiguous id ranges (ascending — the pinned arrival
     * order) and return every admitted id. This is the SAME code the

@@ -34,6 +34,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined(103L) === ((None, null)))      // key 2's only row is at t=9
   }
 
+  test("nearest: direction, distance ties, tolerance, and no-match null") {
+    // key 1: event at t=10 sits between writes at 6 (ver 21) and 13
+    //   (ver 22) — forward is nearer (3 < 4)
+    // key 2: event at t=10 equidistant from 8 and 12 — backward wins
+    // key 3: event with only a far-future write — tolerance excludes it
+    // key 4: only a future write, within tolerance — forward match
+    val l = Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L), (4L, 4L, 10L))
+      .toDF("event_id", "k", "t")
+    val r = Seq(
+      (1L, 6L, 21L), (1L, 13L, 22L),
+      (2L, 8L, 31L), (2L, 12L, 32L),
+      (3L, 1000L, 41L),
+      (4L, 12L, 51L))
+      .toDF("rk", "rt", "ver")
+    val got = AsOfJoin.asOfNearest(l, r, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver"), toleranceSec = Some(5.0))
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("ver"))).toMap
+    assert(got(1L) === Some(22L)) // |13-10|=3 beats |10-6|=4
+    assert(got(2L) === Some(31L)) // tie |2| — backward preferred
+    assert(got(3L) === None)      // 990s away, tolerance 5s
+    assert(got(4L) === Some(51L)) // forward-only within tolerance
+  }
+
+  test("nearest: both direction fills share one exchange and one sort") {
+    val df = AsOfJoin.asOfNearest(left, right, "k", "rk", "t", "rt",
+      Seq("ver", "feat"), Seq("ver"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one shuffle:\n$plan")
+    assert(sorts === 1, s"expected the two window frames to share one sort:\n$plan")
+  }
+
   test("plan: one exchange, no join node (union-tag merge)") {
     val df = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
       Seq("ver", "feat"), Seq("ver"))

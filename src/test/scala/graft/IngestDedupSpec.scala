@@ -36,6 +36,32 @@ class IngestDedupSpec extends SparkSpec {
     assert(r1 === r3)
   }
 
+  test("removeFromStore forgets: a deleted doc's lookalike is admissible again") {
+    val d = docs.toDF("doc_id", "text")
+    // seed the store with doc 0; its copy (doc 3) is rejected
+    IngestDedup.initStore(spark, "graft_ingest_rm")
+    assert(admitted(IngestDedup.admitBatch(
+      d.filter($"doc_id" === 0), "graft_ingest_rm",
+      ngram = 1, numHashes = 32, bands = 32)) === Set(0L))
+    assert(admitted(IngestDedup.admitBatch(
+      d.filter($"doc_id" === 3), "graft_ingest_rm",
+      ngram = 1, numHashes = 32, bands = 32)) === Set())
+    // takedown of doc 0 (doc 3 was also seen — remove it too, it joined
+    // the store despite rejection); a fresh copy is now admissible
+    IngestDedup.removeFromStore(spark, "graft_ingest_rm",
+      Seq(0L, 3L).toDF("doc_id"))
+    assert(admitted(IngestDedup.admitBatch(
+      Seq((9L, "t1 t2 t3")).toDF("doc_id", "text"), "graft_ingest_rm",
+      ngram = 1, numHashes = 32, bands = 32)) === Set(9L))
+    // unrelated survivors still reject their own lookalikes
+    assert(admitted(IngestDedup.admitBatch(
+      d.filter($"doc_id" === 4), "graft_ingest_rm",
+      ngram = 1, numHashes = 32, bands = 32)) === Set(4L))
+    assert(admitted(IngestDedup.admitBatch(
+      Seq((10L, "u1 u2 u3")).toDF("doc_id", "text"), "graft_ingest_rm",
+      ngram = 1, numHashes = 32, bands = 32)) === Set())
+  }
+
   test("foreachBatch stream admits the same set as the batch replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString
     def write(rows: Seq[(Long, String)]) =

@@ -50,6 +50,24 @@ class MaxSimSpec extends SparkSpec {
     assert(refined.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
   }
 
+  test("ANN stage-1 (seeded token forest) recovers the exact top-10 set") {
+    val tokens = mv.select($"qt".as("vec_id"), $"vec".as("embedding"))
+    val forest = graft.ann.AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+      .fit(tokens, "vec_id", "embedding")
+    val annCands = forest.knnJoinBucketed(tokens,
+        queries.select($"qt".as("query_id"), $"qvec"), topK = 64)
+      .select($"query_id".as("qt"), $"neighbor_id")
+    val cands = annCands
+      .join(mv.select($"qt".as("neighbor_id"), $"gid"), Seq("neighbor_id"))
+      .join(queries.select($"qid", $"qt"), Seq("qt"))
+      .select($"qid", $"gid").distinct()
+    val got = MaxSim.topKOnCandidates(corpus, queries, 10, cands)
+      .select($"gid").as[Long].collect().toSet
+    val exact = MaxSim.topK(corpus, queries, 10)
+      .select($"gid").as[Long].collect().toSet
+    assert(got === exact, "indexed serving must recover the exact top-10 set here")
+  }
+
   test("plan: query side broadcast, candidate heap bounded (no corpus-wide window sort)") {
     val plan = MaxSim.topKRefined(corpus, queries, k = 10, candPerTok = 8)
       .queryExecution.executedPlan.toString

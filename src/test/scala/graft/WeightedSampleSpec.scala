@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.WeightedSample
+import graft.sources.Tables
+
+/** Efraimidis-Spirakis weighted sampling: determinism, weight
+  * monotonicity in the limit, the positive-weight guard, and the
+  * heap-served plan shape. */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic: two draws are identical") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars")
+    val a = WeightedSample.perKey(docs, "lang", "doc_id", "n_chars", 5)
+      .select($"lang", $"doc_id", $"rank").collect().map(_.toSeq).toSet
+    val b = WeightedSample.perKey(docs, "lang", "doc_id", "n_chars", 5)
+      .select($"lang", $"doc_id", $"rank").collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("k per key, ranks 1..k, all ids from the group") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars")
+    val got = WeightedSample.perKey(docs, "lang", "doc_id", "n_chars", 3)
+      .select($"lang", $"rank").as[(String, Int)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length))
+      assert(rows.length <= 3)
+    }
+  }
+
+  test("an overwhelming weight is always selected (u^(1/w) -> 1)") {
+    // 50 light rows + 1 row whose weight dwarfs them: its priority is
+    // within 1e-6 of 1.0 while E[max of 50 light priorities] stays
+    // clearly below — the ES limit behavior, not a lucky seed.
+    val df = ((1L to 50L).map(i => (i, "g", 10L)) :+ ((99L, "g", 100000000L)))
+      .toDF("id", "grp", "w")
+    val picked = WeightedSample.perKey(df, "grp", "id", "w", 5)
+      .select($"id").as[Long].collect().toSet
+    assert(picked.contains(99L))
+  }
+
+  test("non-positive weights fail loudly instead of silently reordering") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    // w = 0: ANSI division (1.0/w) raises before the guard can
+    val zero = intercept[Exception] {
+      WeightedSample.perKey(Seq((1L, "g", 5L), (2L, "g", 0L))
+        .toDF("id", "grp", "w"), "grp", "id", "w", 2).collect()
+    }
+    assert(messages(zero).exists(_.contains("DIVIDE_BY_ZERO")))
+    // w < 0: pow evaluates fine (and would rank WRONG) — the guard fires
+    val neg = intercept[Exception] {
+      WeightedSample.perKey(Seq((1L, "g", 5L), (2L, "g", -3L))
+        .toDF("id", "grp", "w"), "grp", "id", "w", 2).collect()
+    }
+    assert(messages(neg).exists(_.contains("must be > 0")))
+  }
+
+  test("plan: heap prune present, no corpus-wide window sort before it") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars")
+    val plan = WeightedSample.perKey(docs, "lang", "doc_id", "n_chars", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"heap prune missing:\n$plan")
+  }
+}
