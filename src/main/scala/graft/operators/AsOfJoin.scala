@@ -129,4 +129,27 @@ object AsOfJoin {
     picked.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ rightVals.map(col): _*)
   }
+
+  /** Streaming face: enrich a STREAM of left rows point-in-time against
+    * a static (or slowly-rebuilt standing) right table. Because each
+    * left row's match depends only on the right side — never on other
+    * left rows — running [[asOf]] per micro-batch is EXACTLY the batch
+    * semantics regardless of how the stream is batched (the same
+    * batching-independence argument as IngestDedup, but trivially: no
+    * seen-store). foreachBatch rather than a stream-stream join: the
+    * as-of pick is a per-key argmax, which Structured Streaming's join
+    * conditions cannot express without emitting every ≤-pair. */
+  def asOfStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      rightTieBreak: Seq[String],
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    left.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(asOf(batch, right, leftKey, rightKey, leftTime, rightTime,
+          rightVals, rightTieBreak), batchId)
+      }
 }

@@ -68,6 +68,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(sorts === 1, s"expected the two window frames to share one sort:\n$plan")
   }
 
+  test("streaming enrichment equals the batch as-of, any batching") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toString
+    val rows = Seq((100L, 1L, 5L), (101L, 1L, 7L), (102L, 1L, 10L), (103L, 2L, 7L))
+    def write(rs: Seq[(Long, Long, Long)]) =
+      rs.toDF("event_id", "k", "t").repartition(1).write.mode("append").parquet(dir)
+    write(rows.take(1))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long])]()
+    val q = AsOfJoin.asOfStream(stream, right, "k", "rk", "t", "rt",
+        Seq("ver", "feat"), Seq("ver"),
+        (out, _) => out.collect().foreach(r => got.add(
+          r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("ver")).map(_.toLong))))
+      .start()
+    q.processAllAvailable()
+    write(rows.slice(1, 3)); q.processAllAvailable()
+    write(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+    val streamed = got.toArray(Array.empty[(Long, Option[Long])]).toMap
+    val batch = AsOfJoin.asOf(rows.toDF("event_id", "k", "t"), right,
+        "k", "rk", "t", "rt", Seq("ver", "feat"), Seq("ver"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ver")).map(_.toLong)).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 4)
+  }
+
   test("plan: one exchange, no join node (union-tag merge)") {
     val df = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
       Seq("ver", "feat"), Seq("ver"))

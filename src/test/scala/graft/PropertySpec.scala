@@ -21,6 +21,57 @@ class PropertySpec extends SparkSpec {
   private def samples(n: Int): Seq[List[(Long, List[Float])]] =
     (1 to n).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  private val asOfGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] = for {
+    nl <- Gen.choose(5, 30)
+    nr <- Gen.choose(0, 30)
+    lrows <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    rrows <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+  } yield (
+    lrows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+    rrows.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) })
+
+  test("as-of: preserves left cardinality; matches are past-only, per-key, argmax (random data)") {
+    import graft.operators.AsOfJoin
+    (1 to 6).foreach { i =>
+      val (l, r) = asOfGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val left = l.toDF("event_id", "k", "t")
+      val right = r.toDF("ver", "rk", "rt")
+      val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver")).collect()
+      assert(out.length === l.length, "as-of must emit exactly one row per left row")
+      val rByVer = r.map { case (v, k, t) => v -> ((k, t)) }.toMap
+      out.foreach { row =>
+        val (eid, k, t) = (row.getAs[Long]("event_id"), row.getAs[Long]("k"), row.getAs[Long]("t"))
+        val picked = Option(row.getAs[java.lang.Long]("ver")).map(_.toLong)
+        // brute truth: latest rt <= t for the key, max ver on ties
+        val elig = r.filter { case (_, rk, rt) => rk == k && rt <= t }
+        val want = if (elig.isEmpty) None
+          else Some(elig.maxBy { case (v, _, rt) => (rt, v) }._1)
+        assert(picked === want, s"event $eid key $k t $t")
+      }
+    }
+  }
+
+  test("maxsim: score bounded by |query bag|; self group attains the bound (random data)") {
+    import graft.operators.MaxSim
+    samples(4).foreach { rows =>
+      val nonZero = rows.filter(_._2.exists(_ != 0f))
+      val mv = nonZero.toDF("vec_id", "embedding")
+        .select((col("vec_id") % 4).cast("long").as("gid"),
+          col("vec_id").as("qt"), col("embedding").as("vec"))
+      val corpus = mv.select(col("gid"), col("vec"))
+      val queries = mv.filter(col("gid") === 0)
+        .select(lit(0L).as("qid"), col("qt"), col("vec").as("qvec"))
+      val nq = queries.count().toDouble
+      if (nq > 0) {
+        val sc = MaxSim.scores(corpus, queries).collect()
+          .map(r => r.getAs[Long]("gid") -> r.getAs[Double]("maxsim")).toMap
+        sc.values.foreach(v => assert(v <= nq + 1e-9))
+        assert(math.abs(sc(0L) - nq) < 1e-9, "self group's every token matches itself")
+      }
+    }
+  }
+
   test("exact kNN is invariant under input permutation") {
     samples(5).foreach { rows =>
       val df = rows.toDF("vec_id", "embedding")
