@@ -38,29 +38,47 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       rightTieBreak: Seq[String] = Nil): DataFrame = {
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
-    val carried = rightVals ++ rightTieBreak.filterNot(rightVals.contains)
-
-    val lSide = left.select(
-      left.columns.map(col) ++
-        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        carried.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
-    val rSide = right.select(
-      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        carried.map(c => col(c).as(s"__r_$c")): _*)
-
+    val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, rightTieBreak)
     val ord: Seq[Column] =
       Seq(col("__t").asc, col("__side").asc) ++
         rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
     val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = rightVals.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // the matched row's values travel as ONE struct (null on left rows,
+    // non-null on every right row even when its members are null), so a
+    // genuinely-null right value comes through as null instead of being
+    // individually skipped by ignoreNulls and backfilled from an OLDER
+    // row — per-column fills would tear the output across rows
+    val filled = tagged.withColumn("__m",
+      last(col("__payload"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightVals.map(col): _*)
+      .select(left.columns.map(col) ++
+        rightVals.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Shared union-tag framing: align schemas, tag sides, drop right
+    * rows with NULL time (a row whose validity time is unknown is not
+    * history — treating it as "earliest" would leak it into every left
+    * row with no real predecessor), and bundle the carried right fields
+    * into a single nullable struct `__payload`. */
+  private def unionTag(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String], rightTieBreak: Seq[String]): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val carried = rightVals ++ rightTieBreak.filterNot(rightVals.contains)
+    val lSide = left.select(
+      left.columns.map(col) ++
+        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
+        carried.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
+    val rSide = right.filter(col(rightTime).isNotNull).select(
+      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        carried.map(c => col(c).as(s"__r_$c")): _*)
+    lSide.unionByName(rSide).withColumn("__payload",
+      when(col("__side") === 0, struct(
+        (col("__t").as("__rt") +: rightVals.map(c => col(s"__r_$c").as(c))): _*)))
   }
 
   /** Nearest-in-time variant (pandas `merge_asof direction='nearest'`):
@@ -84,18 +102,8 @@ object AsOfJoin {
       rightVals: Seq[String],
       rightTieBreak: Seq[String] = Nil,
       toleranceSec: Option[Double] = None): DataFrame = {
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
-    val carried = rightVals ++ rightTieBreak.filterNot(rightVals.contains)
-
-    val lSide = left.select(
-      left.columns.map(col) ++
-        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        carried.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
-    val rSide = right.select(
-      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        carried.map(c => col(c).as(s"__r_$c")): _*)
-
+    val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, rightTieBreak)
     val ord: Seq[Column] =
       Seq(col("__t").asc, col("__side").asc) ++
         rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
@@ -103,28 +111,25 @@ object AsOfJoin {
     val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = base.rowsBetween(1, Window.unboundedFollowing)
 
-    // carry the matched row's TIME on both sides to judge distance;
-    // __rt is the right row's own time, null on left rows
-    val tagged = lSide.unionByName(rSide)
-      .withColumn("__rt", when(col("__side") === 0, col("__t")))
-    val filledCols = ("__rt" +: rightVals).flatMap { c =>
-      val src = if (c == "__rt") col("__rt") else col(s"__r_$c")
-      Seq(last(src, ignoreNulls = true).over(back).as(s"__b_$c"),
-        first(src, ignoreNulls = true).over(fwd).as(s"__f_$c"))
-    }
-    val filled = tagged.select(col("*") +: filledCols: _*)
+    // both direction fills move the matched row's (time, values) as ONE
+    // struct — same atomicity argument as asOf: the candidate the
+    // tolerance check validates IS the candidate whose values are
+    // returned, never a column-wise mix of different rows
+    val filled = tagged
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(back))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(fwd))
 
     val lt = col("__t").cast("double")
-    val bDist = abs(lt - col("__b___rt").cast("double"))
-    val fDist = abs(col("__f___rt").cast("double") - lt)
-    val bOk = col("__b___rt").isNotNull &&
+    val bDist = abs(lt - col("__b.__rt").cast("double"))
+    val fDist = abs(col("__f.__rt").cast("double") - lt)
+    val bOk = col("__b").isNotNull &&
       toleranceSec.map(t => bDist <= t).getOrElse(lit(true))
-    val fOk = col("__f___rt").isNotNull &&
+    val fOk = col("__f").isNotNull &&
       toleranceSec.map(t => fDist <= t).getOrElse(lit(true))
     val useBack = bOk && (!fOk || bDist <= fDist)  // tie -> backward
     val picked = rightVals.foldLeft(filled) { (df, c) =>
       df.withColumn(c,
-        when(useBack, col(s"__b_$c")).when(fOk, col(s"__f_$c")))
+        when(useBack, col(s"__b.$c")).when(fOk, col(s"__f.$c")))
     }
     picked.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ rightVals.map(col): _*)

@@ -292,19 +292,30 @@ object TextDedup {
 
   /** As [[simhashPairsBanded]], over precomputed fingerprints
     * (id, fp) — the standing-table serving form. */
-  def simhashPairsBandedFp(fp: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** (id, band, bval) band projection of a fingerprint table: band i
+    * covers bits [i·64/n, (i+1)·64/n), n = maxHamming + 1 disjoint
+    * bands. Shared by the pair join and the band-skew probe so both
+    * always measure the SAME layout. */
+  def bandedFingerprints(fp: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
     val nBands = maxHamming + 1
-    // disjoint band extraction: band i covers bits [i*64/n, (i+1)*64/n)
-    val banded = fp.select(col("id"), explode(array(
+    fp.select(col("id"), explode(array(
       (0 until nBands).map { i =>
         val lo = i * 64 / nBands
         val hi = (i + 1) * 64 / nBands
+        // width can be the full 64 (maxHamming = 0): JVM long shifts
+        // mask the count to 6 bits, so 1L << 64 == 1L would zero the
+        // mask and collapse EVERY fingerprint into one bucket — the
+        // all-pairs blowup this operator exists to avoid
+        val mask = if (hi - lo >= 64) lit(-1L) else lit((1L << (hi - lo)) - 1)
         struct(lit(i).as("band"),
-          shiftrightunsigned(col("fp"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(mask).as("bval"))
       }: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
+  }
+
+  def simhashPairsBandedFp(fp: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val banded = bandedFingerprints(fp, maxHamming)
     // candidates move as bare (id_a, id_b) pairs — the bucket-squared
     // blowup carries 16 bytes/row, not fingerprints or text
     val cand = banded.as("x").join(banded.as("y"),

@@ -15,14 +15,9 @@ object ProbeBands {
     val fp = docs.select(col("doc_id").as("id"),
       TextDedup.simhash(col("text"), 2).as("fp")).localCheckpoint()
     val n = fp.count()
-    val nBands = 9
-    val banded = fp.select(col("id"), explode(array(
-      (0 until nBands).map { i =>
-        val lo = i * 64 / nBands; val hi = (i + 1) * 64 / nBands
-        struct(lit(i).as("band"), shiftrightunsigned(col("fp"), lo)
-          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
+    // the operator's own projection — the probe can never drift from
+    // the production band layout
+    val banded = TextDedup.bandedFingerprints(fp, maxHamming = 8)
     val buckets = banded.groupBy("band", "bval").agg(count(lit(1)).as("sz"))
     buckets.agg(
       sum(col("sz") * (col("sz") - 1) / 2).as("cand_pairs"),

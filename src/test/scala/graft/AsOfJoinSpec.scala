@@ -68,6 +68,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(sorts === 1, s"expected the two window frames to share one sort:\n$plan")
   }
 
+  test("a genuinely-null right value is returned as null, never backfilled from an older row") {
+    // key 1 history: (t=1, ver=7, feat="X") then (t=5, ver=9, feat=null).
+    // The t=6 event matches the t=5 row — ALL of it, including its null
+    // feat. Column-wise fills would leak "X" from the older row.
+    val l = Seq((100L, 1L, 6L)).toDF("event_id", "k", "t")
+    val r = Seq((1L, 1L, 7L, "X"), (1L, 5L, 9L, null.asInstanceOf[String]))
+      .toDF("rk", "rt", "ver", "feat")
+    val row = AsOfJoin.asOf(l, r, "k", "rk", "t", "rt",
+      Seq("ver", "feat"), Seq("ver")).collect().head
+    assert(row.getAs[Long]("ver") === 9L)
+    assert(row.getAs[String]("feat") === null)
+    val near = AsOfJoin.asOfNearest(l, r, "k", "rk", "t", "rt",
+      Seq("ver", "feat"), Seq("ver")).collect().head
+    assert(near.getAs[Long]("ver") === 9L)
+    assert(near.getAs[String]("feat") === null)
+  }
+
+  test("right rows with null time are not history: no phantom matches") {
+    val l = Seq((100L, 2L, 7L)).toDF("event_id", "k", "t")
+    val r = Seq((2L, null.asInstanceOf[java.lang.Long], 42L))
+      .toDF("rk", "rt", "ver")
+    val row = AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("ver"), Seq("ver"))
+      .collect().head
+    assert(Option(row.getAs[java.lang.Long]("ver")) === None)
+    val near = AsOfJoin.asOfNearest(l, r, "k", "rk", "t", "rt", Seq("ver"), Seq("ver"))
+      .collect().head
+    assert(Option(near.getAs[java.lang.Long]("ver")) === None)
+  }
+
   test("streaming enrichment equals the batch as-of, any batching") {
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toString
     val rows = Seq((100L, 1L, 5L), (101L, 1L, 7L), (102L, 1L, 10L), (103L, 2L, 7L))

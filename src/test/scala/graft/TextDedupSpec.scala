@@ -83,6 +83,14 @@ class TextDedupSpec extends SparkSpec {
     val pairs = TextDedup.simhashPairsBanded(df, "doc_id", "text", 2, 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L, 0L)))
+    // and the single 64-bit band is the WHOLE fingerprint, not a
+    // zeroed mask that would collapse every doc into one bucket (the
+    // 1L << 64 == 1L JVM shift trap): bval must equal fp itself
+    val fp = df.select($"doc_id".as("id"), TextDedup.simhash($"text", 2).as("fp"))
+    val bands = TextDedup.bandedFingerprints(fp, 0)
+      .join(fp, Seq("id"))
+      .select($"bval" === $"fp").as[Boolean].collect()
+    assert(bands.nonEmpty && bands.forall(identity))
   }
 
   test("cosine near-dup pairs are symmetric-free (id_a < id_b) and thresholded") {
