@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextDedup, UnigramLm, WeightedSample}
+
+/** Typed document record for the curation surface (mirrors the fixture
+  * `documents` schema — FIXTURES.md). */
+case class Document(doc_id: Long, text: String, lang: String,
+  source: String, n_chars: Long)
+
+/** Typed near-duplicate pair. */
+case class NearDupPair(id_a: Long, id_b: Long, score: Double)
+
+/** Typed LM-quality score row. */
+case class LmScore(doc_id: Long, n: Long, logprob_avg: Double)
+
+/** Typed compile-checked face of the text-curation suite — the
+  * document-side sibling of [[GraftVectors]]: the engine stays
+  * DataFrame-first internally, and this boundary gives pipeline code
+  * field-name safety over the most common document operations. Every
+  * method delegates to the specced operator (no second code path). */
+object GraftCuration {
+
+  /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
+    * (TextDedup.minhashPairs — the q30 path). */
+  def nearDupPairs(docs: Dataset[Document], threshold: Double = 0.5,
+      ngram: Int = 3): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    TextDedup.minhashPairs(docs.toDF(), "doc_id", "text", ngram,
+        numHashes = 32, bands = 8, threshold = threshold)
+      .select(col("id_a"), col("id_b"), col("jac").as("score"))
+      .as[NearDupPair]
+  }
+
+  /** Banded exact SimHash pairs within a Hamming radius (the q31
+    * path — output equals brute force, specced). */
+  def simhashPairs(docs: Dataset[Document], maxHamming: Int = 8,
+      ngram: Int = 2): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    TextDedup.simhashPairsBanded(docs.toDF(), "doc_id", "text", ngram, maxHamming)
+      .select(col("id_a"), col("id_b"), col("ham").cast("double").as("score"))
+      .as[NearDupPair]
+  }
+
+  /** Unigram LM quality score, self- or reference-trained (q73). */
+  def lmScore(docs: Dataset[Document],
+      reference: Option[Dataset[Document]] = None): Dataset[LmScore] = {
+    import docs.sparkSession.implicits._
+    UnigramLm.scoreAgainst(docs.toDF(), reference.getOrElse(docs).toDF())
+      .select(col("doc_id"), col("n_tokens").as("n"), col("logprob_avg"))
+      .as[LmScore]
+  }
+
+  /** Interpolated bigram LM score — word-order sensitive (q97). */
+  def bigramScore(docs: Dataset[Document],
+      reference: Option[Dataset[Document]] = None): Dataset[LmScore] = {
+    import docs.sparkSession.implicits._
+    UnigramLm.bigramScoreAgainst(docs.toDF(), reference.getOrElse(docs).toDF())
+      .select(col("doc_id"), col("n_bigrams").as("n"), col("logprob_avg"))
+      .as[LmScore]
+  }
+
+  /** Length-weighted sample without replacement per group (q101):
+    * `groupBy` a Document field name, weight = n_chars. */
+  def weightedSample(docs: Dataset[Document], groupBy: String,
+      k: Int): Dataset[Document] = {
+    import docs.sparkSession.implicits._
+    WeightedSample.perKey(docs.toDF(), groupBy, "doc_id", "n_chars", k)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[Document]
+  }
+
+  /** Quality floor: keep docs at or above the per-group percentile of a
+    * numeric field (q94's stratified floor). */
+  def qualityFloor(docs: Dataset[Document], groupBy: String,
+      p: Double): Dataset[Document] = {
+    import docs.sparkSession.implicits._
+    graft.operators.TextAnalysis.percentileFloor(docs.toDF(), groupBy, "n_chars", p)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[Document]
+  }
+}

@@ -32,6 +32,26 @@ class ApiSpec extends SparkSpec {
       math.min(spark.sparkContext.defaultParallelism, df.count().toInt))
   }
 
+  test("typed curation facade delegates to the specced operators") {
+    import graft.api.{Document, GraftCuration}
+    val docs = Tables.documents(spark, sf0001).as[Document]
+    // near-dup pairs == the raw operator's pairs
+    val typed = GraftCuration.nearDupPairs(docs).collect()
+      .map(p => (p.id_a, p.id_b)).toSet
+    val raw = graft.operators.TextDedup
+      .minhashPairs(docs.toDF(), "doc_id", "text", 3, 32, 8, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(typed === raw && typed.nonEmpty)
+    // weighted sample: k per group, rows are real documents
+    val sampled = GraftCuration.weightedSample(docs, "lang", k = 3).collect()
+    assert(sampled.groupBy(_.lang).forall(_._2.length <= 3))
+    assert(sampled.forall(_.text.nonEmpty))
+    // LM scores: bigram is order-sensitive, unigram row per doc
+    assert(GraftCuration.lmScore(docs).count() === docs.count())
+    val floor = GraftCuration.qualityFloor(docs, "lang", 0.5).count()
+    assert(floor > 0 && floor < docs.count())
+  }
+
   test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
     val recs = Tables.embeddings(spark, sf0001)
       .select($"vec_id".as("id"), concat(lit("w"), $"vec_id").as("word"), $"embedding")
