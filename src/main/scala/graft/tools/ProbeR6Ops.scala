@@ -61,6 +61,22 @@ object ProbeR6Ops {
         .filter(col("rn") === 1).count()
     }
 
+    // --- As-of under a HOT KEY: plain (one window partition) vs
+    //     time-bucketed (key × bucket parallelism) ---
+    val hotLeft = spark.range(8000000).select(
+      col("id").as("event_id"), lit(1L).as("k"),
+      (col("id") % 1000000).as("t"))
+    val hotRight = spark.range(200000).select(
+      col("id").as("ver"), lit(1L).as("rk"), (col("id") * 5).as("rt"))
+    time("as-of HOT KEY plain (one partition serializes)") {
+      AsOfJoin.asOf(hotLeft, hotRight, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver")).count()
+    }
+    time("as-of HOT KEY bucketed (100 buckets)") {
+      AsOfJoin.asOfBucketed(hotLeft, hotRight, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver"), bucketSeconds = 10000L).count()
+    }
+
     // --- MaxSim: exact vs candidate/refine serving ---
     val mv = Tables.embeddings(spark, sf)
       .select(floor(col("vec_id") / 5).cast("long").as("gid"),

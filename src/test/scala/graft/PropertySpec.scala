@@ -52,6 +52,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed as-of ≡ plain as-of on random data, any bucket width") {
+    import graft.operators.AsOfJoin
+    (1 to 5).foreach { i =>
+      val (l, r) = asOfGen(Gen.Parameters.default, Seed(100L + i)).get
+      val left = l.toDF("event_id", "k", "t")
+      val right = r.toDF("ver", "rk", "rt")
+      val plain = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+          Seq("ver"), Seq("ver"))
+        .collect().map(x => x.getAs[Long]("event_id") ->
+          Option(x.getAs[java.lang.Long]("ver"))).toMap
+      Seq(1L, 7L, 1000L).foreach { width =>
+        val bucketed = AsOfJoin.asOfBucketed(left, right, "k", "rk", "t", "rt",
+            Seq("ver"), Seq("ver"), bucketSeconds = width)
+          .collect().map(x => x.getAs[Long]("event_id") ->
+            Option(x.getAs[java.lang.Long]("ver"))).toMap
+        assert(bucketed === plain, s"seed ${100 + i} width $width")
+      }
+    }
+  }
+
   test("maxsim: score bounded by |query bag|; self group attains the bound (random data)") {
     import graft.operators.MaxSim
     samples(4).foreach { rows =>
