@@ -1540,6 +1540,18 @@ object SparkEntry {
           (col("__hits") / col("__total") >= lit(0.9)).cast("int").as("ok"))
     }),
 
+    // q105: standing-index introspection — the numbers a compaction
+    // policy reads (tombstone ratio, postings/vocabulary size), every
+    // one mirrored exactly from the corpus + delete schedule in SQL.
+    "q105_index_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.buildIndex(docs, "graft_q105_idx", buckets = 8)
+      graft.operators.Bm25.removeDocs(s, "graft_q105_idx",
+        docs.filter(col("doc_id") % 10 === 1).select(col("doc_id")))
+      graft.operators.Bm25.describeIndex(s, "graft_q105_idx")
+        .orderBy(col("metric"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
@@ -2783,6 +2795,26 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY rank""",
     "q104_maxsim_indexed" ->
       """SELECT * FROM (VALUES ('maxsim_indexed', 1)) t(component, ok)""",
+    // q105: integer-exact mirrors of the index tables from the corpus:
+    // postings = distinct (doc, term), sum_dl = token instances.
+    "q105_index_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         p AS (SELECT DISTINCT doc_id, term FROM toks)
+         SELECT metric, value FROM (
+           SELECT 'n_docs_indexed' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+           UNION ALL
+           SELECT 'n_docs_live', CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 <> 1
+           UNION ALL
+           SELECT 'n_docs_tombstoned', CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 1
+           UNION ALL
+           SELECT 'n_postings', CAST(count(*) AS BIGINT) FROM p
+           UNION ALL
+           SELECT 'n_terms', CAST(count(DISTINCT term) AS BIGINT) FROM toks
+           UNION ALL
+           SELECT 'sum_dl_indexed', CAST(count(*) AS BIGINT) FROM toks) t
+         ORDER BY metric""",
     "q100_maxsim_batch" ->
       """WITH mv AS (
            SELECT vec_id // 5 AS gid, vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -148,6 +148,37 @@ object Bm25 {
     else fs.delete(p, false)
   }
 
+  /** Operational introspection of a standing index: (metric, value)
+    * rows for the numbers a compaction policy reads — indexed vs
+    * tombstoned vs live doc counts, vocabulary and postings size, and
+    * the indexed token total. One declarative plan (a union of 1-row
+    * aggregates over the index tables — no driver loop); every metric
+    * mirrors exactly from the source corpus + delete schedule, so the
+    * q105 driver row carries a full DuckDB oracle. The standard policy
+    * trigger is n_docs_tombstoned / n_docs_indexed exceeding a
+    * threshold → compactIndex. */
+  def describeIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String = "doc_id"): DataFrame = {
+    requireServable(spark, name)
+    val doclens = spark.table(s"${name}_doclens")
+    val tomb =
+      if (spark.catalog.tableExists(s"${name}_tombstones"))
+        spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
+      else doclens.select(col(idCol)).limit(0)
+    def one(metric: String, v: DataFrame): DataFrame =
+      v.select(lit(metric).as("metric"), col(v.columns.head).cast("long").as("value"))
+    one("n_docs_indexed", doclens.agg(count(lit(1))))
+      .unionByName(one("n_docs_live",
+        doclens.join(tomb, Seq(idCol), "left_anti").agg(count(lit(1)))))
+      .unionByName(one("n_docs_tombstoned", tomb.agg(count(lit(1)))))
+      .unionByName(one("n_postings",
+        spark.table(s"${name}_postings").agg(count(lit(1)))))
+      .unionByName(one("n_terms",
+        spark.table(s"${name}_terms").agg(count(lit(1)))))
+      .unionByName(one("sum_dl_indexed",
+        spark.table(s"${name}_stats").select(col("sum_dl"))))
+  }
+
   private def requireServable(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     val (fs, p) = buildingMarker(spark, name)

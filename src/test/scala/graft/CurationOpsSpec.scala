@@ -160,6 +160,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("describeIndex tracks the delete/compact lifecycle") {
+    import graft.operators.Bm25
+    val docsDf = docs.select($"doc_id", $"text")
+    Bm25.buildIndex(docsDf, "graft_bm25_desc", buckets = 8)
+    def stats() = Bm25.describeIndex(spark, "graft_bm25_desc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fresh = stats()
+    val n = docsDf.count()
+    assert(fresh("n_docs_indexed") === n && fresh("n_docs_live") === n
+      && fresh("n_docs_tombstoned") === 0L)
+    assert(fresh("n_postings") > fresh("n_terms"))
+    Bm25.removeDocs(spark, "graft_bm25_desc", Seq(1L, 2L, 3L).toDF("doc_id"))
+    val afterDel = stats()
+    assert(afterDel("n_docs_tombstoned") === 3L)
+    assert(afterDel("n_docs_live") === n - 3)
+    assert(afterDel("n_docs_indexed") === n, "tombstones do not shrink the physical index")
+    Bm25.compactIndex(spark, "graft_bm25_desc", buckets = 8)
+    val compacted = stats()
+    assert(compacted("n_docs_indexed") === n - 3 && compacted("n_docs_live") === n - 3
+      && compacted("n_docs_tombstoned") === 0L, "compaction makes live physical")
+  }
+
   test("bm25 standing index: delete serves as if never indexed; compaction preserves scores") {
     import graft.operators.Bm25
     val docsDf = docs.select($"doc_id", $"text")
