@@ -1,16 +1,19 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextDedup, UnigramLm, WeightedSample}
+import graft.operators.{TextAnalysis, TextDedup, UnigramLm, WeightedSample}
 
 /** Typed document record for the curation surface (mirrors the fixture
   * `documents` schema — FIXTURES.md). */
 case class Document(doc_id: Long, text: String, lang: String,
   source: String, n_chars: Long)
 
-/** Typed near-duplicate pair. */
+/** Typed near-duplicate pair. `score`'s POLARITY depends on the
+  * producer: [[GraftCuration.nearDupPairs]] fills it with Jaccard
+  * similarity (HIGHER = more duplicate), [[GraftCuration.simhashPairs]]
+  * with Hamming distance (LOWER = more duplicate) — sort accordingly. */
 case class NearDupPair(id_a: Long, id_b: Long, score: Double)
 
 /** Typed LM-quality score row. */
@@ -24,7 +27,8 @@ case class LmScore(doc_id: Long, n: Long, logprob_avg: Double)
 object GraftCuration {
 
   /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
-    * (TextDedup.minhashPairs — the q30 path). */
+    * (TextDedup.minhashPairs — the q30 path). `score` = Jaccard
+    * similarity: higher = closer. */
   def nearDupPairs(docs: Dataset[Document], threshold: Double = 0.5,
       ngram: Int = 3): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
@@ -35,7 +39,9 @@ object GraftCuration {
   }
 
   /** Banded exact SimHash pairs within a Hamming radius (the q31
-    * path — output equals brute force, specced). */
+    * path — output equals brute force, specced). `score` = Hamming
+    * distance: LOWER = closer (opposite polarity to
+    * [[nearDupPairs]]). */
   def simhashPairs(docs: Dataset[Document], maxHamming: Int = 8,
       ngram: Int = 2): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
@@ -77,7 +83,7 @@ object GraftCuration {
   def qualityFloor(docs: Dataset[Document], groupBy: String,
       p: Double): Dataset[Document] = {
     import docs.sparkSession.implicits._
-    graft.operators.TextAnalysis.percentileFloor(docs.toDF(), groupBy, "n_chars", p)
+    TextAnalysis.percentileFloor(docs.toDF(), groupBy, "n_chars", p)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .as[Document]
   }

@@ -40,9 +40,7 @@ object AsOfJoin {
       rightTieBreak: Seq[String] = Nil): DataFrame = {
     val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
       rightVals, rightTieBreak)
-    val ord: Seq[Column] =
-      Seq(col("__t").asc, col("__side").asc) ++
-        rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
+    val ord = mergeOrder(rightTieBreak)
     val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the matched row's values travel as ONE struct (null on left rows,
@@ -56,6 +54,15 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         rightVals.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** The load-bearing merge ordering every variant shares: time, then
+    * right-before-left at equal times (inclusive as-of), then the
+    * caller's tiebreaks ascending (last writer wins under a
+    * last-forward-fill). One definition — the bucketed variant's
+    * ≡-asOf contract depends on all paths sorting identically. */
+  private def mergeOrder(rightTieBreak: Seq[String]): Seq[Column] =
+    Seq(col("__t").asc, col("__side").asc) ++
+      rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
 
   /** Shared union-tag framing: align schemas, tag sides, drop right
     * rows with NULL time (a row whose validity time is unknown is not
@@ -104,9 +111,7 @@ object AsOfJoin {
       toleranceSec: Option[Double] = None): DataFrame = {
     val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
       rightVals, rightTieBreak)
-    val ord: Seq[Column] =
-      Seq(col("__t").asc, col("__side").asc) ++
-        rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
+    val ord = mergeOrder(rightTieBreak)
     val base = Window.partitionBy(col("__k")).orderBy(ord: _*)
     val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = base.rowsBetween(1, Window.unboundedFollowing)
@@ -160,7 +165,7 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
-      rightTieBreak: Seq[String],
+      rightTieBreak: Seq[String] = Nil,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
     val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
@@ -181,19 +186,26 @@ object AsOfJoin {
     val occupied = tagged.select(col("__k"), col("__bkt")).distinct()
     val wBkt = Window.partitionBy(col("__k")).orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe here as well: a plain Seq-join would detach null-key
+    // perBucket rows from their occupied buckets
     val boundary = occupied
-      .join(perBucket, Seq("__k", "__bkt"), "left")
+      .join(perBucket.withColumnRenamed("__k", "__pk")
+          .withColumnRenamed("__bkt", "__pbkt"),
+        col("__k") <=> col("__pk") && col("__bkt") === col("__pbkt"), "left")
       .withColumn("__seed", last(col("__last"), ignoreNulls = true).over(wBkt))
       .select(col("__k"), col("__bkt"), col("__seed"))
 
-    val ord: Seq[Column] =
-      Seq(col("__t").asc, col("__side").asc) ++
-        rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
+    val ord = mergeOrder(rightTieBreak)
     val w = Window.partitionBy(col("__k"), col("__bkt")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-SAFE key equality: window partitioning groups null keys
+    // together (asOf semantics), so the boundary lookup must too — a
+    // plain equi-join would drop every null-key row's history
     val filled = tagged
       .withColumn("__m_in", last(col("__payload"), ignoreNulls = true).over(w))
-      .join(boundary, Seq("__k", "__bkt"), "left")
+      .join(boundary.withColumnRenamed("__k", "__bk")
+          .withColumnRenamed("__bkt", "__bbkt"),
+        col("__k") <=> col("__bk") && col("__bkt") === col("__bbkt"), "left")
       // any in-bucket predecessor is strictly later than every earlier-
       // bucket row, so coalesce order IS time order
       .withColumn("__m", coalesce(col("__m_in"), col("__seed")))

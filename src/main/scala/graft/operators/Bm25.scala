@@ -160,11 +160,22 @@ object Bm25 {
   def describeIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, idCol: String = "doc_id"): DataFrame = {
     requireServable(spark, name)
+    // same fail-fast as serving: an old-layout index should say how to
+    // upgrade, not die mid-plan on an unresolved column
+    require(spark.table(s"${name}_stats").columns.contains("sum_dl") &&
+        spark.catalog.tableExists(s"${name}_doclens"),
+      s"index '$name' predates the (sum_dl, doclens) layout — " +
+        "rerun buildIndex to upgrade it")
     val doclens = spark.table(s"${name}_doclens")
-    val tomb =
+    val tombRaw =
       if (spark.catalog.tableExists(s"${name}_tombstones"))
         spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
       else doclens.select(col(idCol)).limit(0)
+    // only tombstones the index actually HOLDS count: removeDocs of a
+    // never-indexed id is a documented no-op, and counting it would
+    // break live + tombstoned == indexed (and inflate the compaction
+    // trigger with rewrites that would rewrite nothing)
+    val tomb = tombRaw.join(doclens.select(col(idCol)), Seq(idCol), "left_semi")
     def one(metric: String, v: DataFrame): DataFrame =
       v.select(lit(metric).as("metric"), col(v.columns.head).cast("long").as("value"))
     one("n_docs_indexed", doclens.agg(count(lit(1))))

@@ -290,8 +290,6 @@ object TextDedup {
     simhashPairsBandedFp(fp, maxHamming)
   }
 
-  /** As [[simhashPairsBanded]], over precomputed fingerprints
-    * (id, fp) — the standing-table serving form. */
   /** (id, band, bval) band projection of a fingerprint table: band i
     * covers bits [i·64/n, (i+1)·64/n), n = maxHamming + 1 disjoint
     * bands. Shared by the pair join and the band-skew probe so both
@@ -314,6 +312,8 @@ object TextDedup {
       .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
   }
 
+  /** As [[simhashPairsBanded]], over precomputed fingerprints
+    * (id, fp) — the standing-table serving form. */
   def simhashPairsBandedFp(fp: DataFrame, maxHamming: Int = 8): DataFrame = {
     val banded = bandedFingerprints(fp, maxHamming)
     // candidates move as bare (id_a, id_b) pairs — the bucket-squared

@@ -176,6 +176,11 @@ class CurationOpsSpec extends SparkSpec {
     assert(afterDel("n_docs_tombstoned") === 3L)
     assert(afterDel("n_docs_live") === n - 3)
     assert(afterDel("n_docs_indexed") === n, "tombstones do not shrink the physical index")
+    // tombstoning a never-indexed id is a no-op in the stats too:
+    // live + tombstoned stays == indexed and the ratio can't inflate
+    Bm25.removeDocs(spark, "graft_bm25_desc", Seq(987654321L).toDF("doc_id"))
+    val phantom = stats()
+    assert(phantom("n_docs_tombstoned") === 3L && phantom("n_docs_live") === n - 3)
     Bm25.compactIndex(spark, "graft_bm25_desc", buckets = 8)
     val compacted = stats()
     assert(compacted("n_docs_indexed") === n - 3 && compacted("n_docs_live") === n - 3

@@ -70,6 +70,18 @@ class PropertySpec extends SparkSpec {
         assert(bucketed === plain, s"seed ${100 + i} width $width")
       }
     }
+    // null keys group together in a window partition (asOf semantics) —
+    // the bucketed boundary lookup must be null-SAFE to match
+    val ln = Seq((1L, null.asInstanceOf[java.lang.Long], 100L))
+      .toDF("event_id", "k", "t")
+    val rn = Seq((7L, null.asInstanceOf[java.lang.Long], 5L))
+      .toDF("ver", "rk", "rt")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      Option(df.collect().head.getAs[java.lang.Long]("ver"))
+    assert(pick(AsOfJoin.asOf(ln, rn, "k", "rk", "t", "rt", Seq("ver"), Seq("ver")))
+      === Some(7L))
+    assert(pick(AsOfJoin.asOfBucketed(ln, rn, "k", "rk", "t", "rt",
+      Seq("ver"), Seq("ver"), bucketSeconds = 10L)) === Some(7L))
   }
 
   test("maxsim: score bounded by |query bag|; self group attains the bound (random data)") {
