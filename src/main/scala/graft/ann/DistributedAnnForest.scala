@@ -411,6 +411,28 @@ class DistributedAnnModel(
   def compact(): DistributedAnnModel =
     new DistributedAnnModel(numTrees, planes, metric, corpusBuckets.localCheckpoint())
 
+  /** Operational introspection of the standing bucket store — the
+    * vector-side sibling of `Bm25.describeIndex`: (metric, value) rows
+    * for store sizing and skew. Deletes here are frame-level (the
+    * anti-join applies immediately — no tombstone backlog metric; see
+    * [[remove]]), so the compaction question this answers is bucket
+    * SKEW: a `max_bucket_rows` far above `n_bucket_rows / n_buckets`
+    * says the salt-block path will be earning its keep. One
+    * declarative plan, no driver loop. */
+  def describe(): DataFrame = {
+    val sizes = corpusBuckets.groupBy(col("tree_id"), col("leaf_id"))
+      .agg(count(lit(1)).as("__sz"))
+    def one(metric: String, v: DataFrame): DataFrame =
+      v.select(lit(metric).as("metric"), col(v.columns.head).cast("long").as("value"))
+    one("n_bucket_rows", corpusBuckets.agg(count(lit(1))))
+      .unionByName(one("n_vectors",
+        corpusBuckets.agg(countDistinct(col("neighbor_id")))))
+      .unionByName(one("n_trees",
+        corpusBuckets.sparkSession.range(1).select(lit(numTrees.toLong))))
+      .unionByName(one("n_buckets", sizes.agg(count(lit(1)))))
+      .unionByName(one("max_bucket_rows", sizes.agg(max(col("__sz")))))
+  }
+
   /** New vectors as storable bucket rows (`neighbor_id, __cvec,
     * tree_id, leaf_id`) — the streaming-ingest building block: inside a
     * `foreachBatch` sink, `routeForStore(batch).write.mode("append")

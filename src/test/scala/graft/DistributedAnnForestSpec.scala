@@ -398,4 +398,21 @@ class DistributedAnnForestSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(r.fieldIndex("dist")) >= 0.0
       && r.getDouble(r.fieldIndex("dist")) <= 4.0 + 1e-9))
   }
+
+  test("describe reports store geometry; remove shrinks it consistently") {
+    val n = emb.count()
+    val m = DistributedAnnForest(numTrees = 8, maxLeafSize = 10,
+      maxDepth = 12, seed = 42L).fit(emb, "vec_id", "embedding")
+    def stats(mm: DistributedAnnModel) = mm.describe().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s0 = stats(m)
+    assert(s0("n_vectors") === n)
+    assert(s0("n_trees") === 8L)
+    assert(s0("n_bucket_rows") === n * 8, "each vector lands in one leaf per tree")
+    assert(s0("max_bucket_rows") >= s0("n_bucket_rows") / s0("n_buckets"),
+      "max is at least the mean")
+    val s1 = stats(m.remove(emb.filter($"vec_id" < 10).select($"vec_id")))
+    assert(s1("n_vectors") === n - 10)
+    assert(s1("n_bucket_rows") === (n - 10) * 8)
+  }
 }
