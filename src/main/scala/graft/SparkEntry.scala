@@ -799,15 +799,19 @@ object SparkEntry {
     }),
 
     // Brute-force cosine top-k (ANN baseline; ids+rank, hash-stable).
+    // Heap-pruned: orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition bounded heaps), and the rank window only ever sees
+    // the 10 surviving rows — the corpus is never globally windowed.
     "q34_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("__qvec"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"), cosine(col("embedding"), col("__qvec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
         .select(col("vec_id"), col("rank"))
         .orderBy(col("rank"))
     }),
@@ -1440,24 +1444,18 @@ object SparkEntry {
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
         .collect().map(_.getString(0)).toSeq
       val bm = graft.operators.Bm25.scoreIndexed(s, "graft_q95_idx", terms)
-      val rb = docs.select(col("doc_id"))
+      val sBm = docs.select(col("doc_id"))
         .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
-        .withColumn("rank_bm25",
-          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
-      val rc = e.crossJoin(broadcast(q))
+      val sCos = e.crossJoin(broadcast(q))
         .select(col("vec_id").as("doc_id"),
           cosine(col("embedding"), col("__qvec")).as("cos"))
-        .withColumn("rank_cos",
-          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-      rb.join(rc, "doc_id")
-        .withColumn("rrf", round(
-          lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_cos")), 6))
-        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(20)
+      // fused ranks without a corpus-wide window (see q79)
+      graft.operators.RankFusion.rrfTopK(
+        sBm, "s", "rank_bm25", sCos, "cos", "rank_cos",
+        idCol = "doc_id", k = 20, kRrf = 60, cand = 200)
     }),
 
     // q96: late-interaction (MaxSim / ColBERT) multi-vector retrieval.
@@ -1623,29 +1621,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Hybrid retrieval, RRF-fused — global ranks WITHOUT a corpus-wide
+    // window: heap-pruned top-cand candidates (TakeOrderedAndProject)
+    // get exact count-ahead ranks; outsiders provably can't crack the
+    // fused top-20 (RankFusion.rrfTopK bound, cand ≥ kRrf + 2k).
     "q79_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val terms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
       val bm = graft.operators.Bm25.score(docs, terms)
-      val rb = docs.select(col("doc_id"))
+      val sBm = docs.select(col("doc_id"))
         .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
-        .withColumn("rank_bm25",
-          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
-      val rc = e.crossJoin(broadcast(q))
+      val sCos = e.crossJoin(broadcast(q))
         .select(col("vec_id").as("doc_id"),
           cosine(col("embedding"), col("__qvec")).as("cos"))
-        .withColumn("rank_cos",
-          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-      rb.join(rc, "doc_id")
-        .withColumn("rrf", round(
-          lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_cos")), 6))
-        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(20)
+      graft.operators.RankFusion.rrfTopK(
+        sBm, "s", "rank_bm25", sCos, "cos", "rank_cos",
+        idCol = "doc_id", k = 20, kRrf = 60, cand = 200)
     }),
 
     // Batch BM25 — many queries served in one plan: corpus-side tf/df

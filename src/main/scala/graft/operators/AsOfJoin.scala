@@ -64,6 +64,17 @@ object AsOfJoin {
     Seq(col("__t").asc, col("__side").asc) ++
       rightTieBreak.map(c => col(s"__r_$c").asc_nulls_first)
 
+  /** Epoch-seconds view of a merged time value, for distance/bucket
+    * arithmetic. TIMESTAMP_NTZ refuses a direct DOUBLE cast; route it
+    * through TIMESTAMP first — the session timezone is pinned to UTC
+    * (GraftSession.configure), so the hop is offset-free and both
+    * engines derive the identical IEEE value from the same microsecond
+    * integer. `dt` is the type of the unioned `__t` column. */
+  private def toSec(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => c.cast("timestamp").cast("double")
+    case _ => c.cast("double")
+  }
+
   /** Shared union-tag framing: align schemas, tag sides, drop right
     * rows with NULL time (a row whose validity time is unknown is not
     * history — treating it as "earliest" would leak it into every left
@@ -124,9 +135,10 @@ object AsOfJoin {
       .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(back))
       .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(fwd))
 
-    val lt = col("__t").cast("double")
-    val bDist = abs(lt - col("__b.__rt").cast("double"))
-    val fDist = abs(col("__f.__rt").cast("double") - lt)
+    val tDt = tagged.schema("__t").dataType
+    val lt = toSec(col("__t"), tDt)
+    val bDist = abs(lt - toSec(col("__b.__rt"), tDt))
+    val fDist = abs(toSec(col("__f.__rt"), tDt) - lt)
     val bOk = col("__b").isNotNull &&
       toleranceSec.map(t => bDist <= t).getOrElse(lit(true))
     val fOk = col("__f").isNotNull &&
@@ -168,10 +180,10 @@ object AsOfJoin {
       rightTieBreak: Seq[String] = Nil,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
-    val tagged = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
-        rightVals, rightTieBreak)
-      .withColumn("__bkt",
-        floor(col("__t").cast("double") / bucketSeconds).cast("long"))
+    val tagged0 = unionTag(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, rightTieBreak)
+    val tagged = tagged0.withColumn("__bkt",
+      floor(toSec(col("__t"), tagged0.schema("__t").dataType) / bucketSeconds).cast("long"))
 
     // boundary: last right payload per (key, bucket), carried forward
     // across EVERY occupied bucket (left- or right-occupied — a bucket

@@ -10,7 +10,11 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming hourly agg over a real readStream matches the batch plan") {
     // stage the events parquet into a directory (file-stream source needs one)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    // watermarks require TIMESTAMP; the driver fixture may carry ts as
+    // TIMESTAMP_NTZ depending on its writer — normalize when staging
+    Tables.events(spark, sf0001)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
     val batchSchema = spark.read.parquet(dir).schema
 
     val stream = spark.readStream.schema(batchSchema).parquet(dir)
@@ -145,7 +149,10 @@ class EventStreamsSpec extends SparkSpec {
   test("stream-stream interval join runs watermarked under readStream and matches batch") {
     import org.apache.spark.sql.streaming.OutputMode
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
-    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    // normalize ts to TIMESTAMP for the watermark (see hourly-agg test)
+    Tables.events(spark, sf0001)
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     def stream = spark.readStream.schema(schema).parquet(dir)
     val q = EventStreams.clickPurchaseJoin(

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.RankFusion
+import graft.sources.Tables
+
+/** RankFusion: corpus-wide ranks from heap-pruned candidates +
+  * count-ahead, asserted identical to the window formulation they
+  * replace — including tie handling — plus the plan-shape claims
+  * (no unpartitioned Window node anywhere in the fused queries).
+  */
+class RankFusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countAheadRanks equals row_number over (score desc, id) incl. ties") {
+    // deliberate ties: score = id % 5, several ids share each score
+    val scores = (0L until 57L).map(i => (i, (i % 5).toDouble)).toDF("id", "sc")
+    val expected = scores
+      .withColumn("rk", row_number().over(Window.orderBy(col("sc").desc, col("id"))))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val cands = RankFusion.topCandidates(scores, "id", Seq("sc"), cand = 57)
+    val got = RankFusion.countAheadRanks(scores, cands, "id", Seq("sc"), Seq("rk"))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == expected)
+  }
+
+  test("topCandidates is the exact top-cand prefix per score column") {
+    val scores = (0L until 40L).map(i => (i, (i * 7 % 13).toDouble, (i * 5 % 11).toDouble))
+      .toDF("id", "a", "b")
+    val cands = RankFusion.topCandidates(scores, "id", Seq("a", "b"), cand = 6)
+      .select("id").as[Long].collect().toSet
+    def top(cn: String) = scores.orderBy(col(cn).desc, col("id")).limit(6)
+      .select("id").as[Long].collect().toSet
+    assert(cands == (top("a") ++ top("b")))
+  }
+
+  test("rrfTopK equals the corpus-wide-window RRF formulation") {
+    // two lists over DIFFERENT id spaces (a: 0..99, b: 0..59 — b ⊂ a,
+    // mirroring documents ⊃ embeddings), fused like q79
+    val a = (0L until 100L).map(i => (i, ((i * 37) % 41).toDouble)).toDF("doc_id", "s")
+    val b = (0L until 60L).map(i => (i, ((i * 23) % 29).toDouble)).toDF("doc_id", "cos")
+    val ra = a.withColumn("rank_a",
+      row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+    val rb = b.withColumn("rank_b",
+      row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+    val viaWindow = ra.join(rb, "doc_id")
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(60) + col("rank_a")) + lit(1.0) / (lit(60) + col("rank_b")), 6))
+      .select(col("doc_id"), col("rank_a"), col("rank_b"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(5)
+      .collect().toSeq
+    val viaFusion = RankFusion.rrfTopK(
+      a, "s", "rank_a", b, "cos", "rank_b",
+      idCol = "doc_id", k = 5, kRrf = 60, cand = 100)
+      .collect().toSeq
+    assert(viaFusion == viaWindow)
+  }
+
+  test("rrfTopK rejects a candidate width below the exactness bound") {
+    val a = Seq((1L, 1.0)).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      RankFusion.rrfTopK(a, "s", "ra", a, "s", "rb", idCol = "id", k = 20, cand = 50)
+    }
+  }
+
+  test("q79 fused plan has no Window node and heap-prunes via TakeOrdered") {
+    val p = SparkEntry.queries("q79_hybrid_rrf")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "corpus-wide window crept back into q79:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q34 top-k heap-prunes before the 10-row rank window") {
+    val df = SparkEntry.queries("q34_cosine_topk")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the surviving window ranks exactly the k rows the heap kept
+    assert(df.count() == 10)
+  }
+
+  test("q79 fused result matches the window formulation on the fixture") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(explode(slice(graft.operators.TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+    val bm = graft.operators.Bm25.score(docs, terms)
+    val sBm = docs.select(col("doc_id"))
+      .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+    val sCos = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("__qvec")).as("cos"))
+    val viaWindow = sBm
+      .withColumn("rank_bm25", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .join(sCos.withColumn("rank_cos",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))), "doc_id")
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_cos")), 6))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_cos"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .collect().toSeq
+    val viaFusion = SparkEntry.queries("q79_hybrid_rrf")(spark, sf0001).collect().toSeq
+    assert(viaFusion == viaWindow)
+  }
+}
