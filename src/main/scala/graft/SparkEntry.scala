@@ -1787,6 +1787,27 @@ object SparkEntry {
           col("st._1").as("width"), col("st._2").as("height"),
           col("st._3").as("sum_r"), col("st._4").as("sum_g"), col("st._5").as("sum_b"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q106: MMR diversified re-ranking — the standard serving layer
+    // after ANN retrieval. Corpus-sized work is heap-pruned candidate
+    // generation; the greedy pick runs over the bounded candidate set.
+    // Deterministic (ties on id), so the unrolled 5-step greedy is a
+    // full DuckDB oracle.
+    "q106_mmr_rerank" -> ((s, d) => {
+      graft.operators.Mmr.rerank(Tables.embeddings(s, d),
+          queryId = 0L, k = 5, lambda = 0.7, cand = 50)
+        .orderBy(col("rank"))
+    }),
+
+    // q107: per-source token-distribution drift vs the corpus mix
+    // (plug-in KL on the slice support — no smoothing constant, exactly
+    // SQL-expressible). Two token-keyed hash aggs, no window.
+    "q107_source_drift" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.operators.Drift.klBySlice(GraftSession.widen(toks), "source", "tok")
+        .orderBy(col("source"))
     })
   )
 
@@ -3131,6 +3152,72 @@ object SparkEntry {
            sum((doc_id*31 + x*7 + y*13) % 256)::BIGINT AS sum_r,
            sum((doc_id*17 + x*3 + y*5) % 256)::BIGINT AS sum_g,
            sum((doc_id*23 + x*11 + y*2) % 256)::BIGINT AS sum_b
-         FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
+    // aggregate over the recursive relation). Constants spelled
+    // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute
+    // the same IEEE lambda terms ((1.0 - 0.7) != 0.3 in binary).
+    "q106_mmr_rerank" ->
+      """WITH cand AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS rel
+           FROM embeddings ORDER BY rel DESC, vec_id LIMIT 50),
+         s1 AS (SELECT vec_id, v, 0.7::DOUBLE * rel AS mmr
+                FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         p2 AS (SELECT c.vec_id, c.v,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+                    list_cosine_similarity(c.v, (SELECT v FROM s1)) AS mmr
+                FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+         s2 AS (SELECT vec_id, v, mmr FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1),
+         p3 AS (SELECT c.vec_id, c.v,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(
+                    list_cosine_similarity(c.v, (SELECT v FROM s1)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s2))) AS mmr
+                FROM cand c WHERE c.vec_id NOT IN (
+                  SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)),
+         s3 AS (SELECT vec_id, v, mmr FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1),
+         p4 AS (SELECT c.vec_id, c.v,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(
+                    list_cosine_similarity(c.v, (SELECT v FROM s1)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s2)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s3))) AS mmr
+                FROM cand c WHERE c.vec_id NOT IN (
+                  SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                  UNION SELECT vec_id FROM s3)),
+         s4 AS (SELECT vec_id, v, mmr FROM p4 ORDER BY mmr DESC, vec_id LIMIT 1),
+         p5 AS (SELECT c.vec_id, c.v,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(
+                    list_cosine_similarity(c.v, (SELECT v FROM s1)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s2)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s3)),
+                    list_cosine_similarity(c.v, (SELECT v FROM s4))) AS mmr
+                FROM cand c WHERE c.vec_id NOT IN (
+                  SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                  UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)),
+         s5 AS (SELECT vec_id, v, mmr FROM p5 ORDER BY mmr DESC, vec_id LIMIT 1)
+         SELECT 1 AS rank, vec_id, round(mmr, 6) AS mmr FROM s1
+         UNION ALL SELECT 2, vec_id, round(mmr, 6) FROM s2
+         UNION ALL SELECT 3, vec_id, round(mmr, 6) FROM s3
+         UNION ALL SELECT 4, vec_id, round(mmr, 6) FROM s4
+         UNION ALL SELECT 5, vec_id, round(mmr, 6) FROM s5
+         ORDER BY rank""",
+    // same separated formula as Drift.klBySlice:
+    // KL = kl_num / n_s + ln(N / n_s) — minimizes float-path divergence
+    "q107_source_drift" ->
+      """WITH toks AS (
+           SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         cs AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM toks GROUP BY source, tok),
+         ct AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM cs GROUP BY tok),
+         tot AS (SELECT sum(c_t)::BIGINT AS n_total FROM ct),
+         agg AS (
+           SELECT cs.source, sum(cs.c_st)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+             sum(cs.c_st::DOUBLE * ln(cs.c_st::DOUBLE / ct.c_t::DOUBLE)) AS kl_num
+           FROM cs JOIN ct USING (tok) GROUP BY cs.source)
+         SELECT source, n_tokens, vocab,
+           round(kl_num / n_tokens::DOUBLE
+             + ln((SELECT n_total FROM tot)::DOUBLE / n_tokens::DOUBLE), 6) AS kl
+         FROM agg ORDER BY source"""
   )
 }

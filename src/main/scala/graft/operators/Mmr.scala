@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+  * the standard "diverse top-k" serving operator — greedily pick the
+  * candidate maximizing
+  *
+  *   mmr(d) = lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)
+  *
+  * where S is the already-selected set (empty-set penalty = 0, so the
+  * first pick is the most relevant candidate). Ties break on id.
+  *
+  * Scale shape: the corpus-sized work is the candidate stage — cosine
+  * relevance against the broadcast query and a heap-pruned top-`cand`
+  * (TakeOrderedAndProject; the corpus is never sorted or windowed).
+  * The greedy selection is inherently sequential (pick i depends on
+  * picks 1..i-1) and runs on the driver over the `cand` collected
+  * candidate vectors — a BOUNDED serving-sized set (same design as the
+  * FAISS-style quantizer samples in IvfIndex/PqIndex: the collect is
+  * O(cand * dim), independent of corpus size). Re-ranking k of `cand`
+  * is exactly what every production MMR layer does after ANN retrieval.
+  */
+object Mmr {
+
+  /** Greedy MMR over an in-memory candidate set.
+    * cands: (id, rel, vec) sorted or not; returns (rank, id, mmr). */
+  def rerankLocal(
+      cands: Seq[(Long, Double, Array[Float])],
+      k: Int, lambda: Double): Seq[(Int, Long, Double)] = {
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.sortBy(c => (-c._2, c._1)).map(c => c._1 -> c): _*)
+    while (picked.size < k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { case (id, rel, vec) =>
+        val penalty =
+          if (selVecs.isEmpty) 0.0
+          else selVecs.iterator.map(sv => cosineLocal(vec, sv)).max
+        val score = lambda * rel - (1.0 - lambda) * penalty
+        // strict > keeps the smallest id on ties (iteration is id-stable
+        // within equal (rel, id) sort order)
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id
+        }
+      }
+      val (_, _, bestVec) = remaining.remove(bestId).get
+      selVecs += bestVec
+      picked += ((picked.size + 1, bestId, bestScore))
+    }
+    picked.toSeq
+  }
+
+  /** Double-precision cosine, same accumulation order as the engine's
+    * native CosineSimilarity kernel (i = 0..n-1 running sums) so the
+    * driver-side greedy agrees bit-for-bit with in-plan scoring. */
+  private[operators] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** End-to-end serving path: heap-pruned top-`cand` cosine candidates
+    * (distributed), greedy MMR re-rank (driver, bounded). Returns
+    * (rank, idCol, mmr) with mmr rounded to `scale` for hash-stable
+    * comparison. */
+  def rerank(
+      corpus: DataFrame, queryId: Long, k: Int,
+      lambda: Double = 0.7, cand: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), col("__qvec")).as("rel"),
+        col(vecCol).as("__vec"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(cand)
+    val local = scored.collect().map { r =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
+    }.toSeq
+    val rows = rerankLocal(local, k, lambda).map { case (rank, id, score) =>
+      Row(rank, id, BigDecimal(score).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("mmr", DoubleType, nullable = false))))
+  }
+}
