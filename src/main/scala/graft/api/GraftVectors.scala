@@ -24,6 +24,10 @@ case class RadiusMatch(query_id: Long, neighbor_id: Long, dist: Double)
   * bag. */
 case class MaxSimHit(query_id: Long, group_id: Long, rank: Int, maxsim: Double)
 
+/** Typed MMR pick: greedy diversified rank with its marginal-relevance
+  * score at selection time. */
+case class MmrPick(rank: Int, id: Long, mmr: Double)
+
 /** The library's typed public surface — the reference's two-function API
   * (`build_index`, `search_approximate`, src/lib.rs:81,130) plus dedup,
   * as Dataset transformations.
@@ -147,6 +151,18 @@ object GraftVectors {
       corpus.toDF(),
       queries.toDF().select(col("id").as("query_id"), col("embedding").as("qvec")),
       maxDist, corpusId = "id").as[RadiusMatch]
+  }
+
+  /** Diversified top-k (MMR): ANN stage-1 candidates from the forest
+    * model, bounded greedy re-rank — the standard retrieve→diversify
+    * serving composition. Exact-candidate form (full oracle, q106) is
+    * [[graft.operators.Mmr.rerank]]. */
+  def searchDiverse(
+      model: AnnForestModel, corpus: Dataset[VectorRecord], queryId: Long,
+      topK: Int, lambda: Double = 0.7, cand: Int = 50): Dataset[MmrPick] = {
+    import corpus.sparkSession.implicits._
+    graft.operators.Mmr.rerankAnn(model, corpus.toDF(), queryId, topK, lambda,
+      cand, idCol = "id", vecCol = "embedding").as[MmrPick]
   }
 
   /** Standing-index delete: tombstone anti-join folded into the bucket

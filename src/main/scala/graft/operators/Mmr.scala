@@ -78,7 +78,6 @@ object Mmr {
       lambda: Double = 0.7, cand: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scale: Int = 6): DataFrame = {
-    val spark = corpus.sparkSession
     val q = corpus.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     val scored = corpus.crossJoin(broadcast(q))
@@ -87,6 +86,37 @@ object Mmr {
         col(vecCol).as("__vec"))
       .orderBy(col("rel").desc, col(idCol))
       .limit(cand)
+    greedyToDf(scored, k, lambda, idCol, scale)
+  }
+
+  /** MMR after ANN retrieval — the production serving composition:
+    * stage 1 is the forest model's candidate search (distributed,
+    * standing-index-shaped), stage 2 the same bounded greedy. Candidate
+    * quality is the model's recall; given identical candidate SETS the
+    * picks equal [[rerank]]'s (specced). */
+  def rerankAnn(
+      model: graft.ann.AnnForestModel, corpus: DataFrame, queryId: Long,
+      k: Int, lambda: Double = 0.7, cand: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Int = 6): DataFrame = {
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(lit(queryId).as("query_id"), col(vecCol).as("qvec"))
+    val hits = model.searchBatch(q, cand).select(col("neighbor_id"))
+    val scored = corpus
+      .join(hits, col(idCol) === col("neighbor_id"))
+      .crossJoin(broadcast(q.select(col("qvec"))))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), col("qvec")).as("rel"),
+        col(vecCol).as("__vec"))
+    greedyToDf(scored, k, lambda, idCol, scale)
+  }
+
+  /** Shared tail: collect the bounded (id, rel, vec) candidate frame,
+    * run the greedy, return (rank, idName, mmr). */
+  private def greedyToDf(
+      scored: DataFrame, k: Int, lambda: Double,
+      idName: String, scale: Int): DataFrame = {
+    val spark = scored.sparkSession
     val local = scored.collect().map { r =>
       (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
     }.toSeq
@@ -97,7 +127,7 @@ object Mmr {
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("rank", IntegerType, nullable = false),
-        StructField(idCol, LongType, nullable = false),
+        StructField(idName, LongType, nullable = false),
         StructField("mmr", DoubleType, nullable = false))))
   }
 }

@@ -76,6 +76,27 @@ class MmrDriftSpec extends SparkSpec {
     assert(byName("a")._1 == 3L && byName("a")._2 == 2L)
   }
 
+  test("ANN-served MMR equals brute MMR when candidates cover the corpus") {
+    // cand = corpus size: the forest's candidate set == the brute top-C
+    // set, so the greedy must pick identically (the only approximation
+    // in rerankAnn is candidate recall)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), concat(lit("w"), col("vec_id")).as("word"),
+        col("embedding")).as[graft.api.VectorRecord]
+    val model = graft.api.GraftVectors.buildIndex(emb, numTrees = 10,
+      maxLeafSize = 10, seed = 7L)
+    val n = emb.count().toInt
+    val viaAnn = graft.api.GraftVectors
+      .searchDiverse(model, emb, queryId = 0L, topK = 5, lambda = 0.7, cand = n)
+      .collect().toSeq.sortBy(_.rank)
+    val brute = graft.operators.Mmr.rerank(emb.toDF(), queryId = 0L, k = 5,
+      lambda = 0.7, cand = n, idCol = "id")
+      .collect().map(r => graft.api.MmrPick(r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_.rank)
+    assert(viaAnn == brute)
+    assert(viaAnn.head.id == 0L, "query's own vector is the most relevant pick")
+  }
+
   test("q107 plan: token-keyed hash aggs, no window, no sort before agg") {
     val p = SparkEntry.queries("q107_source_drift")(spark, sf0001)
       .queryExecution.executedPlan.toString
