@@ -1800,6 +1800,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q108: batch MMR — three query bags diversified in ONE plan
+    // (corpus pass shared; per-query candidate heaps via TopKPerKey),
+    // greedy over the bounded |queries|*cand candidate slice. The
+    // per-query greedy unrolls to windowed SQL steps -> full oracle.
+    "q108_mmr_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Mmr.rerankBatch(e, queries, k = 3, lambda = 0.7, cand = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // q107: per-source token-distribution drift vs the corpus mix
     // (plug-in KL on the slice support — no smoothing constant, exactly
     // SQL-expressible). Two token-keyed hash aggs, no window.
@@ -3202,6 +3214,51 @@ object SparkEntry {
          UNION ALL SELECT 4, vec_id, round(mmr, 6) FROM s4
          UNION ALL SELECT 5, vec_id, round(mmr, 6) FROM s5
          ORDER BY rank""",
+    // batch form of the q106 greedy: per-step argmax becomes a
+    // row_number over PARTITION BY qid — one SQL serves every query
+    "q108_mmr_batch" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel
+           FROM embeddings e CROSS JOIN q),
+         cand AS (
+           SELECT qid, vec_id, v, rel FROM (
+             SELECT qid, vec_id, v, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+             FROM scored) t WHERE rn <= 20),
+         s1 AS (
+           SELECT qid, vec_id, v, 0.7::DOUBLE * rel AS mmr FROM (
+             SELECT qid, vec_id, v, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+             FROM cand) t WHERE rn = 1),
+         p2 AS (
+           SELECT c.qid, c.vec_id, c.v,
+             0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+               list_cosine_similarity(c.v, s1.v) AS mmr
+           FROM cand c JOIN s1 ON c.qid = s1.qid AND c.vec_id <> s1.vec_id),
+         s2 AS (SELECT qid, vec_id, v, mmr FROM (
+             SELECT qid, vec_id, v, mmr,
+               row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+             FROM p2) t WHERE rn = 1),
+         p3 AS (
+           SELECT c.qid, c.vec_id, c.v,
+             0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(
+               list_cosine_similarity(c.v, s1.v),
+               list_cosine_similarity(c.v, s2.v)) AS mmr
+           FROM cand c
+           JOIN s1 ON c.qid = s1.qid JOIN s2 ON c.qid = s2.qid
+           WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id),
+         s3 AS (SELECT qid, vec_id, mmr FROM (
+             SELECT qid, vec_id, mmr,
+               row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+             FROM p3) t WHERE rn = 1)
+         SELECT qid, 1 AS rank, vec_id, round(mmr, 6) AS mmr FROM s1
+         UNION ALL SELECT qid, 2, vec_id, round(mmr, 6) FROM s2
+         UNION ALL SELECT qid, 3, vec_id, round(mmr, 6) FROM s3
+         ORDER BY qid, rank""",
     // same separated formula as Drift.klBySlice:
     // KL = kl_num / n_s + ln(N / n_s) — minimizes float-path divergence
     "q107_source_drift" ->

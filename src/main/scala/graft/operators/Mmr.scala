@@ -111,6 +111,44 @@ object Mmr {
     greedyToDf(scored, k, lambda, idCol, scale)
   }
 
+  /** Batch MMR — many queries diversified in ONE plan (the q80/q100
+    * batch-serving shape): the corpus-sized stage is a broadcast of the
+    * query bag + per-query heap-pruned top-`cand` (TopKPerKey: bounded
+    * heaps before the shuffle, never a per-partition sort), then one
+    * bounded collect of |queries|·cand candidate rows feeds the
+    * per-query greedy. Returns (qid, rank, idName, mmr). */
+  def rerankBatch(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      lambda: Double = 0.7, cand: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qvec",
+      scale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val scored = graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
+      .select(col(queryId), col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), col(queryVec)).as("rel"),
+        col(vecCol).as("__vec"))
+      .withColumn("__nrel", -col("rel"))
+    val pruned = graft.plans.TopKPerKey.perKey(
+      scored, Seq(queryId), Seq("__nrel", idCol), cand)
+    val byQuery = pruned.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getSeq[Float](3).toArray)))
+      .groupBy(_._1)
+    val rows = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      rerankLocal(cs.map(_._2).toSeq, k, lambda).map { case (rank, id, score) =>
+        Row(qid, rank, id,
+          BigDecimal(score).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField(queryId, LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("mmr", DoubleType, nullable = false))))
+  }
+
   /** Shared tail: collect the bounded (id, rel, vec) candidate frame,
     * run the greedy, return (rank, idName, mmr). */
   private def greedyToDf(

@@ -97,6 +97,21 @@ class MmrDriftSpec extends SparkSpec {
     assert(viaAnn.head.id == 0L, "query's own vector is the most relevant pick")
   }
 
+  test("batch MMR equals the single-query greedy per qid") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Mmr.rerankBatch(e, queries, k = 3, lambda = 0.7, cand = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (qid <- 0L to 2L) {
+      val single = Mmr.rerank(e, qid, k = 3, lambda = 0.7, cand = 20)
+        .collect().map(r => (qid, r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch(qid).toSeq.sortBy(_._2) == single.sortBy(_._2), s"qid=$qid")
+    }
+  }
+
   test("q107 plan: token-keyed hash aggs, no window, no sort before agg") {
     val p = SparkEntry.queries("q107_source_drift")(spark, sf0001)
       .queryExecution.executedPlan.toString
