@@ -273,4 +273,40 @@ class PropertySpec extends SparkSpec {
       assert(viaHeap === viaWindow)
     }
   }
+
+  test("rrfTopK ≡ corpus-wide-window RRF on random tie-heavy score tables") {
+    import graft.operators.RankFusion
+    import org.apache.spark.sql.expressions.Window
+    val gen: Gen[(List[(Long, Double)], List[(Long, Double)])] = for {
+      na <- Gen.choose(25, 120)
+      nb <- Gen.choose(25, 120)
+      // small integer score space -> heavy ties exercise the count-ahead
+      // tiebreak exactly where the window's row_number is order-sensitive
+      as <- Gen.listOfN(na, Gen.choose(0, 7))
+      bs <- Gen.listOfN(nb, Gen.choose(0, 7))
+    } yield (
+      as.zipWithIndex.map { case (s, i) => (i.toLong, s.toDouble) },
+      bs.zipWithIndex.map { case (s, i) => (i.toLong, s.toDouble) })
+    (1 to 6).foreach { i =>
+      val (al, bl) = gen(Gen.Parameters.default, Seed(300L + i)).get
+      val a = al.toDF("doc_id", "s")
+      val b = bl.toDF("doc_id", "cos")
+      val k = 1 + i % 5
+      val kRrf = 10
+      val cand = kRrf + 2 * k + i  // tightest legal width (+jitter)
+      val viaWindow = a
+        .withColumn("ra", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+        .join(b.withColumn("rb",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))), "doc_id")
+        .withColumn("rrf", round(
+          lit(1.0) / (lit(kRrf) + col("ra")) + lit(1.0) / (lit(kRrf) + col("rb")), 6))
+        .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+        .collect().toSeq
+      val viaFusion = RankFusion.rrfTopK(a, "s", "ra", b, "cos", "rb",
+        idCol = "doc_id", k = k, kRrf = kRrf, cand = cand)
+        .collect().toSeq
+      assert(viaFusion === viaWindow, s"seed ${300 + i} k=$k cand=$cand")
+    }
+  }
 }
