@@ -1812,6 +1812,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // q109: embedding-space drift per source — centroid cosine to the
+    // global centroid, computed entirely as (source, dim)-keyed
+    // aggregations over the posexploded join (no arrays collected, no
+    // window; the "centroid" never materializes as a vector).
+    "q109_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val j = docs.join(e, col("doc_id") === col("vec_id"))
+        .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val ps = j.groupBy(col("source"), col("dim"))
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      val g = j.groupBy(col("dim")).agg(avg(col("x")).as("gm"))
+      val gg = g.agg(sum(col("gm") * col("gm")).as("gg"))
+      ps.join(g, "dim")
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("m") * col("gm")).as("__dot"),
+          sum(col("m") * col("m")).as("__nn"))
+        .crossJoin(broadcast(gg))
+        .select(col("source"), col("n_vecs"),
+          round(col("__dot") / (sqrt(col("__nn")) * sqrt(col("gg"))), 6)
+            .as("cos_to_global"))
+        .orderBy(col("source"))
+    }),
+
     // q107: per-source token-distribution drift vs the corpus mix
     // (plug-in KL on the slice support — no smoothing constant, exactly
     // SQL-expressible). Two token-keyed hash aggs, no window.
@@ -3259,6 +3284,21 @@ object SparkEntry {
          UNION ALL SELECT qid, 2, vec_id, round(mmr, 6) FROM s2
          UNION ALL SELECT qid, 3, vec_id, round(mmr, 6) FROM s3
          ORDER BY qid, rank""",
+    "q109_embedding_drift" ->
+      """WITH j AS (
+           SELECT d.source, CAST(k AS INTEGER) AS dim,
+             CAST(e.embedding[CAST(k AS INTEGER) + 1] AS DOUBLE) AS x
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, range(64) t(k)),
+         ps AS (SELECT source, dim, avg(x) AS m, count(*) AS n FROM j GROUP BY source, dim),
+         g AS (SELECT dim, avg(x) AS gm FROM j GROUP BY dim),
+         gg AS (SELECT sum(gm * gm) AS gg FROM g),
+         f AS (
+           SELECT ps.source, max(ps.n) AS n_vecs,
+             sum(ps.m * g.gm) AS dot, sum(ps.m * ps.m) AS nn
+           FROM ps JOIN g USING (dim) GROUP BY ps.source)
+         SELECT source, n_vecs,
+           round(dot / (sqrt(nn) * sqrt((SELECT gg FROM gg))), 6) AS cos_to_global
+         FROM f ORDER BY source""",
     // same separated formula as Drift.klBySlice:
     // KL = kl_num / n_s + ln(N / n_s) — minimizes float-path divergence
     "q107_source_drift" ->

@@ -112,6 +112,30 @@ class MmrDriftSpec extends SparkSpec {
     }
   }
 
+  test("embedding drift: identical slice distributions -> cos_to_global = 1") {
+    // two sources carrying the SAME vector multiset: each centroid
+    // equals the global centroid, so both cosines round to exactly 1.0
+    import org.apache.spark.sql.functions.posexplode
+    val docs = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b")).toDF("doc_id", "source")
+    val e = Seq(
+      (0L, vec(1.0, 2.0)), (1L, vec(3.0, 4.0)),
+      (2L, vec(1.0, 2.0)), (3L, vec(3.0, 4.0))).toDF("vec_id", "embedding")
+    val j = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val ps = j.groupBy(col("source"), col("dim"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    val g = j.groupBy(col("dim")).agg(avg(col("x")).as("gm"))
+    val gg = g.agg(sum(col("gm") * col("gm")).as("gg"))
+    val out = ps.join(g, "dim").groupBy(col("source"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("m") * col("gm")).as("dot"), sum(col("m") * col("m")).as("nn"))
+      .crossJoin(broadcast(gg))
+      .select(col("source"),
+        round(col("dot") / (sqrt(col("nn")) * sqrt(col("gg"))), 6).as("cos"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
   test("q107 plan: token-keyed hash aggs, no window, no sort before agg") {
     val p = SparkEntry.queries("q107_source_drift")(spark, sf0001)
       .queryExecution.executedPlan.toString
