@@ -58,6 +58,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L) === Some(51L)) // forward-only within tolerance
   }
 
+  test("nearest on TIMESTAMP_NTZ times equals the numeric-time result") {
+    // the driver fixture's events.ts arrives as TIMESTAMP_NTZ, which
+    // refuses a direct DOUBLE cast — the distance math must route it
+    // through TIMESTAMP (UTC session) and produce identical picks
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val l = Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L), (4L, 4L, 10L))
+      .toDF("event_id", "k", "t")
+    val r = Seq(
+      (1L, 6L, 21L), (1L, 13L, 22L),
+      (2L, 8L, 31L), (2L, 12L, 32L),
+      (3L, 1000L, 41L),
+      (4L, 12L, 51L))
+      .toDF("rk", "rt", "ver")
+    val lNtz = l.withColumn("t",
+      timestamp_seconds(col("t")).cast("timestamp_ntz"))
+    val rNtz = r.withColumn("rt",
+      timestamp_seconds(col("rt")).cast("timestamp_ntz"))
+    assert(lNtz.schema("t").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType, "premise: ntz input")
+    val got = AsOfJoin.asOfNearest(lNtz, rNtz, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver"), toleranceSec = Some(5.0))
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("ver"))).toMap
+    assert(got === Map(1L -> Some(22L), 2L -> Some(31L), 3L -> None, 4L -> Some(51L)))
+    // bucketed variant shares toSec: same picks through the asOf path
+    val gotB = AsOfJoin.asOfBucketed(lNtz, rNtz, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver"), bucketSeconds = 4L)
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("ver"))).toMap
+    val gotPlain = AsOfJoin.asOf(lNtz, rNtz, "k", "rk", "t", "rt",
+        Seq("ver"), Seq("ver"))
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("ver"))).toMap
+    assert(gotB === gotPlain)
+  }
+
   test("nearest: both direction fills share one exchange and one sort") {
     val df = AsOfJoin.asOfNearest(left, right, "k", "rk", "t", "rt",
       Seq("ver", "feat"), Seq("ver"))
