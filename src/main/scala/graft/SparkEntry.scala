@@ -791,6 +791,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q110: leakage-safe split — near-dup cluster members share a
+    // split (the guard a per-doc random split can't give); assignment
+    // is exact 64-bit modular arithmetic on the cluster label, so the
+    // whole pipeline (pairs -> components -> split) hash-matches SQL.
+    "q110_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      DedupClusters.leakageSafeSplit(docs, "doc_id",
+          DedupClusters.components(pairs), trainPct = 80)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs.
     "q33_cosine_pairs" -> ((s, d) => {
       TextDedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -2407,6 +2419,34 @@ object SparkEntry {
            SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
          SELECT node AS doc_id, min(r) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // q38's component CTE + singleton fallback + exact modular split
+    "q110_leakage_split" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         pair AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pair
+               UNION SELECT id_b, id_a FROM pair),
+         reach AS (
+           SELECT DISTINCT src AS node, src AS r FROM e
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src),
+         comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         lbl AS (
+           SELECT d.doc_id, coalesce(comp.cluster, d.doc_id)::BIGINT AS cluster
+           FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+         SELECT doc_id, cluster,
+           CASE WHEN ((cluster % 1000000007) * 1000003 % 1000000007) % 100 < 80
+                THEN 'train' ELSE 'holdout' END AS split
+         FROM lbl ORDER BY doc_id""",
     "q33_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -96,4 +96,31 @@ object DedupClusters {
       .join(winners, Seq(idCol), "left_anti")
     allDocs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Leakage-safe train/holdout split: every member of a near-dup
+    * cluster lands in the SAME split — the guard against a duplicate of
+    * a training document leaking into the eval set, which a per-doc
+    * random split cannot give. Singleton docs (in no pair) form their
+    * own cluster.
+    *
+    * Assignment is a deterministic integer hash of the cluster label
+    * (multiplicative mod a 31-bit prime — exact in 64-bit on any
+    * engine, so the split is SQL-mirrorable and hash-verifiable, unlike
+    * xxhash/rand): split = 'train' iff h(cluster) % 100 < trainPct.
+    * Scale shape: one left equi-join of the corpus ids against the
+    * (node, cluster) labels plus narrow arithmetic — the components
+    * computation (pointer jumping, O(log diameter) rounds) dominates
+    * and is shared with every other cluster consumer. */
+  def leakageSafeSplit(allDocs: DataFrame, idCol: String,
+      comps: DataFrame, trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
+    val assigned = allDocs.select(col(idCol))
+      .join(comps.select(col("node").as(idCol), col("cluster")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol).cast("long")).as("cluster"))
+    val h = pmod(pmod(col("cluster"), lit(1000000007L)) * lit(1000003L),
+      lit(1000000007L))
+    assigned.withColumn("split",
+      when(pmod(h, lit(100)) < trainPct, lit("train")).otherwise(lit("holdout")))
+  }
 }

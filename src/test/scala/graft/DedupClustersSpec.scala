@@ -51,4 +51,26 @@ class DedupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(0L, 2L, 4L, 5L, 6L))
   }
+
+  test("leakage-safe split: clusters never straddle splits; singletons covered") {
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    // chain {1,5,7}, pair {2,3}, rest singletons
+    val edges = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = DedupClusters.leakageSafeSplit(docs, "doc_id",
+        DedupClusters.components(edges), trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 200, "every doc gets an assignment")
+    // cluster atomicity: one split per cluster label
+    val splitsPerCluster = out.groupBy(_._2).values.map(_.map(_._3).toSet)
+    assert(splitsPerCluster.forall(_.size == 1), "a cluster straddles splits")
+    assert(out.filter(r => Set(1L, 5L, 7L).contains(r._1)).map(_._3).toSet.size == 1)
+    // the hash split is near the requested ratio on ~200 clusters
+    val trainFrac = out.count(_._3 == "train").toDouble / out.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"trainFrac=$trainFrac")
+    // deterministic: same input -> same assignment
+    val out2 = DedupClusters.leakageSafeSplit(docs, "doc_id",
+        DedupClusters.components(edges), trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
 }
