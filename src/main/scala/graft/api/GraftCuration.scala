@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextAnalysis, TextDedup, UnigramLm, WeightedSample}
+import graft.operators.{DedupClusters, Drift, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
 
 /** Typed document record for the curation surface (mirrors the fixture
   * `documents` schema — FIXTURES.md). */
@@ -18,6 +18,12 @@ case class NearDupPair(id_a: Long, id_b: Long, score: Double)
 
 /** Typed LM-quality score row. */
 case class LmScore(doc_id: Long, n: Long, logprob_avg: Double)
+
+/** Typed split assignment (leakage-safe: cluster-atomic). */
+case class SplitAssignment(doc_id: Long, cluster: Long, split: String)
+
+/** Typed per-slice drift row (plug-in KL vs the corpus mix). */
+case class SliceDrift(slice: String, n_tokens: Long, vocab: Long, kl: Double)
 
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
@@ -86,5 +92,27 @@ object GraftCuration {
     TextAnalysis.percentileFloor(docs.toDF(), groupBy, "n_chars", p)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .as[Document]
+  }
+
+  /** Leakage-safe train/holdout split (q110): near-dup cluster members
+    * always land in the same split. Pairs come from [[nearDupPairs]]
+    * (LSH-verified Jaccard) at the given threshold. */
+  def leakageSafeSplit(docs: Dataset[Document], threshold: Double = 0.5,
+      trainPct: Int = 80): Dataset[SplitAssignment] = {
+    import docs.sparkSession.implicits._
+    val pairs = nearDupPairs(docs, threshold)
+      .toDF().select(col("id_a"), col("id_b"))
+    DedupClusters.leakageSafeSplit(docs.toDF(), "doc_id",
+        DedupClusters.components(pairs), trainPct)
+      .as[SplitAssignment]
+  }
+
+  /** Per-slice token-distribution drift vs the corpus mix (q107):
+    * `sliceBy` any Document field. */
+  def drift(docs: Dataset[Document], sliceBy: String = "source"): Dataset[SliceDrift] = {
+    import docs.sparkSession.implicits._
+    val toks = docs.toDF().select(col(sliceBy).as("slice"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    Drift.klBySlice(toks, "slice", "tok").as[SliceDrift]
   }
 }

@@ -50,6 +50,14 @@ class ApiSpec extends SparkSpec {
     assert(GraftCuration.lmScore(docs).count() === docs.count())
     val floor = GraftCuration.qualityFloor(docs, "lang", 0.5).count()
     assert(floor > 0 && floor < docs.count())
+    // leakage-safe split: every doc assigned, clusters atomic
+    val split = GraftCuration.leakageSafeSplit(docs).collect()
+    assert(split.length === docs.count())
+    assert(split.groupBy(_.cluster).values.forall(_.map(_.split).toSet.size == 1))
+    // drift: one row per slice value, finite KL
+    val dr = GraftCuration.drift(docs, "source").collect()
+    assert(dr.map(_.slice).toSet === docs.collect().map(_.source).toSet)
+    assert(dr.forall(r => !r.kl.isNaN && r.kl >= -1e-9))
   }
 
   test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
