@@ -95,13 +95,25 @@ object GraftCuration {
   }
 
   /** Leakage-safe train/holdout split (q110): near-dup cluster members
-    * always land in the same split. Pairs come from [[nearDupPairs]]
-    * (LSH-verified Jaccard) at the given threshold. */
+    * always land in the same split.
+    *
+    * Cluster-atomicity is exact; pair RECALL is the knob. The default
+    * scale path builds pairs with banded LSH ([[nearDupPairs]]), whose
+    * detection probability follows the S-curve — pairs right at the
+    * threshold can be missed (~60% at jac = 0.5 with 8 bands of 4),
+    * and a missed pair may straddle splits. `exact = true` switches to
+    * the O(n²) exact-Jaccard pair scan (what q110's oracle-gated form
+    * uses): airtight, but verify/test scale only. For the scale path,
+    * lower `threshold` below the leakage level you care about so the
+    * S-curve's steep part sits above it. */
   def leakageSafeSplit(docs: Dataset[Document], threshold: Double = 0.5,
-      trainPct: Int = 80): Dataset[SplitAssignment] = {
+      trainPct: Int = 80, exact: Boolean = false): Dataset[SplitAssignment] = {
     import docs.sparkSession.implicits._
-    val pairs = nearDupPairs(docs, threshold)
-      .toDF().select(col("id_a"), col("id_b"))
+    val pairs =
+      if (exact)
+        TextDedup.jaccardPairsExact(docs.toDF(), "doc_id", "text", 3, threshold)
+          .select(col("id_a"), col("id_b"))
+      else nearDupPairs(docs, threshold).toDF().select(col("id_a"), col("id_b"))
     DedupClusters.leakageSafeSplit(docs.toDF(), "doc_id",
         DedupClusters.components(pairs), trainPct)
       .as[SplitAssignment]

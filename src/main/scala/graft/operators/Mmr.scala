@@ -59,8 +59,9 @@ object Mmr {
     * native CosineSimilarity kernel (i = 0..n-1 running sums) so the
     * driver-side greedy agrees bit-for-bit with in-plan scoring. */
   private[operators] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
+    while (i < n) {
       dot += a(i).toDouble * b(i).toDouble
       na += a(i).toDouble * a(i).toDouble
       nb += b(i).toDouble * b(i).toDouble

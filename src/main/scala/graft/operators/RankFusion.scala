@@ -63,7 +63,13 @@ object RankFusion {
       scores: DataFrame, cands: DataFrame, idCol: String,
       scoreCols: Seq[String], rankNames: Seq[String]): DataFrame = {
     require(scoreCols.size == rankNames.size, "one rank name per score column")
-    val candKeys = cands.select(
+    // NULL scores sort LAST under the window's `desc` (nulls-last), but
+    // a NULL-score candidate would count zero rows "ahead" and claim
+    // rank 1 — exclude them from candidacy instead (they can never be
+    // in a meaningful top slice; callers wanting them ranked must
+    // coalesce first, as the q79/q95 BM25 leg does)
+    val nonNull = cands.filter(scoreCols.map(col(_).isNotNull).reduce(_ && _))
+    val candKeys = nonNull.select(
       col(idCol).as("__cand_id") +:
         scoreCols.map(sc => col(sc).as(s"__cand_$sc")): _*)
     def ahead(sc: String): Column =
@@ -77,10 +83,10 @@ object RankFusion {
       .join(broadcast(candKeys), anyAhead)
       .groupBy(col("__cand_id"))
       .agg(cntCols.head, cntCols.tail: _*)
-    cands
+    nonNull
       .join(broadcast(counts), col(idCol) === col("__cand_id"), "left")
       .select(
-        cands.columns.map(col).toSeq ++
+        nonNull.columns.map(col).toSeq ++
           rankNames.map(rn =>
             (coalesce(col(s"__cnt_$rn"), lit(0L)) + 1L).cast("int").as(rn)): _*)
   }
@@ -112,6 +118,14 @@ object RankFusion {
       cand: Int = 200, rrfScale: Int = 6): DataFrame = {
     require(cand >= kRrf + 2 * k,
       s"cand=$cand < kRrf + 2k = ${kRrf + 2 * k}: fused top-$k not provably exact")
+    // the bound argues on UNROUNDED rrf; after round(rrfScale) an
+    // outsider could tie the k-th candidate if the insider/outsider gap
+    // falls under the rounding quantum — refuse instead of silently
+    // diverging from the window formulation (defaults: gap 4.7e-3 vs
+    // quantum 1e-6)
+    require(1.0 / (kRrf + k) - 2.0 / (kRrf + cand + 1) > math.pow(10.0, -rrfScale),
+      s"kRrf=$kRrf k=$k cand=$cand: rrf gap inside the 1e-$rrfScale rounding quantum; " +
+        "raise cand or rrfScale")
     val topA = a.orderBy(col(scoreA).desc, col(idCol)).limit(cand)
     val topB = b.orderBy(col(scoreB).desc, col(idCol)).limit(cand)
     val candIds = topA.select(col(idCol)).unionAll(topB.select(col(idCol))).distinct()

@@ -134,6 +134,14 @@ class MmrDriftSpec extends SparkSpec {
         round(col("dot") / (sqrt(col("nn")) * sqrt(col("gg"))), 6).as("cos"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("a" -> 1.0, "b" -> 1.0))
+    // and the SHIPPED query (not this synthetic replica of its math):
+    // one row per source present in the doc∩embedding id overlap, every
+    // cosine a valid [-1, 1] value (near-random synthetic centroids can
+    // legitimately point away from the global centroid)
+    val shipped = SparkEntry.queries("q109_embedding_drift")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(shipped.nonEmpty && shipped.map(_._1).distinct.length == shipped.length)
+    assert(shipped.forall { case (_, n, c) => n > 0 && c >= -1.0 && c <= 1.0 })
   }
 
   test("q107 plan: token-keyed hash aggs, no window, no sort before agg") {
