@@ -803,6 +803,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q111: n-gram novelty vs a reference slice — fraction of each
+    // doc's distinct shingles unseen in docs 0-99 (hash-shingles in
+    // Spark, string shingles in the oracle: identical sets up to
+    // 64-bit collisions, the q38 equivalence).
+    "q111_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.noveltyVsReference(docs, docs.filter(col("doc_id") < 100),
+          "doc_id", "text", ngram = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs.
     "q33_cosine_pairs" -> ((s, d) => {
       TextDedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -2419,6 +2430,22 @@ object SparkEntry {
            SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
          SELECT node AS doc_id, min(r) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id""",
+    "q111_novelty" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], '')))) AS s
+           FROM documents),
+         ref AS (SELECT DISTINCT s FROM sh WHERE doc_id < 100),
+         j AS (
+           SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel
+           FROM sh LEFT JOIN ref ON sh.s = ref.s GROUP BY sh.doc_id)
+         SELECT doc_id, n_shingles,
+           round(n_novel::DOUBLE / n_shingles, 6) AS novelty
+         FROM j ORDER BY doc_id""",
     // q38's component CTE + singleton fallback + exact modular split
     "q110_leakage_split" ->
       """WITH RECURSIVE s AS (

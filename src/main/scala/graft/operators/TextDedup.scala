@@ -126,6 +126,36 @@ object TextDedup {
         b.as("band_id"),
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_key")))
 
+  /** Per-doc n-gram novelty vs a reference corpus: the fraction of the
+    * doc's DISTINCT shingles present nowhere in the reference — the
+    * "new information" score curation pipelines use to rank crawl
+    * snapshots and filter boilerplate re-crawls (complement of the
+    * decontamination overlap).
+    *
+    * Scale shape: the decontamination join — both sides reduce to
+    * (id/∅, shingle-hash) rows, the reference set dedups with one
+    * shingle-keyed aggregation, the left join is shingle-keyed (each
+    * doc shingle matches at most one distinct reference row, no
+    * fanout), and the per-doc fraction is a count aggregation. */
+  def noveltyVsReference(
+      docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, ngram: Int, scale: Int = 6): DataFrame = {
+    val d = graft.GraftSession.widen(docs).select(col(idCol).as("__nid"),
+      explode(shingleHashes(col(textCol), ngram)).as("sh"))
+    val ref = graft.GraftSession.widen(reference)
+      .select(explode(shingleHashes(col(textCol), ngram)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    d.join(ref, Seq("sh"), "left")
+      .groupBy(col("__nid"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__nid").as(idCol), col("n_shingles"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"),
+          scale).as("novelty"))
+  }
+
   /** Exact token-set Jaccard similarity of two token arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -133,4 +133,20 @@ class TextDedupSpec extends SparkSpec {
     assert(unCapped === 3L)
     assert(capped === 0L)
   }
+
+  test("novelty: 0 inside the reference, 1 when disjoint, fractional when mixed") {
+    val ref = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),      // reference member -> 0.0
+      (10L, "zeta eta theta iota kappa"),  // disjoint -> 1.0
+      // shares shingle "alpha beta gamma", adds 2 novel of 3 total
+      (11L, "alpha beta gamma zeta eta")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.noveltyVsReference(docs, ref, "doc_id", "text", ngram = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((2L, 0.0)))   // "alpha beta gamma", "beta gamma delta"
+    assert(out(10L) === ((3L, 1.0)))
+    assert(out(11L)._1 === 3L)
+    assert(math.abs(out(11L)._2 - 2.0 / 3) < 1e-6)
+  }
 }
