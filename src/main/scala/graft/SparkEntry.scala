@@ -1135,6 +1135,44 @@ object SparkEntry {
     // Interval (stream-stream-joinable) join: clicks ⋈ purchases of the
     // same user within the preceding hour. Same code runs watermarked
     // under readStream (EventStreamsSpec).
+    // q112: cohort retention — users bucketed by first-seen week,
+    // distinct activity weeks joined back. Two user-keyed aggs + one
+    // (user)-keyed join; count is over already-distinct (user, week)
+    // pairs so the final agg needs no count-distinct expansion.
+    "q112_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy(col("cohort_week"), col("activity_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("activity_week"))
+    }),
+
+    // q113: ordered funnel view -> click -> purchase: each stage is
+    // "min event time strictly after the previous stage's time", a
+    // user-keyed agg over a semi-filtered scan — no window, no
+    // sequence materialization.
+    "q113_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
     "q53_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       EventStreams.clickPurchaseJoin(
@@ -2746,6 +2784,27 @@ object SparkEntry {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
          ORDER BY click_id, purchase_id""",
+    "q112_cohort_retention" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+               FROM events)
+         SELECT cohort_week, activity_week, count(*)::BIGINT AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY cohort_week, activity_week
+         ORDER BY cohort_week, activity_week""",
+    "q113_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+         UNION ALL SELECT 'click', count(*)::BIGINT FROM c
+         UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
+         ORDER BY stage""",
     "q52_sessionize" ->
       """WITH o AS (
            SELECT user_id, ts, value,
