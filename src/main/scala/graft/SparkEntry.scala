@@ -1151,6 +1151,22 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("activity_week"))
     }),
 
+    // q114: hourly rate anomalies per event type — z-score of each
+    // hour's count vs the type's mean/std, aggs + one broadcast-sized
+    // join (per-type stats), no window anywhere.
+    "q114_rate_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mean_n"), stddev_samp(col("n")).as("std_n"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("n") - col("mean_n")) / col("std_n"))
+        .filter(col("z") >= 2.0)
+        .select(col("event_type"), col("hour"), col("n"), round(col("z"), 4).as("z"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // q113: ordered funnel view -> click -> purchase: each stage is
     // "min event time strictly after the previous stage's time", a
     // user-keyed agg over a semi-filtered scan — no window, no
@@ -2794,6 +2810,18 @@ object SparkEntry {
          FROM a JOIN f USING (user_id)
          GROUP BY cohort_week, activity_week
          ORDER BY cohort_week, activity_week""",
+    "q114_rate_anomaly" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         st AS (
+           SELECT event_type, avg(n)::DOUBLE AS mean_n, stddev_samp(n)::DOUBLE AS std_n
+           FROM h GROUP BY event_type)
+         SELECT h.event_type, h.hour, h.n,
+           round((h.n - st.mean_n) / st.std_n, 4) AS z
+         FROM h JOIN st USING (event_type)
+         WHERE (h.n - st.mean_n) / st.std_n >= 2.0
+         ORDER BY h.event_type, h.hour""",
     "q113_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                     WHERE event_type = 'view' GROUP BY user_id),
