@@ -73,6 +73,29 @@ object SparkEntry {
 
     // Fact-fact join: shuffle-hash/sort-merge on the join key; grouped
     // result aggregated partially before the final shuffle.
+    // q116: TPC-H Q5 shape — 6-table star join, dims broadcast, one
+    // fact-side shuffle for the final agg; the optimizer-reorder
+    // showcase for the relational suite.
+    "q116_regional_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(n("n_name").as("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q04_order_revenue" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -801,6 +824,25 @@ object SparkEntry {
       DedupClusters.leakageSafeSplit(docs, "doc_id",
           DedupClusters.components(pairs), trainPct = 80)
         .orderBy(col("doc_id"))
+    }),
+
+    // q115: Zipf slope of the corpus rank-frequency curve — corpus
+    // health metric (natural text ~ -1). Top-500 tokens via
+    // TakeOrderedAndProject (heap-pruned), rank over the bounded 500,
+    // then ONE regression aggregate: no corpus-wide window, the token
+    // count agg is the only big shuffle.
+    "q115_zipf_slope" -> ((s, d) => {
+      val counts = GraftSession.widen(Tables.documents(s, d))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(500)
+      counts
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .agg(
+          count(lit(1)).as("n_tokens_fit"),
+          round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("slope"),
+          round(regr_intercept(log(col("cnt")), log(col("rank"))), 4).as("intercept"))
     }),
 
     // q111: n-gram novelty vs a reference slice — fraction of each
@@ -2484,6 +2526,25 @@ object SparkEntry {
            SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src)
          SELECT node AS doc_id, min(r) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id""",
+    "q115_zipf_slope" ->
+      """WITH t AS (
+           SELECT tok, count(*)::BIGINT AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             FROM documents) u GROUP BY tok
+           ORDER BY cnt DESC, tok LIMIT 500),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM t)
+         SELECT count(*)::BIGINT AS n_tokens_fit,
+           round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
+         FROM r""",
+    "q116_regional_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q111_novelty" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

@@ -32,6 +32,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q116 six-table star join: dims broadcast, never cartesian") {
+    val p = planOf("q116_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "join order degenerated:\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
   test("q21 single-query kNN is broadcast + TakeOrderedAndProject") {
     val p = planOf("q21_knn_exact_point")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
