@@ -826,6 +826,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q117: REAL BPE tokenization — merge table trained on the corpus
+    // word-type histogram (distributed count + heap-pruned cap; driver
+    // merge loop over the bounded histogram — the HF/sentencepiece
+    // split), then per-doc segment counts under the broadcast merges.
+    // Iterative global-argmax training is not SQL-expressible ->
+    // rows-only driver check; merge sequence, tie determinism, and
+    // encode algebra are pinned in BpeSpec.
+    "q117_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.fit(docs, "text", numMerges = 50)
+      docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          graft.operators.Bpe.segmentCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q115: Zipf slope of the corpus rank-frequency curve — corpus
     // health metric (natural text ~ -1). Top-500 tokens via
     // TakeOrderedAndProject (heap-pruned), rank over the bounded 500,

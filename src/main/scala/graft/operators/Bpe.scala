@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training + encoding (Sennrich et al.
+  * 2016) — real merge-table training, not the regex token-count proxy.
+  *
+  * Production shape (the same split HF tokenizers / sentencepiece use):
+  * the CORPUS-sized work is one distributed word-type histogram
+  * (explode + groupBy + heap-pruned cap); the merge loop then runs
+  * driver-side over the bounded (word-type, count) table — word types
+  * grow sublinearly (Heaps' law), and `maxWordTypes` makes the driver
+  * footprint explicit. Encoding broadcasts the merge list inside a UDF:
+  * narrow, no shuffle.
+  *
+  * Determinism: pair-count ties break to the lexicographically smallest
+  * pair, so a fixed corpus yields a fixed merge table (specced on the
+  * classic low/lower/newest/widest example).
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Train `numMerges` merges on the corpus's whitespace-lowercased
+    * word types. Returns merges in application order. */
+  def fit(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWordTypes: Int = 1000000): Seq[(String, String)] = {
+    val wordCounts = graft.GraftSession.widen(docs)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    fitLocal(wordCounts.toSeq, numMerges)
+  }
+
+  /** The driver-side merge loop over a (word, count) histogram. */
+  def fitLocal(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    // symbol sequences per word type, weighted
+    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      ((w.map(_.toString) :+ EndOfWord).toArray, c)
+    }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.merge(k, c, _ + _)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) i = numMerges
+      else {
+        // argmax count, ties -> lexicographically smallest pair
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (k, c) =>
+          if (c > bestC || (c == bestC &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            best = k; bestC = c
+          }
+        }
+        merges += best
+        words = words.map { case (syms, c) => (mergeOnce(syms, best), c) }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergeOnce(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += (syms(j) + syms(j + 1)); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Segment one word (no EndOfWord appended yet) through the merge
+    * table in training order. */
+  def encodeWord(w: String, merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = (w.map(_.toString) :+ EndOfWord).toArray
+    var i = 0
+    while (i < merges.length) { syms = mergeOnce(syms, merges(i)); i += 1 }
+    syms
+  }
+
+  /** Column: BPE segment count of a text under the (broadcast) merge
+    * table — the honest token-count a byte-pair tokenizer would bill,
+    * vs the whitespace proxy. Narrow, codegen-adjacent (one UDF). */
+  def segmentCount(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val m: IndexedSeq[(String, String)] = merges.toIndexedSeq
+    val f = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        var n = 0L
+        toks.foreach { w => n += encodeWord(w, m).length }
+        n
+      }
+    }
+    f(textCol)
+  }
+
+  /** Column: the segments themselves (space-joined per word, '|'
+    * between words) — for inspection/tests. */
+  def segments(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val m: IndexedSeq[(String, String)] = merges.toIndexedSeq
+    val f = udf { (text: String) =>
+      if (text == null) ""
+      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => encodeWord(w, m).mkString(" ")).mkString("|")
+    }
+    f(textCol)
+  }
+}

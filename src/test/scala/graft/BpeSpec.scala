@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer: the Sennrich et al. worked example, tie determinism,
+  * encode consistency, and the distributed fit == local fit. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // classic corpus: low x5, lower x2, newest x6, widest x3
+  private val classic = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("fitLocal reproduces the paper's merge sequence with lexicographic ties") {
+    // pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9 tie -> (e,s);
+    // round 2: (es,t)=9, (t,</w>)=9 tie -> (es,t); round 3: (est,</w>)=9
+    val merges = Bpe.fitLocal(classic, numMerges = 3)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+  }
+
+  test("encodeWord applies merges in order; unseen word degrades to chars") {
+    val merges = Bpe.fitLocal(classic, numMerges = 5)
+    // merge 4: max among (l,o)=7, (w,e)... after 3 merges:
+    //   low: l o w </w> x5/x2-prefix; lower: l o w e r </w>
+    //   newest: n e w est</w>; widest: w i d est</w>
+    // (l,o)=7 is the unique max -> ("l","o"); then (lo,w)=7 -> merge 5
+    assert(merges(3) === (("l", "o")))
+    assert(merges(4) === (("lo", "w")))
+    // lowest: e+s -> es; es+t -> est; est+</w> -> est</w>; l+o -> lo;
+    // lo+w -> low  ==>  ["low", "est</w>"]
+    assert(Bpe.encodeWord("lowest", merges.toIndexedSeq).toSeq ===
+      Seq("low", "est" + Bpe.EndOfWord))
+    assert(Bpe.encodeWord("xyz", merges.toIndexedSeq).toSeq ===
+      Seq("x", "y", "z", Bpe.EndOfWord))
+  }
+
+  test("distributed fit over a DataFrame equals fitLocal on the histogram") {
+    val rows = classic.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    val docs = rows.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val viaDf = Bpe.fit(docs, "text", numMerges = 5)
+    val viaLocal = Bpe.fitLocal(classic, numMerges = 5)
+    assert(viaDf === viaLocal)
+  }
+
+  test("segment concatenation round-trips the word (no characters lost)") {
+    val docs = sources.Tables.documents(spark, sf0001).limit(50)
+    val merges = Bpe.fit(docs, "text", numMerges = 30)
+    val segs = docs.select(col("doc_id"), col("text"),
+        Bpe.segments(col("text"), merges).as("seg"))
+      .collect()
+    segs.foreach { r =>
+      val words = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val rebuilt = r.getString(2).split('|')
+        .map(_.replace(" ", "").stripSuffix(Bpe.EndOfWord))
+      assert(rebuilt.toSeq === words.toSeq, s"doc ${r.getLong(0)}")
+    }
+    // fewer-or-equal segments than characters, more-or-equal than words
+    val counts = docs.select(
+        Bpe.segmentCount(col("text"), merges).as("n_bpe"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_words"),
+        length(col("text")).as("n_chars"))
+      .collect()
+    counts.foreach { r =>
+      assert(r.getLong(0) >= r.getInt(1).toLong, "at least one segment per word")
+      assert(r.getLong(0) <= r.getInt(2).toLong + r.getInt(1).toLong,
+        "bounded by chars + eow")
+    }
+  }
+}
