@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupClusters, Drift, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
+import graft.operators.{Bpe, DedupClusters, Drift, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
 
 /** Typed document record for the curation surface (mirrors the fixture
   * `documents` schema — FIXTURES.md). */
@@ -24,6 +24,9 @@ case class SplitAssignment(doc_id: Long, cluster: Long, split: String)
 
 /** Typed per-slice drift row (plug-in KL vs the corpus mix). */
 case class SliceDrift(slice: String, n_tokens: Long, vocab: Long, kl: Double)
+
+/** Typed tokenizer-billed vs whitespace token counts. */
+case class TokenBill(doc_id: Long, n_words: Int, n_bpe: Long)
 
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
@@ -126,5 +129,23 @@ object GraftCuration {
     val toks = docs.toDF().select(col(sliceBy).as("slice"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
     Drift.klBySlice(toks, "slice", "tok").as[SliceDrift]
+  }
+
+  /** Train a BPE merge table on the corpus (q117's trainer — the
+    * HF-style distributed-histogram / driver-merge-loop split). The
+    * returned merges are a plain value: broadcastable, serializable,
+    * reusable across corpora. */
+  def trainBpe(docs: Dataset[Document], numMerges: Int = 50): Seq[(String, String)] =
+    Bpe.fit(docs.toDF(), "text", numMerges)
+
+  /** Tokenizer-billed (BPE) vs whitespace token counts per doc — the
+    * pretraining cost estimator under a REAL merge table. */
+  def tokenBill(docs: Dataset[Document],
+      merges: Seq[(String, String)]): Dataset[TokenBill] = {
+    import docs.sparkSession.implicits._
+    docs.toDF().select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        Bpe.segmentCount(col("text"), merges).as("n_bpe"))
+      .as[TokenBill]
   }
 }

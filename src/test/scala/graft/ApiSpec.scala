@@ -58,6 +58,12 @@ class ApiSpec extends SparkSpec {
     val dr = GraftCuration.drift(docs, "source").collect()
     assert(dr.map(_.slice).toSet === docs.collect().map(_.source).toSet)
     assert(dr.forall(r => !r.kl.isNaN && r.kl >= -1e-9))
+    // BPE: facade training == operator training; bill covers every doc
+    val merges = GraftCuration.trainBpe(docs, numMerges = 10)
+    assert(merges === graft.operators.Bpe.fit(docs.toDF(), "text", 10))
+    val bill = GraftCuration.tokenBill(docs, merges).collect()
+    assert(bill.length === docs.count())
+    assert(bill.forall(b => b.n_bpe >= b.n_words))
   }
 
   test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
