@@ -826,6 +826,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q118: compression-ratio quality signal — deflate(6) bytes over
+    // raw bytes per doc (repetitive/templated text compresses far
+    // below prose). Deterministic narrow UDF; zlib output is not
+    // SQL-reproducible -> rows-only check, behavior in TextAnalysisSpec.
+    "q118_compress_quality" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 4).as("deflate_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q117: REAL BPE tokenization — merge table trained on the corpus
     // word-type histogram (distributed count + heap-pruned cap; driver
     // merge loop over the bounded histogram — the HF/sentencepiece

@@ -232,4 +232,27 @@ object TextAnalysis {
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Deflate compression ratio (compressed/raw bytes of UTF-8 text,
+    * level 6) — the perplexity-free repetition/boilerplate signal web
+    * corpus pipelines use alongside Gopher filters: highly-repetitive
+    * or templated text compresses far below natural prose. Narrow
+    * per-row UDF (java.util.zip is deterministic for a fixed level and
+    * strategy — same bytes on every JVM); empty text → ratio 0. */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.isEmpty) 0.0
+      else {
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.`end`()
+        total.toDouble / raw.length
+      }
+    }
+    f(text)
+  }
 }

@@ -137,4 +137,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Window"), "the floor must not be a per-group window")
   }
+
+  test("compressionRatio: repetitive text compresses far below prose; deterministic") {
+    val docs = Seq(
+      (1L, "the " * 500),                                         // degenerate repetition
+      (2L, "The quick brown fox jumps over the lazy dog. " +
+        "Pack my box with five dozen liquor jugs. " +
+        "Sphinx of black quartz, judge my vow. " * 5),            // prose-ish
+      (3L, ""),                                                   // empty -> 0
+      (4L, (0 until 400).map(i => (i * 2654435761L).toHexString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.05, s"pure repetition must crush: ${out(1L)}")
+    assert(out(2L) < 0.6, s"repeated prose compresses well: ${out(2L)}")
+    assert(out(4L) > out(1L) * 5, "hex noise compresses far worse than repetition")
+    assert(out(3L) === 0.0)
+    val again = docs.select(TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(again === docs.select(TextAnalysis.compressionRatio(col("text")))
+      .collect().map(_.getDouble(0)).toSeq)
+  }
 }
