@@ -131,6 +131,19 @@ object GraftCuration {
     Drift.klBySlice(toks, "slice", "tok").as[SliceDrift]
   }
 
+  /** Per-doc n-gram novelty vs a reference corpus (q111): 1.0 = no
+    * shingle overlap with the reference, 0.0 = fully contained. */
+  def novelty(docs: Dataset[Document], reference: Dataset[Document],
+      ngram: Int = 3): org.apache.spark.sql.DataFrame =
+    TextDedup.noveltyVsReference(docs.toDF(), reference.toDF(),
+      "doc_id", "text", ngram)
+
+  /** Deflate-ratio quality column (q118): repetition/boilerplate
+    * compresses far below prose. */
+  def compressionRatio(docs: Dataset[Document]): org.apache.spark.sql.DataFrame =
+    docs.toDF().select(col("doc_id"),
+      TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"))
+
   /** Train a BPE merge table on the corpus (q117's trainer — the
     * HF-style distributed-histogram / driver-merge-loop split). The
     * returned merges are a plain value: broadcastable, serializable,

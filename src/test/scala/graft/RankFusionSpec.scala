@@ -64,6 +64,27 @@ class RankFusionSpec extends SparkSpec {
     }
   }
 
+  test("rrfTopK rejects parameter combos whose rrf gap is inside the rounding quantum") {
+    val a = Seq((1L, 1.0)).toDF("id", "s")
+    // cand >= kRrf + 2k holds, but 1/(kRrf+k) - 2/(kRrf+cand+1) < 1e-6
+    intercept[IllegalArgumentException] {
+      RankFusion.rrfTopK(a, "s", "ra", a, "s", "rb",
+        idCol = "id", k = 20, kRrf = 1000, cand = 1040)
+    }
+  }
+
+  test("countAheadRanks: NULL-score rows are excluded from candidacy, not rank 1") {
+    val scores = Seq(
+      (1L, Some(9.0)), (2L, Some(5.0)), (3L, None), (4L, Some(7.0))
+    ).toDF("id", "sc")
+    val ranked = RankFusion.countAheadRanks(
+      scores, scores, "id", Seq("sc"), Seq("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // the window would rank 1->1, 4->2, 2->3 and put the NULL last;
+    // count-ahead must agree on the non-null rows and emit nothing for id 3
+    assert(ranked === Map(1L -> 1, 4L -> 2, 2L -> 3))
+  }
+
   test("q79 fused plan has no Window node and heap-prunes via TakeOrdered") {
     val p = SparkEntry.queries("q79_hybrid_rrf")(spark, sf0001)
       .queryExecution.executedPlan.toString
