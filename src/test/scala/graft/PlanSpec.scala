@@ -39,6 +39,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_"), p)
   }
 
+  test("q112/q113/q114 event analytics never window; aggs stay partial") {
+    for (q <- Seq("q112_cohort_retention", "q113_funnel", "q114_rate_anomaly")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n" + p)
+      assert(p.contains("partial_") || p.contains("HashAggregate"), s"$q:\n" + p)
+    }
+  }
+
+  test("q115 zipf: token top-500 heap-prunes; the rank window sees 500 rows max") {
+    val p = planOf("q115_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q21 single-query kNN is broadcast + TakeOrderedAndProject") {
     val p = planOf("q21_knn_exact_point")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
