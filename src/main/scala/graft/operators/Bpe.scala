@@ -109,6 +109,25 @@ object Bpe {
     f(textCol)
   }
 
+  /** Persist a merge table as a tiny ordered parquet — the tokenizer
+    * is a durable pipeline asset (train once, bill every corpus). */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[save]], in training order. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Column: the segments themselves (space-joined per word, '|'
     * between words) — for inspection/tests. */
   def segments(textCol: Column, merges: Seq[(String, String)]): Column = {

@@ -43,6 +43,13 @@ class BpeSpec extends SparkSpec {
     assert(viaDf === viaLocal)
   }
 
+  test("merge table save/load round-trips in training order") {
+    val merges = Bpe.fitLocal(classic, numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/m"
+    Bpe.save(spark, merges, path)
+    assert(Bpe.load(spark, path) === merges)
+  }
+
   test("segment concatenation round-trips the word (no characters lost)") {
     val docs = sources.Tables.documents(spark, sf0001).limit(50)
     val merges = Bpe.fit(docs, "text", numMerges = 30)
