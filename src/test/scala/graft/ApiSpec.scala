@@ -64,6 +64,14 @@ class ApiSpec extends SparkSpec {
     val bill = GraftCuration.tokenBill(docs, merges).collect()
     assert(bill.length === docs.count())
     assert(bill.forall(b => b.n_bpe >= b.n_words))
+    // novelty vs self is 0 everywhere; deflate ratios are (0, 1]-ish
+    val nov = GraftCuration.novelty(docs, docs).collect()
+    assert(nov.length === docs.count())
+    assert(nov.forall(_.getAs[Double]("novelty") === 0.0))
+    val cr = GraftCuration.compressionRatio(docs).collect()
+    assert(cr.length === docs.count())
+    assert(cr.forall { r =>
+      val x = r.getAs[Double]("deflate_ratio"); x > 0.0 && x < 1.5 })
   }
 
   test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
