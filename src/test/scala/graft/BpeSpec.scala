@@ -43,6 +43,20 @@ class BpeSpec extends SparkSpec {
     assert(viaDf === viaLocal)
   }
 
+  test("more merges never increase a doc's segment count (monotone compression)") {
+    val docs = sources.Tables.documents(spark, sf0001).limit(40)
+    val m10 = Bpe.fit(docs, "text", numMerges = 10)
+    val m40 = Bpe.fit(docs, "text", numMerges = 40)
+    // prefix property: a longer training run extends the shorter one
+    assert(m40.take(10) === m10)
+    val counts = docs.select(
+        Bpe.segmentCount(col("text"), m10).as("c10"),
+        Bpe.segmentCount(col("text"), m40).as("c40"))
+      .collect()
+    counts.foreach(r => assert(r.getLong(1) <= r.getLong(0),
+      "extra merges can only merge further"))
+  }
+
   test("merge table save/load round-trips in training order") {
     val merges = Bpe.fitLocal(classic, numMerges = 5)
     val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/m"
