@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * relevance against the broadcast query and a heap-pruned top-`cand`
   * (TakeOrderedAndProject; the corpus is never sorted or windowed).
   * The greedy selection is inherently sequential (pick i depends on
-  * picks 1..i-1) and runs on the driver over the `cand` collected
-  * candidate vectors — a BOUNDED serving-sized set (same design as the
-  * FAISS-style quantizer samples in IvfIndex/PqIndex: the collect is
-  * O(cand * dim), independent of corpus size). Re-ranking k of `cand`
-  * is exactly what every production MMR layer does after ANN retrieval.
+  * picks 1..i-1) but only within one query: the single-query paths run
+  * it on the driver over the `cand` collected candidate vectors — a
+  * BOUNDED serving-sized set (O(cand * dim), independent of corpus
+  * size) — while the batch path distributes it per query via
+  * `groupByKey(qid).flatMapGroups`, so batch scale is executor-bounded,
+  * not driver-bounded. Re-ranking k of `cand` is exactly what every
+  * production MMR layer does after ANN retrieval.
   */
 object Mmr {
 
@@ -115,9 +117,14 @@ object Mmr {
   /** Batch MMR — many queries diversified in ONE plan (the q80/q100
     * batch-serving shape): the corpus-sized stage is a broadcast of the
     * query bag + per-query heap-pruned top-`cand` (TopKPerKey: bounded
-    * heaps before the shuffle, never a per-partition sort), then one
-    * bounded collect of |queries|·cand candidate rows feeds the
-    * per-query greedy. Returns (qid, rank, idName, mmr). */
+    * heaps before the shuffle, never a per-partition sort). The greedy
+    * is per-query independent, so each query's cand-bounded candidate
+    * slice runs [[rerankLocal]] inside `groupByKey(qid).flatMapGroups`
+    * ON EXECUTORS — candidate vectors never reach the driver and driver
+    * memory is flat in |queries| (a 1M-query batch at cand=50 is ~60 GB
+    * of candidate vectors; collecting that was the one serving-path
+    * scale killer left in round 6). Per-group state is one cand-sized
+    * buffer. Returns (qid, rank, idName, mmr). */
   def rerankBatch(
       corpus: DataFrame, queries: DataFrame, k: Int,
       lambda: Double = 0.7, cand: Int = 50,
@@ -125,6 +132,7 @@ object Mmr {
       queryId: String = "qid", queryVec: String = "qvec",
       scale: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val scored = graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
       .select(col(queryId), col(idCol),
         graft.functions.VectorFunctions.cosine(col(vecCol), col(queryVec)).as("rel"),
@@ -132,32 +140,42 @@ object Mmr {
       .withColumn("__nrel", -col("rel"))
     val pruned = graft.plans.TopKPerKey.perKey(
       scored, Seq(queryId), Seq("__nrel", idCol), cand)
-    val byQuery = pruned.collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getSeq[Float](3).toArray)))
-      .groupBy(_._1)
-    val rows = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
-      rerankLocal(cs.map(_._2).toSeq, k, lambda).map { case (rank, id, score) =>
-        Row(qid, rank, id,
-          BigDecimal(score).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Name-resolved, type-normalized projection: callers with Int id /
+    // query-id columns work, and a column reorder upstream (e.g. in
+    // TopKPerKey's passthrough) cannot silently mis-map fields.
+    val slim = pruned.select(
+        col(queryId).cast(LongType), col(idCol).cast(LongType),
+        col("rel").cast(DoubleType), col("__vec"))
+      .as[(Long, Long, Double, Array[Float])]
+    val lam = lambda; val kk = k; val sc = scale // stable locals for the closure
+    slim.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cands = it.map(t => (t._2, t._3, t._4)).toSeq
+        rerankLocal(cands, kk, lam).iterator.map { case (rank, id, score) =>
+          (qid, rank, id,
+            BigDecimal(score).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(
-        StructField(queryId, LongType, nullable = false),
-        StructField("rank", IntegerType, nullable = false),
-        StructField(idCol, LongType, nullable = false),
-        StructField("mmr", DoubleType, nullable = false))))
+      .toDF(queryId, "rank", idCol, "mmr")
   }
 
-  /** Shared tail: collect the bounded (id, rel, vec) candidate frame,
-    * run the greedy, return (rank, idName, mmr). */
+  /** Shared tail for the SINGLE-query paths: collect the bounded
+    * (id, rel, vec) candidate frame (O(cand·dim), corpus-independent),
+    * run the greedy, return (rank, idName, mmr). Fields are resolved by
+    * NAME, not position, so an upstream column reorder or an Int id
+    * column fails loudly at analysis instead of mis-mapping at runtime;
+    * the batch path ([[rerankBatch]]) never collects at all. */
   private def greedyToDf(
       scored: DataFrame, k: Int, lambda: Double,
       idName: String, scale: Int): DataFrame = {
     val spark = scored.sparkSession
-    val local = scored.collect().map { r =>
-      (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
+    val named = scored.select(
+      col(idName).cast(LongType).as("__id"),
+      col("rel").cast(DoubleType).as("__rel"),
+      col("__vec"))
+    val local = named.collect().map { r =>
+      (r.getAs[Long]("__id"), r.getAs[Double]("__rel"),
+        r.getAs[scala.collection.Seq[Float]]("__vec").toArray)
     }.toSeq
     val rows = rerankLocal(local, k, lambda).map { case (rank, id, score) =>
       Row(rank, id, BigDecimal(score).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
