@@ -25,11 +25,11 @@ import graft.operators.TextDedup
   *
   * Scale shape (the point of the standing store):
   *   - `<name>_bands` (band_id, band_key, id), bucketed AND sorted by
-  *     band_key: the batch's band keys are collected (batch_size×bands
-  *     longs — query parameters, same discipline as BM25's term list)
-  *     and probed as a literal IN filter, so the scan bucket-prunes and
-  *     row-group-prunes to the matching keys. Per-batch cost follows
-  *     matched bands, not corpus size.
+  *     band_key: the batch's band rows (batch_size×bands — micro by
+  *     definition) are BROADCAST and the store streams past the hash
+  *     probe in one narrow columnar scan — no shuffle of the store and
+  *     no plan that grows with batch size (no collected literal key
+  *     lists; see admitBatch for why In-literals were evicted).
   *   - `<name>_shingles` (id, sh), bucketed by id: exact-verify fetches
   *     shingle sets ONLY for the candidate old ids (broadcast
   *     semi-join), never scanning corpus text again.
@@ -78,32 +78,49 @@ object IngestDedup {
     val rejOld: DataFrame =
       if (!spark.catalog.tableExists(s"${name}_bands"))
         spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-      else {
-        val keys = bandRows.select(col("band_key")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val cand = spark.table(s"${name}_bands")
-          .filter(col("band_key").isin(keys: _*))
-          .join(broadcast(bandRows.select(
-            col("id").as("new_id"), col("band_id"), col("band_key"))),
-            Seq("band_id", "band_key"))
-          .select(col("id").as("old_id"), col("new_id")).distinct()
-        val oldSh = spark.table(s"${name}_shingles")
-          .join(broadcast(cand.select(col("old_id").as("id")).distinct()),
-            Seq("id"), "left_semi")
-        cand
-          .join(oldSh.select(col("id").as("old_id"), col("sh").as("sh_old")),
-            Seq("old_id"))
-          .join(broadcast(b.select(col("id").as("new_id"), col("sh").as("sh_new"))),
-            Seq("new_id"))
-          .filter(TextDedup.jaccard(col("sh_old"), col("sh_new")) >= threshold)
-          .select(col("new_id").as("id")).distinct()
-      }
+      else crossBatchRejections(spark, name, bandRows, b, threshold)
     val admitted = b.select(col("id"))
       .join(rejInBatch, Seq("id"), "left_anti")
       .join(rejOld, Seq("id"), "left_anti")
       .localCheckpoint() // settle BEFORE the store grows (see scaladoc)
     appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")))
     admitted
+  }
+
+  /** Cross-batch probe: ids in the batch near-duplicating any stored
+    * document. One broadcast-hash join against the store does the band
+    * probing: the batch's (band_id, band_key) rows are micro
+    * (batch×bands) and broadcast, so store rows stream past an
+    * in-memory hash probe — no shuffle of the store and no plan that
+    * grows with batch size. An earlier version collected the distinct
+    * band keys to the driver and stuck them in an `isin(...)` literal
+    * filter for row-group pruning; that made the PLAN grow with batch
+    * size (a 100k-doc batch × 8 bands is an 800k-literal In —
+    * analysis/codegen blowup), buying a pruning win that evaporates at
+    * exactly the batch sizes where it matters (hash-uniform keys touch
+    * every bucket and row group once the list is large). If per-batch
+    * store scans ever dominate, the scale lever is partitioning the
+    * store by a band_key prefix so dynamic partition pruning trims
+    * files — not literal lists. PlanSpec pins the no-In-literal shape.
+    * Package-private so the spec can inspect the LAZY plan (admitBatch
+    * returns a checkpoint-settled frame whose lineage is gone). */
+  private[graft] def crossBatchRejections(spark: SparkSession, name: String,
+      bandRows: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
+    val cand = spark.table(s"${name}_bands")
+      .join(broadcast(bandRows.select(
+        col("id").as("new_id"), col("band_id"), col("band_key"))),
+        Seq("band_id", "band_key"))
+      .select(col("id").as("old_id"), col("new_id")).distinct()
+    val oldSh = spark.table(s"${name}_shingles")
+      .join(broadcast(cand.select(col("old_id").as("id")).distinct()),
+        Seq("id"), "left_semi")
+    cand
+      .join(oldSh.select(col("id").as("old_id"), col("sh").as("sh_old")),
+        Seq("old_id"))
+      .join(broadcast(b.select(col("id").as("new_id"), col("sh").as("sh_new"))),
+        Seq("new_id"))
+      .filter(TextDedup.jaccard(col("sh_old"), col("sh_new")) >= threshold)
+      .select(col("new_id").as("id")).distinct()
   }
 
   /** Append a batch's band rows and shingle sets to the store,

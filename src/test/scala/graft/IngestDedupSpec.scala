@@ -117,26 +117,35 @@ class IngestDedupSpec extends SparkSpec {
     assert(got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet === truth)
   }
 
-  test("standing store is bucket-pruned on the band-key probe") {
+  test("cross-batch probe: broadcast band join, no In-literal key list in the plan") {
     val d = docs.toDF("doc_id", "text")
     IngestDedup.initStore(spark, "graft_ingest_t4")
-    IngestDedup.admitBatch(d.filter($"doc_id" < 3), "graft_ingest_t4", ngram = 1, numHashes = 32, bands = 32)
-    // a later batch probes the standing _bands table with literal keys,
-    // then joins + distincts — the REAL admitBatch shape (a filter-only
-    // scan would be auto-unbucketed by DisableUnnecessaryBucketedScan,
-    // but the join between the scan and the distinct aggregate keeps
-    // the bucketed scan, and with it the bucket pruning this store's
-    // serving cost contract depends on)
-    val bandKeys = spark.table("graft_ingest_t4_bands")
-      .select("band_key").distinct().as[Long].collect().toSeq
-    val fakeBatch = bandKeys.take(2).zipWithIndex
-      .map { case (k, i) => (100L + i, 0, k) }
-      .toDF("new_id", "band_id", "band_key")
-    val probe = spark.table("graft_ingest_t4_bands")
-      .filter($"band_key".isin(bandKeys.take(2): _*))
-      .join(broadcast(fakeBatch), Seq("band_id", "band_key"))
-      .select($"id".as("old_id"), $"new_id").distinct()
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"), plan)
+    IngestDedup.admitBatch(d.filter($"doc_id" < 3), "graft_ingest_t4",
+      ngram = 1, numHashes = 32, bands = 32)
+    // rebuild the batch-side frames exactly as admitBatch does and
+    // inspect the LAZY cross-batch probe plan (the frame admitBatch
+    // returns is checkpoint-settled, its lineage gone)
+    val batch = d.filter($"doc_id" >= 3)
+    val b = batch.select(
+      $"doc_id".cast("long").as("id"),
+      TextDedup.shingleHashes($"text", 1).as("sh"),
+      TextDedup.minhashSignature(TextDedup.shingleHashes($"text", 1), 32, 42L).as("sig"))
+    val bandRows = b
+      .select($"id", explode(TextDedup.lshBands($"sig", 32, 1)).as("band"))
+      .select($"id", $"band.band_id", $"band.band_key")
+    val rej = IngestDedup.crossBatchRejections(
+      spark, "graft_ingest_t4", bandRows, b, 0.5)
+    // the plan must not carry collected band keys as literals: a large
+    // micro-batch would inflate the PLAN (analysis/codegen blowup)
+    // instead of flowing through the data plane
+    val opt = rej.queryExecution.optimizedPlan.toString
+    assert(!opt.contains(" IN ("), "literal In over band keys:\n" + opt)
+    assert(!opt.contains("INSET"), "literal InSet over band keys:\n" + opt)
+    // the store-side probe is a broadcast hash join (store never shuffled)
+    val phys = rej.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert(!phys.contains("SortMergeJoin"), "store side must not sort-merge:\n" + phys)
+    // and it still finds the cross-batch duplicate (doc 3 copies doc 0)
+    assert(rej.select("id").as[Long].collect().toSet === Set(3L))
   }
 }
