@@ -853,6 +853,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q119: BPE token IDS under the COMMITTED tokenizer asset
+    // (BpeAssets: train-once merges + contiguous-id vocab) — the
+    // trainable output of the tokenizer, stable across scale factors
+    // because the asset is fixed. Narrow UDF encode, posexploded to
+    // scalar (doc_id, pos, token_id) rows; the DuckDB oracle REPLAYS
+    // the merge table with a recursive CTE (leftmost-occurrence
+    // merging per rank ≡ the single greedy pass, since a pair merge
+    // can never create a new instance of the same pair), generated
+    // from the same committed constants.
+    "q119_bpe_token_ids" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.Bpe.encodeIds(
+            col("text"), BpeAssets.merges, BpeAssets.vocabMap)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // q115: Zipf slope of the corpus rank-frequency curve — corpus
     // health metric (natural text ~ -1). Top-500 tokens via
     // TakeOrderedAndProject (heap-pruned), rank over the bounded 500,
@@ -2564,6 +2583,8 @@ object SparkEntry {
            round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
            round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
          FROM r""",
+    // generated from the committed tokenizer asset — see BpeAssets
+    "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
     "q116_regional_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem, orders, customer, supplier, nation, region

@@ -128,6 +128,78 @@ object Bpe {
       .orderBy(col("merge_rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 
+  val Unk = "<unk>"
+
+  /** Deterministic token-id vocabulary from a merge table + base
+    * character set: id 0 is reserved for [[Unk]], then the base symbols
+    * (single characters + [[EndOfWord]]) sorted lexicographically, then
+    * one id per merge PRODUCT in training order (a product string that
+    * collided with an earlier symbol keeps the earlier id — two merges
+    * like (a,bc) and (ab,c) can both spell "abc"). Contiguous ids, so
+    * the vocab doubles as an embedding-row index for training. */
+  def vocab(merges: Seq[(String, String)], baseChars: Seq[String]): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Long](Unk -> 0L)
+    (baseChars.distinct.sorted :+ EndOfWord).distinct.sorted.foreach { s =>
+      if (!out.contains(s)) out(s) = out.size.toLong
+    }
+    merges.foreach { case (a, b) =>
+      val p = a + b
+      if (!out.contains(p)) out(p) = out.size.toLong
+    }
+    out.toSeq
+  }
+
+  /** Base character set of a corpus — the distinct characters of the
+    * word-type histogram (same tokenization as [[fit]]), the alphabet a
+    * vocab built over this corpus must cover. */
+  def baseChars(docs: DataFrame, textCol: String, maxWordTypes: Int = 1000000): Seq[String] =
+    graft.GraftSession.widen(docs)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().orderBy(col("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Column: token IDS of a text under a (broadcast) merge table +
+    * vocab — the trainable output of the tokenizer (what a pretraining
+    * pipeline materializes), not just billing counts. Symbols outside
+    * the vocab map to [[Unk]]'s id 0. One narrow UDF, no shuffle. */
+  def encodeIds(textCol: Column, merges: Seq[(String, String)],
+      vocabMap: Map[String, Long]): Column = {
+    val m: IndexedSeq[(String, String)] = merges.toIndexedSeq
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => encodeWord(w, m).map(s => vocabMap.getOrElse(s, 0L)))
+    }
+    f(textCol)
+  }
+
+  /** Inverse of [[encodeIds]] for in-vocab text: ids → symbols,
+    * [[EndOfWord]] → word break. Round-trips (BpeSpec) because merges
+    * only ever concatenate characters of the original word. */
+  def decodeIds(ids: Seq[Long], vocabSeq: Seq[(String, Long)]): String = {
+    val inv = vocabSeq.map(_.swap).toMap
+    ids.map(id => inv.getOrElse(id, Unk)).mkString("")
+      .split(java.util.regex.Pattern.quote(EndOfWord)).mkString(" ").trim
+  }
+
+  /** Persist a vocab as ordered parquet (token, token_id) — the second
+    * durable tokenizer asset next to the merge table ([[save]]). */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      vocabSeq: Seq[(String, Long)], path: String): Unit = {
+    import spark.implicits._
+    vocabSeq.toDF("token", "token_id").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocab saved by [[saveVocab]], in id order. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] =
+    spark.read.parquet(path).orderBy(col("token_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Column: the segments themselves (space-joined per word, '|'
     * between words) — for inspection/tests. */
   def segments(textCol: Column, merges: Seq[(String, String)]): Column = {

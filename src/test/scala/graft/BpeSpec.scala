@@ -64,6 +64,49 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.load(spark, path) === merges)
   }
 
+  test("vocab: contiguous ids, unk=0, base symbols before merge products, deterministic") {
+    val v = BpeAssets.vocab
+    assert(v.map(_._2) === v.indices.map(_.toLong), "ids are contiguous from 0")
+    assert(v.head === ((Bpe.Unk, 0L)))
+    assert(v.map(_._1).distinct.size === v.size, "tokens unique")
+    // every base char + EndOfWord is present before any merge product
+    val nBase = 1 + (BpeAssets.baseChars :+ Bpe.EndOfWord).distinct.size
+    val (base, products) = v.splitAt(nBase)
+    assert(base.map(_._1).toSet ===
+      (BpeAssets.baseChars :+ Bpe.EndOfWord).toSet + Bpe.Unk)
+    products.foreach { case (t, _) =>
+      assert(BpeAssets.merges.exists { case (a, b) => a + b == t }, t)
+    }
+    // rebuild = same table (pure function of the committed constants)
+    assert(Bpe.vocab(BpeAssets.merges, BpeAssets.baseChars) === v)
+  }
+
+  test("encodeIds/decodeIds round-trip in-vocab text; unknown symbols hit unk=0") {
+    val docs = sources.Tables.documents(spark, sf0001).limit(50)
+    val rows = docs.select(col("doc_id"), col("text"),
+        Bpe.encodeIds(col("text"), BpeAssets.merges, BpeAssets.vocabMap).as("ids"))
+      .collect()
+    rows.foreach { r =>
+      val normalized = r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(Bpe.decodeIds(r.getSeq[Long](2), BpeAssets.vocab) === normalized,
+        s"doc ${r.getLong(0)}")
+    }
+    // a character outside the committed alphabet ('z' and 'x' may be
+    // absent) degrades to unk id 0, never a crash or a silent drop
+    val ids = spark.sql("SELECT 1").select(
+        Bpe.encodeIds(lit("qéz"), BpeAssets.merges, BpeAssets.vocabMap).as("ids"))
+      .head().getSeq[Long](0)
+    assert(ids.length === 4, "q, é, z, </w>")
+    assert(ids.contains(0L), "unseen char maps to unk")
+  }
+
+  test("vocab save/load round-trips in id order") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/v"
+    Bpe.saveVocab(spark, BpeAssets.vocab, path)
+    assert(Bpe.loadVocab(spark, path) === BpeAssets.vocab)
+  }
+
   test("segment concatenation round-trips the word (no characters lost)") {
     val docs = sources.Tables.documents(spark, sf0001).limit(50)
     val merges = Bpe.fit(docs, "text", numMerges = 30)
