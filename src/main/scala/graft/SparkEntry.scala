@@ -1954,6 +1954,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q120: REAL audio decode under the hash gate — the WAV analog of
+    // q90: deterministic PCM16 clips are encoded as actual WAV files
+    // (javax.sound.sampled) and decoded back by the production
+    // wavStats path; every output lane is an exact integer (peak /
+    // Σ|s| / Σs² per channel, truncated duration), so the oracle
+    // reproduces them from the sample formula alone. Upgrades audio
+    // from byte-stats stub to a real codec path.
+    "q120_wav_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      GraftSession.widen(docs)
+        .withColumn("payload", Multimodal.syntheticWav(col("doc_id")))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.wavStats(col("payload")).as("st"))
+        .select(col("media_id"), col("st.*"))
+        .orderBy(col("media_id"))
+    }),
+
     // q106: MMR diversified re-ranking — the standard serving layer
     // after ANN retrieval. Corpus-sized work is heap-pruned candidate
     // generation; the greedy pick runs over the bounded candidate set.
@@ -3453,6 +3470,35 @@ object SparkEntry {
            sum((doc_id*17 + x*3 + y*5) % 256)::BIGINT AS sum_g,
            sum((doc_id*23 + x*11 + y*2) % 256)::BIGINT AS sum_b
          FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // WAV oracle: replay the PCM16 sample formula (flat sample j of
+    // clip id = ((id*31 + j*7919) % 65536) - 32768, channel = j %
+    // channels) and aggregate the same exact-integer lanes the real
+    // decode emits; mono clips carry 0 in the channel-1 lanes.
+    "q120_wav_stats" ->
+      """WITH base AS (
+           SELECT doc_id, 1 + doc_id % 2 AS channels,
+             8000 * (1 + doc_id % 3) AS rate, 64 + doc_id % 33 AS n_frames
+           FROM documents),
+         samp AS (
+           SELECT doc_id, j % channels AS c,
+             ((doc_id*31 + j*7919) % 65536) - 32768 AS s
+           FROM (SELECT doc_id, channels, unnest(range(n_frames*channels)) AS j
+                 FROM base)),
+         agg AS (
+           SELECT doc_id, c, max(abs(s))::BIGINT AS peak,
+             sum(abs(s))::BIGINT AS sum_abs, sum(s*s)::BIGINT AS sum_sq
+           FROM samp GROUP BY doc_id, c)
+         SELECT b.doc_id AS media_id, b.rate AS sample_rate, b.channels,
+           b.n_frames::BIGINT AS n_frames,
+           (b.n_frames * 1000 // b.rate)::BIGINT AS duration_ms,
+           a0.peak AS peak_0, a0.sum_abs AS sum_abs_0, a0.sum_sq AS sum_sq_0,
+           coalesce(a1.peak, 0)::BIGINT AS peak_1,
+           coalesce(a1.sum_abs, 0)::BIGINT AS sum_abs_1,
+           coalesce(a1.sum_sq, 0)::BIGINT AS sum_sq_1
+         FROM base b
+         JOIN agg a0 ON a0.doc_id = b.doc_id AND a0.c = 0
+         LEFT JOIN agg a1 ON a1.doc_id = b.doc_id AND a1.c = 1
+         ORDER BY media_id""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute

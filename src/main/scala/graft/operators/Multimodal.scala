@@ -8,16 +8,25 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque BINARY + typed metadata.
   *
   * The decode path is REAL for the formats the stock JVM ships codecs
-  * for — PNG/JPEG/GIF/BMP via pure-JVM `javax.imageio`, no native libs
-  * — detected by payload magic bytes; any other payload falls back to
-  * the deterministic byte-statistics stub (which is what the text-bytes
-  * fixtures exercise, keeping q60–q62's DuckDB oracles bit-exact).
-  * Audio/video codecs are NOT in this container, so frame-sampling
-  * stays a byte-window stub. Either way the plan is the deliverable:
+  * for — PNG/JPEG/GIF/BMP via pure-JVM `javax.imageio`, PCM WAV audio
+  * via `javax.sound.sampled` ([[Multimodal.wavStats]]), no native libs
+  * — detected by payload magic bytes; any other payload (compressed
+  * audio, video containers) falls back to the deterministic
+  * byte-statistics stub (which is what the text-bytes fixtures
+  * exercise, keeping q60–q62's DuckDB oracles bit-exact). Video
+  * frame-sampling stays a byte-window stub — no MP4/Matroska demuxer
+  * ships with the JDK. Either way the plan is the deliverable:
   * decode is a narrow per-partition map with no shuffle, exactly how a
   * 100 TB media table wants to be processed (data-local, no driver
   * involvement, columnar in/out).
   */
+/** Named struct for [[Multimodal.wavStats]] — field names become the
+  * struct's column names when the UDF result is star-expanded. */
+case class WavStatsRow(
+    sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Long,
+    peak_0: Long, sum_abs_0: Long, sum_sq_0: Long,
+    peak_1: Long, sum_abs_1: Long, sum_sq_1: Long)
+
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -261,6 +270,101 @@ object Multimodal {
       }
     }
     f(payload)
+  }
+
+  /** RIFF/WAVE magic sniff — the audio analog of [[looksLikeImage]]. */
+  private[operators] def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Integer-exact per-channel WAV statistics from a REAL
+    * `javax.sound.sampled` decode (pure JDK — no container codecs
+    * needed, unlike compressed audio): sample rate, channel count,
+    * frame count, integer-truncated duration_ms, and per channel the
+    * peak |sample|, Σ|sample| and Σsample² accumulated as exact Longs
+    * (an RMS is one sqrt away, but the OUTPUT stays integer so any
+    * engine can reproduce it bit-for-bit — the q90 discipline, applied
+    * to audio). PCM16 only (what WAV overwhelmingly carries); anything
+    * else — or a payload that is not audio at all — returns null and
+    * the caller falls back to the byte-stats stub. Null second-channel
+    * lanes are 0 for mono. One narrow UDF, no shuffle. */
+  def wavStats(payload: Column): Column = {
+    val f = udf { (p: Array[Byte]) =>
+      val ais =
+        if (!looksLikeWav(p)) null
+        else
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null) null
+      else {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels > 2) null
+        else {
+          val bytes = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val rate = fmt.getSampleRate.toInt
+          val nFrames = bytes.length / (2 * channels)
+          val peak = new Array[Long](2)
+          val sumAbs = new Array[Long](2)
+          val sumSq = new Array[Long](2)
+          val big = fmt.isBigEndian
+          var j = 0
+          val total = nFrames * channels
+          while (j < total) {
+            val lo = if (big) bytes(2 * j + 1) else bytes(2 * j)
+            val hi = if (big) bytes(2 * j) else bytes(2 * j + 1)
+            val s = ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toLong
+            val c = j % channels
+            val a = math.abs(s)
+            if (a > peak(c)) peak(c) = a
+            sumAbs(c) += a
+            sumSq(c) += s * s
+            j += 1
+          }
+          WavStatsRow(rate, channels, nFrames.toLong,
+            nFrames.toLong * 1000L / rate,
+            peak(0), sumAbs(0), sumSq(0), peak(1), sumAbs(1), sumSq(1))
+        }
+      }
+    }
+    f(payload)
+  }
+
+  /** Deterministic synthetic audio, encoded as a REAL PCM16 WAV via
+    * `javax.sound.sampled` — flat sample j of clip `id` is the
+    * closed-form ((id·31 + j·7919) mod 65536) − 32768 over
+    * (64 + id mod 33) frames, (1 + id mod 2) channels interleaved,
+    * 8000·(1 + id mod 3) Hz. WAV is a lossless PCM container, so the
+    * decode recovers the formula exactly; q120 uses this to put the
+    * real audio codec path under the driver's hash gate (the oracle
+    * computes the same integer sums from the formula, never touching
+    * an audio API). */
+  def syntheticWav(id: Column): Column = {
+    val f = udf { (id: Long) =>
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val nFrames = (64 + id % 33).toInt
+      val data = new Array[Byte](nFrames * channels * 2)
+      var j = 0
+      while (j < nFrames * channels) {
+        val s = (((id * 31 + j.toLong * 7919) % 65536) - 32768).toInt
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    f(id)
   }
 
   /** Frame-sample shape for video-ish payloads: split the payload into

@@ -102,6 +102,46 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isNullAt(0), "undecodable payload must yield null, not crash")
   }
 
+  test("WAV roundtrip: real javax.sound decode recovers the closed-form PCM16 stats") {
+    // local replay of the syntheticWav formula for ids exercising mono
+    // (even) and stereo (odd), all three sample rates
+    def expect(id: Long) = {
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val nFrames = (64 + id % 33).toInt
+      val peak = new Array[Long](2); val sAbs = new Array[Long](2); val sSq = new Array[Long](2)
+      for (j <- 0 until nFrames * channels) {
+        val s = ((id * 31 + j.toLong * 7919) % 65536) - 32768
+        val c = j % channels; val a = math.abs(s)
+        if (a > peak(c)) peak(c) = a
+        sAbs(c) += a; sSq(c) += s * s
+      }
+      (rate, channels, nFrames.toLong, nFrames.toLong * 1000L / rate,
+        peak(0), sAbs(0), sSq(0), peak(1), sAbs(1), sSq(1))
+    }
+    val rows = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("media_id")
+      .withColumn("payload", Multimodal.syntheticWav($"media_id"))
+      .select($"media_id", Multimodal.wavStats($"payload").as("st"))
+      .select($"media_id", $"st.*")
+      .orderBy($"media_id")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val got = (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))
+      assert(got === expect(id), s"id=$id")
+      if (id % 2 == 0)
+        assert(r.getLong(8) === 0L && r.getLong(9) === 0L && r.getLong(10) === 0L,
+          "mono carries zeroed channel-1 lanes")
+    }
+    // non-WAV payloads (and WAV magic over garbage) yield null, never a crash
+    val bad = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "RIFFxxxxWAVEgarbage".getBytes("UTF-8"))).toDF("id", "payload")
+      .select(Multimodal.wavStats($"payload").as("st")).collect()
+    bad.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
     val png = pngFixture()
     val df = Seq((1L, png)).toDF("media_id", "payload")
