@@ -1715,6 +1715,57 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // q121: forest-store compaction ACTUATOR — consumes the occupancy
+    // stats q105-style introspection reports and acts: purges
+    // tombstoned rows physically and merges under-occupied sibling
+    // buckets (plane deletion ⇒ routing stops at the merged node, so
+    // storage and routing cannot disagree), under Bm25's torn-rewrite
+    // marker discipline. Forest structure is seeded-random (not
+    // SQL-expressible), so the gate pins INVARIANTS as (component, ok)
+    // rows, q104-style: fewer buckets, identical vector set, no
+    // tombstone survives, and the before-results are a subset of the
+    // after-results (a merged bucket is a candidate superset).
+    "q121_forest_compaction" -> ((s, d) => {
+      import graft.ann.{DistributedAnnForest, DistributedAnnModel}
+      val e = Tables.embeddings(s, d)
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q121_store"
+      DistributedAnnForest(numTrees = 8, maxLeafSize = 5, maxDepth = 10, seed = 7L)
+        .fit(e).save(dir)
+      val removed = e.filter(col("vec_id") % 10 === 1).select(col("vec_id"))
+      val queries = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // every before-store read settles BEFORE the in-place rewrite
+      val before = DistributedAnnModel.load(dir, s).remove(removed)
+      val bucketsBefore = before.corpusBuckets
+        .select(col("tree_id"), col("leaf_id")).distinct().count()
+      val vecsBefore = before.corpusBuckets
+        .select(col("neighbor_id")).distinct().count()
+      val resBefore = before.radiusJoin(queries, maxDist = 1.2535)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      DistributedAnnModel.compactStore(s, dir, minBucketRows = 8,
+        tombstones = Some(removed))
+      val after = DistributedAnnModel.load(dir, s)
+      val bucketsAfter = after.corpusBuckets
+        .select(col("tree_id"), col("leaf_id")).distinct().count()
+      val vecsAfter = after.corpusBuckets
+        .select(col("neighbor_id")).distinct().count()
+      val tombLeft = after.corpusBuckets
+        .join(removed.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").count()
+      val resAfter = after.radiusJoin(queries, maxDist = 1.2535)
+        .select(col("query_id"), col("neighbor_id"))
+      val lost = resBefore.join(resAfter,
+        Seq("query_id", "neighbor_id"), "left_anti").count()
+      import s.implicits._
+      Seq(
+        ("buckets_reduced", if (bucketsAfter < bucketsBefore) 1 else 0),
+        ("radius_nonempty", if (resBefore.count() > 0) 1 else 0),
+        ("results_preserved", if (lost == 0) 1 else 0),
+        ("tombstones_purged", if (tombLeft == 0) 1 else 0),
+        ("vectors_preserved", if (vecsAfter == vecsBefore) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
@@ -3128,6 +3179,14 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY rank""",
     "q104_maxsim_indexed" ->
       """SELECT * FROM (VALUES ('maxsim_indexed', 1)) t(component, ok)""",
+    // q121: invariant gate rows (forest structure is seeded-random, so
+    // the checks run Spark-side; the oracle pins the expected verdicts)
+    "q121_forest_compaction" ->
+      """SELECT * FROM (VALUES
+           ('buckets_reduced', 1), ('radius_nonempty', 1),
+           ('results_preserved', 1), ('tombstones_purged', 1),
+           ('vectors_preserved', 1)) t(component, ok)
+         ORDER BY component""",
     // q105: integer-exact mirrors of the index tables from the corpus:
     // postings = distinct (doc, term), sum_dl = token instances.
     "q105_index_stats" ->

@@ -433,6 +433,72 @@ class DistributedAnnModel(
       .unionByName(one("max_bucket_rows", sizes.agg(max(col("__sz")))))
   }
 
+  /** Compaction ACTUATOR — consumes the occupancy stats [[describe]]
+    * reports (q105's vector-side sibling) and merges under-occupied
+    * sibling leaves: wherever BOTH children of a split node are leaves
+    * and their combined occupancy is below `minBucketRows`, the node's
+    * plane is deleted and the rows relabel to the parent path. Query
+    * routing walks the same plane map, so it now STOPS at the merged
+    * node and probes exactly the union of the two old buckets —
+    * routing and storage can never disagree, and a query's candidate
+    * set only ever GROWS (old bucket ⊆ merged bucket), so radius
+    * results are a superset and top-k distances are monotonically ≤
+    * before (the invariants q121 pins under the hash gate). Merges
+    * cascade bottom-up in one deepest-first pass (a merged node can
+    * merge into ITS sibling), which is order-canonical: a node's
+    * decision depends only on its subtree's occupancy.
+    *
+    * Why merge at all: a standing store accumulates tiny buckets as
+    * deletes drain leaves (tombstone purges) and as appends skew —
+    * per-bucket fixed costs (file/row-group per (tree,leaf), zone-map
+    * entries, probe fan-out) then dominate. Driver footprint is the
+    * per-bucket size map — bounded by the SAME numTrees·2^maxDepth
+    * envelope as the plane map the driver already holds.
+    *
+    * Frame-level only, like [[remove]]: durably persist via [[save]]
+    * or [[DistributedAnnModel.compactStore]] (marker-guarded). */
+  def compactBuckets(minBucketRows: Int): DistributedAnnModel = {
+    require(minBucketRows >= 1, s"minBucketRows must be >= 1, got $minBucketRows")
+    val sizes: Map[(Int, Long), Long] = corpusBuckets
+      .groupBy(col("tree_id"), col("leaf_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val livePlanes = scala.collection.mutable.Map[(Int, Long), HyperPlane](planes.toSeq: _*)
+    val occ = scala.collection.mutable.Map[(Int, Long), Long](sizes.toSeq: _*)
+    // deepest-first: children's merges settle before the parent asks
+    planes.keys.toSeq
+      .sortBy { case (t, p) => (-java.lang.Long.numberOfTrailingZeros(
+        java.lang.Long.highestOneBit(p)), t, p) }
+      .foreach { case (t, p) =>
+        val l = (t, 2 * p); val r = (t, 2 * p + 1)
+        if (!livePlanes.contains(l) && !livePlanes.contains(r)) {
+          val n = occ.getOrElse(l, 0L) + occ.getOrElse(r, 0L)
+          if (n < minBucketRows) {
+            livePlanes.remove((t, p))
+            occ.remove(l); occ.remove(r); occ((t, p)) = n
+          }
+        }
+      }
+    if (livePlanes.size == planes.size) this
+    else {
+      // removed planes form contiguous chains up from old leaves, so
+      // the new home of an old leaf = ascend while the parent's plane
+      // is gone — exactly where the routing walk now stops
+      val live = livePlanes.keySet.toSet
+      val remap: Map[(Int, Long), Long] = sizes.keys.flatMap { case (t, q) =>
+        var nq = q
+        while (nq > 1L && !live.contains((t, nq >> 1))) nq >>= 1
+        if (nq != q) Some((t, q) -> nq) else None
+      }.toMap
+      val spark = corpusBuckets.sparkSession
+      val bc = spark.sparkContext.broadcast(remap)
+      val relabel = udf { (tree: Int, leaf: Long) =>
+        bc.value.getOrElse((tree, leaf), leaf)
+      }
+      new DistributedAnnModel(numTrees, livePlanes.toMap, metric,
+        corpusBuckets.withColumn("leaf_id", relabel(col("tree_id"), col("leaf_id"))))
+    }
+  }
+
   /** New vectors as storable bucket rows (`neighbor_id, __cvec,
     * tree_id, leaf_id`) — the streaming-ingest building block: inside a
     * `foreachBatch` sink, `routeForStore(batch).write.mode("append")
@@ -480,8 +546,53 @@ class DistributedAnnModel(
 }
 
 object DistributedAnnModel {
-  /** Load a model persisted by [[DistributedAnnModel.save]]. */
+  private def compactingMarker(path: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path, "__compacting")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Physically compact a [[DistributedAnnModel.save]]d store: purge
+    * `tombstones` (the rows stop existing on disk, not just behind a
+    * frame-level anti-join) and merge under-occupied sibling buckets
+    * ([[DistributedAnnModel.compactBuckets]]), rewriting buckets +
+    * planes + meta in place. Torn-rewrite safety is Bm25's marker
+    * discipline (Bm25.buildIndex): a `__compacting` marker goes down
+    * BEFORE the overwrite and comes up only after the last write — a
+    * crash mid-rewrite leaves the marker behind and [[load]] refuses
+    * the store outright (mixed old-buckets/new-planes would silently
+    * mis-route), instead of serving a torn index. The surviving rows
+    * are settled (localCheckpoint) before the overwrite — Spark cannot
+    * overwrite a directory its own plan still reads. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      minBucketRows: Int,
+      tombstones: Option[DataFrame] = None, idCol: String = "vec_id"): Unit = {
+    val (fs, marker) = compactingMarker(path, spark)
+    require(!fs.exists(marker),
+      s"store '$path': a compaction is in progress or was interrupted " +
+        s"(marker $marker present) — restore or rebuild before serving")
+    val current = load(path, spark)
+    val pruned = tombstones.map(t => current.remove(t, idCol)).getOrElse(current)
+    val compacted = pruned.compactBuckets(minBucketRows)
+    val settled = new DistributedAnnModel(
+      compacted.numTrees, compacted.planes, compacted.metric,
+      compacted.corpusBuckets.localCheckpoint())
+    // zone maps are derived from the bucket table being rewritten —
+    // rebuild them iff the store carried them (stale maps would prune
+    // against centroids of buckets that no longer exist)
+    val hadZoneMaps = fs.exists(new org.apache.hadoop.fs.Path(path, "zonemaps"))
+    fs.create(marker, true).close()
+    settled.save(path, withZoneMaps = hadZoneMaps)
+    fs.delete(marker, false)
+  }
+
+  /** Load a model persisted by [[DistributedAnnModel.save]]. Refuses a
+    * store carrying a torn-compaction marker (see [[compactStore]]). */
   def load(path: String, spark: org.apache.spark.sql.SparkSession): DistributedAnnModel = {
+    val (mfs, marker) = compactingMarker(path, spark)
+    require(!mfs.exists(marker),
+      s"store '$path': compaction in progress or interrupted (marker present)")
     val meta = spark.read.parquet(s"$path/meta").head()
     val planes = spark.read.parquet(s"$path/planes").collect()
       .map { r => (r.getInt(0), r.getLong(1)) ->

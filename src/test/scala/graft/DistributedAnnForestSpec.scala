@@ -415,4 +415,71 @@ class DistributedAnnForestSpec extends SparkSpec {
     assert(s1("n_vectors") === n - 10)
     assert(s1("n_bucket_rows") === (n - 10) * 8)
   }
+
+  test("compactBuckets: merges only under-occupied sibling pairs; routing matches storage") {
+    val m = DistributedAnnForest(numTrees = 4, maxLeafSize = 5,
+      maxDepth = 12, seed = 42L).fit(emb, "vec_id", "embedding")
+    val c = m.compactBuckets(minBucketRows = 8)
+    // planes only ever get REMOVED, and with them bucket count drops
+    assert(c.planes.size < m.planes.size)
+    assert(c.planes.keySet.subsetOf(m.planes.keySet))
+    c.planes.foreach { case (k, pl) => assert(m.planes(k) === pl) }
+    val sizesOf = (mm: DistributedAnnModel) => mm.corpusBuckets
+      .groupBy($"tree_id", $"leaf_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = sizesOf(m); val after = sizesOf(c)
+    assert(after.size < before.size, "fewer buckets")
+    assert(after.values.sum === before.values.sum, "no row lost or duplicated")
+    // every merged bucket is exactly the union of the leaves below it,
+    // and no merged bucket could have been left split (size < threshold)
+    after.foreach { case ((t, p), sz) =>
+      if (!before.contains((t, p))) assert(sz < 8, s"merged ($t,$p) must be under-occupied")
+    }
+    // storage and routing agree after compaction: re-routing the corpus
+    // through the compacted plane map reproduces the bucket table
+    val rerouted = c.assignLeaves(emb, "vec_id", "embedding")
+      .groupBy($"tree_id", $"leaf_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rerouted === after)
+    // candidate sets only grow ⇒ knn distances monotonically improve
+    val q = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val dB = m.knnJoin(q, topK = 3).groupBy($"query_id")
+      .agg(sum($"dist").as("s")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dA = c.knnJoin(q, topK = 3).groupBy($"query_id")
+      .agg(sum($"dist").as("s")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dB.foreach { case (qid, s) => assert(dA(qid) <= s + 1e-9, s"query $qid") }
+  }
+
+  test("compactStore: physical purge + marker discipline (torn compaction refuses to load)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dann_compact").toString + "/store"
+    val m = DistributedAnnForest(numTrees = 4, maxLeafSize = 5,
+      maxDepth = 12, seed = 42L).fit(emb, "vec_id", "embedding")
+    m.save(dir, withZoneMaps = true)
+    val gone = emb.filter($"vec_id" % 7 === 0).select($"vec_id")
+    DistributedAnnModel.compactStore(spark, dir, minBucketRows = 8,
+      tombstones = Some(gone))
+    val re = DistributedAnnModel.load(dir, spark)
+    // tombstones are physically gone from the rewritten parquet
+    val left = re.corpusBuckets.join(
+      gone.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"), "left_semi").count()
+    assert(left === 0L)
+    // zone maps were rebuilt for the new bucket table (not stale):
+    // every (tree, leaf) in the maps exists in the compacted buckets
+    val zmKeys = re.zoneMaps.select($"tree_id", $"leaf_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val bKeys = re.corpusBuckets.select($"tree_id", $"leaf_id").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(zmKeys === bKeys)
+    // a leftover marker (crash mid-rewrite) makes load AND compactStore refuse
+    val marker = new org.apache.hadoop.fs.Path(dir, "__compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    intercept[IllegalArgumentException] { DistributedAnnModel.load(dir, spark) }
+    intercept[IllegalArgumentException] {
+      DistributedAnnModel.compactStore(spark, dir, minBucketRows = 8)
+    }
+    fs.delete(marker, false)
+    assert(DistributedAnnModel.load(dir, spark).corpusBuckets.count() > 0)
+  }
 }
