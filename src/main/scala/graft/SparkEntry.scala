@@ -1255,25 +1255,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour"))
     }),
 
-    // q113: ordered funnel view -> click -> purchase: each stage is
-    // "min event time strictly after the previous stage's time", a
-    // user-keyed agg over a semi-filtered scan — no window, no
-    // sequence materialization.
+    // q113: ordered funnel view -> click -> purchase — the N-stage
+    // Funnel operator at 3 stages: each stage is "min event time
+    // strictly after the previous stage's time", a user-keyed agg over
+    // a semi-filtered scan — no window, no sequence materialization
+    // (FunnelSpec pins 4-stage semantics; PlanSpec the window-free
+    // shape).
     "q113_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
-        .unionAll(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("click").as("stage"), col("n_users")))
-        .unionAll(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("purchase").as("stage"), col("n_users")))
+      graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
         .orderBy(col("stage"))
     }),
 

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-stage ordered funnel — the parameterized generalization of the
+  * view→click→purchase analysis (q113). A user completes stage i when
+  * an event of stage i's type exists STRICTLY AFTER the user's stage
+  * i−1 completion time; completion time is the MIN qualifying event
+  * time (the canonical "earliest conversion" semantics — later
+  * repetitions of a stage neither help nor hurt).
+  *
+  * Plan shape (the reason this is an iterative chain and not a
+  * sequence-match window): each stage is one semi-filtered scan of the
+  * events table joined to the PREVIOUS stage's per-user min-time — a
+  * user-keyed aggregation whose build side shrinks monotonically (the
+  * funnel property), so every join after stage 1 is against an
+  * ever-smaller per-user frame and AQE broadcasts the tail stages. No
+  * window over per-user event sequences, no array materialization:
+  * corpus-sized work is `stages.length` filtered scans + hash aggs,
+  * each separately shuffle-partial. PlanSpec pins the window-free
+  * shape via q113, which is this operator at
+  * `Seq("view", "click", "purchase")`.
+  */
+object Funnel {
+
+  /** Per-user completion times: (userCol, __t) for the LAST stage,
+    * chaining through all previous ones. Exposed for reuse (e.g.
+    * time-to-convert analyses join two stages' frames). */
+  def stageTimes(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): Seq[(String, DataFrame)] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var prev: Option[DataFrame] = None
+    stages.map { st =>
+      val base = events.filter(col(typeCol) === st)
+      val gated = prev match {
+        case None => base
+        case Some(p) =>
+          base.join(p.select(col(userCol), col("__t")), Seq(userCol))
+            .filter(col(tsCol) > col("__t"))
+      }
+      val cur = gated.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      prev = Some(cur)
+      (st, cur)
+    }
+  }
+
+  /** The funnel report: one (stage, n_users) row per stage, in the
+    * caller's stage order (sort on output if a different presentation
+    * order is wanted — q113 sorts by stage name for its oracle). */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    stageTimes(events, stages, userCol, tsCol, typeCol)
+      .map { case (st, cur) =>
+        cur.agg(count(lit(1)).as("n_users"))
+          .select(lit(st).as("stage"), col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+}
