@@ -1249,9 +1249,14 @@ object SparkEntry {
       val stats = hourly.groupBy(col("event_type"))
         .agg(avg(col("n")).as("mean_n"), stddev_samp(col("n")).as("std_n"))
       hourly.join(broadcast(stats), "event_type")
-        .withColumn("z", (col("n") - col("mean_n")) / col("std_n"))
+        // threshold membership is decided on the ROUNDED z — the same
+        // quantized value both engines output — so a z at the 2.0
+        // boundary cannot be included by one float path and excluded
+        // by the other (Spark's partial-agg avg/stddev and DuckDB's
+        // can differ in the last ulps)
+        .withColumn("z", round((col("n") - col("mean_n")) / col("std_n"), 4))
         .filter(col("z") >= 2.0)
-        .select(col("event_type"), col("hour"), col("n"), round(col("z"), 4).as("z"))
+        .select(col("event_type"), col("hour"), col("n"), col("z"))
         .orderBy(col("event_type"), col("hour"))
     }),
 
@@ -2987,7 +2992,7 @@ object SparkEntry {
          SELECT h.event_type, h.hour, h.n,
            round((h.n - st.mean_n) / st.std_n, 4) AS z
          FROM h JOIN st USING (event_type)
-         WHERE (h.n - st.mean_n) / st.std_n >= 2.0
+         WHERE round((h.n - st.mean_n) / st.std_n, 4) >= 2.0
          ORDER BY h.event_type, h.hour""",
     "q113_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -109,7 +109,10 @@ object RankFusion {
     * 1/(kRrf+k)) — plus the structural precondition that the top-k ids
     * of at least one list survive the inner join, which holds whenever
     * one table's id space contains the other's (here: every embedding
-    * id is a document id).
+    * id is a document id). The precondition is CHECKED at runtime
+    * against the fused candidate slice (cheap — it is candidate-sized)
+    * and violated inputs fail loudly rather than silently diverging
+    * from the window formulation.
     */
   def rrfTopK(
       a: DataFrame, scoreA: String, rankAName: String,
@@ -133,8 +136,28 @@ object RankFusion {
       idCol, Seq(scoreA), Seq(rankAName))
     val rB = countAheadRanks(b, b.join(broadcast(candIds), Seq(idCol)),
       idCol, Seq(scoreB), Seq(rankBName))
-    rA.select(col(idCol), col(rankAName))
+    val fused = rA.select(col(idCol), col(rankAName))
       .join(rB.select(col(idCol), col(rankBName)), Seq(idCol))
+      // candidate-sized (≤ 2·cand rows); settled once so the structural
+      // guard below and the returned top-k read the same materialized
+      // slice instead of re-running the corpus passes
+      .localCheckpoint()
+    // RUNTIME GUARD for the structural precondition the exactness
+    // argument leans on (class doc): at least one list's top-k ids must
+    // survive the inner join — the "k candidates at rrf ≥ 1/(kRrf+k)"
+    // floor comes from exactly those rows. With partially-disjoint id
+    // spaces (neither table's ids contain the other's) the floor can
+    // vanish and the candidate top-k silently diverge from the
+    // corpus-wide-window formulation — fail loudly instead. Ranks here
+    // are the exact global ranks, so "top-k of list X survives" ≡
+    // "k fused rows with rankX ≤ k".
+    val okA = fused.filter(col(rankAName) <= k).count() >= k
+    def okB = fused.filter(col(rankBName) <= k).count() >= k
+    require(okA || okB,
+      s"rrfTopK: neither list's global top-$k fully survives the inner id " +
+        "join — the id spaces are too disjoint for the candidate bound to " +
+        "be exact; widen the join (outer-fuse) or fuse pre-filtered tables")
+    fused
       .withColumn("rrf", round(
         lit(1.0) / (lit(kRrf) + col(rankAName)) +
           lit(1.0) / (lit(kRrf) + col(rankBName)), rrfScale))

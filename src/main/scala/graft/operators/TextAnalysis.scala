@@ -233,6 +233,34 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  /** [[percentileFloor]] at corpus scale: exact `percentile` holds
+    * EVERY group value in its aggregation buffer (OpenHashMap of value
+    * → count — fine at fixture scale, linear in group cardinality on a
+    * 100 TB 'en' slice), so this variant swaps in `approx_percentile`
+    * (Greenwald-Khanna sketch, buffer bounded by O(accuracy) regardless
+    * of group size). Identical plan shape — per-group agg broadcast
+    * back as a threshold, never a window.
+    *
+    * Error bound (the GK guarantee surfaced by Spark docs): the sketch
+    * returns a value whose RANK is within n/accuracy of the exact
+    * p·n-th rank — a rank-ε guarantee, not a value-ε one, so the floor
+    * admits/rejects at most n/accuracy rows per group more or fewer
+    * than the exact filter (TextAnalysisSpec pins exact-vs-approx
+    * agreement within that bound on a skewed corpus). accuracy=10000
+    * (Spark's default) bounds the buffer at a few hundred KB per group
+    * while mis-ranking ≤ 0.01% of rows. */
+  def percentileFloorApprox(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String, p: Double,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"percentile must be in [0,1], got $p")
+    require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile($valueCol, $p, $accuracy)").as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deflate compression ratio (compressed/raw bytes of UTF-8 text,
     * level 6) — the perplexity-free repetition/boilerplate signal web
     * corpus pipelines use alongside Gopher filters: highly-repetitive

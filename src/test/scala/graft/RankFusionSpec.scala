@@ -73,6 +73,28 @@ class RankFusionSpec extends SparkSpec {
     }
   }
 
+  test("rrfTopK fails loudly when neither list's top-k survives the inner join") {
+    // partially-disjoint id spaces: a = 0..99, b = 80..179 (overlap
+    // 80..99). a's global top-5 are its HIGHEST scores, pinned to ids
+    // 0..4; b's to 100..104 — none in the overlap, so no list's top-5
+    // survives the join and the candidate bound's floor vanishes.
+    val a = (0L until 100L).map(i => (i, if (i < 5) 1000.0 + i else (i * 37 % 41).toDouble))
+      .toDF("doc_id", "s")
+    val b = (80L until 180L).map(i => (i, if (i >= 100 && i < 105) 1000.0 + i else (i * 23 % 29).toDouble))
+      .toDF("doc_id", "cos")
+    val e = intercept[IllegalArgumentException] {
+      RankFusion.rrfTopK(a, "s", "rank_a", b, "cos", "rank_b",
+        idCol = "doc_id", k = 5, kRrf = 60, cand = 100).collect()
+    }
+    assert(e.getMessage.contains("too disjoint"))
+    // same shapes with the top-5 of `a` moved INTO the overlap pass the
+    // guard (the precondition is about survival, not containment)
+    val a2 = (0L until 100L).map(i => (i, if (i >= 90) 1000.0 + i else (i * 37 % 41).toDouble))
+      .toDF("doc_id", "s")
+    assert(RankFusion.rrfTopK(a2, "s", "rank_a", b, "cos", "rank_b",
+      idCol = "doc_id", k = 5, kRrf = 60, cand = 100).count() === 5L)
+  }
+
   test("countAheadRanks: NULL-score rows are excluded from candidacy, not rank 1") {
     val scores = Seq(
       (1L, Some(9.0)), (2L, Some(5.0)), (3L, None), (4L, Some(7.0))

@@ -138,6 +138,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), "the floor must not be a per-group window")
   }
 
+  test("percentileFloorApprox: rank-bounded agreement with exact on skewed groups; same plan shape") {
+    // skew = group CARDINALITY skew (the production hazard: exact
+    // percentile's buffer grows with the 'en' slice). 20k distinct
+    // values in the big group (37 coprime to 20000 → a permutation),
+    // 10 in the small one.
+    val big = (0 until 20000).map(i => ("en", (i * 37 % 20000).toDouble))
+    val small = (0 until 10).map(i => ("de", i.toDouble))
+    val df = (big ++ small).toDF("lang", "score")
+    val exact = TextAnalysis.percentileFloor(df, "lang", "score", 0.9)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val approx = TextAnalysis.percentileFloorApprox(df, "lang", "score", 0.9,
+        accuracy = 10000)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // GK rank guarantee: the sketch's threshold rank is within
+    // n/accuracy of exact, so admitted counts differ by at most that
+    // (+1 for the rank-interpolation boundary)
+    for ((lang, n) <- Seq("en" -> 20000L, "de" -> 10L)) {
+      val tol = n / 10000 + 1
+      assert(math.abs(exact(lang) - approx(lang)) <= tol,
+        s"$lang: exact=${exact(lang)} approx=${approx(lang)} tol=$tol")
+    }
+    // coarse sketch still yields a sound floor (subset of the input,
+    // nonempty) — degraded precision, never corruption
+    val coarse = TextAnalysis.percentileFloorApprox(df, "lang", "score", 0.9,
+      accuracy = 1)
+    assert(coarse.count() > 0 && coarse.count() <= df.count())
+    // identical scale shape: agg + broadcast threshold, no window
+    val plan = TextAnalysis.percentileFloorApprox(df, "lang", "score", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), "the approx floor must not be a window either")
+  }
+
   test("compressionRatio: repetitive text compresses far below prose; deterministic") {
     val docs = Seq(
       (1L, "the " * 500),                                         // degenerate repetition
