@@ -1761,6 +1761,17 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q122: the N-stage funnel at FOUR stages (signup → view → click →
+    // purchase) — exercises the parameterized chain beyond q113's
+    // three; same window-free semi-filtered-scan + min-agg plan per
+    // stage, fully mirrored by chained CTEs in SQL.
+    "q122_funnel_4stage" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      graft.operators.Funnel.funnel(ev,
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
@@ -3004,6 +3015,21 @@ object SparkEntry {
          SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
          UNION ALL SELECT 'click', count(*)::BIGINT FROM c
          UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
+         ORDER BY stage""",
+    // q122: the same chained-CTE mirror, one stage deeper
+    "q122_funnel_4stage" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+         SELECT 'signup' AS stage, count(*)::BIGINT AS n_users FROM s1
+         UNION ALL SELECT 'view', count(*)::BIGINT FROM s2
+         UNION ALL SELECT 'click', count(*)::BIGINT FROM s3
+         UNION ALL SELECT 'purchase', count(*)::BIGINT FROM s4
          ORDER BY stage""",
     "q52_sessionize" ->
       """WITH o AS (
