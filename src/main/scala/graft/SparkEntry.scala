@@ -1772,6 +1772,17 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // q123: funnel with a CONVERSION WINDOW — each stage must land
+    // within 24h of the previous stage's completion (the product-
+    // analytics "converted within N days" semantics); same window-free
+    // plan, one extra per-row bound on the joined frame.
+    "q123_funnel_windowed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"),
+          within = Some("INTERVAL 24 HOURS"))
+        .orderBy(col("stage"))
+    }),
+
     // q97: interpolated bigram LM quality score (Jelinek-Mercer backoff
     // to the unigram model) — the word-order-sensitive upgrade of q73.
     "q97_bigram_logprob" -> ((s, d) =>
@@ -3030,6 +3041,20 @@ object SparkEntry {
          UNION ALL SELECT 'view', count(*)::BIGINT FROM s2
          UNION ALL SELECT 'click', count(*)::BIGINT FROM s3
          UNION ALL SELECT 'purchase', count(*)::BIGINT FROM s4
+         ORDER BY stage""",
+    // q123: the q113 mirror with the 24h conversion bound on each gate
+    "q123_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t1
+                 AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                 AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+         SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+         UNION ALL SELECT 'click', count(*)::BIGINT FROM c
+         UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
          ORDER BY stage""",
     "q52_sessionize" ->
       """WITH o AS (

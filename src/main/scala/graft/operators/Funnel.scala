@@ -26,19 +26,32 @@ object Funnel {
 
   /** Per-user completion times: (userCol, __t) for the LAST stage,
     * chaining through all previous ones. Exposed for reuse (e.g.
-    * time-to-convert analyses join two stages' frames). */
+    * time-to-convert analyses join two stages' frames).
+    *
+    * `within`: optional CONVERSION WINDOW — stage i only counts when it
+    * happens within this interval of the stage i−1 completion time
+    * (strictly after it, at most `within` later). The standard product-
+    * analytics semantics ("converted within 7 days"); pass a Spark
+    * interval expression string like `"INTERVAL 7 DAYS"`. The gate
+    * stays a per-row filter on the same joined frame — the plan shape
+    * does not change. NOTE the semantics stay min-FIRST-qualifying:
+    * completion time is the earliest event inside the window of the
+    * previous stage's completion, not of any earlier event. */
   def stageTimes(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): Seq[(String, DataFrame)] = {
+      typeCol: String = "event_type",
+      within: Option[String] = None): Seq[(String, DataFrame)] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    val bound = within.map(expr)
     var prev: Option[DataFrame] = None
     stages.map { st =>
       val base = events.filter(col(typeCol) === st)
       val gated = prev match {
         case None => base
         case Some(p) =>
-          base.join(p.select(col(userCol), col("__t")), Seq(userCol))
+          val joined = base.join(p.select(col(userCol), col("__t")), Seq(userCol))
             .filter(col(tsCol) > col("__t"))
+          bound.fold(joined)(b => joined.filter(col(tsCol) <= col("__t") + b))
       }
       val cur = gated.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       prev = Some(cur)
@@ -51,8 +64,9 @@ object Funnel {
     * order is wanted — q113 sorts by stage name for its oracle). */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame =
-    stageTimes(events, stages, userCol, tsCol, typeCol)
+      typeCol: String = "event_type",
+      within: Option[String] = None): DataFrame =
+    stageTimes(events, stages, userCol, tsCol, typeCol, within)
       .map { case (st, cur) =>
         cur.agg(count(lit(1)).as("n_users"))
           .select(lit(st).as("stage"), col("n_users"))

@@ -48,6 +48,24 @@ class FunnelSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L)))
   }
 
+  test("conversion window: a stage outside `within` of the previous completion is rejected") {
+    // u1 converts b at +10s (inside a 30s window); u2's b lands at +60s
+    // (outside); u3's FIRST b is outside but a later one inside — the
+    // window gates on the previous stage's completion, so the +40s b
+    // fails and the +20s b (earlier!) succeeds: min-qualifying wins
+    val e = ev(
+      (1L, 0, "a"), (1L, 10, "b"),
+      (2L, 0, "a"), (2L, 60, "b"),
+      (3L, 0, "a"), (3L, 40, "b"), (3L, 20, "b"))
+    val got = Funnel.funnel(e, Seq("a", "b"), within = Some("INTERVAL 30 SECONDS"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 2L))
+    // no window ≡ within=None admits u2 as well
+    val open = Funnel.funnel(e, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(open === Map("a" -> 3L, "b" -> 3L))
+  }
+
   test("operator at 3 stages reproduces the q113 fixture result") {
     val e = sources.Tables.events(spark, sf0001)
       .select($"user_id", $"ts", $"event_type")
