@@ -131,8 +131,6 @@ object Mmr {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryId: String = "qid", queryVec: String = "qvec",
       scale: Int = 6): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val scored = graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
       .select(col(queryId), col(idCol),
         graft.functions.VectorFunctions.cosine(col(vecCol), col(queryVec)).as("rel"),
@@ -140,10 +138,46 @@ object Mmr {
       .withColumn("__nrel", -col("rel"))
     val pruned = graft.plans.TopKPerKey.perKey(
       scored, Seq(queryId), Seq("__nrel", idCol), cand)
-    // Name-resolved, type-normalized projection: callers with Int id /
-    // query-id columns work, and a column reorder upstream (e.g. in
-    // TopKPerKey's passthrough) cannot silently mis-map fields.
-    val slim = pruned.select(
+    greedyPerQuery(pruned, queryId, idCol, k, lambda, scale)
+  }
+
+  /** Batch MMR served from an ANN index — the production batch
+    * composition (the batch analog of [[rerankAnn]]): stage 1 is the
+    * forest's candidate search for the WHOLE query bag in one plan
+    * (standing-index-shaped, per-query ≤ cand hits), stage 2 the same
+    * executor-distributed per-query greedy as [[rerankBatch]]. Given
+    * identical candidate SETS the picks equal the brute batch's
+    * (specced); candidate quality is the model's recall. */
+  def rerankBatchAnn(
+      model: graft.ann.AnnForestModel, corpus: DataFrame, queries: DataFrame,
+      k: Int, lambda: Double = 0.7, cand: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qvec",
+      scale: Int = 6): DataFrame = {
+    val q = queries.select(
+      col(queryId).cast(LongType).as("query_id"), col(queryVec).as("__bqvec"))
+    val hits = model.searchBatch(
+        q.select(col("query_id"), col("__bqvec").as("qvec")), cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = corpus
+      .join(hits, col(idCol) === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id").as(queryId), col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), col("__bqvec")).as("rel"),
+        col(vecCol).as("__vec"))
+    greedyPerQuery(scored, queryId, idCol, k, lambda, scale)
+  }
+
+  /** Executor-side per-query greedy over a per-query-bounded candidate
+    * frame with columns (queryId, idCol, rel, __vec). Name-resolved,
+    * type-normalized projection: callers with Int id / query-id columns
+    * work, and a column reorder upstream (e.g. in TopKPerKey's
+    * passthrough) cannot silently mis-map fields. */
+  private def greedyPerQuery(candFrame: DataFrame, queryId: String,
+      idCol: String, k: Int, lambda: Double, scale: Int): DataFrame = {
+    val spark = candFrame.sparkSession
+    import spark.implicits._
+    val slim = candFrame.select(
         col(queryId).cast(LongType), col(idCol).cast(LongType),
         col("rel").cast(DoubleType), col("__vec"))
       .as[(Long, Long, Double, Array[Float])]

@@ -97,6 +97,22 @@ class MmrDriftSpec extends SparkSpec {
     assert(viaAnn.head.id == 0L, "query's own vector is the most relevant pick")
   }
 
+  test("batch ANN-served MMR equals the brute batch when candidates cover the corpus") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val model = graft.ann.AnnForest(numTrees = 10, maxLeafSize = 10, seed = 7L)
+      .fit(e, "vec_id", "embedding")
+    val n = e.count().toInt
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaAnn = Mmr.rerankBatchAnn(model, e, queries, k = 3,
+        lambda = 0.7, cand = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Mmr.rerankBatch(e, queries, k = 3, lambda = 0.7, cand = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAnn === brute)
+    assert(viaAnn.map(_._1) === Set(0L, 1L, 2L))
+  }
+
   test("batch MMR equals the single-query greedy per qid") {
     val e = graft.sources.Tables.embeddings(spark, sf0001)
     val queries = e.filter(col("vec_id") < 3)
