@@ -35,7 +35,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Contention annotation: round 6's recorded bench was 1.5× the
+    // quiet-host truth because a loaded box spanned all three runs and
+    // min-of-3 couldn't save it. The 1-minute load average (sampled
+    // AFTER the timed runs, i.e. during them) makes a contaminated
+    // recording self-identifying instead of silently poisoning
+    // round-over-round comparisons.
+    val loadAvg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg}""")
     spark.stop()
   }
 }
