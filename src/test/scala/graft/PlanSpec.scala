@@ -47,6 +47,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q122/q123 parameterized funnels keep the window-free chained-agg shape") {
+    for (q <- Seq("q122_funnel_4stage", "q123_funnel_windowed")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n" + p)
+      assert(p.contains("partial_") || p.contains("HashAggregate"), s"$q:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n" + p)
+    }
+  }
+
+  test("q119/q120 codec passes are narrow: no data shuffle except the presentation sort") {
+    // encode/decode is a projection (UDF ± posexplode) over the scan;
+    // the only exchanges allowed are the output orderBy's range
+    // partitioning and widen()'s explicit round-robin file spread
+    // (parallelism at fixture scale, not a data dependency)
+    for (q <- Seq("q119_bpe_token_ids", "q120_wav_stats")) {
+      val p = planOf(q)
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate:\n" + p)
+      assert(!p.contains("Window"), s"$q:\n" + p)
+      val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+      val roundRobin = p.sliding("Exchange RoundRobinPartitioning".length)
+        .count(_.startsWith("Exchange RoundRobinPartitioning"))
+      assert(exchanges - roundRobin <= 1,
+        s"$q: only the presentation sort may shuffle data:\n" + p)
+    }
+  }
+
   test("q115 zipf: token top-500 heap-prunes; the rank window sees 500 rows max") {
     val p = planOf("q115_zipf_slope")
     assert(p.contains("TakeOrderedAndProject"), p)
