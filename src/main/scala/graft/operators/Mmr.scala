@@ -131,14 +131,24 @@ object Mmr {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryId: String = "qid", queryVec: String = "qvec",
       scale: Int = 6): DataFrame = {
+    // Heap rows are SLIM (qid, id, rel) — no vectors: TopKPerKey's
+    // partial phase keeps one cand-bounded heap per query PER MAP
+    // PARTITION, so carrying vectors costs |queries|·cand·dim floats
+    // per partition (a 100k-query bag × 20 cand × 64-dim OOMed a local
+    // executor; 1M × 50 × 300-dim would be ~60 GB per partition).
+    // Slim rows make that |queries|·cand·24B; the survivors' vectors
+    // are re-joined afterwards — |queries|·cand rows against the
+    // corpus, an equi-join on the id (co-located when the corpus is a
+    // bucketed standing table), instead of vectors riding every heap.
     val scored = graft.GraftSession.widen(corpus).crossJoin(broadcast(queries))
       .select(col(queryId), col(idCol),
-        graft.functions.VectorFunctions.cosine(col(vecCol), col(queryVec)).as("rel"),
-        col(vecCol).as("__vec"))
+        graft.functions.VectorFunctions.cosine(col(vecCol), col(queryVec)).as("rel"))
       .withColumn("__nrel", -col("rel"))
     val pruned = graft.plans.TopKPerKey.perKey(
       scored, Seq(queryId), Seq("__nrel", idCol), cand)
-    greedyPerQuery(pruned, queryId, idCol, k, lambda, scale)
+    val withVecs = pruned.join(
+      corpus.select(col(idCol), col(vecCol).as("__vec")), Seq(idCol))
+    greedyPerQuery(withVecs, queryId, idCol, k, lambda, scale)
   }
 
   /** Batch MMR served from an ANN index — the production batch
