@@ -258,6 +258,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compactBuckets invariants on random corpora and thresholds") {
+    import graft.ann.DistributedAnnForest
+    samples(2).zip(Seq(4, 12)).foreach { case (rows, minRows) =>
+      val df = rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+      val m = DistributedAnnForest(numTrees = 3, maxLeafSize = 2,
+        maxDepth = 8, seed = 11L).fit(df)
+      val c = m.compactBuckets(minBucketRows = minRows)
+      val sizesOf = (mm: graft.ann.DistributedAnnModel) => mm.corpusBuckets
+        .groupBy($"tree_id", $"leaf_id").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val before = sizesOf(m); val after = sizesOf(c)
+      // no row lost or duplicated; bucket count never grows
+      assert(after.values.sum === before.values.sum)
+      assert(after.size <= before.size)
+      // routing ≡ storage: re-routing the corpus through the compacted
+      // plane map reproduces the bucket table exactly
+      val rerouted = c.assignLeaves(df, "vec_id", "embedding")
+        .groupBy($"tree_id", $"leaf_id").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rerouted === after, s"minRows=$minRows")
+      // no mergeable sibling pair survives: any remaining split node
+      // with two LEAF children holds >= minRows rows beneath it
+      c.planes.keys.foreach { case (t, p) =>
+        val l = (t, 2 * p); val r = (t, 2 * p + 1)
+        if (!c.planes.contains(l) && !c.planes.contains(r)) {
+          val n = after.getOrElse(l, 0L) + after.getOrElse(r, 0L)
+          assert(n >= minRows, s"node ($t,$p) should have merged ($n < $minRows)")
+        }
+      }
+    }
+  }
+
+  test("funnel stage counts are monotonically non-increasing on random event logs") {
+    import graft.operators.Funnel
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0L, 9L), Gen.choose(0, 1000), Gen.oneOf("a", "b", "c", "d")))
+    } yield rows
+    (1 to 3).flatMap(i => gen.apply(Gen.Parameters.default, Seed(100L + i))).foreach { rows =>
+      val e = rows.toDF("user_id", "__s", "event_type")
+        .select($"user_id",
+          to_timestamp(lit("2026-01-01 00:00:00"))
+            .plus(expr("make_interval(0,0,0,0,0,0,__s)")).as("ts"),
+          $"event_type")
+      val counts = Funnel.funnel(e, Seq("a", "b", "c", "d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val seq = Seq("a", "b", "c", "d").map(counts)
+      assert(seq.sliding(2).forall(p => p(0) >= p(1)),
+        s"funnel must shrink monotonically: $seq")
+      // windowed funnel is a further restriction of the open one
+      val win = Funnel.funnel(e, Seq("a", "b", "c", "d"),
+          within = Some("INTERVAL 100 SECONDS"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("a", "b", "c", "d").foreach(st =>
+        assert(win(st) <= counts(st), s"windowed($st) must not exceed open"))
+    }
+  }
+
   test("TopKPerKey ≡ window top-k on random keys and k") {
     samples(3).zip(Seq(1, 3, 8)).foreach { case (rows, k) =>
       val df = rows.map { case (id, v) => (id % 5, v.head.toDouble, id) }
