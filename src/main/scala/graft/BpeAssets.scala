@@ -124,4 +124,17 @@ object BpeAssets {
        |FROM syms LEFT JOIN vocab v ON v.token = syms.sym
        |ORDER BY doc_id, pos""".stripMargin
   }
+
+  /** DuckDB oracle for `q124_pack_token_ids`: the token-id stream of
+    * [[tokenIdsOracleSql]] regrouped into fixed-`chunkLen` training
+    * chunks per document, each summarized by exact integers (token
+    * count + a position-weighted checksum Σ (pos_in_chunk+1)·token_id
+    * — order-sensitive, so a permuted chunk cannot hash-match). */
+  def packedOracleSql(chunkLen: Int): String =
+    s"""SELECT doc_id, pos // $chunkLen AS chunk_idx,
+       |  count(*)::BIGINT AS n_tokens,
+       |  sum((pos % $chunkLen + 1) * token_id)::BIGINT AS checksum
+       |FROM ($tokenIdsOracleSql) ids
+       |GROUP BY doc_id, pos // $chunkLen
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

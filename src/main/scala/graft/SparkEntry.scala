@@ -872,6 +872,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q124: token-id PACKING — the step after tokenization in a
+    // pretraining pipeline: each doc's id stream chunked into fixed
+    // 64-token training examples (doc-bounded, like q91's char
+    // chunker but over real token ids). Narrow encode + one groupBy
+    // agg; chunks are summarized by exact integers (count +
+    // position-weighted checksum) so the oracle — the q119 recursive
+    // CTE regrouped — hash-matches without array columns.
+    "q124_pack_token_ids" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.Bpe.encodeIds(
+            col("text"), BpeAssets.merges, BpeAssets.vocabMap)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .groupBy(col("doc_id"), expr("pos div 64").as("chunk_idx"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("pos") % 64 + 1) * col("token_id")).as("checksum"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // q115: Zipf slope of the corpus rank-frequency curve — corpus
     // health metric (natural text ~ -1). Top-500 tokens via
     // TakeOrderedAndProject (heap-pruned), rank over the bounded 500,
@@ -2670,6 +2690,7 @@ object SparkEntry {
          FROM r""",
     // generated from the committed tokenizer asset — see BpeAssets
     "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
+    "q124_pack_token_ids" -> BpeAssets.packedOracleSql(64),
     "q116_regional_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem, orders, customer, supplier, nation, region
