@@ -130,6 +130,20 @@ object BpeAssets {
     * chunks per document, each summarized by exact integers (token
     * count + a position-weighted checksum Σ (pos_in_chunk+1)·token_id
     * — order-sensitive, so a permuted chunk cannot hash-match). */
+  /** DuckDB oracle for `q126_bpe_token_freq`: the id stream of
+    * [[tokenIdsOracleSql]] regrouped into per-token corpus frequencies,
+    * joined back to the committed vocab VALUES, top-`limit` with a
+    * total-order tiebreak. */
+  def tokenFreqOracleSql(limit: Int): String = {
+    def sq(s: String) = s.replace("'", "''")
+    val vvals = vocab.map { case (t, i) => s"('${sq(t)}',$i)" }.mkString(",")
+    s"""SELECT f.token_id, v.token, f.freq
+       |FROM (SELECT token_id, count(*)::BIGINT AS freq
+       |      FROM ($tokenIdsOracleSql) ids GROUP BY token_id) f
+       |JOIN (VALUES $vvals) v(token, token_id) ON v.token_id = f.token_id
+       |ORDER BY f.freq DESC, f.token_id LIMIT $limit""".stripMargin
+  }
+
   def packedOracleSql(chunkLen: Int): String =
     s"""SELECT doc_id, pos // $chunkLen AS chunk_idx,
        |  count(*)::BIGINT AS n_tokens,

@@ -892,6 +892,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // q125: funnel conversion TIMING — per stage transition, converting
+    // users + the exact integer sum of lags in micros (sum+count, not
+    // avg: all-integer output, no float path). Same chained frames as
+    // q113; per-pair join build side is the later (smaller) stage.
+    "q125_funnel_timing" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      graft.operators.Funnel.conversionLags(ev, Seq("view", "click", "purchase"))
+        .orderBy(col("from_stage"))
+    }),
+
+    // q126: tokenizer diagnostics — corpus frequency of every vocab
+    // token under the committed BpeAssets tokenizer (the table an
+    // embedding-init / rare-token-pruning pass reads). Top-50 by
+    // frequency with a total-order tiebreak; oracle = the q119
+    // generated CTE regrouped + the committed vocab VALUES.
+    "q126_bpe_token_freq" -> ((s, d) => {
+      val vocabDf = s.createDataFrame(BpeAssets.vocab).toDF("token", "token_id")
+      GraftSession.widen(Tables.documents(s, d))
+        .select(explode(graft.operators.Bpe.encodeIds(
+          col("text"), BpeAssets.merges, BpeAssets.vocabMap)).as("token_id"))
+        .groupBy(col("token_id")).agg(count(lit(1)).as("freq"))
+        .join(broadcast(vocabDf), Seq("token_id"))
+        .select(col("token_id"), col("token"), col("freq"))
+        .orderBy(col("freq").desc, col("token_id")).limit(50)
+    }),
+
     // q115: Zipf slope of the corpus rank-frequency curve — corpus
     // health metric (natural text ~ -1). Top-500 tokens via
     // TakeOrderedAndProject (heap-pruned), rank over the bounded 500,
@@ -2691,6 +2717,26 @@ object SparkEntry {
     // generated from the committed tokenizer asset — see BpeAssets
     "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
     "q124_pack_token_ids" -> BpeAssets.packedOracleSql(64),
+    "q126_bpe_token_freq" -> BpeAssets.tokenFreqOracleSql(50),
+    // q125: per-transition conversion lags as exact integer micros —
+    // the q113 CTE chain with epoch_us sums (no float path)
+    "q125_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 'view' AS from_stage, 'click' AS to_stage,
+             count(*)::BIGINT AS n_converted,
+             coalesce(sum(epoch_us(c.t2) - epoch_us(v.t1)), 0)::BIGINT AS sum_micros
+           FROM c JOIN v USING (user_id)
+           UNION ALL
+           SELECT 'click', 'purchase', count(*)::BIGINT,
+             coalesce(sum(epoch_us(p.t3) - epoch_us(c.t2)), 0)::BIGINT
+           FROM p JOIN c USING (user_id)) t
+         ORDER BY from_stage""",
     "q116_regional_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem, orders, customer, supplier, nation, region

@@ -59,6 +59,31 @@ object Funnel {
     }
   }
 
+  /** Per-transition conversion timing: for each consecutive stage pair
+    * (s_{i-1} → s_i), the number of converting users and the EXACT
+    * integer sum of conversion lags in microseconds (sum + count
+    * instead of an average — all-integer output survives any engine's
+    * float path; avg is one division away). Stage-i users are a subset
+    * of stage-(i−1) users by construction, so the per-pair join build
+    * side is the already-tiny later frame. Timestamps route through
+    * TIMESTAMP (`unix_micros(cast ...)`") so NTZ fixture columns work. */
+  def conversionLags(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      within: Option[String] = None): DataFrame = {
+    require(stages.length >= 2, "conversion lags need at least two stages")
+    val frames = stageTimes(events, stages, userCol, tsCol, typeCol, within)
+    frames.sliding(2).map { case Seq((s1, f1), (s2, f2)) =>
+      f1.select(col(userCol), expr("unix_micros(cast(__t as timestamp))").as("__t1"))
+        .join(f2.select(col(userCol), expr("unix_micros(cast(__t as timestamp))").as("__t2")),
+          Seq(userCol))
+        .agg(count(lit(1)).as("n_converted"),
+          coalesce(sum(col("__t2") - col("__t1")), lit(0L)).as("sum_micros"))
+        .select(lit(s1).as("from_stage"), lit(s2).as("to_stage"),
+          col("n_converted"), col("sum_micros"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** The funnel report: one (stage, n_users) row per stage, in the
     * caller's stage order (sort on output if a different presentation
     * order is wanted — q113 sorts by stage name for its oracle). */

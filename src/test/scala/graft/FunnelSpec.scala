@@ -66,6 +66,25 @@ class FunnelSpec extends SparkSpec {
     assert(open === Map("a" -> 3L, "b" -> 3L))
   }
 
+  test("conversionLags: exact integer micro sums per transition; non-converters excluded") {
+    // u1: a@0 -> b@10 (lag 10s) -> c@25 (lag 15s); u2: a@0 -> b@30
+    // (lag 30s), never c; u3: a only
+    val e = ev(
+      (1L, 0, "a"), (1L, 10, "b"), (1L, 25, "c"),
+      (2L, 0, "a"), (2L, 30, "b"),
+      (3L, 0, "a"))
+    val got = Funnel.conversionLags(e, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      ("a", "b", 2L, 40L * 1000000L),
+      ("b", "c", 1L, 15L * 1000000L)))
+    // an empty transition reports (0, 0), not a missing row
+    val none = Funnel.conversionLags(e, Seq("a", "c", "b"))
+      .filter(col("from_stage") === "c").head()
+    // c-after-a only u1 (c@25 > a@0); b-after-that-c: u1's b@10 < 25 -> none
+    assert(none.getLong(2) === 0L && none.getLong(3) === 0L)
+  }
+
   test("operator at 3 stages reproduces the q113 fixture result") {
     val e = sources.Tables.events(spark, sf0001)
       .select($"user_id", $"ts", $"event_type")
