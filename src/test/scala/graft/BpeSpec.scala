@@ -101,6 +101,20 @@ class BpeSpec extends SparkSpec {
     assert(ids.contains(0L), "unseen char maps to unk")
   }
 
+  test("vocab: colliding merge products keep the earlier id (first-wins)") {
+    // (a,bc) and (ab,c) both spell "abc" — the second must not mint a
+    // new id or shift later ids
+    val merges = Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c"), ("c", "d"))
+    val v = Bpe.vocab(merges, Seq("a", "b", "c", "d"))
+    assert(v.map(_._2) === v.indices.map(_.toLong), "ids stay contiguous")
+    assert(v.count(_._1 == "abc") === 1, "one id for the collided product")
+    val ofToken = v.toMap
+    // products appear in merge order: bc, abc, ab, (abc skipped), cd
+    assert(ofToken("bc") < ofToken("abc"))
+    assert(ofToken("abc") < ofToken("ab"))
+    assert(ofToken("ab") < ofToken("cd"))
+  }
+
   test("vocab save/load round-trips in id order") {
     val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/v"
     Bpe.saveVocab(spark, BpeAssets.vocab, path)

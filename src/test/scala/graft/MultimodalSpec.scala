@@ -140,6 +140,19 @@ class MultimodalSpec extends SparkSpec {
       (2L, "RIFFxxxxWAVEgarbage".getBytes("UTF-8"))).toDF("id", "payload")
       .select(Multimodal.wavStats($"payload").as("st")).collect()
     bad.foreach(r => assert(r.isNullAt(0)))
+    // a VALID WAV outside the supported encoding (8-bit PCM) also
+    // degrades to null — the documented PCM16-only contract, not a
+    // wrong-stats silent path
+    val data8 = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data8), fmt8, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val eight = Seq((3L, bos.toByteArray)).toDF("id", "payload")
+      .select(Multimodal.wavStats($"payload").as("st")).head()
+    assert(eight.isNullAt(0), "8-bit PCM must fall back, not mis-decode")
   }
 
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
