@@ -892,6 +892,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // q127: the STATEFUL-streaming funnel face run in batch mode —
+    // flatMapGroupsWithState per-user state machine (next stage +
+    // previous completion time), provably equal to the chained-min
+    // batch operator under in-order processing; the driver gate runs
+    // it against q113's oracle, so the incremental codepath must
+    // reproduce the declarative one's exact counts.
+    "q127_funnel_stateful" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+        .as[graft.streaming.FunnelEvent]
+      graft.streaming.FunnelStream.report(
+          graft.streaming.FunnelStream
+            .completions(ev, Seq("view", "click", "purchase")).toDF(),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3084,6 +3102,19 @@ object SparkEntry {
          WHERE round((h.n - st.mean_n) / st.std_n, 4) >= 2.0
          ORDER BY h.event_type, h.hour""",
     "q113_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+         UNION ALL SELECT 'click', count(*)::BIGINT FROM c
+         UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
+         ORDER BY stage""",
+    // q127: the stateful state-machine path must reproduce the SAME
+    // counts as the declarative chain — identical oracle to q113
+    "q127_funnel_stateful" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                     WHERE event_type = 'view' GROUP BY user_id),
          c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)

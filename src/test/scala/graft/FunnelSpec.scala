@@ -85,6 +85,64 @@ class FunnelSpec extends SparkSpec {
     assert(none.getLong(2) === 0L && none.getLong(3) === 0L)
   }
 
+  test("stateful funnel (batch mode) equals the declarative chain, windowed and open") {
+    import graft.streaming.{FunnelEvent, FunnelStream}
+    import org.apache.spark.sql.Dataset
+    val ev = sources.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type")
+    val evDs: Dataset[FunnelEvent] = ev.as[FunnelEvent]
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaState = counts(FunnelStream.report(
+      FunnelStream.completions(evDs, Seq("view", "click", "purchase")).toDF(),
+      Seq("view", "click", "purchase")))
+    val viaChain = counts(Funnel.funnel(ev, Seq("view", "click", "purchase")))
+    assert(viaState === viaChain)
+    val win = 3600L * 1000000L
+    val viaStateW = counts(FunnelStream.report(
+      FunnelStream.completions(evDs, Seq("view", "click", "purchase"),
+        withinUs = Some(win)).toDF(), Seq("view", "click", "purchase")))
+    val viaChainW = counts(Funnel.funnel(ev, Seq("view", "click", "purchase"),
+      within = Some("INTERVAL 1 HOUR")))
+    assert(viaStateW === viaChainW)
+  }
+
+  test("stateful funnel under readStream: in-order micro-batches reproduce batch counts") {
+    import graft.streaming.{FunnelEvent, FunnelStream, StageCompletion}
+    val ev = sources.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type")
+      .orderBy($"ts") // cross-batch contract: per-user event-time order
+      .localCheckpoint()
+    val n = ev.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    // two event-time-ordered files -> two micro-batches
+    val rows = ev.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.take((n / 2).toInt).toSeq, 1), ev.schema)
+      .write.mode("append").parquet(dir)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq, 1), ev.schema)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[FunnelEvent]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = FunnelStream.completions(stream, Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StageCompletion], _: Long) =>
+        batch.collect().foreach(c => got.add((c.user_id, c.stage)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = got.toArray(Array.empty[(Long, String)]).toSet
+    val batched = FunnelStream.completions(ev.as[FunnelEvent],
+        Seq("view", "click", "purchase"))
+      .collect().map(c => (c.user_id, c.stage)).toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty)
+  }
+
   test("operator at 3 stages reproduces the q113 fixture result") {
     val e = sources.Tables.events(spark, sf0001)
       .select($"user_id", $"ts", $"event_type")
