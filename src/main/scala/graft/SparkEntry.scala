@@ -910,6 +910,17 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // q128: heavy hitters under a count-min cross-check — exact top-20
+    // corpus tokens (SQL-mirrorable truth) each carrying cms_ok = the
+    // sketch's overestimate-bounded guarantee (true ≤ est ≤ true+eps·N,
+    // never an undercount). The sketch pass is a narrow scan + driver
+    // merge of fixed-size counters — the 100 TB frequency-estimation
+    // path — and the hash gate pins its error contract row by row.
+    "q128_heavy_hitters" -> ((s, d) => {
+      TextAnalysis.heavyHittersChecked(Tables.documents(s, d), "text", k = 20)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -2736,6 +2747,17 @@ object SparkEntry {
     "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
     "q124_pack_token_ids" -> BpeAssets.packedOracleSql(64),
     "q126_bpe_token_freq" -> BpeAssets.tokenFreqOracleSql(50),
+    // q128: exact top-20 token counts; cms_ok mirrors as the constant 1
+    // (the sketch guarantee holds by construction at eps=0.001, δ=0.01
+    // — a failure would flip the hash)
+    "q128_heavy_hitters" ->
+      """SELECT token, cnt, 1 AS cms_ok FROM (
+           SELECT tok AS token, count(*)::BIGINT AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             FROM documents) u
+           WHERE tok <> '' GROUP BY tok
+           ORDER BY cnt DESC, tok LIMIT 20) t
+         ORDER BY cnt DESC, token""",
     // q125: per-transition conversion lags as exact integer micros —
     // the q113 CTE chain with epoch_us sums (no float path)
     "q125_funnel_timing" ->

@@ -261,6 +261,40 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  /** Exact top-k heavy-hitter tokens CROSS-CHECKED by a count-min
+    * sketch — the sketch discipline for corpus-scale frequency
+    * estimation (Cormode & Muthukrishnan 2005; Spark's built-in
+    * `stat.countMinSketch` merges per-partition sketches, so the
+    * sketch pass is one narrow scan + a driver-side merge of
+    * O(1/eps·log(1/δ)) counters, no token shuffle at all). At fixture
+    * scale the exact top-k (heap-pruned TakeOrderedAndProject over the
+    * token histogram) is cheap and serves as truth; the `cms_ok`
+    * column pins the sketch's guarantee on every returned row —
+    * true ≤ estimate ≤ true + eps·N with probability 1−δ, and the
+    * estimate NEVER undercounts — so the hash gate covers both the
+    * exact path and the sketch's error contract. At 100 TB the roles
+    * flip: the sketch (plus a small candidate heap) replaces the exact
+    * histogram as the serving path and this function is its regression
+    * oracle. */
+  def heavyHittersChecked(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val toks = graft.GraftSession.widen(docs)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count()
+    val cms = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val bound = math.ceil(eps * total).toLong
+    val estimate = udf { (t: String) => cms.estimateCount(t) }
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("__est", estimate(col("token")))
+      .withColumn("cms_ok",
+        (col("__est") >= col("cnt") && col("__est") <= col("cnt") + bound).cast("int"))
+      .select(col("token"), col("cnt"), col("cms_ok"))
+  }
+
   /** Deflate compression ratio (compressed/raw bytes of UTF-8 text,
     * level 6) — the perplexity-free repetition/boilerplate signal web
     * corpus pipelines use alongside Gopher filters: highly-repetitive

@@ -38,7 +38,14 @@ case class StageCompletion(
   * Scale shape: state is two fields per ACTIVE user (users that clear
   * the last stage are evicted immediately), emissions are append-only,
   * and the report is a downstream stage-keyed count — no windows, no
-  * per-user event buffering beyond the current micro-batch. */
+  * per-user event buffering beyond the current micro-batch. The one
+  * buffering point is the per-group sort inside a micro-batch (same as
+  * [[EventStreams.sessionize]]'s fold): a single user's events within
+  * ONE batch are materialized to sort them. Micro-batches bound that
+  * in streaming; in batch mode a pathological power-user key would
+  * buffer its full history — the 100 TB lever, if ever needed, is a
+  * repartition+sortWithinPartitions secondary sort feeding a streaming
+  * per-partition walk, which preserves these exact semantics. */
 object FunnelStream {
 
   private def toMicros(t: java.sql.Timestamp): Long =

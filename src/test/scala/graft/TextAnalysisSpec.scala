@@ -171,6 +171,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), "the approx floor must not be a window either")
   }
 
+  test("heavyHittersChecked: exact counts, sketch never undercounts, bound holds") {
+    // zipf-ish synthetic: token t_i appears (40 - i) times
+    val words = (0 until 30).flatMap(i => Seq.fill(40 - i)(s"t$i"))
+    val docs = words.grouped(25).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHittersChecked(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.length === 10)
+    // exact truth: t0..t9 with counts 40..31, descending
+    assert(out.map(_._1).toSeq === (0 until 10).map(i => s"t$i"))
+    assert(out.map(_._2).toSeq === (40L to 31L by -1L))
+    out.foreach { case (t, _, ok) => assert(ok === 1, s"cms bound violated for $t") }
+    // even a COARSE sketch (eps=0.1: bound = 0.1*N) never undercounts
+    val coarse = TextAnalysis.heavyHittersChecked(docs, "text", k = 10, eps = 0.1)
+      .collect().map(r => r.getInt(2))
+    assert(coarse.forall(_ === 1))
+  }
+
   test("compressionRatio: repetitive text compresses far below prose; deterministic") {
     val docs = Seq(
       (1L, "the " * 500),                                         // degenerate repetition
