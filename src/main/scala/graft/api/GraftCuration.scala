@@ -27,6 +27,8 @@ case class SliceDrift(slice: String, n_tokens: Long, vocab: Long, kl: Double)
 
 /** Typed tokenizer-billed vs whitespace token counts. */
 case class TokenBill(doc_id: Long, n_words: Int, n_bpe: Long)
+case class TokenizedDoc(doc_id: Long, token_ids: Seq[Long])
+case class TokenChunk(doc_id: Long, chunk_idx: Long, token_ids: Seq[Long])
 
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
@@ -160,5 +162,30 @@ object GraftCuration {
         TextAnalysis.tokenCount(col("text")).as("n_words"),
         Bpe.segmentCount(col("text"), merges).as("n_bpe"))
       .as[TokenBill]
+  }
+
+  /** Tokenize to trainable token IDS under the COMMITTED tokenizer
+    * asset ([[graft.BpeAssets]] — train-once ids, stable across
+    * corpora; q119's surface as a typed facade). */
+  def tokenize(docs: Dataset[Document]): Dataset[TokenizedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.toDF().select(col("doc_id"),
+        Bpe.encodeIds(col("text"),
+          graft.BpeAssets.merges, graft.BpeAssets.vocabMap).as("token_ids"))
+      .as[TokenizedDoc]
+  }
+
+  /** [[tokenize]] packed into fixed-`chunkLen` doc-bounded training
+    * chunks (q124's surface): one row per chunk, ids in order. */
+  def tokenizeChunked(docs: Dataset[Document],
+      chunkLen: Int = 64): Dataset[TokenChunk] = {
+    import docs.sparkSession.implicits._
+    tokenize(docs).toDF()
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "tid")))
+      .groupBy(col("doc_id"), expr(s"pos div $chunkLen").as("chunk_idx"))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+      .as[TokenChunk]
   }
 }

@@ -74,6 +74,31 @@ class ApiSpec extends SparkSpec {
       val x = r.getAs[Double]("deflate_ratio"); x > 0.0 && x < 1.5 })
   }
 
+  test("typed tokenize: decodes back to normalized text; chunks reassemble the stream") {
+    import graft.api.{Document, GraftCuration}
+    val docs = Tables.documents(spark, sf0001).as[Document].limit(30)
+    val toks = GraftCuration.tokenize(docs).collect()
+    assert(toks.length === 30)
+    val textOf = docs.collect().map(d => d.doc_id -> d.text).toMap
+    toks.foreach { t =>
+      val normalized = textOf(t.doc_id).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(graft.operators.Bpe.decodeIds(t.token_ids, graft.BpeAssets.vocab)
+        === normalized, s"doc ${t.doc_id}")
+    }
+    // chunking preserves order and content: concatenating a doc's
+    // chunks in chunk_idx order reproduces its full id stream, and
+    // every chunk except the last is exactly chunkLen long
+    val chunks = GraftCuration.tokenizeChunked(docs, chunkLen = 16).collect()
+      .groupBy(_.doc_id)
+    toks.foreach { t =>
+      val cs = chunks(t.doc_id).sortBy(_.chunk_idx)
+      assert(cs.flatMap(_.token_ids).toSeq === t.token_ids.toSeq, s"doc ${t.doc_id}")
+      cs.dropRight(1).foreach(c => assert(c.token_ids.length === 16))
+      assert(cs.last.token_ids.nonEmpty && cs.last.token_ids.length <= 16)
+    }
+  }
+
   test("typed maxSimTopK: exact and refined agree; self-bag ranks first") {
     val recs = Tables.embeddings(spark, sf0001)
       .select($"vec_id".as("id"), concat(lit("w"), $"vec_id").as("word"), $"embedding")
