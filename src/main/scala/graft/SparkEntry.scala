@@ -921,6 +921,32 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // q129: retrieval EVALUATION — recall/MRR/nDCG of the cosine
+    // ranking judged against euclidean-nearest qrels (graded 3/2/1)
+    // over the embeddings, per query. The rankings are heap-pruned
+    // (TopKPerKey), the metric math is rank-pure (score values never
+    // enter the output), and every formula mirrors in SQL -> full
+    // oracle for the evaluation harness itself.
+    "q129_retrieval_eval" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{cosine, sqEucDist}
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val wide = GraftSession.widen(e).crossJoin(broadcast(q))
+      val results = graft.plans.TopKPerKey.rankedTopK(
+          wide.select(col("qid"), col("vec_id").as("doc_id"),
+            negate(cosine(col("embedding"), col("qvec"))).as("__negsc")),
+          "qid", Seq("__negsc", "doc_id"), 5)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val truth = graft.plans.TopKPerKey.rankedTopK(
+          wide.select(col("qid"), col("vec_id").as("doc_id"),
+            sqEucDist(col("embedding"), col("qvec")).as("__dist")),
+          "qid", Seq("__dist", "doc_id"), 3)
+        .select(col("qid"), col("doc_id"), (lit(4) - col("rank")).cast("double").as("grade"))
+      graft.operators.RetrievalEval.metrics(results, truth, k = 5)
+        .orderBy(col("qid"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -2747,6 +2773,44 @@ object SparkEntry {
     "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
     "q124_pack_token_ids" -> BpeAssets.packedOracleSql(64),
     "q126_bpe_token_freq" -> BpeAssets.tokenFreqOracleSql(50),
+    // q129: rank-pure metric math mirrored exactly (score values never
+    // reach the output; logs are rounded post-aggregation)
+    "q129_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         res AS (
+           SELECT qid, doc_id, rank FROM (
+             SELECT q.qid, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                 e.vec_id) AS rank
+             FROM embeddings e CROSS JOIN q) t WHERE rank <= 5),
+         tr AS (
+           SELECT qid, doc_id, CAST(4 - rank AS DOUBLE) AS grade FROM (
+             SELECT q.qid, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), e.vec_id) AS rank
+             FROM embeddings e CROSS JOIN q) t WHERE rank <= 3),
+         hits AS (
+           SELECT r.qid, r.rank, coalesce(t.grade, 0) AS grade
+           FROM res r LEFT JOIN tr t ON t.qid = r.qid AND t.doc_id = r.doc_id),
+         pq AS (
+           SELECT qid,
+             sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+             max(CASE WHEN grade > 0 THEN 1.0 / rank ELSE 0.0 END) AS rr,
+             sum(grade / log2(rank + 1)) AS dcg
+           FROM hits GROUP BY qid),
+         ideal AS (
+           SELECT qid, sum(grade / log2(irank + 1)) AS idcg FROM (
+             SELECT qid, grade, row_number() OVER (PARTITION BY qid
+               ORDER BY grade DESC, doc_id) AS irank FROM tr) t
+           WHERE irank <= 5 GROUP BY qid),
+         nrel AS (SELECT qid, count(*) AS nrel FROM tr WHERE grade > 0 GROUP BY qid)
+         SELECT pq.qid, round(CAST(pq.hits AS DOUBLE) / nrel.nrel, 4) AS recall,
+           round(pq.rr, 4) AS mrr,
+           round(CASE WHEN ideal.idcg > 0 THEN pq.dcg / ideal.idcg ELSE 0 END, 4) AS ndcg
+         FROM pq JOIN ideal USING (qid) JOIN nrel USING (qid)
+         ORDER BY qid""",
     // q128: exact top-20 token counts; cms_ok mirrors as the constant 1
     // (the sketch guarantee holds by construction at eps=0.001, δ=0.01
     // — a failure would flip the hash)
