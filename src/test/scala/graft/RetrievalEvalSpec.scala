@@ -38,6 +38,31 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(got(3L) === ((1.0, 1.0, 1.0)))
   }
 
+  test("harness measures the ANN forest against the exact oracle (recall/nDCG floors)") {
+    import graft.sources.Tables
+    import graft.operators.KnnExact
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val model = graft.ann.AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+      .fit(emb, "vec_id", "embedding")
+    val results = model.knnJoinBucketed(emb, queries, topK = 10)
+      .select($"query_id".as("qid"), $"neighbor_id".as("doc_id"), $"rank")
+    // graded qrels from the exact ranking: grade = 11 - exact rank
+    val truth = KnnExact.knnBatch(emb, queries, 10)
+      .select($"query_id".as("qid"), $"neighbor_id".as("doc_id"),
+        (lit(11) - $"rank").cast("double").as("grade"))
+    val m = RetrievalEval.metrics(results, truth, k = 10)
+      .agg(avg($"recall"), avg($"mrr"), avg($"ndcg"))
+      .head()
+    val (recall, mrr, ndcg) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    info(f"forest via harness: recall@10=$recall%.3f mrr=$mrr%.3f ndcg=$ndcg%.3f")
+    // the same statistical-oracle floors the hand-rolled checks use,
+    // now measured through the shared harness; mrr=1 because rank-1 is
+    // the query's own vector (exact top-1, grade 10)
+    assert(recall >= 0.8 && mrr === 1.0 && ndcg >= 0.85)
+  }
+
   test("k truncates results; grades beyond k shrink the ideal but recall counts all relevant") {
     val results = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "doc_id", "rank")
