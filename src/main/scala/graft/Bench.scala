@@ -42,8 +42,10 @@ object Bench {
     // recording self-identifying instead of silently poisoning
     // round-over-round comparisons.
     val loadAvg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case scala.util.control.NonFatal(_) => -1.0 }
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg}""")
     spark.stop()
   }

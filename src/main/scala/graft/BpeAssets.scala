@@ -125,11 +125,6 @@ object BpeAssets {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
-  /** DuckDB oracle for `q124_pack_token_ids`: the token-id stream of
-    * [[tokenIdsOracleSql]] regrouped into fixed-`chunkLen` training
-    * chunks per document, each summarized by exact integers (token
-    * count + a position-weighted checksum Σ (pos_in_chunk+1)·token_id
-    * — order-sensitive, so a permuted chunk cannot hash-match). */
   /** DuckDB oracle for `q126_bpe_token_freq`: the id stream of
     * [[tokenIdsOracleSql]] regrouped into per-token corpus frequencies,
     * joined back to the committed vocab VALUES, top-`limit` with a
@@ -144,6 +139,11 @@ object BpeAssets {
        |ORDER BY f.freq DESC, f.token_id LIMIT $limit""".stripMargin
   }
 
+  /** DuckDB oracle for `q124_pack_token_ids`: the token-id stream of
+    * [[tokenIdsOracleSql]] regrouped into fixed-`chunkLen` training
+    * chunks per document, each summarized by exact integers (token
+    * count + a position-weighted checksum Σ (pos_in_chunk+1)·token_id
+    * — order-sensitive, so a permuted chunk cannot hash-match). */
   def packedOracleSql(chunkLen: Int): String =
     s"""SELECT doc_id, pos // $chunkLen AS chunk_idx,
        |  count(*)::BIGINT AS n_tokens,

@@ -176,7 +176,11 @@ object GraftCuration {
   }
 
   /** [[tokenize]] packed into fixed-`chunkLen` doc-bounded training
-    * chunks (q124's surface): one row per chunk, ids in order. */
+    * chunks (q124's surface): one row per chunk, ids in order. A doc
+    * whose token stream is EMPTY (empty/whitespace text) produces no
+    * chunks — there is nothing to train on — so this output has fewer
+    * doc_ids than [[tokenize]]'s on such input; join back to the doc
+    * table (not to tokenize) when full-coverage accounting matters. */
   def tokenizeChunked(docs: Dataset[Document],
       chunkLen: Int = 64): Dataset[TokenChunk] = {
     import docs.sparkSession.implicits._

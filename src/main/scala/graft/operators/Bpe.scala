@@ -150,12 +150,17 @@ object Bpe {
   }
 
   /** Base character set of a corpus — the distinct characters of the
-    * word-type histogram (same tokenization as [[fit]]), the alphabet a
-    * vocab built over this corpus must cover. */
+    * word-type histogram under the SAME heap-pruned `maxWordTypes` cap
+    * as [[fit]], so a vocab built from (fit, baseChars) with matching
+    * caps covers exactly the alphabet the trainer saw (characters that
+    * only occur in beyond-cap word types encode as unk, consistently
+    * on both paths). */
   def baseChars(docs: DataFrame, textCol: String, maxWordTypes: Int = 1000000): Seq[String] =
     graft.GraftSession.widen(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(maxWordTypes)
       .select(explode(split(col("w"), "")).as("c"))
       .filter(length(col("c")) > 0)
       .distinct().orderBy(col("c"))

@@ -300,9 +300,15 @@ object Multimodal {
       if (ais == null) null
       else {
         val fmt = ais.getFormat
+        // header sanity bounds, not just encoding: a crafted/corrupt
+        // fmt chunk reporting 0 channels or a 0 sample rate would
+        // divide by zero below — the contract is null-and-fall-back,
+        // never a task-killing throw
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16 || fmt.getChannels > 2) null
-        else {
+            fmt.getSampleSizeInBits != 16 ||
+            fmt.getChannels < 1 || fmt.getChannels > 2 ||
+            fmt.getSampleRate <= 0f || fmt.getSampleRate.isNaN) null
+        else try {
           val bytes = ais.readAllBytes()
           val channels = fmt.getChannels
           val rate = fmt.getSampleRate.toInt
@@ -327,6 +333,8 @@ object Multimodal {
           WavStatsRow(rate, channels, nFrames.toLong,
             nFrames.toLong * 1000L / rate,
             peak(0), sumAbs(0), sumSq(0), peak(1), sumAbs(1), sumSq(1))
+        } catch { // truncated/corrupt data section: same null contract
+          case scala.util.control.NonFatal(_) => null
         }
       }
     }

@@ -46,7 +46,6 @@ object RetrievalEval {
       .withColumn("__irank", row_number().over(w))
       .filter(col("__irank") <= k)
       .groupBy(col(qid)).agg(
-        count(lit(1)).as("__nrel_k"),
         sum(col("grade") / log(2.0, col("__irank") + 1)).as("__idcg"))
     val nRel = truth.filter(col("grade") > 0)
       .groupBy(col(qid)).agg(count(lit(1)).as("__nrel"))

@@ -283,9 +283,10 @@ object TextAnalysis {
     val toks = graft.GraftSession.widen(docs)
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val total = toks.count()
     val cms = toks.stat.countMinSketch("token", eps, confidence, seed)
-    val bound = math.ceil(eps * total).toLong
+    // N comes from the sketch itself (totalCount = rows added), not a
+    // second corpus scan
+    val bound = math.ceil(eps * cms.totalCount()).toLong
     val estimate = udf { (t: String) => cms.estimateCount(t) }
     toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
