@@ -947,6 +947,36 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // q130: ANN quality under the DRIVER gate — the forest's serving
+    // recall measured through the RetrievalEval harness against the
+    // exact ranking as graded qrels, reported as invariant thresholds
+    // (q104-style component/ok rows; the raw recall is seeded but
+    // statistical, so the gate pins FLOORS, not values). A recall or
+    // ranking regression now flips the correctness table, not just a
+    // spec.
+    "q130_ann_quality_gate" -> ((s, d) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val model = graft.ann.AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(e, "vec_id", "embedding")
+      val results = model.knnJoinBucketed(e, queries, topK = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val truth = graft.operators.KnnExact.knnBatch(e, queries, 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          (lit(11) - col("rank")).cast("double").as("grade"))
+      val m = graft.operators.RetrievalEval.metrics(results, truth, k = 10)
+        .agg(avg(col("recall")).as("r"), avg(col("mrr")).as("m"), avg(col("ndcg")).as("n"))
+        .head()
+      import s.implicits._
+      Seq(
+        ("mrr_self_exact", if (m.getDouble(1) == 1.0) 1 else 0),
+        ("ndcg10_floor_085", if (m.getDouble(2) >= 0.85) 1 else 0),
+        ("recall10_floor_080", if (m.getDouble(0) >= 0.80) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -2811,6 +2841,12 @@ object SparkEntry {
            round(CASE WHEN ideal.idcg > 0 THEN pq.dcg / ideal.idcg ELSE 0 END, 4) AS ndcg
          FROM pq JOIN ideal USING (qid) JOIN nrel USING (qid)
          ORDER BY qid""",
+    // q130: seeded-statistical floors as verdict rows
+    "q130_ann_quality_gate" ->
+      """SELECT * FROM (VALUES
+           ('mrr_self_exact', 1), ('ndcg10_floor_085', 1),
+           ('recall10_floor_080', 1)) t(component, ok)
+         ORDER BY component""",
     // q128: exact top-20 token counts; cms_ok mirrors as the constant 1
     // (the sketch guarantee holds by construction at eps=0.001, δ=0.01
     // — a failure would flip the hash)
