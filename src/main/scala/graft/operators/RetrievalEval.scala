@@ -29,8 +29,12 @@ object RetrievalEval {
   def metrics(results: DataFrame, truth: DataFrame, k: Int,
       qid: String = "qid", docId: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // qrels are eval-sized (|queries| × tens of judgments) — broadcast
+    // explicitly: TopKPerKey upstream hides size estimates, so Catalyst
+    // would otherwise sort-merge two frames that are both tiny
     val hits = results.filter(col("rank") <= k)
-      .join(truth.select(col(qid), col(docId), col("grade")), Seq(qid, docId), "left")
+      .join(broadcast(truth.select(col(qid), col(docId), col("grade"))),
+        Seq(qid, docId), "left")
       .select(col(qid), col("rank"),
         coalesce(col("grade"), lit(0.0)).cast("double").as("grade"))
     val perQuery = hits.groupBy(col(qid)).agg(

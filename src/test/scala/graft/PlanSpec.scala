@@ -47,6 +47,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q124/q125/q126 tokenizer+funnel analytics: partial aggs, no corpus window") {
+    for (q <- Seq("q124_pack_token_ids", "q125_funnel_timing", "q126_bpe_token_freq")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n" + p)
+      assert(p.contains("partial_") || p.contains("HashAggregate"), s"$q:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p)
+    }
+    // q126's top-50 heap-prunes instead of globally sorting the vocab counts
+    assert(planOf("q126_bpe_token_freq").contains("TakeOrderedAndProject"),
+      planOf("q126_bpe_token_freq"))
+  }
+
+  test("q129 retrieval eval: rankings heap-prune via the custom operator, no sort-merge") {
+    val p = planOf("q129_retrieval_eval")
+    // corpus-sized ranking work goes through TopKPerKey (bounded heaps);
+    // the only windows left run over <= k rows per key and the
+    // judgment-bounded qrels
+    assert(p.contains("GraftTopKPerKey") || p.contains("TopKPerKey"), p)
+    assert(!p.contains("SortMergeJoin"), "metric joins must broadcast:\n" + p)
+  }
+
   test("q122/q123 parameterized funnels keep the window-free chained-agg shape") {
     for (q <- Seq("q122_funnel_4stage", "q123_funnel_windowed")) {
       val p = planOf(q)
