@@ -55,33 +55,63 @@ object FunnelStream {
     * optional conversion window in MICROSECONDS (mirrors
     * `Funnel.funnel(within=...)`). Same codepath for batch and
     * streaming — Spark invokes the state function per group over all
-    * data in batch mode. */
+    * data in batch mode.
+    *
+    * `evictStalled` (streaming + `withinUs` only; input must carry a
+    * watermark on ts): evict a mid-funnel user once the watermark
+    * passes their conversion deadline (tUs + within). SOUND for the
+    * stalled funnel itself — past the deadline no event can ever
+    * qualify, so the eviction can't lose a completion — but it changes
+    * long-horizon semantics to RE-ENTRY: a user who goes cold and
+    * returns starts the funnel over (another stage-0 completion),
+    * where the infinite-state default matches the batch single-entry
+    * chain exactly. That re-entry reading is the standard product-
+    * analytics one; the default stays batch-equivalent. */
   def completions(events: Dataset[FunnelEvent], stages: Seq[String],
-      withinUs: Option[Long] = None): Dataset[StageCompletion] = {
+      withinUs: Option[Long] = None,
+      evictStalled: Boolean = false): Dataset[StageCompletion] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(!evictStalled || withinUs.isDefined,
+      "evictStalled needs a conversion window: without one a stalled user " +
+        "can still convert arbitrarily late, so eviction would drop completions")
     import events.sparkSession.implicits._
     val st = stages.toIndexedSeq
     val win = withinUs
+    val timeout =
+      if (evictStalled) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, StageCompletion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (uid, it, state) =>
-          var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[StageCompletion]
-          it.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
-            if (cur.stage < st.length && e.event_type == st(cur.stage)) {
-              val t = toMicros(e.ts)
-              val afterOk = cur.stage == 0 || t > cur.tUs
-              val withinOk = cur.stage == 0 || win.forall(w => t <= cur.tUs + w)
-              if (afterOk && withinOk) {
-                out += StageCompletion(uid, cur.stage, st(cur.stage), e.ts)
-                cur = FunnelProgress(cur.stage + 1, t)
+          if (it.isEmpty && state.hasTimedOut) {
+            // conversion deadline passed: no future event can qualify
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StageCompletion]
+            it.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+              if (cur.stage < st.length && e.event_type == st(cur.stage)) {
+                val t = toMicros(e.ts)
+                val afterOk = cur.stage == 0 || t > cur.tUs
+                val withinOk = cur.stage == 0 || win.forall(w => t <= cur.tUs + w)
+                if (afterOk && withinOk) {
+                  out += StageCompletion(uid, cur.stage, st(cur.stage), e.ts)
+                  cur = FunnelProgress(cur.stage + 1, t)
+                }
               }
             }
+            if (cur.stage >= st.length) state.remove() // funnel done — evict
+            else if (cur.stage > 0) {
+              state.update(cur)
+              if (evictStalled)
+                // ceiling to ms, like sessionizeStreaming: flooring
+                // could fire up to 1 ms before the true deadline
+                state.setTimeoutTimestamp((cur.tUs + win.get + 999) / 1000)
+            }
+            out.iterator
           }
-          if (cur.stage >= st.length) state.remove() // funnel done — evict
-          else if (cur.stage > 0) state.update(cur)
-          out.iterator
       }
   }
 

@@ -143,6 +143,46 @@ class FunnelSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("evictStalled: deadline eviction is completion-safe; cold users re-enter") {
+    import graft.streaming.{FunnelEvent, FunnelStream, StageCompletion}
+    import org.apache.spark.sql.Dataset
+    def run(evict: Boolean): Seq[(Long, Int)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_funnel_evict").toString
+      val schema = ev((1L, 0, "a")).schema
+      def write(rows: (Long, Int, String)*) =
+        ev(rows: _*).repartition(1).write.mode("append").parquet(dir)
+      // b1: u1 enters (deadline 0+100s); b2/b3: other users push the
+      // watermark past the deadline (eviction fires in b3, where u1 has
+      // no data); b4: u1 returns long after going cold
+      write((1L, 0, "a"), (9L, 10, "a"))
+      val mkStream = () => spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds").as[FunnelEvent]
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+      val q = FunnelStream.completions(mkStream(), Seq("a", "b"),
+          withinUs = Some(100L * 1000000L), evictStalled = evict)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: Dataset[StageCompletion], _: Long) =>
+          b.collect().foreach(c => got.add((c.user_id, c.stage_idx)))
+        }
+        .start()
+      q.processAllAvailable()
+      write((9L, 2000, "b")); q.processAllAvailable()
+      write((8L, 2100, "a")); q.processAllAvailable()
+      write((1L, 3000, "a")); q.processAllAvailable()
+      q.stop()
+      got.toArray(Array.empty[(Long, Int)]).toSeq
+    }
+    val evicted = run(evict = true)
+    // u1's second 'a' starts a NEW funnel entry after eviction
+    assert(evicted.count(c => c._1 == 1L && c._2 == 0) === 2, evicted.toString)
+    val default = run(evict = false)
+    // infinite-state default keeps batch single-entry semantics
+    assert(default.count(c => c._1 == 1L && c._2 == 0) === 1, default.toString)
+    // eviction never loses a completion emitted before the stall
+    assert(evicted.toSet.filterNot(_ == ((1L, 0))) === default.toSet.filterNot(_ == ((1L, 0))))
+  }
+
   test("operator at 3 stages reproduces the q113 fixture result") {
     val e = sources.Tables.events(spark, sf0001)
       .select($"user_id", $"ts", $"event_type")
