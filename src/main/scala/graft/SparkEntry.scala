@@ -977,6 +977,39 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q131: REAL multi-frame VIDEO decode under the hash gate — the
+    // animated-GIF analog of q90/q120: deterministic gray clips are
+    // encoded as actual multi-frame GIFs (javax.imageio sequence
+    // writer) and decoded back by the production gifVideoStats path;
+    // every lane is an exact integer (frame count, dims, gray sum,
+    // inter-frame motion), so the oracle replays the pixel formula
+    // without touching a codec. Upgrades video from byte-stats stub to
+    // a real multi-frame codec path.
+    "q131_gif_video" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      GraftSession.widen(docs)
+        .withColumn("payload", Multimodal.syntheticGif(col("doc_id")))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.gifVideoStats(col("payload")).as("st"))
+        .select(col("media_id"),
+          col("st._1").as("n_frames"), col("st._2").as("width"),
+          col("st._3").as("height"), col("st._4").as("sum_gray"),
+          col("st._5").as("motion"))
+        .orderBy(col("media_id"))
+    }),
+
+    // q132: duplicated-span REMOVAL (keep-first) — the scrub stage of
+    // exact substring dedup (q76 only measures): consecutive 8-token
+    // segments, corpus-wide first occurrence survives, later repeats
+    // drop. One segment-keyed argmin agg (no window), md5 of the
+    // rebuilt text per doc under the q67 full-output-compare
+    // discipline.
+    "q132_dup_span_removal" -> ((s, d) => {
+      graft.operators.TextDedup.removeDupSpans(
+          Tables.documents(s, d), "doc_id", "text", window = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3824,6 +3857,49 @@ object SparkEntry {
          JOIN agg a0 ON a0.doc_id = b.doc_id AND a0.c = 0
          LEFT JOIN agg a1 ON a1.doc_id = b.doc_id AND a1.c = 1
          ORDER BY media_id""",
+    // GIF video oracle: replay the frame formula (gray of clip id,
+    // frame t, pixel (x,y) = (id*31 + t*101 + x*7 + y*13) % 256 —
+    // gray pixels decode to lum == palette index exactly, since
+    // (299+587+114)v/1000 = v) and aggregate the same integer lanes
+    // the real multi-frame decode emits.
+    "q131_gif_video" ->
+      """WITH g AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+             2 + doc_id % 4 AS nf FROM documents),
+         fr AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS t FROM g),
+         px1 AS (SELECT doc_id, w, h, nf, t, unnest(range(w)) AS x FROM fr),
+         px AS (SELECT doc_id, w, h, nf, t, x, unnest(range(h)) AS y FROM px1),
+         v AS (SELECT doc_id, w, h, nf,
+             (doc_id*31 + t*101 + x*7 + y*13) % 256 AS gray,
+             CASE WHEN t > 0 THEN abs(
+               (doc_id*31 + t*101 + x*7 + y*13) % 256
+               - (doc_id*31 + (t-1)*101 + x*7 + y*13) % 256) ELSE 0 END AS delta
+           FROM px)
+         SELECT doc_id AS media_id, nf AS n_frames, w AS width, h AS height,
+           sum(gray)::BIGINT AS sum_gray, sum(delta)::BIGINT AS motion
+         FROM v GROUP BY doc_id, nf, w, h ORDER BY media_id""",
+    // dup-span removal oracle: same segmentation (consecutive 8-token
+    // windows over single-space tokens), keep = corpus-wide first
+    // occurrence in (doc_id, seg_idx) order (the window formulation of
+    // the engine's argmin agg), rebuild in segment order and md5.
+    "q132_dup_span_removal" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         segs AS (
+           SELECT doc_id, i AS seg_idx,
+             array_to_string(t[i*8+1 : i*8+8], ' ') AS seg,
+             len(t[i*8+1 : i*8+8]) AS seg_toks
+           FROM (SELECT doc_id, t,
+                   unnest(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+                 FROM toks)),
+         flagged AS (
+           SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+           FROM segs)
+         SELECT doc_id, count(*)::BIGINT AS n_seg,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(sum(CASE WHEN keep THEN seg_toks END), 0)::BIGINT AS kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS kept_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * — detected by payload magic bytes; any other payload (compressed
   * audio, video containers) falls back to the deterministic
   * byte-statistics stub (which is what the text-bytes fixtures
-  * exercise, keeping q60–q62's DuckDB oracles bit-exact). Video
-  * frame-sampling stays a byte-window stub — no MP4/Matroska demuxer
-  * ships with the JDK. Either way the plan is the deliverable:
+  * exercise, keeping q60–q62's DuckDB oracles bit-exact). Video is
+  * REAL for multi-frame GIF ([[Multimodal.gifVideoStats]] — frame
+  * count, gray sums, inter-frame motion, all integer-exact under
+  * q131's hash gate); MP4/Matroska ship no JDK demuxer, so those
+  * containers fall back to the byte-window stub (frame sampling
+  * included). Either way the plan is the deliverable:
   * decode is a narrow per-partition map with no shuffle, exactly how a
   * 100 TB media table wants to be processed (data-local, no driver
   * involvement, columnar in/out).
@@ -370,6 +373,143 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(
         ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    f(id)
+  }
+
+  /** GIF magic sniff (87a/89a) — animated GIF is the one real
+    * multi-frame (video) container a stock JVM can both encode and
+    * decode, so it is the honest pure-JDK stand-in for the MP4/Matroska
+    * demuxers that do NOT ship with the JDK. */
+  private[operators] def looksLikeGif(p: Array[Byte]): Boolean =
+    p != null && p.length >= 6 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+  /** The 256-entry grayscale palette shared by the synthetic GIF
+    * encoder and (implicitly) the decode check: index v maps to RGB
+    * (v,v,v), so an indexed frame stores its gray plane LOSSLESSLY —
+    * GIF's LZW is lossless over indices, the palette is exact, and a
+    * decode recovers every sample bit-for-bit. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** REAL multi-frame video decode + temporal features (pure-JVM
+    * `javax.imageio` GIF reader): frame count, dimensions, the exact
+    * integer gray sum over all frames, and a motion signal — the
+    * summed absolute per-pixel gray delta between consecutive frames
+    * (the classic scene-change / static-clip detector). All lanes are
+    * exact integers (gray = (299r+587g+114b)/1000 truncated, the
+    * [[imageDecode]] luminance), so a closed-form oracle that never
+    * touches a codec can reproduce them — the q90/q120 discipline,
+    * applied to video. Null when the payload is not a decodable GIF;
+    * callers fall back to the byte-stats stub. One narrow UDF, no
+    * shuffle, frames streamed one at a time (memory = 2 frames). */
+  def gifVideoStats(payload: Column): Column = {
+    val f = udf { (p: Array[Byte]) =>
+      if (!looksLikeGif(p)) null
+      else {
+        var reader: javax.imageio.ImageReader = null
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            reader = readers.next()
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) null
+            else {
+              var w = 0; var h = 0
+              var sumGray = 0L; var motion = 0L
+              var prev: Array[Int] = null
+              var t = 0
+              var ok = true
+              while (ok && t < n) {
+                val img = reader.read(t)
+                if (t == 0) { w = img.getWidth; h = img.getHeight }
+                // a frame smaller than frame 0 (GIF allows sub-rect
+                // frames) would make the motion delta ill-defined —
+                // the synthetic clips never do this, foreign GIFs that
+                // do fall back to the stub rather than emit a lie
+                if (img.getWidth != w || img.getHeight != h) ok = false
+                else {
+                  val cur = new Array[Int](w * h)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      val lum = (((rgb >> 16) & 0xff) * 299 +
+                        ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                      cur(y * w + x) = lum
+                      sumGray += lum
+                      if (prev != null) motion += math.abs(lum - prev(y * w + x))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  prev = cur
+                  t += 1
+                }
+              }
+              if (!ok) null else (n, w, h, sumGray, motion)
+            }
+          }
+        } catch { // malformed stream past the magic sniff: null-and-fall-back
+          case scala.util.control.NonFatal(_) => null
+        } finally if (reader != null) reader.dispose()
+      }
+    }
+    f(payload)
+  }
+
+  /** Deterministic synthetic video clip, encoded as a REAL animated
+    * GIF via `javax.imageio.ImageWriter.writeToSequence` — gray sample
+    * of clip `id`, frame t, pixel (x,y) is the closed form
+    * ((id·31 + t·101 + x·7 + y·13) mod 256) over a
+    * (8 + id mod 5)×(8 + id mod 3) canvas × (2 + id mod 4) frames,
+    * drawn into indexed frames over the identity gray palette (GIF is
+    * lossless over palette indices). q131 decodes these through the
+    * production [[gifVideoStats]] path and hash-matches a closed-form
+    * DuckDB oracle, proving the multi-frame codec path is real. */
+  def syntheticGif(id: Column): Column = {
+    val f = udf { (id: Long) =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val nFrames = 2 + (id % 4).toInt
+      val cm = grayPalette
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var t = 0
+        while (t < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + t * 101 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          t += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
       bos.toByteArray
     }
     f(id)

@@ -462,4 +462,63 @@ object TextDedup {
       .withColumn("dup_ratio",
         round(col("n_dup_shingles") / col("n_shingles"), 4))
   }
+
+  /** Duplicated-span REMOVAL, keep-first — the scrub that
+    * [[dupShingleStats]] only measures (the exact-substring-dedup
+    * pipeline stage of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499, in its
+    * non-overlapping-window form): split each document into
+    * consecutive `window`-token segments, and keep an occurrence of a
+    * segment iff it is the corpus-wide FIRST occurrence in
+    * (`idCol`, seg_idx) order — every later repeat of a boilerplate
+    * block is dropped while its first sighting survives, so no text is
+    * lost, only repetition. Deterministic by construction (exact
+    * string keys, total first-occurrence order), hence fully
+    * SQL-mirrorable.
+    *
+    * Output per document: n_seg, n_kept, kept_tokens (token count of
+    * the surviving text) and kept_md5 — the md5 of the surviving
+    * segments rejoined in segment order (the q67 full-output-compare
+    * discipline; a doc whose every segment lost keeps the md5 of "").
+    *
+    * Shape: segment explode (narrow, codegen), ONE segment-keyed
+    * aggregation for the first-occurrence argmin (min over a
+    * (doc, idx) struct — partial-agg friendly, never a per-segment
+    * window), one equi-join back, one per-doc agg whose ordered
+    * rebuild runs over doc-bounded segment lists. A hot boilerplate
+    * segment costs a combine tree, not a task. At 100 TB the segment
+    * STRING key becomes an 8-byte hash (the [[shingleHashes]] move)
+    * and the rebuild column is dropped unless re-materializing text. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    require(window > 0)
+    val toks = tokens(col(textCol))
+    val nSeg = ceil(size(toks) / lit(window.toDouble)).cast("int")
+    val segArr = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1), i =>
+      struct(
+        concat_ws(" ", slice(toks, i * window + 1, lit(window))).as("seg"),
+        size(slice(toks, i * window + 1, lit(window))).as("seg_toks")))
+    val seg = graft.GraftSession.widen(docs)
+      .select(col(idCol), posexplode(segArr))
+      .select(col(idCol), col("pos").as("seg_idx"),
+        col("col.seg").as("seg"), col("col.seg_toks").as("seg_toks"))
+    val first = seg.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__first"))
+    seg.join(first, "seg")
+      .withColumn("keep",
+        col(s"__first.$idCol") === col(idCol) &&
+          col("__first.seg_idx") === col("seg_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("seg_toks").cast("long"))), lit(0L))
+          .as("kept_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ")).as("kept_md5"))
+  }
 }

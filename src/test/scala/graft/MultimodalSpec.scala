@@ -155,6 +155,42 @@ class MultimodalSpec extends SparkSpec {
     assert(eight.isNullAt(0), "8-bit PCM must fall back, not mis-decode")
   }
 
+  test("GIF video roundtrip: multi-frame decode recovers closed-form gray sums and motion") {
+    // local replay of the syntheticGif formula — frame count, dims,
+    // total gray, inter-frame motion — across frame counts 2..5
+    def expect(id: Long) = {
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val nf = 2 + (id % 4).toInt
+      def gray(t: Int, x: Int, y: Int) = (id * 31 + t * 101 + x * 7 + y * 13) % 256
+      var sumGray = 0L; var motion = 0L
+      for (t <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        sumGray += gray(t, x, y)
+        if (t > 0) motion += math.abs(gray(t, x, y) - gray(t - 1, x, y))
+      }
+      (nf, w, h, sumGray, motion)
+    }
+    val rows = Seq(0L, 1L, 2L, 3L, 7L, 11L).toDF("media_id")
+      .withColumn("payload", Multimodal.syntheticGif($"media_id"))
+      .select($"media_id", Multimodal.gifVideoStats($"payload").as("st"))
+      .orderBy($"media_id")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val st = r.getStruct(1)
+      val got = (st.getInt(0), st.getInt(1), st.getInt(2), st.getLong(3), st.getLong(4))
+      assert(got === expect(id), s"id=$id")
+    }
+    // frame count really is multi-frame (the whole point of the path)
+    assert(rows.forall(_.getStruct(1).getInt(0) >= 2))
+    // non-GIF payloads (and GIF magic over garbage) yield null, never a crash
+    val bad = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "GIF89a-but-garbage-after-the-magic".getBytes("UTF-8"))).toDF("id", "payload")
+      .select(Multimodal.gifVideoStats($"payload").as("st")).collect()
+    bad.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
     val png = pngFixture()
     val df = Seq((1L, png)).toDF("media_id", "payload")

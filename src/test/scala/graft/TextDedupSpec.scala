@@ -149,4 +149,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out(11L)._1 === 3L)
     assert(math.abs(out(11L)._2 - 2.0 / 3) < 1e-6)
   }
+
+  test("removeDupSpans keeps the corpus-wide first occurrence of a repeated segment") {
+    // window=2 segments: doc 0 = [a b][c d], doc 1 = [a b][x y],
+    // doc 2 = [c d][a b][z] — "a b" survives only in doc 0 seg 0,
+    // "c d" only in doc 0 seg 1, uniques survive everywhere.
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "c d a b z")).toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(docs, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0L) === ((2L, 2L, 4L, md5("a b c d"))))
+    assert(out(1L) === ((2L, 1L, 2L, md5("x y"))))
+    assert(out(2L) === ((3L, 1L, 1L, md5("z"))))
+    // a doc whose every segment is a repeat keeps md5("")
+    val dup = Seq((0L, "p q"), (1L, "p q")).toDF("doc_id", "text")
+    val gone = TextDedup.removeDupSpans(dup, "doc_id", "text", window = 2)
+      .filter($"doc_id" === 1L).head()
+    assert(gone.getLong(2) === 0L && gone.getString(4) === md5(""))
+    // within one doc, an intra-doc repeat also keeps only its first copy
+    val intra = Seq((5L, "m n m n o")).toDF("doc_id", "text")
+    val r = TextDedup.removeDupSpans(intra, "doc_id", "text", window = 2).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 3L)))
+    assert(r.getString(4) === md5("m n o"))
+  }
 }
