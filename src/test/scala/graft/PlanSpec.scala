@@ -274,4 +274,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "df must be an agg, never a per-shingle window")
     assert(p.contains("partial_count") || p.contains("partial_"), p)
   }
+
+  test("q132 dup-span removal: first-occurrence argmin is an agg, never a per-segment window") {
+    val p = planOf("q132_dup_span_removal")
+    // the oracle uses row_number() — the ENGINE must not: a per-segment
+    // window has no partial aggregation and sorts every segment group
+    assert(!p.contains("Window"), "first occurrence must be min(struct), not a window")
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+
+  test("q131 gif video decode is a narrow projection (no exchange except the presentation sort)") {
+    val p = planOf("q131_gif_video")
+    // encode→decode are per-row UDFs over the scan; the only wide op
+    // allowed is the final orderBy's range exchange
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"decode must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
 }
