@@ -1010,6 +1010,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q133: INCREMENTAL token counts — the streaming face of the
+    // corpus histogram (q128's exact path): documents fold into a
+    // log-structured counter store in 5 micro-batches (per-batch cost
+    // = batch vocabulary, nothing corpus-sized), the store compacts
+    // (one row per token), and the served top-20 must equal a full
+    // recount — sum-of-deltas exactness under the driver's hash gate,
+    // independent of batching.
+    "q133_freq_stream" -> ((s, d) => {
+      import graft.streaming.FreqStream
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      FreqStream.replayInBatches(docs, "q133_freq", nBatches = 5)
+      FreqStream.compact(s, "q133_freq")
+      FreqStream.topK(s, "q133_freq", 20)
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3900,6 +3915,15 @@ object SparkEntry {
            coalesce(sum(CASE WHEN keep THEN seg_toks END), 0)::BIGINT AS kept_tokens,
            md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS kept_md5
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // incremental counter store serves EXACT counts: same oracle shape
+    // as q128's exact path (full recount), which is the pinned
+    // sum-of-deltas semantics
+    "q133_freq_stream" ->
+      """SELECT tok AS token, count(*)::BIGINT AS cnt FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents) u
+         WHERE tok <> '' GROUP BY tok
+         ORDER BY cnt DESC, tok LIMIT 20""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute
