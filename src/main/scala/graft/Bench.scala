@@ -46,7 +46,30 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg}""")
+    // Hypervisor steal is the sharper signal on a virtualized host:
+    // load_avg includes the bench's OWN threads, but steal ticks are
+    // cycles the hypervisor withheld — observed to hit the heavy
+    // all-core queries (q30/q35/q37) 5-10× while light queries held
+    // steady, rotating victims between runs. steal_ticks here is the
+    // /proc/stat delta across the whole timed window (1 tick = 10 ms
+    // of one stolen CPU); thousands of ticks = contaminated recording.
+    val stealEnd = stealTicks()
+    val stealDelta =
+      if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg,"steal_ticks":$stealDelta}""")
     spark.stop()
   }
+
+  /** Aggregate steal-time ticks from /proc/stat (field 8 of the `cpu`
+    * line); -1 when unreadable (non-Linux). */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private val stealStart: Long = stealTicks()
 }
