@@ -1025,6 +1025,23 @@ object SparkEntry {
       FreqStream.topK(s, "q133_freq", 20)
     }),
 
+    // q134: REAL video frame SAMPLING — every 2nd frame of each
+    // multi-frame GIF clip is decoded (unsampled frames never
+    // rasterize: decode cost follows the sample) and emitted as one
+    // row with its exact integer gray sum; the keyframe-extraction
+    // shape of a multimodal training pipeline, under the same
+    // closed-form hash gate as q131.
+    "q134_gif_frame_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      GraftSession.widen(docs)
+        .withColumn("payload", Multimodal.syntheticGif(col("doc_id")))
+        .select(col("doc_id").as("media_id"),
+          explode(Multimodal.gifSampleFrames(col("payload"), stride = 2)).as("fr"))
+        .select(col("media_id"), col("fr.frame_idx"), col("fr.width"),
+          col("fr.height"), col("fr.gray_sum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3924,6 +3941,20 @@ object SparkEntry {
            FROM documents) u
          WHERE tok <> '' GROUP BY tok
          ORDER BY cnt DESC, tok LIMIT 20""",
+    // sampled-frame oracle: frames t = 0, 2, 4, ... of the q131 clip
+    // formula, per-frame gray sums
+    "q134_gif_frame_sample" ->
+      """WITH g AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+             2 + doc_id % 4 AS nf FROM documents),
+         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS t FROM g),
+         sampled AS (SELECT * FROM fr WHERE t % 2 = 0),
+         px1 AS (SELECT doc_id, w, h, t, unnest(range(w)) AS x FROM sampled),
+         px AS (SELECT doc_id, w, h, t, x, unnest(range(h)) AS y FROM px1)
+         SELECT doc_id AS media_id, t::INT AS frame_idx, w::INT AS width,
+           h::INT AS height,
+           sum((doc_id*31 + t*101 + x*7 + y*13) % 256)::BIGINT AS gray_sum
+         FROM px GROUP BY doc_id, t, w, h ORDER BY media_id, frame_idx""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute

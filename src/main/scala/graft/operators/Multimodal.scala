@@ -515,6 +515,69 @@ object Multimodal {
     f(id)
   }
 
+  /** Named struct for [[Multimodal.gifSampleFrames]] — one row per
+    * SAMPLED frame after the explode. */
+  case class GifFrameRow(frame_idx: Int, width: Int, height: Int, gray_sum: Long)
+
+  /** REAL video frame sampling: decode every `stride`-th frame of a
+    * multi-frame GIF (the training-pipeline keyframe-extraction shape —
+    * a video contributes a bounded subset of frames, not all of them)
+    * and emit per-frame integer gray sums. Unsampled frames are never
+    * rasterized — `ImageReader.read(t)` pulls only the requested
+    * image, so the decode cost follows the SAMPLE, which is the point
+    * of striding. Returns an array of (frame_idx, width, height,
+    * gray_sum) structs for the caller to explode (one narrow UDF +
+    * one Generate, no shuffle); null for non-GIF payloads. */
+  def gifSampleFrames(payload: Column, stride: Int): Column = {
+    require(stride > 0)
+    val st = stride
+    val f = udf { (p: Array[Byte]) =>
+      if (!looksLikeGif(p)) null
+      else {
+        var reader: javax.imageio.ImageReader = null
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            reader = readers.next()
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) null
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[GifFrameRow]
+              var t = 0
+              while (t < n) {
+                val img = reader.read(t)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) * 299 +
+                      ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += GifFrameRow(t, w, h, sum)
+                t += st
+              }
+              out.toSeq
+            }
+          }
+        } catch { // malformed stream past the magic sniff: null-and-fall-back
+          case scala.util.control.NonFatal(_) => null
+        } finally if (reader != null) reader.dispose()
+      }
+    }
+    f(payload)
+  }
+
   /** Frame-sample shape for video-ish payloads: split the payload into
     * fixed-size "frames", keep every `stride`-th — demonstrates the
     * explode-with-metadata pattern (one row per sampled frame). */

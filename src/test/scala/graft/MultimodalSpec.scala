@@ -191,6 +191,27 @@ class MultimodalSpec extends SparkSpec {
     bad.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("GIF frame sampling decodes only every stride-th frame with exact gray sums") {
+    def graySum(id: Long, t: Int) = {
+      val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + t * 101 + x * 7 + y * 13) % 256).sum
+    }
+    // id 3 has 2 + 3%4 = 5 frames -> stride 2 samples frames 0, 2, 4
+    val rows = Seq(3L).toDF("media_id")
+      .withColumn("payload", Multimodal.syntheticGif($"media_id"))
+      .select(explode(Multimodal.gifSampleFrames($"payload", stride = 2)).as("fr"))
+      .select($"fr.frame_idx", $"fr.gray_sum")
+      .orderBy($"frame_idx")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 2, 4))
+    rows.foreach(r => assert(r.getLong(1) === graySum(3L, r.getInt(0))))
+    // non-GIF payloads yield null (no rows after explode)
+    val none = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .select(explode(Multimodal.gifSampleFrames($"payload", stride = 2)))
+    assert(none.count() === 0L)
+  }
+
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
     val png = pngFixture()
     val df = Seq((1L, png)).toDF("media_id", "payload")

@@ -368,4 +368,42 @@ class PropertySpec extends SparkSpec {
       assert(viaFusion === viaWindow, s"seed ${300 + i} k=$k cand=$cand")
     }
   }
+
+  test("dup-span removal: conservation, determinism, and single-copy survival (random corpora)") {
+    import graft.operators.TextDedup
+    // small vocabulary + short docs -> dense cross-doc segment repeats
+    val docGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(4, 12)
+      texts <- Gen.listOfN(n,
+        Gen.choose(2, 10).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 5).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(500L + i)).get.toDF("doc_id", "text")
+      val w = 1 + i % 3
+      val out = TextDedup.removeDupSpans(docs, "doc_id", "text", window = w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // conservation: kept <= total segments per doc; global kept-segment
+      // count == number of DISTINCT segments in the corpus (exactly one
+      // copy of every segment survives somewhere)
+      out.values.foreach { case (nSeg, nKept, _) => assert(nKept <= nSeg && nKept >= 0) }
+      val segs = docs.select(
+          explode(org.apache.spark.sql.functions.transform(
+            sequence(lit(0),
+              greatest(ceil(size(split(lower(trim(col("text"))), "\\s+")) / lit(w.toDouble))
+                .cast("int"), lit(1)) - 1),
+            j => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+              j * w + 1, lit(w))))).as("seg"))
+      val distinctSegs = segs.distinct().count()
+      assert(out.values.map(_._2).sum === distinctSegs,
+        s"seed ${500 + i} w=$w: exactly one copy of each segment must survive")
+      // determinism: a re-run picks the identical survivors (the
+      // argmin is total-ordered, no tie nondeterminism to leak)
+      val second = TextDedup.removeDupSpans(docs, "doc_id", "text", window = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      out.foreach { case (id, (_, nKept, _)) =>
+        assert(second(id) === nKept, s"seed ${500 + i} w=$w doc $id: determinism")
+      }
+    }
+  }
 }
