@@ -1042,6 +1042,23 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // q135: TOKEN-budget data mixing — the mixing primitive as
+    // production specifies it ("x tokens of web, y of code"), not doc
+    // counts (q49) or keep rates (q72): per language, keep the maximal
+    // deterministic-hash-order prefix whose token total fits the
+    // budget. Two-resolution cumsum (bucket-level agg + one straddling
+    // bucket per group at document level) so no group is ever fully
+    // sorted; the oracle is the single-window formulation.
+    "q135_token_budget_mix" -> ((s, d) => {
+      graft.operators.WeightedSample.tokenBudgetSample(
+          Tables.documents(s, d), "lang", "doc_id",
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long"),
+          Map("en" -> 5000L, "de" -> 1500L, "es" -> 2000L,
+            "fr" -> 1000L, "zh" -> 2500L),
+          buckets = 1024)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3955,6 +3972,23 @@ object SparkEntry {
            h::INT AS height,
            sum((doc_id*31 + t*101 + x*7 + y*13) % 256)::BIGINT AS gray_sum
          FROM px GROUP BY doc_id, t, w, h ORDER BY media_id, frame_idx""",
+    // token-budget mix oracle: the one-window formulation of the same
+    // contract — keep while the hash-order running token total fits
+    "q135_token_budget_mix" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+             len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens,
+             ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+           FROM documents),
+         b(lang, budget) AS (VALUES
+           ('en', 5000), ('de', 1500), ('es', 2000), ('fr', 1000), ('zh', 2500)),
+         c AS (
+           SELECT t.lang, t.doc_id, t.tokens, b.budget,
+             sum(t.tokens) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t JOIN b ON b.lang = t.lang)
+         SELECT lang, doc_id, tokens FROM c WHERE cum <= budget
+         ORDER BY lang, doc_id""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute

@@ -28,10 +28,14 @@ import graft.plans.TopKPerKey
   * silently reordered (u^(1/w) is monotone-in-u only for w > 0). */
 object WeightedSample {
 
+  /** Portable multiplicative integer hash of `id` in [0, 2^32) — the
+    * q47/q49/q72 arithmetic, exact in any engine. */
+  def portableHash(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+
   /** Uniform in (0, 1] from the portable integer hash of `id`. */
   def uniform(id: Column): Column =
-    (pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L)) + 1) /
-      lit(4294967297.0)
+    (portableHash(id) + 1) / lit(4294967297.0)
 
   /** ES priority: u(id)^(1/w), rounded to the cross-engine grid. */
   def priority(id: Column, weight: Column): Column =
@@ -55,5 +59,75 @@ object WeightedSample {
     pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .drop("__negp")
+  }
+
+  /** TOKEN-budget sampling per group — the data-MIXING primitive as
+    * production specifies it: a training mix is "x billion tokens of
+    * web, y of code, z of books", not a document count or a keep rate
+    * (q49/q72 sample by docs; this samples to a token budget).
+    *
+    * Semantics (deterministic, engine-portable): within group g, order
+    * documents by ([[portableHash]](id), id) and keep the maximal
+    * prefix whose running token total stays ≤ budget(g) — i.e. keep d
+    * iff cumsum(tokens) through d ≤ B_g. A pure function of
+    * (ids, budgets): reproducible at any parallelism, and the kept set
+    * only GROWS as the budget grows (prefix monotonicity, specced).
+    *
+    * Scale shape — the naive form is a per-group window cumsum, i.e. a
+    * full sort of every group (one task per group at 100 TB; a "web"
+    * group is most of the corpus). Instead, the hash order is split
+    * into `buckets` contiguous hash ranges (bucket index = h div
+    * 2^32/buckets, monotone in h, so bucket-then-hash order IS hash
+    * order) and the cumsum runs at two resolutions:
+    *   1. one compact (group, bucket) token aggregation — ≤
+    *      groups×buckets rows, partial-agg friendly;
+    *   2. a window cumsum over THAT table (tiny) marks each bucket
+    *      fully-kept / straddling / dropped and computes the budget
+    *      remaining at the straddle bucket's start;
+    *   3. fully-kept buckets pass via a broadcast semi-join (narrow);
+    *      only the ONE straddling bucket per group — 1/buckets of the
+    *      group, tunable — pays a per-document cumsum window.
+    * Every corpus-sized pass is narrow or a compact aggregation; the
+    * exact sequential dependence is confined to data that shrinks with
+    * `buckets`. */
+  def tokenBudgetSample(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: Column, budgets: Map[String, Long],
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && 4294967296L % buckets == 0,
+      "buckets must divide 2^32 so bucket index is monotone in the hash")
+    val spark = docs.sparkSession
+    val width = 4294967296L / buckets
+    val base = docs.select(
+      col(groupCol), col(idCol),
+      tokensCol.cast("long").as("__tok"),
+      WeightedSample.portableHash(col(idCol)).as("__h"),
+      (WeightedSample.portableHash(col(idCol)) / lit(width)).cast("long").as("__b"))
+    val budgetDf = broadcast(
+      spark.createDataFrame(budgets.toSeq).toDF(groupCol, "__budget"))
+    // bucket-resolution cumsum: groups×buckets rows, window is cheap
+    val bstats = base.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__tok")).as("__bt"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__b"))
+    val marked = bstats
+      .withColumn("__cum", sum(col("__bt")).over(wb))
+      .join(budgetDf, groupCol)
+      .withColumn("__before", col("__cum") - col("__bt"))
+    val fullB = marked.filter(col("__cum") <= col("__budget"))
+      .select(col(groupCol), col("__b"))
+    val stradB = marked
+      .filter(col("__cum") > col("__budget") && col("__before") < col("__budget"))
+      .select(col(groupCol), col("__b"), (col("__budget") - col("__before")).as("__rem"))
+    val keptFull = base.join(broadcast(fullB), Seq(groupCol, "__b"), "left_semi")
+    // document-resolution cumsum over ONLY the straddling buckets (one
+    // per group; the window partition is group-keyed and bucket-bounded)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    val keptStrad = base.join(broadcast(stradB), Seq(groupCol, "__b"))
+      .withColumn("__dc", sum(col("__tok")).over(wd))
+      .filter(col("__dc") <= col("__rem"))
+      .select(col(groupCol), col(idCol), col("__tok"), col("__h"), col("__b"))
+    keptFull.unionByName(keptStrad)
+      .select(col(groupCol), col(idCol), col("__tok").as("tokens"))
   }
 }

@@ -67,4 +67,54 @@ class WeightedSampleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"heap prune missing:\n$plan")
   }
+
+  /** Local replay of the tokenBudgetSample contract: per group, hash
+    * order, maximal prefix with cumsum <= budget. */
+  private def budgetTruth(rows: Seq[(String, Long, Long)],
+      budgets: Map[String, Long]): Set[(String, Long)] = {
+    def h(id: Long) = ((id % 1000003L) * 2654435761L) % 4294967296L
+    // .toSeq first: flatMap on the Map itself would re-collect the
+    // (group, id) pairs INTO a Map and keep one doc per group
+    rows.groupBy(_._1).toSeq.flatMap { case (g, docs) =>
+      val b = budgets.getOrElse(g, 0L)
+      var cum = 0L
+      docs.sortBy(d => (h(d._2), d._2)).takeWhile { d =>
+        cum += d._3; cum <= b
+      }.map(d => (g, d._2))
+    }.toSet
+  }
+
+  test("tokenBudgetSample == maximal hash-order prefix per group, at any bucket count") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"g${rnd.nextInt(4)}", i.toLong, 1L + rnd.nextInt(50)) }
+    val docs = rows.toDF("lang", "doc_id", "tok")
+    val budgets = Map("g0" -> 500L, "g1" -> 50L, "g2" -> 2000L, "g3" -> 0L)
+    val truth = budgetTruth(rows, budgets)
+    for (buckets <- Seq(1, 4, 256, 1024)) {
+      val got = WeightedSample.tokenBudgetSample(
+          docs, "lang", "doc_id", col("tok"), budgets, buckets)
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+      assert(got === truth, s"buckets=$buckets")
+    }
+    // budget respected exactly
+    val kept = WeightedSample.tokenBudgetSample(
+        docs, "lang", "doc_id", col("tok"), budgets, 256)
+      .groupBy($"lang").agg(sum($"tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (g, t) => assert(t <= budgets(g), g) }
+  }
+
+  test("tokenBudgetSample is prefix-monotone in the budget") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i => ("g", i.toLong, 1L + rnd.nextInt(30)) }
+    val docs = rows.toDF("lang", "doc_id", "tok")
+    def sample(b: Long) = WeightedSample.tokenBudgetSample(
+        docs, "lang", "doc_id", col("tok"), Map("g" -> b), 64)
+      .select($"doc_id").as[Long].collect().toSet
+    val small = sample(300L)
+    val big = sample(1200L)
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
 }
