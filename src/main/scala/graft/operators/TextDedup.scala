@@ -492,13 +492,20 @@ object TextDedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 8): DataFrame = {
     require(window > 0)
-    val toks = tokens(col(textCol))
-    val nSeg = ceil(size(toks) / lit(window.toDouble)).cast("int")
+    // tokenize ONCE into a row attribute before the per-segment lambda:
+    // a `split` referenced inside `transform`'s lambda is re-evaluated
+    // per ELEMENT (HOFs get no common-subexpression elimination — the
+    // recorded q42 trap), turning an O(tokens) tokenize into
+    // O(tokens·segments). seg_toks is arithmetic, not a second slice.
+    val withToks = graft.GraftSession.widen(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val nTok = size(col("__toks"))
+    val nSeg = ceil(nTok / lit(window.toDouble)).cast("int")
     val segArr = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1), i =>
       struct(
-        concat_ws(" ", slice(toks, i * window + 1, lit(window))).as("seg"),
-        size(slice(toks, i * window + 1, lit(window))).as("seg_toks")))
-    val seg = graft.GraftSession.widen(docs)
+        concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window))).as("seg"),
+        least(lit(window), nTok - i * window).as("seg_toks")))
+    val seg = withToks
       .select(col(idCol), posexplode(segArr))
       .select(col(idCol), col("pos").as("seg_idx"),
         col("col.seg").as("seg"), col("col.seg_toks").as("seg_toks"))
