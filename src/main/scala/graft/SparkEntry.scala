@@ -1059,6 +1059,22 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // q136: JSONL source under the hash gate — the interchange format
+    // scraped corpora arrive in: the documents table is written out as
+    // REAL newline-delimited JSON files and read back through the
+    // explicit-schema + corrupt-record-capture ingest path; the oracle
+    // reads the parquet original, so any escaping/unicode/number-width
+    // loss in either JSON direction breaks the hash.
+    "q136_jsonl_roundtrip" -> ((s, d) => {
+      import graft.sources.JsonlSource
+      val path = "/tmp/graft_q136_jsonl"
+      JsonlSource.write(Tables.documents(s, d), path)
+      JsonlSource.readDocumentsClean(s, path)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -3989,6 +4005,11 @@ object SparkEntry {
            FROM t JOIN b ON b.lang = t.lang)
          SELECT lang, doc_id, tokens FROM c WHERE cum <= budget
          ORDER BY lang, doc_id""",
+    // JSONL roundtrip oracle: the parquet original — the JSON
+    // write+read must be bit-lossless to match
+    "q136_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute
