@@ -1075,6 +1075,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q137: mergeable-sketch cardinality under the gate — per-source
+    // exact distinct tokens cross-checked by DataSketches HLL
+    // (error-bound bit) and by sketch MERGEABILITY (union of two
+    // disjoint halves == one-shot sketch) — the property that makes
+    // 100 TB cardinality incremental. Oracle = exact distinct + the
+    // constant-truth bits (q128's discipline, applied to cardinality).
+    "q137_distinct_sketch" -> ((s, d) => {
+      graft.operators.TextAnalysis.distinctChecked(
+          Tables.documents(s, d), "source", "doc_id", "text")
+        .orderBy(col("source"))
+    }),
+
     // q125: funnel conversion TIMING — per stage transition, converting
     // users + the exact integer sum of lags in micros (sum+count, not
     // avg: all-integer output, no float path). Same chained frames as
@@ -4010,6 +4022,14 @@ object SparkEntry {
     "q136_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
+    // sketch-checked cardinality: exact distinct + constant-truth bits
+    "q137_distinct_sketch" ->
+      """SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct,
+           1 AS hll_ok, 1 AS merge_ok
+         FROM (SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               FROM documents) u
+         WHERE tok <> '' GROUP BY source ORDER BY source""",
     // MMR greedy unrolled to k=5 plain-SQL steps (recursive CTEs can't
     // aggregate over the recursive relation). Constants spelled
     // 0.7::DOUBLE / (1.0::DOUBLE - 0.7::DOUBLE) so both engines compute

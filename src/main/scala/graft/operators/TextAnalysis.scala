@@ -296,6 +296,46 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("cms_ok"))
   }
 
+  /** Per-group EXACT distinct-token counts CROSS-CHECKED by mergeable
+    * HLL sketches (Apache DataSketches via Spark's `hll_sketch_agg`) —
+    * the cardinality discipline at 100 TB, where exact distinct is a
+    * full shuffle of every token but a sketch is a few KB per group,
+    * mergeable across partitions, days, and datacenters. Two checked
+    * bits per group row:
+    *   - `hll_ok`: the sketch estimate is within `relErr` of the exact
+    *     count (lgK=12 gives ~1.6% standard error; the default bound
+    *     leaves ~3σ headroom);
+    *   - `merge_ok`: sketching two disjoint halves (split by id
+    *     parity) and UNIONING equals sketching everything at once —
+    *     the mergeability property that makes sketches incremental
+    *     (DataSketches unions are deterministic on the same inputs).
+    * At fixture scale exact is cheap and serves as truth; at corpus
+    * scale the roles flip and this is the sketch's regression oracle
+    * (the q128 count-min pattern, applied to cardinality). */
+  def distinctChecked(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, textCol: String,
+      relErr: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val toks = graft.GraftSession.widen(docs)
+      .select(col(groupCol), col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val exact = toks.groupBy(col(groupCol))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    val whole = toks.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"))).as("__est"))
+    val halves = toks
+      .withColumn("__half", pmod(col(idCol), lit(2)))
+      .groupBy(col(groupCol), col("__half"))
+      .agg(hll_sketch_agg(col("token")).as("__sk"))
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__estm"))
+    exact.join(whole, groupCol).join(halves, groupCol)
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("__est") - col("exact_distinct")) <=
+          col("exact_distinct") * relErr).cast("int").as("hll_ok"),
+        (col("__estm") === col("__est")).cast("int").as("merge_ok"))
+  }
+
   /** Deflate compression ratio (compressed/raw bytes of UTF-8 text,
     * level 6) — the perplexity-free repetition/boilerplate signal web
     * corpus pipelines use alongside Gopher filters: highly-repetitive

@@ -210,4 +210,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === docs.select(TextAnalysis.compressionRatio(col("text")))
       .collect().map(_.getDouble(0)).toSeq)
   }
+
+  test("distinctChecked: HLL bound and mergeability bits hold; exact counts are exact") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = TextAnalysis.distinctChecked(docs, "lang", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (g, (exact, hllOk, mergeOk)) =>
+      assert(exact > 0, g)
+      assert(hllOk === 1, s"$g: estimate outside the error bound")
+      assert(mergeOk === 1, s"$g: union of halves != one-shot sketch")
+    }
+    // exactness of the exact lane against a hand count
+    val hand = docs.select($"lang",
+        explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .filter(length($"t") > 0)
+      .collect().groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.map(_.getString(1)).distinct.length.toLong }
+    hand.foreach { case (g, n) => assert(out(g)._1 === n, g) }
+  }
 }
