@@ -1075,6 +1075,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q138: incremental drift monitoring from the standing counter
+    // store — per arriving batch, KL(batch || corpus-so-far) scored
+    // against the store as it folds in (batch 0 is exactly 0; a
+    // distribution shift shows as a KL step without rescanning
+    // history). The oracle replays the same cumulative references with
+    // per-token window cumsums over the batch sequence.
+    "q138_drift_stream" -> ((s, d) => {
+      import graft.streaming.FreqStream
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      FreqStream.replayWithDrift(docs, "q138_freq", nBatches = 5)
+        .orderBy(col("batch"))
+    }),
+
     // q137: mergeable-sketch cardinality under the gate — per-source
     // exact distinct tokens cross-checked by DataSketches HLL
     // (error-bound bit) and by sketch MERGEABILITY (union of two
@@ -4022,6 +4035,32 @@ object SparkEntry {
     "q136_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
+    // incremental drift oracle: batch b's reference = cumulative token
+    // counts through batch b (per-token window cumsum); same separable
+    // KL formula as q107, same 6dp aggregate rounding
+    "q138_drift_stream" ->
+      """WITH p AS (SELECT ((max(doc_id) + 5) // 5) AS step FROM documents),
+         tk AS (
+           SELECT doc_id // (SELECT step FROM p) AS b, tok FROM (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             FROM documents) u
+           WHERE tok <> ''),
+         cbt AS (SELECT b, tok, count(*) AS c_bt FROM tk GROUP BY b, tok),
+         cum AS (SELECT b, tok, c_bt,
+             sum(c_bt) OVER (PARTITION BY tok ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS c_t
+           FROM cbt),
+         nb AS (SELECT b, sum(c_bt) AS n_b FROM cbt GROUP BY b),
+         nn AS (SELECT b, n_b,
+             sum(n_b) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS n_tot
+           FROM nb)
+         SELECT c.b AS batch, n.n_b::BIGINT AS n_tokens,
+           count(*)::BIGINT AS vocab,
+           round(sum(c.c_bt * ln(c.c_bt::DOUBLE / c.c_t)) / n.n_b
+             + ln(n.n_tot::DOUBLE / n.n_b), 6) AS kl
+         FROM cum c JOIN nn n ON n.b = c.b
+         GROUP BY c.b, n.n_b, n.n_tot ORDER BY batch""",
     // sketch-checked cardinality: exact distinct + constant-truth bits
     "q137_distinct_sketch" ->
       """SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct,

@@ -99,6 +99,55 @@ object FreqStream {
     }
   }
 
+  /** Incremental DRIFT monitoring from the standing store — the
+    * composition the counter store exists for: as each batch folds in,
+    * score KL(batch ‖ corpus-so-far) with the batch as the slice and
+    * the store AFTER the fold as the reference (batch support ⊆
+    * reference support by construction, so the plug-in estimate needs
+    * no smoothing — the [[graft.operators.Drift]] convention). A
+    * drifting source shows up as a KL step in this sequence without
+    * ever rescanning history: per-batch cost is the batch histogram
+    * plus one token-keyed join against the store (exchange-free on the
+    * bucketed side). Batch 0 scores exactly 0 (it IS the corpus).
+    *
+    * Returns one row per batch: (batch, n_tokens, vocab, kl) with the
+    * Drift separable-KL formula, kl rounded to `scale` (sum aggregate;
+    * raw double sums are shuffle-order nondeterministic). */
+  def replayWithDrift(docs: DataFrame, name: String, nBatches: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      scale: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    initStore(spark, name)
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val step = (maxId + nBatches) / nBatches
+    (0 until nBatches).map { k =>
+      val batch = docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step)
+      appendBatch(batch, name, textCol)
+      val cbt = batch
+        .select(explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("c_bt"))
+      val ref = counts(spark, name).withColumnRenamed("cnt", "c_t")
+      val total = ref.agg(sum(col("c_t")).as("n_total"))
+      cbt.join(ref, "token")
+        .crossJoin(broadcast(total))
+        .agg(
+          sum(col("c_bt")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c_bt").cast("double") *
+            log(col("c_bt").cast("double") / col("c_t").cast("double"))).as("__num"),
+          first(col("n_total")).as("__n"))
+        .select(lit(k.toLong).as("batch"), col("n_tokens"), col("vocab"),
+          round(col("__num") / col("n_tokens").cast("double") +
+            log(col("__n").cast("double") / col("n_tokens").cast("double")),
+            scale).as("kl"))
+        // settle NOW: a lazy plan would re-read the store after later
+        // batches appended and score every batch against the FINAL
+        // corpus (the admitBatch lesson, IngestDedup.scala)
+        .localCheckpoint()
+    }.reduce(_.unionByName(_))
+  }
+
   /** Streaming wiring: foreachBatch over a document stream, folding
     * each micro-batch into the standing counter store. */
   def ingestStream(docs: DataFrame, name: String, textCol: String = "text")

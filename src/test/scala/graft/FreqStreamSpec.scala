@@ -46,6 +46,42 @@ class FreqStreamSpec extends SparkSpec {
       s"bucketed-store counts must not shuffle:\n$p")
   }
 
+  test("incremental drift: batch 0 scores exactly 0; a vocabulary shift shows a KL step") {
+    // batches split on doc_id ranges: 0-1 | 2-3 | 4-5; the last batch
+    // switches vocabulary entirely
+    val shifted = Seq(
+      (0L, "a b a c"), (1L, "b b d"),
+      (2L, "a d d d"), (3L, "a b c d"),
+      (4L, "zz yy zz xx"), (5L, "yy zz xx xx")).toDF("doc_id", "text")
+    val out = graft.streaming.FreqStream
+      .replayWithDrift(shifted, "graft_freq_drift", nBatches = 3)
+      .orderBy($"batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out(0)._3 === 0.0, "first batch IS the corpus — KL must be exactly 0")
+    assert(out(1)._3 >= 0.0)
+    assert(out(2)._3 > out(1)._3,
+      s"vocabulary shift must register as a KL step: ${out.toSeq}")
+    // each batch's kl equals a from-scratch recompute against the same
+    // cumulative reference (the store adds nothing but incrementality)
+    val all = shifted.collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty)
+    (0 until 3).foreach { k =>
+      val step = 2
+      val batchToks = all.filter(d => d._1 >= k * step && d._1 < (k + 1) * step)
+        .flatMap(d => toks(d._2))
+      val refToks = all.filter(_._1 < (k + 1) * step).flatMap(d => toks(d._2))
+      val cb = batchToks.groupBy(identity).view.mapValues(_.length.toLong)
+      val ct = refToks.groupBy(identity).view.mapValues(_.length.toLong)
+      val nB = batchToks.length.toDouble
+      val nT = refToks.length.toDouble
+      val kl = cb.map { case (t, c) =>
+        c * math.log(c.toDouble / ct(t)) }.sum / nB + math.log(nT / nB)
+      val got = out(k)._3
+      assert(math.abs(got - BigDecimal(kl).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6, s"batch $k")
+    }
+  }
+
   test("foreachBatch stream folds the same counts as the batch replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_freq_stream").toString
     def write(rows: Seq[(Long, String)]) =
