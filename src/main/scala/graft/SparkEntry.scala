@@ -1075,6 +1075,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q139: decontamination behind a broadcast Bloom prefilter — the
+    // 100 TB shape of q69: the bench side's shingle hashes fold into a
+    // ~KB Bloom sketch (one distributed pass), the corpus-sized train
+    // side drops non-candidate shingles in a narrow codegen'd
+    // might_contain filter BEFORE any shuffle, and the exact join runs
+    // on survivors only. No false negatives → bit-identical to the
+    // exact join → the full oracle, not a probabilistic gate.
+    "q139_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.contaminationPairsBloom(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", ngram = 3, minFrac = 0.4)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // q138: incremental drift monitoring from the standing counter
     // store — per arriving batch, KL(batch || corpus-so-far) scored
     // against the store as it folds in (batch 0 is exactly 0; a
@@ -4038,6 +4054,23 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // Bloom prefilter is exact (no false negatives) — same oracle shape
+    // as q69 at the 0.4 threshold.
+    "q139_bloom_decontaminate" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents)
+         SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+           CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) AS frac
+         FROM s t, s b
+         WHERE t.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+           AND CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.4
+         ORDER BY train_id, bench_id""",
     "q138_drift_stream" ->
       """WITH p AS (SELECT ((max(doc_id) + 5) // 5) AS step FROM documents),
          tk AS (

@@ -401,6 +401,62 @@ object TextDedup {
       ngram: Int = 3, minFrac: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
     val t0 = train.select(col(idCol).as("train_id"),
       explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+    contaminationTail(t0, bench, idCol, textCol, ngram, minFrac, maxShingleDf)
+  }
+
+  /** [[contaminationPairs]] with a broadcast Bloom prefilter — the
+    * 100 TB shape. The benchmark side is small by definition (a held-out
+    * eval set); its distinct shingle hashes are folded into a Bloom
+    * filter with ONE distributed pass (`stat.bloomFilter` runs
+    * tree-aggregated on executors; only the finished ~`n·log2(1/fpp)`
+    * bits reach the driver — ~1.2 MB per million shingles at 1%). The
+    * corpus-sized train side then drops non-benchmark shingles in a
+    * NARROW codegen'd filter (the native `BloomFilterMightContain`
+    * expression over a literal sketch — no UDF, no shuffle) before any
+    * exchange: only candidate-contaminated rows ever enter the shingle
+    * join, instead of every train shingle shuffling to meet a bench
+    * partition.
+    *
+    * Exactness: a Bloom filter has NO false negatives, and the hot-cap
+    * document frequencies are per-shingle (a surviving shingle keeps
+    * ALL its rows, so its df is unchanged), so the result is
+    * bit-identical to [[contaminationPairs]] — false positives are
+    * harmless extra rows that die in the equi-join. Same full DuckDB
+    * oracle, not a weaker probabilistic gate (specced equal on the
+    * same inputs).
+    */
+  def contaminationPairsBloom(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, minFrac: Double = 0.5, maxShingleDf: Int = 0,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val bHashes = bench
+      .select(explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+      .select(xxhash64(col("sh")).as("h")).distinct()
+    // one small-side action to size the filter; 64 floors degenerate inputs
+    val nItems = math.max(bHashes.count(), 64L)
+    val bloomBytes = {
+      val bloom = bHashes.stat.bloomFilter("h", nItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+        GraftBridge.expression(xxhash64(col("sh")))))
+    val t0 = train.select(col(idCol).as("train_id"),
+        explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+      .filter(mightContain)
+    contaminationTail(t0, bench, idCol, textCol, ngram, minFrac, maxShingleDf)
+  }
+
+  /** Shared decontamination tail over an (already exploded, possibly
+    * prefiltered) `(train_id, sh)` frame: hot-shingle cap, shingle
+    * equi-join, per-pair overlap count, coverage-fraction threshold. */
+  private def contaminationTail(
+      t0: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      ngram: Int, minFrac: Double, maxShingleDf: Int): DataFrame = {
     val t =
       if (maxShingleDf <= 0) t0
       else {

@@ -119,6 +119,36 @@ class TextDedupSpec extends SparkSpec {
     assert(hits.forall(_.getLong(1) != 101L)) // disjoint bench doc clean
   }
 
+  test("contaminationPairsBloom ≡ contaminationPairs (no false negatives)") {
+    // real corpus split, both thresholds and the df cap: the Bloom
+    // prefilter must be invisible in the OUTPUT (false positives die in
+    // the equi-join; survivors keep all their rows so df is unchanged)
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    for ((frac, cap) <- Seq((0.4, 0), (0.5, 50))) {
+      val exact = TextDedup.contaminationPairs(train, bench, "doc_id", "text",
+        ngram = 3, minFrac = frac, maxShingleDf = cap)
+        .orderBy("train_id", "bench_id").collect().toSeq
+      val bloom = TextDedup.contaminationPairsBloom(train, bench, "doc_id", "text",
+        ngram = 3, minFrac = frac, maxShingleDf = cap)
+        .orderBy("train_id", "bench_id").collect().toSeq
+      assert(bloom === exact)
+      assert(exact.nonEmpty, "degenerate fixture: no contamination pairs at all")
+    }
+  }
+
+  test("contaminationPairsBloom plan: narrow might_contain filter before the join") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = TextDedup.contaminationPairsBloom(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text", ngram = 3, minFrac = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "Bloom prefilter missing from the physical plan")
+  }
+
   test("contaminationPairs maxShingleDf drops stop-phrase shingles") {
     // "the quick brown" occurs in 3 train docs → df cap 2 removes it,
     // and with it the only overlap with the bench doc
