@@ -1075,6 +1075,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q140: perceptual near-duplicate IMAGES under the hash gate —
+    // group-structured synthetic PNGs (real codec), REAL ImageIO
+    // decode → 64-bit dHash, then the banded Hamming self-join from
+    // the SimHash path (perceptual dedup IS SimHash dedup over a
+    // different fingerprint; exact band-then-verify, no all-pairs).
+    // The oracle replays the pixel formula and the bit comparisons in
+    // closed form, never touching a codec — q90's discipline applied
+    // to perceptual dedup.
+    "q140_phash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val fp = GraftSession.widen(docs)
+        .withColumn("payload", Multimodal.syntheticGroupPng(col("doc_id"), 16))
+        .select(col("doc_id").as("id"),
+          Multimodal.imageDHash(col("payload")).as("fp"))
+        .localCheckpoint() // fingerprint once; decode is the dominant cost
+      TextDedup.simhashPairsBandedFp(fp, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q139: decontamination behind a broadcast Bloom prefilter — the
     // 100 TB shape of q69: the bench side's shingle hashes fold into a
     // ~KB Bloom sketch (one distributed pass), the corpus-sized train
@@ -4054,6 +4073,39 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // dHash pairs replayed in closed form: the xorshift pixel mix, the
+    // per-id pixel inversion, the luminance comparisons, and the
+    // Hamming count all in exact BIGINT arithmetic — no codec.
+    "q140_phash_neardup" ->
+      """WITH grid AS (
+           SELECT doc_id, x::BIGINT AS x, y::BIGINT AS y,
+             ((doc_id % 16) * 1000003 + x + y*9) * 2654435761 % 4294967296 AS v1
+           FROM documents, range(9) t1(x), range(8) t2(y)),
+         m1 AS (
+           -- HUGEINT hop: a 32-bit value times the 2.2e9 multiplier can
+           -- exceed signed-64 range; Scala wraps mod 2^64 (exact mod
+           -- 2^32 after the mask), DuckDB would raise instead
+           SELECT doc_id, x, y,
+             CAST(xor(v1, v1 // 65536)::HUGEINT * 2246822519 % 4294967296
+               AS BIGINT) AS v2
+           FROM grid),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN x = (doc_id*7) % 9 AND y = (doc_id*5) % 8
+               THEN 255 - xor(v2, v2 // 8192) % 256
+               ELSE xor(v2, v2 // 8192) % 256 END AS g
+           FROM m1),
+         bits AS (
+           SELECT a.doc_id, a.y*8 + a.x AS k,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+           FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+           WHERE a.x < 8)
+         SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+           CAST(sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS INT) AS ham
+         FROM bits p JOIN bits q ON q.k = p.k AND p.doc_id < q.doc_id
+         GROUP BY p.doc_id, q.doc_id
+         HAVING sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) <= 6
+         ORDER BY id_a, id_b""",
     // Bloom prefilter is exact (no false negatives) — same oracle shape
     // as q69 at the 0.4 threshold.
     "q139_bloom_decontaminate" ->

@@ -239,6 +239,104 @@ object Multimodal {
     f(id)
   }
 
+  /** 32-bit xorshift-multiply mix — the pixel noise for
+    * [[syntheticGroupPng]]. Every step is exact BIGINT arithmetic
+    * (multiply mod 2^32, xor with a right shift) so DuckDB reproduces
+    * it with `xor` / `//` / `%` — unlike a bare linear congruence,
+    * adjacent inputs decorrelate, which is what makes cross-group
+    * dHash distances concentrate near 32 bits (see q140). */
+  private[operators] def mix32(k: Long): Int = {
+    var v = (k * 2654435761L) & 0xffffffffL
+    v = v ^ (v >>> 16)
+    v = (v * 2246822519L) & 0xffffffffL
+    v = v ^ (v >>> 13)
+    (v % 256L).toInt
+  }
+
+  /** Deterministic GROUP-structured synthetic image, encoded as a real
+    * PNG: all ids with the same `id mod groups` share one 9×8 grayscale
+    * noise pattern ([[mix32]] of the group-keyed pixel index), and each
+    * id additionally inverts the single pixel at
+    * ((id·7) mod 9, (id·5) mod 8). Same-group images therefore differ
+    * in ≤ 2 pixels → ≤ 4 dHash bits, while cross-group patterns are
+    * independent noise (expected Hamming ≈ 32, P(≤6) ≈ 1e-12 per
+    * pair) — a ground-truthed near-duplicate corpus for perceptual
+    * dedup, closed-form enough for a DuckDB oracle that never touches
+    * a codec. Pixels are gray (r=g=b), so the decoder's integer
+    * luminance (299r+587g+114b)/1000 recovers the formula value
+    * exactly. */
+  def syntheticGroupPng(id: Column, groups: Int): Column = {
+    val g = groups
+    val f = udf { (id: Long) =>
+      val w = 9; val h = 8
+      val gid = id % g
+      val px = (id * 7 % w).toInt; val py = (id * 5 % h).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = mix32(gid * 1000003L + x + y * 9L)
+          val v = if (x == px && y == py) 255 - base else base
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    f(id)
+  }
+
+  /** Perceptual difference hash (dHash) from a REAL `javax.imageio`
+    * decode: integer luminance (299r+587g+114b)/1000 per pixel, bit
+    * y·(w−1)+x set iff lum(x,y) < lum(x+1,y). The canonical 9×8 input
+    * yields the classic 64-bit fingerprint; any w·h with
+    * (w−1)·h ≤ 64 packs the same way, larger frames or undecodable
+    * payloads → null (decode-don't-guess, as [[imageChannelSums]]).
+    * In production the 9×8 comes from a box-downsample of the raw
+    * image; here the input IS 9×8 so the hash — and the near-dup pairs
+    * built from it — are deterministic and oracle-able end to end.
+    * Near-dup mining reuses the banded Hamming machinery
+    * ([[graft.operators.TextDedup.simhashPairsBandedFp]]): perceptual
+    * image dedup is SimHash dedup over a different fingerprint. */
+  def imageDHash(payload: Column): Column = {
+    val f = udf { (p: Array[Byte]) =>
+      val img =
+        if (p == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w < 2 || (w - 1) * h > 64) None
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+          var fp = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w - 1) {
+              if (lum(x, y) < lum(x + 1, y)) fp |= 1L << (y * (w - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          Some(fp)
+        }
+      }
+    }
+    f(payload)
+  }
+
   /** Exact integer channel statistics from a REAL `javax.imageio`
     * decode: (width, height, sum_r, sum_g, sum_b) — all integers, no
     * float rounding anywhere, so the output is hash-comparable against

@@ -212,6 +212,48 @@ class MultimodalSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("dHash: same-group images within 4 bits, cross-group far apart") {
+    val fps = spark.range(0, 64).toDF("id")
+      .withColumn("payload", Multimodal.syntheticGroupPng($"id", 16))
+      .select($"id", Multimodal.imageDHash($"payload").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- 0L until 64L; b <- (a + 1) until 64L) {
+      val ham = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if (a % 16 == b % 16)
+        assert(ham <= 4, s"same-group pair ($a,$b) at Hamming $ham")
+      else
+        assert(ham > 6, s"cross-group pair ($a,$b) at Hamming $ham")
+    }
+  }
+
+  test("perceptual banded pairs equal the brute-force Hamming pair set") {
+    val fp = spark.range(0, 100).toDF("id")
+      .withColumn("payload", Multimodal.syntheticGroupPng($"id", 16))
+      .select($"id", Multimodal.imageDHash($"payload").as("fp"))
+      .localCheckpoint()
+    val banded = graft.operators.TextDedup.simhashPairsBandedFp(fp, maxHamming = 6)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    val a = fp.select($"id".as("id_a"), $"fp".as("fp_a"))
+    val b = fp.select($"id".as("id_b"), $"fp".as("fp_b"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("ham", graft.operators.TextDedup.hamming($"fp_a", $"fp_b"))
+      .filter($"ham" <= 6).select($"id_a", $"id_b", $"ham")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
+  test("dHash refuses frames it cannot pack (width/size guards) and junk bytes") {
+    // 12×8 = 88 comparison bits > 64 → null; junk payload → null
+    val wide = Seq(1L).toDF("id")
+      .withColumn("p", Multimodal.syntheticPng($"id")) // 9×9 → (9-1)*9=72 > 64
+      .select(Multimodal.imageDHash($"p")).head()
+    assert(wide.isNullAt(0))
+    val junk = Seq((1L, Array[Byte](9, 9, 9))).toDF("id", "p")
+      .select(Multimodal.imageDHash($"p")).head()
+    assert(junk.isNullAt(0))
+  }
+
   test("real PNG resize scales the raster, not the bytes; stub payloads keep byte semantics") {
     val png = pngFixture()
     val df = Seq((1L, png)).toDF("media_id", "payload")
