@@ -1075,6 +1075,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q141: a quality/language classifier TRAINED in-engine — add-one
+    // multinomial Naive Bayes over tokens, labels straight from the
+    // lang column (distilling a cheap fastText-style filter from
+    // metadata you already have). Exact-count training + closed-form
+    // logs means train AND score sit under the hash gate — the model
+    // is auditable, not just the output. Scores rounded 6dp, argmax
+    // decided on the rounded values (q114 discipline).
+    "q141_nb_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.nbClassifierScores(docs, "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
     // q140: perceptual near-duplicate IMAGES under the hash gate —
     // group-structured synthetic PNGs (real codec), REAL ImageIO
     // decode → 64-bit dHash, then the banded Hamming self-join from
@@ -4073,6 +4087,42 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // NB train+score replayed exactly: integer token counts, identical
+    // ln((c+1)/(T+V)) float path, 6dp rounding, argmax on rounded.
+    "q141_nb_classifier" ->
+      """WITH base AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, y,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM base),
+         tk AS (SELECT * FROM toks WHERE tok <> ''),
+         cnt AS (
+           SELECT tok, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+           FROM tk GROUP BY tok),
+         tot AS (
+           SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0,
+             count(*)::BIGINT AS v
+           FROM cnt),
+         pri AS (SELECT sum(y)::BIGINT AS n1, sum(1 - y)::BIGINT AS n0 FROM base),
+         dt AS (SELECT doc_id, tok, count(*)::BIGINT AS c_dt
+           FROM tk GROUP BY doc_id, tok),
+         parts AS (
+           SELECT d.doc_id,
+             sum(d.c_dt * ln((c.c1 + 1)::DOUBLE / (t.t1 + t.v))) AS p1,
+             sum(d.c_dt * ln((c.c0 + 1)::DOUBLE / (t.t0 + t.v))) AS p0
+           FROM dt d JOIN cnt c ON c.tok = d.tok, tot t
+           GROUP BY d.doc_id),
+         sc AS (
+           SELECT b.doc_id,
+             round(ln(n1::DOUBLE / (n1 + n0)) + coalesce(p.p1, 0.0), 6) AS s1,
+             round(ln(n0::DOUBLE / (n1 + n0)) + coalesce(p.p0, 0.0), 6) AS s0
+           FROM (SELECT DISTINCT doc_id FROM base) b
+           LEFT JOIN parts p ON p.doc_id = b.doc_id, pri)
+         SELECT doc_id, s1, s0,
+           CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS pred
+         FROM sc ORDER BY doc_id""",
     // dHash pairs replayed in closed form: the xorshift pixel mix, the
     // per-id pixel inversion, the luminance comparisons, and the
     // Hamming count all in exact BIGINT arithmetic — no codec.

@@ -358,4 +358,64 @@ object TextAnalysis {
     }
     f(text)
   }
+
+  /** Supervised token classifier trained IN-ENGINE — the "distill a
+    * cheap curation classifier from labels you already have" op
+    * (fastText-style quality/language filters in web-corpus pipelines):
+    * multinomial Naive Bayes with add-one smoothing over whitespace
+    * tokens, binary label from `labelCol`. Returns per-doc
+    * (idCol, s1, s0, pred): the two class log-likelihoods (prior +
+    * Σ count·ln p̂, rounded to 6dp) and the argmax decided on the
+    * ROUNDED scores, so threshold membership is engine-portable (the
+    * q114 lesson).
+    *
+    * Why NB and not MLlib LogisticRegression: training here is exact
+    * integer token counts + closed-form logs — one aggregation pass,
+    * no iterative solver — so the MODEL, not just the scores, is
+    * reproducible bit-for-bit by a SQL engine, and the whole train+
+    * score composition sits under the driver's hash gate. (LBFGS's
+    * float trajectory can't be mirrored; a model you can't
+    * independently recompute is a model you can't audit.)
+    *
+    * Scale shape: training is one groupBy(token) aggregation with
+    * map-side partial counts (compact (token, c1, c0) rows cross the
+    * shuffle); the likelihood table is vocabulary-sized — a standing
+    * broadcastable asset, like the BPE merge table — and scoring is
+    * one join of per-(doc, token) counts against it plus a per-doc
+    * agg. Totals and priors travel as broadcast 1-row frames; nothing
+    * corpus-sized ever reaches the driver. */
+  def nbClassifierScores(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      label: Column): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), label.cast("int").as("__y"),
+      col(textCol).as("__text"))
+    val toks = base.select(col(idCol), col("__y"),
+        explode(tokens(col("__text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    // model: per-token class counts (vocabulary-sized)
+    val cnt = toks.groupBy(col("tok")).agg(
+      sum(col("__y")).as("c1"),
+      sum(lit(1) - col("__y")).as("c0"))
+    val tot = cnt.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+      count(lit(1)).as("v"))
+    val pri = base.agg(sum(col("__y")).as("n1"),
+      sum(lit(1) - col("__y")).as("n0"))
+    val dt = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c_dt"))
+    val parts = dt.join(cnt, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c_dt") * log((col("c1") + 1).cast("double") / (col("t1") + col("v")))).as("p1"),
+        sum(col("c_dt") * log((col("c0") + 1).cast("double") / (col("t0") + col("v")))).as("p0"))
+    // token-less docs score on the prior alone (left join back, 0 sums)
+    base.select(col(idCol))
+      .join(parts, Seq(idCol), "left")
+      .na.fill(0.0, Seq("p1", "p0"))
+      .crossJoin(broadcast(pri))
+      .select(col(idCol),
+        round(log(col("n1").cast("double") / (col("n1") + col("n0"))) + col("p1"), 6).as("s1"),
+        round(log(col("n0").cast("double") / (col("n1") + col("n0"))) + col("p0"), 6).as("s0"))
+      .withColumn("pred", (col("s1") > col("s0")).cast("int"))
+  }
 }

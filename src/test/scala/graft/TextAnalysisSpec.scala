@@ -230,4 +230,38 @@ class TextAnalysisSpec extends SparkSpec {
         g -> rows.map(_.getString(1)).distinct.length.toLong }
     hand.foreach { case (g, n) => assert(out(g)._1 === n, g) }
   }
+
+  test("NB classifier: hand-computed add-one likelihoods on a two-doc corpus") {
+    // doc 1 (y=1): "a a b"; doc 2 (y=0): "b c". V=3, t1=3, t0=2, n1=n0=1
+    val docs = Seq((1L, "a a b", 1), (2L, "b c", 0)).toDF("doc_id", "text", "y")
+    val out = TextAnalysis.nbClassifierScores(docs, "doc_id", "text", $"y" === 1)
+      .orderBy($"doc_id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pri = math.log(0.5)
+    val s1d1 = r6(pri + 2 * math.log(3.0 / 6) + math.log(2.0 / 6))
+    val s0d1 = r6(pri + 2 * math.log(1.0 / 5) + math.log(2.0 / 5))
+    val s1d2 = r6(pri + math.log(2.0 / 6) + math.log(1.0 / 6))
+    val s0d2 = r6(pri + math.log(2.0 / 5) + math.log(2.0 / 5))
+    assert(out(0).getDouble(1) === s1d1 && out(0).getDouble(2) === s0d1)
+    assert(out(1).getDouble(1) === s1d2 && out(1).getDouble(2) === s0d2)
+    // each training doc classifies to its own label; pred follows the
+    // rounded comparison
+    assert(out(0).getInt(3) === 1 && out(1).getInt(3) === 0)
+  }
+
+  test("NB classifier: full-corpus shape — one row per doc, token-less docs prior-only") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val withEmpty = docs.select($"doc_id", $"text", $"lang")
+      .union(Seq((999999L, "   ", "xx")).toDF("doc_id", "text", "lang"))
+    val out = TextAnalysis.nbClassifierScores(
+      withEmpty, "doc_id", "text", $"lang" === "en")
+    assert(out.count() === docs.count() + 1)
+    val empty = out.filter($"doc_id" === 999999L).head()
+    // prior-only score: ln(n1/n) and ln(n0/n) with this corpus' priors
+    val n = docs.count().toDouble + 1
+    val n1 = docs.filter($"lang" === "en").count().toDouble
+    assert(empty.getDouble(1) ===
+      BigDecimal(math.log(n1 / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
