@@ -1075,6 +1075,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q142: snapshot diff between two corpus versions — one full-outer
+    // id join (exchange-free over bucketed snapshots), null-safe
+    // content struct compare. Old drop = ids ∉ 7ℤ; new drop = ids ∉
+    // 11ℤ with every 5th doc's text revised → all four statuses appear
+    // and each is closed-form checkable.
+    "q142_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldDrop = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newDrop = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(
+          oldDrop, newDrop, "doc_id", Seq("text", "lang", "source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q141: a quality/language classifier TRAINED in-engine — add-one
     // multinomial Naive Bayes over tokens, labels straight from the
     // lang column (distilling a cheap fastText-style filter from
@@ -4087,6 +4104,25 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // full-outer diff with the same drop construction; status from the
+    // same null-safe comparison
+    "q142_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0),
+         n AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+             lang, source
+           FROM documents WHERE doc_id % 11 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS NOT DISTINCT FROM n.text
+                 AND o.lang IS NOT DISTINCT FROM n.lang
+                 AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+         ORDER BY doc_id""",
     // NB train+score replayed exactly: integer token counts, identical
     // ln((c+1)/(T+V)) float path, 6dp rounding, argmax on rounded.
     "q141_nb_classifier" ->
