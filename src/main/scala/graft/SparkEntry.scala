@@ -1075,6 +1075,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q143: takedown propagation — ONE purge list driven through every
+    // standing store (forest buckets + BM25 index) by Takedown.purgeAll,
+    // audited by recounting the stores themselves. n_before/n_after are
+    // exact store sizes the oracle derives from the corpus (dedup
+    // survivors × trees; distinct indexed docs); clean recounts
+    // residual references post-purge (must be 0 → bit 1).
+    "q143_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val purge = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Bm25.buildIndex(docs, "graft_q143_bm25", buckets = 8)
+      val ann = graft.ann.DistributedAnnForest(
+        numTrees = 8, maxLeafSize = 5, maxDepth = 16).fit(e)
+      val (_, audit) = graft.operators.Takedown.purgeAll(
+        s, purge, Some(ann), Some("graft_q143_bm25"), None)
+      audit.orderBy(col("store"))
+    }),
+
     // q142: snapshot diff between two corpus versions — one full-outer
     // id join (exchange-free over bucketed snapshots), null-safe
     // content struct compare. Old drop = ids ∉ 7ℤ; new drop = ids ∉
@@ -4104,6 +4123,26 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // store sizes from the corpus: forest rows = first-seen-wins vector
+    // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
+    // clean bits are recounted truths (0 residual refs → 1).
+    "q143_takedown" ->
+      """WITH surv AS (
+           SELECT min(vec_id) AS vid FROM embeddings GROUP BY embedding),
+         purge AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0)
+         SELECT * FROM (
+           SELECT 'ann_forest' AS store,
+             (SELECT count(*) FROM surv) * 8 AS n_before,
+             (SELECT count(*) FROM surv
+               WHERE vid NOT IN (SELECT id FROM purge)) * 8 AS n_after,
+             1 AS clean
+           UNION ALL
+           SELECT 'bm25',
+             (SELECT count(DISTINCT doc_id) FROM documents),
+             (SELECT count(DISTINCT doc_id) FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM purge)),
+             1) t
+         ORDER BY store""",
     // full-outer diff with the same drop construction; status from the
     // same null-safe comparison
     "q142_snapshot_diff" ->

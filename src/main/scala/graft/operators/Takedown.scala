@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Takedown propagation — one entry point that purges an id list from
+  * EVERY standing store a pipeline serves from, with a per-store audit
+  * the caller can gate on. The scattered delete primitives exist
+  * (`DistributedAnnModel.remove`, `Bm25.removeDocs` + `compactIndex`,
+  * `IngestDedup.removeFromStore`); what a GDPR/takedown workflow needs
+  * is the composition: one list in, every store clean, and PROOF —
+  * residual-reference counts recomputed from the stores themselves,
+  * not inferred from the inputs.
+  *
+  * Scale shape: the purge list is takedown-sized (broadcastable); each
+  * store pays one anti-join + its own compaction discipline (marker-
+  * guarded physical rewrite for BM25, checkpoint-settled bucket frame
+  * for the forest, bucketed rewrite for the signature store). Audit
+  * counts are store-sized aggregations, never a collect of store rows.
+  */
+object Takedown {
+
+  /** Purge `ids` (single castable-to-long column) from the given
+    * stores. Returns the post-purge ANN model (the forest is an
+    * immutable frame, not a named table) and an audit frame
+    * (store, n_before, n_after, clean): row counts for the forest
+    * buckets, distinct indexed docs for BM25, signature rows for the
+    * ingest store; `clean` = 1 iff a recount of references to purged
+    * ids in the post-purge store is zero. */
+  def purgeAll(
+      spark: SparkSession,
+      ids: DataFrame,
+      ann: Option[graft.ann.DistributedAnnModel] = None,
+      bm25Name: Option[String] = None,
+      sigStoreName: Option[String] = None)
+      : (Option[graft.ann.DistributedAnnModel], DataFrame) = {
+    import spark.implicits._
+    val idList = ids
+      .select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .localCheckpoint() // takedown-sized; reused against every store
+    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Int)]
+
+    val newAnn = ann.map { m =>
+      val before = m.corpusBuckets.count()
+      val purged = m.remove(idList, "id").compact()
+      val residual = purged.corpusBuckets
+        .join(idList.select(col("id").as("neighbor_id")), Seq("neighbor_id"))
+        .count()
+      audit += (("ann_forest", before, purged.corpusBuckets.count(),
+        if (residual == 0) 1 else 0))
+      purged
+    }
+
+    bm25Name.foreach { name =>
+      val before = spark.table(s"${name}_postings")
+        .select(col("doc_id")).distinct().count()
+      Bm25.removeDocs(spark, name, idList)
+      Bm25.compactIndex(spark, name, buckets = 8)
+      val post = spark.table(s"${name}_postings")
+      val residual = post
+        .join(idList.select(col("id").as("doc_id")), Seq("doc_id")).count()
+      audit += (("bm25", before,
+        post.select(col("doc_id")).distinct().count(),
+        if (residual == 0) 1 else 0))
+    }
+
+    sigStoreName.foreach { name =>
+      val bands = spark.table(s"${name}_bands")
+      val before = bands.count()
+      graft.streaming.IngestDedup.removeFromStore(spark, name, idList)
+      val post = spark.table(s"${name}_bands")
+      val residual = post.join(idList, Seq("id")).count()
+      audit += (("ingest_sigs", before, post.count(),
+        if (residual == 0) 1 else 0))
+    }
+
+    (newAnn, audit.toSeq.toDF("store", "n_before", "n_after", "clean"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, Takedown}
+import graft.sources.Tables
+
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("purgeAll cleans forest + bm25 + signature store; serving paths forget the ids") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Tables.embeddings(spark, sf0001)
+    val purge = docs.filter(pmod($"doc_id", lit(17)) === 0)
+      .select($"doc_id".as("id"))
+    val purgeIds = purge.as[Long].collect().toSet
+
+    Bm25.buildIndex(docs, "graft_takedown_bm25", buckets = 8)
+    graft.streaming.IngestDedup.replayInBatches(
+      docs.select($"doc_id", $"text"), "graft_takedown_sigs", nBatches = 2)
+    val ann = graft.ann.DistributedAnnForest(
+      numTrees = 4, maxLeafSize = 5, maxDepth = 16).fit(e)
+
+    val sigBefore = spark.table("graft_takedown_sigs_bands").count()
+    val (newAnn, audit) = Takedown.purgeAll(spark, purge,
+      Some(ann), Some("graft_takedown_bm25"), Some("graft_takedown_sigs"))
+    val rows = audit.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+
+    // every store reports clean after a recount of its own rows
+    assert(rows.keySet === Set("ann_forest", "bm25", "ingest_sigs"))
+    rows.foreach { case (s, (_, _, clean)) => assert(clean === 1, s) }
+
+    // forest: exactly |purged ∩ store| × trees rows gone
+    val survIds = graft.operators.Dedup.exactVectors(e, "embedding", "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    val hit = (purgeIds & survIds).size.toLong
+    val (aBefore, aAfter, _) = rows("ann_forest")
+    assert(aBefore - aAfter === hit * 4)
+
+    // bm25: distinct indexed docs shrink by the purged count and the
+    // SERVING path cannot surface a purged doc
+    val (bBefore, bAfter, _) = rows("bm25")
+    assert(bBefore - bAfter === purgeIds.size.toLong)
+    val probeTerms = docs.filter($"doc_id".isin(purgeIds.toSeq.take(3).map(Long.box): _*))
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .filter($"t" =!= "").limit(5).as[String].collect().toSeq
+    val served = Bm25.scoreIndexed(spark, "graft_takedown_bm25", probeTerms)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(served.nonEmpty && (served & purgeIds).isEmpty)
+
+    // forest serving: no purged id comes back as a neighbor
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val nn = newAnn.get.knnJoin(q, topK = 5)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(nn.nonEmpty && (nn & purgeIds).isEmpty)
+
+    // signature store: rows fell (purged ids held signatures) and the
+    // audit's before count matches the table scan
+    val (sBefore, sAfter, _) = rows("ingest_sigs")
+    assert(sBefore === sigBefore && sAfter < sBefore)
+  }
+}
