@@ -291,4 +291,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"decode must not shuffle:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q139 bloom decontamination: might_contain filters the corpus side before any join") {
+    val p = planOf("q139_bloom_decontaminate")
+    // the Bloom literal must gate the train-shingle stream as a plain
+    // Filter (narrow, codegen) — not ride a join or a UDF
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q141 NB classifier: totals/priors broadcast, count aggs partial, no window") {
+    val p = planOf("q141_nb_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row totals/priors must broadcast:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), "NB is aggregations only, never a window")
+  }
+
+  test("q142 snapshot diff: one full-outer id join, no window, no cartesian") {
+    val p = planOf("q142_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
 }
