@@ -1075,6 +1075,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q144: canonical text normalization under the hash gate — fixture
+    // text is salted with the pathologies the pass exists for
+    // (decomposed e+combining-acute, a BEL control char, a zero-width
+    // space, doubled blanks); NFC + zero-width strip + control→space +
+    // whitespace collapse must produce byte-identical output to
+    // DuckDB's nfc_normalize + the same three regexp passes. Narrow
+    // per-row map, no shuffle (PlanSpec-style claim in the scaladoc).
+    "q144_normalize_text" -> ((s, d) => {
+      val dirty = concat(col("text"), lit(" caf"), lit("e\u0301"),
+        lit("\u0007"), lit("x"), lit("\u200B"), lit("y  z"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("__dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("__dirty")).as("norm_text"),
+          length(col("__dirty")).as("n_before"))
+        .withColumn("n_after", length(col("norm_text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // q143: takedown propagation — ONE purge list driven through every
     // standing store (forest buckets + BM25 index) by Takedown.purgeAll,
     // audited by recounting the stores themselves. n_before/n_after are
@@ -4123,6 +4142,29 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // same salt, same pass order: nfc_normalize, zero-width strip,
+    // control→space, \s+ collapse, trim — byte-identical output.
+    // length() counts codepoints in DuckDB and UTF-16 units in Spark —
+    // identical here because every char in play is BMP.
+    "q144_normalize_text" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+             text || ' caf' || chr(101) || chr(769) || chr(7) || 'x'
+                  || chr(8203) || 'y  z' AS d
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(d),
+             '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+             '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS norm_text,
+           length(d)::INT AS n_before,
+           length(trim(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(d),
+             '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+             '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g')))::INT AS n_after
+         FROM dirty ORDER BY doc_id""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

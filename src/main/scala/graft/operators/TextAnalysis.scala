@@ -359,6 +359,30 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Canonical text normalization — the cleaning pass every corpus
+    * gets before dedup/tokenization (mojibake-adjacent variants of the
+    * SAME text must hash equal downstream): Unicode NFC composition
+    * (decomposed e+◌́ → é), zero-width/BOM removal (U+200B/C/D,
+    * U+FEFF — invisible chars that silently split tokens and defeat
+    * exact dedup), C0/DEL control chars → space, whitespace-run
+    * collapse, trim. Exactly this order, so any engine can replay it
+    * (DuckDB: nfc_normalize + three regexp_replace — the q144 oracle).
+    * Narrow per-row map (one UDF: java.text.Normalizer is the JDK's
+    * Unicode implementation; the regex steps ride along rather than
+    * paying three more non-codegen passes), no shuffle. */
+  def normalizeText(text: Column): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          .replaceAll("[\\u200B\\u200C\\u200D\\uFEFF]", "")
+          .replaceAll("[\\x00-\\x1F\\x7F]", " ")
+          .replaceAll("\\s+", " ")
+          .trim
+    }
+    f(text)
+  }
+
   /** Supervised token classifier trained IN-ENGINE — the "distill a
     * cheap curation classifier from labels you already have" op
     * (fastText-style quality/language filters in web-corpus pipelines):

@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Timing probe for the round's additions (q139–q143) — the new
+  * queries at the bench SF plus synthetic stresses sized to expose
+  * shape mistakes fixtures hide: a 100k-doc corpus against a 500-doc
+  * benchmark for the Bloom-vs-exact decontamination delta, NB training
+  * over 100k docs, dHash fingerprint+pair mining over 50k images, and
+  * a 1M-row snapshot diff. Run:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ProbeR10Ops" */
+object ProbeR10Ops {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().trim.split("\\s+")(8).toLong
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def t(name: String)(f: => Long): Unit = {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime(); val c = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-40s $dt%6.2f s rows=$c steal=${stealTicks() - s0}")
+    }
+    for (q <- Seq("q139_bloom_decontaminate", "q140_phash_neardup",
+        "q141_nb_classifier", "q142_snapshot_diff", "q143_takedown")) {
+      t(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
+      t(q + " (warm)")(graft.SparkEntry.queries(q)(spark, sfDir).count())
+    }
+
+    // 100k-doc train corpus vs a 500-doc benchmark: the Bloom prefilter
+    // should collapse the train-side shingle stream entering the join
+    // (only shingles colliding with the small bench survive), while the
+    // exact path shuffles every train shingle into the equi-join.
+    val train = spark.range(100000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          lit("alpha"), (col("id") % 997).cast("string"),
+          lit("beta gamma delta"), col("id").cast("string"),
+          lit("epsilon zeta eta theta iota kappa"),
+          (col("id") * 13 % 4999).cast("string"),
+          lit("lambda mu nu xi omicron pi rho sigma"))
+          .as("text"))
+      .localCheckpoint()
+    val bench = spark.range(500).select(
+        (col("id") + 5000000L).as("doc_id"),
+        concat_ws(" ",
+          lit("alpha"), (col("id") % 997).cast("string"),
+          lit("beta gamma delta"), (col("id") * 200).cast("string"),
+          lit("epsilon zeta eta theta iota kappa"))
+          .as("text"))
+      .localCheckpoint()
+    t("contaminationPairs exact 100k x 500") {
+      graft.operators.TextDedup.contaminationPairs(
+        train, bench, "doc_id", "text", ngram = 3, minFrac = 0.3).count()
+    }
+    t("contaminationPairsBloom 100k x 500") {
+      graft.operators.TextDedup.contaminationPairsBloom(
+        train, bench, "doc_id", "text", ngram = 3, minFrac = 0.3).count()
+    }
+
+    t("nbClassifierScores 100k docs") {
+      graft.operators.TextAnalysis.nbClassifierScores(
+        train, "doc_id", "text", pmod(col("doc_id"), lit(3)) === 0).count()
+    }
+
+    // 50k group-structured images: encode+decode+dHash is the narrow
+    // stage; pair mining must stay banded (no all-pairs blowup at 50k)
+    val imgs = spark.range(50000).toDF("id")
+      .withColumn("payload",
+        graft.operators.Multimodal.syntheticGroupPng(col("id"), 5000))
+    t("dHash fingerprints 50k images") {
+      imgs.select(col("id"),
+        graft.operators.Multimodal.imageDHash(col("payload")).as("fp")).count()
+    }
+    val fps = imgs.select(col("id"),
+        graft.operators.Multimodal.imageDHash(col("payload")).as("fp"))
+      .localCheckpoint()
+    t("banded dHash pairs 50k images") {
+      graft.operators.TextDedup.simhashPairsBandedFp(fps, maxHamming = 6).count()
+    }
+
+    // 1M-row snapshot diff: one id-keyed full-outer join, narrow compare
+    val oldSnap = spark.range(1000000).select(col("id"),
+      (col("id") * 31 % 1000).cast("string").as("text"))
+    val newSnap = spark.range(30, 1000030).select(col("id"),
+      when(pmod(col("id"), lit(50)) === 0, lit("rev"))
+        .otherwise((col("id") * 31 % 1000).cast("string")).as("text"))
+    t("snapshotDiff 1M rows") {
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "id", Seq("text"))
+        .groupBy("status").count().count()
+    }
+    spark.stop()
+  }
+}

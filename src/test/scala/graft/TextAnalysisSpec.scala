@@ -231,6 +231,31 @@ class TextAnalysisSpec extends SparkSpec {
     hand.foreach { case (g, n) => assert(out(g)._1 === n, g) }
   }
 
+  test("normalizeText: NFC composes, zero-widths vanish, controls become spaces, runs collapse") {
+    val cases = Seq(
+      ("cafe\u0301", "caf\u00e9"), // NFC composition
+      ("a\u200Bb\u200Cc\u200Dd\uFEFFe", "abcde"), // zero-widths removed, no space left
+      ("ab\tc\nd", "ab c d"), // C0 controls \u2192 single spaces
+      ("  a   b  ", "a b"), // collapse + trim
+      ("", ""))
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "t")
+      .select($"i", TextAnalysis.normalizeText($"t").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i) === want, s"input ${in.map(_.toInt).mkString(",")}")
+    }
+    // null passes through
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(TextAnalysis.normalizeText($"t")).head()
+    assert(n.isNullAt(0))
+    // idempotent: normalizing twice is a no-op
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val once = docs.select($"doc_id", TextAnalysis.normalizeText($"text").as("n1"))
+    val twice = once.select($"doc_id", TextAnalysis.normalizeText($"n1").as("n2"))
+    assert(once.join(twice, "doc_id").filter($"n1" =!= $"n2").count() === 0L)
+  }
+
   test("NB classifier: hand-computed add-one likelihoods on a two-doc corpus") {
     // doc 1 (y=1): "a a b"; doc 2 (y=0): "b c". V=3, t1=3, t0=2, n1=n0=1
     val docs = Seq((1L, "a a b", 1), (2L, "b c", 0)).toDF("doc_id", "text", "y")
