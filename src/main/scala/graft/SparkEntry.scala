@@ -1154,8 +1154,12 @@ object SparkEntry {
     // to perceptual dedup.
     "q140_phash_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
+      // duplicate-cluster size stays ~31 docs at EVERY corpus size
+      // (real dup clusters don't grow with the corpus) → output is
+      // Θ(n), not Θ(n²/groups); one count() action sizes the groups
+      val groups = math.max((docs.count() / 31L).toInt, 1)
       val fp = GraftSession.widen(docs)
-        .withColumn("payload", Multimodal.syntheticGroupPng(col("doc_id"), 16))
+        .withColumn("payload", Multimodal.syntheticGroupPng(col("doc_id"), groups))
         .select(col("doc_id").as("id"),
           Multimodal.imageDHash(col("payload")).as("fp"))
         .localCheckpoint() // fingerprint once; decode is the dominant cost
@@ -4244,9 +4248,11 @@ object SparkEntry {
     // per-id pixel inversion, the luminance comparisons, and the
     // Hamming count all in exact BIGINT arithmetic — no codec.
     "q140_phash_neardup" ->
-      """WITH grid AS (
+      """WITH ng AS (SELECT greatest(count(*) // 31, 1) AS g FROM documents),
+         grid AS (
            SELECT doc_id, x::BIGINT AS x, y::BIGINT AS y,
-             ((doc_id % 16) * 1000003 + x + y*9) * 2654435761 % 4294967296 AS v1
+             ((doc_id % (SELECT g FROM ng)) * 1000003 + x + y*9)
+               * 2654435761 % 4294967296 AS v1
            FROM documents, range(9) t1(x), range(8) t2(y)),
          m1 AS (
            -- HUGEINT hop: a 32-bit value times the 2.2e9 multiplier can

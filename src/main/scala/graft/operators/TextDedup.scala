@@ -391,16 +391,19 @@ object TextDedup {
     * shingles occurring in more than that many TRAIN docs before the
     * join — stop-phrase shingles ("of the united states") otherwise
     * produce quadratic join blowup at corpus scale; a shingle that
-    * common carries no contamination signal. This query-scale variant
-    * joins on shingle STRINGS for oracle parity; at 100 TB swap
-    * [[shingles]] for [[shingleHashes]] (8-byte join keys, same counts
-    * modulo 64-bit collisions).
+    * common carries no contamination signal. Joins on 64-bit
+    * [[shingleHashes]] (8-byte keys; the string form measured 9× slower
+    * at sf0.1 — interpreted HOF shingling plus string exchange). Counts
+    * equal the string join modulo 64-bit collisions; the q69/q139
+    * DuckDB oracles recompute overlap from shingle STRINGS, so the
+    * driver's hash gate independently certifies collision-freedom on
+    * the fixture rather than mirroring the hashed path.
     */
   def contaminationPairs(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, minFrac: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
     val t0 = train.select(col(idCol).as("train_id"),
-      explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+      explode(shingleHashes(col(textCol), ngram)).as("sh"))
     contaminationTail(t0, bench, idCol, textCol, ngram, minFrac, maxShingleDf)
   }
 
@@ -431,8 +434,7 @@ object TextDedup {
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val bHashes = bench
-      .select(explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
-      .select(xxhash64(col("sh")).as("h")).distinct()
+      .select(explode(shingleHashes(col(textCol), ngram)).as("h")).distinct()
     // one small-side action to size the filter; 64 floors degenerate inputs
     val nItems = math.max(bHashes.count(), 64L)
     val bloomBytes = {
@@ -444,9 +446,9 @@ object TextDedup {
     val mightContain = GraftBridge.column(
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
-        GraftBridge.expression(xxhash64(col("sh")))))
+        GraftBridge.expression(col("sh"))))
     val t0 = train.select(col(idCol).as("train_id"),
-        explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+        explode(shingleHashes(col(textCol), ngram)).as("sh"))
       .filter(mightContain)
     contaminationTail(t0, bench, idCol, textCol, ngram, minFrac, maxShingleDf)
   }
@@ -475,7 +477,7 @@ object TextDedup {
         t0.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     val b = bench.select(col(idCol).as("bench_id"),
-        array_distinct(shingles(col(textCol), ngram)).as("shs"))
+        shingleHashes(col(textCol), ngram).as("shs"))
       .select(col("bench_id"), size(col("shs")).as("n_bench"),
         explode(col("shs")).as("sh"))
     t.join(b, Seq("sh"))
@@ -501,12 +503,15 @@ object TextDedup {
     * rows cross the shuffle), one equi-join back, one per-doc agg.
     * Same skew discipline as [[contaminationPairs]]: df is computed by
     * aggregation, never a per-shingle window, so a hot boilerplate
-    * shingle costs one combine tree, not one giant task. At 100 TB swap
-    * [[shingles]] for [[shingleHashes]] (8-byte join keys). */
+    * shingle costs one combine tree, not one giant task. Joins on
+    * 64-bit [[shingleHashes]] (8-byte keys — the same 9×-at-sf0.1
+    * switch as [[contaminationPairs]]); q76's string-shingle DuckDB
+    * oracle independently certifies the counts collision-free on the
+    * fixture. */
   def dupShingleStats(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3): DataFrame = {
     val ex = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), ngram))).as("sh"))
+      explode(shingleHashes(col(textCol), ngram)).as("sh"))
     // distinct docs per shingle == row count per shingle (ex is distinct
     // per doc by construction) — a plain count, partial-agg friendly
     val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
