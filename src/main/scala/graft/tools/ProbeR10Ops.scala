@@ -32,27 +32,22 @@ object ProbeR10Ops {
       t(q + " (warm)")(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }
 
-    // 100k-doc train corpus vs a 500-doc benchmark: the Bloom prefilter
-    // should collapse the train-side shingle stream entering the join
-    // (only shingles colliding with the small bench survive), while the
-    // exact path shuffles every train shingle into the equi-join.
+    // 100k-doc train corpus vs a 500-doc benchmark where contamination
+    // is RARE (the production regime): docs are token-wise unique
+    // hash-noise, and exactly 100 bench docs are verbatim copies of
+    // train docs. The Bloom prefilter should then kill almost every
+    // train shingle before the join, while the exact path shuffles all
+    // of them — the delta IS the operator's value.
+    def noiseText(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 24).map(k =>
+        pmod(xxhash64(idc, lit(k)), lit(99991)).cast("string")): _*)
     val train = spark.range(100000).select(
-        col("id").as("doc_id"),
-        concat_ws(" ",
-          lit("alpha"), (col("id") % 997).cast("string"),
-          lit("beta gamma delta"), col("id").cast("string"),
-          lit("epsilon zeta eta theta iota kappa"),
-          (col("id") * 13 % 4999).cast("string"),
-          lit("lambda mu nu xi omicron pi rho sigma"))
-          .as("text"))
+        col("id").as("doc_id"), noiseText(col("id")).as("text"))
       .localCheckpoint()
     val bench = spark.range(500).select(
         (col("id") + 5000000L).as("doc_id"),
-        concat_ws(" ",
-          lit("alpha"), (col("id") % 997).cast("string"),
-          lit("beta gamma delta"), (col("id") * 200).cast("string"),
-          lit("epsilon zeta eta theta iota kappa"))
-          .as("text"))
+        when(col("id") < 100, noiseText(col("id") * 1000L)) // copies of train docs
+          .otherwise(noiseText(col("id") + 7777777L)).as("text"))
       .localCheckpoint()
     t("contaminationPairs exact 100k x 500") {
       graft.operators.TextDedup.contaminationPairs(
@@ -61,6 +56,24 @@ object ProbeR10Ops {
     t("contaminationPairsBloom 100k x 500") {
       graft.operators.TextDedup.contaminationPairsBloom(
         train, bench, "doc_id", "text", ngram = 3, minFrac = 0.3).count()
+    }
+    // the scale metric the Bloom buys: rows entering the shingle join
+    // (at 100 TB this is the shuffle the prefilter deletes; wall-clock
+    // at 100k docs is dominated by fixed job overheads either way)
+    import graft.operators.TextDedup.shingleHashes
+    t("train shingles entering exact join") {
+      train.select(explode(shingleHashes(col("text"), 3))).count()
+    }
+    t("train shingles surviving bloom") {
+      val bh = bench.select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
+      val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 64L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+      val mc = org.apache.spark.sql.GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray),
+          org.apache.spark.sql.GraftBridge.expression(col("sh"))))
+      train.select(explode(shingleHashes(col("text"), 3)).as("sh"))
+        .filter(mc).count()
     }
 
     t("nbClassifierScores 100k docs") {
