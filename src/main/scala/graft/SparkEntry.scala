@@ -1075,6 +1075,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q145: contrastive triplets for embedding training — near-dup
+    // pairs (the q30 LSH mine, == the exact Jaccard set) symmetrized
+    // into anchors/positives, negatives drawn by a deterministic Knuth
+    // mix mod the id space (the q47 discipline — no RNG, SQL-mirror-
+    // able), flagged when the draw collides with the anchor's own
+    // cluster. The oracle replays pairs AND draw arithmetic exactly.
+    "q145_contrastive_triplets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val pairs = TextDedup.minhashPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.operators.Contrastive.tripletsFromPairs(
+          pairs, docs, "doc_id", maxId)
+        .orderBy(col("anchor_id"), col("pos_id"))
+    }),
+
     // q144: canonical text normalization under the hash gate — fixture
     // text is salted with the pathologies the pass exists for
     // (decomposed e+combining-acute, a BEL control char, a zero-width
@@ -4146,6 +4162,40 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // exact-Jaccard pairs (the q30 truth) symmetrized, same Knuth draw,
+    // same cleanliness flag — one mirrored pipeline end to end
+    "q145_contrastive_triplets" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         pr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         pos AS (
+           SELECT id_a AS anchor_id, id_b AS pos_id FROM pr
+           UNION ALL
+           SELECT id_b, id_a FROM pr),
+         mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         drawn AS (
+           SELECT anchor_id, pos_id,
+             (((anchor_id % 1000003) * 2654435761 + pos_id * 40503
+               + 2246822519) % 4294967296) % (SELECT n FROM mx) AS neg_id
+           FROM pos)
+         SELECT d.anchor_id, d.pos_id, d.neg_id,
+           CASE WHEN d.neg_id = d.anchor_id THEN 0
+                WHEN EXISTS (SELECT 1 FROM pos p
+                  WHERE p.anchor_id = d.anchor_id AND p.pos_id = d.neg_id)
+                  THEN 0
+                ELSE 1 END AS neg_clean
+         FROM drawn d JOIN (SELECT DISTINCT doc_id FROM documents) c
+           ON c.doc_id = d.neg_id
+         ORDER BY anchor_id, pos_id""",
     // same salt, same pass order: nfc_normalize, zero-width strip,
     // control→space, \s+ collapse, trim — byte-identical output.
     // length() counts codepoints in DuckDB and UTF-16 units in Spark —

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contrastive training-pair mining — turning the dedup pipeline's
+  * near-duplicate PAIRS into (anchor, positive, negative) triplets for
+  * embedding-model training (the SimCSE/CLIP-style data shape):
+  * near-dups make natural positives (same content, different surface),
+  * and negatives are drawn pseudo-randomly from the corpus.
+  *
+  * The negative draw is a DETERMINISTIC Knuth-style mix of
+  * (anchor, positive) reduced mod `maxIdExclusive` — reproducible at
+  * any parallelism, no RNG state, and exactly replayable by a SQL
+  * engine (the q47 hash-split discipline; xxhash64 would be faster
+  * still but has no DuckDB mirror). A draw can land inside the
+  * anchor's own positive set (it IS random); rather than probing —
+  * which serializes — the row carries `neg_clean` = 0 and the trainer
+  * drops or redraws flagged rows (flagged fraction ≈ cluster-size /
+  * corpus-size, negligible at scale).
+  *
+  * Scale shape: symmetrize is a narrow union; the negative id is
+  * per-row arithmetic; existence and cleanliness are two joins against
+  * SMALL frames (the corpus-id projection — one slim column — and the
+  * near-dup pair set, which is dup-cluster-sized, ≪ corpus²). No
+  * window, no collect.
+  */
+object Contrastive {
+
+  /** Build triplets from a (id_a, id_b) near-dup pair frame.
+    * Returns (anchor_id, pos_id, neg_id, neg_clean) — every pair in
+    * both directions, negative drawn from [0, maxIdExclusive) and
+    * inner-joined against `corpusIds` (for the contiguous-id corpora
+    * training pipelines produce, every draw exists; holes simply drop
+    * the triplet, deterministically). `neg_clean` = 1 unless the draw
+    * hit the anchor, the positive, or another of the anchor's
+    * positives. */
+  def tripletsFromPairs(pairs: DataFrame, corpusIds: DataFrame,
+      idCol: String, maxIdExclusive: Long): DataFrame = {
+    require(maxIdExclusive > 0, "maxIdExclusive must be positive")
+    val pos = pairs
+      .select(col("id_a").cast("long").as("anchor_id"),
+        col("id_b").cast("long").as("pos_id"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("anchor_id"),
+        col("id_a").cast("long").as("pos_id")))
+    // pre-reduce the anchor mod a prime so the multiply stays in BIGINT
+    // for 64-bit production ids (the q47 overflow discipline)
+    val drawn = pos.withColumn("neg_id",
+      pmod(
+        (pmod(col("anchor_id"), lit(1000003L)) * lit(2654435761L)
+          + col("pos_id") * lit(40503L) + lit(2246822519L)) % lit(4294967296L),
+        lit(maxIdExclusive)))
+    val ids = corpusIds.select(col(idCol).cast("long").as("neg_id")).distinct()
+    val posSet = pos.select(col("anchor_id"), col("pos_id").as("neg_id"),
+      lit(1).as("__dup"))
+    drawn.join(ids, Seq("neg_id")) // existence; slim one-column join
+      .join(posSet, Seq("anchor_id", "neg_id"), "left") // cleanliness
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        when(col("neg_id") === col("anchor_id"), 0)
+          .when(col("__dup").isNotNull, 0)
+          .otherwise(1).as("neg_clean"))
+  }
+}

@@ -164,6 +164,38 @@ class TextDedupSpec extends SparkSpec {
     assert(capped === 0L)
   }
 
+  test("contrastive triplets: deterministic draw, symmetrized pairs, honest clean flag") {
+    import graft.operators.Contrastive
+    def draw(a: Long, p: Long, n: Long): Long =
+      (((a % 1000003L) * 2654435761L + p * 40503L + 2246822519L)
+        % 4294967296L) % n
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val ids = spark.range(0, 10).toDF("doc_id")
+    val out = Contrastive.tripletsFromPairs(pairs, ids, "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length === 4) // both directions, all draws exist in 0..9
+    out.foreach { case (a, p, n, _) => assert(n === draw(a, p, 10)) }
+
+    // full-fixture run: flags must equal a local recomputation from the
+    // collected pair set, and every negative must exist in the corpus
+    val real = TextDedup.minhashPairs(docs, "doc_id", "text",
+      ngram = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val posSet = (real.map(t => (t._1, t._2)) ++ real.map(t => (t._2, t._1))).toSet
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0) + 1
+    val trips = Contrastive.tripletsFromPairs(
+        real.toSeq.toDF("id_a", "id_b"), docs, "doc_id", maxId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(trips.nonEmpty)
+    val docIds = docs.select($"doc_id").as[Long].collect().toSet
+    trips.foreach { case (a, p, n, clean) =>
+      assert(posSet((a, p)), "triplet not from the pair set")
+      assert(docIds(n), "negative must exist in the corpus")
+      val wantClean = if (n == a || posSet((a, n))) 0 else 1
+      assert(clean === wantClean, s"flag wrong for ($a,$p,$n)")
+    }
+  }
+
   test("novelty: 0 inside the reference, 1 when disjoint, fractional when mixed") {
     val ref = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val docs = Seq(
