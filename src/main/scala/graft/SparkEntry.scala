@@ -1075,6 +1075,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q146: INCREMENTAL index maintenance between corpus drops — build
+    // the standing BM25 index on the OLD drop, take the SnapshotDiff
+    // delta to the NEW drop, apply it (removeDocs removed ∪ changed →
+    // compactIndex → appendDocs added ∪ changed), then SERVE. The
+    // oracle computes fresh BM25 over the new drop from scratch: the
+    // hash gate is the proof that delta-maintained ≡ rebuilt, weight
+    // for weight (integer tf/df/dl/N and one avgdl division).
+    "q146_incremental_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val neu = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Bm25.buildIndex(old, "graft_q146_idx", buckets = 8)
+      val delta = graft.operators.SnapshotDiff.diff(
+        old, neu, "doc_id", Seq("text")).localCheckpoint()
+      graft.operators.Bm25.removeDocs(s, "graft_q146_idx",
+        delta.filter(col("status").isin("removed", "changed")).select(col("doc_id")))
+      graft.operators.Bm25.compactIndex(s, "graft_q146_idx", buckets = 8)
+      graft.operators.Bm25.appendDocs(s, "graft_q146_idx",
+        neu.join(delta.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        buckets = 8)
+      val probeTerms = neu.filter(col("doc_id") === 1)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexed(s, "graft_q146_idx", probeTerms)
+        .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q145: contrastive triplets for embedding training — near-dup
     // pairs (the q30 LSH mine, == the exact Jaccard set) symmetrized
     // into anchors/positives, negatives drawn by a deterministic Knuth
@@ -4162,6 +4194,34 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // fresh BM25 over the NEW drop, from scratch — the engine must
+    // reach the same numbers through remove/compact/append
+    "q146_incremental_index" ->
+      """WITH nd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0),
+         terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM nd WHERE doc_id = 1),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM nd),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM nd),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
     // exact-Jaccard pairs (the q30 truth) symmetrized, same Knuth draw,
     // same cleanliness flag — one mirrored pipeline end to end
     "q145_contrastive_triplets" ->

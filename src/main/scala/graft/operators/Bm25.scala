@@ -227,6 +227,67 @@ object Bm25 {
       .write.mode("append").format("parquet").saveAsTable(s"${name}_tombstones")
   }
 
+  /** Incremental index maintenance: fold NEW documents into a standing
+    * index without touching the standing postings — the other half of
+    * the delete story ([[removeDocs]]/[[compactIndex]]), and what a
+    * [[SnapshotDiff]] delta needs to keep an index current between
+    * corpus drops (remove `removed ∪ changed`, compact, append
+    * `added ∪ changed` — q146 proves the result serves bit-identically
+    * to a fresh build over the new drop).
+    *
+    * Scale shape: the new docs' postings APPEND into the bucketed
+    * postings table with the same bucket spec (Spark hash-aligns the
+    * new files into the existing buckets — no rewrite, no shuffle of
+    * standing rows); `terms` (df) and `stats` are then recomputed by
+    * aggregation over INDEX-sized tables — the df of every term is a
+    * count over postings rows, so incremental-then-recount equals
+    * fresh-build exactly, integer for integer (avgdl's single division
+    * included). Marker-guarded like every other multi-table mutation.
+    *
+    * Precondition: no pending tombstones and no id overlap with the
+    * standing index (an upsert is remove → compact → append; silently
+    * double-indexing an id would double its tf contributions). Both
+    * checked loudly. */
+  def appendDocs(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: DataFrame, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    requireServable(spark, name)
+    require(!spark.catalog.tableExists(s"${name}_tombstones") ||
+        spark.table(s"${name}_tombstones").isEmpty,
+      s"appendDocs: index '$name' has pending tombstones — compactIndex first")
+    val dup = docs.select(col(idCol))
+      .join(spark.table(s"${name}_doclens").select(col(idCol)), Seq(idCol))
+      .count()
+    require(dup == 0,
+      s"appendDocs: $dup ids already indexed — removeDocs + compactIndex first")
+    setBuilding(spark, name, on = true)
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl2 = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val p2 = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl2, idCol)
+    val pCols = spark.table(s"${name}_postings").columns
+    p2.select(pCols.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    val dCols = spark.table(s"${name}_doclens").columns
+    dl2.select(dCols.map(col): _*)
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_doclens")
+    graft.sources.Sinks.parquetBucketed(
+      spark.table(s"${name}_postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df")),
+      s"${name}_terms", buckets, Seq("term"), Seq("term"))
+    val doclens = spark.table(s"${name}_doclens").localCheckpoint()
+    graft.sources.Sinks.parquetTable(
+      doclens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+      s"${name}_stats")
+    setBuilding(spark, name, on = false)
+  }
+
   /** Physical compaction: rewrite the index minus the tombstoned docs
     * (postings/terms/doclens/stats all recomputed from the surviving
     * rows) and drop the tombstone table. Serving cost returns to the

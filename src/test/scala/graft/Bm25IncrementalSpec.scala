@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, SnapshotDiff, TextAnalysis}
+import graft.sources.Tables
+
+class Bm25IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("appendDocs: delta-maintained index serves identically to a fresh build") {
+    val docs = Tables.documents(spark, sf0001)
+    val old = docs.filter(pmod($"doc_id", lit(7)) =!= 0)
+    val neu = docs.filter(pmod($"doc_id", lit(11)) =!= 0)
+      .withColumn("text", when(pmod($"doc_id", lit(5)) === 0,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+    Bm25.buildIndex(old, "graft_incr_t1", buckets = 8)
+    val delta = SnapshotDiff.diff(old, neu, "doc_id", Seq("text")).localCheckpoint()
+    Bm25.removeDocs(spark, "graft_incr_t1",
+      delta.filter($"status".isin("removed", "changed")).select($"doc_id"))
+    Bm25.compactIndex(spark, "graft_incr_t1", buckets = 8)
+    Bm25.appendDocs(spark, "graft_incr_t1",
+      neu.join(delta.filter($"status".isin("added", "changed"))
+        .select($"doc_id"), Seq("doc_id"), "left_semi"), buckets = 8)
+
+    val probe = neu.filter($"doc_id" === 1)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 5)).as("t"))
+      .distinct().as[String].collect().toSeq
+    // ad-hoc scoring over the new drop is the in-engine truth (q78's
+    // specced score ≡ scoreIndexed equivalence, now through the
+    // remove→compact→append lifecycle). Compare at the 4dp serving
+    // contract — the two plans sum per-term weights in different
+    // orders, so raw doubles differ in final ULPs (the repo-wide
+    // aggregate-rounding discipline).
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_matched", round($"bm25", 4).as("bm25"))
+      .orderBy($"doc_id").collect().toSeq
+    val incr = rounded(Bm25.scoreIndexed(spark, "graft_incr_t1", probe))
+    val fresh = rounded(Bm25.score(neu, probe.toDF("term")))
+    assert(incr === fresh)
+    assert(incr.nonEmpty)
+
+    // the maintained tables equal a fresh build's, table by table
+    Bm25.buildIndex(neu, "graft_incr_t2", buckets = 8)
+    for (t <- Seq("_postings", "_terms", "_doclens", "_stats")) {
+      val a = spark.table("graft_incr_t1" + t)
+      val b = spark.table("graft_incr_t2" + t)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t diverged")
+    }
+  }
+
+  test("appendDocs refuses id overlap and pending tombstones") {
+    val docs = Tables.documents(spark, sf0001).limit(50).localCheckpoint()
+    Bm25.buildIndex(docs, "graft_incr_t3", buckets = 8)
+    val boom = intercept[IllegalArgumentException] {
+      Bm25.appendDocs(spark, "graft_incr_t3", docs.limit(5), buckets = 8)
+    }
+    assert(boom.getMessage.contains("already indexed"))
+    Bm25.removeDocs(spark, "graft_incr_t3", docs.limit(5).select($"doc_id"))
+    val tomb = intercept[IllegalArgumentException] {
+      Bm25.appendDocs(spark, "graft_incr_t3",
+        docs.limit(0), buckets = 8)
+    }
+    assert(tomb.getMessage.contains("tombstones"))
+  }
+}
