@@ -1157,7 +1157,7 @@ object SparkEntry {
       val ann = graft.ann.DistributedAnnForest(
         numTrees = 8, maxLeafSize = 5, maxDepth = 16).fit(e)
       val (_, audit) = graft.operators.Takedown.purgeAll(
-        s, purge, Some(ann), Some("graft_q143_bm25"), None)
+        s, purge, Some(ann), Some("graft_q143_bm25"), None, bm25Buckets = 8)
       audit.orderBy(col("store"))
     }),
 
@@ -1187,8 +1187,10 @@ object SparkEntry {
     // decided on the rounded values (q114 discipline).
     "q141_nb_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // coalesce: a null lang must be class 0 like the oracle's CASE,
+      // not a null label that silently drops the doc from the counts
       TextAnalysis.nbClassifierScores(docs, "doc_id", "text",
-          col("lang") === "en")
+          coalesce(col("lang") === "en", lit(false)))
         .orderBy(col("doc_id"))
     }),
 
@@ -4244,8 +4246,9 @@ object SparkEntry {
          mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
          drawn AS (
            SELECT anchor_id, pos_id,
-             (((anchor_id % 1000003) * 2654435761 + pos_id * 40503
-               + 2246822519) % 4294967296) % (SELECT n FROM mx) AS neg_id
+             ((anchor_id % 1000003) * 2654435761
+               + (pos_id % 999983) * 40503
+               + 2246822519) % (SELECT n FROM mx) AS neg_id
            FROM pos)
          SELECT d.anchor_id, d.pos_id, d.neg_id,
            CASE WHEN d.neg_id = d.anchor_id THEN 0
@@ -4360,9 +4363,13 @@ object SparkEntry {
     "q140_phash_neardup" ->
       """WITH ng AS (SELECT greatest(count(*) // 31, 1) AS g FROM documents),
          grid AS (
+           -- HUGEINT hop here too: gid*1000003 grows with the corpus
+           -- (g = n/31), and ×2.65e9 exceeds signed-64 beyond ~3.5k
+           -- groups; Scala wraps mod 2^64 (exact mod 2^32 after the
+           -- mask), DuckDB must go wide instead
            SELECT doc_id, x::BIGINT AS x, y::BIGINT AS y,
-             ((doc_id % (SELECT g FROM ng)) * 1000003 + x + y*9)
-               * 2654435761 % 4294967296 AS v1
+             CAST(((doc_id % (SELECT g FROM ng)) * 1000003 + x + y*9)::HUGEINT
+               * 2654435761 % 4294967296 AS BIGINT) AS v1
            FROM documents, range(9) t1(x), range(8) t2(y)),
          m1 AS (
            -- HUGEINT hop: a 32-bit value times the 2.2e9 multiplier can

@@ -260,6 +260,15 @@ object Bm25 {
       .count()
     require(dup == 0,
       s"appendDocs: $dup ids already indexed — removeDocs + compactIndex first")
+    // the batch itself must be id-unique too: an upstream join fan-out
+    // would otherwise double-index silently (doubled tf, inflated df,
+    // double-counted doclens) with no error anywhere downstream
+    val (nRows, nIds) = {
+      val r = docs.agg(count(lit(1)), count_distinct(col(idCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nRows == nIds,
+      s"appendDocs: batch has $nRows rows over $nIds distinct ids — dedupe first")
     setBuilding(spark, name, on = true)
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -280,9 +289,10 @@ object Bm25 {
       spark.table(s"${name}_postings")
         .groupBy(col("term")).agg(count(lit(1)).as("df")),
       s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    val doclens = spark.table(s"${name}_doclens").localCheckpoint()
+    // no self-overwrite here (stats is derived from doclens, a
+    // different table), so unlike compactIndex no checkpoint is needed
     graft.sources.Sinks.parquetTable(
-      doclens.agg(count(lit(1)).as("n_docs"),
+      spark.table(s"${name}_doclens").agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
       s"${name}_stats")
     setBuilding(spark, name, on = false)

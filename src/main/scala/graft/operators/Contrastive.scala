@@ -38,17 +38,27 @@ object Contrastive {
   def tripletsFromPairs(pairs: DataFrame, corpusIds: DataFrame,
       idCol: String, maxIdExclusive: Long): DataFrame = {
     require(maxIdExclusive > 0, "maxIdExclusive must be positive")
+    // the mix below tops out near 2.7e15, so the final reduction only
+    // covers the full id space up to that — plenty for any one corpus
+    // (2.7e15 docs ≈ 10^4 × a 100 TB crawl), checked loudly not capped
+    // silently
+    require(maxIdExclusive <= 2650000000000000L,
+      s"maxIdExclusive $maxIdExclusive exceeds the draw domain (2.65e15)")
     val pos = pairs
       .select(col("id_a").cast("long").as("anchor_id"),
         col("id_b").cast("long").as("pos_id"))
       .unionByName(pairs.select(col("id_b").cast("long").as("anchor_id"),
         col("id_a").cast("long").as("pos_id")))
-    // pre-reduce the anchor mod a prime so the multiply stays in BIGINT
-    // for 64-bit production ids (the q47 overflow discipline)
+    // pre-reduce BOTH ids mod primes so the multiplies stay in BIGINT-
+    // safe range for 64-bit production ids (the q47 overflow
+    // discipline), and reduce mod maxIdExclusive DIRECTLY — an
+    // intermediate mod 2^32 would confine every draw to the low 4.3B
+    // ids of a larger corpus
     val drawn = pos.withColumn("neg_id",
       pmod(
-        (pmod(col("anchor_id"), lit(1000003L)) * lit(2654435761L)
-          + col("pos_id") * lit(40503L) + lit(2246822519L)) % lit(4294967296L),
+        pmod(col("anchor_id"), lit(1000003L)) * lit(2654435761L)
+          + pmod(col("pos_id"), lit(999983L)) * lit(40503L)
+          + lit(2246822519L),
         lit(maxIdExclusive)))
     val ids = corpusIds.select(col(idCol).cast("long").as("neg_id")).distinct()
     val posSet = pos.select(col("anchor_id"), col("pos_id").as("neg_id"),

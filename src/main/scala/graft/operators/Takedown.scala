@@ -32,11 +32,24 @@ object Takedown {
       ids: DataFrame,
       ann: Option[graft.ann.DistributedAnnModel] = None,
       bm25Name: Option[String] = None,
-      sigStoreName: Option[String] = None)
+      sigStoreName: Option[String] = None,
+      idCol: String = "id",
+      bm25Buckets: Int = 32)
       : (Option[graft.ann.DistributedAnnModel], DataFrame) = {
     import spark.implicits._
+    // select by NAME when present; positional only for an unambiguous
+    // single-column frame (the Bm25.removeDocs guard — a multi-column
+    // frame like SnapshotDiff's (doc_id, status) output must never
+    // silently purge its first column)
+    val src =
+      if (ids.columns.contains(idCol)) col(idCol)
+      else {
+        require(ids.columns.length == 1,
+          s"purgeAll: ids has columns ${ids.columns.mkString(",")} — none named '$idCol'")
+        col(ids.columns.head)
+      }
     val idList = ids
-      .select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .select(src.cast("long").as("id")).distinct()
       .localCheckpoint() // takedown-sized; reused against every store
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Int)]
 
@@ -55,7 +68,7 @@ object Takedown {
       val before = spark.table(s"${name}_postings")
         .select(col("doc_id")).distinct().count()
       Bm25.removeDocs(spark, name, idList)
-      Bm25.compactIndex(spark, name, buckets = 8)
+      Bm25.compactIndex(spark, name, buckets = bm25Buckets)
       val post = spark.table(s"${name}_postings")
       val residual = post
         .join(idList.select(col("id").as("doc_id")), Seq("doc_id")).count()
@@ -65,12 +78,17 @@ object Takedown {
     }
 
     sigStoreName.foreach { name =>
-      val bands = spark.table(s"${name}_bands")
-      val before = bands.count()
+      // the store is TWO tables (bands + shingles); the audit must
+      // recount both — certifying only bands would bless a torn
+      // removeFromStore that left shingle signatures behind
+      def rows() = spark.table(s"${name}_bands").count() +
+        spark.table(s"${name}_shingles").count()
+      val before = rows()
       graft.streaming.IngestDedup.removeFromStore(spark, name, idList)
-      val post = spark.table(s"${name}_bands")
-      val residual = post.join(idList, Seq("id")).count()
-      audit += (("ingest_sigs", before, post.count(),
+      val residual =
+        spark.table(s"${name}_bands").join(idList, Seq("id")).count() +
+          spark.table(s"${name}_shingles").join(idList, Seq("id")).count()
+      audit += (("ingest_sigs", before, rows(),
         if (residual == 0) 1 else 0))
     }
 

@@ -397,7 +397,10 @@ object TextAnalysis {
     * integer token counts + closed-form logs — one aggregation pass,
     * no iterative solver — so the MODEL, not just the scores, is
     * reproducible bit-for-bit by a SQL engine, and the whole train+
-    * score composition sits under the driver's hash gate. (LBFGS's
+    * score composition sits under the driver's hash gate. The label
+    * column must be NON-NULL on every row — a null label silently
+    * drops the row from the class counts and priors; coalesce at the
+    * call site (q141 does). (LBFGS's
     * float trajectory can't be mirrored; a model you can't
     * independently recompute is a model you can't audit.)
     *

@@ -20,9 +20,11 @@ class TakedownSpec extends SparkSpec {
     val ann = graft.ann.DistributedAnnForest(
       numTrees = 4, maxLeafSize = 5, maxDepth = 16).fit(e)
 
-    val sigBefore = spark.table("graft_takedown_sigs_bands").count()
+    val sigBefore = spark.table("graft_takedown_sigs_bands").count() +
+      spark.table("graft_takedown_sigs_shingles").count()
     val (newAnn, audit) = Takedown.purgeAll(spark, purge,
-      Some(ann), Some("graft_takedown_bm25"), Some("graft_takedown_sigs"))
+      Some(ann), Some("graft_takedown_bm25"), Some("graft_takedown_sigs"),
+      bm25Buckets = 8)
     val rows = audit.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
 

@@ -167,8 +167,8 @@ class TextDedupSpec extends SparkSpec {
   test("contrastive triplets: deterministic draw, symmetrized pairs, honest clean flag") {
     import graft.operators.Contrastive
     def draw(a: Long, p: Long, n: Long): Long =
-      (((a % 1000003L) * 2654435761L + p * 40503L + 2246822519L)
-        % 4294967296L) % n
+      ((a % 1000003L) * 2654435761L + (p % 999983L) * 40503L
+        + 2246822519L) % n
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val ids = spark.range(0, 10).toDF("doc_id")
     val out = Contrastive.tripletsFromPairs(pairs, ids, "doc_id", 10)
