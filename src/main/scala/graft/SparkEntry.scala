@@ -1075,6 +1075,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q147: key-skew pre-flight over the biggest fact table — per-key
+    // counts (one partial agg) + one summary agg over the key-sized
+    // count table. skew_ratio and the count quantiles are the numbers
+    // that pick plain-shuffle vs AQE-split vs salted join BEFORE a
+    // 100 TB join launches.
+    "q147_skew_report" -> ((s, d) => {
+      graft.operators.SkewJoin.describeSkew(
+          Tables.lineitem(s, d), Seq("l_suppkey"))
+        .orderBy(col("metric"))
+    }),
+
     // q146: INCREMENTAL index maintenance between corpus drops — build
     // the standing BM25 index on the OLD drop, take the SnapshotDiff
     // delta to the NEW drop, apply it (removeDocs removed ∪ changed →
@@ -4196,6 +4207,22 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // same per-key counts, quantile_cont ≡ Spark's linear-interpolated
+    // percentile (the percentileFloor parity), same 6dp rounding
+    "q147_skew_report" ->
+      """WITH c AS (
+           SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)
+         SELECT metric, value FROM (
+           SELECT 'n_keys' AS metric, count(*)::DOUBLE AS value FROM c
+           UNION ALL SELECT 'n_rows', sum(n)::DOUBLE FROM c
+           UNION ALL SELECT 'max_key_rows', max(n)::DOUBLE FROM c
+           UNION ALL SELECT 'mean_key_rows', round(avg(n), 6) FROM c
+           UNION ALL SELECT 'p50_key_rows', round(quantile_cont(n, 0.5), 6) FROM c
+           UNION ALL SELECT 'p90_key_rows', round(quantile_cont(n, 0.9), 6) FROM c
+           UNION ALL SELECT 'p99_key_rows', round(quantile_cont(n, 0.99), 6) FROM c
+           UNION ALL SELECT 'skew_ratio',
+             round(max(n)::DOUBLE / round(avg(n), 6), 6) FROM c) t
+         ORDER BY metric""",
     // fresh BM25 over the NEW drop, from scratch — the engine must
     // reach the same numbers through remove/compact/append
     "q146_incremental_index" ->

@@ -7,6 +7,16 @@ import graft.sources.Tables
 class TakedownSpec extends SparkSpec {
   import spark.implicits._
 
+  test("describeSkew: hand-checked metrics on a 2-key skewed frame") {
+    val df = (Seq.fill(9)("hot") ++ Seq("cold")).toDF("k")
+    val got = graft.operators.SkewJoin.describeSkew(df, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_keys") === 2.0 && got("n_rows") === 10.0)
+    assert(got("max_key_rows") === 9.0 && got("mean_key_rows") === 5.0)
+    assert(got("p50_key_rows") === 5.0) // linear interpolation of [1, 9]
+    assert(got("skew_ratio") === 1.8)
+  }
+
   test("purgeAll cleans forest + bm25 + signature store; serving paths forget the ids") {
     val docs = Tables.documents(spark, sf0001)
     val e = Tables.embeddings(spark, sf0001)
