@@ -97,6 +97,28 @@ object ProbeR10Ops {
       graft.operators.TextDedup.simhashPairsBandedFp(fps, maxHamming = 6).count()
     }
 
+    // incremental BM25 vs rebuild at 100k docs: append pays
+    // delta-tokenize + index-sized terms/stats re-aggregation; rebuild
+    // re-tokenizes the whole corpus. The gap is the operator's value
+    // and should widen linearly with corpus/delta ratio.
+    val delta = spark.range(100000, 101000).select(
+        col("id").as("doc_id"), noiseText(col("id")).as("text"))
+      .localCheckpoint()
+    t("bm25 buildIndex 100k docs") {
+      graft.operators.Bm25.buildIndex(train, "graft_probe_incr", buckets = 8)
+      spark.table("graft_probe_incr_doclens").count()
+    }
+    t("bm25 appendDocs 1k delta") {
+      graft.operators.Bm25.appendDocs(spark, "graft_probe_incr", delta, buckets = 8)
+      spark.table("graft_probe_incr_doclens").count()
+    }
+
+    t("describeSkew 10M rows, zipf-ish keys") {
+      val big = spark.range(10000000).select(
+        (pmod(xxhash64(col("id")), lit(10000)) * pmod(xxhash64(col("id")), lit(97)) / 97).cast("long").as("k"))
+      graft.operators.SkewJoin.describeSkew(big, Seq("k")).count()
+    }
+
     // 1M-row snapshot diff: one id-keyed full-outer join, narrow compare
     val oldSnap = spark.range(1000000).select(col("id"),
       (col("id") * 31 % 1000).cast("string").as("text"))
