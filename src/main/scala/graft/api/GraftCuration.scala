@@ -30,6 +30,16 @@ case class TokenBill(doc_id: Long, n_words: Int, n_bpe: Long)
 case class TokenizedDoc(doc_id: Long, token_ids: Seq[Long])
 case class TokenChunk(doc_id: Long, chunk_idx: Long, token_ids: Seq[Long])
 
+/** Typed classifier score row (s1/s0 = class log-likelihoods, 6dp). */
+case class ClassifierScore(doc_id: Long, s1: Double, s0: Double, pred: Int)
+
+/** Typed snapshot-diff row (status ∈ added|removed|changed|unchanged). */
+case class DiffStatus(doc_id: Long, status: String)
+
+/** Typed contrastive training triplet (neg_clean = 0 when the draw
+  * landed inside the anchor's near-dup cluster — drop or redraw). */
+case class Triplet(anchor_id: Long, pos_id: Long, neg_id: Long, neg_clean: Int)
+
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
   * DataFrame-first internally, and this boundary gives pipeline code
@@ -145,6 +155,48 @@ object GraftCuration {
   def compressionRatio(docs: Dataset[Document]): org.apache.spark.sql.DataFrame =
     docs.toDF().select(col("doc_id"),
       TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"))
+
+  /** Canonical text normalization in place (q144): NFC, zero-width
+    * strip, control→space, whitespace collapse. n_chars is recomputed
+    * so the record stays self-consistent. */
+  def normalize(docs: Dataset[Document]): Dataset[Document] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[Document]
+  }
+
+  /** In-engine Naive Bayes classifier scores against any boolean label
+    * built from Document fields (q141): train + score in one call,
+    * both exactly reproducible. `label` must be non-null per row. */
+  def classifierScores(docs: Dataset[Document],
+      label: org.apache.spark.sql.Column): Dataset[ClassifierScore] = {
+    import docs.sparkSession.implicits._
+    TextAnalysis.nbClassifierScores(docs.toDF(), "doc_id", "text", label)
+      .as[ClassifierScore]
+  }
+
+  /** Snapshot diff between two corpus drops (q142): text+lang+source
+    * compared null-safely per doc_id. */
+  def snapshotDiff(oldDrop: Dataset[Document],
+      newDrop: Dataset[Document]): Dataset[DiffStatus] = {
+    import oldDrop.sparkSession.implicits._
+    graft.operators.SnapshotDiff.diff(oldDrop.toDF(), newDrop.toDF(),
+      "doc_id", Seq("text", "lang", "source")).as[DiffStatus]
+  }
+
+  /** Contrastive training triplets from the corpus' near-dup structure
+    * (q145): positives via [[nearDupPairs]], deterministic negative
+    * draws over [0, maxIdExclusive). */
+  def contrastiveTriplets(docs: Dataset[Document], maxIdExclusive: Long,
+      threshold: Double = 0.5): Dataset[Triplet] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Contrastive.tripletsFromPairs(
+      nearDupPairs(docs, threshold).toDF().select(col("id_a"), col("id_b")),
+      docs.toDF(), "doc_id", maxIdExclusive).as[Triplet]
+  }
 
   /** Train a BPE merge table on the corpus (q117's trainer — the
     * HF-style distributed-histogram / driver-merge-loop split). The

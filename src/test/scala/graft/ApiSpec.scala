@@ -72,6 +72,28 @@ class ApiSpec extends SparkSpec {
     assert(cr.length === docs.count())
     assert(cr.forall { r =>
       val x = r.getAs[Double]("deflate_ratio"); x > 0.0 && x < 1.5 })
+    // normalize: idempotent on the ASCII fixture, n_chars recomputed
+    val norm = GraftCuration.normalize(docs).collect()
+    assert(norm.length === docs.count())
+    assert(norm.forall(d => d.n_chars == d.text.length))
+    // classifier: delegation equals the operator, one row per doc
+    val cls = GraftCuration.classifierScores(docs,
+      coalesce($"lang" === "en", lit(false))).collect()
+    assert(cls.length === docs.count())
+    val rawCls = graft.operators.TextAnalysis.nbClassifierScores(
+        docs.toDF(), "doc_id", "text", coalesce($"lang" === "en", lit(false)))
+      .as[graft.api.ClassifierScore].collect()
+    assert(cls.sortBy(_.doc_id).toSeq === rawCls.sortBy(_.doc_id).toSeq)
+    // snapshot diff of a drop against itself: all unchanged
+    val selfDiff = GraftCuration.snapshotDiff(docs, docs).collect()
+    assert(selfDiff.length === docs.count())
+    assert(selfDiff.forall(_.status == "unchanged"))
+    // triplets: typed face over the q145 composition
+    val maxId = docs.collect().map(_.doc_id).max + 1
+    val trips = GraftCuration.contrastiveTriplets(docs, maxId).collect()
+    assert(trips.nonEmpty)
+    assert(trips.forall(t => typed((math.min(t.anchor_id, t.pos_id),
+      math.max(t.anchor_id, t.pos_id)))))
   }
 
   test("typed tokenize: decodes back to normalized text; chunks reassemble the stream") {
