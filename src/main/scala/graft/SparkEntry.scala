@@ -1075,6 +1075,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q148: join-size pre-flight — count-min inner product estimates
+    // |lineitem ⋈ orders| from two (depth × width)-row sketch tables;
+    // exact join count is the fixture truth, the sketch bits are the
+    // pinned estimator guarantees (never under; over by > e·N_a·N_b/w
+    // w.p. ≤ e^-depth). The q128/q137 sketch discipline, applied to
+    // join planning.
+    "q148_join_size" -> ((s, d) => {
+      graft.operators.SkewJoin.joinSizeChecked(
+          Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey")
+        .select(col("n_a"), col("n_b"), col("exact_join_rows"),
+          col("never_under"), col("bound_ok"))
+    }),
+
     // q147: key-skew pre-flight over the biggest fact table — per-key
     // counts (one partial agg) + one summary agg over the key-sized
     // count table. skew_ratio and the count quantiles are the numbers
@@ -4207,6 +4221,15 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // exact sizes + join count; the sketch guarantees are constant
+    // truths (q128's discipline)
+    "q148_join_size" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem)::BIGINT AS n_a,
+           (SELECT count(*) FROM orders)::BIGINT AS n_b,
+           (SELECT count(*) FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey)::BIGINT AS exact_join_rows,
+           1 AS never_under, 1 AS bound_ok""",
     // same per-key counts, quantile_cont ≡ Spark's linear-interpolated
     // percentile (the percentileFloor parity), same 6dp rounding
     "q147_skew_report" ->

@@ -28,6 +28,53 @@ object SkewJoin {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Equi-join OUTPUT-SIZE estimation by count-min inner product
+    * (Cormode & Muthukrishnan 2005, §4.2) — the other pre-flight
+    * number next to [[describeSkew]]: |A ⋈ B| = Σ_k a_k·b_k, estimated
+    * from two tiny sketch tables without touching the join. The
+    * sketch is built AS A DATAFRAME — (d, bucket, cnt) rows from one
+    * partial-aggregated pass per side — so it is mergeable across
+    * partitions/days by construction (sum of counts), and the inner
+    * product is a (d, bucket)-keyed equi-join of two depth×width-row
+    * tables: nothing corpus-sized moves.
+    *
+    * Estimator properties (pinned by the checked bits): each depth row
+    * over-counts (hash collisions only ADD cross products), so
+    * min_d Σ_bucket a·b NEVER under-estimates; and it exceeds the true
+    * size by more than e·N_a·N_b/width with probability ≤ e^-depth.
+    * At fixture scale the exact join is cheap and serves as truth; at
+    * corpus scale the roles flip (the q128/q137 sketch discipline).
+    *
+    * Returns ONE row: (n_a, n_b, exact_join_rows, est_join_rows,
+    * never_under, bound_ok). */
+  def joinSizeChecked(a: DataFrame, b: DataFrame,
+      keyA: String, keyB: String,
+      depth: Int = 5, width: Int = 8192, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1, width >= 2")
+    def sketch(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("__k"),
+          explode(sequence(lit(0), lit(depth - 1))).as("d"))
+        .select(col("d"),
+          pmod(xxhash64(col("__k"), col("d"), lit(seed)), lit(width)).as("bucket"))
+        .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val sa = sketch(a, keyA)
+    val sb = sketch(b, keyB)
+    val est = sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("d", "bucket"))
+      .groupBy(col("d")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+    val exact = a.select(col(keyA).as("__k"))
+      .join(b.select(col(keyB).as("__k")), Seq("__k"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    val sizes = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    sizes.crossJoin(exact).crossJoin(est)
+      .withColumn("never_under",
+        (col("est_join_rows") >= col("exact_join_rows")).cast("int"))
+      .withColumn("bound_ok",
+        (col("est_join_rows") <= col("exact_join_rows")
+          + ceil(lit(math.E / width) * col("n_a") * col("n_b"))).cast("int"))
+  }
+
   /** Key-skew diagnostics — the pre-flight for every corpus-scale
     * equi-join/groupBy: per-key row counts summarized as a long-format
     * (metric, value) report. `skew_ratio` (max/mean) is the number

@@ -7,6 +7,25 @@ import graft.sources.Tables
 class TakedownSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinSizeChecked: exact on hand data, never-under + bound bits hold, tight at real scale") {
+    import graft.operators.SkewJoin
+    // hand case: keys {x:2, y:1} ⋈ {x:3, z:5} → exact 6
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "x", "x", "z", "z", "z", "z", "z").toDF("k")
+    val r = SkewJoin.joinSizeChecked(a, b, "k", "k").head()
+    assert(r.getAs[Long]("exact_join_rows") === 6L)
+    assert(r.getAs[Int]("never_under") === 1 && r.getAs[Int]("bound_ok") === 1)
+    // with width >> distinct keys, no collisions → estimate EXACT
+    assert(r.getAs[Long]("est_join_rows") === 6L)
+    // real tables: the estimate stays within the theoretical slack and
+    // the guarantee bits hold
+    val li = Tables.lineitem(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    val big = SkewJoin.joinSizeChecked(li, ord, "l_orderkey", "o_orderkey").head()
+    assert(big.getAs[Int]("never_under") === 1 && big.getAs[Int]("bound_ok") === 1)
+    assert(big.getAs[Long]("exact_join_rows") === li.count())
+  }
+
   test("describeSkew: hand-checked metrics on a 2-key skewed frame") {
     val df = (Seq.fill(9)("hot") ++ Seq("cold")).toDF("k")
     val got = graft.operators.SkewJoin.describeSkew(df, Seq("k"))
