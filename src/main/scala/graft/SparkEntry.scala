@@ -1075,6 +1075,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q149: padding-waste curve — what length-bucketed batching at
+    // widths {1,8,16,32,global} costs in padded tokens over the
+    // documents corpus. One narrow pass, two partial aggs; the knee of
+    // this curve picks the serving batcher's bucket width.
+    "q149_padding_curve" -> ((s, d) => {
+      graft.operators.Packing.paddingWasteCurve(
+          Tables.documents(s, d), "text")
+        .orderBy(col("bucket_width"))
+    }),
+
     // q148: join-size pre-flight — count-min inner product estimates
     // |lineitem ⋈ orders| from two (depth × width)-row sketch tables;
     // exact join count is the fixture truth, the sketch bits are the
@@ -4221,6 +4231,24 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // same token counts, same integer bucket division, same rounding
+    "q149_padding_curve" ->
+      """WITH lens AS (
+           SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+           FROM documents),
+         e AS (
+           SELECT n_tok, w AS bucket_width,
+             CASE WHEN w = 0 THEN 0 ELSE n_tok // w END AS bucket
+           FROM lens, unnest([1, 8, 16, 32, 0]) t(w)),
+         byb AS (
+           SELECT bucket_width, bucket, max(n_tok) AS mx, sum(n_tok) AS s,
+             count(*) AS c
+           FROM e GROUP BY bucket_width, bucket)
+         SELECT bucket_width, count(*)::BIGINT AS n_buckets,
+           sum(s)::BIGINT AS real_tokens,
+           sum(mx * c)::BIGINT AS padded_tokens,
+           round(1.0 - sum(s)::DOUBLE / sum(mx * c), 6) AS waste
+         FROM byb GROUP BY bucket_width ORDER BY bucket_width""",
     // exact sizes + join count; the sketch guarantees are constant
     // truths (q128's discipline)
     "q148_join_size" ->

@@ -55,4 +55,39 @@ object Packing {
       }
       .toDF("grp", "id", "tokens", "bin")
   }
+
+  /** Padding-waste curve for LENGTH-BUCKETED batching — the number
+    * that picks an inference/training batching policy before any
+    * batches are materialized: bucketing docs by token length into
+    * ranges of width `w` and padding each bucket to its max length
+    * wastes `1 − Σlen / Σ_bucket (max·count)` of the compute; the
+    * curve over several widths shows where the padding knee sits
+    * (w = 0 means one global bucket — pad-everything-to-max, the
+    * worst case; w = 1 is exact-length batching, zero waste).
+    *
+    * Shape: ONE narrow pass — token counts are a codegen'd projection,
+    * widths explode per row (|widths|×, a constant), then two
+    * partial-aggregated groupBys ((width, bucket) → width). No window,
+    * no batch materialization, no collect. */
+  def paddingWasteCurve(docs: DataFrame, textCol: String,
+      widths: Seq[Int] = Seq(1, 8, 16, 32, 0)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 0), "widths must be >= 0")
+    import graft.operators.TextAnalysis
+    val lens = docs.select(TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .select(col("n_tok"),
+        explode(array(widths.map(lit): _*)).as("bucket_width"))
+      .withColumn("bucket",
+        when(col("bucket_width") === 0, lit(0L))
+          .otherwise(expr("n_tok div bucket_width")))
+    lens.groupBy(col("bucket_width"), col("bucket"))
+      .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("s"),
+        count(lit(1)).as("c"))
+      .groupBy(col("bucket_width"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("s")).cast("long").as("real_tokens"),
+        sum(col("mx") * col("c")).cast("long").as("padded_tokens"))
+      .withColumn("waste",
+        round(lit(1.0) - col("real_tokens").cast("double")
+          / col("padded_tokens"), 6))
+  }
 }

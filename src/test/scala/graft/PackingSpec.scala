@@ -50,4 +50,24 @@ class PackingSpec extends SparkSpec {
       .count(s => s.zip(s.tail).exists { case (a, b) => b < a || b > a + 1 })
     assert(bad === 0, "bin indices must step by 0 or 1 in id order")
   }
+
+  test("paddingWasteCurve: hand-checked waste at widths 1/global, monotone in width") {
+    // token lengths 2, 3, 4, 10
+    val docs = Seq("a b", "a b c", "a b c d", ("x " * 10).trim)
+      .toDF("text")
+    val got = graft.operators.Packing.paddingWasteCurve(docs, "text",
+        widths = Seq(1, 4, 0))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // w=1: every doc its own-length bucket → zero padding
+    assert(got(1)._4 === 0.0 && got(1)._2 === 19L && got(1)._3 === 19L)
+    // global: pad all 4 docs to 10 → padded 40, waste 1 - 19/40
+    assert(got(0) === ((1L, 19L, 40L,
+      BigDecimal(1.0 - 19.0 / 40).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // w=4: buckets {2,3}→pad 3, {4}→4, {10}→10: padded 6+4+10 = 20
+    assert(got(4)._3 === 20L)
+    // waste can only grow (weakly) as buckets widen
+    assert(got(1)._4 <= got(4)._4 && got(4)._4 <= got(0)._4)
+  }
 }
