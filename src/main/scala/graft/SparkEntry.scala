@@ -1075,6 +1075,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q150: vector-store drop sync — the embedding-side sibling of
+    // q146: standing forest built on the OLD embedding drop, a
+    // SnapshotDiff on the VECTOR column classifies the new drop,
+    // remove(removed ∪ changed) + append(added ∪ changed) bring the
+    // store current without a rebuild. The audit is exact store
+    // geometry (rows = members × trees, routing's forced-leaf guard
+    // places every vector) + recounted clean/appeared bits.
+    "q150_vector_drop_sync" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val old = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val neu = e.filter(pmod(col("vec_id"), lit(11)) =!= 0)
+        .withColumn("embedding",
+          when(pmod(col("vec_id"), lit(5)) === 0,
+            transform(col("embedding"), x => x * lit(2.0f)))
+            .otherwise(col("embedding")))
+      val model = graft.ann.DistributedAnnForest(
+        numTrees = 8, maxLeafSize = 5, maxDepth = 16).fit(old)
+      val before = model.corpusBuckets.count()
+      val delta = graft.operators.SnapshotDiff.diff(
+        old, neu, "vec_id", Seq("embedding")).localCheckpoint()
+      val gone = delta.filter(col("status").isin("removed", "changed"))
+        .select(col("vec_id"))
+      val fresh = neu.join(delta.filter(col("status").isin("added", "changed"))
+        .select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val synced = model.remove(gone, "vec_id").append(fresh).compact()
+      val after = synced.corpusBuckets.count()
+      // changed ids are legitimately BACK (removed then re-added with
+      // the revised vector) — the no-residual proof is for ids that
+      // left and never returned
+      val goneResidual = synced.corpusBuckets
+        .join(delta.filter(col("status") === "removed")
+          .select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+        .count()
+      val appearedIds = synced.corpusBuckets
+        .join(fresh.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+        .select(col("neighbor_id")).distinct().count()
+      val freshCount = fresh.count()
+      import s.implicits._
+      Seq((before, after, if (goneResidual == 0) 1 else 0,
+        if (appearedIds == freshCount) 1 else 0))
+        .toDF("n_before", "n_after", "clean", "appeared")
+    }),
+
     // q149: padding-waste curve — what length-bucketed batching at
     // widths {1,8,16,32,global} costs in padded tokens over the
     // documents corpus. One narrow pass, two partial aggs; the knee of
@@ -4231,6 +4274,27 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // store geometry from the drop arithmetic: first-seen-wins vector
+    // dedup survivors of the old drop × 8 trees before; (old − gone +
+    // fresh) × 8 after; clean/appeared are recounted truths
+    "q150_vector_drop_sync" ->
+      """WITH surv AS (
+           SELECT min(vec_id) AS vid FROM embeddings
+           WHERE vec_id % 7 <> 0 GROUP BY embedding),
+         gone AS (
+           -- removed: in old, not in new; changed: in both, vector revised
+           SELECT vid FROM surv
+           WHERE vid % 11 = 0 OR (vid % 11 <> 0 AND vid % 5 = 0)),
+         fresh AS (
+           -- added: in new, not in old; changed: revised vector re-added
+           SELECT vec_id FROM embeddings
+           WHERE vec_id % 11 <> 0
+             AND (vec_id % 7 = 0 OR vec_id % 5 = 0))
+         SELECT
+           (SELECT count(*) FROM surv) * 8 AS n_before,
+           ((SELECT count(*) FROM surv) - (SELECT count(*) FROM gone)
+             + (SELECT count(*) FROM fresh)) * 8 AS n_after,
+           1 AS clean, 1 AS appeared""",
     // same token counts, same integer bucket division, same rounding
     "q149_padding_curve" ->
       """WITH lens AS (
