@@ -27,7 +27,10 @@ object ProbeR10Ops {
       println(f"[probe] $name%-40s $dt%6.2f s rows=$c steal=${stealTicks() - s0}")
     }
     for (q <- Seq("q139_bloom_decontaminate", "q140_phash_neardup",
-        "q141_nb_classifier", "q142_snapshot_diff", "q143_takedown")) {
+        "q141_nb_classifier", "q142_snapshot_diff", "q143_takedown",
+        "q144_normalize_text", "q145_contrastive_triplets",
+        "q146_incremental_index", "q147_skew_report", "q148_join_size",
+        "q149_padding_curve", "q150_vector_drop_sync")) {
       t(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
       t(q + " (warm)")(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }

@@ -313,4 +313,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q147 skew report: partial-aggregated counts, never a per-key window") {
+    val p = planOf("q147_skew_report")
+    assert(!p.contains("Window"), "per-key counts must be an agg, not a window")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("q148 join-size sketch: sketch-table join, corpus never cartesian") {
+    val p = planOf("q148_join_size")
+    assert(!p.contains("CartesianProduct") ||
+      // the 1-row size frames cross-join by construction; the key join
+      // itself must be hash-based
+      p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q149 padding curve: one narrow pass, two partial aggs, no window/join") {
+    val p = planOf("q149_padding_curve")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
