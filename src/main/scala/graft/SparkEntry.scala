@@ -1075,6 +1075,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q151: pipeline-funnel accounting — the curation pipeline's own
+    // funnel, in ONE declarative plan: raw → normalize (non-empty) →
+    // token-length floor → exact dedup (first-seen-wins on normalized
+    // text) → leakage-free hash train split, with (docs, tokens)
+    // accounted at every stage. This is the per-drop report a corpus
+    // owner reads before training; every stage reuses a gated
+    // primitive (q144 normalize, q23-style dedup, q47 split).
+    "q151_pipeline_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val norm = docs
+        .withColumn("ntext", TextAnalysis.normalizeText(col("text")))
+        .filter(length(col("ntext")) > 0)
+      val lenf = norm.filter(TextAnalysis.tokenCount(col("ntext")) >= 10)
+      val dedup = lenf.groupBy(col("ntext"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val train = dedup.filter(
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(4294967296L)) % 100 < 90)
+      def acct(df: DataFrame, idx: Int, stage: String, textCol: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0))
+              .cast("long").as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(stage).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      acct(docs, 1, "raw", "text")
+        .unionByName(acct(norm, 2, "normalized", "ntext"))
+        .unionByName(acct(lenf, 3, "len_floor", "ntext"))
+        .unionByName(acct(dedup, 4, "dedup", "ntext"))
+        .unionByName(acct(train, 5, "train", "ntext"))
+        .orderBy(col("stage_idx"))
+    }),
+
     // q150: vector-store drop sync — the embedding-side sibling of
     // q146: standing forest built on the OLD embedding drop, a
     // SnapshotDiff on the VECTOR column classifies the new drop,
@@ -4274,6 +4306,38 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // every stage mirrored from its gated primitive: q144's normalize
+    // chain, token-count length floor, min-id dedup, q47's Knuth split
+    "q151_pipeline_funnel" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize(text),
+               '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+               '[\x00-\x1F\x7F]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS ntext
+           FROM documents),
+         n2 AS (SELECT * FROM norm WHERE len(ntext) > 0),
+         lf AS (
+           SELECT * FROM n2
+           WHERE len(regexp_split_to_array(lower(trim(ntext)), '\s+')) >= 10),
+         dd AS (SELECT ntext, min(doc_id) AS doc_id FROM lf GROUP BY ntext),
+         tr AS (
+           SELECT * FROM dd
+           WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 90),
+         tok AS (SELECT 1 AS i, 'raw' AS stage, count(*) AS n_docs,
+             coalesce(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 0)::BIGINT AS n_tokens
+           FROM documents
+           UNION ALL SELECT 2, 'normalized', count(*),
+             coalesce(sum(len(regexp_split_to_array(lower(trim(ntext)), '\s+'))), 0)::BIGINT FROM n2
+           UNION ALL SELECT 3, 'len_floor', count(*),
+             coalesce(sum(len(regexp_split_to_array(lower(trim(ntext)), '\s+'))), 0)::BIGINT FROM lf
+           UNION ALL SELECT 4, 'dedup', count(*),
+             coalesce(sum(len(regexp_split_to_array(lower(trim(ntext)), '\s+'))), 0)::BIGINT FROM dd
+           UNION ALL SELECT 5, 'train', count(*),
+             coalesce(sum(len(regexp_split_to_array(lower(trim(ntext)), '\s+'))), 0)::BIGINT FROM tr)
+         SELECT i AS stage_idx, stage, n_docs, n_tokens
+         FROM tok ORDER BY stage_idx""",
     // store geometry from the drop arithmetic: first-seen-wins vector
     // dedup survivors of the old drop × 8 trees before; (old − gone +
     // fresh) × 8 after; clean/appeared are recounted truths
