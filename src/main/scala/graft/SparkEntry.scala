@@ -1075,6 +1075,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q152: quality-decile routing WITHOUT a window — quantile
+    // thresholds from one aggregation (broadcast 1-row), per-row
+    // bucket by comparison against the tiny threshold array. The
+    // window-ntile alternative sorts the corpus in one task; this
+    // stays narrow at any scale (curriculum bucketing's real shape).
+    "q152_quantile_buckets" -> ((s, d) => {
+      TextAnalysis.quantileBuckets(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", n = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // q151: pipeline-funnel accounting — the curation pipeline's own
     // funnel, in ONE declarative plan: raw → normalize (non-empty) →
     // token-length floor → exact dedup (first-seen-wins on normalized
@@ -4306,6 +4318,16 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // quantile_cont list thresholds ≡ Spark's linear-interpolated
+    // percentile array; same strict-< bucket comparison
+    "q152_quantile_buckets" ->
+      """WITH th AS (
+           SELECT quantile_cont(n_chars,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+           FROM documents)
+         SELECT doc_id, n_chars,
+           (1 + len(list_filter(t, x -> x < n_chars::DOUBLE)))::INT AS bucket
+         FROM documents, th ORDER BY doc_id""",
     // every stage mirrored from its gated primitive: q144's normalize
     // chain, token-count length floor, min-id dedup, q47's Knuth split
     "q151_pipeline_funnel" ->

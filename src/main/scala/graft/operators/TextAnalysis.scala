@@ -359,6 +359,30 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Window-free quantile bucketing — `ntile` without the corpus-wide
+    * sort: `n−1` linear-interpolated percentile thresholds come from
+    * ONE aggregation (a broadcast 1-row frame), and each row's bucket
+    * is `1 + |{t_i < v}|` — a narrow codegen'd comparison against the
+    * tiny threshold array. The contract difference from window `ntile`
+    * is deliberate: ties share a bucket (value-based boundaries)
+    * instead of being split by an arbitrary global order — which is
+    * what curriculum bucketing / quality-decile routing actually wants,
+    * and what stays deterministic at any parallelism. Use
+    * `approx_percentile` thresholds at extreme cardinalities (the
+    * [[percentileFloorApprox]] tradeoff). */
+  def quantileBuckets(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      n: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"need at least 2 buckets, got $n")
+    val ps = (1 until n).map(i => i.toDouble / n)
+    val th = df.agg(expr(
+      s"percentile($valueCol, array(${ps.mkString(",")}))").as("__th"))
+    df.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__th"),
+          t => t < col(valueCol).cast("double")))).cast("int"))
+      .drop("__th")
+  }
+
   /** Canonical text normalization — the cleaning pass every corpus
     * gets before dedup/tokenization (mojibake-adjacent variants of the
     * SAME text must hash equal downstream): Unicode NFC composition

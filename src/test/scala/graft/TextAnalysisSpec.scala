@@ -231,6 +231,21 @@ class TextAnalysisSpec extends SparkSpec {
     hand.foreach { case (g, n) => assert(out(g)._1 === n, g) }
   }
 
+  test("quantileBuckets: monotone in value, covers 1..n, ties share a bucket, no window") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("id", "v") // heavy ties: values 0..9 × 10 each
+    val out = TextAnalysis.quantileBuckets(df, "v", n = 5)
+    val rows = out.collect().map(r => (r.getLong(1), r.getInt(2)))
+    // same value → same bucket, monotone mapping, full 1..n coverage
+    val byV = rows.groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).toSet }
+    assert(byV.values.forall(_.size == 1), "ties must share a bucket")
+    val mapping = byV.map { case (v, b) => v -> b.head }.toSeq.sortBy(_._1)
+    assert(mapping.map(_._2) === mapping.map(_._2).sorted)
+    assert(mapping.map(_._2).min === 1 && mapping.map(_._2).max === 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "bucketing must not be a corpus-wide window")
+  }
+
   test("normalizeText: NFC composes, zero-widths vanish, controls become spaces, runs collapse") {
     val cases = Seq(
       ("cafe\u0301", "caf\u00e9"), // NFC composition
