@@ -18,7 +18,9 @@ class DeterminismSpec extends SparkSpec {
       "q01_pricing_summary", "q04_order_revenue", "q05_window_top3",
       "q30_minhash_pairs", "q47_hash_split", "q69_decontaminate",
       "q94_quality_floor", "q107_source_drift", "q141_nb_classifier",
-      "q142_snapshot_diff", "q145_contrastive_triplets", "q147_skew_report")
+      "q142_snapshot_diff", "q145_contrastive_triplets", "q147_skew_report",
+      "q148_join_size", "q149_padding_curve", "q151_pipeline_funnel",
+      "q152_quantile_buckets")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)
