@@ -1075,6 +1075,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q153: PII audit — the inventory side of q67's scrub: one row per
+    // occurrence with its type and matched text, extracted under the
+    // same email→ip→phone precedence as redaction (digit runs inside
+    // an address can never double-report as a phone). Same salt as
+    // q67, so every doc contributes one of each type.
+    "q153_pii_audit" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1 555 01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" 3456 from 10.2."), pmod(col("doc_id"), lit(256)), lit(".7"))
+      TextAnalysis.piiMatches(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("t")),
+          "doc_id", "t")
+        .orderBy(col("doc_id"), col("pii_type"), col("hit"))
+    }),
+
     // q152: quality-decile routing WITHOUT a window — quantile
     // thresholds from one aggregation (broadcast 1-row), per-row
     // bucket by comparison against the tiny threshold array. The
@@ -4318,6 +4334,40 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // same staged extraction: emails from raw, ips from email-redacted,
+    // phones from ip-redacted — identical dialect-neutral patterns
+    "q153_pii_audit" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or +1 555 01'
+               || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' 3456 from 10.2.'
+               || (doc_id % 256) || '.7' AS t
+           FROM documents),
+         st AS (
+           SELECT doc_id, t,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM aug),
+         st2 AS (
+           SELECT doc_id, t, t1,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM st)
+         SELECT doc_id, pii_type, hit FROM (
+           SELECT doc_id, 'email' AS pii_type,
+             unnest(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS hit
+           FROM st2
+           UNION ALL
+           SELECT doc_id, 'ip',
+             unnest(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           FROM st2
+           UNION ALL
+           SELECT doc_id, 'phone',
+             unnest(regexp_extract_all(t2, '\+?\d[\d ]{7,}\d'))
+           FROM st2) u
+         ORDER BY doc_id, pii_type, hit""",
     // quantile_cont list thresholds ≡ Spark's linear-interpolated
     // percentile array; same strict-< bucket comparison
     "q152_quantile_buckets" ->

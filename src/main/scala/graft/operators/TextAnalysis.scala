@@ -149,6 +149,28 @@ object TextAnalysis {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** PII AUDIT — the extraction face of [[redactPii]]: one row per
+    * occurrence, (idCol, pii_type, hit). Compliance pipelines need the
+    * inventory (what leaked, where, how often) before and after the
+    * scrub; redaction alone can't answer that. Same dialect-neutral
+    * patterns, and the SAME precedence as redaction — emails are
+    * extracted from raw text, IPs from email-redacted text, phones
+    * from IP-redacted text — so an address's digit runs can never
+    * double-report as a phone. Narrow codegen'd projections + one
+    * explode per type; no shuffle beyond presentation. */
+  def piiMatches(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t1 = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    Seq(("email", emailRe, col(textCol)), ("ip", ipv4Re, t1),
+      ("phone", phoneRe, t2))
+      .map { case (ty, re, src) =>
+        df.select(col(idCol), lit(ty).as("pii_type"),
+          explode(regexp_extract_all(src, lit(re), lit(0))).as("hit"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   // ---- Repetition / shape filters (Gopher-style quality rules) ----
 
   /** Non-empty lines of a document. */

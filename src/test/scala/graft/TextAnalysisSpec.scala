@@ -108,6 +108,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) === "version 2.5 of chapter 10 has 3 figures") // untouched
   }
 
+  test("piiMatches: typed occurrences, redaction precedence, prose stays silent") {
+    val df = Seq(
+      (1L, "mail jane.doe@example.co.uk and bob@x.org now"),
+      (2L, "server 192.168.10.254 then call +1 555 0134 9876"),
+      (3L, "version 2.5 of chapter 10 has 3 figures")).toDF("id", "t")
+    val got = TextAnalysis.piiMatches(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.filter(_._1 == 1L).map(_._3).toSet ===
+      Set("jane.doe@example.co.uk", "bob@x.org"))
+    assert(got.filter(_._1 == 2L).toSet ===
+      Set((2L, "ip", "192.168.10.254"), (2L, "phone", "+1 555 0134 9876")))
+    assert(!got.exists(_._1 == 3L), "plain prose must produce no rows")
+    // precedence: an email's digits never double-report as a phone
+    val tricky = Seq((9L, "reach 12345678901@phish.net today")).toDF("id", "t")
+    val hits = TextAnalysis.piiMatches(tricky, "id", "t").collect()
+      .map(r => r.getString(1) -> r.getString(2))
+    assert(hits.toSet === Set("email" -> "12345678901@phish.net"))
+  }
+
   test("gopher filters: dup-line ratio, symbol ratio, alpha ratio, keep verdict") {
     val good = ("spark executes distributed dataframe pipelines with " +
       "catalyst optimizing every stage of the physical plan nicely")
