@@ -1075,6 +1075,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q154: language-ID confusion matrix — the eval surface for the
+    // heuristic classifier: predicted (stopword-vote languageId) vs
+    // the metadata label, counted per cell. One narrow projection +
+    // one partial-aggregated groupBy; the standard report before
+    // trusting any cheap classifier as a corpus router.
+    "q154_lang_confusion" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     // q153: PII audit — the inventory side of q67's scrub: one row per
     // occurrence with its type and matched text, extracted under the
     // same email→ip→phone precedence as redaction (digit runs inside
@@ -4334,6 +4346,35 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // q42's stopword-vote mirror, rolled up to (label, pred) cells
+    "q154_lang_confusion" ->
+      """WITH t AS (
+           SELECT lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT lang,
+             list_max([
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'de'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','in','is','that','it','for','with','was','on'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'en'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['el','la','de','que','y','en','los','del','se','las','por','un'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'es'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['le','la','de','et','les','des','en','un','du','une','que','est'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'fr'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['de','a','o','que','e','do','da','em','um','para','com','uma'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'pt')]) AS best
+           FROM t)
+         SELECT lang,
+           CASE WHEN best.score > 0.0 THEN best.lang ELSE 'und' END AS pred,
+           count(*)::BIGINT AS n
+         FROM m GROUP BY 1, 2 ORDER BY lang, pred""",
     // same staged extraction: emails from raw, ips from email-redacted,
     // phones from ip-redacted — identical dialect-neutral patterns
     "q153_pii_audit" ->
