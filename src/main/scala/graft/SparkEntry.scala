@@ -1131,8 +1131,7 @@ object SparkEntry {
       val dedup = lenf.groupBy(col("ntext"))
         .agg(min(col("doc_id")).as("doc_id"))
       val train = dedup.filter(
-        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
-          lit(4294967296L)) % 100 < 90)
+        graft.operators.WeightedSample.portableHash(col("doc_id")) % 100 < 90)
       def acct(df: DataFrame, idx: Int, stage: String, textCol: String) =
         df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0))

@@ -72,6 +72,10 @@ object Packing {
   def paddingWasteCurve(docs: DataFrame, textCol: String,
       widths: Seq[Int] = Seq(1, 8, 16, 32, 0)): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 0), "widths must be >= 0")
+    // a duplicated width would double-count its (docs, tokens) lane
+    // through the shared groupBy — reject, don't silently merge
+    require(widths.distinct.size == widths.size,
+      s"duplicate widths: ${widths.mkString(",")}")
     import graft.operators.TextAnalysis
     val lens = docs.select(TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
       .select(col("n_tok"),

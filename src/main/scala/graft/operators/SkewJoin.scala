@@ -38,41 +38,62 @@ object SkewJoin {
     * product is a (d, bucket)-keyed equi-join of two depth×width-row
     * tables: nothing corpus-sized moves.
     *
-    * Estimator properties (pinned by the checked bits): each depth row
-    * over-counts (hash collisions only ADD cross products), so
-    * min_d Σ_bucket a·b NEVER under-estimates; and it exceeds the true
-    * size by more than e·N_a·N_b/width with probability ≤ e^-depth.
-    * At fixture scale the exact join is cheap and serves as truth; at
-    * corpus scale the roles flip (the q128/q137 sketch discipline).
+    * Estimator properties (pinned by [[joinSizeChecked]]'s bits): each
+    * depth row over-counts (hash collisions only ADD cross products),
+    * so min_d Σ_bucket a·b NEVER under-estimates; and it exceeds the
+    * true size by more than e·N_a·N_b/width with probability
+    * ≤ e^-depth. Null keys are dropped before sketching (they never
+    * match in an equi-join).
     *
-    * Returns ONE row: (n_a, n_b, exact_join_rows, est_join_rows,
-    * never_under, bound_ok). */
-  def joinSizeChecked(a: DataFrame, b: DataFrame,
+    * Returns ONE row: (n_a, n_b, est_join_rows) — and never executes
+    * the join being estimated. */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame,
       keyA: String, keyB: String,
       depth: Int = 5, width: Int = 8192, seed: Long = 42L): DataFrame = {
     require(depth >= 1 && width >= 2, "depth >= 1, width >= 2")
+    // null keys never match in an equi-join — drop them BEFORE
+    // sketching (xxhash64 would otherwise pile every null-key row into
+    // one bucket per depth and inflate the inner product past the
+    // bound on perfectly legal input)
     def sketch(df: DataFrame, key: String): DataFrame =
-      df.select(col(key).as("__k"),
-          explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      df.select(col(key).as("__k"))
+        .where(col("__k").isNotNull)
+        .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
         .select(col("d"),
           pmod(xxhash64(col("__k"), col("d"), lit(seed)), lit(width)).as("bucket"))
         .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val sa = sketch(a, keyA)
     val sb = sketch(b, keyB)
-    val est = sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("d", "bucket"))
+    // coalesce: an empty side makes the sketch join empty and min(ip)
+    // NULL — the true size is 0, report 0, not a null bit upstream
+    sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("d", "bucket"))
       .groupBy(col("d")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("est_join_rows"))
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est_join_rows"))
+      .crossJoin(a.agg(count(lit(1)).as("n_a")))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .select(col("n_a"), col("n_b"), col("est_join_rows"))
+  }
+
+  /** [[joinSizeEstimate]] PLUS the exact join as ground truth and the
+    * estimator-guarantee bits — the fixture/regression form. This one
+    * pays the join being estimated (that is its point: certifying the
+    * sketch); production pre-flights call [[joinSizeEstimate]], which
+    * never touches the corpus-sized join. */
+  def joinSizeChecked(a: DataFrame, b: DataFrame,
+      keyA: String, keyB: String,
+      depth: Int = 5, width: Int = 8192, seed: Long = 42L): DataFrame = {
+    val est = joinSizeEstimate(a, b, keyA, keyB, depth, width, seed)
     val exact = a.select(col(keyA).as("__k"))
       .join(b.select(col(keyB).as("__k")), Seq("__k"))
       .agg(count(lit(1)).as("exact_join_rows"))
-    val sizes = a.agg(count(lit(1)).as("n_a"))
-      .crossJoin(b.agg(count(lit(1)).as("n_b")))
-    sizes.crossJoin(exact).crossJoin(est)
+    est.crossJoin(exact)
       .withColumn("never_under",
         (col("est_join_rows") >= col("exact_join_rows")).cast("int"))
       .withColumn("bound_ok",
         (col("est_join_rows") <= col("exact_join_rows")
           + ceil(lit(math.E / width) * col("n_a") * col("n_b"))).cast("int"))
+      .select(col("n_a"), col("n_b"), col("exact_join_rows"),
+        col("est_join_rows"), col("never_under"), col("bound_ok"))
   }
 
   /** Key-skew diagnostics — the pre-flight for every corpus-scale
@@ -93,15 +114,24 @@ object SkewJoin {
   def describeSkew(df: DataFrame, keyCols: Seq[String],
       percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
-    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val pAggs = percentiles.map(p =>
-      round(expr(s"percentile(n, ${p})"), 6)
-        .as(s"p${(p * 100).round}_key_rows"))
+    // reserved internal alias: a key column literally named "n" must
+    // not collide with the count
+    require(!keyCols.contains("__skew_n"), "key column name __skew_n is reserved")
+    val labels = percentiles.map(p =>
+      "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace('.', '_') + "_key_rows")
+    require(labels.distinct.size == labels.size,
+      s"percentile labels collide: ${labels.mkString(",")}")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__skew_n"))
+    val pAggs = percentiles.zip(labels).map { case (p, l) =>
+      round(expr(s"percentile(__skew_n, ${p})"), 6).as(l)
+    }
     val aggs = Seq(
       count(lit(1)).cast("double").as("n_keys"),
-      sum(col("n")).cast("double").as("n_rows"),
-      max(col("n")).cast("double").as("max_key_rows"),
-      round(avg(col("n")), 6).as("mean_key_rows")) ++ pAggs
+      sum(col("__skew_n")).cast("double").as("n_rows"),
+      max(col("__skew_n")).cast("double").as("max_key_rows"),
+      round(avg(col("__skew_n")), 6).as("mean_key_rows")) ++ pAggs
     val one = counts.agg(aggs.head, aggs.tail: _*)
       .withColumn("skew_ratio",
         round(col("max_key_rows") / col("mean_key_rows"), 6))

@@ -156,19 +156,25 @@ object TextAnalysis {
     * patterns, and the SAME precedence as redaction — emails are
     * extracted from raw text, IPs from email-redacted text, phones
     * from IP-redacted text — so an address's digit runs can never
-    * double-report as a phone. Narrow codegen'd projections + one
-    * explode per type; no shuffle beyond presentation. */
+    * double-report as a phone. ONE scan: the three typed match arrays
+    * are computed in a single projection (each redaction stage feeds
+    * the next) and exploded from one stacked array — a union of
+    * per-type selects would read the corpus three times and re-run the
+    * upstream redaction chain per branch. */
   def piiMatches(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t1 = regexp_replace(col(textCol), emailRe, "<EMAIL>")
     val t2 = regexp_replace(t1, ipv4Re, "<IP>")
-    Seq(("email", emailRe, col(textCol)), ("ip", ipv4Re, t1),
-      ("phone", phoneRe, t2))
-      .map { case (ty, re, src) =>
-        df.select(col(idCol), lit(ty).as("pii_type"),
-          explode(regexp_extract_all(src, lit(re), lit(0))).as("hit"))
-      }
-      .reduce(_ unionByName _)
+    def tagged(ty: String, src: Column, re: String): Column =
+      transform(regexp_extract_all(src, lit(re), lit(0)),
+        m => struct(lit(ty).as("pii_type"), m.as("hit")))
+    df.select(col(idCol),
+        explode(concat(
+          tagged("email", col(textCol), emailRe),
+          tagged("ip", t1, ipv4Re),
+          tagged("phone", t2, phoneRe))).as("kv"))
+      .select(col(idCol), col("kv.pii_type").as("pii_type"),
+        col("kv.hit").as("hit"))
   }
 
   // ---- Repetition / shape filters (Gopher-style quality rules) ----

@@ -322,10 +322,10 @@ class PlanSpec extends SparkSpec {
 
   test("q148 join-size sketch: sketch-table join, corpus never cartesian") {
     val p = planOf("q148_join_size")
-    assert(!p.contains("CartesianProduct") ||
-      // the 1-row size frames cross-join by construction; the key join
-      // itself must be hash-based
-      p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"), p)
+    // the 1-row frames combine via BroadcastNestedLoopJoin (fine); a
+    // CartesianProduct would mean the corpus-sized exact join lost its
+    // equi-condition
+    assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
 

@@ -26,6 +26,38 @@ class TakedownSpec extends SparkSpec {
     assert(big.getAs[Long]("exact_join_rows") === li.count())
   }
 
+  test("join-size/skew edge cases: null keys, empty sides, name collisions") {
+    import graft.operators.SkewJoin
+    // null keys never match — the bound must survive a null-heavy side
+    val a = (Seq.fill(500)(None: Option[Long]) ++ (1L to 50L).map(Some(_)))
+      .toDF("k")
+    val b = (1L to 50L).map(Some(_)).toDF("k")
+    val r = SkewJoin.joinSizeChecked(a, b, "k", "k").head()
+    assert(r.getAs[Long]("exact_join_rows") === 50L)
+    assert(r.getAs[Int]("never_under") === 1 && r.getAs[Int]("bound_ok") === 1)
+    // empty side → defined zeros, not nulls
+    val e = SkewJoin.joinSizeChecked(
+      spark.emptyDataset[Long].toDF("k"), b, "k", "k").head()
+    assert(e.getAs[Long]("est_join_rows") === 0L)
+    assert(e.getAs[Int]("never_under") === 1 && e.getAs[Int]("bound_ok") === 1)
+    // estimate-only never references the exact join
+    val est = SkewJoin.joinSizeEstimate(a, b, "k", "k")
+    assert(est.columns.toSeq === Seq("n_a", "n_b", "est_join_rows"))
+    // a key column named "n" must not collide with internals
+    val named = (Seq.fill(9)(1L) ++ Seq(2L)).toDF("n")
+    assert(SkewJoin.describeSkew(named, Seq("n"))
+      .collect().map(r2 => r2.getString(0) -> r2.getDouble(1))
+      .toMap.apply("max_key_rows") === 9.0)
+    // colliding percentile labels and duplicate widths fail loudly
+    intercept[IllegalArgumentException] {
+      SkewJoin.describeSkew(named, Seq("n"), percentiles = Seq(0.5, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.paddingWasteCurve(
+        Seq("a b").toDF("text"), "text", widths = Seq(8, 8))
+    }
+  }
+
   test("describeSkew: hand-checked metrics on a 2-key skewed frame") {
     val df = (Seq.fill(9)("hot") ++ Seq("cold")).toDF("k")
     val got = graft.operators.SkewJoin.describeSkew(df, Seq("k"))
