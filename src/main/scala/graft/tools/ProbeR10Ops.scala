@@ -31,7 +31,8 @@ object ProbeR10Ops {
         "q144_normalize_text", "q145_contrastive_triplets",
         "q146_incremental_index", "q147_skew_report", "q148_join_size",
         "q149_padding_curve", "q150_vector_drop_sync",
-        "q151_pipeline_funnel", "q152_quantile_buckets")) {
+        "q151_pipeline_funnel", "q152_quantile_buckets",
+        "q153_pii_audit", "q154_lang_confusion")) {
       t(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
       t(q + " (warm)")(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }
