@@ -1075,6 +1075,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q156: quality-threshold sweep — (docs, tokens) surviving each
+    // candidate quality cutoff, in one narrow pass. The curve a corpus
+    // owner reads before committing to a filter setting (the padding-
+    // curve discipline applied to quality filtering).
+    "q156_quality_sweep" -> ((s, d) => {
+      TextAnalysis.qualityThresholdSweep(Tables.documents(s, d), "text")
+        .orderBy(col("thr"))
+    }),
+
+    // q155: temperature-scaled source mixing (mT5-style α-sampling) —
+    // per-source weights n^α/Σn^α at α = 0.7 and the integer targets a
+    // 10k-doc sample would draw. Group-cardinality-sized throughout;
+    // floor (not round) keeps targets tie-divergence-free.
+    "q155_temperature_mix" -> ((s, d) => {
+      graft.operators.WeightedSample.temperatureWeights(
+          Tables.documents(s, d), "source", alpha = 0.7, sampleTotal = 10000L)
+        .orderBy(col("source"))
+    }),
+
     // q154: language-ID confusion matrix — the eval surface for the
     // heuristic classifier: predicted (stopword-vote languageId) vs
     // the metadata label, counted per cell. One narrow projection +
@@ -4345,6 +4364,41 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // q42's quality float path, conditionally summed per threshold
+    "q156_quality_sweep" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT len(toks) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x)))::DOUBLE
+                 / len(toks) END AS stopword_ratio
+           FROM t),
+         q AS (
+           SELECT n_tokens,
+             CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.4 AS DOUBLE)
+               + CASE WHEN stopword_ratio >= 0.01 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE)
+               + CASE WHEN punct_ratio <= 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE) AS qv
+           FROM m)
+         SELECT thr,
+           sum(CASE WHEN qv >= thr THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+           sum(CASE WHEN qv >= thr THEN n_tokens ELSE 0 END)::BIGINT AS n_tokens
+         FROM q, unnest([0.0, 0.3, 0.4, 0.6, 0.7, 1.0]) u(thr)
+         GROUP BY thr ORDER BY thr""",
+    // same pow/sum/floor float path; weight rounded 6dp on both sides
+    "q155_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         t AS (SELECT sum(pow(n, 0.7)) AS tp FROM c)
+         SELECT source, n::BIGINT AS n_docs,
+           round(pow(n, 0.7) / tp, 6) AS weight,
+           floor(10000.0 * pow(n, 0.7) / tp)::BIGINT AS target
+         FROM c, t ORDER BY source""",
     // q42's stopword-vote mirror, rolled up to (label, pred) cells
     "q154_lang_confusion" ->
       """WITH t AS (

@@ -387,6 +387,30 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Quality-threshold sweep — the "what does each filter setting
+    * cost" curve read before committing to a cutoff: for every
+    * candidate threshold, how many docs and tokens survive
+    * `qualityScore ≥ thr`. One narrow pass (score and token count
+    * computed once per row), thresholds exploded (constant fan-out),
+    * conditional sums so zero-survivor thresholds still report 0
+    * instead of vanishing. The quantity sibling of
+    * [[percentileFloor]]'s fixed-rate selection. */
+  def qualityThresholdSweep(docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      thresholds: Seq[Double] = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0))
+      : org.apache.spark.sql.DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size,
+      "thresholds must be non-empty and distinct")
+    docs.select(qualityScore(col(textCol)).as("__q"),
+        tokenCount(col(textCol)).as("__nt"))
+      .select(col("__q"), col("__nt"),
+        explode(array(thresholds.map(lit): _*)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("__q") >= col("thr"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("__q") >= col("thr"), col("__nt").cast("long"))
+          .otherwise(0L)).as("n_tokens"))
+  }
+
   /** Window-free quantile bucketing — `ntile` without the corpus-wide
     * sort: `n−1` linear-interpolated percentile thresholds come from
     * ONE aggregation (a broadcast 1-row frame), and each row's bucket

@@ -130,4 +130,31 @@ object WeightedSample {
     keptFull.unionByName(keptStrad)
       .select(col(groupCol), col(idCol), col("__tok").as("tokens"))
   }
+
+  /** Temperature-scaled source mixing weights — the multilingual /
+    * multi-source rebalancing rule (mT5/XLM-R style): source i gets
+    * sampling weight n_i^α / Σ_j n_j^α. α = 1 reproduces the natural
+    * mix, α → 0 flattens toward uniform — the knob that stops a
+    * dominant crawl from drowning low-resource sources. Returns one
+    * row per group: (groupCol, n_docs, weight 6dp, target =
+    * ⌊sampleTotal·weight_raw⌋). Targets feed [[tokenBudgetSample]] /
+    * [[perKey]] for the actual deterministic selection.
+    *
+    * Shape: one partial-aggregated count per group, one 1-row Σn^α
+    * broadcast — group-cardinality-sized throughout. `floor` (not
+    * round) for targets: exact on both engines wherever the double
+    * isn't within 1 ulp of an integer, and free of the HALF_UP /
+    * HALF_EVEN tie divergence. */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+      alpha: Double, sampleTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(sampleTotal >= 0, "sampleTotal must be >= 0")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__tp"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("__n").as("n_docs"),
+        round(pow(col("__n"), lit(alpha)) / col("__tp"), 6).as("weight"),
+        floor(lit(sampleTotal.toDouble)
+          * pow(col("__n"), lit(alpha)) / col("__tp")).cast("long").as("target"))
+  }
 }

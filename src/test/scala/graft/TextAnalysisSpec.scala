@@ -108,6 +108,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) === "version 2.5 of chapter 10 has 3 figures") // untouched
   }
 
+  test("temperatureWeights: α=1 is the natural mix, lower α flattens, targets bounded") {
+    import graft.operators.WeightedSample
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val nat = WeightedSample.temperatureWeights(docs, "lang", 1.0, 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val total = nat.values.map(_._1).sum.toDouble
+    nat.foreach { case (l, (n, w, _)) =>
+      assert(math.abs(w - n / total) < 1e-6, l)
+    }
+    val flat = WeightedSample.temperatureWeights(docs, "lang", 0.3, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // flattening: the dominant group's share strictly shrinks, the
+    // smallest group's share grows
+    val big = nat.maxBy(_._2._1)._1; val small = nat.minBy(_._2._1)._1
+    assert(flat(big) < nat(big)._2 && flat(small) > nat(small)._2)
+    // floor targets never oversubscribe the sample
+    assert(nat.values.map(_._3).sum <= 1000L)
+  }
+
+  test("qualityThresholdSweep: monotone non-increasing, complete at thr 0") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.qualityThresholdSweep(docs, "text")
+      .orderBy($"thr").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head._1 === 0.0 && rows.head._2 === docs.count())
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2 && b._3 <= a._3 })
+    // every threshold reports, even zero-survivor ones
+    assert(rows.length === 6)
+  }
+
   test("piiMatches: typed occurrences, redaction precedence, prose stays silent") {
     val df = Seq(
       (1L, "mail jane.doe@example.co.uk and bob@x.org now"),
