@@ -1075,6 +1075,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q157: NB classifier confusion matrix (resubstitution — scored on
+    // its own training corpus, stated plainly): q141's pred vs the
+    // label, per cell. The honesty check on the distilled filter: a
+    // degenerate prior-dominated model shows up here as an all-one-
+    // class column before it silently routes a corpus.
+    "q157_nb_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.nbClassifierScores(docs, "doc_id", "text",
+        coalesce(col("lang") === "en", lit(false)))
+      docs.select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).cast("int").as("label"))
+        .join(scored.select(col("doc_id"), col("pred")), "doc_id")
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
     // q156: quality-threshold sweep — (docs, tokens) surviving each
     // candidate quality cutoff, in one narrow pass. The curve a corpus
     // owner reads before committing to a filter setting (the padding-
@@ -4364,6 +4380,40 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // q141's NB mirror rolled up to (label, pred) cells
+    "q157_nb_confusion" ->
+      """WITH base AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, y,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM base),
+         tk AS (SELECT * FROM toks WHERE tok <> ''),
+         cnt AS (
+           SELECT tok, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+           FROM tk GROUP BY tok),
+         tot AS (
+           SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0,
+             count(*)::BIGINT AS v
+           FROM cnt),
+         pri AS (SELECT sum(y)::BIGINT AS n1, sum(1 - y)::BIGINT AS n0 FROM base),
+         dt AS (SELECT doc_id, tok, count(*)::BIGINT AS c_dt
+           FROM tk GROUP BY doc_id, tok),
+         parts AS (
+           SELECT d.doc_id,
+             sum(d.c_dt * ln((c.c1 + 1)::DOUBLE / (t.t1 + t.v))) AS p1,
+             sum(d.c_dt * ln((c.c0 + 1)::DOUBLE / (t.t0 + t.v))) AS p0
+           FROM dt d JOIN cnt c ON c.tok = d.tok, tot t
+           GROUP BY d.doc_id),
+         sc AS (
+           SELECT b.doc_id, b.y,
+             round(ln(n1::DOUBLE / (n1 + n0)) + coalesce(p.p1, 0.0), 6) AS s1,
+             round(ln(n0::DOUBLE / (n1 + n0)) + coalesce(p.p0, 0.0), 6) AS s0
+           FROM base b LEFT JOIN parts p ON p.doc_id = b.doc_id, pri)
+         SELECT y AS label, CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS pred,
+           count(*)::BIGINT AS n
+         FROM sc GROUP BY 1, 2 ORDER BY label, pred""",
     // q42's quality float path, conditionally summed per threshold
     "q156_quality_sweep" ->
       """WITH t AS (

@@ -198,6 +198,23 @@ object GraftCuration {
       docs.toDF(), "doc_id", maxIdExclusive).as[Triplet]
   }
 
+  /** PII audit rows (q153): one row per occurrence with its type,
+    * under redaction's email→ip→phone precedence. */
+  def piiAudit(docs: Dataset[Document]): org.apache.spark.sql.DataFrame =
+    TextAnalysis.piiMatches(docs.toDF(), "doc_id", "text")
+
+  /** Temperature-scaled source mixing weights (q155): per-`groupBy`
+    * n^α/Σn^α and floor targets for a `sampleTotal`-doc draw. */
+  def temperatureMix(docs: Dataset[Document], groupBy: String,
+      alpha: Double, sampleTotal: Long): org.apache.spark.sql.DataFrame =
+    WeightedSample.temperatureWeights(docs.toDF(), groupBy, alpha, sampleTotal)
+
+  /** Quality-threshold sweep (q156): survivors per candidate cutoff. */
+  def qualitySweep(docs: Dataset[Document],
+      thresholds: Seq[Double] = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0))
+      : org.apache.spark.sql.DataFrame =
+    TextAnalysis.qualityThresholdSweep(docs.toDF(), "text", thresholds)
+
   /** Train a BPE merge table on the corpus (q117's trainer — the
     * HF-style distributed-histogram / driver-merge-loop split). The
     * returned merges are a plain value: broadcastable, serializable,

@@ -94,6 +94,13 @@ class ApiSpec extends SparkSpec {
     assert(trips.nonEmpty)
     assert(trips.forall(t => typed((math.min(t.anchor_id, t.pos_id),
       math.max(t.anchor_id, t.pos_id)))))
+    // round-7 reporting faces: pii audit, temperature mix, quality sweep
+    assert(GraftCuration.piiAudit(docs).columns.toSeq ===
+      Seq("doc_id", "pii_type", "hit"))
+    val mix = GraftCuration.temperatureMix(docs, "source", 0.7, 1000L).collect()
+    assert(mix.map(_.getLong(3)).sum <= 1000L && mix.nonEmpty)
+    val sweep = GraftCuration.qualitySweep(docs).collect()
+    assert(sweep.length === 6)
   }
 
   test("typed tokenize: decodes back to normalized text; chunks reassemble the stream") {
