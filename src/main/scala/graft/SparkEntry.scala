@@ -1075,6 +1075,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q158: dedup-impact dashboard — one (metric, value) report of how
+    // much duplication each lens sees: exact byte-dups, verified
+    // near-dup pairs (the banded LSH mine == the exact Jaccard set),
+    // docs implicated in clusters, mean duplicated-span ratio. The
+    // before-picture a corpus owner reads to pick which dedup stage is
+    // worth its shuffle.
+    "q158_dedup_dashboard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 32, bands = 8, threshold = 0.5).localCheckpoint()
+      def one(metric: String, v: org.apache.spark.sql.Column, src: DataFrame) =
+        src.agg(v.cast("double").as("value"))
+          .select(lit(metric).as("metric"), col("value"))
+      one("n_docs", count(lit(1)), docs)
+        .unionByName(one("exact_dup_docs",
+          count(lit(1)) - countDistinct(col("text")), docs))
+        .unionByName(one("neardup_pairs", count(lit(1)), pairs))
+        .unionByName(one("docs_in_neardup", countDistinct(col("id")),
+          pairs.select(col("id_a").as("id"))
+            .unionByName(pairs.select(col("id_b").as("id")))))
+        .unionByName(one("mean_dup_span_ratio",
+          round(avg(col("dup_ratio")), 6),
+          TextDedup.dupShingleStats(docs, "doc_id", "text", ngram = 3)))
+        .orderBy(col("metric"))
+    }),
+
     // q157: NB classifier confusion matrix (resubstitution — scored on
     // its own training corpus, stated plainly): q141's pred vs the
     // label, per cell. The honesty check on the distilled filter: a
@@ -4380,6 +4406,38 @@ object SparkEntry {
     // incremental drift oracle: batch b's reference = cumulative token
     // counts through batch b (per-token window cumsum); same separable
     // KL formula as q107, same 6dp aggregate rounding
+    // exact-Jaccard pairs (the q30 truth) + q76's span stats + plain
+    // distinct counts, rolled into one (metric, value) report
+    "q158_dedup_dashboard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         pr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         perdoc AS (
+           SELECT ex.doc_id,
+             round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS dup_ratio
+           FROM ex JOIN df USING (s) GROUP BY ex.doc_id)
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM documents
+           UNION ALL SELECT 'exact_dup_docs',
+             (count(*) - count(DISTINCT text))::DOUBLE FROM documents
+           UNION ALL SELECT 'neardup_pairs', count(*)::DOUBLE FROM pr
+           UNION ALL SELECT 'docs_in_neardup', count(DISTINCT id)::DOUBLE
+             FROM (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr) u
+           UNION ALL SELECT 'mean_dup_span_ratio', round(avg(dup_ratio), 6)
+             FROM perdoc) m
+         ORDER BY metric""",
     // q141's NB mirror rolled up to (label, pred) cells
     "q157_nb_confusion" ->
       """WITH base AS (
