@@ -334,4 +334,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q155/q156 report queries: partial aggregations, never a window") {
+    for (q <- Seq("q155_temperature_mix", "q156_quality_sweep")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q planned a window:\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+    }
+  }
+
+  test("q152 quantile buckets: threshold agg broadcast back, no window, no sort-merge") {
+    val p = planOf("q152_quantile_buckets")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row threshold frame must broadcast:\n" + p)
+  }
 }
