@@ -151,4 +151,22 @@ object BpeAssets {
        |FROM ($tokenIdsOracleSql) ids
        |GROUP BY doc_id, pos // $chunkLen
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB oracle for `q159_stride_chunks`: OVERLAPPING chunks —
+    * chunk k covers positions [k·stride, k·stride + chunkLen); a token
+    * belongs to every such window. kmin uses all-positive arithmetic
+    * (CASE under chunkLen, truncating division above) so DuckDB's
+    * floor `//` and Spark's truncating `div` agree. range() is
+    * end-exclusive where Spark's sequence() is inclusive — hence the
+    * `+ 1`. */
+  def stridedOracleSql(chunkLen: Int, stride: Int): String =
+    s"""SELECT doc_id, k AS chunk_idx, count(*)::BIGINT AS n_tokens,
+       |  sum((pos - k*$stride + 1) * token_id)::BIGINT AS checksum
+       |FROM (
+       |  SELECT doc_id, pos, token_id,
+       |    unnest(range(CASE WHEN pos < $chunkLen THEN 0
+       |      ELSE (pos - $chunkLen + $stride)//$stride END,
+       |      pos//$stride + 1)) AS k
+       |  FROM ($tokenIdsOracleSql) ids) e
+       |GROUP BY doc_id, k ORDER BY doc_id, chunk_idx""".stripMargin
 }

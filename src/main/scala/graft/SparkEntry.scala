@@ -1075,6 +1075,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q159: STRIDED training chunks — overlapping windows (len 64,
+    // stride 32), the HF-style context-stride packer for causal-LM
+    // data: every token also appears in the window that begins
+    // mid-context, so no prediction ever lacks its left context.
+    // Window-free: each token computes its own [kmin, kmax] chunk
+    // range (all-positive arithmetic — Spark `div` truncates where
+    // DuckDB `//` floors, identical only above zero) and explodes a
+    // ≤ ⌈len/stride⌉ fan-out; same integer chunk summaries as q124.
+    "q159_stride_chunks" -> ((s, d) => {
+      val L = 64; val S = 32
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.Bpe.encodeIds(
+            col("text"), BpeAssets.merges, BpeAssets.vocabMap)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .withColumn("kmin",
+          when(col("pos") < L, lit(0L))
+            .otherwise(expr(s"(pos - $L + $S) div $S")))
+        .withColumn("chunk_idx",
+          explode(sequence(col("kmin"), expr(s"pos div $S"))))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("pos") - col("chunk_idx") * S + 1) * col("token_id"))
+            .as("checksum"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // q158: dedup-impact dashboard — one (metric, value) report of how
     // much duplication each lens sees: exact byte-dups, verified
     // near-dup pairs (the banded LSH mine == the exact Jaccard set),
@@ -3293,6 +3321,7 @@ object SparkEntry {
     // generated from the committed tokenizer asset — see BpeAssets
     "q119_bpe_token_ids" -> BpeAssets.tokenIdsOracleSql,
     "q124_pack_token_ids" -> BpeAssets.packedOracleSql(64),
+    "q159_stride_chunks" -> BpeAssets.stridedOracleSql(64, 32),
     "q126_bpe_token_freq" -> BpeAssets.tokenFreqOracleSql(50),
     // q129: rank-pure metric math mirrored exactly (score values never
     // reach the output; logs are rounded post-aggregation)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Packing
 
 class PackingSpec extends SparkSpec {
@@ -49,6 +50,23 @@ class PackingSpec extends SparkSpec {
       .groupBy(_._1).values.map(_.sortBy(_._2).map(_._4).toSeq)
       .count(s => s.zip(s.tail).exists { case (a, b) => b < a || b > a + 1 })
     assert(bad === 0, "bin indices must step by 0 or 1 in id order")
+  }
+
+  test("stride-chunk membership arithmetic equals the brute window definition") {
+    // the q159 kmin/kmax formulas (all-positive arithmetic so Spark's
+    // truncating `div` matches DuckDB's floor `//`) vs brute force:
+    // chunk k holds pos p iff k*S <= p < k*S + L
+    val L = 64; val S = 32
+    val got = spark.range(0, 300).toDF("pos")
+      .withColumn("kmin", when($"pos" < L, lit(0L))
+        .otherwise(expr(s"(pos - $L + $S) div $S")))
+      .withColumn("k", explode(sequence($"kmin", expr(s"pos div $S"))))
+      .select($"pos", $"k").collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    for (p <- 0L until 300L) {
+      val brute = (0L to p / S).filter(k => k * S <= p && p < k * S + L).toSet
+      assert(got(p) === brute, s"pos $p")
+    }
   }
 
   test("paddingWasteCurve: hand-checked waste at widths 1/global, monotone in width") {
