@@ -33,7 +33,8 @@ object ProbeR10Ops {
         "q149_padding_curve", "q150_vector_drop_sync",
         "q151_pipeline_funnel", "q152_quantile_buckets",
         "q153_pii_audit", "q154_lang_confusion", "q155_temperature_mix",
-        "q156_quality_sweep", "q157_nb_confusion", "q158_dedup_dashboard")) {
+        "q156_quality_sweep", "q157_nb_confusion", "q158_dedup_dashboard",
+        "q159_stride_chunks")) {
       t(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
       t(q + " (warm)")(graft.SparkEntry.queries(q)(spark, sfDir).count())
     }
