@@ -1116,9 +1116,17 @@ object SparkEntry {
       def one(metric: String, v: org.apache.spark.sql.Column, src: DataFrame) =
         src.agg(v.cast("double").as("value"))
           .select(lit(metric).as("metric"), col("value"))
-      one("n_docs", count(lit(1)), docs)
-        .unionByName(one("exact_dup_docs",
-          count(lit(1)) - countDistinct(col("text")), docs))
+      // n_docs and exact_dup_docs share ONE corpus scan+agg, unpivoted
+      val docStats = docs
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (count(lit(1)) - countDistinct(col("text"))).cast("double")
+            .as("exact_dup_docs"))
+        .select(explode(array(
+          struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+          struct(lit("exact_dup_docs").as("metric"),
+            col("exact_dup_docs").as("value")))).as("kv"))
+        .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+      docStats
         .unionByName(one("neardup_pairs", count(lit(1)), pairs))
         .unionByName(one("docs_in_neardup", countDistinct(col("id")),
           pairs.select(col("id_a").as("id"))

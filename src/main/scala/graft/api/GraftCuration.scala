@@ -211,7 +211,7 @@ object GraftCuration {
 
   /** Quality-threshold sweep (q156): survivors per candidate cutoff. */
   def qualitySweep(docs: Dataset[Document],
-      thresholds: Seq[Double] = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0))
+      thresholds: Seq[Double] = TextAnalysis.defaultQualityThresholds)
       : org.apache.spark.sql.DataFrame =
     TextAnalysis.qualityThresholdSweep(docs.toDF(), "text", thresholds)
 

@@ -387,22 +387,32 @@ object TextAnalysis {
     f(text)
   }
 
+  /** The default cutoffs [[qualityThresholdSweep]] reports — one
+    * constant so the facade and the q156 oracle can never drift. */
+  val defaultQualityThresholds: Seq[Double] = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0)
+
   /** Quality-threshold sweep — the "what does each filter setting
     * cost" curve read before committing to a cutoff: for every
     * candidate threshold, how many docs and tokens survive
-    * `qualityScore ≥ thr`. One narrow pass (score and token count
-    * computed once per row), thresholds exploded (constant fan-out),
-    * conditional sums so zero-survivor thresholds still report 0
-    * instead of vanishing. The quantity sibling of
-    * [[percentileFloor]]'s fixed-rate selection. */
+    * `qualityScore ≥ thr`. Tokenization is materialized ONCE and fed
+    * through the `…T` metric variants ([[stopwordRatioT]]'s
+    * CodegenFallback-no-CSE lesson — the convenience
+    * per-metric calls would re-expand the split ~5×); thresholds
+    * explode with constant fan-out, and conditional sums keep
+    * zero-survivor thresholds reporting 0 instead of vanishing. The
+    * quantity sibling of [[percentileFloor]]'s fixed-rate selection. */
   def qualityThresholdSweep(docs: org.apache.spark.sql.DataFrame,
       textCol: String,
-      thresholds: Seq[Double] = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0))
+      thresholds: Seq[Double] = defaultQualityThresholds)
       : org.apache.spark.sql.DataFrame = {
     require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size,
       "thresholds must be non-empty and distinct")
-    docs.select(qualityScore(col(textCol)).as("__q"),
-        tokenCount(col(textCol)).as("__nt"))
+    docs.select(col(textCol).as("__t"), tokens(col(textCol)).as("__toks"))
+      .select(
+        qualityFromMetrics(size(col("__toks")),
+          stopwordRatioT(col("__toks"), defaultStopwords),
+          punctRatio(col("__t"))).as("__q"),
+        size(col("__toks")).as("__nt"))
       .select(col("__q"), col("__nt"),
         explode(array(thresholds.map(lit): _*)).as("thr"))
       .groupBy(col("thr"))
