@@ -4536,13 +4536,15 @@ object SparkEntry {
            sum(CASE WHEN qv >= thr THEN n_tokens ELSE 0 END)::BIGINT AS n_tokens
          FROM q, unnest([0.0, 0.3, 0.4, 0.6, 0.7, 1.0]) u(thr)
          GROUP BY thr ORDER BY thr""",
-    // same pow/sum/floor float path; weight rounded 6dp on both sides
+    // same pow/sum float path to the 6dp weight; targets floor over
+    // exact DECIMAL arithmetic (partitioning-stable on integral
+    // boundaries — the equal-group 499/500 flake)
     "q155_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          t AS (SELECT sum(pow(n, 0.7)) AS tp FROM c)
          SELECT source, n::BIGINT AS n_docs,
            round(pow(n, 0.7) / tp, 6) AS weight,
-           floor(10000.0 * pow(n, 0.7) / tp)::BIGINT AS target
+           floor(round(pow(n, 0.7) / tp, 6)::DECIMAL(18,6) * 10000)::BIGINT AS target
          FROM c, t ORDER BY source""",
     // q42's stopword-vote mirror, rolled up to (label, pred) cells
     "q154_lang_confusion" ->

@@ -141,10 +141,14 @@ object WeightedSample {
     * [[perKey]] for the actual deterministic selection.
     *
     * Shape: one partial-aggregated count per group, one 1-row Σn^α
-    * broadcast — group-cardinality-sized throughout. `floor` (not
-    * round) for targets: exact on both engines wherever the double
-    * isn't within 1 ulp of an integer, and free of the HALF_UP /
-    * HALF_EVEN tie divergence. */
+    * broadcast — group-cardinality-sized throughout. Targets floor
+    * over EXACT DECIMAL arithmetic on the 6dp-rounded weight: flooring
+    * the raw double ratio is partitioning-UNSTABLE when the true ratio
+    * sits on an integer boundary (equal-sized groups make
+    * sampleTotal/|groups| exactly integral, and the Σn^α partial-sum
+    * order then flips the last ulp — observed as a 499/500 gate flake
+    * at q155), while decimal × integer is the same number on every
+    * engine and every partitioning. */
   def temperatureWeights(df: DataFrame, groupCol: String,
       alpha: Double, sampleTotal: Long): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
@@ -153,8 +157,9 @@ object WeightedSample {
     val tot = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__tp"))
     counts.crossJoin(broadcast(tot))
       .select(col(groupCol), col("__n").as("n_docs"),
-        round(pow(col("__n"), lit(alpha)) / col("__tp"), 6).as("weight"),
-        floor(lit(sampleTotal.toDouble)
-          * pow(col("__n"), lit(alpha)) / col("__tp")).cast("long").as("target"))
+        round(pow(col("__n"), lit(alpha)) / col("__tp"), 6).as("weight"))
+      .withColumn("target",
+        floor(col("weight").cast("decimal(18,6)") * lit(sampleTotal))
+          .cast("long"))
   }
 }
