@@ -285,17 +285,50 @@ object Bm25 {
     val dCols = spark.table(s"${name}_doclens").columns
     dl2.select(dCols.map(col): _*)
       .write.mode("append").format("parquet").saveAsTable(s"${name}_doclens")
+    // Derived tables refresh from the DELTA, not the corpus: the per-
+    // term df merge reads only the standing vocab-sized `_terms` plus
+    // the batch's own (doc, term) rows, and the 1-row `_stats` gets the
+    // batch's counts added — the standing postings/doclens tables are
+    // never rescanned, so per-append cost stays flat as the index grows
+    // (PlanSpec pins the no-postings-scan shape; ProbeBm25Append
+    // measures the flatness). Delta-then-merge equals recount exactly:
+    // df is additive over disjoint doc sets (the id-overlap require
+    // above guarantees disjointness), and (n_docs, sum_dl) are plain
+    // integer sums. localCheckpoint severs lineage so each table can
+    // be overwritten while derived from its own previous contents
+    // (same hazard compactIndex documents).
+    val (mTerms, mStats) = appendMergePlans(spark, name, p2, dl2)
+    val mergedTerms = mTerms.localCheckpoint()
+    val mergedStats = mStats.localCheckpoint()
     graft.sources.Sinks.parquetBucketed(
-      spark.table(s"${name}_postings")
-        .groupBy(col("term")).agg(count(lit(1)).as("df")),
-      s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    // no self-overwrite here (stats is derived from doclens, a
-    // different table), so unlike compactIndex no checkpoint is needed
-    graft.sources.Sinks.parquetTable(
-      spark.table(s"${name}_doclens").agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
-      s"${name}_stats")
+      mergedTerms, s"${name}_terms", buckets, Seq("term"), Seq("term"))
+    graft.sources.Sinks.parquetTable(mergedStats, s"${name}_stats")
     setBuilding(spark, name, on = false)
+  }
+
+  /** The [[appendDocs]] derived-table refresh plans, exposed so PlanSpec
+    * can pin their scale shape: neither plan may scan the standing
+    * `<name>_postings` (or `<name>_doclens`) table — the whole point of
+    * the incremental path is that a delta append costs O(delta + vocab),
+    * not O(corpus). `p2` is the batch's (doc, term, tf) rows, `dl2` the
+    * batch's (doc, dl) rows, both delta-sized and already computed by
+    * the caller. */
+  private[graft] def appendMergePlans(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      p2: DataFrame, dl2: DataFrame): (DataFrame, DataFrame) = {
+    val deltaDf = p2.groupBy(col("term")).agg(count(lit(1)).as("df_delta"))
+    val mergedTerms = spark.table(s"${name}_terms")
+      .join(deltaDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
+          .as("df"))
+    val deltaStats = dl2.agg(count(lit(1)).as("n_docs_delta"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl_delta"))
+    val mergedStats = spark.table(s"${name}_stats")
+      .crossJoin(broadcast(deltaStats))
+      .select((col("n_docs") + col("n_docs_delta")).as("n_docs"),
+        (col("sum_dl") + col("sum_dl_delta")).as("sum_dl"))
+    (mergedTerms, mergedStats)
   }
 
   /** Physical compaction: rewrite the index minus the tombstoned docs

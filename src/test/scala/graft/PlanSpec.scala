@@ -349,4 +349,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "1-row threshold frame must broadcast:\n" + p)
   }
+
+  test("Bm25.appendDocs derived-table merge never scans the standing postings/doclens") {
+    // the incremental-maintenance contract: a delta append refreshes
+    // `_terms`/`_stats` from the DELTA merged into the vocab-sized /
+    // 1-row standing tables — rescanning the corpus-sized postings or
+    // doclens tables here would make per-append cost O(corpus) and
+    // degenerate the incremental path toward rebuild cost at 100 TB
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).limit(40).localCheckpoint()
+    graft.operators.Bm25.buildIndex(docs, "graft_planspec_bm25", buckets = 4)
+    val delta = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") > 100000).limit(5)
+    val toks = delta.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val dl2 = delta.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("dl"))
+    val p2 = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).join(dl2, "doc_id")
+    val (mTerms, mStats) =
+      graft.operators.Bm25.appendMergePlans(spark, "graft_planspec_bm25", p2, dl2)
+    for ((df, label) <- Seq((mTerms, "_terms merge"), (mStats, "_stats merge"))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_planspec_bm25_postings"),
+        s"$label scans the standing postings table:\n$plan")
+      assert(!plan.contains("graft_planspec_bm25_doclens"),
+        s"$label scans the standing doclens table:\n$plan")
+    }
+    assert(mTerms.queryExecution.optimizedPlan.toString
+      .contains("graft_planspec_bm25_terms"), "merge must read the standing _terms")
+  }
 }
