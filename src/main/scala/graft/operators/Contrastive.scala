@@ -44,11 +44,16 @@ object Contrastive {
     // silently
     require(maxIdExclusive <= 2650000000000000L,
       s"maxIdExclusive $maxIdExclusive exceeds the draw domain (2.65e15)")
+    // distinct AFTER symmetrizing: the canonical input is distinct
+    // (id_a < id_b) pairs, but a caller passing both orientations or
+    // duplicate pair rows would otherwise duplicate triplet rows AND
+    // fan out the cleanliness left-join below (duplicate posSet keys)
     val pos = pairs
       .select(col("id_a").cast("long").as("anchor_id"),
         col("id_b").cast("long").as("pos_id"))
       .unionByName(pairs.select(col("id_b").cast("long").as("anchor_id"),
         col("id_a").cast("long").as("pos_id")))
+      .distinct()
     // pre-reduce BOTH ids mod primes so the multiplies stay in BIGINT-
     // safe range for 64-bit production ids (the q47 overflow
     // discipline), and reduce mod maxIdExclusive DIRECTLY — an

@@ -51,12 +51,27 @@ object SkewJoin {
       keyA: String, keyB: String,
       depth: Int = 5, width: Int = 8192, seed: Long = 42L): DataFrame = {
     require(depth >= 1 && width >= 2, "depth >= 1, width >= 2")
+    // xxhash64 hashes by the column's NATIVE type, so an int-vs-bigint
+    // key pair (a legal equi-join after Spark's implicit coercion)
+    // would hash equal values into different buckets — matching keys
+    // stop colliding and the never-under guarantee silently breaks.
+    // Align types before sketching: integral pairs widen to long (the
+    // same comparison type Spark's join coercion picks); anything else
+    // mismatched fails loud rather than under-estimating quietly.
+    val (ta, tb) = (a.schema(keyA).dataType, b.schema(keyB).dataType)
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val widen = ta != tb && integral(ta) && integral(tb)
+    require(ta == tb || widen,
+      s"joinSizeEstimate: key types differ ($keyA: $ta vs $keyB: $tb) and are " +
+        "not both integral — cast them to a common type before sketching")
     // null keys never match in an equi-join — drop them BEFORE
     // sketching (xxhash64 would otherwise pile every null-key row into
     // one bucket per depth and inflate the inner product past the
     // bound on perfectly legal input)
     def sketch(df: DataFrame, key: String): DataFrame =
-      df.select(col(key).as("__k"))
+      df.select((if (widen) col(key).cast("long") else col(key)).as("__k"))
         .where(col("__k").isNotNull)
         .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
         .select(col("d"),
@@ -114,8 +129,9 @@ object SkewJoin {
   def describeSkew(df: DataFrame, keyCols: Seq[String],
       percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
-    // reserved internal alias: a key column literally named "n" must
-    // not collide with the count
+    // reserved internal alias for the per-key count: a key column
+    // literally named "__skew_n" would collide with it (plain "n" is
+    // fine — the spec verifies)
     require(!keyCols.contains("__skew_n"), "key column name __skew_n is reserved")
     val labels = percentiles.map(p =>
       "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros

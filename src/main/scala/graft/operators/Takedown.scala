@@ -70,8 +70,13 @@ object Takedown {
       Bm25.removeDocs(spark, name, idList)
       Bm25.compactIndex(spark, name, buckets = bm25Buckets)
       val post = spark.table(s"${name}_postings")
-      val residual = post
-        .join(idList.select(col("id").as("doc_id")), Seq("doc_id")).count()
+      // the index is TWO doc-keyed tables: recount residual purged ids
+      // in doclens too (doclens drives N/avgdl and hence every served
+      // weight) — certifying only postings would bless a torn compact
+      // that left purged doc lengths inflating the corpus stats
+      val purgedDocs = idList.select(col("id").as("doc_id"))
+      val residual = post.join(purgedDocs, Seq("doc_id")).count() +
+        spark.table(s"${name}_doclens").join(purgedDocs, Seq("doc_id")).count()
       audit += (("bm25", before,
         post.select(col("doc_id")).distinct().count(),
         if (residual == 0) 1 else 0))

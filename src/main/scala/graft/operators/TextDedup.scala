@@ -412,7 +412,9 @@ object TextDedup {
     * eval set); its distinct shingle hashes are folded into a Bloom
     * filter with ONE distributed pass (`stat.bloomFilter` runs
     * tree-aggregated on executors; only the finished ~`n·log2(1/fpp)`
-    * bits reach the driver — ~1.2 MB per million shingles at 1%). The
+    * bits reach the driver — ~1.2 MB per million shingles at 1%; the
+    * filter is sized from a narrow token-count scan, not a second
+    * shingle pass). The
     * corpus-sized train side then drops non-benchmark shingles in a
     * NARROW codegen'd filter (the native `BloomFilterMightContain`
     * expression over a literal sketch — no UDF, no shuffle) before any
@@ -435,8 +437,14 @@ object TextDedup {
     import org.apache.spark.sql.GraftBridge
     val bHashes = bench
       .select(explode(shingleHashes(col(textCol), ngram)).as("h")).distinct()
-    // one small-side action to size the filter; 64 floors degenerate inputs
-    val nItems = math.max(bHashes.count(), 64L)
+    // size the filter from a cheap UPPER BOUND — the bench side's total
+    // token count (shingles per doc ≤ tokens per doc) — so the sizing
+    // action is one narrow scan of the bench text, not a second
+    // explode+distinct pass over the shingles; over-sizing only lowers
+    // the realized fpp. 64 floors degenerate inputs.
+    val nItems = math.max(bench
+      .agg(coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)))
+      .head().getLong(0), 64L)
     val bloomBytes = {
       val bloom = bHashes.stat.bloomFilter("h", nItems, fpp)
       val bos = new java.io.ByteArrayOutputStream()

@@ -58,6 +58,24 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeEstimate: int-vs-bigint keys widen (never-under holds); non-numeric mismatch fails loud") {
+    import graft.operators.SkewJoin
+    // int side joins a bigint side — a legal equi-join after Spark's
+    // coercion; the sketch must hash equal values into equal buckets
+    val ai = (1 to 50).toDF("k") // IntegerType
+    val bl = (1L to 50L).toDF("k") // LongType
+    val r = SkewJoin.joinSizeChecked(ai, bl, "k", "k").head()
+    assert(r.getAs[Long]("exact_join_rows") === 50L)
+    assert(r.getAs[Int]("never_under") === 1 && r.getAs[Int]("bound_ok") === 1)
+    assert(r.getAs[Long]("est_join_rows") === 50L) // width >> keys: exact
+    // string-vs-long would silently under-estimate — refuse instead
+    val as = Seq("1", "2").toDF("k")
+    val boom = intercept[IllegalArgumentException] {
+      SkewJoin.joinSizeEstimate(as, bl, "k", "k").head()
+    }
+    assert(boom.getMessage.contains("key types differ"))
+  }
+
   test("describeSkew: hand-checked metrics on a 2-key skewed frame") {
     val df = (Seq.fill(9)("hot") ++ Seq("cold")).toDF("k")
     val got = graft.operators.SkewJoin.describeSkew(df, Seq("k"))

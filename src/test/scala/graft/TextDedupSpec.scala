@@ -176,6 +176,14 @@ class TextDedupSpec extends SparkSpec {
     assert(out.length === 4) // both directions, all draws exist in 0..9
     out.foreach { case (a, p, n, _) => assert(n === draw(a, p, 10)) }
 
+    // non-canonical input — both orientations AND duplicate rows — must
+    // not duplicate triplets or fan out the cleanliness join
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val messyOut = Contrastive.tripletsFromPairs(messy, ids, "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(messyOut.sorted.toSeq === out.sorted.toSeq)
+
     // full-fixture run: flags must equal a local recomputation from the
     // collected pair set, and every negative must exist in the corpus
     val real = TextDedup.minhashPairs(docs, "doc_id", "text",
