@@ -28,35 +28,57 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.benchQueries.map { name =>
+    def minOf3(names: Seq[String]): Map[String, Double] = names.map { name =>
       val runs = Seq.fill(3)(timeOnce(name))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // One sweep = headline group + curation group, with the steal-tick
+    // delta measured across exactly the timed window.
+    def sweep(): (Map[String, Double], Map[String, Double], Long) = {
+      val s0 = stealTicks()
+      val head = minOf3(SparkEntry.benchQueries)
+      val cur = minOf3(SparkEntry.benchCurationQueries)
+      val s1 = stealTicks()
+      (head, cur, if (s0 < 0 || s1 < 0) -1L else s1 - s0)
+    }
+    // Contention GATE (round-8 item #2): rounds 6 and 7 both committed
+    // recordings contaminated by hypervisor steal (12.8s vs a 7.6s
+    // quiet-host truth) — min-of-3 can't save a sweep when the load
+    // spans all three runs. Self-annotation (round 7) made the artifact
+    // self-identifying; this makes it QUIET BY CONSTRUCTION: if more
+    // than `gate` steal ticks landed inside the timed window, the whole
+    // sweep reruns (up to 3 attempts), and the quietest attempt is the
+    // one reported either way. 1 tick = 10 ms of one stolen CPU; ~50
+    // ticks across a ~10 s sweep is the noise floor observed on this
+    // host's quiet recordings (11-13 ticks).
+    val gate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "50").toLong
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    var attempts = List.empty[(Map[String, Double], Map[String, Double], Long)]
+    var done = false
+    while (!done) {
+      val a = sweep()
+      attempts ::= a
+      done = a._3 < 0 || a._3 <= gate || attempts.length >= maxAttempts
+      if (!done)
+        System.err.println(s"[bench] attempt ${attempts.length} contaminated " +
+          s"(steal_ticks=${a._3} > $gate) — rerunning the sweep")
+    }
+    val (results, curation, stealDelta) =
+      attempts.minBy { case (_, _, s) => if (s < 0) Long.MaxValue else s }
+    def fmt(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Contention annotation: round 6's recorded bench was 1.5× the
-    // quiet-host truth because a loaded box spanned all three runs and
-    // min-of-3 couldn't save it. The 1-minute load average (sampled
-    // AFTER the timed runs, i.e. during them) makes a contaminated
-    // recording self-identifying instead of silently poisoning
-    // round-over-round comparisons.
+    val curTotal = curation.values.filter(_ >= 0).sum
+    // Contention annotation (kept alongside the gate): the 1-minute
+    // load average sampled AFTER the timed runs, i.e. during them, and
+    // the steal-tick delta across the reported sweep — a recording
+    // that somehow still slipped through stays self-identifying.
     val loadAvg =
       try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
-    // Hypervisor steal is the sharper signal on a virtualized host:
-    // load_avg includes the bench's OWN threads, but steal ticks are
-    // cycles the hypervisor withheld — observed to hit the heavy
-    // all-core queries (q30/q35/q37) 5-10× while light queries held
-    // steady, rotating victims between runs. steal_ticks here is the
-    // /proc/stat delta across the whole timed window (1 tick = 10 ms
-    // of one stolen CPU); thousands of ticks = contaminated recording.
-    val stealEnd = stealTicks()
-    val stealDelta =
-      if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_1m":$loadAvg,"steal_ticks":$stealDelta}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"curation_total":$curTotal,"curation_queries":${fmt(curation)},"sf":"$sfDir","load_avg_1m":$loadAvg,"steal_ticks":$stealDelta,"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
     spark.stop()
   }
 
@@ -70,6 +92,4 @@ object Bench {
         if (f.length > 8) f(8).toLong else -1L
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
-
-  private val stealStart: Long = stealTicks()
 }
