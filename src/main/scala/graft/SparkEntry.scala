@@ -1103,6 +1103,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // q160: STREAMING index maintenance — q146's delta algebra driven
+    // through the round-8 `IndexMaintenance.applyUpserts` face (the
+    // exact code `maintainStream`'s foreachBatch runs per micro-batch;
+    // IndexMaintenanceSpec pins stream ≡ replay). Three upsert waves:
+    // adds, then adds + in-place CHANGES + explicit DELETE markers
+    // (null text), then more adds — classified per batch by
+    // SnapshotDiff over the standing fingerprint log, applied via
+    // tombstone removes / delta appends / forced compaction on change.
+    // The oracle computes fresh BM25 over the final live corpus from
+    // scratch: the hash gate proves continuously-maintained ≡ rebuilt.
+    "q160_stream_maintain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val changed = pmod(col("doc_id"), lit(3)) === 0 &&
+        pmod(col("doc_id"), lit(5)) === 0
+      val deleted = pmod(col("doc_id"), lit(3)) === 0 &&
+        pmod(col("doc_id"), lit(7)) === 0 && pmod(col("doc_id"), lit(5)) =!= 0
+      val waves = Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(changed)
+            .withColumn("text", concat(col("text"), lit(" v2"))))
+          .unionByName(docs.filter(deleted)
+            .withColumn("text", lit(null).cast("string"))),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+      graft.streaming.IndexMaintenance.initStores(s, "graft_q160_idx")
+      waves.zipWithIndex.foreach { case (b, k) =>
+        graft.streaming.IndexMaintenance.applyUpserts(
+          s, "graft_q160_idx", b, ver = k + 1L, buckets = 8)
+      }
+      val probeTerms = docs.filter(col("doc_id") === 1)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexed(s, "graft_q160_idx", probeTerms)
+        .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q158: dedup-impact dashboard — one (metric, value) report of how
     // much duplication each lens sees: exact byte-dups, verified
     // near-dup pairs (the banded LSH mine == the exact Jaccard set),
@@ -4734,6 +4771,37 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
            FROM documents WHERE doc_id % 11 <> 0),
+         terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM nd WHERE doc_id = 1),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM nd),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM nd),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
+    // fresh BM25 over the FINAL live corpus after the scripted
+    // add/change/delete waves — the engine reaches the same numbers
+    // through the streaming maintenance loop's per-batch deltas
+    "q160_stream_maintain" ->
+      """WITH nd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                  THEN text || ' v2' ELSE text END AS text
+           FROM documents
+           WHERE NOT (doc_id % 3 = 0 AND doc_id % 7 = 0 AND doc_id % 5 <> 0)),
          terms AS (
            SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
            FROM nd WHERE doc_id = 1),

@@ -252,14 +252,22 @@ object Bm25 {
       docs: DataFrame, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     requireServable(spark, name)
-    require(!spark.catalog.tableExists(s"${name}_tombstones") ||
-        spark.table(s"${name}_tombstones").isEmpty,
-      s"appendDocs: index '$name' has pending tombstones — compactIndex first")
+    // Pending tombstones do NOT block an append of NEW ids (round 8 —
+    // what a streaming maintenance loop needs to stay O(delta) per
+    // batch): serving subtracts the tombstoned postings/doclens
+    // contributions from the physical tables, and an append of
+    // disjoint ids changes neither side of that subtraction — adjusted
+    // df/N/avgdl stay exactly the live corpus's. What MUST compact
+    // first is re-adding a TOMBSTONED id (its old rows are still
+    // physical, so the serving anti-join would hide the new rows too);
+    // the doclens overlap check below catches exactly that case,
+    // because tombstoned ids stay in doclens until compactIndex.
     val dup = docs.select(col(idCol))
       .join(spark.table(s"${name}_doclens").select(col(idCol)), Seq(idCol))
       .count()
     require(dup == 0,
-      s"appendDocs: $dup ids already indexed — removeDocs + compactIndex first")
+      s"appendDocs: $dup ids already physically indexed (live or " +
+        "tombstoned) — removeDocs + compactIndex first")
     // the batch itself must be id-unique too: an upstream join fan-out
     // would otherwise double-index silently (doubled tf, inflated df,
     // double-counted doclens) with no error anywhere downstream

@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, SnapshotDiff}
+
+/** Streaming maintenance of the standing BM25 index (and optionally
+  * the ANN vector store) — the composition the round-7 verdict asked
+  * for: arriving corpus batches flow through [[SnapshotDiff]]
+  * classification into `Bm25.removeDocs`/`appendDocs` (plus forest
+  * remove/append), keeping the stores current without replaying drops
+  * by hand. q146 proves the delta algebra batch-mode; this is the
+  * `foreachBatch` face that runs it continuously.
+  *
+  * Batch contract: each micro-batch carries UPSERTS — (id, text) rows
+  * where a NULL text is an explicit delete marker. Ids must be unique
+  * within a batch. Every batch doc is classified against what the
+  * store has indexed: added (new id), changed (content differs),
+  * unchanged (skip), removed (delete marker for a present id; absent
+  * ids' deletes are dropped — a tombstone for a never-indexed id would
+  * silently hide a LATER add of that id).
+  *
+  * Change detection never rereads corpus text: a standing APPEND-ONLY
+  * fingerprint log `<name>_fplog` (id, xxhash64(text), ver — bucketed
+  * by id) holds one row per upsert, deletes logged with a null hash.
+  * The per-batch probe broadcasts the batch's ids into a semi-join and
+  * takes latest-ver-wins over only the matching rows — per-batch cost
+  * follows the BATCH, not the log (the IngestDedup store discipline);
+  * [[compactFingerprints]] folds the log back to one row per live id.
+  * A 64-bit content hash can collide (probability ~batch·2⁻⁶⁴ per
+  * batch) — a collision misses ONE update, never corrupts the store.
+  *
+  * Per-batch cost: pure adds and deletes are O(delta) — deletes
+  * tombstone ([[Bm25.removeDocs]]), adds append under pending
+  * tombstones (exact; see appendDocs' scaladoc). A batch containing
+  * CHANGED docs must physically compact first: the changed id's old
+  * rows are still in the postings, and re-adding it before the rewrite
+  * would let the serving anti-join hide the new rows too. So in-place
+  * updates pay one index rewrite per carrying batch — amortize by
+  * batching updates upstream; pure add/delete traffic never rewrites.
+  * Deletes also compact when the tombstone backlog passes
+  * `compactRatio` (read from the 1-row `_stats` and the
+  * tombstone-sized table — no corpus scan in the policy check).
+  */
+object IndexMaintenance {
+
+  /** Drop everything [[applyUpserts]] maintains (index tables +
+    * fingerprint log), location-safely. */
+  def initStores(spark: SparkSession, name: String): Unit = {
+    for (s <- Seq("_postings", "_terms", "_doclens", "_stats",
+        "_tombstones", "_fplog"))
+      graft.sources.Sinks.dropTable(spark, name + s)
+  }
+
+  /** Apply one upsert batch to the standing index `name`. `ver` must
+    * strictly increase across batches touching the same ids (the
+    * stream wiring passes the monotonic batchId); a replayed/reordered
+    * batch fails loudly instead of silently regressing a fingerprint.
+    *
+    * Returns the batch's per-id classification
+    * (idCol, status ∈ added|changed|removed|unchanged), checkpoint-
+    * settled BEFORE any store mutation (the IngestDedup settle lesson:
+    * a lazy plan would re-read the stores after they grew). First call
+    * on a missing index bootstraps it: buildIndex over the batch's
+    * live rows, every live id classified `added`. */
+  def applyUpserts(spark: SparkSession, name: String, batch: DataFrame,
+      ver: Long, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactRatio: Double = 0.2): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    val (nRows, nIds) = {
+      val r = b.agg(count(lit(1)), count_distinct(col(idCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nRows == nIds,
+      s"applyUpserts: batch has $nRows rows over $nIds distinct ids — dedupe first")
+    val live = b.filter(col(textCol).isNotNull)
+
+    if (!spark.catalog.tableExists(s"${name}_doclens")) {
+      // bootstrap: the first batch IS the corpus
+      Bm25.buildIndex(live, name, buckets, idCol, textCol)
+      graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
+      logFingerprints(spark, name, idCol,
+        live.select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver")))
+      return live.select(col(idCol), lit("added").as("status")).localCheckpoint()
+    }
+
+    // latest-wins fingerprints for ONLY the batch's ids (broadcast
+    // semi-join; log rows stream past the probe — no log-sized shuffle)
+    val prior = spark.table(s"${name}_fplog")
+      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ver"), col("h"))).as("s"))
+      .select(col(idCol), col("s.h").as("h"), col("s.ver").as("ver"))
+      .localCheckpoint()
+    val maxPrior = prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
+      .head().getLong(0)
+    require(maxPrior < ver,
+      s"applyUpserts: ver $ver is not past the log's $maxPrior for these ids " +
+        "— batches must arrive with strictly increasing versions")
+
+    // classification: SnapshotDiff over (id, content-hash), old side =
+    // the store's view of the batch's ids (null hash = deleted/absent)
+    val oldF = prior.filter(col("h").isNotNull).select(col(idCol), col("h"))
+    val newF = live.select(col(idCol), xxhash64(col(textCol)).as("h"))
+    val classified = SnapshotDiff.diff(oldF, newF, idCol, Seq("h"))
+    // SnapshotDiff's `removed` covers old-side ids absent from newF —
+    // here that means a delete MARKER row (or an id the caller simply
+    // didn't mention: restricting old to the batch's ids makes the two
+    // cases identical only for marker rows, since unmentioned ids were
+    // never in `b`). Deletes of absent ids vanish in the semi-join.
+    val delta = classified.localCheckpoint()
+    val statusCounts = delta.groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val changed = delta.filter(col("status") === "changed").select(col(idCol))
+    val removed = delta.filter(col("status") === "removed").select(col(idCol))
+    val goneN = statusCounts.getOrElse("changed", 0L) +
+      statusCounts.getOrElse("removed", 0L)
+    if (goneN > 0)
+      Bm25.removeDocs(spark, name, changed.unionByName(removed), idCol)
+    // changed ids re-append below — their physical rows must be gone
+    // first (see scaladoc); deletes alone ride the tombstone until the
+    // backlog-ratio policy compacts
+    if (statusCounts.getOrElse("changed", 0L) > 0 ||
+        tombstoneBacklog(spark, name) > compactRatio) {
+      Bm25.compactIndex(spark, name, buckets, idCol)
+      compactFingerprints(spark, name, idCol)
+    }
+    if (statusCounts.getOrElse("added", 0L) +
+        statusCounts.getOrElse("changed", 0L) > 0)
+      Bm25.appendDocs(spark, name,
+        live.join(delta.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        buckets, idCol, textCol)
+    logFingerprints(spark, name, idCol,
+      live.join(delta.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver"))
+        .unionByName(removed
+          .select(col(idCol), lit(null).cast("long").as("h"), lit(ver).as("ver"))))
+    delta
+  }
+
+  /** Tombstoned/indexed ratio from the 1-row stats and the tombstone-
+    * sized table — the compaction trigger, priced so the POLICY CHECK
+    * itself never scans the corpus. */
+  private def tombstoneBacklog(spark: SparkSession, name: String): Double = {
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) return 0.0
+    val tombs = spark.table(s"${name}_tombstones").count()
+    if (tombs == 0) return 0.0
+    val nDocs = spark.table(s"${name}_stats").head().getAs[Long]("n_docs")
+    if (nDocs == 0) 1.0 else tombs.toDouble / nDocs
+  }
+
+  /** Fold the append-only fingerprint log to one row per live id
+    * (latest ver wins; delete markers and everything they superseded
+    * drop out). Same settle-then-rewrite discipline as compactIndex. */
+  def compactFingerprints(spark: SparkSession, name: String,
+      idCol: String = "doc_id"): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_fplog")) return
+    val latest = spark.table(s"${name}_fplog")
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ver"), col("h"))).as("s"))
+      .select(col(idCol), col("s.h").as("h"), col("s.ver").as("ver"))
+      .filter(col("h").isNotNull)
+      .localCheckpoint()
+    graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
+    logFingerprints(spark, name, idCol, latest)
+  }
+
+  private def logFingerprints(spark: SparkSession, name: String,
+      idCol: String, rows: DataFrame): Unit = {
+    // stale-location clearing on first create, same as the other
+    // standing stores (a fresh catalog over an old warehouse)
+    if (!spark.catalog.tableExists(s"${name}_fplog"))
+      graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
+    rows.write.mode("append").format("parquet")
+      .bucketBy(8, idCol)
+      .saveAsTable(s"${name}_fplog")
+  }
+
+  /** Batch-mode replay: feed `docs` through [[applyUpserts]] as
+    * `nBatches` contiguous id ranges. Same code the streaming wiring
+    * runs per micro-batch; the q160 driver query replays a scripted
+    * add/change/delete schedule through it so the oracle gate covers
+    * the maintenance path end to end. */
+  def replayUpserts(docs: DataFrame, name: String, nBatches: Int,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      compactRatio: Double = 0.2): DataFrame = {
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val step = (maxId + nBatches) / nBatches
+    (0 until nBatches).map { k =>
+      applyUpserts(spark, name,
+        docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step),
+        ver = k + 1L, buckets, idCol, textCol, compactRatio)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Streaming wiring: `foreachBatch` over an upsert stream, applying
+    * each micro-batch to the standing BM25 index and (when `annRef` is
+    * given and the batch carries `vecCol`) folding the same delta into
+    * the ANN model — remove(changed ∪ removed) then append(added ∪
+    * changed), settled per batch, so both stores stay current from ONE
+    * classification. The per-batch delta frame goes to `sink`. */
+  def maintainStream(docs: DataFrame, name: String,
+      sink: (DataFrame, Long) => Unit,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      annRef: Option[java.util.concurrent.atomic.AtomicReference[
+        graft.ann.DistributedAnnModel]] = None,
+      vecCol: String = "embedding",
+      compactRatio: Double = 0.2,
+      verBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // verBase lets a stream resume past versions already written
+          // by a batch-mode seed (bootstrap build + model fit)
+          val delta = applyUpserts(spark, name, batch, ver = batchId + verBase,
+            buckets, idCol, textCol, compactRatio)
+          annRef.filter(_ => batch.columns.contains(vecCol)).foreach { ref =>
+            val gone = delta.filter(col("status").isin("changed", "removed"))
+              .select(col(idCol))
+            val put = batch
+              .join(delta.filter(col("status").isin("added", "changed"))
+                .select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col(idCol), col(vecCol))
+              .filter(col(vecCol).isNotNull)
+            ref.set(ref.get.remove(gone, idCol).append(put, idCol, vecCol).compact())
+          }
+          sink(delta, batchId)
+        }
+      }
+}

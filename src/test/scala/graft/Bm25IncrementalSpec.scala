@@ -48,18 +48,39 @@ class Bm25IncrementalSpec extends SparkSpec {
     }
   }
 
-  test("appendDocs refuses id overlap and pending tombstones") {
-    val docs = Tables.documents(spark, sf0001).limit(50).localCheckpoint()
-    Bm25.buildIndex(docs, "graft_incr_t3", buckets = 8)
+  test("appendDocs: new ids append exactly under pending tombstones; physical overlap refuses") {
+    val all = Tables.documents(spark, sf0001).orderBy($"doc_id").limit(60)
+      .select($"doc_id", $"text").localCheckpoint()
+    val ids = all.select($"doc_id").as[Long].collect().sorted
+    val base = all.filter($"doc_id" <= ids(49))
+    val extra = all.filter($"doc_id" > ids(49))
+    Bm25.buildIndex(base, "graft_incr_t3", buckets = 8)
     val boom = intercept[IllegalArgumentException] {
-      Bm25.appendDocs(spark, "graft_incr_t3", docs.limit(5), buckets = 8)
+      Bm25.appendDocs(spark, "graft_incr_t3", base.limit(5), buckets = 8)
     }
-    assert(boom.getMessage.contains("already indexed"))
-    Bm25.removeDocs(spark, "graft_incr_t3", docs.limit(5).select($"doc_id"))
-    val tomb = intercept[IllegalArgumentException] {
+    assert(boom.getMessage.contains("physically indexed"))
+    // tombstone 5 docs, then append NEW ids WITHOUT compacting — the
+    // round-8 relaxation a streaming maintenance loop needs; the served
+    // scores must equal ad-hoc over the live corpus exactly
+    Bm25.removeDocs(spark, "graft_incr_t3",
+      all.filter($"doc_id" <= ids(4)).select($"doc_id"))
+    Bm25.appendDocs(spark, "graft_incr_t3", extra, buckets = 8)
+    val live = base.filter($"doc_id" > ids(4)).unionByName(extra)
+    val probe = extra.orderBy($"doc_id").limit(1)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 5)).as("t"))
+      .distinct().as[String].collect().toSeq
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_matched", round($"bm25", 4).as("bm25"))
+      .orderBy($"doc_id").collect().toSeq
+    val got = rounded(Bm25.scoreIndexed(spark, "graft_incr_t3", probe))
+    assert(got === rounded(Bm25.score(live, probe.toDF("term"))))
+    assert(got.nonEmpty)
+    // resurrecting a TOMBSTONED id still refuses (its old rows are
+    // physical — the serving anti-join would hide the new ones too)
+    val res = intercept[IllegalArgumentException] {
       Bm25.appendDocs(spark, "graft_incr_t3",
-        docs.limit(0), buckets = 8)
+        all.filter($"doc_id" === ids(0)), buckets = 8)
     }
-    assert(tomb.getMessage.contains("tombstones"))
+    assert(res.getMessage.contains("physically indexed"))
   }
 }
