@@ -2734,6 +2734,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // q161: ALL THREE pure-JDK audio containers under one hash gate —
+    // the same PCM16 clip encoded as WAV (little-endian), AIFF and AU
+    // (big-endian) and decoded back by the one endian-aware audioStats
+    // path. Lossless PCM containers must yield bit-identical integer
+    // lanes per id regardless of container; the oracle replays the
+    // sample formula once and fans it across the three format labels.
+    // Shrinks the multimodal stub boundary to compressed/container
+    // formats the JDK has no codec for (MP3/MP4 — a permanent
+    // boundary without native deps).
+    "q161_audio_formats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      GraftSession.widen(docs)
+        .withColumn("format", explode(array(lit("wav"), lit("aiff"), lit("au"))))
+        .withColumn("payload",
+          Multimodal.syntheticAudio(col("doc_id"), col("format")))
+        .select(col("doc_id").as("media_id"), col("format"),
+          Multimodal.audioStats(col("payload")).as("st"))
+        .select(col("media_id"), col("format"), col("st.*"))
+        .orderBy(col("media_id"), col("format"))
+    }),
+
     // q106: MMR diversified re-ranking — the standard serving layer
     // after ANN retrieval. Corpus-sized work is heap-pruned candidate
     // generation; the greedy pick runs over the bounded candidate set.
@@ -4401,6 +4422,34 @@ object SparkEntry {
          JOIN agg a0 ON a0.doc_id = b.doc_id AND a0.c = 0
          LEFT JOIN agg a1 ON a1.doc_id = b.doc_id AND a1.c = 1
          ORDER BY media_id""",
+    // same PCM formula fanned across the three container labels: a
+    // lossless container must not change a single integer lane
+    "q161_audio_formats" ->
+      """WITH base AS (
+           SELECT doc_id, 1 + doc_id % 2 AS channels,
+             8000 * (1 + doc_id % 3) AS rate, 64 + doc_id % 33 AS n_frames
+           FROM documents),
+         samp AS (
+           SELECT doc_id, j % channels AS c,
+             ((doc_id*31 + j*7919) % 65536) - 32768 AS s
+           FROM (SELECT doc_id, channels, unnest(range(n_frames*channels)) AS j
+                 FROM base)),
+         agg AS (
+           SELECT doc_id, c, max(abs(s))::BIGINT AS peak,
+             sum(abs(s))::BIGINT AS sum_abs, sum(s*s)::BIGINT AS sum_sq
+           FROM samp GROUP BY doc_id, c),
+         fmt AS (SELECT unnest(['wav', 'aiff', 'au']) AS format)
+         SELECT b.doc_id AS media_id, f.format, b.rate AS sample_rate,
+           b.channels, b.n_frames::BIGINT AS n_frames,
+           (b.n_frames * 1000 // b.rate)::BIGINT AS duration_ms,
+           a0.peak AS peak_0, a0.sum_abs AS sum_abs_0, a0.sum_sq AS sum_sq_0,
+           coalesce(a1.peak, 0)::BIGINT AS peak_1,
+           coalesce(a1.sum_abs, 0)::BIGINT AS sum_abs_1,
+           coalesce(a1.sum_sq, 0)::BIGINT AS sum_sq_1
+         FROM base b CROSS JOIN fmt f
+         JOIN agg a0 ON a0.doc_id = b.doc_id AND a0.c = 0
+         LEFT JOIN agg a1 ON a1.doc_id = b.doc_id AND a1.c = 1
+         ORDER BY media_id, format""",
     // GIF video oracle: replay the frame formula (gray of clip id,
     // frame t, pixel (x,y) = (id*31 + t*101 + x*7 + y*13) % 256 —
     // gray pixels decode to lum == palette index exactly, since

@@ -8,10 +8,10 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque BINARY + typed metadata.
   *
   * The decode path is REAL for the formats the stock JVM ships codecs
-  * for — PNG/JPEG/GIF/BMP via pure-JVM `javax.imageio`, PCM WAV audio
-  * via `javax.sound.sampled` ([[Multimodal.wavStats]]), no native libs
-  * — detected by payload magic bytes; any other payload (compressed
-  * audio, video containers) falls back to the deterministic
+  * for — PNG/JPEG/GIF/BMP via pure-JVM `javax.imageio`, PCM WAV/AIFF/
+  * AU audio via `javax.sound.sampled` ([[Multimodal.audioStats]]), no
+  * native libs — detected by payload magic bytes; any other payload
+  * (compressed audio, video containers) falls back to the deterministic
   * byte-statistics stub (which is what the text-bytes fixtures
   * exercise, keeping q60–q62's DuckDB oracles bit-exact). Video is
   * REAL for multi-frame GIF ([[Multimodal.gifVideoStats]] — frame
@@ -379,21 +379,42 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
-  /** Integer-exact per-channel WAV statistics from a REAL
+  /** FORM/AIFF magic sniff (IFF container, AIFF form type). */
+  private[operators] def looksLikeAiff(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+      p(8) == 'A' && p(9) == 'I' && p(10) == 'F' && p(11) == 'F'
+
+  /** Sun/NeXT .snd (AU) magic sniff. */
+  private[operators] def looksLikeAu(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 &&
+      p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'
+
+  /** The three uncompressed-PCM containers the stock JVM decodes —
+    * everything `javax.sound.sampled` handles without native codecs.
+    * Compressed/container formats (MP3, MP4, Ogg) ship no JDK codec
+    * and stay on the byte-stats stub: a permanent JDK boundary. */
+  private[operators] def looksLikeAudio(p: Array[Byte]): Boolean =
+    looksLikeWav(p) || looksLikeAiff(p) || looksLikeAu(p)
+
+  /** Integer-exact per-channel audio statistics from a REAL
     * `javax.sound.sampled` decode (pure JDK — no container codecs
-    * needed, unlike compressed audio): sample rate, channel count,
-    * frame count, integer-truncated duration_ms, and per channel the
-    * peak |sample|, Σ|sample| and Σsample² accumulated as exact Longs
-    * (an RMS is one sqrt away, but the OUTPUT stays integer so any
-    * engine can reproduce it bit-for-bit — the q90 discipline, applied
-    * to audio). PCM16 only (what WAV overwhelmingly carries); anything
-    * else — or a payload that is not audio at all — returns null and
-    * the caller falls back to the byte-stats stub. Null second-channel
-    * lanes are 0 for mono. One narrow UDF, no shuffle. */
-  def wavStats(payload: Column): Column = {
+    * needed, unlike compressed audio), for ALL THREE PCM containers
+    * the JDK reads: WAV (little-endian), AIFF and AU (big-endian; the
+    * sample loop is endian-aware via the decoded format). Emits sample
+    * rate, channel count, frame count, integer-truncated duration_ms,
+    * and per channel the peak |sample|, Σ|sample| and Σsample²
+    * accumulated as exact Longs (an RMS is one sqrt away, but the
+    * OUTPUT stays integer so any engine can reproduce it bit-for-bit —
+    * the q90 discipline, applied to audio). PCM16 only (what these
+    * containers overwhelmingly carry); anything else — or a payload
+    * that is not audio at all — returns null and the caller falls back
+    * to the byte-stats stub. Null second-channel lanes are 0 for mono.
+    * One narrow UDF, no shuffle. */
+  def audioStats(payload: Column): Column = {
     val f = udf { (p: Array[Byte]) =>
       val ais =
-        if (!looksLikeWav(p)) null
+        if (!looksLikeAudio(p)) null
         else
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(p))
@@ -442,38 +463,76 @@ object Multimodal {
     f(payload)
   }
 
-  /** Deterministic synthetic audio, encoded as a REAL PCM16 WAV via
-    * `javax.sound.sampled` — flat sample j of clip `id` is the
-    * closed-form ((id·31 + j·7919) mod 65536) − 32768 over
-    * (64 + id mod 33) frames, (1 + id mod 2) channels interleaved,
-    * 8000·(1 + id mod 3) Hz. WAV is a lossless PCM container, so the
-    * decode recovers the formula exactly; q120 uses this to put the
-    * real audio codec path under the driver's hash gate (the oracle
-    * computes the same integer sums from the formula, never touching
-    * an audio API). */
-  def syntheticWav(id: Column): Column = {
-    val f = udf { (id: Long) =>
-      val channels = 1 + (id % 2).toInt
-      val rate = 8000 * (1 + (id % 3).toInt)
-      val nFrames = (64 + id % 33).toInt
-      val data = new Array[Byte](nFrames * channels * 2)
-      var j = 0
-      while (j < nFrames * channels) {
-        val s = (((id * 31 + j.toLong * 7919) % 65536) - 32768).toInt
+  /** Back-compat name for [[audioStats]] (q120 predates the AIFF/AU
+    * extension; same decode, wider sniff). */
+  def wavStats(payload: Column): Column = audioStats(payload)
+
+  /** One synthetic clip's PCM16 frames encoded into a real container:
+    * flat sample j of clip `id` is the closed-form
+    * ((id·31 + j·7919) mod 65536) − 32768 over (64 + id mod 33)
+    * frames, (1 + id mod 2) channels interleaved, 8000·(1 + id mod 3)
+    * Hz. Bytes are laid out in the endianness the target container
+    * expects (the JDK writers do not transcode), so WAV/AIFF/AU all
+    * carry the SAME samples losslessly and decode to identical integer
+    * lanes — which is exactly what q161 proves. */
+  private def encodeSynthetic(id: Long, big: Boolean,
+      t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val rate = 8000 * (1 + (id % 3).toInt)
+    val nFrames = (64 + id % 33).toInt
+    val data = new Array[Byte](nFrames * channels * 2)
+    var j = 0
+    while (j < nFrames * channels) {
+      val s = (((id * 31 + j.toLong * 7919) % 65536) - 32768).toInt
+      if (big) {
+        data(2 * j) = ((s >> 8) & 0xff).toByte
+        data(2 * j + 1) = (s & 0xff).toByte
+      } else {
         data(2 * j) = (s & 0xff).toByte
         data(2 * j + 1) = ((s >> 8) & 0xff).toByte
-        j += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(
-        rate.toFloat, 16, channels, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, big)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, t, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic audio as a REAL PCM16 WAV (see
+    * [[encodeSynthetic]] for the sample formula); q120 uses this to
+    * put the real audio codec path under the driver's hash gate (the
+    * oracle computes the same integer sums from the formula, never
+    * touching an audio API). */
+  def syntheticWav(id: Column): Column = {
+    val f = udf { (id: Long) =>
+      encodeSynthetic(id, big = false,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE)
     }
     f(id)
+  }
+
+  /** [[syntheticWav]] generalized over the container: `format` ∈
+    * wav|aiff|au selects the file type (endianness to match — the IFF
+    * family is big-endian). Unknown format labels fail the task loudly
+    * rather than emitting a payload that silently stubs downstream. */
+  def syntheticAudio(id: Column, format: Column): Column = {
+    val f = udf { (id: Long, fmt: String) =>
+      fmt match {
+        case "wav" => encodeSynthetic(id, big = false,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)
+        case "aiff" => encodeSynthetic(id, big = true,
+          javax.sound.sampled.AudioFileFormat.Type.AIFF)
+        case "au" => encodeSynthetic(id, big = true,
+          javax.sound.sampled.AudioFileFormat.Type.AU)
+        case other => throw new IllegalArgumentException(
+          s"syntheticAudio: unknown container '$other' (wav|aiff|au)")
+      }
+    }
+    f(id, format)
   }
 
   /** GIF magic sniff (87a/89a) — animated GIF is the one real

@@ -155,6 +155,28 @@ class MultimodalSpec extends SparkSpec {
     assert(eight.isNullAt(0), "8-bit PCM must fall back, not mis-decode")
   }
 
+  test("AIFF/AU containers decode to lanes identical to the WAV of the same clip") {
+    // the q161 property locally: three lossless PCM containers of one
+    // clip must yield bit-identical integer stats through the single
+    // endian-aware audioStats path
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("media_id")
+    def lanes(fmt: String) = ids
+      .withColumn("payload",
+        Multimodal.syntheticAudio($"media_id", lit(fmt)))
+      .select($"media_id", Multimodal.audioStats($"payload").as("st"))
+      .select($"media_id", $"st.*").orderBy($"media_id").collect().toSeq
+    val wav = lanes("wav")
+    assert(lanes("aiff") === wav)
+    assert(lanes("au") === wav)
+    assert(wav.forall(!_.isNullAt(1)), "every container must really decode")
+    // magic-sniffed garbage degrades to null for the new containers too
+    val bad = Seq(
+      (1L, "FORMxxxxAIFFgarbage".getBytes("UTF-8")),
+      (2L, ".sndgarbage".getBytes("UTF-8"))).toDF("id", "payload")
+      .select(Multimodal.audioStats($"payload").as("st")).collect()
+    bad.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("GIF video roundtrip: multi-frame decode recovers closed-form gray sums and motion") {
     // local replay of the syntheticGif formula — frame count, dims,
     // total gray, inter-frame motion — across frame counts 2..5
