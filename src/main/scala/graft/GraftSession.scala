@@ -69,6 +69,16 @@ object GraftSession {
       graft.operators.TextAnalysis.redactPii(GraftBridge.column(es(0)))), "built-in")
     reg.createOrReplaceTempFunction("sq8_scale", es => GraftBridge.resolvedExpression(
       graft.functions.VectorFunctions.sq8Scale(GraftBridge.column(es(0)))), "built-in")
+    // SQL faces for the rest of the curation layer (round 8): a
+    // SQL-only user reaches normalization, quality scoring and
+    // language ID the same way the DataFrame API does — one source of
+    // semantics, exercised under q162's DuckDB hash gate.
+    reg.createOrReplaceTempFunction("normalize_text", es => GraftBridge.resolvedExpression(
+      graft.operators.TextAnalysis.normalizeText(GraftBridge.column(es(0)))), "built-in")
+    reg.createOrReplaceTempFunction("quality_score", es => GraftBridge.resolvedExpression(
+      graft.operators.TextAnalysis.qualityScore(GraftBridge.column(es(0)))), "built-in")
+    reg.createOrReplaceTempFunction("language_id", es => GraftBridge.resolvedExpression(
+      graft.operators.TextAnalysis.languageId(GraftBridge.column(es(0)))), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

@@ -2107,6 +2107,24 @@ object SparkEntry {
         ORDER BY query_id, neighbor_id""")
     }),
 
+    // q162: the CURATION layer through the SQL frontend — the
+    // round-7 gap: q54/q55 exposed the vector kernels to SQL, but a
+    // SQL-only user couldn't reach normalization / quality / langid /
+    // PII redaction. All four are registered the q55 way (the SAME
+    // Column compositions the DataFrame API runs — one source of
+    // semantics) and exercised verbatim through spark.sql under a full
+    // DuckDB oracle assembled from the q144/q42/q153 mirror fragments.
+    "q162_sql_curation" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id,
+        quality_score(text) AS quality,
+        language_id(text) AS lang_pred,
+        normalize_text(text) AS norm_text,
+        redact_pii(text) AS redacted
+        FROM documents ORDER BY doc_id""")
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -4930,6 +4948,56 @@ object SparkEntry {
              '[\x00-\x1F\x7F]', ' ', 'g'),
              '\s+', ' ', 'g')))::INT AS n_after
          FROM dirty ORDER BY doc_id""",
+    // the four SQL-face curation functions mirrored from the q42
+    // (quality/langid), q144 (normalize) and q153 (redaction chain)
+    // oracle fragments — one query certifies the whole SQL frontend
+    "q162_sql_curation" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) END AS punct_ratio,
+             CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x)))::DOUBLE
+                 / len(toks) END AS stopword_ratio,
+             list_max([
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'de'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','in','is','that','it','for','with','was','on'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'en'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['el','la','de','que','y','en','los','del','se','las','por','un'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'es'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['le','la','de','et','les','des','en','un','du','une','que','est'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'fr'),
+               struct_pack(score := len(list_filter(toks, x -> list_contains(
+                 ['de','a','o','que','e','do','da','em','um','para','com','uma'], x)))::DOUBLE
+                 / greatest(len(toks), 1), lang := 'pt')]) AS best
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.4 AS DOUBLE)
+             + CASE WHEN stopword_ratio >= 0.01 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE)
+             + CASE WHEN punct_ratio <= 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END * CAST(0.3 AS DOUBLE) AS quality,
+           CASE WHEN best.score > 0.0 THEN best.lang ELSE 'und' END AS lang_pred,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(text),
+             '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+             '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS norm_text,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d ]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM m ORDER BY doc_id""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

@@ -6,6 +6,28 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("SQL faces equal the Column API: normalize_text/quality_score/language_id/redact_pii") {
+    GraftSession.registerFunctions(spark)
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy with that thing there"),
+      (2L, "mail me at a.b@ex.com or 10.1.2.3 or +1 555 0100 3456 now"),
+      (3L, "café  x​yz   spaced")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("graft_sqlface_docs")
+    val viaSql = spark.sql("""SELECT doc_id,
+        normalize_text(text) AS n, quality_score(text) AS q,
+        language_id(text) AS l, redact_pii(text) AS r
+        FROM graft_sqlface_docs ORDER BY doc_id""").collect().toSeq
+    val viaApi = df.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("n"),
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.languageId($"text").as("l"),
+        TextAnalysis.redactPii($"text").as("r"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql(1).getString(4).contains("<EMAIL>") &&
+      viaSql(1).getString(4).contains("<IP>"))
+  }
+
   test("token/char counts and mean token length") {
     val df = Seq(("hello world foo", 1)).toDF("text", "id")
     val r = df.select(
