@@ -24,6 +24,57 @@ import graft.functions.VectorFunctions._
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  // ---- Gate-time shared builds (StoreCache; active only under the
+  // Verify gate's -Dgraft.store.cache=1 — specs and Bench pay real
+  // builds). Each helper is ONE deterministic seeded fit per fixture
+  // that several self-contained queries would otherwise repeat. ----
+
+  /** The (50 trees, leaf 5, seed 42) driver forest shared by the
+    * traversal-family queries (q25/q26/q29/q35/q81/q83/q130). */
+  private def forest50(s: SparkSession, d: String): graft.ann.AnnForestModel =
+    graft.sources.StoreCache.model(s"annforest|50|5|42|$d") {
+      AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
+        .fit(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
+  /** The (50, 5, depth 16, seed 42) distributed forest (q39/q83/q89). */
+  private def dforest50(s: SparkSession, d: String): graft.ann.DistributedAnnModel =
+    graft.sources.StoreCache.model(s"dannforest|50|5|16|42|$d") {
+      graft.ann.DistributedAnnForest(
+          numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L)
+        .fit(Tables.embeddings(s, d))
+    }
+
+  /** The (m 16, seed 42) PQ codebook (q63/q65/q83). */
+  private def pq16(s: SparkSession, d: String): graft.ann.PqModel =
+    graft.sources.StoreCache.model(s"pq|16|42|$d") {
+      graft.ann.PqIndex(m = 16, seed = 42L).fit(Tables.embeddings(s, d))
+    }
+
+  /** The (nlist 16, nprobe 4, seed 42) IVF quantizer (q37/q83). */
+  private def ivf16x4(s: SparkSession, d: String): graft.ann.IvfModel =
+    graft.sources.StoreCache.model(s"ivf|16|4|42|$d") {
+      graft.ann.IvfIndex(nlist = 16, nprobe = 4, seed = 42L)
+        .fit(Tables.embeddings(s, d))
+    }
+
+  /** Shared PRISTINE full-corpus BM25 index for the serving-path
+    * queries (q84/q92/q95/q105): built once per fixture under the
+    * cache, tombstones dropped on every use so each query starts from
+    * the same clean state its private build used to provide (the only
+    * mutation those queries perform is tombstoning — the core tables
+    * stay pristine, which is what makes the share safe; lifecycle
+    * queries that compact/append keep their private builds). */
+  private def sharedDocsIndex(s: SparkSession, d: String): String = {
+    val name = "graft_docs_idx_" +
+      d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+    graft.sources.StoreCache.table(s, name, s"v8|buckets8|$d") {
+      graft.operators.Bm25.buildIndex(Tables.documents(s, d), name, buckets = 8)
+    }
+    graft.sources.Sinks.dropTable(s, s"${name}_tombstones")
+    name
+  }
+
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
@@ -474,8 +525,7 @@ object SparkEntry {
     // B1-B3 + Q1-Q2: seeded forest, batch search for 10 queries.
     "q25_ann_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
+      val model = forest50(s, d)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       model.searchBatch(queries, topK = 10)
@@ -485,8 +535,7 @@ object SparkEntry {
     // Q4: bulk approximate k-NN self-join over the whole table.
     "q26_ann_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
+      val model = forest50(s, d)
       model.knnJoin(e, topK = 10).orderBy(col("query_id"), col("rank"))
     }),
 
@@ -527,8 +576,7 @@ object SparkEntry {
     // AnnForestSpec).
     "q35_ann_bucketed_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
+      val model = forest50(s, d)
       model.knnSelfJoinBucketed(e, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -577,8 +625,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val model = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
+      val model = forest50(s, d)
       model.radiusJoinBucketed(e, q, maxDist = 1.2535, querySpillEps = 0.25)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy(col("query_id"), col("neighbor_id"))
@@ -598,8 +645,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val model = graft.ann.DistributedAnnForest(
-        numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L).fit(e)
+      val model = dforest50(s, d)
       model.radiusJoin(q, maxDist = 1.2535, querySpillEps = 0.25,
           useZoneMaps = true)
         .select(col("query_id"), col("neighbor_id"))
@@ -609,7 +655,7 @@ object SparkEntry {
     // IVF ANN backend: k-means coarse quantizer, nprobe cell probing.
     "q37_ivf_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val model = graft.ann.IvfIndex(nlist = 16, nprobe = 4).fit(e)
+      val model = ivf16x4(s, d)
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       model.knnJoin(e, queries, topK = 10).orderBy(col("query_id"), col("rank"))
@@ -621,8 +667,7 @@ object SparkEntry {
     // memory (~10⁸ rows); see DistributedAnnForest scaladoc.
     "q39_ann_distributed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val model = graft.ann.DistributedAnnForest(
-        numTrees = 50, maxLeafSize = 5, maxDepth = 16, seed = 42L).fit(e)
+      val model = dforest50(s, d)
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       model.knnJoin(queries, topK = 10).orderBy(col("query_id"), col("rank"))
@@ -639,7 +684,7 @@ object SparkEntry {
     // approximation is inside, the contract is exact.
     "q63_pq_refined" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      val pq = pq16(s, d)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val shortlist = pq.knnJoin(pq.encode(e).select("vec_id", "pq_code"),
@@ -664,7 +709,7 @@ object SparkEntry {
     // its own is pinned in PqSpec.
     "q64_ivfpq_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      val pq = pq16(s, d)
       val ivf = graft.ann.IvfIndex(nlist = 16, nprobe = 16, seed = 42L).fit(e)
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -700,11 +745,9 @@ object SparkEntry {
           .crossJoin(exact.agg(count(lit(1)).as("__total")))
           .select(lit(name).as("backend"),
             (col("__hits") / col("__total") >= lit(floor)).cast("int").as("recall_ok"))
-      val forest = AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
-      val dist = graft.ann.DistributedAnnForest(numTrees = 50, maxLeafSize = 5,
-        maxDepth = 16, seed = 42L).fit(e)
-      val pq = graft.ann.PqIndex(m = 16, seed = 42L).fit(e)
+      val forest = forest50(s, d)
+      val dist = dforest50(s, d)
+      val pq = pq16(s, d)
       gate("traversal", 0.90, forest.searchBatch(queries, 10))
         .unionByName(gate("self_bucketed", 0.75,
           forest.knnSelfJoinBucketed(e, topK = 10).filter(col("query_id") < 50)))
@@ -715,8 +758,7 @@ object SparkEntry {
         .unionByName(gate("distributed_spill", 0.93,
           dist.knnJoin(queries, topK = 10, querySpillEps = 0.25)))
         .unionByName(gate("ivf", 0.55,
-          graft.ann.IvfIndex(nlist = 16, nprobe = 4, seed = 42L).fit(e)
-            .knnJoin(e, queries, topK = 10)))
+          ivf16x4(s, d).knnJoin(e, queries, topK = 10)))
         .unionByName(gate("mllib_lsh", 0.88,
           MlLsh.approxKnnJoin(e, queries, k = 10, maxDist = 1e9)))
         .unionByName(gate("pq_adc", 0.75,
@@ -959,8 +1001,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") % 7 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val model = graft.ann.AnnForest(numTrees = 50, maxLeafSize = 5, seed = 42L)
-        .fit(e, "vec_id", "embedding")
+      val model = forest50(s, d)
       val results = model.knnJoinBucketed(e, queries, topK = 10)
         .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
       val truth = graft.operators.KnnExact.knnBatch(e, queries, 10)
@@ -2293,13 +2334,13 @@ object SparkEntry {
     // tombstoned postings were filtered out.
     "q84_bm25_indexed_delete" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.operators.Bm25.buildIndex(docs, "graft_q84_idx", buckets = 8)
-      graft.operators.Bm25.removeDocs(s, "graft_q84_idx",
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
         docs.filter(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
       val qTerms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
         .collect().map(_.getString(0)).toSeq
-      graft.operators.Bm25.scoreIndexed(s, "graft_q84_idx", qTerms)
+      graft.operators.Bm25.scoreIndexed(s, idx, qTerms)
         .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
         .orderBy(col("doc_id"))
     }),
@@ -2312,11 +2353,11 @@ object SparkEntry {
     // into the hybrid path without moving a single score.
     "q95_hybrid_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.operators.Bm25.buildIndex(docs, "graft_q95_idx", buckets = 8)
+      val idx = sharedDocsIndex(s, d)
       val terms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
         .collect().map(_.getString(0)).toSeq
-      val bm = graft.operators.Bm25.scoreIndexed(s, "graft_q95_idx", terms)
+      val bm = graft.operators.Bm25.scoreIndexed(s, idx, terms)
       val sBm = docs.select(col("doc_id"))
         .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
@@ -2416,10 +2457,10 @@ object SparkEntry {
     // one mirrored exactly from the corpus + delete schedule in SQL.
     "q105_index_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.operators.Bm25.buildIndex(docs, "graft_q105_idx", buckets = 8)
-      graft.operators.Bm25.removeDocs(s, "graft_q105_idx",
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
         docs.filter(col("doc_id") % 10 === 1).select(col("doc_id")))
-      graft.operators.Bm25.describeIndex(s, "graft_q105_idx")
+      graft.operators.Bm25.describeIndex(s, idx)
         .orderBy(col("metric"))
     }),
 
@@ -2692,13 +2733,13 @@ object SparkEntry {
     // and the shared-work batch fan-out together.
     "q92_bm25_indexed_batch" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.operators.Bm25.buildIndex(docs, "graft_q92_idx", buckets = 8)
-      graft.operators.Bm25.removeDocs(s, "graft_q92_idx",
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
         docs.filter(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
       val queries = docs.filter(col("doc_id").isin(0, 2, 4))
         .select(col("doc_id").as("query_id"),
           explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
-      graft.operators.Bm25.scoreIndexedBatch(s, "graft_q92_idx", queries)
+      graft.operators.Bm25.scoreIndexedBatch(s, idx, queries)
         .select(col("query_id"), col("doc_id"), col("n_matched"),
           round(col("bm25"), 4).as("bm25"))
         .orderBy(col("query_id"), col("doc_id"))

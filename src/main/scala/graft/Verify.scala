@@ -15,6 +15,10 @@ object Verify {
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     }
+    // gate-time build caching: identical seeded fits/builds shared
+    // across the self-contained queries (StoreCache scaladoc). The
+    // GATE opts in; Bench and specs keep paying real builds.
+    sys.props("graft.store.cache") = "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
