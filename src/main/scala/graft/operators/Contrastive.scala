@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Contrastive training-pair mining — turning the dedup pipeline's
@@ -35,15 +35,13 @@ object Contrastive {
     * the triplet, deterministically). `neg_clean` = 1 unless the draw
     * hit the anchor, the positive, or another of the anchor's
     * positives. */
+  /** The id range the LEGACY (all-long) draw covers; larger id spaces
+    * switch to the decimal mix below. */
+  private val legacyDrawDomain = 2650000000000000L
+
   def tripletsFromPairs(pairs: DataFrame, corpusIds: DataFrame,
       idCol: String, maxIdExclusive: Long): DataFrame = {
     require(maxIdExclusive > 0, "maxIdExclusive must be positive")
-    // the mix below tops out near 2.7e15, so the final reduction only
-    // covers the full id space up to that — plenty for any one corpus
-    // (2.7e15 docs ≈ 10^4 × a 100 TB crawl), checked loudly not capped
-    // silently
-    require(maxIdExclusive <= 2650000000000000L,
-      s"maxIdExclusive $maxIdExclusive exceeds the draw domain (2.65e15)")
     // distinct AFTER symmetrizing: the canonical input is distinct
     // (id_a < id_b) pairs, but a caller passing both orientations or
     // duplicate pair rows would otherwise duplicate triplet rows AND
@@ -58,13 +56,28 @@ object Contrastive {
     // safe range for 64-bit production ids (the q47 overflow
     // discipline), and reduce mod maxIdExclusive DIRECTLY — an
     // intermediate mod 2^32 would confine every draw to the low 4.3B
-    // ids of a larger corpus
+    // ids of a larger corpus. The all-long mix tops out near 2.65e15
+    // (2.65e15 docs ≈ 10^4 × a 100 TB crawl) and is kept bit-stable
+    // for reproducibility (q145's oracle replays it); id spaces BEYOND
+    // that switch to a DECIMAL(38,0) mix whose MMIX-multiplier domain
+    // (~6.4e24) covers every residue of any 63-bit maxIdExclusive —
+    // exactly replayable by HUGEINT arithmetic in a SQL engine, so the
+    // wide path keeps the no-RNG determinism contract (specced against
+    // a BigInt replay).
+    val mix: Column =
+      if (maxIdExclusive <= legacyDrawDomain)
+        pmod(col("anchor_id"), lit(1000003L)) * lit(2654435761L) +
+          pmod(col("pos_id"), lit(999983L)) * lit(40503L) +
+          lit(2246822519L)
+      else {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        pmod(col("anchor_id"), lit(1000003L)).cast(dec) *
+          lit(6364136223846793005L) +
+          pmod(col("pos_id"), lit(999983L)).cast(dec) * lit(40503L) +
+          lit(2246822519L)
+      }
     val drawn = pos.withColumn("neg_id",
-      pmod(
-        pmod(col("anchor_id"), lit(1000003L)) * lit(2654435761L)
-          + pmod(col("pos_id"), lit(999983L)) * lit(40503L)
-          + lit(2246822519L),
-        lit(maxIdExclusive)))
+      pmod(mix, lit(maxIdExclusive)).cast("long"))
     val ids = corpusIds.select(col(idCol).cast("long").as("neg_id")).distinct()
     val posSet = pos.select(col("anchor_id"), col("pos_id").as("neg_id"),
       lit(1).as("__dup"))

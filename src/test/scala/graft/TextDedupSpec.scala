@@ -184,6 +184,23 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(messyOut.sorted.toSeq === out.sorted.toSeq)
 
+    // wide-domain draw (id spaces past the legacy 2.65e15 all-long
+    // domain): the decimal MMIX mix, replayed locally with BigInt
+    val bigMax = Long.MaxValue / 2
+    def drawWide(a: Long, p: Long): Long =
+      ((BigInt(a % 1000003L) * BigInt("6364136223846793005")
+        + BigInt(p % 999983L) * 40503 + 2246822519L)
+        mod BigInt(bigMax)).toLong
+    val sym = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    val wideIds = (Seq(1L, 2L, 3L, 4L) ++ sym.map { case (a, p) => drawWide(a, p) })
+      .toDF("doc_id")
+    val wide = Contrastive.tripletsFromPairs(pairs, wideIds, "doc_id", bigMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wide.length === 4)
+    wide.foreach { case (a, p, n) => assert(n === drawWide(a, p), s"($a,$p)") }
+    // draws past the legacy domain are actually reachable
+    assert(wide.exists(_._3 > 2650000000000000L))
+
     // full-fixture run: flags must equal a local recomputation from the
     // collected pair set, and every negative must exist in the corpus
     val real = TextDedup.minhashPairs(docs, "doc_id", "text",
