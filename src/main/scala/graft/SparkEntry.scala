@@ -2166,6 +2166,20 @@ object SparkEntry {
         FROM documents ORDER BY doc_id""")
     }),
 
+    // q163: DSIR-style importance resampling (Xie et al. 2023) — the
+    // "make the crawl look like the exemplar" selector: raw docs
+    // (lang ≠ es) scored by the log importance ratio of their
+    // unigram+bigram counts under two add-1-smoothed bag-of-ngrams
+    // models (target = the es exemplar slice), top-25 kept with an id
+    // tiebreak. String-feature variant of the paper's hashed features,
+    // which is what makes the whole path exactly SQL-mirrorable.
+    "q163_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.selectTopK(
+        docs.filter(col("lang") =!= "es"),
+        docs.filter(col("lang") === "es"), k = 25)
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -5039,6 +5053,44 @@ object SparkEntry {
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              '\+?\d[\d ]{7,}\d', '<PHONE>', 'g') AS redacted
          FROM m ORDER BY doc_id""",
+    // the DSIR log-ratio replayed term for term: same tokenization,
+    // same unigram+bigram features, same add-1 smoothing over the
+    // joint vocab, same 6dp rounding of the per-doc sum
+    "q163_dsir_select" ->
+      """WITH rawd AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE lang <> 'es'),
+         tgtd AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE lang = 'es'),
+         rng AS (
+           SELECT doc_id, unnest(toks) AS ng FROM rawd
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS ng FROM rawd),
+         tng AS (
+           SELECT doc_id, unnest(toks) AS ng FROM tgtd
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS ng FROM tgtd),
+         cr AS (SELECT ng, count(*) AS n_r FROM rng GROUP BY ng),
+         ct AS (SELECT ng, count(*) AS n_t FROM tng GROUP BY ng),
+         vocab AS (
+           SELECT coalesce(cr.ng, ct.ng) AS ng,
+             coalesce(n_r, 0) AS n_r, coalesce(n_t, 0) AS n_t
+           FROM cr FULL OUTER JOIN ct ON cr.ng = ct.ng),
+         tot AS (SELECT sum(n_r) AS tot_r, sum(n_t) AS tot_t,
+                        count(*) AS v FROM vocab),
+         model AS (
+           SELECT ng,
+             ln((n_t + 1.0::DOUBLE) / (tot_t + 1.0::DOUBLE * v))
+               - ln((n_r + 1.0::DOUBLE) / (tot_r + 1.0::DOUBLE * v)) AS lr
+           FROM vocab, tot),
+         dng AS (SELECT doc_id, ng, count(*) AS c FROM rng GROUP BY doc_id, ng)
+         SELECT doc_id, round(sum(c * lr), 6) AS log_w
+         FROM dng JOIN model USING (ng)
+         GROUP BY doc_id
+         ORDER BY log_w DESC, doc_id LIMIT 25""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

@@ -20,7 +20,8 @@ class DeterminismSpec extends SparkSpec {
       "q94_quality_floor", "q107_source_drift", "q141_nb_classifier",
       "q142_snapshot_diff", "q145_contrastive_triplets", "q147_skew_report",
       "q148_join_size", "q149_padding_curve", "q151_pipeline_funnel",
-      "q152_quantile_buckets", "q155_temperature_mix", "q158_dedup_dashboard")
+      "q152_quantile_buckets", "q155_temperature_mix", "q158_dedup_dashboard",
+      "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("importance weights rank target-like raw docs above disjoint ones") {
+    val target = Seq((100L, "alpha beta alpha beta"), (101L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"), // shares unigrams AND the alpha-beta bigram
+      (2L, "delta epsilon zeta"), // fully disjoint from the target
+      (3L, "alpha delta")) // one shared unigram
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w(1L) > w(3L), s"target-like must outrank partial: $w")
+    assert(w(3L) > w(2L), s"partial must outrank disjoint: $w")
+    val top = Dsir.selectTopK(raw, target, 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 3L))
+  }
+
+  test("q163 plan: partial aggs, no window, heap top-k") {
+    val p = SparkEntry.queries("q163_dsir_select")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must heap-prune:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
+}
