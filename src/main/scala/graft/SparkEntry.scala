@@ -2644,6 +2644,29 @@ object SparkEntry {
         idCol = "doc_id", k = 20, kRrf = 60, cand = 200)
     }),
 
+    // q164: the same hybrid legs fused by CONVEX min-max-normalized
+    // weighted sum (score-aware, vs q79's rank-only RRF) — each leg
+    // normalizes against a broadcast 1-row (min, max), the corpus
+    // frames join on the id, and the top-20 heap-prunes. Weight 0.7
+    // toward the lexical leg; 1−w computed in doubles on BOTH sides so
+    // the oracle's arithmetic is bit-identical.
+    "q164_hybrid_linear" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      val bm = graft.operators.Bm25.score(docs, terms)
+      val sBm = docs.select(col("doc_id"))
+        .join(bm.select(col("doc_id"), col("bm25")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("s"))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+      val sCos = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), col("__qvec")).as("cos"))
+      graft.operators.RankFusion.linearTopK(
+        sBm, "s", sCos, "cos", idCol = "doc_id", k = 20, weightA = 0.7)
+    }),
+
     // Batch BM25 — many queries served in one plan: corpus-side tf/df
     // computed once over the term union, per-query fan-out via a
     // broadcast of the tiny (query_id, term) table. Queries = first 5
@@ -4302,6 +4325,51 @@ object SparkEntry {
            round(1.0::DOUBLE / (60 + rank_bm25) + 1.0::DOUBLE / (60 + rank_cos), 6) AS rrf
          FROM rb JOIN rc USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q79's legs fused linearly: min-max normalization per leg, convex
+    // weights with 1−w computed in doubles exactly as the engine does
+    "q164_hybrid_linear" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (
+           SELECT tf.doc_id,
+             sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl))) AS bm25
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+           GROUP BY tf.doc_id),
+         sb AS (
+           SELECT d.doc_id, coalesce(bm.bm25, 0.0::DOUBLE) AS s
+           FROM documents d LEFT JOIN bm USING (doc_id)),
+         sc AS (
+           SELECT vec_id AS doc_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS s
+           FROM embeddings),
+         na AS (
+           SELECT doc_id, CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+             ELSE 0.0::DOUBLE END AS n
+           FROM sb, (SELECT min(s) AS mn, max(s) AS mx FROM sb)),
+         nb AS (
+           SELECT doc_id, CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+             ELSE 0.0::DOUBLE END AS n
+           FROM sc, (SELECT min(s) AS mn, max(s) AS mx FROM sc))
+         SELECT na.doc_id, round(na.n, 6) AS norm_a, round(nb.n, 6) AS norm_b,
+           round(0.7::DOUBLE * na.n + (1.0::DOUBLE - 0.7::DOUBLE) * nb.n, 6) AS fused
+         FROM na JOIN nb ON na.doc_id = nb.doc_id
+         ORDER BY fused DESC, na.doc_id LIMIT 20""",
     "q80_bm25_batch" ->
       """WITH q AS (
            SELECT DISTINCT doc_id AS query_id,

@@ -165,6 +165,42 @@ object RankFusion {
       .limit(k)
   }
 
+  /** Convex (weighted-sum) score fusion over min-max-normalized legs —
+    * the other standard hybrid-search combiner next to [[rrfTopK]],
+    * score-aware where RRF is rank-only: a runaway best match keeps
+    * its margin instead of collapsing to rank 1. Unlike RRF no global
+    * ranks are needed, so there is no candidate bound to argue: each
+    * leg normalizes against its broadcast 1-row (min, max), the two
+    * corpus frames inner-join on the id (co-partitioned when both legs
+    * derive from the same table), and the fused top-k heap-prunes via
+    * TakeOrderedAndProject — no window, no global sort, no collect.
+    *
+    * A constant leg (min == max) normalizes to 0.0 — it cannot order
+    * anything anyway. Fuse TOTAL frames (coalesce a no-match leg to
+    * its floor upstream, as q164 does) — ids missing from either leg
+    * drop in the inner join. Output: (idCol, norm_a, norm_b, fused),
+    * all rounded 6dp post-arithmetic, ordered fused desc with an id
+    * tiebreak (the total order the LIMIT needs). */
+  def linearTopK(a: DataFrame, scoreA: String, b: DataFrame, scoreB: String,
+      idCol: String, k: Int, weightA: Double = 0.5): DataFrame = {
+    require(weightA >= 0.0 && weightA <= 1.0, s"weightA $weightA outside [0,1]")
+    def norm(df: DataFrame, sc: String, out: String): DataFrame = {
+      val mm = df.agg(min(col(sc)).as("__mn"), max(col(sc)).as("__mx"))
+      df.crossJoin(broadcast(mm)).select(col(idCol),
+        when(col("__mx") > col("__mn"),
+          (col(sc) - col("__mn")) / (col("__mx") - col("__mn")))
+          .otherwise(lit(0.0)).as(out))
+    }
+    norm(a, scoreA, "__na").join(norm(b, scoreB, "__nb"), idCol)
+      .select(col(idCol),
+        round(col("__na"), 6).as("norm_a"),
+        round(col("__nb"), 6).as("norm_b"),
+        round(lit(weightA) * col("__na") + lit(1.0 - weightA) * col("__nb"), 6)
+          .as("fused"))
+      .orderBy(col("fused").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact global ranks for the heap-pruned candidate slice: compose
     * [[topCandidates]] + [[countAheadRanks]]. The caller fuses ranks
     * (RRF or otherwise) over the ≤ `scoreCols.size * cand` result rows

@@ -147,4 +147,32 @@ class RankFusionSpec extends SparkSpec {
     val viaFusion = SparkEntry.queries("q79_hybrid_rrf")(spark, sf0001).collect().toSeq
     assert(viaFusion == viaWindow)
   }
+
+  test("linearTopK: hand-checked normalization, weight extremes, constant leg, plan shape") {
+    import graft.operators.RankFusion
+    val a = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0)).toDF("id", "sa")
+    val b = Seq((1L, 2.0), (2L, 2.0), (3L, 1.0)).toDF("id", "sb")
+    val got = RankFusion.linearTopK(a, "sa", b, "sb", "id", k = 3, weightA = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // norms: a → 0/0.5/1; b → 1/1/0; fused halves
+    assert(got.toSeq === Seq((2L, 0.5, 1.0, 0.75), (1L, 0.0, 1.0, 0.5),
+      (3L, 1.0, 0.0, 0.5)))
+    // weightA = 1 ranks purely by leg a
+    val onlyA = RankFusion.linearTopK(a, "sa", b, "sb", "id", k = 3, weightA = 1.0)
+      .select($"id").as[Long].collect().toSeq
+    assert(onlyA === Seq(3L, 2L, 1L))
+    // a constant leg normalizes to 0 and cannot reorder
+    val const = Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "sb")
+    val viaConst = RankFusion.linearTopK(a, "sa", const, "sb", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(viaConst.forall(_._2 === 0.0))
+    intercept[IllegalArgumentException] {
+      RankFusion.linearTopK(a, "sa", b, "sb", "id", k = 1, weightA = 1.5)
+    }
+    // q164 plan: no window, heap top-k
+    val p = SparkEntry.queries("q164_hybrid_linear")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
