@@ -2180,6 +2180,16 @@ object SparkEntry {
         docs.filter(col("lang") === "es"), k = 25)
     }),
 
+    // q165: distinct-n diversity per source (Li et al. 2016's
+    // distinct-1/2) — the templatedness report a pipeline reads before
+    // admitting synthetic text into a mix. Two narrow explodes, two
+    // partial-agg counts; ngram pairs shuffle, never documents.
+    "q165_distinct_ngrams" -> ((s, d) => {
+      TextAnalysis.distinctNgrams(
+          GraftSession.widen(Tables.documents(s, d)), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -5159,6 +5169,24 @@ object SparkEntry {
          FROM dng JOIN model USING (ng)
          GROUP BY doc_id
          ORDER BY log_w DESC, doc_id LIMIT 25""",
+    // distinct-n mirrored: same tokenization, same bigram fold, ratios
+    // rounded after a double division
+    "q165_distinct_ngrams" ->
+      """WITH t AS (
+           SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         u AS (SELECT source, unnest(toks) AS ng FROM t),
+         b AS (SELECT source, unnest(list_transform(range(len(toks) - 1),
+           i -> toks[i+1] || ' ' || toks[i+2])) AS ng FROM t),
+         ru AS (SELECT source, count(*) AS total_1,
+                  count(DISTINCT ng) AS distinct_1 FROM u GROUP BY source),
+         rb AS (SELECT source, count(*) AS total_2,
+                  count(DISTINCT ng) AS distinct_2 FROM b GROUP BY source)
+         SELECT source, total_1, distinct_1,
+           round(distinct_1::DOUBLE / total_1, 6) AS ratio_1,
+           total_2, distinct_2,
+           round(distinct_2::DOUBLE / total_2, 6) AS ratio_2
+         FROM ru JOIN rb USING (source) ORDER BY source""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

@@ -531,4 +531,34 @@ object TextAnalysis {
         round(log(col("n0").cast("double") / (col("n1") + col("n0"))) + col("p0"), 6).as("s0"))
       .withColumn("pred", (col("s1") > col("s0")).cast("int"))
   }
+
+  /** Corpus diversity by DISTINCT-N (Li et al. 2016's distinct-1/2 —
+    * the "how templated is this slice" number synthetic-data pipelines
+    * watch before mixing generated text into training data): per
+    * slice, distinct n-grams over total n-grams for n = 1, 2. Two
+    * narrow explodes and two partial-aggregated counts; the distinct
+    * count shuffles compact (slice, ngram) pairs, never documents. A
+    * slice whose docs are all single-token has no bigrams and drops in
+    * the inner join — a report row with an undefined ratio_2 would be
+    * noise, not signal. Ratios rounded 6dp post-division (aggregate-
+    * rounding discipline). */
+  def distinctNgrams(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val uni = df.select(col(sliceCol), explode(toks).as("ng"))
+    val bi = df.select(col(sliceCol), explode(
+        zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("ng"))
+    def rep(c: org.apache.spark.sql.DataFrame, n: Int) =
+      c.groupBy(col(sliceCol)).agg(
+        count(lit(1)).as(s"total_$n"),
+        count_distinct(col("ng")).as(s"distinct_$n"))
+    rep(uni, 1).join(rep(bi, 2), sliceCol)
+      .withColumn("ratio_1",
+        round(col("distinct_1").cast("double") / col("total_1"), 6))
+      .withColumn("ratio_2",
+        round(col("distinct_2").cast("double") / col("total_2"), 6))
+  }
 }

@@ -25,9 +25,13 @@ import graft.operators.{Bm25, SnapshotDiff}
   * fingerprint log `<name>_fplog` (id, xxhash64(text), ver — bucketed
   * by id) holds one row per upsert, deletes logged with a null hash.
   * The per-batch probe broadcasts the batch's ids into a semi-join and
-  * takes latest-ver-wins over only the matching rows — per-batch cost
-  * follows the BATCH, not the log (the IngestDedup store discipline);
-  * [[compactFingerprints]] folds the log back to one row per live id.
+  * takes latest-ver-wins over only the matching rows — all JOIN and
+  * aggregation work is batch-bounded and nothing log-sized shuffles;
+  * the probe does still SCAN the log's three narrow columns (the
+  * IngestDedup store stance: if that scan ever dominates, the lever is
+  * partitioning the log by an id-hash prefix so small batches prune
+  * files, not literal key lists). [[compactFingerprints]] folds the
+  * log back to one row per live id, which also bounds the scan.
   * A 64-bit content hash can collide (probability ~batch·2⁻⁶⁴ per
   * batch) — a collision misses ONE update, never corrupts the store.
   *

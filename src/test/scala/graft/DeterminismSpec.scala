@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkSpec {
       "q142_snapshot_diff", "q145_contrastive_triplets", "q147_skew_report",
       "q148_join_size", "q149_padding_curve", "q151_pipeline_funnel",
       "q152_quantile_buckets", "q155_temperature_mix", "q158_dedup_dashboard",
-      "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select")
+      "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select",
+      "q164_hybrid_linear", "q165_distinct_ngrams")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)
