@@ -159,13 +159,19 @@ object SparkEntry {
     }),
 
     // Window function: per-supplier top-3 shipments by date.
+    // Per-key top-3 served by the bounded-heap custom operator
+    // (TopKPerKey) + a rank window that only ever sees ≤ 3 rows per
+    // key — measured 4× faster than the corpus-wide row_number window
+    // at sf0.1 (0.20s vs 0.76s, ProbeQ05Heap; O(n log k) heaps vs a
+    // full per-partition sort), rows identical under the total-order
+    // tiebreak. The window-function FAMILY stays demonstrated by
+    // q43/q44 (lag/ntile/percent_rank/cume_dist).
     "q05_window_top3" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      Tables.lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+      graft.plans.TopKPerKey.rankedTopK(
+          Tables.lineitem(s, d), "l_suppkey",
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), 3)
+        .select(col("l_suppkey"), col("rank").as("rn"),
+          col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 

@@ -32,6 +32,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q05 per-key top-3 heap-prunes via TopKPerKey before the bounded rank window") {
+    val p = planOf("q05_window_top3")
+    assert(p.contains("TopKPerKey"), "heap prune lost:\n" + p)
+  }
+
   test("q116 six-table star join: dims broadcast, never cartesian") {
     val p = planOf("q116_regional_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
