@@ -68,7 +68,8 @@ object SparkEntry {
   private def sharedDocsIndex(s: SparkSession, d: String): String = {
     val name = "graft_docs_idx_" +
       d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
-    graft.sources.StoreCache.table(s, name, s"v8|buckets8|$d") {
+    graft.sources.StoreCache.table(s, name, s"v8|buckets8|$d",
+      Seq("_postings", "_terms", "_doclens", "_stats").map(name + _)) {
       graft.operators.Bm25.buildIndex(Tables.documents(s, d), name, buckets = 8)
     }
     graft.sources.Sinks.dropTable(s, s"${name}_tombstones")

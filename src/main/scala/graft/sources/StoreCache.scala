@@ -42,8 +42,15 @@ object StoreCache {
     else memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
   /** Run `build` (which writes warehouse tables for `name`) unless a
-    * marker records that the same `key` already built them. */
-  def table(spark: SparkSession, name: String, key: String)(build: => Unit): Unit = {
+    * marker records that the same `key` already built them AND every
+    * `probeTables` entry is present in the session catalog. The
+    * catalog probe is what bounds the cache to one JVM in practice:
+    * table directories survive on disk, but the in-memory catalog does
+    * not — a marker alone would skip the build and then fail the first
+    * read with TABLE_OR_VIEW_NOT_FOUND (exactly what a repeated gate
+    * run over the same warehouse exposed). */
+  def table(spark: SparkSession, name: String, key: String,
+      probeTables: Seq[String])(build: => Unit): Unit = {
     if (!enabled) { build; return }
     val p = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
@@ -56,7 +63,7 @@ object StoreCache {
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       }
-    if (have == key) return
+    if (have == key && probeTables.forall(spark.catalog.tableExists)) return
     if (fs.exists(p)) fs.delete(p, false)
     build
     val out = fs.create(p, true)
