@@ -2197,6 +2197,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q166: Gopher's top-2-gram repetition rule — the phrase-level
+    // repetition dupLineRatio can't see (q68's line dedup scores 0 on
+    // a doc repeating one phrase inside long lines). Argmax as
+    // max-of-struct per doc: partial-agg, deterministic ties, no
+    // window.
+    "q166_top_ngram" -> ((s, d) => {
+      TextAnalysis.topNgramCharFraction(
+          GraftSession.widen(Tables.documents(s, d)), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -5194,6 +5205,26 @@ object SparkEntry {
            total_2, distinct_2,
            round(distinct_2::DOUBLE / total_2, 6) AS ratio_2
          FROM ru JOIN rb USING (source) ORDER BY source""",
+    // the top-2-gram argmax mirrored as max-of-struct (score first,
+    // then the ngram string — the same deterministic tiebreak)
+    "q166_top_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tot AS (
+           SELECT doc_id, list_sum(list_transform(toks, x -> length(x))) AS chars
+           FROM t),
+         ng AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+           i -> toks[i+1] || ' ' || toks[i+2])) AS ng FROM t),
+         c AS (SELECT doc_id, ng, count(*) AS cnt FROM ng GROUP BY doc_id, ng),
+         top AS (
+           SELECT doc_id,
+             max(struct_pack(score := cnt * (length(ng) - 1), ng := ng)) AS s
+           FROM c GROUP BY doc_id)
+         SELECT top.doc_id, s.ng AS top_ngram,
+           round(CASE WHEN chars > 0 THEN s.score::DOUBLE / chars
+                 ELSE 0.0::DOUBLE END, 6) AS top_ngram_char_frac
+         FROM top JOIN tot USING (doc_id) ORDER BY doc_id""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

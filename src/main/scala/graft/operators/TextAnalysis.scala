@@ -216,6 +216,46 @@ object TextAnalysis {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
         / size(toks).cast("double"))
 
+  /** Gopher's top-n-gram repetition rule — the one repetition filter
+    * [[dupLineRatio]] doesn't see: a document that repeats one phrase
+    * inside long lines scores 0 on line-dedup but high here. Per doc:
+    * the most frequent word n-gram (ties broken by the n-gram string —
+    * deterministic, SQL-mirrorable) and the fraction of the document's
+    * token characters its occurrences cover
+    * (count × token-chars-of-the-ngram / Σ token chars). Gopher drops
+    * docs above per-n thresholds (0.20 for 2-grams, 0.18 for 3-grams,
+    * 0.16 for 4-grams).
+    *
+    * Scale shape: one n-gram explode, a (doc, ngram) partial-agg
+    * count, an argmax as max-of-struct per doc (partial-agg, no
+    * window), one id-keyed join with the per-doc char totals. Docs
+    * with fewer than n tokens have no n-gram and drop (a 0-row is
+    * noise — they cannot be phrase-repetitive). */
+  def topNgramCharFraction(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val t = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val totals = t.select(col(idCol),
+      aggregate(col("__toks"), lit(0L), (a, x) => a + length(x)).as("__chars"))
+    val ngs = t.select(col(idCol), explode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val top = ngs.groupBy(col(idCol), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), struct(
+        (col("cnt") * (length(col("ng")) - lit(n - 1))).as("score"),
+        col("ng")).as("s"))
+      .groupBy(col(idCol)).agg(max(col("s")).as("s"))
+    top.join(totals, idCol)
+      .select(col(idCol), col("s.ng").as("top_ngram"),
+        round(when(col("__chars") > 0,
+          col("s.score").cast("double") / col("__chars"))
+          .otherwise(lit(0.0)), 6).as("top_ngram_char_frac"))
+  }
+
   /** Gopher keep/drop from PRE-COMPUTED metric columns (the scale
     * form — one tokenization, one line split per row; q68 shape). */
   def gopherKeepFromMetrics(

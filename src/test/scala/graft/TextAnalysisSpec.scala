@@ -28,6 +28,18 @@ class TextAnalysisSpec extends SparkSpec {
       viaSql(1).getString(4).contains("<IP>"))
   }
 
+  test("topNgramCharFraction: hand-checked coverage, deterministic tie, short docs drop") {
+    val df = Seq(
+      (1L, "a b a b a b"), // "a b"×3 (score 6) beats "b a"×2 (4); frac 6/6
+      (2L, "x y z"), // tie at score 2 → larger ngram string "y z" wins
+      (3L, "solo")) // < 2 tokens → no bigram → dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramCharFraction(df, "doc_id", "text", n = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a b", 1.0), (2L, "y z", 0.666667)))
+  }
+
   test("token/char counts and mean token length") {
     val df = Seq(("hello world foo", 1)).toDF("text", "id")
     val r = df.select(
