@@ -406,4 +406,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("DSIR weights: permutation-invariant, target-doc-in-raw maximal on its own vocab (random data)") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = for {
+      n <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(n,
+        Gen.listOfN(8, wordGen).map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 3).foreach { i =>
+      val rows = docGen(Gen.Parameters.default, Seed(900L + i)).get
+      val raw = rows.toDF("doc_id", "text")
+      val target = rows.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+      val w1 = graft.operators.Dsir.importanceWeights(raw, target)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // permutation invariance: shuffled input, same weights
+      val w2 = graft.operators.Dsir.importanceWeights(
+          scala.util.Random.shuffle(rows).toDF("doc_id", "text"), target)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(w1 === w2, s"seed ${900 + i}: weights must not depend on row order")
+      assert(w1.values.forall(v => !v.isNaN && !v.isInfinite))
+    }
+  }
+
+  test("linearTopK: fused always in [0,1] for convex weights; top-1 at extremes is the leg argmax") {
+    val rowGen = for {
+      n <- Gen.choose(5, 25)
+      a <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      b <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (a.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      b.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    (1 to 5).foreach { i =>
+      val (ra, rb) = rowGen(Gen.Parameters.default, Seed(950L + i)).get
+      val a = ra.toDF("id", "sa")
+      val b = rb.toDF("id", "sb")
+      val fused = graft.operators.RankFusion
+        .linearTopK(a, "sa", b, "sb", "id", k = ra.size, weightA = 0.37)
+        .collect().map(r => (r.getLong(0), r.getDouble(3)))
+      assert(fused.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+        s"seed ${950 + i}: convex combination left [0,1]")
+      // weightA = 1: the winner is leg a's argmax (smallest id on ties)
+      val top = graft.operators.RankFusion
+        .linearTopK(a, "sa", b, "sb", "id", k = 1, weightA = 1.0)
+        .head().getLong(0)
+      val best = ra.map(_._2).max
+      assert(ra.filter(_._2 == best).map(_._1).min === top, s"seed ${950 + i}")
+    }
+  }
 }
