@@ -40,6 +40,9 @@ case class DiffStatus(doc_id: Long, status: String)
   * landed inside the anchor's near-dup cluster — drop or redraw). */
 case class Triplet(anchor_id: Long, pos_id: Long, neg_id: Long, neg_clean: Int)
 
+/** Typed DSIR selection row (log_w = 6dp log importance weight). */
+case class DsirPick(doc_id: Long, log_w: Double)
+
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
   * DataFrame-first internally, and this boundary gives pipeline code
@@ -261,4 +264,27 @@ object GraftCuration {
         s => s.getField("tid")).as("token_ids"))
       .as[TokenChunk]
   }
+
+  /** DSIR-style importance selection (q163): the `raw` docs that most
+    * resemble the `target` exemplar corpus under add-α-smoothed
+    * unigram+bigram log importance ratios, top-k with an id tiebreak. */
+  def dsirSelect(raw: Dataset[Document], target: Dataset[Document],
+      k: Int, alpha: Double = 1.0): Dataset[DsirPick] = {
+    import raw.sparkSession.implicits._
+    graft.operators.Dsir.selectTopK(raw.toDF(), target.toDF(), k,
+      alpha = alpha).as[DsirPick]
+  }
+
+  /** Distinct-n templatedness report per slice (q165): distinct-1/2
+    * ratios — the diversity number to read before admitting synthetic
+    * text into a mix. */
+  def diversityReport(docs: Dataset[Document],
+      sliceBy: String = "source"): org.apache.spark.sql.DataFrame =
+    TextAnalysis.distinctNgrams(docs.toDF(), sliceBy, "text")
+
+  /** Gopher's top-n-gram repetition rule per doc (q166): the dominant
+    * phrase and the fraction of token characters it covers. */
+  def topNgramRepetition(docs: Dataset[Document],
+      n: Int = 2): org.apache.spark.sql.DataFrame =
+    TextAnalysis.topNgramCharFraction(docs.toDF(), "doc_id", "text", n)
 }

@@ -101,6 +101,18 @@ class ApiSpec extends SparkSpec {
     assert(mix.map(_.getLong(3)).sum <= 1000L && mix.nonEmpty)
     val sweep = GraftCuration.qualitySweep(docs).collect()
     assert(sweep.length === 6)
+    // round-8 faces: DSIR selection, diversity report, top-ngram rule
+    val picks = GraftCuration.dsirSelect(
+      docs.filter($"lang" =!= "es"), docs.filter($"lang" === "es"), k = 10)
+      .collect()
+    assert(picks.length === 10)
+    assert(picks.map(_.log_w).toSeq === picks.map(_.log_w).sortBy(-_).toSeq)
+    val div = GraftCuration.diversityReport(docs).collect()
+    assert(div.nonEmpty && div.forall { r =>
+      val r1 = r.getAs[Double]("ratio_1"); r1 > 0.0 && r1 <= 1.0 })
+    val rep = GraftCuration.topNgramRepetition(docs).collect()
+    assert(rep.nonEmpty && rep.forall { r =>
+      val f = r.getAs[Double]("top_ngram_char_frac"); f > 0.0 && f <= 1.0 })
   }
 
   test("typed tokenize: decodes back to normalized text; chunks reassemble the stream") {
