@@ -2208,6 +2208,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q167: the companion repetition rule — fraction of token chars
+    // covered by repeated 2-gram occurrences (capped at 1; the
+    // conservative overlap-free approximation, documented in the
+    // operator). One explode, two partial aggs, one id-keyed join.
+    "q167_dup_ngram" -> ((s, d) => {
+      TextAnalysis.dupNgramCharFraction(
+          GraftSession.widen(Tables.documents(s, d)), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -5225,6 +5235,26 @@ object SparkEntry {
            round(CASE WHEN chars > 0 THEN s.score::DOUBLE / chars
                  ELSE 0.0::DOUBLE END, 6) AS top_ngram_char_frac
          FROM top JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // repeated-2-gram coverage: occurrences beyond the first, capped
+    "q167_dup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tot AS (
+           SELECT doc_id, list_sum(list_transform(toks, x -> length(x))) AS chars
+           FROM t),
+         ng AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+           i -> toks[i+1] || ' ' || toks[i+2])) AS ng FROM t),
+         c AS (SELECT doc_id, ng, count(*) AS cnt FROM ng GROUP BY doc_id, ng),
+         dup AS (
+           SELECT doc_id, coalesce(sum(CASE WHEN cnt >= 2
+             THEN (cnt - 1) * (length(ng) - 1) END), 0) AS dup_chars
+           FROM c GROUP BY doc_id)
+         SELECT dup.doc_id,
+           round(CASE WHEN chars > 0
+             THEN least(1.0::DOUBLE, dup_chars::DOUBLE / chars)
+             ELSE 0.0::DOUBLE END, 6) AS dup_ngram_char_frac
+         FROM dup JOIN tot USING (doc_id) ORDER BY doc_id""",
     // store sizes from the corpus: forest rows = first-seen-wins vector
     // dedup survivors × 8 trees; bm25 docs = distinct indexed doc_ids.
     // clean bits are recounted truths (0 residual refs → 1).

@@ -256,6 +256,42 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("top_ngram_char_frac"))
   }
 
+  /** The companion Gopher repetition rule to [[topNgramCharFraction]]:
+    * the fraction of a doc's token characters covered by REPEATED
+    * n-gram occurrences — every occurrence beyond the first of each
+    * n-gram contributes its token-char length, capped at 1 (the
+    * overlap-free approximation of the published "characters in
+    * duplicate n-grams" rule — occurrences can overlap in text, which
+    * an interval-merge would de-overlap; the cap keeps the statistic a
+    * fraction and the whole path one explode + two partial aggs, and
+    * the approximation only ever OVER-counts, so a keep/drop threshold
+    * stays conservative). Same drop-short-docs convention as the
+    * top-n-gram rule. */
+  def dupNgramCharFraction(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val t = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val totals = t.select(col(idCol),
+      aggregate(col("__toks"), lit(0L), (a, x) => a + length(x)).as("__chars"))
+    val ngs = t.select(col(idCol), explode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val dup = ngs.groupBy(col(idCol), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(when(col("cnt") >= 2,
+          (col("cnt") - 1) * (length(col("ng")) - lit(n - 1)))), lit(0L))
+        .as("__dup_chars"))
+    dup.join(totals, idCol)
+      .select(col(idCol),
+        round(when(col("__chars") > 0,
+          least(lit(1.0), col("__dup_chars").cast("double") / col("__chars")))
+          .otherwise(lit(0.0)), 6).as("dup_ngram_char_frac"))
+  }
+
   /** Gopher keep/drop from PRE-COMPUTED metric columns (the scale
     * form — one tokenization, one line split per row; q68 shape). */
   def gopherKeepFromMetrics(

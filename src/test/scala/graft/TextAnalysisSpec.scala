@@ -38,7 +38,13 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy($"doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(got.toSeq === Seq((1L, "a b", 1.0), (2L, "y z", 0.666667)))
-  }
+    // companion rule: repeated-occurrence coverage, capped at 1
+    val dup = TextAnalysis.dupNgramCharFraction(df, "doc_id", "text", n = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1: "a b"×3 → 2 extra × 2 chars; "b a"×2 → 1 extra × 2 chars;
+    // 6/6 = 1.0. doc 2: no repeats → 0.0
+    assert(dup.toSeq === Seq((1L, 1.0), (2L, 0.0)))
 
   test("token/char counts and mean token length") {
     val df = Seq(("hello world foo", 1)).toDF("text", "id")
