@@ -45,6 +45,7 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1: "a b"×3 → 2 extra × 2 chars; "b a"×2 → 1 extra × 2 chars;
     // 6/6 = 1.0. doc 2: no repeats → 0.0
     assert(dup.toSeq === Seq((1L, 1.0), (2L, 0.0)))
+  }
 
   test("token/char counts and mean token length") {
     val df = Seq(("hello world foo", 1)).toDF("text", "id")
