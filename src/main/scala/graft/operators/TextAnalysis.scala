@@ -293,7 +293,12 @@ object TextAnalysis {
   }
 
   /** Gopher keep/drop from PRE-COMPUTED metric columns (the scale
-    * form — one tokenization, one line split per row; q68 shape). */
+    * form — one tokenization, one line split per row; q68 shape).
+    * The phrase-level repetition rules ([[topNgramCharFraction]],
+    * [[dupNgramCharFraction]] — per-doc AGGREGATIONS, not per-row
+    * expressions) compose on top: join their outputs and AND e.g.
+    * `top_ngram_char_frac <= 0.20 && dup_ngram_char_frac <= 0.20`
+    * into this keep column. */
   def gopherKeepFromMetrics(
       nTok: Column, meanLen: Column, symRatio: Column,
       dupRatio: Column, alphaRatio: Column,

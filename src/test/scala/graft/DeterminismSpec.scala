@@ -22,7 +22,8 @@ class DeterminismSpec extends SparkSpec {
       "q148_join_size", "q149_padding_curve", "q151_pipeline_funnel",
       "q152_quantile_buckets", "q155_temperature_mix", "q158_dedup_dashboard",
       "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select",
-      "q164_hybrid_linear", "q165_distinct_ngrams")
+      "q164_hybrid_linear", "q165_distinct_ngrams", "q166_top_ngram",
+      "q167_dup_ngram")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)

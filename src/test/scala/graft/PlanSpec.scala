@@ -355,6 +355,14 @@ class PlanSpec extends SparkSpec {
       "1-row threshold frame must broadcast:\n" + p)
   }
 
+  test("q165/q166/q167 corpus reports: partial aggs, never a window") {
+    for (q <- Seq("q165_distinct_ngrams", "q166_top_ngram", "q167_dup_ngram")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q planned a window:\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+    }
+  }
+
   test("Bm25.appendDocs derived-table merge never scans the standing postings/doclens") {
     // the incremental-maintenance contract: a delta append refreshes
     // `_terms`/`_stats` from the DELTA merged into the vocab-sized /
