@@ -2218,6 +2218,87 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q168: INVARIANT GATE for the rows-only families (the q83
+    // pattern, extended beyond ANN): the no_oracle queries carry spec
+    // coverage, but specs don't run in the driver's gate — this query
+    // recomputes each family's defining invariant IN-ENGINE and emits
+    // deterministic ok-bits hash-checked against a constant-truth
+    // oracle. simhash: banded pair set ≡ brute-force Hamming pairs
+    // (covers q31). bpe: decode∘encode reproduces the normalized text
+    // on the in-alphabet slice (covers q117's serving contract). hll:
+    // approx_count_distinct within 5% of exact on q20b's targets
+    // (HLL++ is deterministic for given data — a constant bit).
+    // deflate: doubling every doc lowers the mean ratio — the
+    // redundancy ordering q118's quality proxy relies on. semdedup:
+    // survivors/removed partition the corpus and every removed id has
+    // a near-dup link (covers q74).
+    "q168_invariant_gates" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+
+      val fp = docs.select(col("doc_id").as("id"),
+        TextDedup.simhash(col("text"), 2).as("fp")).localCheckpoint()
+      val banded = TextDedup.simhashPairsBandedFp(fp, maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+      val brute = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+        .filter(TextDedup.hamming(col("x.fp"), col("y.fp")) <= 8)
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      val simhashOk = banded.exceptAll(brute).isEmpty &&
+        brute.exceptAll(banded).isEmpty
+
+      val inAlpha = docs.filter(lower(col("text")).rlike("^[a-wy\\s]*$"))
+      val decodeU = udf { ids: Seq[Long] =>
+        graft.operators.Bpe.decodeIds(ids, BpeAssets.vocab) }
+      val norm = concat_ws(" ",
+        filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))
+      val bpeRows = inAlpha.select(
+          (decodeU(graft.operators.Bpe.encodeIds(col("text"),
+            BpeAssets.merges, BpeAssets.vocabMap)) === norm).as("ok"))
+        .agg(count(lit(1)).as("n"), sum(when(col("ok"), 0).otherwise(1)).as("bad"))
+        .head()
+      val bpeOk = bpeRows.getLong(0) > 0 && bpeRows.getLong(1) == 0
+
+      val li = Tables.lineitem(s, d)
+      val h = li.agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        count_distinct(col("l_partkey")).as("ep"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        count_distinct(col("l_orderkey")).as("eo")).head()
+      def close(a: Long, e: Long) = math.abs(a - e) <= 0.05 * e
+      val hllOk = close(h.getLong(0), h.getLong(1)) &&
+        close(h.getLong(2), h.getLong(3))
+
+      val defl = docs.agg(
+        avg(TextAnalysis.compressionRatio(col("text"))).as("r1"),
+        avg(TextAnalysis.compressionRatio(
+          concat(col("text"), lit(" "), col("text")))).as("r2")).head()
+      val deflateOk = defl.getDouble(1) < defl.getDouble(0)
+
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val surv = graft.operators.SemanticDedup.survivors(
+        e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
+        .select(col("vec_id")).localCheckpoint()
+      val removed = e.select(col("vec_id")).join(surv, Seq("vec_id"), "left_anti")
+      val pairs = graft.operators.SemanticDedup.cellPairs(
+        e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
+      val linked = pairs.select(col("id_a").as("vec_id"))
+        .unionByName(pairs.select(col("id_b").as("vec_id"))).distinct()
+      val semOk = surv.join(e, Seq("vec_id"), "left_anti").isEmpty &&
+        removed.join(linked, Seq("vec_id"), "left_anti").isEmpty &&
+        surv.count() + removed.count() == e.count()
+
+      Seq(
+        ("bpe_roundtrip", if (bpeOk) 1 else 0),
+        ("deflate_redundancy_orders", if (deflateOk) 1 else 0),
+        ("hll_within_5pct", if (hllOk) 1 else 0),
+        ("semdedup_partition", if (semOk) 1 else 0),
+        ("simhash_banded_eq_brute", if (simhashOk) 1 else 0))
+        .toDF("component", "ok")
+        .orderBy(col("component"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -3296,6 +3377,14 @@ object SparkEntry {
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // constant-truth invariant bits, the q83 pattern over the
+    // remaining rows-only families
+    "q168_invariant_gates" ->
+      """SELECT * FROM (VALUES
+           ('bpe_roundtrip', 1), ('deflate_redundancy_orders', 1),
+           ('hll_within_5pct', 1), ('semdedup_partition', 1),
+           ('simhash_banded_eq_brute', 1)) t(component, ok)
+         ORDER BY component""",
     "q83_ann_recall_gate" ->
       """SELECT * FROM (VALUES
            ('traversal', 1), ('self_bucketed', 1), ('bucketed_spill', 1),
