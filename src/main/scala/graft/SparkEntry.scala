@@ -2289,12 +2289,31 @@ object SparkEntry {
         removed.join(linked, Seq("vec_id"), "left_anti").isEmpty &&
         surv.count() + removed.count() == e.count()
 
+      // q41's remaining rows-only columns: the xxhash64 fingerprint
+      // must be a function of the normalized token stream (equal
+      // streams → equal fps) and collision-free on the fixture
+      // (distinct fps == distinct streams — deterministic, so a
+      // constant bit), and the subword splitter can only refine the
+      // whitespace tokenization (subwords ≥ tokens on every doc)
+      val fpr = docs.select(
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        concat_ws(" ", TextAnalysis.tokens(col("text"))).as("stream"),
+        (TextAnalysis.subwordCount(col("text")) >=
+          TextAnalysis.tokenCount(col("text"))).as("sw_ok"))
+        .agg(count_distinct(col("fp")).as("nfp"),
+          count_distinct(col("stream")).as("nst"),
+          sum(when(col("sw_ok"), 0).otherwise(1)).as("sw_bad")).head()
+      val fpOk = fpr.getLong(0) == fpr.getLong(1)
+      val swOk = fpr.getLong(2) == 0
+
       Seq(
         ("bpe_roundtrip", if (bpeOk) 1 else 0),
         ("deflate_redundancy_orders", if (deflateOk) 1 else 0),
+        ("fingerprint_stream_bijective", if (fpOk) 1 else 0),
         ("hll_within_5pct", if (hllOk) 1 else 0),
         ("semdedup_partition", if (semOk) 1 else 0),
-        ("simhash_banded_eq_brute", if (simhashOk) 1 else 0))
+        ("simhash_banded_eq_brute", if (simhashOk) 1 else 0),
+        ("subwords_refine_tokens", if (swOk) 1 else 0))
         .toDF("component", "ok")
         .orderBy(col("component"))
     }),
@@ -3382,8 +3401,9 @@ object SparkEntry {
     "q168_invariant_gates" ->
       """SELECT * FROM (VALUES
            ('bpe_roundtrip', 1), ('deflate_redundancy_orders', 1),
-           ('hll_within_5pct', 1), ('semdedup_partition', 1),
-           ('simhash_banded_eq_brute', 1)) t(component, ok)
+           ('fingerprint_stream_bijective', 1), ('hll_within_5pct', 1),
+           ('semdedup_partition', 1), ('simhash_banded_eq_brute', 1),
+           ('subwords_refine_tokens', 1)) t(component, ok)
          ORDER BY component""",
     "q83_ann_recall_gate" ->
       """SELECT * FROM (VALUES
