@@ -83,4 +83,41 @@ object Dsir {
     importanceWeights(raw, target, idCol, textCol, alpha)
       .orderBy(col("log_w").desc, col(idCol))
       .limit(k)
+
+  /** The 100 TB serving form of [[importanceWeights]]: every n-gram is
+    * reduced to its xxhash64 BEFORE the aggregations and the model
+    * join, so the shuffles carry 8-byte keys instead of strings (the
+    * q30 lesson — 64-bit shingle keys measured ~9× over the string
+    * form at sf0.1, the same width effect applies to the (doc, ngram)
+    * grain here; ProbeR12Stress quantifies this pipeline). A 64-bit
+    * collision merges two n-grams' statistics — probability
+    * ~vocab²·2⁻⁶⁴, and the fixture has none, so the spec pins this
+    * EQUAL to the string form there (which is what certifies the
+    * rewrite); the string form stays the oracle path. */
+  def importanceWeightsHashed(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed models divide by zero)")
+    def hashed(df: DataFrame) = ngrams(df, idCol, textCol)
+      .select(col(idCol), xxhash64(col("ng")).as("ng"))
+    val docNg = hashed(raw)
+      .groupBy(col(idCol), col("ng")).agg(count(lit(1)).as("c"))
+    val nR = hashed(raw).groupBy(col("ng")).agg(count(lit(1)).as("n_r"))
+    val nT = hashed(target).groupBy(col("ng")).agg(count(lit(1)).as("n_t"))
+    val vocab = nR.join(nT, Seq("ng"), "full_outer")
+      .select(col("ng"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"))
+    val totals = vocab.agg(
+      sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"),
+      count(lit(1)).as("v"))
+    val model = vocab.crossJoin(broadcast(totals))
+      .select(col("ng"),
+        (log((col("n_t") + lit(alpha)) / (col("tot_t") + lit(alpha) * col("v")))
+          - log((col("n_r") + lit(alpha)) / (col("tot_r") + lit(alpha) * col("v"))))
+          .as("lr"))
+    docNg.join(model, "ng")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c") * col("lr")), 6).as("log_w"))
+  }
 }

@@ -24,6 +24,19 @@ class DsirSpec extends SparkSpec {
     assert(top === Seq(1L, 3L))
   }
 
+  test("hashed serving form equals the string form on the fixture (no 64-bit collisions)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang")
+    val raw = docs.filter($"lang" =!= "es")
+    val target = docs.filter($"lang" === "es")
+    val s = Dsir.importanceWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = Dsir.importanceWeightsHashed(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s === h, "hash-keyed rewrite must not move a single 6dp weight")
+    assert(s.nonEmpty)
+  }
+
   test("q163 plan: partial aggs, no window, heap top-k") {
     val p = SparkEntry.queries("q163_dsir_select")(spark, sf0001)
       .queryExecution.executedPlan.toString
