@@ -91,31 +91,13 @@ object IndexMaintenance {
       return live.select(col(idCol), lit("added").as("status")).localCheckpoint()
     }
 
-    // latest-wins fingerprints for ONLY the batch's ids (broadcast
-    // semi-join; log rows stream past the probe — no log-sized shuffle)
-    val prior = spark.table(s"${name}_fplog")
-      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_semi")
-      .groupBy(col(idCol))
-      .agg(max(struct(col("ver"), col("h"))).as("s"))
-      .select(col(idCol), col("s.h").as("h"), col("s.ver").as("ver"))
-      .localCheckpoint()
+    val prior = priorFingerprints(spark, name, b, idCol)
     val maxPrior = prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
       .head().getLong(0)
     require(maxPrior < ver,
       s"applyUpserts: ver $ver is not past the log's $maxPrior for these ids " +
         "— batches must arrive with strictly increasing versions")
-
-    // classification: SnapshotDiff over (id, content-hash), old side =
-    // the store's view of the batch's ids (null hash = deleted/absent)
-    val oldF = prior.filter(col("h").isNotNull).select(col(idCol), col("h"))
-    val newF = live.select(col(idCol), xxhash64(col(textCol)).as("h"))
-    val classified = SnapshotDiff.diff(oldF, newF, idCol, Seq("h"))
-    // SnapshotDiff's `removed` covers old-side ids absent from newF —
-    // here that means a delete MARKER row (or an id the caller simply
-    // didn't mention: restricting old to the batch's ids makes the two
-    // cases identical only for marker rows, since unmentioned ids were
-    // never in `b`). Deletes of absent ids vanish in the semi-join.
-    val delta = classified.localCheckpoint()
+    val delta = classifyAgainst(prior, live, idCol, textCol)
     val statusCounts = delta.groupBy(col("status")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
@@ -146,6 +128,48 @@ object IndexMaintenance {
         .unionByName(removed
           .select(col(idCol), lit(null).cast("long").as("h"), lit(ver).as("ver"))))
     delta
+  }
+
+  /** Latest-wins fingerprints for ONLY the batch's ids (broadcast
+    * semi-join; log rows stream past the probe — no log-sized
+    * shuffle), checkpoint-settled. */
+  private def priorFingerprints(spark: SparkSession, name: String,
+      b: DataFrame, idCol: String): DataFrame =
+    spark.table(s"${name}_fplog")
+      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ver"), col("h"))).as("s"))
+      .select(col(idCol), col("s.h").as("h"), col("s.ver").as("ver"))
+      .localCheckpoint()
+
+  /** Classification: SnapshotDiff over (id, content-hash), old side =
+    * the store's view of the batch's ids (null hash = deleted/absent).
+    * SnapshotDiff's `removed` covers old-side ids absent from the live
+    * side — here that means a delete MARKER row (restricting old to
+    * the batch's ids makes unmentioned ids invisible). Deletes of
+    * absent ids vanish in the semi-join. Checkpoint-settled BEFORE any
+    * store mutation (the IngestDedup settle lesson). */
+  private def classifyAgainst(prior: DataFrame, live: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val oldF = prior.filter(col("h").isNotNull).select(col(idCol), col("h"))
+    val newF = live.select(col(idCol), xxhash64(col(textCol)).as("h"))
+    SnapshotDiff.diff(oldF, newF, idCol, Seq("h")).localCheckpoint()
+  }
+
+  /** READ-ONLY classification of an upsert batch — [[applyUpserts]]'s
+    * front half without the version check or any write, for
+    * compositions that must route on statuses BEFORE deciding what to
+    * apply (the dedup-gated face below). A missing index classifies
+    * every live doc `added`. */
+  def classifyUpserts(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    val live = b.filter(col(textCol).isNotNull)
+    if (!spark.catalog.tableExists(s"${name}_doclens"))
+      return live.select(col(idCol), lit("added").as("status")).localCheckpoint()
+    classifyAgainst(priorFingerprints(spark, name, b, idCol), live,
+      idCol, textCol)
   }
 
   /** Tombstoned/indexed ratio from the 1-row stats and the tombstone-
@@ -241,4 +265,129 @@ object IndexMaintenance {
           sink(delta, batchId)
         }
       }
+
+  /** DEDUP-GATED streaming maintenance — the full ingestion pipeline
+    * in one `foreachBatch`: classify the upsert batch, pass only NEW
+    * docs through near-duplicate admission against the standing
+    * signature store, and apply the admitted adds + all content
+    * changes + all deletes to the BM25 index. The glue encodes the
+    * semantics each half alone cannot:
+    *
+    *   - ADDED docs face admission (a near-dup of anything already
+    *     seen is not indexed — and per [[IngestDedup.admitBatch]]'s
+    *     order-independence contract its signatures still join the
+    *     store, so a rejected doc stays rejected if re-sent).
+    *   - CHANGED docs BYPASS admission (an edit to a present doc is
+    *     not a new admission decision — probing it would let its own
+    *     v1 signature self-reject the update); their signatures are
+    *     physically refreshed BEFORE this batch's admissions run, so
+    *     new docs are judged against the batch's final content. The
+    *     refresh is a store rewrite — the same "in-place updates pay
+    *     the rewrite" rule the index's change-forced compaction
+    *     already documents; pure add/delete batches never pay it.
+    *   - REMOVED docs leave the index at once, and their signatures
+    *     stop rejecting IMMEDIATELY via the pending-removal exclusion
+    *     (the Takedown story: lookalikes of a removed doc are
+    *     admissible again) while the physical signature sweep is
+    *     amortized to a backlog-ratio trigger, like the index's own
+    *     compaction. A pending id that re-enters as a fresh admission
+    *     leaves the list (the sweep would otherwise strip its NEW
+    *     signatures — same-id rows are indistinguishable in the
+    *     store).
+    *
+    * Per-batch cost: classification + admission probes are batch-
+    * bounded; the index apply is O(delta) (see [[applyUpserts]]); the
+    * store-sized signature rewrites happen only on change-carrying
+    * batches and on the backlog-ratio sweep. */
+  def maintainStreamDeduped(docs: DataFrame, name: String, sigName: String,
+      sink: (DataFrame, Long) => Unit,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L,
+      compactRatio: Double = 0.2, verBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+            .localCheckpoint()
+          val delta = classifyUpserts(spark, name, b, idCol, textCol)
+          def withStatus(s: String) = b.join(
+            delta.filter(col("status") === s).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          val changed = withStatus("changed").localCheckpoint()
+          if (!changed.isEmpty) {
+            // physical refresh first: admissions below judge against v2
+            IngestDedup.removeFromStore(spark, sigName,
+              changed.select(col(idCol)))
+            IngestDedup.appendSignatures(changed, sigName, idCol, textCol,
+              ngram, numHashes, bands, seed)
+          }
+          val admitted = IngestDedup.admitBatch(
+            withStatus("added"), sigName, idCol, textCol,
+            ngram, numHashes, bands, threshold, seed,
+            excludeIds = Some(pendingRm(spark, sigName)))
+            .localCheckpoint()
+          markPendingRm(spark, sigName,
+            delta.filter(col("status") === "removed").select(col(idCol)))
+          unmarkPendingRm(spark, sigName, admitted.select(col("id")))
+          val gated = withStatus("added")
+            .join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+            .unionByName(changed)
+            .unionByName(b.filter(col(textCol).isNull))
+            .localCheckpoint()
+          val applied = applyUpserts(spark, name, gated, ver = batchId + verBase,
+            buckets, idCol, textCol, compactRatio)
+          sweepSignatures(spark, sigName, bands, compactRatio)
+          sink(applied, batchId)
+        }
+      }
+
+  /** The standing pending-removal list for a signature store: ids
+    * whose signatures must stop rejecting now and leave physically at
+    * the next sweep. Append-only, takedown-sized. */
+  private def pendingRm(spark: SparkSession, sigName: String): DataFrame =
+    if (spark.catalog.tableExists(s"${sigName}_pending_rm"))
+      spark.table(s"${sigName}_pending_rm")
+    else spark.range(0).select(col("id"))
+
+  private def markPendingRm(spark: SparkSession, sigName: String,
+      ids: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(s"${sigName}_pending_rm"))
+      graft.sources.Sinks.dropTable(spark, s"${sigName}_pending_rm")
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${sigName}_pending_rm")
+  }
+
+  /** Drop re-admitted ids from the pending list (takedown-sized
+    * rewrite; settle-then-overwrite like every self-derived table). */
+  private def unmarkPendingRm(spark: SparkSession, sigName: String,
+      ids: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(s"${sigName}_pending_rm")) return
+    val kept = spark.table(s"${sigName}_pending_rm")
+      .join(ids.select(col(ids.columns.head).cast("long").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint()
+    graft.sources.Sinks.parquetTable(kept, s"${sigName}_pending_rm")
+  }
+
+  /** Physical signature sweep: when the pending-removal backlog passes
+    * `ratio` of the store's doc count (estimated from the band-row
+    * count — no distinct scan in the policy check), rewrite the store
+    * minus the pending ids and clear the list. */
+  private def sweepSignatures(spark: SparkSession, sigName: String,
+      bands: Int, ratio: Double): Unit = {
+    if (!spark.catalog.tableExists(s"${sigName}_pending_rm")) return
+    val nPend = spark.table(s"${sigName}_pending_rm").count()
+    if (nPend == 0) return
+    val nDocs = math.max(1L,
+      spark.table(s"${sigName}_bands").count() / math.max(1, bands))
+    if (nPend.toDouble / nDocs <= ratio) return
+    IngestDedup.removeFromStore(spark, sigName,
+      spark.table(s"${sigName}_pending_rm").localCheckpoint())
+    graft.sources.Sinks.dropTable(spark, s"${sigName}_pending_rm")
+  }
 }

@@ -53,7 +53,8 @@ object IngestDedup {
   def admitBatch(batch: DataFrame, name: String,
       idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     // one signature/shingle pass over the micro-batch, pinned so every
@@ -74,11 +75,22 @@ object IngestDedup {
     val rejInBatch = TextDedup.minhashPairs(batch, idCol, textCol,
         ngram, numHashes, bands, threshold, seed)
       .select(col("id_b").as("id")).distinct()
-    // cross-batch rejections: probe the standing store
+    // cross-batch rejections: probe the standing store. `excludeIds`
+    // (a small frame, broadcast into an anti-join on the STORE side of
+    // the candidate pairs) removes given old ids from rejection duty —
+    // the upsert/takedown flows need it: a doc marked pending-removal
+    // must stop rejecting lookalikes IMMEDIATELY (the Takedown story:
+    // the store must forget, or a cleaned-up replacement can never be
+    // re-admitted), even though its rows leave the store physically
+    // only at the next compaction.
     val rejOld: DataFrame =
       if (!spark.catalog.tableExists(s"${name}_bands"))
         spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-      else crossBatchRejections(spark, name, bandRows, b, threshold)
+      else {
+        val rej = crossBatchRejections(spark, name, bandRows, b, threshold,
+          excludeIds)
+        rej
+      }
     val admitted = b.select(col("id"))
       .join(rejInBatch, Seq("id"), "left_anti")
       .join(rejOld, Seq("id"), "left_anti")
@@ -105,8 +117,14 @@ object IngestDedup {
     * Package-private so the spec can inspect the LAZY plan (admitBatch
     * returns a checkpoint-settled frame whose lineage is gone). */
   private[graft] def crossBatchRejections(spark: SparkSession, name: String,
-      bandRows: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
-    val cand = spark.table(s"${name}_bands")
+      bandRows: DataFrame, b: DataFrame, threshold: Double,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    val store0 = spark.table(s"${name}_bands")
+    val store = excludeIds.fold(store0) { ex =>
+      store0.join(broadcast(ex.select(col(ex.columns.head).cast("long").as("id"))
+        .distinct()), Seq("id"), "left_anti")
+    }
+    val cand = store
       .join(broadcast(bandRows.select(
         col("id").as("new_id"), col("band_id"), col("band_key"))),
         Seq("band_id", "band_key"))
@@ -121,6 +139,31 @@ object IngestDedup {
         Seq("new_id"))
       .filter(TextDedup.jaccard(col("sh_old"), col("sh_new")) >= threshold)
       .select(col("new_id").as("id")).distinct()
+  }
+
+  /** Signature-store append WITHOUT the admission probe — what an
+    * UPSERT flow needs for CHANGED docs: an edit to an already-present
+    * doc is not a new admission decision, but its signatures must
+    * refresh (old id goes on the pending-removal list, fresh content
+    * signs in here). Same signature pipeline as [[admitBatch]], same
+    * store layout. */
+  private[graft] def appendSignatures(batch: DataFrame, name: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val b = batch.select(
+        col(idCol).cast("long").as("id"),
+        TextDedup.shingleHashes(col(textCol), ngram).as("sh"),
+        TextDedup.minhashSignature(
+          TextDedup.shingleHashes(col(textCol), ngram), numHashes, seed).as("sig"))
+      .localCheckpoint()
+    val bandRows = b
+      .select(col("id"),
+        explode(TextDedup.lshBands(col("sig"), bands, numHashes / bands)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")))
   }
 
   /** Append a batch's band rows and shingle sets to the store,

@@ -144,4 +144,60 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(byStatus.getOrElse("removed", 0) ===
       e.filter(isDeleted($"doc_id")).count().toInt)
   }
+
+  test("dedup-gated stream: adds face admission, edits judge v2, takedowns free lookalikes") {
+    import graft.streaming.{IndexMaintenance, IngestDedup}
+    val name = "graft_im_g"
+    val sig = "graft_im_g_sigs"
+    IndexMaintenance.initStores(spark, name)
+    IngestDedup.initStore(spark, sig)
+    graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+
+    val b1 = Seq( // 2 is an in-batch near-dup of 1 (jaccard 0.6) → rejected
+      (1L, "a1 a2 a3 a4"), (2L, "a1 a2 a3 b1"),
+      (3L, "c1 c2 c3 c4"), (4L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+    val b2 = Seq( // 4 edited in place; 5 near-dups standing 3 → rejected; 6 fresh
+      (4L, "f1 f2 f3 f4 f5"), (5L, "c1 c2 c3 c5"),
+      (6L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    val b3 = Seq( // takedown of 3
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val b4 = Seq(
+      // 7 near-dups REMOVED 3 (0.6) but not rejected-5's ghost (0.33):
+      // admissible only through the pending-removal exclusion
+      (7L, "c2 c3 c4 c6"),
+      // 8 is exactly 4's OLD text: admissible only if admission judges
+      // against the REFRESHED v2 signature (v1 would self-reject it)
+      (8L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_im_gated").toString
+    def write(b: org.apache.spark.sql.DataFrame) =
+      b.repartition(1).write.mode("append").parquet(dir)
+    write(b1)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = IndexMaintenance.maintainStreamDeduped(stream, name, sig,
+        (_, _) => (), buckets = 8,
+        ngram = 1, numHashes = 32, bands = 32, threshold = 0.5,
+        compactRatio = 10.0) // keep tombstones pending: the b4 appends
+                             // exercise append-under-tombstones
+      .start()
+    q.processAllAvailable()
+    for (b <- Seq(b2, b3, b4)) { write(b); q.processAllAvailable() }
+    q.stop()
+
+    // the index serves exactly the expected live, admitted corpus
+    val expected = Seq(
+      (1L, "a1 a2 a3 a4"), (4L, "f1 f2 f3 f4 f5"), (6L, "e1 e2 e3 e4"),
+      (7L, "c2 c3 c4 c6"), (8L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+    Bm25.compactIndex(spark, name, buckets = 8)
+    assert(spark.table(name + "_doclens").select($"doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L, 6L, 7L, 8L))
+    val probe = Seq("a1", "f1", "e1", "c2", "d1")
+    assert(rounded(Bm25.scoreIndexed(spark, name, probe)) ===
+      rounded(Bm25.score(expected, probe.toDF("term"))))
+    // the takedown stays pending (nothing re-admitted id 3); the
+    // re-admitted content got a fresh id and a fresh signature
+    assert(spark.table(sig + "_pending_rm").select($"id").as[Long]
+      .collect().toSeq === Seq(3L))
+  }
 }
