@@ -2318,6 +2318,37 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // q169: the DEDUP-GATED ingestion pipeline under the hash gate —
+    // documents arrive in 3 id-ordered add waves through
+    // `IndexMaintenance.applyGatedUpserts` (the maintainStreamDeduped
+    // unit; the gated scenario spec covers edits/takedowns): each wave
+    // is classified, near-dup-admitted against the standing signature
+    // store, and the admitted docs append into the standing BM25
+    // index. Admission is batching-independent (the q87 contract), so
+    // the final index serves BM25 over exactly q87's admitted set —
+    // the oracle composes q87's admitted CTE with the q146-style BM25
+    // replay, proving admission and maintenance compose bit-exactly.
+    "q169_gated_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.IndexMaintenance.initStores(s, "graft_q169_idx")
+      graft.streaming.IngestDedup.initStore(s, "graft_q169_sigs")
+      graft.sources.Sinks.dropTable(s, "graft_q169_sigs_pending_rm")
+      val n = 3
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = (maxId + n) / n
+      for (k <- 0 until n)
+        graft.streaming.IndexMaintenance.applyGatedUpserts(
+          s, "graft_q169_idx", "graft_q169_sigs",
+          docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step),
+          ver = k + 1L, buckets = 8)
+      val probeTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexed(s, "graft_q169_idx", probeTerms)
+        .select(col("doc_id"), col("n_matched"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -4581,6 +4612,46 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
          ORDER BY doc_id""",
+    // q87's admitted set composed with the q146-style BM25 replay:
+    // the gated pipeline's standing index must serve exactly fresh
+    // BM25 over the admission survivors
+    "q169_gated_ingest" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         nd AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+         terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM nd WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM nd),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM nd),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
     "q88_cluster_keep_best" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id, list_distinct(list_transform(

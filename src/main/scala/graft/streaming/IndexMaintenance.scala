@@ -309,41 +309,54 @@ object IndexMaintenance {
     docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
-            .localCheckpoint()
-          val delta = classifyUpserts(spark, name, b, idCol, textCol)
-          def withStatus(s: String) = b.join(
-            delta.filter(col("status") === s).select(col(idCol)),
-            Seq(idCol), "left_semi")
-          val changed = withStatus("changed").localCheckpoint()
-          if (!changed.isEmpty) {
-            // physical refresh first: admissions below judge against v2
-            IngestDedup.removeFromStore(spark, sigName,
-              changed.select(col(idCol)))
-            IngestDedup.appendSignatures(changed, sigName, idCol, textCol,
-              ngram, numHashes, bands, seed)
-          }
-          val admitted = IngestDedup.admitBatch(
-            withStatus("added"), sigName, idCol, textCol,
-            ngram, numHashes, bands, threshold, seed,
-            excludeIds = Some(pendingRm(spark, sigName)))
-            .localCheckpoint()
-          markPendingRm(spark, sigName,
-            delta.filter(col("status") === "removed").select(col(idCol)))
-          unmarkPendingRm(spark, sigName, admitted.select(col("id")))
-          val gated = withStatus("added")
-            .join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
-            .unionByName(changed)
-            .unionByName(b.filter(col(textCol).isNull))
-            .localCheckpoint()
-          val applied = applyUpserts(spark, name, gated, ver = batchId + verBase,
-            buckets, idCol, textCol, compactRatio)
-          sweepSignatures(spark, sigName, bands, compactRatio)
-          sink(applied, batchId)
-        }
+        if (!batch.isEmpty)
+          sink(applyGatedUpserts(batch.sparkSession, name, sigName, batch,
+            ver = batchId + verBase, buckets, idCol, textCol,
+            ngram, numHashes, bands, threshold, seed, compactRatio), batchId)
       }
+
+  /** One gated batch — [[maintainStreamDeduped]]'s per-batch unit,
+    * exposed for batch-mode replay exactly like [[applyUpserts]] is
+    * for [[maintainStream]] (q169 drives it under the driver's oracle
+    * gate). Returns the APPLIED delta (rejected adds never reach the
+    * index, so they carry no row). */
+  def applyGatedUpserts(spark: SparkSession, name: String, sigName: String,
+      batch: DataFrame, ver: Long,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L,
+      compactRatio: Double = 0.2): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    val delta = classifyUpserts(spark, name, b, idCol, textCol)
+    def withStatus(s: String) = b.join(
+      delta.filter(col("status") === s).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val changed = withStatus("changed").localCheckpoint()
+    if (!changed.isEmpty) {
+      // physical refresh first: admissions below judge against v2
+      IngestDedup.removeFromStore(spark, sigName, changed.select(col(idCol)))
+      IngestDedup.appendSignatures(changed, sigName, idCol, textCol,
+        ngram, numHashes, bands, seed)
+    }
+    val admitted = IngestDedup.admitBatch(
+      withStatus("added"), sigName, idCol, textCol,
+      ngram, numHashes, bands, threshold, seed,
+      excludeIds = Some(pendingRm(spark, sigName)))
+      .localCheckpoint()
+    markPendingRm(spark, sigName,
+      delta.filter(col("status") === "removed").select(col(idCol)))
+    unmarkPendingRm(spark, sigName, admitted.select(col("id")))
+    val gated = withStatus("added")
+      .join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .unionByName(changed)
+      .unionByName(b.filter(col(textCol).isNull))
+      .localCheckpoint()
+    val applied = applyUpserts(spark, name, gated, ver,
+      buckets, idCol, textCol, compactRatio)
+    sweepSignatures(spark, sigName, bands, compactRatio)
+    applied
+  }
 
   /** The standing pending-removal list for a signature store: ids
     * whose signatures must stop rejecting now and leave physically at
