@@ -2277,12 +2277,15 @@ object SparkEntry {
 
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .localCheckpoint()
-      val surv = graft.operators.SemanticDedup.survivors(
-        e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
-        .select(col("vec_id")).localCheckpoint()
-      val removed = e.select(col("vec_id")).join(surv, Seq("vec_id"), "left_anti")
+      // ONE cell-pair pass feeds both the survivor set and the link
+      // check (survivors() would refit the IVF and recompute the pairs)
       val pairs = graft.operators.SemanticDedup.cellPairs(
         e, "vec_id", "embedding", threshold = 0.4, nlist = 16)
+        .localCheckpoint()
+      val surv = graft.operators.DedupClusters.survivors(
+        e, "vec_id", graft.operators.DedupClusters.components(pairs))
+        .select(col("vec_id")).localCheckpoint()
+      val removed = e.select(col("vec_id")).join(surv, Seq("vec_id"), "left_anti")
       val linked = pairs.select(col("id_a").as("vec_id"))
         .unionByName(pairs.select(col("id_b").as("vec_id"))).distinct()
       val semOk = surv.join(e, Seq("vec_id"), "left_anti").isEmpty &&
