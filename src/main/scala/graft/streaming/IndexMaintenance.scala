@@ -94,10 +94,24 @@ object IndexMaintenance {
     val prior = priorFingerprints(spark, name, b, idCol)
     val maxPrior = prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
       .head().getLong(0)
-    require(maxPrior < ver,
-      s"applyUpserts: ver $ver is not past the log's $maxPrior for these ids " +
-        "— batches must arrive with strictly increasing versions")
     val delta = classifyAgainst(prior, live, idCol, textCol)
+    if (maxPrior >= ver) {
+      // foreachBatch is AT-LEAST-ONCE: a restarted stream re-delivers
+      // its last batch. A COMPLETED replay classifies as all-unchanged
+      // against the post-apply store (adds/changes became the standing
+      // content, delete markers left no live fingerprint) and no-ops
+      // here instead of killing the stream; anything at-or-below the
+      // log's version that would still CHANGE the store is a genuine
+      // ordering conflict and fails loudly. A replay of a TORN apply
+      // (crash between table writes) classifies actionable too — and
+      // the building-marker discipline has already made the index
+      // refuse service, so the loud path is the right one there.
+      require(delta.filter(col("status") =!= "unchanged").isEmpty,
+        s"applyUpserts: ver $ver is not past the log's $maxPrior for these " +
+          "ids and the batch is not a completed replay — batches must " +
+          "arrive with strictly increasing versions")
+      return delta
+    }
     val statusCounts = delta.groupBy(col("status")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 

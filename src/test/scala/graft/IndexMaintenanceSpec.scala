@@ -77,10 +77,20 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.table("graft_im_r_fplog").select($"doc_id").as[Long]
       .collect().toSet === corpus.select($"doc_id").as[Long].collect().toSet)
 
-    // replay protection: re-sending an old version fails loudly
+    // at-least-once replay: re-sending ALREADY-APPLIED content at an
+    // old version is a completed replay — classified all-unchanged and
+    // a harmless no-op (a restarted stream re-delivers its last batch)
+    val replaySlice = docs.filter(pmod($"doc_id", lit(3)) === 1).limit(3)
+      .localCheckpoint()
+    val replay = IndexMaintenance.applyUpserts(spark, "graft_im_r",
+      replaySlice, ver = 2L, buckets = 8)
+    assert(replay.filter($"status" =!= "unchanged").isEmpty && !replay.isEmpty)
+    // ...but an old version that would still CHANGE the store is an
+    // ordering conflict and fails loudly
     val boom = intercept[IllegalArgumentException] {
       IndexMaintenance.applyUpserts(spark, "graft_im_r",
-        docs.filter(pmod($"doc_id", lit(3)) === 1).limit(3), ver = 2L, buckets = 8)
+        replaySlice.withColumn("text", concat($"text", lit(" conflict"))),
+        ver = 2L, buckets = 8)
     }
     assert(boom.getMessage.contains("strictly increasing"))
   }
