@@ -27,6 +27,10 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
+            # targeted Verify runs dump a query subset; CHECK_PRESENT_ONLY=1
+            # compares just the dumped ones instead of failing the rest
+            if os.environ.get("CHECK_PRESENT_ONLY") == "1":
+                continue
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in
