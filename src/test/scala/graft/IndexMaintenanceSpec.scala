@@ -209,5 +209,19 @@ class IndexMaintenanceSpec extends SparkSpec {
     // re-admitted content got a fresh id and a fresh signature
     assert(spark.table(sig + "_pending_rm").select($"id").as[Long]
       .collect().toSeq === Seq(3L))
+
+    // a fully-rejected wave (every doc near-dups the standing store)
+    // applies an EMPTY gated batch — the no-op path must not disturb
+    // either store
+    val before = rounded(Bm25.scoreIndexed(spark, name, probe))
+    val b5 = Seq((9L, "e1 e2 e3 e5")).toDF("doc_id", "text") // near 6
+    val applied = IndexMaintenance.applyGatedUpserts(
+      spark, name, sig, b5, ver = 99L, buckets = 8,
+      ngram = 1, numHashes = 32, bands = 32, threshold = 0.5,
+      compactRatio = 10.0)
+    assert(applied.isEmpty) // rejected adds carry no applied row
+    assert(!spark.table(name + "_doclens").select($"doc_id").as[Long]
+      .collect().contains(9L)) // and never reach the index
+    assert(rounded(Bm25.scoreIndexed(spark, name, probe)) === before)
   }
 }
