@@ -389,14 +389,18 @@ object IndexMaintenance {
       .saveAsTable(s"${sigName}_pending_rm")
   }
 
-  /** Drop re-admitted ids from the pending list (takedown-sized
-    * rewrite; settle-then-overwrite like every self-derived table). */
+  /** Drop re-admitted ids from the pending list. The rewrite only
+    * happens when the (batch-sized, broadcast) id set actually
+    * intersects the list — the common all-fresh-admissions batch costs
+    * one semi-join probe, not a list rewrite per batch.
+    * Settle-then-overwrite like every self-derived table. */
   private def unmarkPendingRm(spark: SparkSession, sigName: String,
       ids: DataFrame): Unit = {
     if (!spark.catalog.tableExists(s"${sigName}_pending_rm")) return
-    val kept = spark.table(s"${sigName}_pending_rm")
-      .join(ids.select(col(ids.columns.head).cast("long").as("id")).distinct(),
-        Seq("id"), "left_anti")
+    val idSet = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    val pending = spark.table(s"${sigName}_pending_rm")
+    if (pending.join(broadcast(idSet), Seq("id"), "left_semi").isEmpty) return
+    val kept = pending.join(broadcast(idSet), Seq("id"), "left_anti")
       .localCheckpoint()
     graft.sources.Sinks.parquetTable(kept, s"${sigName}_pending_rm")
   }

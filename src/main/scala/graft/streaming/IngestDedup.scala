@@ -119,10 +119,15 @@ object IngestDedup {
   private[graft] def crossBatchRejections(spark: SparkSession, name: String,
       bandRows: DataFrame, b: DataFrame, threshold: Double,
       excludeIds: Option[DataFrame] = None): DataFrame = {
+    // no broadcast HINT on the exclusion side: it is usually tiny (a
+    // takedown batch) and AQE broadcasts it on its own, but its bound
+    // is ratio×store (the pending-removal backlog right before a
+    // sweep), where a forced broadcast would be the scale bug — the
+    // id-keyed anti-join is the safe shape at both ends
     val store0 = spark.table(s"${name}_bands")
     val store = excludeIds.fold(store0) { ex =>
-      store0.join(broadcast(ex.select(col(ex.columns.head).cast("long").as("id"))
-        .distinct()), Seq("id"), "left_anti")
+      store0.join(ex.select(col(ex.columns.head).cast("long").as("id"))
+        .distinct(), Seq("id"), "left_anti")
     }
     val cand = store
       .join(broadcast(bandRows.select(
