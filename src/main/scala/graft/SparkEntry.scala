@@ -1123,6 +1123,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q170: the CSV face of the q136 losslessness contract — the
+    // documents table written as real headered, fully-quoted CSV
+    // (pinned dialect: doubled-quote escapes, explicit null token,
+    // empty-vs-null kept apart) and read back through the explicit-
+    // schema PERMISSIVE path; the oracle compares against the parquet
+    // original, so any quoting/escaping/null-collapse loss breaks the
+    // hash.
+    "q170_csv_roundtrip" -> ((s, d) => {
+      import graft.sources.CsvSource
+      val path = "/tmp/graft_q170_csv"
+      CsvSource.write(Tables.documents(s, d), path)
+      CsvSource.readDocumentsClean(s, path)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q159: STRIDED training chunks — overlapping windows (len 64,
     // stride 32), the HF-style context-stride packer for causal-LM
     // data: every token also appears in the window that begins
@@ -4898,6 +4915,10 @@ object SparkEntry {
     // JSONL roundtrip oracle: the parquet original — the JSON
     // write+read must be bit-lossless to match
     "q136_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    // the CSV roundtrip must reproduce the parquet original exactly
+    "q170_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
     // incremental drift oracle: batch b's reference = cumulative token

@@ -192,4 +192,34 @@ class SinksAndAggSpec extends SparkSpec {
       .select($"raw_line").head().getString(0)
     assert(corrupt.contains("trunca"))
   }
+
+  test("CSV roundtrip: dialect pins quoting/null/empty; ragged rows quarantine") {
+    import graft.sources.CsvSource
+    import spark.implicits._
+    // commas, quotes, the null token itself, null vs empty string
+    val nasty = Seq(
+      (1L, "comma, inside \"quoted\" text", "en", "web", 26L),
+      (2L, "\\N looks like the null token", "zh", "web", 28L),
+      (3L, "", "de", "books", 0L),
+      (4L, null.asInstanceOf[String], "fr", "books", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    CsvSource.write(nasty, s"$dir/docs")
+    val back = CsvSource.readDocumentsClean(spark, s"$dir/docs")
+      .orderBy($"doc_id").collect()
+    assert(back.toSeq === nasty.orderBy($"doc_id").collect().toSeq,
+      "CSV write+read must be lossless, null and empty kept apart")
+    assert(back(2).getString(1) === "" && back(3).isNullAt(1))
+    assert(CsvSource.corruptCount(spark, s"$dir/docs") === 0L)
+    // hand-broken file: one good row, one ragged (non-numeric id) row
+    val badDir = java.nio.file.Files.createTempDirectory("graft_csv_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(badDir, "part-0.csv"),
+      "\"doc_id\",\"text\",\"lang\",\"source\",\"n_chars\"\n" +
+        "\"10\",\"ok\",\"en\",\"web\",\"2\"\n" +
+        "\"eleven\",\"bad id\",\"en\",\"web\",\"6\"\n")
+    val cleanRows = CsvSource.readDocumentsClean(spark, badDir).collect()
+    assert(cleanRows.length === 1 && cleanRows(0).getLong(0) === 10L)
+    assert(CsvSource.corruptCount(spark, badDir) === 1L)
+  }
 }
