@@ -1463,7 +1463,7 @@ object SparkEntry {
     // cluster. The oracle replays pairs AND draw arithmetic exactly.
     "q145_contrastive_triplets" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val pairs = TextDedup.minhashPairs(docs, "doc_id", "text",
         ngram = 3, numHashes = 32, bands = 8, threshold = 0.5)
       graft.operators.Contrastive.tripletsFromPairs(

@@ -195,7 +195,7 @@ class AnnForestModel(
     df.withColumn("__buckets", leafIdUdf(col(vecCol)))
       .withColumn("__b", explode_outer(col("__buckets")))
       .select(
-        df.columns.map(col) :+
+        df.columns.toIndexedSeq.map(col) :+
           col("__b._1").as("tree_id") :+
           col("__b._2").as("leaf_id"): _*)
   }

@@ -51,7 +51,7 @@ object AsOfJoin {
     val filled = tagged.withColumn("__m",
       last(col("__payload"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightVals.map(c => col(s"__m.$c").as(c)): _*)
   }
 
@@ -87,11 +87,11 @@ object AsOfJoin {
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val carried = rightVals ++ rightTieBreak.filterNot(rightVals.contains)
     val lSide = left.select(
-      left.columns.map(col) ++
+      left.columns.toIndexedSeq.map(col) ++
         Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
         carried.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
     val rSide = right.filter(col(rightTime).isNotNull).select(
-      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      left.columns.toIndexedSeq.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
         carried.map(c => col(c).as(s"__r_$c")): _*)
     lSide.unionByName(rSide).withColumn("__payload",
@@ -149,7 +149,7 @@ object AsOfJoin {
         when(useBack, col(s"__b.$c")).when(fOk, col(s"__f.$c")))
     }
     picked.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightVals.map(col): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ rightVals.map(col): _*)
   }
 
   /** Skew-hardened as-of: identical result to [[asOf]], but the window
@@ -222,7 +222,7 @@ object AsOfJoin {
       // bucket row, so coalesce order IS time order
       .withColumn("__m", coalesce(col("__m_in"), col("__seed")))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightVals.map(c => col(s"__m.$c").as(c)): _*)
   }
 

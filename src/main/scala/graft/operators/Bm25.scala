@@ -286,12 +286,12 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
       .join(dl2, idCol)
     val pCols = spark.table(s"${name}_postings").columns
-    p2.select(pCols.map(col): _*)
+    p2.select(pCols.toIndexedSeq.map(col): _*)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"${name}_postings")
     val dCols = spark.table(s"${name}_doclens").columns
-    dl2.select(dCols.map(col): _*)
+    dl2.select(dCols.toIndexedSeq.map(col): _*)
       .write.mode("append").format("parquet").saveAsTable(s"${name}_doclens")
     // Derived tables refresh from the DELTA, not the corpus: the per-
     // term df merge reads only the standing vocab-sized `_terms` plus

@@ -152,7 +152,7 @@ object SkewJoin {
       .withColumn("skew_ratio",
         round(col("max_key_rows") / col("mean_key_rows"), 6))
     val metrics = one.columns
-    one.select(explode(array(metrics.map(m =>
+    one.select(explode(array(metrics.toIndexedSeq.map(m =>
         struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("kv"))
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
