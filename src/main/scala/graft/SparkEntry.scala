@@ -5419,8 +5419,9 @@ object SparkEntry {
            total_2, distinct_2,
            round(distinct_2::DOUBLE / total_2, 6) AS ratio_2
          FROM ru JOIN rb USING (source) ORDER BY source""",
-    // the top-2-gram argmax mirrored as max-of-struct (score first,
-    // then the ngram string — the same deterministic tiebreak)
+    // the top-2-gram argmax mirrored as max-of-struct (count first,
+    // then the ngram string — most-FREQUENT wins per Gopher's rule,
+    // coverage computed from the winner)
     "q166_top_ngram" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
@@ -5433,10 +5434,11 @@ object SparkEntry {
          c AS (SELECT doc_id, ng, count(*) AS cnt FROM ng GROUP BY doc_id, ng),
          top AS (
            SELECT doc_id,
-             max(struct_pack(score := cnt * (length(ng) - 1), ng := ng)) AS s
+             max(struct_pack(cnt := cnt, ng := ng)) AS s
            FROM c GROUP BY doc_id)
          SELECT top.doc_id, s.ng AS top_ngram,
-           round(CASE WHEN chars > 0 THEN s.score::DOUBLE / chars
+           round(CASE WHEN chars > 0
+                 THEN (s.cnt * (length(s.ng) - 1))::DOUBLE / chars
                  ELSE 0.0::DOUBLE END, 6) AS top_ngram_char_frac
          FROM top JOIN tot USING (doc_id) ORDER BY doc_id""",
     // repeated-2-gram coverage: occurrences beyond the first, capped

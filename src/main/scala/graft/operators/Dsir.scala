@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * whole path exactly SQL-mirrorable (q163's full DuckDB oracle) where
   * a hash-bucketed variant would be xxhash-bound and oracle-less.
   *
-  * Scale shape: two n-gram explodes (narrow, partial-agg counts); the
-  * model is vocab-sized (≪ corpus) built with one full-outer merge;
+  * Scale shape: ONE n-gram explode per corpus (narrow, partial-agg
+  * counts — the raw side's corpus-level counts are re-aggregated from
+  * its per-doc counts, never re-exploded); the model is vocab-sized
+  * (≪ corpus) built with one full-outer merge;
   * corpus totals ride a broadcast 1-row frame; per-doc scoring is one
   * (doc, ngram)-grain join against the vocab-sized model followed by a
   * partial-agg per-doc sum; selection is TakeOrderedAndProject (heap
@@ -41,22 +43,20 @@ object Dsir {
     uni.unionByName(bi)
   }
 
-  /** Per-document log importance weight of every raw doc against the
-    * target exemplar corpus: (idCol, log_w) with log_w rounded to 6dp
-    * (aggregate-rounding discipline — the sum's combine order is
-    * engine-dependent in the last ulps). α-smoothing over the JOINT
-    * vocabulary keeps both models finite on n-grams the other side
-    * never saw. */
-  def importanceWeights(raw: DataFrame, target: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text",
-      alpha: Double = 1.0): DataFrame = {
+  /** The shared model-build + scoring core behind both feature
+    * variants (string n-grams and xxhash64 n-grams): takes the
+    * (id, ng, c) per-doc counts of the RAW corpus and the (ng, n_t)
+    * counts of the target corpus, returns (idCol, log_w). Factored so
+    * a smoothing or plan fix lands in BOTH paths at once (the two
+    * bodies had drifted-by-copy risk), and so the raw corpus is
+    * n-gram-exploded exactly ONCE: the corpus-level `n_r` counts are
+    * derived from the per-doc counts by a second (vocab-grain, cheap)
+    * aggregation instead of re-exploding the dominant input — at
+    * 100 TB raw the explode IS the job, and this halves it. */
+  private def weightsFromCounts(docNg: DataFrame, nT: DataFrame,
+      idCol: String, alpha: Double): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed models divide by zero)")
-    val docNg = ngrams(raw, idCol, textCol)
-      .groupBy(col(idCol), col("ng")).agg(count(lit(1)).as("c"))
-    val nR = ngrams(raw, idCol, textCol)
-      .groupBy(col("ng")).agg(count(lit(1)).as("n_r"))
-    val nT = ngrams(target, idCol, textCol)
-      .groupBy(col("ng")).agg(count(lit(1)).as("n_t"))
+    val nR = docNg.groupBy(col("ng")).agg(sum(col("c")).as("n_r"))
     val vocab = nR.join(nT, Seq("ng"), "full_outer")
       .select(col("ng"),
         coalesce(col("n_r"), lit(0L)).as("n_r"),
@@ -72,6 +72,29 @@ object Dsir {
     docNg.join(model, "ng")
       .groupBy(col(idCol))
       .agg(round(sum(col("c") * col("lr")), 6).as("log_w"))
+  }
+
+  /** Per-document log importance weight of every raw doc against the
+    * target exemplar corpus: (idCol, log_w) with log_w rounded to 6dp
+    * (aggregate-rounding discipline — the sum's combine order is
+    * engine-dependent in the last ulps). α-smoothing over the JOINT
+    * vocabulary keeps both models finite on n-grams the other side
+    * never saw. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 1.0): DataFrame = {
+    // the explicit (no-op — ngrams never yields null) null filter
+    // keeps BOTH consumers of docNg canonically identical: without it
+    // the scoring inner join pushes isnotnull(ng) below the (id, ng)
+    // exchange while the n_r branch (feeding a full-outer) doesn't,
+    // and the mismatched subtrees defeat AQE exchange reuse — the raw
+    // corpus would be exploded twice after all (ProbeDsirScan measures
+    // exactly this)
+    val docNg = ngrams(raw, idCol, textCol).filter(col("ng").isNotNull)
+      .groupBy(col(idCol), col("ng")).agg(count(lit(1)).as("c"))
+    val nT = ngrams(target, idCol, textCol)
+      .groupBy(col("ng")).agg(count(lit(1)).as("n_t"))
+    weightsFromCounts(docNg, nT, idCol, alpha)
   }
 
   /** The resampling face: top-k raw docs by importance weight
@@ -97,27 +120,11 @@ object Dsir {
   def importanceWeightsHashed(raw: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0, "alpha must be positive (unsmoothed models divide by zero)")
     def hashed(df: DataFrame) = ngrams(df, idCol, textCol)
       .select(col(idCol), xxhash64(col("ng")).as("ng"))
     val docNg = hashed(raw)
       .groupBy(col(idCol), col("ng")).agg(count(lit(1)).as("c"))
-    val nR = hashed(raw).groupBy(col("ng")).agg(count(lit(1)).as("n_r"))
     val nT = hashed(target).groupBy(col("ng")).agg(count(lit(1)).as("n_t"))
-    val vocab = nR.join(nT, Seq("ng"), "full_outer")
-      .select(col("ng"),
-        coalesce(col("n_r"), lit(0L)).as("n_r"),
-        coalesce(col("n_t"), lit(0L)).as("n_t"))
-    val totals = vocab.agg(
-      sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"),
-      count(lit(1)).as("v"))
-    val model = vocab.crossJoin(broadcast(totals))
-      .select(col("ng"),
-        (log((col("n_t") + lit(alpha)) / (col("tot_t") + lit(alpha) * col("v")))
-          - log((col("n_r") + lit(alpha)) / (col("tot_r") + lit(alpha) * col("v"))))
-          .as("lr"))
-    docNg.join(model, "ng")
-      .groupBy(col(idCol))
-      .agg(round(sum(col("c") * col("lr")), 6).as("log_w"))
+    weightsFromCounts(docNg, nT, idCol, alpha)
   }
 }

@@ -243,16 +243,19 @@ object TextAnalysis {
           transform(sequence(lit(0), size(col("__toks")) - n),
             i => array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("ng"))
+    // argmax by FREQUENCY (Gopher's published rule — the winner is the
+    // most frequent n-gram, not the max-coverage one; a rarer-but-
+    // longer phrase must not displace it), ties broken by the n-gram
+    // string; the coverage fraction is then computed FROM the winner
     val top = ngs.groupBy(col(idCol), col("ng"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col(idCol), struct(
-        (col("cnt") * (length(col("ng")) - lit(n - 1))).as("score"),
-        col("ng")).as("s"))
+      .select(col(idCol), struct(col("cnt"), col("ng")).as("s"))
       .groupBy(col(idCol)).agg(max(col("s")).as("s"))
     top.join(totals, idCol)
       .select(col(idCol), col("s.ng").as("top_ngram"),
         round(when(col("__chars") > 0,
-          col("s.score").cast("double") / col("__chars"))
+          (col("s.cnt") * (length(col("s.ng")) - lit(n - 1))).cast("double")
+            / col("__chars"))
           .otherwise(lit(0.0)), 6).as("top_ngram_char_frac"))
   }
 

@@ -86,11 +86,7 @@ object IngestDedup {
     val rejOld: DataFrame =
       if (!spark.catalog.tableExists(s"${name}_bands"))
         spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
-      else {
-        val rej = crossBatchRejections(spark, name, bandRows, b, threshold,
-          excludeIds)
-        rej
-      }
+      else crossBatchRejections(spark, name, bandRows, b, threshold, excludeIds)
     val admitted = b.select(col("id"))
       .join(rejInBatch, Seq("id"), "left_anti")
       .join(rejOld, Seq("id"), "left_anti")

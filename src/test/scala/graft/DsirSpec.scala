@@ -37,6 +37,27 @@ class DsirSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("raw corpus is n-gram-exploded ONCE per form (exchange reused, scan halved)") {
+    // The corpus-level n_r counts must derive from docNg's (id, ng)
+    // exchange, not a second ngrams(raw) explode. Plan-STRING explode
+    // counting can't see this (tree printouts duplicate shared DAG
+    // subtrees), so pin the runtime effect: after execution the
+    // adaptive plan carries ReusedExchange nodes — the n_r branch (and
+    // the vocab/totals sharing) physically reused a stage instead of
+    // rescanning. ProbeDsirScan carries the quantitative half: file
+    // input records drop ~2× vs the pre-fix double-explode replica.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val raw = docs.filter($"lang" =!= "es")
+    val target = docs.filter($"lang" === "es")
+    for (w <- Seq(Dsir.importanceWeights(raw, target),
+        Dsir.importanceWeightsHashed(raw, target))) {
+      w.collect()
+      val p = w.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        "the corpus-count branch must reuse docNg's exchange:\n" + p)
+    }
+  }
+
   test("q163 plan: partial aggs, no window, heap top-k") {
     val p = SparkEntry.queries("q163_dsir_select")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -30,21 +30,28 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("topNgramCharFraction: hand-checked coverage, deterministic tie, short docs drop") {
     val df = Seq(
-      (1L, "a b a b a b"), // "a b"×3 (score 6) beats "b a"×2 (4); frac 6/6
-      (2L, "x y z"), // tie at score 2 → larger ngram string "y z" wins
-      (3L, "solo")) // < 2 tokens → no bigram → dropped
+      (1L, "a b a b a b"), // "a b"×3 beats "b a"×2; coverage 6/6
+      (2L, "x y z"), // tie at cnt 1 → larger ngram string "y z" wins
+      (3L, "solo"), // < 2 tokens → no bigram → dropped
+      // the frequency-vs-coverage discriminator: "aa bb"×2 (most
+      // frequent) must win over "longword1 longword2"×1 even though
+      // the latter covers more chars (18 > 8) — Gopher's rule is the
+      // MOST FREQUENT n-gram's coverage, not max coverage
+      (4L, "aa bb aa bb longword1 longword2"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.topNgramCharFraction(df, "doc_id", "text", n = 2)
       .orderBy($"doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    assert(got.toSeq === Seq((1L, "a b", 1.0), (2L, "y z", 0.666667)))
+    assert(got.toSeq === Seq((1L, "a b", 1.0), (2L, "y z", 0.666667),
+      (4L, "aa bb", 0.307692))) // 2×4 / 26 token chars
     // companion rule: repeated-occurrence coverage, capped at 1
     val dup = TextAnalysis.dupNgramCharFraction(df, "doc_id", "text", n = 2)
       .orderBy($"doc_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     // doc 1: "a b"×3 → 2 extra × 2 chars; "b a"×2 → 1 extra × 2 chars;
-    // 6/6 = 1.0. doc 2: no repeats → 0.0
-    assert(dup.toSeq === Seq((1L, 1.0), (2L, 0.0)))
+    // 6/6 = 1.0. doc 2: no repeats → 0.0. doc 4: one extra "aa bb" →
+    // 4/26
+    assert(dup.toSeq === Seq((1L, 1.0), (2L, 0.0), (4L, 0.153846)))
   }
 
   test("token/char counts and mean token length") {
