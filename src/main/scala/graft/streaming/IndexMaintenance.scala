@@ -123,8 +123,15 @@ object IndexMaintenance {
       Bm25.removeDocs(spark, name, changed.unionByName(removed), idCol)
     // changed ids re-append below — their physical rows must be gone
     // first (see scaladoc); deletes alone ride the tombstone until the
-    // backlog-ratio policy compacts
+    // backlog-ratio policy compacts. An ADDED id that is still
+    // physically tombstoned (deleted in an EARLIER batch, now
+    // re-added: its latest fingerprint is a null-h marker, so it
+    // classifies added, but its old rows sit in doclens until some
+    // compaction) forces the same rewrite — without it appendDocs'
+    // doclens-overlap require throws, and at-least-once redelivery
+    // would replay the same batch into the same throw forever.
     if (statusCounts.getOrElse("changed", 0L) > 0 ||
+        readdedTombstoned(spark, name, delta, idCol) ||
         tombstoneBacklog(spark, name) > compactRatio) {
       Bm25.compactIndex(spark, name, buckets, idCol)
       compactFingerprints(spark, name, idCol)
@@ -185,6 +192,19 @@ object IndexMaintenance {
     classifyAgainst(priorFingerprints(spark, name, b, idCol), live,
       idCol, textCol)
   }
+
+  /** True iff an id this batch classified `added` is still physically
+    * tombstoned — the delete-then-re-add case that must compact before
+    * the append. Priced like the other policy checks: the tombstone
+    * table is backlog-sized and the batch's added ids broadcast into
+    * the semi-join; no corpus scan. */
+  private def readdedTombstoned(spark: SparkSession, name: String,
+      delta: DataFrame, idCol: String): Boolean =
+    spark.catalog.tableExists(s"${name}_tombstones") &&
+      !spark.table(s"${name}_tombstones")
+        .join(broadcast(delta.filter(col("status") === "added")
+          .select(col(idCol))), Seq(idCol), "left_semi")
+        .isEmpty
 
   /** Tombstoned/indexed ratio from the 1-row stats and the tombstone-
     * sized table — the compaction trigger, priced so the POLICY CHECK

@@ -95,6 +95,41 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(boom.getMessage.contains("strictly increasing"))
   }
 
+  test("delete-then-re-add of the same id forces compaction instead of wedging") {
+    // regression: a re-added id classifies `added` (its latest
+    // fingerprint is a null-h delete marker), but its old rows are
+    // still physically tombstoned in doclens. With no changed docs in
+    // the batch and a backlog under compactRatio, nothing used to
+    // trigger the rewrite, appendDocs' overlap require threw, and
+    // at-least-once redelivery replayed the same batch into the same
+    // throw forever.
+    val name = "graft_im_dra"
+    IndexMaintenance.initStores(spark, name)
+    val b1 = Seq((1L, "x1 x2 x3"), (2L, "y1 y2 y3"), (3L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    IndexMaintenance.applyUpserts(spark, name, b1, ver = 1L, buckets = 8,
+      compactRatio = 10.0)
+    // delete 2: rides the tombstone (backlog 1/3 << 10)
+    IndexMaintenance.applyUpserts(spark, name,
+      Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      ver = 2L, buckets = 8, compactRatio = 10.0)
+    assert(spark.table(name + "_tombstones").count() === 1L)
+    // re-add 2 with fresh content — no changed docs, backlog still
+    // under ratio: must compact-then-append, not throw
+    val delta = IndexMaintenance.applyUpserts(spark, name,
+      Seq((2L, "w1 w2 w3")).toDF("doc_id", "text"),
+      ver = 3L, buckets = 8, compactRatio = 10.0)
+    assert(delta.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "added")))
+    assert(!spark.catalog.tableExists(name + "_tombstones") ||
+      spark.table(name + "_tombstones").isEmpty) // rewrite happened
+    val corpus = Seq((1L, "x1 x2 x3"), (2L, "w1 w2 w3"), (3L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val probe = Seq("x1", "w1", "z1", "y1")
+    assert(rounded(Bm25.scoreIndexed(spark, name, probe)) ===
+      rounded(Bm25.score(corpus, probe.toDF("term"))))
+  }
+
   test("foreachBatch stream == batch replay; ANN leg folds the same delta") {
     // corpus with vectors: embeddings fixture + a deterministic 1-token text
     val e = Tables.embeddings(spark, sf0001)
