@@ -2369,6 +2369,104 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q171: the dedup-gated pipeline maintaining BOTH stores from ONE
+    // admission decision (r8 verdict #1) — text index and ANN/vector
+    // store fold from the same per-batch classification in
+    // `applyGatedUpserts`: admitted adds append text AND vectors,
+    // edits remove+reappend, takedowns remove from both. Three add
+    // waves (q169's schedule, corpus = documents ⋈ embeddings), then
+    // an edit+takedown wave over the live set. The oracle mirrors the
+    // deterministic halves exactly (q87's admission CTE gives the
+    // admitted set, so the edited/removed/final store sizes are plain
+    // SQL counts); the seeded-geometry halves are in-engine
+    // constant-truth bits (store ids ≡ live index ids, stored vectors
+    // bit-equal to source embeddings, folded-model ANN recall vs exact
+    // KNN over the live corpus ≥ floor — the q83/q168 gate pattern).
+    "q171_gated_ann" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.IndexMaintenance
+      val idx = "graft_q171_idx"; val sig = "graft_q171_sigs"
+      IndexMaintenance.initStores(s, idx)
+      graft.streaming.IngestDedup.initStore(s, sig)
+      graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .localCheckpoint()
+      val n = 3
+      val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+      val step = (maxId + n) / n
+      def wave(k: Int) = corpus
+        .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      // wave 1 bootstraps the index; the ANN model is then fitted on
+      // exactly the wave-1 ADMITTED vectors (maintainStream's
+      // seed-batch-then-stream pattern)
+      val d1 = IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(0),
+        ver = 1L, buckets = 8)
+      val ref = new java.util.concurrent.atomic.AtomicReference(
+        graft.ann.DistributedAnnForest(numTrees = 4, maxLeafSize = 64, seed = 99L)
+          .fit(corpus.join(d1.filter(col("status") === "added")
+              .select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("embedding")), idCol = "doc_id"))
+      for (k <- 1 until n)
+        IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
+          ver = k + 1L, buckets = 8, annRef = Some(ref))
+      // wave 4: edits (live ids ≡ 1 mod 10 — text v2, same embedding)
+      // and takedowns (live ids ≡ 2 mod 10), over the LIVE set so the
+      // oracle can name both slices from the admitted CTE
+      val live3 = s.table(idx + "_doclens").select(col("doc_id")).localCheckpoint()
+      val edits = corpus.join(live3, Seq("doc_id"), "left_semi")
+        .filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("embedding"))
+      val dels = live3.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("array<float>").as("embedding"))
+      val d4 = IndexMaintenance.applyGatedUpserts(s, idx, sig,
+        edits.unionByName(dels), ver = 4L, buckets = 8, annRef = Some(ref))
+        .localCheckpoint()
+      val nEdited = d4.filter(col("status") === "changed").count()
+      val nRemoved = d4.filter(col("status") === "removed").count()
+
+      val model = ref.get
+      val tomb =
+        if (s.catalog.tableExists(idx + "_tombstones"))
+          s.table(idx + "_tombstones").select(col("doc_id"))
+        else s.range(0).select(col("id").as("doc_id"))
+      val liveIds = s.table(idx + "_doclens").select(col("doc_id"))
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      val storeIds = model.corpusBuckets
+        .select(col("neighbor_id").as("doc_id")).distinct().localCheckpoint()
+      val idsOk = storeIds.exceptAll(liveIds).isEmpty &&
+        liveIds.exceptAll(storeIds).isEmpty
+      // euclidean model: __cvec is the raw vector — bit-exact against
+      // the source embeddings for every stored id
+      val vecsOk = model.corpusBuckets
+        .select(col("neighbor_id").as("doc_id"), col("__cvec")).distinct()
+        .join(corpus.select(col("doc_id"), col("embedding")), Seq("doc_id"))
+        .filter(!(col("__cvec") === col("embedding"))).isEmpty
+      val liveCorpus = corpus.join(liveIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("vec_id"), col("embedding")).localCheckpoint()
+      val queries = liveCorpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = KnnExact.knnBatch(liveCorpus, queries, 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = model.knnJoin(queries, topK = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      val total = exact.count()
+      val recallOk = total > 0 && hits.toDouble / total >= 0.70
+      Seq(
+        ("ann_recall_ok", if (recallOk) 1L else 0L),
+        ("n_edited", nEdited),
+        ("n_removed", nRemoved),
+        ("n_store", storeIds.count()),
+        ("store_ids_eq_index", if (idsOk) 1L else 0L),
+        ("store_vecs_bit_exact", if (vecsOk) 1L else 0L))
+        .toDF("component", "val")
+        .orderBy(col("component"))
+    }),
+
     // ---- Multimodal plumbing (stub codec; rows-only check) ----
 
     // Output kept scalar-only: the driver canonicalizes results with a
@@ -4672,6 +4770,34 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    // q171: the deterministic halves are plain counts over q87's
+    // admitted CTE (edits = admitted ≡1 mod 10, takedowns = ≡2, final
+    // store = admitted minus takedowns); the seeded-geometry halves
+    // are in-engine constant-truth bits (q83/q168 pattern)
+    "q171_gated_ann" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         adm AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         SELECT * FROM (VALUES
+           ('ann_recall_ok', 1),
+           ('n_edited', (SELECT count(*) FROM adm WHERE doc_id % 10 = 1)),
+           ('n_removed', (SELECT count(*) FROM adm WHERE doc_id % 10 = 2)),
+           ('n_store', (SELECT count(*) FROM adm WHERE doc_id % 10 <> 2)),
+           ('store_ids_eq_index', 1),
+           ('store_vecs_bit_exact', 1)) t(component, val)
+         ORDER BY component""",
     "q88_cluster_keep_best" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id, list_distinct(list_transform(

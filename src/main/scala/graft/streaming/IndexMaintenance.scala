@@ -332,13 +332,25 @@ object IndexMaintenance {
     * Per-batch cost: classification + admission probes are batch-
     * bounded; the index apply is O(delta) (see [[applyUpserts]]); the
     * store-sized signature rewrites happen only on change-carrying
-    * batches and on the backlog-ratio sweep. */
+    * batches and on the backlog-ratio sweep.
+    *
+    * When `annRef` is given and the batch carries `vecCol`, the
+    * ANN/vector store folds from the SAME admission decision
+    * (admitted adds append vectors, changes remove+append, takedowns
+    * remove) — a rejected add's embedding never enters the vector
+    * store, so text index and vector store cannot desync. Batch
+    * contract for the vector leg: a CHANGED doc must carry its
+    * (possibly unchanged) embedding, or its vector is removed without
+    * replacement — same contract as [[maintainStream]]. */
   def maintainStreamDeduped(docs: DataFrame, name: String, sigName: String,
       sink: (DataFrame, Long) => Unit,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, seed: Long = 42L,
-      compactRatio: Double = 0.2, verBase: Long = 1L)
+      compactRatio: Double = 0.2, verBase: Long = 1L,
+      annRef: Option[java.util.concurrent.atomic.AtomicReference[
+        graft.ann.DistributedAnnModel]] = None,
+      vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -346,7 +358,8 @@ object IndexMaintenance {
         if (!batch.isEmpty)
           sink(applyGatedUpserts(batch.sparkSession, name, sigName, batch,
             ver = batchId + verBase, buckets, idCol, textCol,
-            ngram, numHashes, bands, threshold, seed, compactRatio), batchId)
+            ngram, numHashes, bands, threshold, seed, compactRatio,
+            annRef, vecCol), batchId)
       }
 
   /** One gated batch — [[maintainStreamDeduped]]'s per-batch unit,
@@ -359,7 +372,10 @@ object IndexMaintenance {
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, seed: Long = 42L,
-      compactRatio: Double = 0.2): DataFrame = {
+      compactRatio: Double = 0.2,
+      annRef: Option[java.util.concurrent.atomic.AtomicReference[
+        graft.ann.DistributedAnnModel]] = None,
+      vecCol: String = "embedding"): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     val delta = classifyUpserts(spark, name, b, idCol, textCol)
@@ -388,6 +404,22 @@ object IndexMaintenance {
       .localCheckpoint()
     val applied = applyUpserts(spark, name, gated, ver,
       buckets, idCol, textCol, compactRatio)
+    // fold the ANN/vector store from the SAME classification and
+    // admission decision (r8 verdict #1): admitted adds append their
+    // vectors, changes remove + append, takedowns remove. A rejected
+    // add never reaches `applied`, so its embedding never enters the
+    // vector store either — the single gate gates ALL the stores; an
+    // admitted doc's text and embedding cannot desync.
+    annRef.filter(_ => batch.columns.contains(vecCol)).foreach { ref =>
+      val gone = applied.filter(col("status").isin("changed", "removed"))
+        .select(col(idCol))
+      val put = batch
+        .select(col(idCol).cast("long").as(idCol), col(vecCol))
+        .join(applied.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+        .filter(col(vecCol).isNotNull)
+      ref.set(ref.get.remove(gone, idCol).append(put, idCol, vecCol).compact())
+    }
     sweepSignatures(spark, sigName, bands, compactRatio)
     applied
   }

@@ -259,4 +259,97 @@ class IndexMaintenanceSpec extends SparkSpec {
       .collect().contains(9L)) // and never reach the index
     assert(rounded(Bm25.scoreIndexed(spark, name, probe)) === before)
   }
+
+  test("gated ANN leg: vector store folds from the same admission; stream == replay") {
+    import graft.streaming.{IndexMaintenance, IngestDedup}
+    // the gated scenario's schedule, with an embedding per doc; the
+    // edit of 4 carries a NEW embedding (the vector leg must refresh,
+    // not keep v1); delete markers null both text and vector
+    def vec(id: Long, v: Float): Array[Float] = Array(id.toFloat, v)
+    val b1 = Seq(
+      (1L, "a1 a2 a3 a4", vec(1, 1f)), (2L, "a1 a2 a3 b1", vec(2, 1f)),
+      (3L, "c1 c2 c3 c4", vec(3, 1f)), (4L, "d1 d2 d3 d4", vec(4, 1f)))
+      .toDF("doc_id", "text", "embedding")
+    val b2 = Seq(
+      (4L, "f1 f2 f3 f4 f5", vec(4, 2f)), (5L, "c1 c2 c3 c5", vec(5, 1f)),
+      (6L, "e1 e2 e3 e4", vec(6, 1f))).toDF("doc_id", "text", "embedding")
+    val b3 = Seq((3L, null.asInstanceOf[String],
+      null.asInstanceOf[Array[Float]])).toDF("doc_id", "text", "embedding")
+    val b4 = Seq(
+      (7L, "c2 c3 c4 c6", vec(7, 1f)), (8L, "d1 d2 d3 d4", vec(8, 1f)))
+      .toDF("doc_id", "text", "embedding")
+
+    def runGated(name: String, sig: String, apply: Seq[org.apache.spark.sql.DataFrame] =>
+        java.util.concurrent.atomic.AtomicReference[graft.ann.DistributedAnnModel])
+        : (Set[Long], Set[(Long, Seq[Float])]) = {
+      IndexMaintenance.initStores(spark, name)
+      IngestDedup.initStore(spark, sig)
+      graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+      val ref = apply(Seq(b1, b2, b3, b4))
+      val tombstoned =
+        if (spark.catalog.tableExists(name + "_tombstones"))
+          spark.table(name + "_tombstones").select($"doc_id").as[Long]
+            .collect().toSet
+        else Set.empty[Long]
+      val live = spark.table(name + "_doclens").select($"doc_id").as[Long]
+        .collect().toSet -- tombstoned
+      val store = ref.get.corpusBuckets
+        .select($"neighbor_id", $"__cvec").distinct()
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+      (live, store)
+    }
+    def seedRef(name: String, sig: String, first: org.apache.spark.sql.DataFrame) = {
+      val d1 = IndexMaintenance.applyGatedUpserts(spark, name, sig, first,
+        ver = 1L, buckets = 8, ngram = 1, numHashes = 32, bands = 32,
+        threshold = 0.5, compactRatio = 10.0)
+      new java.util.concurrent.atomic.AtomicReference(
+        graft.ann.DistributedAnnForest(numTrees = 2, maxLeafSize = 8, seed = 7L)
+          .fit(first.join(d1.filter($"status" === "added").select($"doc_id"),
+            Seq("doc_id"), "left_semi").select($"doc_id", $"embedding"),
+            idCol = "doc_id"))
+    }
+
+    // (a) batch-mode replay through applyGatedUpserts
+    val (liveR, storeR) = runGated("graft_im_ga_r", "graft_im_ga_r_sigs", { bs =>
+      val ref = seedRef("graft_im_ga_r", "graft_im_ga_r_sigs", bs.head)
+      bs.tail.zipWithIndex.foreach { case (b, k) =>
+        IndexMaintenance.applyGatedUpserts(spark, "graft_im_ga_r",
+          "graft_im_ga_r_sigs", b, ver = k + 2L, buckets = 8,
+          ngram = 1, numHashes = 32, bands = 32, threshold = 0.5,
+          compactRatio = 10.0, annRef = Some(ref))
+      }
+      ref
+    })
+    // (b) the streaming wiring over the same schedule
+    val (liveS, storeS) = runGated("graft_im_ga_s", "graft_im_ga_s_sigs", { bs =>
+      val ref = seedRef("graft_im_ga_s", "graft_im_ga_s_sigs", bs.head)
+      val dir = java.nio.file.Files.createTempDirectory("graft_im_ga").toString
+      def write(b: org.apache.spark.sql.DataFrame) =
+        b.repartition(1).write.mode("append").parquet(dir)
+      write(bs(1))
+      val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = IndexMaintenance.maintainStreamDeduped(stream, "graft_im_ga_s",
+          "graft_im_ga_s_sigs", (_, _) => (), buckets = 8,
+          ngram = 1, numHashes = 32, bands = 32, threshold = 0.5,
+          compactRatio = 10.0, verBase = 2L, annRef = Some(ref))
+        .start()
+      q.processAllAvailable()
+      for (b <- bs.drop(2)) { write(b); q.processAllAvailable() }
+      q.stop()
+      ref
+    })
+
+    // one admission decision gates both stores: vector ids == live
+    // index ids; rejected 2/5 and taken-down 3 absent; edited 4 holds
+    // its REFRESHED v2 vector; re-added-content 8 present
+    val expected = Set(
+      (1L, Seq(1f, 1f)), (4L, Seq(4f, 2f)), (6L, Seq(6f, 1f)),
+      (7L, Seq(7f, 1f)), (8L, Seq(8f, 1f)))
+    assert(liveR === Set(1L, 4L, 6L, 7L, 8L))
+    assert(storeR === expected)
+    // ...and the stream-maintained state is the batch-replay state
+    assert(liveS === liveR)
+    assert(storeS === storeR)
+  }
 }
