@@ -2816,6 +2816,83 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q172: IVF / IVF-PQ standing-store LIFECYCLE (q121's pattern for
+    // the cell stores — r8 verdict #4): fit both quantizers on the
+    // INITIAL corpus slice only, save the cell-assigned store, ingest
+    // a delta with NO retrain (frozen centroids/codebooks — one
+    // broadcast assignment pass + bucketed append), tombstone-delete,
+    // serve with tombstones pending, compact physically, and compare
+    // against a from-scratch rebuild of the live corpus under the SAME
+    // quantizers. Frozen quantizers make maintained ≡ rebuilt an EXACT
+    // bit (same home cells → same candidates → same distances), not
+    // just a recall statement; recall floors vs exact KNN follow the
+    // q83 gate policy. Seeded geometry → constant-truth (component,
+    // ok) rows, q121-style.
+    "q172_ivf_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      import graft.ann.{IvfIndex, PqIndex}
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val initial = e.filter(col("vec_id") < 300)
+      val delta = e.filter(col("vec_id") >= 300)
+      val removedIds = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select(col("vec_id")).localCheckpoint()
+      val liveCorpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+        .localCheckpoint()
+      val queries = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val exact = KnnExact.knnBatch(liveCorpus, queries, 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      def ids(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      def eq(a: DataFrame, b: DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      def recallOk(got: DataFrame, floor: Double) = {
+        val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+        hits.toDouble / exact.count() >= floor
+      }
+
+      val ivf = IvfIndex(nlist = 16, nprobe = 6, seed = 42L).fit(initial)
+      val t = "graft_q172_ivf"
+      ivf.saveStore(initial, t, buckets = 8)
+      ivf.appendStore(delta, t, buckets = 8)
+      ivf.removeStore(s, t, removedIds)
+      val servedTomb = ids(ivf.knnJoinStore(s, t, queries, 10))
+      ivf.compactStore(s, t, buckets = 8)
+      val servedCompacted = ids(ivf.knnJoinStore(s, t, queries, 10))
+      ivf.saveStore(liveCorpus, t + "_rb", buckets = 8)
+      val servedRebuilt = ids(ivf.knnJoinStore(s, t + "_rb", queries, 10))
+      val ivfPurged = !s.catalog.tableExists(t + "_tombstones") &&
+        s.table(t).join(removedIds.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").isEmpty
+      val ivfIdsLive = eq(s.table(t).select(col("neighbor_id")),
+        liveCorpus.select(col("vec_id").as("neighbor_id")))
+
+      val pq = PqIndex(m = 16, seed = 42L).fit(initial)
+      val pt = "graft_q172_pq"
+      pq.saveCorpusIvf(ivf, initial, pt, buckets = 8)
+      pq.appendCorpusIvf(ivf, delta, pt, buckets = 8)
+      pq.removeCorpusIvf(s, pt, removedIds)
+      val pqTomb = ids(pq.knnJoinIvfIndexed(s, ivf, pt, queries, 10))
+      pq.compactCorpusIvf(s, pt, buckets = 8)
+      val pqCompacted = ids(pq.knnJoinIvfIndexed(s, ivf, pt, queries, 10))
+      pq.saveCorpusIvf(ivf, liveCorpus, pt + "_rb", buckets = 8)
+      val pqRebuilt = ids(pq.knnJoinIvfIndexed(s, ivf, pt + "_rb", queries, 10))
+
+      Seq(
+        ("ivf_maintained_eq_rebuilt", if (eq(servedCompacted, servedRebuilt)) 1 else 0),
+        ("ivf_recall_ok", if (recallOk(servedCompacted, 0.60)) 1 else 0),
+        ("ivf_serve_eq_compacted", if (eq(servedTomb, servedCompacted)) 1 else 0),
+        ("ivf_store_ids_live", if (ivfIdsLive) 1 else 0),
+        ("ivf_tombstones_purged", if (ivfPurged) 1 else 0),
+        ("pq_maintained_eq_rebuilt", if (eq(pqCompacted, pqRebuilt)) 1 else 0),
+        ("pq_recall_ok", if (recallOk(pqCompacted, 0.45)) 1 else 0),
+        ("pq_serve_eq_compacted", if (eq(pqTomb, pqCompacted)) 1 else 0))
+        .toDF("component", "ok")
+        .orderBy(col("component"))
+    }),
+
     // q122: the N-stage funnel at FOUR stages (signup → view → click →
     // purchase) — exercises the parameterized chain beyond q113's
     // three; same window-free semi-filtered-scan + min-agg plan per
@@ -4770,6 +4847,16 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    // q172: seeded-geometry lifecycle invariants recomputed in-engine
+    // (q121's oracle pattern — constant truth)
+    "q172_ivf_lifecycle" ->
+      """SELECT * FROM (VALUES
+           ('ivf_maintained_eq_rebuilt', 1), ('ivf_recall_ok', 1),
+           ('ivf_serve_eq_compacted', 1), ('ivf_store_ids_live', 1),
+           ('ivf_tombstones_purged', 1),
+           ('pq_maintained_eq_rebuilt', 1), ('pq_recall_ok', 1),
+           ('pq_serve_eq_compacted', 1)) t(component, ok)
+         ORDER BY component""",
     // q171: the deterministic halves are plain counts over q87's
     // admitted CTE (edits = admitted ≡1 mod 10, takedowns = ≡2, final
     // store = admitted minus takedowns); the seeded-geometry halves

@@ -237,4 +237,114 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       .write.mode("overwrite").parquet(s"$path/centroids")
     Seq(nprobe).toDF("nprobe").write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  // ---- standing-store lifecycle (round 9: parity with the forest's
+  // append/remove/compact — IVF-(PQ) is the compressed form you'd
+  // actually serve at 100 TB, and before this a corpus delta meant a
+  // full retrain) ----
+
+  /** Persist the cell-assigned corpus as the standing IVF store:
+    * `<table>` = (cell, neighbor_id, __cvec) bucketed AND sorted by
+    * the INT cell id, so every later query batch equi-joins it with
+    * zero corpus-side exchange. Clears a stale tombstone table from a
+    * previous lifecycle at the same name. */
+  def saveStore(corpus: DataFrame, table: String, buckets: Int = 32,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    graft.sources.Sinks.dropTable(spark, table + "_tombstones")
+    val c = assignCells(
+      corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+        col(corpusVec).as("__cvec")), "__cvec", 1)
+      .select(col("cell"), col("neighbor_id"), col("__cvec"))
+    graft.sources.Sinks.parquetBucketed(c, table, buckets, Seq("cell"), Seq("cell"))
+  }
+
+  /** Append a corpus delta to the standing store WITHOUT retraining:
+    * the quantizer is frozen (the FAISS discipline — cells only need
+    * to remain a reasonable space partition; recall is governed by
+    * nprobe), so a delta is one broadcast-centroid assignment pass
+    * plus a bucketed append — appends keep the bucket spec, so the
+    * zero-exchange serving join survives growth. Re-fit when cell
+    * occupancy drifts far out of balance, as with any
+    * frozen-quantizer index. Dedup against the standing corpus is the
+    * caller's choice (same contract as the forest's append). */
+  def appendStore(delta: DataFrame, table: String, buckets: Int = 32,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    val c = assignCells(
+      delta.select(col(corpusId).cast("long").as("neighbor_id"),
+        col(corpusVec).as("__cvec")), "__cvec", 1)
+      .select(col("cell"), col("neighbor_id"), col("__cvec"))
+    c.write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+  }
+
+  /** Delete ids from the standing store: a tombstone append (the Bm25
+    * removeDocs pattern) — O(delete batch), no store rewrite. Serving
+    * ([[knnJoinStore]], [[PqModel.knnJoinIvfIndexed]]) subtracts the
+    * tombstoned ids immediately; [[compactStore]] purges physically.
+    * Re-adding a tombstoned id requires compacting FIRST (tombstones
+    * are id-keyed, so the re-added row would stay hidden) — the same
+    * upsert discipline the BM25 store documents; pinned in spec. */
+  def removeStore(spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame): Unit =
+    AnnStores.markTombstones(spark, table, ids)
+
+  /** Rewrite the store minus its tombstones (settle-then-overwrite —
+    * Spark cannot overwrite a table its own plan reads) and drop the
+    * tombstone table. One bucketed rewrite; the serving anti-join
+    * disappears until the next delete. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 32): Unit = {
+    if (!spark.catalog.tableExists(table + "_tombstones")) return
+    val live = AnnStores.liveRows(spark, table).localCheckpoint()
+    graft.sources.Sinks.parquetBucketed(live, table, buckets,
+      Seq("cell"), Seq("cell"))
+    graft.sources.Sinks.dropTable(spark, table + "_tombstones")
+  }
+
+  /** Approximate k-NN against the standing store: queries probe
+    * `nprobe` cells and equi-join the bucketed table on `cell` (no
+    * corpus-side exchange); pending tombstones are subtracted BEFORE
+    * the join (delete-batch-sized anti-join — AQE broadcasts it).
+    * Result-identical to [[knnJoin]] over the same live corpus: same
+    * frozen quantizer → same home cells → same candidates (specced,
+    * and q172 pins maintained ≡ rebuilt under the hash gate). */
+  def knnJoinStore(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, topK: Int,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    val q = assignCells(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
+      "__qv", nprobe)
+    BucketSelfJoin.dedupTopK(
+      q.join(AnnStores.liveRows(spark, table), Seq("cell"))
+        .select(col("query_id"), col("neighbor_id"),
+          sqEucDist(col("__cvec"), col("__qv")).as("dist")),
+      topK)
+  }
+}
+
+/** Tombstone plumbing shared by the IVF and IVF-PQ standing stores
+  * (same discipline as Bm25's `_tombstones`: append-only marker table
+  * next to the data table, anti-joined at serve time, purged by the
+  * compaction rewrite). */
+private[ann] object AnnStores {
+  import org.apache.spark.sql.SparkSession
+
+  def markTombstones(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(table + "_tombstones"))
+      graft.sources.Sinks.dropTable(spark, table + "_tombstones")
+    ids.select(col(ids.columns.head).cast("long").as("neighbor_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(table + "_tombstones")
+  }
+
+  /** The store minus pending tombstones (identity when none). */
+  def liveRows(spark: SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    if (!spark.catalog.tableExists(table + "_tombstones")) t
+    else t.join(spark.table(table + "_tombstones"),
+      Seq("neighbor_id"), "left_anti")
+  }
 }

@@ -305,6 +305,9 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
   def saveCorpusIvf(ivf: IvfModel, corpus: DataFrame, table: String,
       buckets: Int = 32,
       corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    // a fresh save starts a fresh lifecycle: clear tombstones left at
+    // this name by a previous store generation
+    graft.sources.Sinks.dropTable(corpus.sparkSession, table + "_tombstones")
     val c = ivf
       .assignCells(
         encode(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv"),
@@ -329,11 +332,51 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
         queries.select(col(queryId).cast("long").as(queryId), col(queryVec).as("__qv")),
         "__qv", n = ivf.nprobe)
       .select(col("cell"), col(queryId), col("__qv"))
-    val candidates = q.join(spark.table(table), Seq("cell"))
+    // pending tombstones subtract BEFORE the cell join (delete-batch-
+    // sized anti-join, AQE-broadcast) — the same immediate-delete
+    // visibility the IVF float store and Bm25 serving give
+    val candidates = q.join(AnnStores.liveRows(spark, table), Seq("cell"))
       .select(col(queryId).as("query_id"), col("neighbor_id"),
         graft.functions.VectorFunctions
           .sqEucDist(col("__qv"), decodeUdf(col("pq_code"))).as("dist"))
     BucketSelfJoin.dedupTopK(candidates, topK)
+  }
+
+  /** Append a corpus delta to a [[saveCorpusIvf]] store WITHOUT
+    * retraining either quantizer: frozen codebooks encode the delta,
+    * frozen centroids assign its home cells, and the rows append into
+    * the bucketed table (bucket spec survives appends, so the
+    * zero-exchange serving join keeps holding). The IVF-PQ sibling of
+    * [[IvfModel.appendStore]] — before this, the compressed store
+    * could not ingest a delta at all. */
+  def appendCorpusIvf(ivf: IvfModel, delta: DataFrame, table: String,
+      buckets: Int = 32,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    val c = ivf
+      .assignCells(
+        encode(delta.select(col(corpusId).as("neighbor_id"),
+          col(corpusVec).as("__cv")), "__cv"),
+        "__cv", n = 1)
+      .select(col("cell"), col("neighbor_id"), col("pq_code"))
+    c.write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+  }
+
+  /** Delete ids from the compressed standing store: tombstone append,
+    * purged physically by [[compactCorpusIvf]]. */
+  def removeCorpusIvf(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    AnnStores.markTombstones(spark, table, ids)
+
+  /** Rewrite the compressed store minus its tombstones and drop the
+    * tombstone table (settle-then-overwrite). */
+  def compactCorpusIvf(spark: SparkSession, table: String,
+      buckets: Int = 32): Unit = {
+    if (!spark.catalog.tableExists(table + "_tombstones")) return
+    val live = AnnStores.liveRows(spark, table).localCheckpoint()
+    graft.sources.Sinks.parquetBucketed(live, table, buckets,
+      Seq("cell"), Seq("cell"))
+    graft.sources.Sinks.dropTable(spark, table + "_tombstones")
   }
 
   /** Persist the codebooks as plain parquet (subspace, centroid id,

@@ -119,4 +119,64 @@ class PqSpec extends SparkSpec {
       assert(rows(indexed) === rows(adhoc))
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_corpus")
   }
+
+  test("IVF store lifecycle: frozen-quantizer append ≡ rebuild; deletes visible, purge, re-add after compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L)
+      .fit(emb.filter(col("vec_id") < 300), "embedding")
+    val t = "graft_ivf_lc"
+    def tableRows(name: String) = spark.table(name)
+      .select($"cell", $"neighbor_id").as[(Int, Long)].collect().toSet
+    try {
+      // append without retrain lands every delta row in exactly the
+      // cell a full save would assign (frozen centroids) — table-equal
+      ivf.saveStore(emb.filter(col("vec_id") < 300), t, buckets = 8)
+      ivf.appendStore(emb.filter(col("vec_id") >= 300), t, buckets = 8)
+      ivf.saveStore(emb, t + "_rb", buckets = 8)
+      assert(tableRows(t) === tableRows(t + "_rb"))
+      // tombstoned deletes vanish from serving immediately...
+      val removed = emb.filter(pmod($"vec_id", lit(10)) === 3).select($"vec_id")
+      ivf.removeStore(spark, t, removed)
+      val served = ivf.knnJoinStore(spark, t, queries, topK = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(served.nonEmpty && !served.exists(_._2 % 10 == 3))
+      // ...and compaction purges physically without changing results
+      ivf.compactStore(spark, t, buckets = 8)
+      assert(!spark.catalog.tableExists(t + "_tombstones"))
+      assert(!tableRows(t).exists(_._2 % 10 == 3))
+      assert(ivf.knnJoinStore(spark, t, queries, topK = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().toSet === served)
+      // delete → compact → re-append roundtrips the id (the documented
+      // re-add-after-compact discipline)
+      val back = emb.filter($"vec_id" === 3)
+      ivf.appendStore(back, t, buckets = 8)
+      assert(tableRows(t).exists(_._2 == 3L))
+      assert(ivf.knnJoinStore(spark, t,
+          back.select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+          topK = 1)
+        .select($"neighbor_id").as[Long].collect().toSeq === Seq(3L))
+      // the compressed composition: same append-without-retrain
+      // equality and tombstone visibility over (cell, id, pq_code)
+      pq.saveCorpusIvf(ivf, emb.filter(col("vec_id") < 300), t + "_pq", buckets = 8)
+      pq.appendCorpusIvf(ivf, emb.filter(col("vec_id") >= 300), t + "_pq", buckets = 8)
+      pq.saveCorpusIvf(ivf, emb, t + "_pq_rb", buckets = 8)
+      def pqRows(name: String) = spark.table(name)
+        .select($"cell", $"neighbor_id", $"pq_code").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+      assert(pqRows(t + "_pq") === pqRows(t + "_pq_rb"))
+      pq.removeCorpusIvf(spark, t + "_pq", removed)
+      val pqServed = pq.knnJoinIvfIndexed(spark, ivf, t + "_pq", queries, topK = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(pqServed.nonEmpty && !pqServed.exists(_._2 % 10 == 3))
+      pq.compactCorpusIvf(spark, t + "_pq", buckets = 8)
+      assert(!spark.catalog.tableExists(t + "_pq_tombstones"))
+      assert(pq.knnJoinIvfIndexed(spark, ivf, t + "_pq", queries, topK = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().toSet === pqServed)
+    } finally for (n <- Seq(t, t + "_rb", t + "_tombstones",
+        t + "_pq", t + "_pq_rb", t + "_pq_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+  }
 }
