@@ -22,16 +22,17 @@ import graft.operators.{Bm25, SnapshotDiff}
   * silently hide a LATER add of that id).
   *
   * Change detection never rereads corpus text: a standing APPEND-ONLY
-  * fingerprint log `<name>_fplog` (id, xxhash64(text), ver — bucketed
-  * by id) holds one row per upsert, deletes logged with a null hash.
-  * The per-batch probe broadcasts the batch's ids into a semi-join and
-  * takes latest-ver-wins over only the matching rows — all JOIN and
-  * aggregation work is batch-bounded and nothing log-sized shuffles;
-  * the probe does still SCAN the log's three narrow columns (the
-  * IngestDedup store stance: if that scan ever dominates, the lever is
-  * partitioning the log by an id-hash prefix so small batches prune
-  * files, not literal key lists). [[compactFingerprints]] folds the
-  * log back to one row per live id, which also bounds the scan.
+  * fingerprint log `<name>_fplog` (id, xxhash64(text), ver —
+  * Hive-partitioned by `fp_prefix = pmod(xxhash64(id), 64)`) holds one
+  * row per upsert, deletes logged with a null hash. The per-batch
+  * probe prunes the log's FILES to the batch's prefix set (a ≤64-int
+  * literal partition filter), then broadcasts the batch's ids into a
+  * semi-join and takes latest-ver-wins over only the matching rows —
+  * all JOIN and aggregation work is batch-bounded, nothing log-sized
+  * shuffles, and the bytes READ are bounded by the batch's prefixes
+  * however large the log grows (ProbeFplogPrune). [[compactFingerprints]]
+  * folds the log back to one row per live id, which also folds the
+  * per-batch file accumulation inside each prefix.
   * A 64-bit content hash can collide (probability ~batch·2⁻⁶⁴ per
   * batch) — a collision misses ONE update, never corrupts the store.
   *
@@ -151,17 +152,43 @@ object IndexMaintenance {
     delta
   }
 
-  /** Latest-wins fingerprints for ONLY the batch's ids (broadcast
-    * semi-join; log rows stream past the probe — no log-sized
-    * shuffle), checkpoint-settled. */
+  /** The fingerprint log's partition count: the log is Hive-partitioned
+    * on `fp_prefix = pmod(xxhash64(id), FP_PREFIXES)` so the per-batch
+    * probe PRUNES FILES by the batch's prefix set instead of scanning
+    * the whole log (the scale lever the r8 stance documented). 64
+    * prefixes bound the probe's literal In-filter (≤ 64 ints — nothing
+    * like the evicted unbounded id lists) while keeping per-append file
+    * counts sane; [[compactFingerprints]] folds the per-batch file
+    * accumulation back to one file set per live prefix. */
+  private val FP_PREFIXES = 64
+
+  private def fpPrefix(idCol: String) =
+    pmod(xxhash64(col(idCol)), lit(FP_PREFIXES))
+
+  /** Latest-wins fingerprints for ONLY the batch's ids: partition-prune
+    * the log to the batch's fp_prefix set (≤ 64 literal ints — the
+    * pruning is static, visible as PartitionFilters), then broadcast
+    * semi-join the batch ids over the surviving files. No log-sized
+    * shuffle, and the files READ are bounded by the batch's prefixes
+    * however large the log grows (ProbeFplogPrune measures this).
+    * Checkpoint-settled. */
   private def priorFingerprints(spark: SparkSession, name: String,
       b: DataFrame, idCol: String): DataFrame =
+    fplogProbe(spark, name, b, idCol).localCheckpoint()
+
+  /** The probe's LAZY plan — package-private so the spec can pin the
+    * partition-pruned shape (the settled frame's lineage is gone). */
+  private[graft] def fplogProbe(spark: SparkSession, name: String,
+      b: DataFrame, idCol: String): DataFrame = {
+    val prefixes = b.select(fpPrefix(idCol).as("p")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
     spark.table(s"${name}_fplog")
+      .filter(col("fp_prefix").isin(prefixes: _*))
       .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_semi")
       .groupBy(col(idCol))
       .agg(max(struct(col("ver"), col("h"))).as("s"))
       .select(col(idCol), col("s.h").as("h"), col("s.ver").as("ver"))
-      .localCheckpoint()
+  }
 
   /** Classification: SnapshotDiff over (id, content-hash), old side =
     * the store's view of the batch's ids (null hash = deleted/absent).
@@ -239,8 +266,16 @@ object IndexMaintenance {
     // standing stores (a fresh catalog over an old warehouse)
     if (!spark.catalog.tableExists(s"${name}_fplog"))
       graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
-    rows.write.mode("append").format("parquet")
-      .bucketBy(8, idCol)
+    // Hive-partitioned on the id-hash prefix (see FP_PREFIXES) so the
+    // per-batch probe prunes files. The earlier bucketBy(id) layout
+    // only ever served compactFingerprints' fold (probe joins are
+    // broadcast-side and never shuffle the log); the fold now pays one
+    // narrow shuffle instead, amortized on the compaction trigger —
+    // the probe runs EVERY batch and file pruning is where the scan
+    // cost actually lives.
+    rows.withColumn("fp_prefix", fpPrefix(idCol))
+      .write.mode("append").format("parquet")
+      .partitionBy("fp_prefix")
       .saveAsTable(s"${name}_fplog")
   }
 

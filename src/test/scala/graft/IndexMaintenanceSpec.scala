@@ -260,6 +260,28 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(rounded(Bm25.scoreIndexed(spark, name, probe)) === before)
   }
 
+  test("fplog probe prunes partitions to the batch's prefix set") {
+    val name = "graft_im_fp"
+    IndexMaintenance.initStores(spark, name)
+    val docs = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        concat(lit("t"), pmod($"id", lit(131))).as("text"))
+    IndexMaintenance.applyUpserts(spark, name, docs, ver = 1L, buckets = 8)
+    // a small batch touches few of the 64 fp_prefix partitions; the
+    // probe's scan must carry a partition filter on fp_prefix (static
+    // file pruning — ProbeFplogPrune has the quantitative half: probe
+    // records read stay flat while the log grows 10×)
+    val small = docs.filter($"doc_id" < 5).localCheckpoint()
+    val plan = IndexMaintenance.fplogProbe(spark, name, small, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("fp_prefix"), "no partition pruning in probe plan:\n" + plan)
+    // and the pruned probe still classifies correctly
+    val d = IndexMaintenance.classifyUpserts(spark, name, small)
+    assert(d.groupBy($"status").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === Map("unchanged" -> 5L))
+  }
+
   test("gated ANN leg: vector store folds from the same admission; stream == replay") {
     import graft.streaming.{IndexMaintenance, IngestDedup}
     // the gated scenario's schedule, with an embedding per doc; the
