@@ -2905,6 +2905,25 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // q173: the engine's CORE query through the SQL frontend (the one
+    // §4.3 "revisit" left open after q162 covered the curation layer):
+    // `knn(qvec, k)` as a table-function-style entry — LATERAL VIEW
+    // posexplode over the registered model's ARRAY<STRUCT> result.
+    // The exact-backend face is hash-gated against DuckDB's brute KNN
+    // (same top-10/"vec_id < 50" frame as q64's oracle); the ANN face
+    // is the same registration and stays recall-gated (q83 policy;
+    // ApiSpec pins SQL ≡ DataFrame for both faces).
+    "q173_sql_knn" -> ((s, d) => {
+      val model = forest50(s, d)
+      model.registerSql(s, "graft_knn", "graft_knn_exact")
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""SELECT q.query_id, t.pos + 1 AS rank, t.h.neighbor_id
+        FROM (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 50) q
+        LATERAL VIEW posexplode(graft_knn_exact(qvec, 10)) t AS pos, h
+        ORDER BY query_id, rank""")
+    }),
+
     // q122: the N-stage funnel at FOUR stages (signup → view → click →
     // purchase) — exercises the parameterized chain beyond q113's
     // three; same window-free semi-filtered-scan + min-agg plan per
@@ -4859,6 +4878,16 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    // q173: brute KNN mirror (q64's frame), rank from posexplode ≡
+    // row_number over (distance, id)
+    "q173_sql_knn" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),
+               e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // q172: seeded-geometry lifecycle invariants recomputed in-engine
     // (q121's oracle pattern — constant truth)
     "q172_ivf_lifecycle" ->

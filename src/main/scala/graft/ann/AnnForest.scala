@@ -11,6 +11,10 @@ import org.apache.spark.sql.Row
 
 
 /** Hyperplane in implicit form n·x + c = 0 (reference src/hyperplane.rs:3-6). */
+/** One hit of the SQL knn face — a named struct so SQL reads
+  * `h.neighbor_id` / `h.dist` instead of `_1` / `_2`. */
+case class KnnHit(neighbor_id: Long, dist: Double)
+
 case class HyperPlane(coefficients: Array[Float], constant: Float) extends Serializable {
   /** Signed unnormalized margin n·x + c. Accumulates in double — the
     * reference sums f32, a documented precision divergence that only
@@ -120,6 +124,35 @@ class AnnForestModel(
     * metric="cosine", maxDist = 2·(1−minCos) on the unit sphere. */
   def searchRadius(query: Array[Float], maxDist: Double): Array[(Long, Double)] =
     compact.searchRadius(prepQuery(query), maxDist)
+
+  /** SQL face for the engine's core query (the §4.3 "revisit" item): a
+    * SQL-only user reaches top-k search as a table-function-style
+    * entry — `name(qvec, k)` returns ARRAY<STRUCT<neighbor_id, dist>>
+    * to LATERAL VIEW (pos)explode over, and `exactName(qvec, k)` is
+    * the brute sibling over the same stored rows ([[CompactIndex
+    * .searchExact]] — deterministic, so q173 hash-gates the SQL face
+    * against a DuckDB exact-KNN mirror while the ANN face stays
+    * recall-gated, the q83 policy). Registered the q162 way: the SAME
+    * model the DataFrame API serves, one source of semantics; the
+    * compact index ships via the model's cached broadcast, so per-task
+    * closures carry a broadcast handle, not the corpus. */
+  def registerSql(spark: SparkSession, name: String = "knn",
+      exactName: String = "knn_exact"): Unit = {
+    val bc = cachedBroadcast(spark, structureOnly = false)
+    val cosine = metric == "cosine"
+    def prep(v: Seq[Float]): Array[Float] = {
+      val q = v.toArray
+      if (cosine) AnnForestModel.l2NormalizeJvm(q) else q
+    }
+    spark.udf.register(name, udf { (v: Seq[Float], k: Int) =>
+      bc.value.search(prep(v), k)
+        .map { case (id, d) => KnnHit(id, d) }.toIndexedSeq
+    })
+    spark.udf.register(exactName, udf { (v: Seq[Float], k: Int) =>
+      bc.value.searchExact(prep(v), k)
+        .map { case (id, d) => KnnHit(id, d) }.toIndexedSeq
+    })
+  }
 
   /** Batch ANN search, fully distributed: one task per query partition,
     * model via broadcast (no shuffle at all — the output is narrow).
@@ -432,6 +465,32 @@ final class CompactIndex(
       }
       (ids(pos), acc)
     }.toArray
+    java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    })
+    scored.take(topK)
+  }
+
+  /** EXACT top-k by brute scan over every stored row — the SQL face's
+    * hash-matchable backend and the in-model recall oracle. Same
+    * scoring arithmetic and (dist, id, NaN-last) total order as
+    * [[search]], so ANN-vs-exact differences are traversal-only. */
+  def searchExact(query: Array[Float], topK: Int): Array[(Long, Double)] = {
+    val scored = new Array[(Long, Double)](ids.length)
+    var pos = 0
+    while (pos < ids.length) {
+      var acc = 0.0
+      val base = pos * dim
+      var i = 0
+      while (i < dim) {
+        val d = vecs(base + i).toDouble - query(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      scored(pos) = (ids(pos), acc)
+      pos += 1
+    }
     java.util.Arrays.sort(scored, (a: (Long, Double), b: (Long, Double)) => {
       val c = java.lang.Double.compare(a._2, b._2)
       if (c != 0) c else java.lang.Long.compare(a._1, b._1)

@@ -233,4 +233,31 @@ class ApiSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
   }
+
+  test("SQL knn face: exact face == in-model brute, ANN face == model.search") {
+    val e = Tables.embeddings(spark, sf0001)
+    val model = graft.ann.AnnForest(numTrees = 10, maxLeafSize = 5, seed = 42L)
+      .fit(e, "vec_id", "embedding")
+    model.registerSql(spark, "t_knn", "t_knn_exact")
+    e.createOrReplaceTempView("t_emb")
+    def viaSql(fn: String) = spark.sql(
+      s"""SELECT query_id, t.pos + 1 AS rank, t.h.neighbor_id, t.h.dist
+          FROM (SELECT vec_id AS query_id, embedding AS qvec
+                FROM t_emb WHERE vec_id < 10) q
+          LATERAL VIEW posexplode($fn(qvec, 5)) t AS pos, h""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def viaModel(f: Array[Float] => Array[(Long, Double)]) =
+      qs.flatMap { case (qid, v) =>
+        f(v).zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+      }.toSet
+    assert(viaSql("t_knn_exact") === viaModel(model.compact.searchExact(_, 5)))
+    assert(viaSql("t_knn") === viaModel(model.search(_, 5)))
+    // and the exact face's rank-1 hit is the query itself at dist 0
+    assert(viaSql("t_knn_exact").filter(_._2 == 1)
+      .forall(h => h._1 == h._3 && h._4 == 0.0))
+  }
 }
