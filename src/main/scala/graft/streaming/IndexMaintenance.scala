@@ -359,10 +359,14 @@ object IndexMaintenance {
     *     (the Takedown story: lookalikes of a removed doc are
     *     admissible again) while the physical signature sweep is
     *     amortized to a backlog-ratio trigger, like the index's own
-    *     compaction. A pending id that re-enters as a fresh admission
-    *     leaves the list (the sweep would otherwise strip its NEW
-    *     signatures — same-id rows are indistinguishable in the
-    *     store).
+    *     compaction. Signature rows carry their writing batch's
+    *     GENERATION (ver), and a pending mark silences only
+    *     generations at-or-below it — a re-admitted id's fresh
+    *     signatures reject lookalikes immediately, and the sweep
+    *     removes exactly the superseded generation (before rows
+    *     carried generations, the dead content's signatures either
+    *     leaked forever or the re-admission window stopped rejecting;
+    *     both closed in round 9).
     *
     * Per-batch cost: classification + admission probes are batch-
     * bounded; the index apply is O(delta) (see [[applyUpserts]]); the
@@ -422,16 +426,15 @@ object IndexMaintenance {
       // physical refresh first: admissions below judge against v2
       IngestDedup.removeFromStore(spark, sigName, changed.select(col(idCol)))
       IngestDedup.appendSignatures(changed, sigName, idCol, textCol,
-        ngram, numHashes, bands, seed)
+        ngram, numHashes, bands, seed, ver = ver)
     }
     val admitted = IngestDedup.admitBatch(
       withStatus("added"), sigName, idCol, textCol,
       ngram, numHashes, bands, threshold, seed,
-      excludeIds = Some(pendingRm(spark, sigName)))
+      excludeIds = Some(pendingRm(spark, sigName)), ver = ver)
       .localCheckpoint()
     markPendingRm(spark, sigName,
-      delta.filter(col("status") === "removed").select(col(idCol)))
-    unmarkPendingRm(spark, sigName, admitted.select(col("id")))
+      delta.filter(col("status") === "removed").select(col(idCol)), ver)
     val gated = withStatus("added")
       .join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
       .unionByName(changed)
@@ -459,43 +462,36 @@ object IndexMaintenance {
     applied
   }
 
-  /** The standing pending-removal list for a signature store: ids
-    * whose signatures must stop rejecting now and leave physically at
-    * the next sweep. Append-only, takedown-sized. */
+  /** The standing pending-removal list for a signature store:
+    * (id, ver_marked) marks — GENERATIONS at-or-below the mark must
+    * stop rejecting now and leave physically at the next sweep. A
+    * re-admitted id simply writes newer-generation rows (ver > mark),
+    * which reject lookalikes immediately while the superseded
+    * generation stays silenced — no unmark rewrite, and the old
+    * content's signatures can no longer leak forever (they were
+    * indistinguishable by id alone before rows carried generations).
+    * Append-only, takedown-sized; reads fold to max(ver_marked) per id. */
   private def pendingRm(spark: SparkSession, sigName: String): DataFrame =
     if (spark.catalog.tableExists(s"${sigName}_pending_rm"))
       spark.table(s"${sigName}_pending_rm")
-    else spark.range(0).select(col("id"))
+        .groupBy(col("id")).agg(max(col("ver_marked")).as("ver_marked"))
+    else spark.range(0).select(col("id"), col("id").as("ver_marked"))
 
   private def markPendingRm(spark: SparkSession, sigName: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame, ver: Long): Unit = {
     if (!spark.catalog.tableExists(s"${sigName}_pending_rm"))
       graft.sources.Sinks.dropTable(spark, s"${sigName}_pending_rm")
     ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .withColumn("ver_marked", lit(ver))
       .write.mode("append").format("parquet")
       .saveAsTable(s"${sigName}_pending_rm")
-  }
-
-  /** Drop re-admitted ids from the pending list. The rewrite only
-    * happens when the (batch-sized, broadcast) id set actually
-    * intersects the list — the common all-fresh-admissions batch costs
-    * one semi-join probe, not a list rewrite per batch.
-    * Settle-then-overwrite like every self-derived table. */
-  private def unmarkPendingRm(spark: SparkSession, sigName: String,
-      ids: DataFrame): Unit = {
-    if (!spark.catalog.tableExists(s"${sigName}_pending_rm")) return
-    val idSet = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
-    val pending = spark.table(s"${sigName}_pending_rm")
-    if (pending.join(broadcast(idSet), Seq("id"), "left_semi").isEmpty) return
-    val kept = pending.join(broadcast(idSet), Seq("id"), "left_anti")
-      .localCheckpoint()
-    graft.sources.Sinks.parquetTable(kept, s"${sigName}_pending_rm")
   }
 
   /** Physical signature sweep: when the pending-removal backlog passes
     * `ratio` of the store's doc count (estimated from the band-row
     * count — no distinct scan in the policy check), rewrite the store
-    * minus the pending ids and clear the list. */
+    * minus the marked GENERATIONS (newer re-admission generations of
+    * the same ids survive) and clear the list. */
   private def sweepSignatures(spark: SparkSession, sigName: String,
       bands: Int, ratio: Double): Unit = {
     if (!spark.catalog.tableExists(s"${sigName}_pending_rm")) return
@@ -504,8 +500,8 @@ object IndexMaintenance {
     val nDocs = math.max(1L,
       spark.table(s"${sigName}_bands").count() / math.max(1, bands))
     if (nPend.toDouble / nDocs <= ratio) return
-    IngestDedup.removeFromStore(spark, sigName,
-      spark.table(s"${sigName}_pending_rm").localCheckpoint())
+    IngestDedup.removeSupersededFromStore(spark, sigName,
+      pendingRm(spark, sigName).localCheckpoint())
     graft.sources.Sinks.dropTable(spark, s"${sigName}_pending_rm")
   }
 }

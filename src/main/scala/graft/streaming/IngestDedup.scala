@@ -54,7 +54,8 @@ object IngestDedup {
       idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, seed: Long = 42L,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None,
+      ver: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     // one signature/shingle pass over the micro-batch, pinned so every
@@ -91,7 +92,7 @@ object IngestDedup {
       .join(rejInBatch, Seq("id"), "left_anti")
       .join(rejOld, Seq("id"), "left_anti")
       .localCheckpoint() // settle BEFORE the store grows (see scaladoc)
-    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")))
+    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")), ver)
     admitted
   }
 
@@ -112,6 +113,15 @@ object IngestDedup {
     * files — not literal lists. PlanSpec pins the no-In-literal shape.
     * Package-private so the spec can inspect the LAZY plan (admitBatch
     * returns a checkpoint-settled frame whose lineage is gone). */
+  /** Exclusion semantics (GENERATION-AWARE since round 9): `excludeIds`
+    * carries (id[, ver_marked]) — a store row is off rejection duty iff
+    * its id is excluded AND its generation is not newer than the mark
+    * (`row.ver <= ver_marked`). A frame without a ver column excludes
+    * every generation (the original takedown contract). This is what
+    * lets a takedown's pending mark silence ONLY the dead content: a
+    * later re-admission of the same id writes rows at a higher ver,
+    * which keep rejecting lookalikes while the superseded generation
+    * stays silenced until the physical sweep. */
   private[graft] def crossBatchRejections(spark: SparkSession, name: String,
       bandRows: DataFrame, b: DataFrame, threshold: Double,
       excludeIds: Option[DataFrame] = None): DataFrame = {
@@ -120,17 +130,29 @@ object IngestDedup {
     // is ratio×store (the pending-removal backlog right before a
     // sweep), where a forced broadcast would be the scale bug — the
     // id-keyed anti-join is the safe shape at both ends
-    val store0 = spark.table(s"${name}_bands")
-    val store = excludeIds.fold(store0) { ex =>
-      store0.join(ex.select(col(ex.columns.head).cast("long").as("id"))
-        .distinct(), Seq("id"), "left_anti")
-    }
+    def unexcluded(storeSide: DataFrame): DataFrame =
+      excludeIds.fold(storeSide) { ex0 =>
+        val hasVer = ex0.columns.contains("ver_marked")
+        val ex = (if (hasVer)
+            ex0.select(col(ex0.columns.head).cast("long").as("__xid"),
+              col("ver_marked").cast("long").as("__xver"))
+          else ex0.select(col(ex0.columns.head).cast("long").as("__xid"),
+            lit(Long.MaxValue).as("__xver"))).distinct()
+        storeSide.join(ex,
+          storeSide("id") === ex("__xid") && storeSide("ver") <= ex("__xver"),
+          "left_anti")
+      }
+    val store = unexcluded(spark.table(s"${name}_bands"))
     val cand = store
       .join(broadcast(bandRows.select(
         col("id").as("new_id"), col("band_id"), col("band_key"))),
         Seq("band_id", "band_key"))
       .select(col("id").as("old_id"), col("new_id")).distinct()
-    val oldSh = spark.table(s"${name}_shingles")
+    // the shingle fetch must apply the SAME generation exclusion: a
+    // candidate id with a dead older generation still has that
+    // generation's sh rows in the table, and verifying against them
+    // would resurrect the silenced content's rejections
+    val oldSh = unexcluded(spark.table(s"${name}_shingles"))
       .join(broadcast(cand.select(col("old_id").as("id")).distinct()),
         Seq("id"), "left_semi")
     cand
@@ -151,7 +173,7 @@ object IngestDedup {
   private[graft] def appendSignatures(batch: DataFrame, name: String,
       idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, ver: Long = 0L): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     val b = batch.select(
@@ -164,22 +186,26 @@ object IngestDedup {
       .select(col("id"),
         explode(TextDedup.lshBands(col("sig"), bands, numHashes / bands)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
-    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")))
+    appendToStore(spark, name, bandRows, b.select(col("id"), col("sh")), ver)
   }
 
   /** Append a batch's band rows and shingle sets to the store,
     * creating the bucketed tables on first use (stale-location-safe:
     * a leftover directory from a previous JVM is cleared, mirroring
     * Bm25.removeDocs). Appends to a bucketed table keep the bucket
-    * spec, so the serving-side pruning survives growth. */
+    * spec, so the serving-side pruning survives growth. Every row
+    * carries its writing batch's `ver` — the GENERATION tag the
+    * takedown/re-admission flow keys on (see crossBatchRejections). */
   private def appendToStore(spark: SparkSession, name: String,
-      bandRows: DataFrame, shingles: DataFrame): Unit = {
+      bandRows: DataFrame, shingles: DataFrame, ver: Long): Unit = {
     if (!spark.catalog.tableExists(s"${name}_bands"))
       initStore(spark, name)
-    bandRows.write.mode("append").format("parquet")
+    bandRows.withColumn("ver", lit(ver))
+      .write.mode("append").format("parquet")
       .bucketBy(8, "band_key").sortBy("band_key")
       .saveAsTable(s"${name}_bands")
-    shingles.write.mode("append").format("parquet")
+    shingles.withColumn("ver", lit(ver))
+      .write.mode("append").format("parquet")
       .bucketBy(8, "id")
       .saveAsTable(s"${name}_shingles")
   }
@@ -207,6 +233,28 @@ object IngestDedup {
       .join(gone, Seq("id"), "left_anti").localCheckpoint()
     val shingles = spark.table(s"${name}_shingles")
       .join(gone, Seq("id"), "left_anti").localCheckpoint()
+    graft.sources.Sinks.parquetBucketed(
+      bands, s"${name}_bands", 8, Seq("band_key"), Seq("band_key"))
+    graft.sources.Sinks.parquetBucketed(
+      shingles, s"${name}_shingles", 8, Seq("id"))
+  }
+
+  /** Physical sweep of SUPERSEDED generations: drop rows whose
+    * (id, ver) is at-or-below a pending mark, keeping any newer
+    * generation the same id wrote after re-admission. Same
+    * settle-then-rewrite/bucket-preserving discipline as
+    * [[removeFromStore]]; `pending` carries (id, ver_marked). */
+  private[graft] def removeSupersededFromStore(spark: SparkSession,
+      name: String, pending: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_bands")) return
+    val p = pending.select(col(pending.columns.head).cast("long").as("__xid"),
+        col("ver_marked").cast("long").as("__xver")).distinct()
+      .localCheckpoint()
+    def sweep(df: DataFrame): DataFrame =
+      df.join(p, df("id") === p("__xid") && df("ver") <= p("__xver"),
+        "left_anti").localCheckpoint()
+    val bands = sweep(spark.table(s"${name}_bands"))
+    val shingles = sweep(spark.table(s"${name}_shingles"))
     graft.sources.Sinks.parquetBucketed(
       bands, s"${name}_bands", 8, Seq("band_key"), Seq("band_key"))
     graft.sources.Sinks.parquetBucketed(

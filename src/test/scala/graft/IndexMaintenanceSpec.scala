@@ -282,6 +282,41 @@ class IndexMaintenanceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap === Map("unchanged" -> 5L))
   }
 
+  test("signature generations: re-admitted content rejects, dead generation silenced then swept") {
+    import graft.streaming.{IndexMaintenance, IngestDedup}
+    val name = "graft_im_gen"; val sig = "graft_im_gen_sigs"
+    IndexMaintenance.initStores(spark, name)
+    IngestDedup.initStore(spark, sig)
+    graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+    def apply(ver: Long, ratio: Double, rows: (Long, String)*) =
+      IndexMaintenance.applyGatedUpserts(spark, name, sig,
+        rows.toSeq.toDF("doc_id", "text"), ver = ver, buckets = 8,
+        ngram = 1, numHashes = 32, bands = 32, threshold = 0.5,
+        compactRatio = ratio)
+    apply(1L, 10.0, (1L, "a1 a2 a3 a4"), (2L, "x1 x2 x3 x4"))
+    apply(2L, 10.0, (1L, null)) // takedown of 1 → pending mark at ver 2
+    // re-admission of id 1 with FRESH content writes generation-3 rows
+    val d3 = apply(3L, 10.0, (1L, "q1 q2 q3 q4"))
+    assert(d3.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "added")))
+    // during the pending window: a lookalike of the NEW generation is
+    // rejected (its rows are newer than the mark), a lookalike of the
+    // DEAD generation is admitted (silenced) — the two halves the
+    // id-only exclusion couldn't give at once
+    val d4 = apply(4L, 10.0, (3L, "q1 q2 q3 q5"), (4L, "a1 a2 a3 a5"))
+    assert(d4.select($"doc_id").as[Long].collect().toSet === Set(4L),
+      "new-gen lookalike must reject, dead-gen lookalike must admit")
+    // force the sweep: only the superseded generation leaves the store
+    apply(5L, 0.0, (9L, "z1 z2 z3 z4"))
+    assert(!spark.catalog.tableExists(sig + "_pending_rm"))
+    val id1Vers = spark.table(sig + "_bands").filter($"id" === 1L)
+      .select($"ver").distinct().as[Long].collect().toSet
+    assert(id1Vers === Set(3L), s"only generation 3 should survive: $id1Vers")
+    // and the surviving generation still rejects after the sweep
+    val d6 = apply(6L, 10.0, (6L, "q1 q2 q3 q7"))
+    assert(d6.isEmpty)
+  }
+
   test("gated ANN leg: vector store folds from the same admission; stream == replay") {
     import graft.streaming.{IndexMaintenance, IngestDedup}
     // the gated scenario's schedule, with an embedding per doc; the
