@@ -68,9 +68,12 @@ object SparkEntry {
   private def sharedDocsIndex(s: SparkSession, d: String): String = {
     val name = "graft_docs_idx_" +
       d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
-    graft.sources.StoreCache.table(s, name, s"v8|buckets8|$d",
-      Seq("_postings", "_terms", "_doclens", "_stats").map(name + _)) {
-      graft.operators.Bm25.buildIndex(Tables.documents(s, d), name, buckets = 8)
+    graft.sources.StoreCache.table(s, name, s"v9|buckets8|$d",
+      Seq("_postings", "_terms", "_doclens", "_stats", "_positions")
+        .map(name + _)) {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.buildIndex(docs, name, buckets = 8)
+      graft.operators.Bm25.buildPositional(docs, name, buckets = 8)
     }
     graft.sources.Sinks.dropTable(s, s"${name}_tombstones")
     name
@@ -2924,6 +2927,37 @@ object SparkEntry {
         ORDER BY query_id, rank""")
     }),
 
+    // q174: exact-phrase BM25 — the positional layer of the standing
+    // lexical index. Three forms under one oracle: the ad-hoc 2-gram
+    // over the live corpus, the SAME phrase served from the standing
+    // positional table with tombstones pending (indexed ≡ ad-hoc-over-
+    // live bit-for-bit — the phrase is a single virtual term, so no
+    // float-sum reordering; PhraseSearchSpec pins it), and a 3-gram
+    // ad-hoc leg for multi-offset intersection. Plan shape: one
+    // posexplode pre-filtered to phrase terms by a broadcast join
+    // (ad-hoc) / a bucket-pruned positions scan (indexed), then a
+    // (doc, start) aggregation counting witnessed offsets — overlaps
+    // count, repeated-term phrases witness each offset once.
+    "q174_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+      val toks = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("t"))
+        .collect().map(_.getString(0)).toSeq
+      val live = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      def shaped(df: org.apache.spark.sql.DataFrame, form: String) =
+        df.select(lit(form).as("form"), col("doc_id"), col("phrase_tf"),
+          round(col("bm25"), 4).as("bm25"))
+      shaped(graft.operators.Bm25.phraseScore(live, toks.take(2)), "adhoc2")
+        .unionByName(shaped(
+          graft.operators.Bm25.phraseIndexed(s, idx, toks.take(2)), "indexed2"))
+        .unionByName(shaped(
+          graft.operators.Bm25.phraseScore(live, toks), "adhoc3"))
+        .orderBy(col("form"), col("doc_id"))
+    }),
+
     // q122: the N-stage funnel at FOUR stages (signup → view → click →
     // purchase) — exercises the parameterized chain beyond q113's
     // three; same window-free semi-filtered-scan + min-agg plan per
@@ -4888,6 +4922,56 @@ object SparkEntry {
                e.vec_id) AS rank
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q174: the indexed2 leg deliberately reuses the adhoc2 SQL — the
+    // positional index serves ad-hoc-over-live bit-for-bit (specced),
+    // so identical SQL IS the oracle claim. Positions via DuckDB's
+    // zipping multi-unnest; occurrence = every phrase offset witnessed
+    // at the same (doc, pos − off) start.
+    "q174_phrase_search" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         arr AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+           FROM live),
+         pos AS (
+           SELECT doc_id, unnest(range(len(a))) AS pos, unnest(a) AS token
+           FROM arr),
+         dl AS (SELECT doc_id, len(a) AS dl FROM arr),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         ph0 AS (
+           SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS pa
+           FROM documents WHERE doc_id = 0),
+         ph2 AS (SELECT unnest(range(2)) AS off, unnest(pa[1:2]) AS term FROM ph0),
+         ph3 AS (SELECT unnest(range(3)) AS off, unnest(pa[1:3]) AS term FROM ph0),
+         hits2 AS (
+           SELECT doc_id, pos - off AS start
+           FROM pos JOIN ph2 ON token = term
+           GROUP BY doc_id, pos - off HAVING count(DISTINCT off) = 2),
+         tf2 AS (SELECT doc_id, count(*) AS phrase_tf FROM hits2 GROUP BY doc_id),
+         df2 AS (SELECT count(*) AS df FROM tf2),
+         hits3 AS (
+           SELECT doc_id, pos - off AS start
+           FROM pos JOIN ph3 ON token = term
+           GROUP BY doc_id, pos - off HAVING count(DISTINCT off) = 3),
+         tf3 AS (SELECT doc_id, count(*) AS phrase_tf FROM hits3 GROUP BY doc_id),
+         df3 AS (SELECT count(*) AS df FROM tf3),
+         leg2 AS (
+           SELECT doc_id, phrase_tf,
+             round(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (phrase_tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (phrase_tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl)), 4) AS bm25
+           FROM tf2 JOIN dl USING (doc_id), df2, stats),
+         leg3 AS (
+           SELECT doc_id, phrase_tf,
+             round(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (phrase_tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (phrase_tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl)), 4) AS bm25
+           FROM tf3 JOIN dl USING (doc_id), df3, stats)
+         SELECT 'adhoc2' AS form, doc_id, phrase_tf, bm25 FROM leg2
+         UNION ALL SELECT 'indexed2', doc_id, phrase_tf, bm25 FROM leg2
+         UNION ALL SELECT 'adhoc3', doc_id, phrase_tf, bm25 FROM leg3
+         ORDER BY form, doc_id""",
     // q172: seeded-geometry lifecycle invariants recomputed in-engine
     // (q121's oracle pattern — constant truth)
     "q172_ivf_lifecycle" ->

@@ -111,6 +111,10 @@ object Bm25 {
     // is closed without ordering games.
     setBuilding(spark, name, on = true)
     graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
+    // a rebuild over a new corpus must not leave a previous corpus's
+    // positional table behind — phrase serving would silently mix
+    // snapshots; the user re-runs buildPositional for the new corpus
+    graft.sources.Sinks.dropTable(spark, s"${name}_positions")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
@@ -293,6 +297,18 @@ object Bm25 {
     val dCols = spark.table(s"${name}_doclens").columns
     dl2.select(dCols.toIndexedSeq.map(col): _*)
       .write.mode("append").format("parquet").saveAsTable(s"${name}_doclens")
+    // a positional table rides the same append discipline: the batch's
+    // ids are disjoint from the standing index (checked above), so new
+    // (term, doc, positions) rows just append into the bucketed layout —
+    // no merge, no rewrite of standing rows
+    if (spark.catalog.tableExists(s"${name}_positions")) {
+      val posRows = positionRows(docs, idCol, textCol)
+      val posCols = spark.table(s"${name}_positions").columns
+      posRows.select(posCols.toIndexedSeq.map(col): _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "term").sortBy("term")
+        .saveAsTable(s"${name}_positions")
+    }
     // Derived tables refresh from the DELTA, not the corpus: the per-
     // term df merge reads only the standing vocab-sized `_terms` plus
     // the batch's own (doc, term) rows, and the 1-row `_stats` gets the
@@ -366,6 +382,12 @@ object Bm25 {
       doclens.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
       s"${name}_stats")
+    if (spark.catalog.tableExists(s"${name}_positions")) {
+      val posKeep = spark.table(s"${name}_positions")
+        .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
+      graft.sources.Sinks.parquetBucketed(
+        posKeep, s"${name}_positions", buckets, Seq("term"), Seq("term"))
+    }
     graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     setBuilding(spark, name, on = false)
   }
@@ -441,8 +463,7 @@ object Bm25 {
       s"index '$name' predates the (sum_dl, doclens) layout — " +
         "rerun buildIndex to upgrade it")
     if (!spark.catalog.tableExists(s"${name}_tombstones"))
-      (pRaw, dRaw, statsRaw.select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+      (pRaw, dRaw, adjustedStats(spark, name, idCol))
     else {
       // serve as if tombstoned docs were never indexed: their
       // postings drop out (anti-join, still bucket-pruned), each
@@ -454,16 +475,160 @@ object Bm25 {
       val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
         .select(col("term"),
           (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
+      (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj,
+        adjustedStats(spark, name, idCol))
+    }
+  }
+
+  /** The tombstone-adjusted 1-row corpus stats (n_docs, avgdl) of a
+    * standing index — shared by the bag-of-terms and phrase serving
+    * paths. Exact integer decrements from the persisted doc lengths,
+    * one double division at the end (the same two operands the ad-hoc
+    * path's avg(dl) divides, so indexed and ad-hoc weights agree). */
+  private def adjustedStats(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String): DataFrame = {
+    val statsRaw = spark.table(s"${name}_stats")
+    if (!spark.catalog.tableExists(s"${name}_tombstones"))
+      statsRaw.select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    else {
+      val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
       val removed = spark.table(s"${name}_doclens")
         .join(tomb, Seq(idCol), "left_semi")
         .agg(count(lit(1)).as("__n_rm"),
           coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
-      val statsAdj = statsRaw.crossJoin(removed)
+      statsRaw.crossJoin(removed)
         .select(
           (col("n_docs") - col("__n_rm")).as("n_docs"),
           ((col("sum_dl") - col("__dl_rm")).cast("double") /
             (col("n_docs") - col("__n_rm"))).as("avgdl"))
-      (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj, statsAdj)
     }
   }
+
+  // ---- Exact-phrase search (positional layer) ----
+
+  /** The (doc, term, positions) rows a positional table holds: one row
+    * per distinct (doc, term) with the SORTED 0-based token positions —
+    * positions add an array column to the postings shape, not rows, so
+    * the positional table carries the same row count and the same
+    * term-bucketed pruning as `_postings`. */
+  private def positionRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col(idCol), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** The phrase-occurrence starts of `phrase` in a (doc, pos, term/token
+    * column named `tokCol`) frame: group token instances by (doc,
+    * pos − phrase_offset) and keep starts where EVERY phrase offset is
+    * witnessed — the classic positional-intersection trick as one
+    * broadcast join + one aggregation, no self-join per phrase term.
+    * Overlapping occurrences count separately ("a a" occurs twice in
+    * "a a a"), and a phrase with repeated terms is handled by the
+    * distinct-offset count (each witnessed offset is counted once). */
+  private def phraseStarts(pos: DataFrame, phrase: Seq[String],
+      idCol: String, tokCol: String): DataFrame = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("off", "term2")
+    pos.join(broadcast(ph), col(tokCol) === col("term2"))
+      .groupBy(col(idCol), (col("pos") - col("off")).as("start"))
+      .agg(count_distinct(col("off")).as("__n_off"))
+      .filter(col("__n_off") === phrase.length)
+      .select(col(idCol), col("start"))
+  }
+
+  /** Exact-phrase BM25 over raw documents — the phrase is scored as a
+    * virtual term: tf = number of phrase occurrences in the doc
+    * (overlaps count), df = number of docs containing the phrase, with
+    * the same weight formula as [[score]]. Returns (idCol, phrase_tf,
+    * bm25 UNROUNDED) for docs with at least one occurrence.
+    *
+    * Scale shape: one posexplode of the corpus immediately pre-filtered
+    * to the phrase's terms by a broadcast join (non-phrase tokens never
+    * reach a shuffle), one (doc, start) aggregation over those hits,
+    * one per-doc count — the same explode-then-prune discipline as the
+    * bag-of-terms path, positions riding along. */
+  def phraseScore(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "phraseScore: empty phrase")
+    val pos = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+    val tf = phraseStarts(pos, phrase, idCol, "token")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    scorePhraseTf(tf, dl, stats, idCol, k1, b)
+  }
+
+  /** Build the positional table `<name>_positions` AUGMENTING a standing
+    * index built by [[buildIndex]] — same corpus snapshot, same bucket
+    * spec, so phrase serving shares the index's doclens/stats/tombstones
+    * and a phrase-term scan bucket-prunes exactly like a postings scan.
+    * [[appendDocs]] appends into it, [[compactIndex]] rewrites it, and
+    * [[buildIndex]] drops it (a new corpus needs a new positional build).
+    * The corpus-match contract is checked cheaply (doc counts); the ids
+    * themselves are the caller's contract, as with appendDocs. */
+  def buildPositional(docs: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    requireServable(spark, name)
+    require(spark.catalog.tableExists(s"${name}_doclens"),
+      s"buildPositional: no standing index '$name' — buildIndex first")
+    val nIdx = spark.table(s"${name}_doclens").count()
+    val nDocs = docs.select(col(idCol)).count()
+    require(nIdx == nDocs,
+      s"buildPositional: index '$name' holds $nIdx docs but the corpus " +
+        s"frame has $nDocs — positional and postings tables must be " +
+        "built from the same snapshot")
+    setBuilding(spark, name, on = true)
+    graft.sources.Sinks.parquetBucketed(
+      positionRows(docs, idCol, textCol),
+      s"${name}_positions", buckets, Seq("term"), Seq("term"))
+    setBuilding(spark, name, on = false)
+  }
+
+  /** Exact-phrase BM25 served from a standing positional index — scores
+    * equal [[phraseScore]] over the live (tombstone-surviving) corpus
+    * bit-for-bit: same hits (tombstoned docs' positions anti-joined
+    * out), df recomputed from the surviving hit set, (N, avgdl) from
+    * the shared exact-decrement stats. The phrase's terms arrive as a
+    * literal IN filter so the positions scan bucket-prunes; everything
+    * downstream is hit-sized. */
+  def phraseIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      phrase: Seq[String], idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "phraseIndexed: empty phrase")
+    requireServable(spark, name)
+    require(spark.catalog.tableExists(s"${name}_positions"),
+      s"index '$name' has no positional table — buildPositional first")
+    val pRaw = spark.table(s"${name}_positions")
+      .filter(col("term").isin(phrase.distinct: _*))
+    val p =
+      if (!spark.catalog.tableExists(s"${name}_tombstones")) pRaw
+      else pRaw.join(
+        spark.table(s"${name}_tombstones").select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val pos = p.select(col(idCol), col("term"),
+      explode(col("positions")).as("pos"))
+    val tf = phraseStarts(pos, phrase, idCol, "term")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("tf"))
+    scorePhraseTf(tf, spark.table(s"${name}_doclens"),
+      adjustedStats(spark, name, idCol), idCol, k1, b)
+  }
+
+  /** Shared scoring tail of the two phrase paths: phrase df is the
+    * 1-row count of docs with a hit (broadcast, like the per-term df
+    * table), dl attaches per hit doc, stats cross in — one weight per
+    * hit doc, identical formula to the bag-of-terms paths. */
+  private def scorePhraseTf(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      idCol: String, k1: Double, b: Double): DataFrame =
+    tf.crossJoin(broadcast(tf.agg(count(lit(1)).as("df"))))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .select(col(idCol), col("tf").as("phrase_tf"), col("w").as("bm25"))
 }

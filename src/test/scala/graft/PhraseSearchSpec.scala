@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, TextAnalysis}
+import graft.sources.Tables
+
+/** Exact-phrase BM25: the positional layer of the standing lexical
+  * index (Bm25.phraseScore / buildPositional / phraseIndexed) and its
+  * ride-along through the append/remove/compact lifecycle. */
+class PhraseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("phraseScore: overlapping occurrences and repeated-term phrases count per start") {
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "x a a y a a"),
+      (3L, "b c d")).toDF("doc_id", "text")
+    val got = Bm25.phraseScore(docs, Seq("a", "a"))
+      .orderBy($"doc_id").collect()
+    // doc 1 "a a a": starts 0 and 1 both witness offsets {0,1} — the
+    // middle token belongs to BOTH occurrences (overlaps count); doc 2
+    // has the two disjoint runs; doc 3 never matches and is absent
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 2L)))
+    // the weight is the shared BM25 formula with the phrase as a
+    // virtual term: df = 2, N = 3, avgdl = 13/3
+    val n = 3.0; val df = 2.0; val avgdl = 13.0 / 3.0
+    def w(tf: Double, dl: Double): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(math.abs(got(0).getDouble(2) - w(2, 4)) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) - w(2, 6)) < 1e-12)
+  }
+
+  test("phraseIndexed serves phraseScore-over-live bit-for-bit, tombstones included") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    Bm25.buildIndex(docs, "graft_phrase_t1", buckets = 8)
+    Bm25.buildPositional(docs, "graft_phrase_t1", buckets = 8)
+    val phrase = docs.filter($"doc_id" === 1)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 2)).as("t"))
+      .as[String].collect().toSeq
+    assert(phrase.length == 2)
+
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().toSeq
+
+    // no tombstones: indexed ≡ ad-hoc on the full corpus (raw doubles —
+    // the phrase weight is a single term, no float-sum reordering)
+    val full = collected(Bm25.phraseScore(docs, phrase))
+    assert(full.nonEmpty)
+    assert(collected(Bm25.phraseIndexed(spark, "graft_phrase_t1", phrase)) === full)
+
+    // tombstones: serve as if the deleted docs were never indexed
+    Bm25.removeDocs(spark, "graft_phrase_t1",
+      docs.filter(pmod($"doc_id", lit(5)) === 2).select($"doc_id"))
+    val live = docs.filter(pmod($"doc_id", lit(5)) =!= 2)
+    val adHocLive = collected(Bm25.phraseScore(live, phrase))
+    assert(collected(Bm25.phraseIndexed(spark, "graft_phrase_t1", phrase)) === adHocLive)
+
+    // compaction makes the deletes physical without changing scores,
+    // and the positions table physically drops the tombstoned ids
+    Bm25.compactIndex(spark, "graft_phrase_t1", buckets = 8)
+    assert(collected(Bm25.phraseIndexed(spark, "graft_phrase_t1", phrase)) === adHocLive)
+    assert(spark.table("graft_phrase_t1_positions")
+      .filter(pmod($"doc_id", lit(5)) === 2).isEmpty)
+  }
+
+  test("appendDocs maintains the positional table; buildIndex drops a stale one") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val base = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
+    val delta = docs.filter(pmod($"doc_id", lit(4)) === 0)
+    Bm25.buildIndex(base, "graft_phrase_t2", buckets = 8)
+    Bm25.buildPositional(base, "graft_phrase_t2", buckets = 8)
+    Bm25.appendDocs(spark, "graft_phrase_t2", delta, buckets = 8)
+
+    Bm25.buildIndex(docs, "graft_phrase_t3", buckets = 8)
+    Bm25.buildPositional(docs, "graft_phrase_t3", buckets = 8)
+    val a = spark.table("graft_phrase_t2_positions")
+    val b = spark.table("graft_phrase_t3_positions")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "appended positional table diverged from a fresh build")
+
+    // a rebuild over a different corpus drops the positional table —
+    // phrase serving must fail loudly, never mix snapshots
+    Bm25.buildIndex(base, "graft_phrase_t3", buckets = 8)
+    val boom = intercept[IllegalArgumentException] {
+      Bm25.phraseIndexed(spark, "graft_phrase_t3", Seq("x"))
+    }
+    assert(boom.getMessage.contains("buildPositional"))
+    // and buildPositional refuses a corpus that doesn't match the index
+    val boom2 = intercept[IllegalArgumentException] {
+      Bm25.buildPositional(docs, "graft_phrase_t3", buckets = 8)
+    }
+    assert(boom2.getMessage.contains("same snapshot"))
+  }
+}
