@@ -2418,14 +2418,26 @@ object SparkEntry {
       // seed-batch-then-stream pattern)
       val d1 = IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(0),
         ver = 1L, buckets = 8)
+      val admitted1 = corpus.join(d1.filter(col("status") === "added")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("embedding")).localCheckpoint()
       val ref = new java.util.concurrent.atomic.AtomicReference(
         graft.ann.DistributedAnnForest(numTrees = 4, maxLeafSize = 64, seed = 99L)
-          .fit(corpus.join(d1.filter(col("status") === "added")
-              .select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("embedding")), idCol = "doc_id"))
+          .fit(admitted1, idCol = "doc_id"))
+      // the SECOND store on the same admission decision: a standing IVF
+      // store maintained backend-agnostically through the VecFold hook
+      // (one gate, N stores — ivf_* components below prove the fold)
+      val ivfStore = "graft_q171_ivf"
+      for (t <- Seq(ivfStore, ivfStore + "_tombstones", ivfStore + "_rebuilt",
+          ivfStore + "_rebuilt_tombstones"))
+        graft.sources.Sinks.dropTable(s, t)
+      val ivf = graft.ann.IvfIndex(nlist = 8, nprobe = 8, seed = 17L)
+        .fit(admitted1)
+      val fold = IndexMaintenance.ivfStoreFold(s, ivf, ivfStore, buckets = 8)
+      fold(s.range(0).select(col("id").as("doc_id")), admitted1)
       for (k <- 1 until n)
         IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
-          ver = k + 1L, buckets = 8, annRef = Some(ref))
+          ver = k + 1L, buckets = 8, annRef = Some(ref), vecFold = Some(fold))
       // wave 4: edits (live ids ≡ 1 mod 10 — text v2, same embedding)
       // and takedowns (live ids ≡ 2 mod 10), over the LIVE set so the
       // oracle can name both slices from the admitted CTE
@@ -2438,7 +2450,8 @@ object SparkEntry {
         .select(col("doc_id"), lit(null).cast("string").as("text"),
           lit(null).cast("array<float>").as("embedding"))
       val d4 = IndexMaintenance.applyGatedUpserts(s, idx, sig,
-        edits.unionByName(dels), ver = 4L, buckets = 8, annRef = Some(ref))
+        edits.unionByName(dels), ver = 4L, buckets = 8, annRef = Some(ref),
+        vecFold = Some(fold))
         .localCheckpoint()
       val nEdited = d4.filter(col("status") === "changed").count()
       val nRemoved = d4.filter(col("status") === "removed").count()
@@ -2471,8 +2484,23 @@ object SparkEntry {
         .join(exact, Seq("query_id", "neighbor_id")).count()
       val total = exact.count()
       val recallOk = total > 0 && hits.toDouble / total >= 0.70
+      // the IVF leg's proof: store ids ≡ live index ids, and the
+      // maintained table is TABLE-equal (cells included) to a fresh
+      // saveStore of the live vectors under the same frozen quantizer
+      val ivfIds = s.table(ivfStore)
+        .select(col("neighbor_id").as("doc_id")).distinct().localCheckpoint()
+      val ivfIdsOk = ivfIds.exceptAll(liveIds).isEmpty &&
+        liveIds.exceptAll(ivfIds).isEmpty
+      ivf.saveStore(corpus.join(liveIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("embedding")),
+        ivfStore + "_rebuilt", buckets = 8,
+        corpusId = "doc_id", corpusVec = "embedding")
+      val ivfA = s.table(ivfStore); val ivfB = s.table(ivfStore + "_rebuilt")
+      val ivfEq = ivfA.exceptAll(ivfB).isEmpty && ivfB.exceptAll(ivfA).isEmpty
       Seq(
         ("ann_recall_ok", if (recallOk) 1L else 0L),
+        ("ivf_ids_eq_index", if (ivfIdsOk) 1L else 0L),
+        ("ivf_store_eq_rebuilt", if (ivfEq) 1L else 0L),
         ("n_edited", nEdited),
         ("n_removed", nRemoved),
         ("n_store", storeIds.count()),
@@ -5004,6 +5032,8 @@ object SparkEntry {
            WHERE doc_id NOT IN (SELECT doc_id FROM rej))
          SELECT * FROM (VALUES
            ('ann_recall_ok', 1),
+           ('ivf_ids_eq_index', 1),
+           ('ivf_store_eq_rebuilt', 1),
            ('n_edited', (SELECT count(*) FROM adm WHERE doc_id % 10 = 1)),
            ('n_removed', (SELECT count(*) FROM adm WHERE doc_id % 10 = 2)),
            ('n_store', (SELECT count(*) FROM adm WHERE doc_id % 10 <> 2)),

@@ -297,7 +297,12 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
   def compactStore(spark: org.apache.spark.sql.SparkSession, table: String,
       buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(table + "_tombstones")) return
-    val live = AnnStores.liveRows(spark, table).localCheckpoint()
+    // the anti-join moves its key column first — restore the table's
+    // own column order so the layout is stable across compactions
+    // (appends and table-equality comparisons see one schema)
+    val cols = spark.table(table).columns
+    val live = AnnStores.liveRows(spark, table)
+      .select(cols.toIndexedSeq.map(col): _*).localCheckpoint()
     graft.sources.Sinks.parquetBucketed(live, table, buckets,
       Seq("cell"), Seq("cell"))
     graft.sources.Sinks.dropTable(spark, table + "_tombstones")

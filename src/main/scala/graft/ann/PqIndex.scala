@@ -373,7 +373,11 @@ class PqModel(val codebooks: Array[Array[Array[Float]]], val dsub: Int)
   def compactCorpusIvf(spark: SparkSession, table: String,
       buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(table + "_tombstones")) return
-    val live = AnnStores.liveRows(spark, table).localCheckpoint()
+    // restore the table's own column order after the key-first
+    // anti-join — layout stays stable across compactions
+    val cols = spark.table(table).columns
+    val live = AnnStores.liveRows(spark, table)
+      .select(cols.toIndexedSeq.map(col): _*).localCheckpoint()
     graft.sources.Sinks.parquetBucketed(live, table, buckets,
       Seq("cell"), Seq("cell"))
     graft.sources.Sinks.dropTable(spark, table + "_tombstones")

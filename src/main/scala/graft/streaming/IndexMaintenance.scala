@@ -310,7 +310,8 @@ object IndexMaintenance {
         graft.ann.DistributedAnnModel]] = None,
       vecCol: String = "embedding",
       compactRatio: Double = 0.2,
-      verBase: Long = 1L)
+      verBase: Long = 1L,
+      vecFold: Option[VecFold] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -321,16 +322,7 @@ object IndexMaintenance {
           // by a batch-mode seed (bootstrap build + model fit)
           val delta = applyUpserts(spark, name, batch, ver = batchId + verBase,
             buckets, idCol, textCol, compactRatio)
-          annRef.filter(_ => batch.columns.contains(vecCol)).foreach { ref =>
-            val gone = delta.filter(col("status").isin("changed", "removed"))
-              .select(col(idCol))
-            val put = batch
-              .join(delta.filter(col("status").isin("added", "changed"))
-                .select(col(idCol)), Seq(idCol), "left_semi")
-              .select(col(idCol), col(vecCol))
-              .filter(col(vecCol).isNotNull)
-            ref.set(ref.get.remove(gone, idCol).append(put, idCol, vecCol).compact())
-          }
+          foldVectorStores(batch, delta, idCol, vecCol, annRef, vecFold)
           sink(delta, batchId)
         }
       }
@@ -380,7 +372,11 @@ object IndexMaintenance {
     * store, so text index and vector store cannot desync. Batch
     * contract for the vector leg: a CHANGED doc must carry its
     * (possibly unchanged) embedding, or its vector is removed without
-    * replacement — same contract as [[maintainStream]]. */
+    * replacement — same contract as [[maintainStream]]. `vecFold`
+    * attaches any OTHER vector store to the same decision backend-
+    * agnostically ([[VecFold]]); e.g. [[ivfStoreFold]] keeps a
+    * standing IVF store in sync alongside (or instead of) the forest
+    * model. */
   def maintainStreamDeduped(docs: DataFrame, name: String, sigName: String,
       sink: (DataFrame, Long) => Unit,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
@@ -389,7 +385,8 @@ object IndexMaintenance {
       compactRatio: Double = 0.2, verBase: Long = 1L,
       annRef: Option[java.util.concurrent.atomic.AtomicReference[
         graft.ann.DistributedAnnModel]] = None,
-      vecCol: String = "embedding")
+      vecCol: String = "embedding",
+      vecFold: Option[VecFold] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -398,7 +395,7 @@ object IndexMaintenance {
           sink(applyGatedUpserts(batch.sparkSession, name, sigName, batch,
             ver = batchId + verBase, buckets, idCol, textCol,
             ngram, numHashes, bands, threshold, seed, compactRatio,
-            annRef, vecCol), batchId)
+            annRef, vecCol, vecFold), batchId)
       }
 
   /** One gated batch — [[maintainStreamDeduped]]'s per-batch unit,
@@ -414,7 +411,8 @@ object IndexMaintenance {
       compactRatio: Double = 0.2,
       annRef: Option[java.util.concurrent.atomic.AtomicReference[
         graft.ann.DistributedAnnModel]] = None,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      vecFold: Option[VecFold] = None): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     val delta = classifyUpserts(spark, name, b, idCol, textCol)
@@ -442,24 +440,78 @@ object IndexMaintenance {
       .localCheckpoint()
     val applied = applyUpserts(spark, name, gated, ver,
       buckets, idCol, textCol, compactRatio)
-    // fold the ANN/vector store from the SAME classification and
+    // fold the ANN/vector store(s) from the SAME classification and
     // admission decision (r8 verdict #1): admitted adds append their
     // vectors, changes remove + append, takedowns remove. A rejected
     // add never reaches `applied`, so its embedding never enters the
     // vector store either — the single gate gates ALL the stores; an
     // admitted doc's text and embedding cannot desync.
-    annRef.filter(_ => batch.columns.contains(vecCol)).foreach { ref =>
+    foldVectorStores(
+      batch.select((col(idCol).cast("long").as(idCol) +: batch.columns
+        .filterNot(_ == idCol).map(col).toIndexedSeq): _*),
+      applied, idCol, vecCol, annRef, vecFold)
+    sweepSignatures(spark, sigName, bands, compactRatio)
+    applied
+  }
+
+  /** A backend-agnostic per-batch vector-store fold: called once per
+    * batch with (`gone`, `put`) — the ids leaving the store (changed ∪
+    * removed, as classified) and the (id, vector) rows entering it
+    * (admitted adds ∪ changes that carry a non-null vector). Both
+    * frames derive from the SAME classification/admission decision
+    * that drove the text index, so any store a fold maintains stays in
+    * sync with it by construction. [[ivfStoreFold]] is the standing-
+    * IVF-store instance; the forest `annRef` is the in-memory-model
+    * instance of the same contract. */
+  type VecFold = (DataFrame, DataFrame) => Unit
+
+  /** The shared per-batch fan-out of one classification to every
+    * attached vector store: skipped entirely when the batch has no
+    * vector column or no store is attached. */
+  private def foldVectorStores(batch: DataFrame, applied: DataFrame,
+      idCol: String, vecCol: String,
+      annRef: Option[java.util.concurrent.atomic.AtomicReference[
+        graft.ann.DistributedAnnModel]],
+      vecFold: Option[VecFold]): Unit =
+    if ((annRef.nonEmpty || vecFold.nonEmpty) &&
+        batch.columns.contains(vecCol)) {
       val gone = applied.filter(col("status").isin("changed", "removed"))
         .select(col(idCol))
       val put = batch
-        .select(col(idCol).cast("long").as(idCol), col(vecCol))
         .join(applied.filter(col("status").isin("added", "changed"))
           .select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), col(vecCol))
         .filter(col(vecCol).isNotNull)
-      ref.set(ref.get.remove(gone, idCol).append(put, idCol, vecCol).compact())
+      annRef.foreach { ref =>
+        ref.set(ref.get.remove(gone, idCol).append(put, idCol, vecCol).compact())
+      }
+      vecFold.foreach(f => f(gone, put))
     }
-    sweepSignatures(spark, sigName, bands, compactRatio)
-    applied
+
+  /** A [[VecFold]] maintaining a standing IVF store ([[graft.ann.IvfModel]]
+    * `saveStore` layout) under the frozen quantizer — the compressed-
+    * serving analog of the forest fold: departures tombstone and then
+    * compact IN THE SAME BATCH (the store's tombstones are id-keyed, so
+    * a changed id's fresh row appended before the purge would stay
+    * hidden behind its own tombstone — purge-before-append is the
+    * store's documented upsert discipline), then arrivals assign to the
+    * frozen centroids and append into the bucketed layout. Pure-add
+    * batches are append-only, O(delta); change/takedown batches pay the
+    * one store rewrite, exactly like the text index's change-forced
+    * compaction. */
+  def ivfStoreFold(spark: SparkSession, model: graft.ann.IvfModel,
+      table: String, buckets: Int = 32): VecFold = (gone, put) => {
+    if (spark.catalog.tableExists(table) && !gone.isEmpty) {
+      model.removeStore(spark, table, gone)
+      model.compactStore(spark, table, buckets)
+    }
+    if (!put.isEmpty) {
+      val idCol = put.columns(0); val vCol = put.columns(1)
+      if (!spark.catalog.tableExists(table))
+        model.saveStore(put, table, buckets, corpusId = idCol, corpusVec = vCol)
+      else
+        model.appendStore(put, table, buckets, corpusId = idCol, corpusVec = vCol)
+    }
   }
 
   /** The standing pending-removal list for a signature store:

@@ -409,4 +409,68 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(liveS === liveR)
     assert(storeS === storeR)
   }
+
+  test("gated IVF fold: standing IVF store maintained from the same admission == rebuild") {
+    import graft.streaming.{IndexMaintenance, IngestDedup}
+    def vec(id: Long, v: Float): Array[Float] = Array(id.toFloat, v)
+    val b1 = Seq(
+      (1L, "a1 a2 a3 a4", vec(1, 1f)), (2L, "a1 a2 a3 b1", vec(2, 1f)),
+      (3L, "c1 c2 c3 c4", vec(3, 1f)), (4L, "d1 d2 d3 d4", vec(4, 1f)))
+      .toDF("doc_id", "text", "embedding")
+    val b2 = Seq(
+      (4L, "f1 f2 f3 f4 f5", vec(4, 2f)), (5L, "c1 c2 c3 c5", vec(5, 1f)),
+      (6L, "e1 e2 e3 e4", vec(6, 1f))).toDF("doc_id", "text", "embedding")
+    val b3 = Seq((3L, null.asInstanceOf[String],
+      null.asInstanceOf[Array[Float]])).toDF("doc_id", "text", "embedding")
+    val b4 = Seq(
+      (7L, "c2 c3 c4 c6", vec(7, 1f)), (8L, "d1 d2 d3 d4", vec(8, 1f)))
+      .toDF("doc_id", "text", "embedding")
+    val name = "graft_im_gi"; val sig = "graft_im_gi_sigs"
+    val store = "graft_im_gi_vecs"
+    IndexMaintenance.initStores(spark, name)
+    IngestDedup.initStore(spark, sig)
+    graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+    for (t <- Seq(store, store + "_tombstones"))
+      graft.sources.Sinks.dropTable(spark, t)
+
+    val d1 = IndexMaintenance.applyGatedUpserts(spark, name, sig, b1,
+      ver = 1L, buckets = 8, ngram = 1, numHashes = 32, bands = 32,
+      threshold = 0.5, compactRatio = 10.0)
+    val admitted1 = b1.join(d1.filter($"status" === "added").select($"doc_id"),
+      Seq("doc_id"), "left_semi").select($"doc_id", $"embedding")
+    val model = graft.ann.IvfIndex(nlist = 2, nprobe = 2, seed = 5L)
+      .fit(admitted1)
+    val fold = IndexMaintenance.ivfStoreFold(spark, model, store, buckets = 8)
+    // seed the store with wave 1's admitted vectors (same bootstrap
+    // the forest leg's fit performs), then fold the remaining waves
+    fold(spark.range(0).select($"id".as("doc_id")), admitted1)
+    for ((b, k) <- Seq(b2, b3, b4).zipWithIndex)
+      IndexMaintenance.applyGatedUpserts(spark, name, sig, b,
+        ver = k + 2L, buckets = 8, ngram = 1, numHashes = 32, bands = 32,
+        threshold = 0.5, compactRatio = 10.0, vecFold = Some(fold))
+
+    // the maintained store holds exactly the live admitted vectors —
+    // rejected 2/5 never entered, taken-down 3 is gone, edited 4 holds
+    // its refreshed v2 vector
+    val got = spark.table(store)
+      .select($"neighbor_id", $"__cvec").distinct()
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(got === Set(
+      (1L, Seq(1f, 1f)), (4L, Seq(4f, 2f)), (6L, Seq(6f, 1f)),
+      (7L, Seq(7f, 1f)), (8L, Seq(8f, 1f))))
+    // no tombstone debt left behind by the per-batch purge discipline
+    assert(!spark.catalog.tableExists(store + "_tombstones") ||
+      spark.table(store + "_tombstones").isEmpty)
+    // and the maintained store is TABLE-equal to a fresh saveStore of
+    // the live corpus under the same frozen quantizer (cells included)
+    val liveVecs = Seq(
+      (1L, vec(1, 1f)), (4L, vec(4, 2f)), (6L, vec(6, 1f)),
+      (7L, vec(7, 1f)), (8L, vec(8, 1f))).toDF("doc_id", "embedding")
+    model.saveStore(liveVecs, store + "_rebuilt", buckets = 8,
+      corpusId = "doc_id", corpusVec = "embedding")
+    val a = spark.table(store)
+    val b = spark.table(store + "_rebuilt")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "maintained IVF store diverged from a rebuild over the live corpus")
+  }
 }
