@@ -68,12 +68,13 @@ object SparkEntry {
   private def sharedDocsIndex(s: SparkSession, d: String): String = {
     val name = "graft_docs_idx_" +
       d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
-    graft.sources.StoreCache.table(s, name, s"v9|buckets8|$d",
-      Seq("_postings", "_terms", "_doclens", "_stats", "_positions")
-        .map(name + _)) {
+    graft.sources.StoreCache.table(s, name, s"v10|buckets8|$d",
+      Seq("_postings", "_terms", "_doclens", "_stats", "_positions",
+        "_champions").map(name + _)) {
       val docs = Tables.documents(s, d)
       graft.operators.Bm25.buildIndex(docs, name, buckets = 8)
       graft.operators.Bm25.buildPositional(docs, name, buckets = 8)
+      graft.operators.Bm25.buildChampions(s, name, c = 32, buckets = 8)
     }
     graft.sources.Sinks.dropTable(s, s"${name}_tombstones")
     name
@@ -2986,6 +2987,38 @@ object SparkEntry {
         .orderBy(col("form"), col("doc_id"))
     }),
 
+    // q175: impact-tiered TOP-K serving — champion lists over the
+    // standing index (per-term top-32 postings by exact BM25 weight,
+    // heap-pruned through TopKPerKeyExec at build) vs the full
+    // aggregation, both ranked on the 4dp grid with id tiebreak. The
+    // tiered leg reads c·|terms| champion rows (bucket-pruned) and
+    // rescores ONLY those docs exactly through the adjusted index, so
+    // its scores are scoreIndexed's to the bit while the per-doc
+    // aggregation shuffles candidate-bounded rows — the serving shape
+    // that survives a hot term with df in the billions. Both legs are
+    // fully deterministic and fully mirrored in SQL (champion
+    // selection included), so the oracle checks the heuristic itself,
+    // not just an overlap summary.
+    "q175_bm25_champions" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = sharedDocsIndex(s, d)
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+        .collect().map(_.getString(0)).toSeq
+      val tiered = graft.operators.Bm25.scoreIndexedTopK(s, idx, qTerms, 10)
+        .select(lit("tiered").as("form"), col("rank"), col("doc_id"),
+          col("n_matched"), round(col("bm25"), 4).as("bm25"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__key").desc, col("doc_id"))
+      val full = graft.operators.Bm25.scoreIndexed(s, idx, qTerms)
+        .withColumn("__key", round(col("bm25"), 4))
+        .orderBy(col("__key").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(win))
+        .select(lit("full").as("form"), col("rank"), col("doc_id"),
+          col("n_matched"), col("__key").as("bm25"))
+      full.unionByName(tiered).orderBy(col("form"), col("rank"))
+    }),
+
     // q122: the N-stage funnel at FOUR stages (signup → view → click →
     // purchase) — exercises the parameterized chain beyond q113's
     // three; same window-free semi-filtered-scan + min-agg plan per
@@ -5000,6 +5033,53 @@ object SparkEntry {
          UNION ALL SELECT 'indexed2', doc_id, phrase_tf, bm25 FROM leg2
          UNION ALL SELECT 'adhoc3', doc_id, phrase_tf, bm25 FROM leg3
          ORDER BY form, doc_id""",
+    // q175: both serving legs mirrored end to end — champion selection
+    // (per-term top-32 by exact weight, id tiebreak) included
+    "q175_bm25_champions" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         wt AS (
+           SELECT doc_id, term,
+             ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl)) AS w
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats),
+         scored AS (
+           SELECT doc_id, count(*) AS n_matched, round(sum(w), 4) AS bm25
+           FROM wt GROUP BY doc_id),
+         ranked AS (
+           SELECT doc_id, n_matched, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM scored),
+         champ AS (
+           SELECT term, doc_id FROM (
+             SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+             FROM wt) t WHERE rn <= 32),
+         cand AS (SELECT DISTINCT doc_id FROM champ),
+         tiered AS (
+           SELECT doc_id, n_matched, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM scored JOIN cand USING (doc_id))
+         SELECT 'full' AS form, rank, doc_id, n_matched, bm25
+         FROM ranked WHERE rank <= 10
+         UNION ALL
+         SELECT 'tiered', rank, doc_id, n_matched, bm25
+         FROM tiered WHERE rank <= 10
+         ORDER BY form, rank""",
     // q172: seeded-geometry lifecycle invariants recomputed in-engine
     // (q121's oracle pattern — constant truth)
     "q172_ivf_lifecycle" ->

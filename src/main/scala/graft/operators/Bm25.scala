@@ -112,9 +112,10 @@ object Bm25 {
     setBuilding(spark, name, on = true)
     graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     // a rebuild over a new corpus must not leave a previous corpus's
-    // positional table behind — phrase serving would silently mix
-    // snapshots; the user re-runs buildPositional for the new corpus
+    // derived tiers behind — phrase/tiered serving would silently mix
+    // snapshots; re-run buildPositional/buildChampions for the new one
     graft.sources.Sinks.dropTable(spark, s"${name}_positions")
+    graft.sources.Sinks.dropTable(spark, s"${name}_champions")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
@@ -309,6 +310,10 @@ object Bm25 {
         .bucketBy(buckets, "term").sortBy("term")
         .saveAsTable(s"${name}_positions")
     }
+    // the champion tier does NOT survive an append: every weight input
+    // (df, avgdl, N) moved, so the per-term top-c may differ — drop it
+    // and fail the next tiered serve loudly (see buildChampions)
+    graft.sources.Sinks.dropTable(spark, s"${name}_champions")
     // Derived tables refresh from the DELTA, not the corpus: the per-
     // term df merge reads only the standing vocab-sized `_terms` plus
     // the batch's own (doc, term) rows, and the 1-row `_stats` gets the
@@ -503,6 +508,93 @@ object Bm25 {
           ((col("sum_dl") - col("__dl_rm")).cast("double") /
             (col("n_docs") - col("__n_rm"))).as("avgdl"))
     }
+  }
+
+  // ---- Champion lists (impact-tiered top-k serving) ----
+
+  /** Build the champion tier `<name>_champions`: per term, the ids of
+    * its top-`c` postings by exact BM25 weight — the classic
+    * impact-ordered "champion list" (a.k.a. high/low tiered index)
+    * that makes TOP-K serving candidate-bounded instead of hit-bounded.
+    * Computed from the STANDING tables only (postings ⋈ df ⋈ stats —
+    * index-sized, no corpus scan), heap-pruned per term by
+    * (weight DESC, id ASC) so the tier is deterministic. Same bucketed
+    * layout as the postings, so a query's champion probe bucket-prunes.
+    *
+    * Lifecycle contract: [[appendDocs]] and [[buildIndex]] DROP the
+    * tier (the corpus changed — every weight input moved; silently
+    * serving stale champions is worse than failing loudly), re-run
+    * buildChampions after an append wave. [[removeDocs]] and
+    * [[compactIndex]] KEEP it: deletes don't change the live corpus
+    * the rescore adjusts to — a tombstoned champion simply has no
+    * surviving postings and drops out of the exact rescore, and the
+    * tier stays a valid (if slightly thinner) candidate generator. */
+  def buildChampions(spark: org.apache.spark.sql.SparkSession, name: String,
+      c: Int = 64, buckets: Int = 32, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): Unit = {
+    requireServable(spark, name)
+    val stats = spark.table(s"${name}_stats").select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val w = spark.table(s"${name}_postings")
+      .join(spark.table(s"${name}_terms"), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__negw", -weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .select(col("term"), col(idCol), col("__negw"))
+    val champ = graft.plans.TopKPerKey.perKey(
+        w, Seq("term"), Seq("__negw", idCol), c)
+      .select(col("term"), col(idCol))
+    setBuilding(spark, name, on = true)
+    graft.sources.Sinks.parquetBucketed(
+      champ, s"${name}_champions", buckets, Seq("term"), Seq("term"))
+    setBuilding(spark, name, on = false)
+  }
+
+  /** Top-k serving through the champion tier: candidates = the union
+    * of the query terms' champion lists (a bucket-pruned read of
+    * c·|terms| rows), then an EXACT rescore of only those docs through
+    * the tombstone-adjusted index — so every returned score equals
+    * [[scoreIndexed]]'s to the bit, and the per-doc aggregation
+    * shuffles candidate-bounded rows instead of hit-bounded (for a hot
+    * term, c rows instead of its whole df — the reason tiered serving
+    * exists). Ranking is by (bm25 rounded to 4dp DESC, id ASC): the
+    * 4dp grid is the repo-wide aggregate-rounding discipline that
+    * makes the order reproducible across engines and shuffle orders.
+    * Returns (idCol, n_matched, bm25 UNROUNDED, rank), rank 1..≤k.
+    *
+    * The tiered top-k equals the full top-k whenever every true top-k
+    * doc is some query term's champion — the standard tiered-serving
+    * contract (guaranteed for single-term queries with c ≥ k; for
+    * multi-term queries a doc scoring only mid-tier on every term can
+    * hide — q175 measures the overlap against the full aggregation). */
+  def scoreIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      name: String, queryTerms: Seq[String], k: Int,
+      idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireServable(spark, name)
+    require(spark.catalog.tableExists(s"${name}_champions"),
+      s"index '$name' has no champion tier — buildChampions first " +
+        "(and re-run it after every append/rebuild)")
+    val terms = queryTerms.distinct
+    val cand = spark.table(s"${name}_champions")
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    val (p, d, stats) = adjustedIndex(spark, name, terms, idCol)
+    val scored = p.join(cand, Seq(idCol), "left_semi")
+      .join(broadcast(d), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+    val top = scored
+      .withColumn("__key", round(col("bm25"), 4))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__key").desc, col(idCol))
+    top.withColumn("rank", row_number().over(win))
+      .select(col(idCol), col("n_matched"), col("bm25"), col("rank"))
   }
 
   // ---- Exact-phrase search (positional layer) ----

@@ -93,4 +93,44 @@ class PhraseSearchSpec extends SparkSpec {
     }
     assert(boom2.getMessage.contains("same snapshot"))
   }
+
+  test("champion tier: exact rescore, single-term completeness, drop-on-append") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    Bm25.buildIndex(docs, "graft_champ_t1", buckets = 8)
+    Bm25.buildChampions(spark, "graft_champ_t1", c = 8, buckets = 8)
+    val qTerms = docs.filter($"doc_id" === 1)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 4)).as("t"))
+      .distinct().as[String].collect().toSeq
+
+    // every tiered score equals the full aggregation's for that doc to
+    // the bit — the tier only restricts WHICH docs aggregate, never
+    // what they aggregate
+    val tiered = Bm25.scoreIndexedTopK(spark, "graft_champ_t1", qTerms, 10)
+    val full = Bm25.scoreIndexed(spark, "graft_champ_t1", qTerms)
+    val joined = tiered.alias("t")
+      .join(full.alias("f"), Seq("doc_id"))
+      .filter($"t.bm25" =!= $"f.bm25" || $"t.n_matched" =!= $"f.n_matched")
+    assert(joined.isEmpty)
+    assert(tiered.count() == 10)
+
+    // single-term query with c >= k: the champion list IS the term's
+    // exact weight order, so tiered top-k == full top-k exactly
+    val one = Seq(qTerms.head)
+    val tieredTop = Bm25.scoreIndexedTopK(spark, "graft_champ_t1", one, 5)
+      .select($"rank", $"doc_id").collect().toSeq
+    val fullTop = Bm25.scoreIndexed(spark, "graft_champ_t1", one)
+      .withColumn("__key", round($"bm25", 4))
+      .orderBy($"__key".desc, $"doc_id").limit(5)
+      .select($"doc_id").collect().toSeq
+    assert(tieredTop.map(_.getLong(1)) === fullTop.map(_.getLong(0)))
+
+    // an append invalidates every weight input — the tier is dropped
+    // and the next tiered serve fails loudly instead of silently stale
+    val extra = Seq((1000000L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    Bm25.appendDocs(spark, "graft_champ_t1", extra, buckets = 8)
+    val boom = intercept[IllegalArgumentException] {
+      Bm25.scoreIndexedTopK(spark, "graft_champ_t1", qTerms, 10)
+    }
+    assert(boom.getMessage.contains("buildChampions"))
+  }
 }

@@ -392,4 +392,28 @@ class PlanSpec extends SparkSpec {
     assert(mTerms.queryExecution.optimizedPlan.toString
       .contains("graft_planspec_bm25_terms"), "merge must read the standing _terms")
   }
+
+  test("champion serving: bucket-pruned probes, candidate semi-join bounds the aggregation") {
+    // the tiered top-k's whole point at 100 TB: the champion read and
+    // the postings read both bucket-prune to the query's terms, and the
+    // per-doc aggregation sees only candidate docs (LeftSemi against
+    // the c·|terms| champion union) — hit-sized rows never shuffle
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).limit(60).localCheckpoint()
+    graft.operators.Bm25.buildIndex(docs, "graft_planspec_champ", buckets = 4)
+    graft.operators.Bm25.buildChampions(spark, "graft_planspec_champ",
+      c = 4, buckets = 4)
+    val terms = docs.orderBy(col("doc_id")).limit(1)
+      .select(explode(org.apache.spark.sql.functions.slice(
+        graft.operators.TextAnalysis.tokens(col("text")), 1, 2)).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    val df = graft.operators.Bm25.scoreIndexedTopK(
+      spark, "graft_planspec_champ", terms, 5)
+    val phys = df.queryExecution.executedPlan.toString
+    val pruned = "SelectedBucketsCount".r.findAllIn(phys).length
+    assert(pruned >= 2,
+      s"expected both the champions and postings scans to bucket-prune:\n$phys")
+    assert(phys.contains("LeftSemi"),
+      s"candidate restriction must be a semi-join:\n$phys")
+  }
 }
