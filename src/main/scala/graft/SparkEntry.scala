@@ -3009,7 +3009,7 @@ object SparkEntry {
         .select(lit("tiered").as("form"), col("rank"), col("doc_id"),
           col("n_matched"), round(col("bm25"), 4).as("bm25"))
       val win = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__key").desc, col("doc_id"))
+        .partitionBy(lit(1)).orderBy(col("__key").desc, col("doc_id"))
       val full = graft.operators.Bm25.scoreIndexed(s, idx, qTerms)
         .withColumn("__key", round(col("bm25"), 4))
         .orderBy(col("__key").desc, col("doc_id")).limit(10)
@@ -3017,6 +3017,28 @@ object SparkEntry {
         .select(lit("full").as("form"), col("rank"), col("doc_id"),
           col("n_matched"), col("__key").as("bm25"))
       full.unionByName(tiered).orderBy(col("form"), col("rank"))
+    }),
+
+    // q176: BATCH tiered serving with deletes pending — the production
+    // shape end to end: champion lists were selected at BUILD time
+    // (full-corpus weights; the oracle recomputes that selection
+    // verbatim), the rescore adjusts to the live corpus, and the
+    // per-query top-10 ranks through the TopKPerKeyExec heap on the
+    // 4dp grid. A tombstoned champion has no live postings and drops
+    // out of the rescore — the "tier survives deletes" contract under
+    // the driver's hash gate.
+    "q176_champions_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 1).select("doc_id"))
+      val queries = docs.filter(col("doc_id").isin(0, 2, 4))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+      graft.operators.Bm25.scoreIndexedTopKBatch(s, idx, queries, 10)
+        .select(col("query_id"), col("doc_id"), col("n_matched"),
+          round(col("bm25"), 4).as("bm25"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // q122: the N-stage funnel at FOUR stages (signup → view → click →
@@ -5080,6 +5102,67 @@ object SparkEntry {
          SELECT 'tiered', rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10
          ORDER BY form, rank""",
+    // q176: champion selection on BUILD-TIME (full-corpus) weights,
+    // rescore on the live corpus — two stat sets, exactly the standing
+    // tier's lifecycle
+    "q176_champions_batch" ->
+      """WITH q AS (
+           SELECT DISTINCT doc_id AS query_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id IN (0, 2, 4)),
+         allterms AS (SELECT DISTINCT term FROM q),
+         toksF AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dlF AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         statsF AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dlF),
+         tfF AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toksF JOIN allterms ON token = term GROUP BY doc_id, token),
+         idfF AS (SELECT term, count(*) AS df FROM tfF GROUP BY term),
+         wtF AS (
+           SELECT doc_id, term,
+             ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl)) AS w
+           FROM tfF JOIN idfF USING (term) JOIN dlF USING (doc_id), statsF),
+         champ AS (
+           SELECT term, doc_id FROM (
+             SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+             FROM wtF) t WHERE rn <= 32),
+         cand AS (
+           SELECT DISTINCT query_id, doc_id FROM champ JOIN q USING (term)),
+         live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM live),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM live),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN allterms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT q.query_id, tf.doc_id, count(*) AS n_matched,
+             round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) JOIN q USING (term), stats
+           GROUP BY q.query_id, tf.doc_id),
+         ranked AS (
+           SELECT s.query_id, s.doc_id, s.n_matched, s.bm25,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.bm25 DESC, s.doc_id) AS rank
+           FROM scored s JOIN cand USING (query_id, doc_id))
+         SELECT query_id, doc_id, n_matched, bm25, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // q172: seeded-geometry lifecycle invariants recomputed in-engine
     // (q121's oracle pattern — constant truth)
     "q172_ivf_lifecycle" ->

@@ -553,8 +553,9 @@ object Bm25 {
   /** Top-k serving through the champion tier: candidates = the union
     * of the query terms' champion lists (a bucket-pruned read of
     * c·|terms| rows), then an EXACT rescore of only those docs through
-    * the tombstone-adjusted index — so every returned score equals
-    * [[scoreIndexed]]'s to the bit, and the per-doc aggregation
+    * the tombstone-adjusted index — so every returned score sums
+    * exactly [[scoreIndexed]]'s weight inputs (equal at the 4dp
+    * serving contract; raw float sums reorder), and the per-doc aggregation
     * shuffles candidate-bounded rows instead of hit-bounded (for a hot
     * term, c rows instead of its whole df — the reason tiered serving
     * exists). Ranking is by (bm25 rounded to 4dp DESC, id ASC): the
@@ -591,10 +592,59 @@ object Bm25 {
       .withColumn("__key", round(col("bm25"), 4))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
+    // the window ranks the ≤ k surviving rows only; the constant
+    // partition key keeps Spark from warning about a global window
     val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__key").desc, col(idCol))
+      .partitionBy(lit(1)).orderBy(col("__key").desc, col(idCol))
     top.withColumn("rank", row_number().over(win))
       .select(col(idCol), col("n_matched"), col("bm25"), col("rank"))
+  }
+
+  /** BATCH top-k through the champion tier — the production serving
+    * shape for recurring query load, tiered: `queries` holds
+    * (query_id, term) rows. Champions and postings are each probed
+    * ONCE with the literal term union (bucket-pruned); per-(doc, term)
+    * weights fan out to queries via the broadcast query table exactly
+    * like [[scoreIndexedBatch]], but the per-(query, doc) aggregation
+    * is first restricted to each query's OWN candidate pairs (a
+    * pair-keyed semi-join against the champion fan-out), so the
+    * aggregation is candidate-bounded per query. The final per-query
+    * top-k is the heap-pruned [[graft.plans.TopKPerKey]] ranking on
+    * the same 4dp-grid order as [[scoreIndexedTopK]]; scores sum exactly
+    * [[scoreIndexedBatch]]'s weight inputs for every returned
+    * (query, doc) pair — equal at the 4dp serving contract. */
+  def scoreIndexedTopKBatch(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, k: Int,
+      idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireServable(spark, name)
+    require(spark.catalog.tableExists(s"${name}_champions"),
+      s"index '$name' has no champion tier — buildChampions first " +
+        "(and re-run it after every append/rebuild)")
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val terms = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // per-query candidate pairs from the term-pruned champion read:
+    // a doc is a candidate for exactly the queries whose terms champion
+    // it — c·|union terms| rows before the tiny broadcast fan-out
+    val cand = spark.table(s"${name}_champions")
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(q), "term")
+      .select(col("query_id"), col(idCol)).distinct()
+    val (p, d, stats) = adjustedIndex(spark, name, terms, idCol)
+    val scored = p.join(broadcast(d), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .join(broadcast(q), "term")
+      .join(cand, Seq("query_id", idCol), "left_semi")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+      .withColumn("__negkey", -round(col("bm25"), 4))
+    graft.plans.TopKPerKey.rankedTopK(
+        scored, "query_id", Seq("__negkey", idCol), k)
+      .select(col("query_id"), col(idCol), col("n_matched"),
+        col("bm25"), col("rank"))
   }
 
   // ---- Exact-phrase search (positional layer) ----

@@ -102,14 +102,17 @@ class PhraseSearchSpec extends SparkSpec {
       .select(explode(slice(TextAnalysis.tokens($"text"), 1, 4)).as("t"))
       .distinct().as[String].collect().toSeq
 
-    // every tiered score equals the full aggregation's for that doc to
-    // the bit — the tier only restricts WHICH docs aggregate, never
-    // what they aggregate
+    // every tiered score equals the full aggregation's for that doc at
+    // the 4dp serving contract — the tier only restricts WHICH docs
+    // aggregate, never what they aggregate (the two plans sum the same
+    // weights in different orders, so raw doubles differ in final ULPs,
+    // the repo-wide aggregate-rounding discipline)
     val tiered = Bm25.scoreIndexedTopK(spark, "graft_champ_t1", qTerms, 10)
     val full = Bm25.scoreIndexed(spark, "graft_champ_t1", qTerms)
     val joined = tiered.alias("t")
       .join(full.alias("f"), Seq("doc_id"))
-      .filter($"t.bm25" =!= $"f.bm25" || $"t.n_matched" =!= $"f.n_matched")
+      .filter(round($"t.bm25", 4) =!= round($"f.bm25", 4) ||
+        $"t.n_matched" =!= $"f.n_matched")
     assert(joined.isEmpty)
     assert(tiered.count() == 10)
 
@@ -123,6 +126,22 @@ class PhraseSearchSpec extends SparkSpec {
       .orderBy($"__key".desc, $"doc_id").limit(5)
       .select($"doc_id").collect().toSeq
     assert(tieredTop.map(_.getLong(1)) === fullTop.map(_.getLong(0)))
+
+    // batch form: every returned (query, doc) score equals the full
+    // batch aggregation's at the 4dp contract, ranks contiguous from 1
+    val queries = docs.filter($"doc_id".isin(1L, 2L))
+      .select($"doc_id".as("query_id"),
+        explode(slice(TextAnalysis.tokens($"text"), 1, 4)).as("term"))
+    val tb = Bm25.scoreIndexedTopKBatch(spark, "graft_champ_t1", queries, 5)
+      .localCheckpoint()
+    val fb = Bm25.scoreIndexedBatch(spark, "graft_champ_t1", queries)
+    assert(tb.alias("t")
+      .join(fb.alias("f"), Seq("query_id", "doc_id"))
+      .filter(round($"t.bm25", 4) =!= round($"f.bm25", 4) ||
+        $"t.n_matched" =!= $"f.n_matched")
+      .isEmpty)
+    assert(tb.groupBy($"query_id").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+      .filter($"n" =!= lit(5) || $"mx" =!= lit(5)).isEmpty)
 
     // an append invalidates every weight input — the tier is dropped
     // and the next tiered serve fails loudly instead of silently stale
