@@ -94,6 +94,50 @@ class PhraseSearchSpec extends SparkSpec {
     assert(boom2.getMessage.contains("same snapshot"))
   }
 
+  test("streaming maintenance keeps the positional table in sync") {
+    import graft.streaming.IndexMaintenance
+    val name = "graft_phrase_m1"
+    IndexMaintenance.initStores(spark, name)
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .localCheckpoint()
+    // wave 1 bootstraps (buildIndex drops any stale positional table);
+    // the positional tier is then built over the bootstrap corpus and
+    // must ride every later wave through appendDocs/compactIndex
+    val b1 = docs.filter($"doc_id" < 30)
+    IndexMaintenance.applyUpserts(spark, name, b1, ver = 1L, buckets = 8)
+    Bm25.buildPositional(b1, name, buckets = 8)
+    val b2 = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+      .unionByName(docs.filter($"doc_id" === 5)
+        .select($"doc_id", concat($"text", lit(" v2")).as("text")))
+    IndexMaintenance.applyUpserts(spark, name, b2, ver = 2L, buckets = 8)
+    val b3 = docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+      .unionByName(Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    IndexMaintenance.applyUpserts(spark, name, b3, ver = 3L, buckets = 8)
+
+    val live = docs.filter($"doc_id" < 45 && $"doc_id" =!= 7)
+      .select($"doc_id", when($"doc_id" === 5,
+        concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+      .localCheckpoint()
+    val phrase = live.filter($"doc_id" === 0)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 2)).as("t"))
+      .as[String].collect().toSeq
+    // maintained positional serving (tombstones pending or not) equals
+    // the ad-hoc phrase truth over the live corpus
+    val adHoc = Bm25.phraseScore(live, phrase)
+      .orderBy($"doc_id").collect().toSeq
+    assert(adHoc.nonEmpty)
+    assert(Bm25.phraseIndexed(spark, name, phrase)
+      .orderBy($"doc_id").collect().toSeq === adHoc)
+    // and after physical compaction the table equals a fresh build's
+    Bm25.compactIndex(spark, name, buckets = 8)
+    Bm25.buildIndex(live, name + "_fresh", buckets = 8)
+    Bm25.buildPositional(live, name + "_fresh", buckets = 8)
+    val a = spark.table(name + "_positions")
+    val b = spark.table(name + "_fresh_positions")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "maintained positional table diverged from a fresh build")
+  }
+
   test("champion tier: exact rescore, single-term completeness, drop-on-append") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
     Bm25.buildIndex(docs, "graft_champ_t1", buckets = 8)
