@@ -514,6 +514,30 @@ object IndexMaintenance {
     }
   }
 
+  /** The IVF-PQ sibling of [[ivfStoreFold]]: the gated decision
+    * maintains the COMPRESSED standing store ([[graft.ann.PqModel]]
+    * `saveCorpusIvf` layout) under both frozen quantizers — what you
+    * would actually serve at 100 TB. Same purge-before-append
+    * discipline, same per-batch cost shape (adds append O(delta)
+    * encoded rows; change/takedown batches pay the store rewrite). */
+  def ivfPqStoreFold(spark: SparkSession, pq: graft.ann.PqModel,
+      ivf: graft.ann.IvfModel, table: String,
+      buckets: Int = 32): VecFold = (gone, put) => {
+    if (spark.catalog.tableExists(table) && !gone.isEmpty) {
+      pq.removeCorpusIvf(spark, table, gone)
+      pq.compactCorpusIvf(spark, table, buckets)
+    }
+    if (!put.isEmpty) {
+      val idCol = put.columns(0); val vCol = put.columns(1)
+      if (!spark.catalog.tableExists(table))
+        pq.saveCorpusIvf(ivf, put, table, buckets,
+          corpusId = idCol, corpusVec = vCol)
+      else
+        pq.appendCorpusIvf(ivf, put, table, buckets,
+          corpusId = idCol, corpusVec = vCol)
+    }
+  }
+
   /** The standing pending-removal list for a signature store:
     * (id, ver_marked) marks — GENERATIONS at-or-below the mark must
     * stop rejecting now and leave physically at the next sweep. A

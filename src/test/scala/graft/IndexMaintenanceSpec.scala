@@ -426,11 +426,12 @@ class IndexMaintenanceSpec extends SparkSpec {
       (7L, "c2 c3 c4 c6", vec(7, 1f)), (8L, "d1 d2 d3 d4", vec(8, 1f)))
       .toDF("doc_id", "text", "embedding")
     val name = "graft_im_gi"; val sig = "graft_im_gi_sigs"
-    val store = "graft_im_gi_vecs"
+    val store = "graft_im_gi_vecs"; val pqStore = "graft_im_gi_pq"
     IndexMaintenance.initStores(spark, name)
     IngestDedup.initStore(spark, sig)
     graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
-    for (t <- Seq(store, store + "_tombstones"))
+    for (t <- Seq(store, store + "_tombstones", pqStore,
+        pqStore + "_tombstones"))
       graft.sources.Sinks.dropTable(spark, t)
 
     val d1 = IndexMaintenance.applyGatedUpserts(spark, name, sig, b1,
@@ -440,8 +441,15 @@ class IndexMaintenanceSpec extends SparkSpec {
       Seq("doc_id"), "left_semi").select($"doc_id", $"embedding")
     val model = graft.ann.IvfIndex(nlist = 2, nprobe = 2, seed = 5L)
       .fit(admitted1)
-    val fold = IndexMaintenance.ivfStoreFold(spark, model, store, buckets = 8)
-    // seed the store with wave 1's admitted vectors (same bootstrap
+    val pqModel = graft.ann.PqIndex(m = 2, seed = 5L).fit(admitted1)
+    val ivfFold = IndexMaintenance.ivfStoreFold(spark, model, store, buckets = 8)
+    val pqFold = IndexMaintenance.ivfPqStoreFold(spark, pqModel, model,
+      pqStore, buckets = 8)
+    // one admission decision, TWO standing stores: folds compose as
+    // plain functions
+    val fold: IndexMaintenance.VecFold =
+      (gone, put) => { ivfFold(gone, put); pqFold(gone, put) }
+    // seed the stores with wave 1's admitted vectors (same bootstrap
     // the forest leg's fit performs), then fold the remaining waves
     fold(spark.range(0).select($"id".as("doc_id")), admitted1)
     for ((b, k) <- Seq(b2, b3, b4).zipWithIndex)
@@ -472,5 +480,17 @@ class IndexMaintenanceSpec extends SparkSpec {
     val b = spark.table(store + "_rebuilt")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "maintained IVF store diverged from a rebuild over the live corpus")
+
+    // the compressed leg: same ids, and the maintained IVF-PQ store is
+    // TABLE-equal (cells + codes) to a fresh saveCorpusIvf of the live
+    // corpus under the same frozen quantizers
+    assert(spark.table(pqStore).select($"neighbor_id").distinct()
+      .as[Long].collect().toSet === Set(1L, 4L, 6L, 7L, 8L))
+    pqModel.saveCorpusIvf(model, liveVecs, pqStore + "_rebuilt", buckets = 8,
+      corpusId = "doc_id", corpusVec = "embedding")
+    val pa = spark.table(pqStore)
+    val pb = spark.table(pqStore + "_rebuilt")
+    assert(pa.exceptAll(pb).isEmpty && pb.exceptAll(pa).isEmpty,
+      "maintained IVF-PQ store diverged from a rebuild over the live corpus")
   }
 }
