@@ -3019,6 +3019,29 @@ object SparkEntry {
       full.unionByName(tiered).orderBy(col("form"), col("rank"))
     }),
 
+    // q177: BATCH phrase serving with deletes pending — many phrases
+    // (of different lengths) against the standing positional table in
+    // one plan: one bucket-pruned positions probe for the term union,
+    // broadcast fan-out to (query_id, off) pairs, one (query, doc,
+    // start) aggregation checked against each query's own offset
+    // count. Phrases are the first 2 tokens of docs 0/1 and the first
+    // 3 of doc 2; scoring is over the live (tombstone-adjusted) corpus.
+    "q177_phrase_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = sharedDocsIndex(s, d)
+      graft.operators.Bm25.removeDocs(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+      val ph = docs.filter(col("doc_id").isin(0, 1, 2))
+        .select(col("doc_id").as("query_id"),
+          posexplode(slice(TextAnalysis.tokens(col("text")), lit(1),
+            when(col("doc_id") === 2, 3).otherwise(2)))
+            .as(Seq("off", "term")))
+      graft.operators.Bm25.phraseIndexedBatch(s, idx, ph)
+        .select(col("query_id"), col("doc_id"), col("phrase_tf"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // q176: BATCH tiered serving with deletes pending — the production
     // shape end to end: champion lists were selected at BUILD time
     // (full-corpus weights; the oracle recomputes that selection
@@ -5102,6 +5125,41 @@ object SparkEntry {
          SELECT 'tiered', rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10
          ORDER BY form, rank""",
+    // q177: the phrase table zips per-query offsets; occurrence =
+    // every offset of THAT query witnessed at one (doc, start)
+    "q177_phrase_batch" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         arr AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+           FROM live),
+         pos AS (
+           SELECT doc_id, unnest(range(len(a))) AS pos, unnest(a) AS token
+           FROM arr),
+         dl AS (SELECT doc_id, len(a) AS dl FROM arr),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         ph AS (
+           SELECT doc_id AS query_id,
+             unnest(range(CASE WHEN doc_id = 2 THEN 3 ELSE 2 END)) AS off,
+             unnest(a[1:(CASE WHEN doc_id = 2 THEN 3 ELSE 2 END)]) AS term
+           FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+                 FROM documents WHERE doc_id IN (0, 1, 2))),
+         mlen AS (SELECT query_id, count(DISTINCT off) AS m FROM ph GROUP BY query_id),
+         hits AS (
+           SELECT query_id, doc_id, pos - off AS start
+           FROM pos JOIN ph ON token = term JOIN mlen USING (query_id)
+           GROUP BY query_id, doc_id, pos - off
+           HAVING count(DISTINCT off) = min(m)),
+         tf AS (
+           SELECT query_id, doc_id, count(*) AS phrase_tf
+           FROM hits GROUP BY query_id, doc_id),
+         dfq AS (SELECT query_id, count(*) AS df FROM tf GROUP BY query_id)
+         SELECT tf.query_id, tf.doc_id, phrase_tf,
+           round(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (phrase_tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (phrase_tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl)), 4) AS bm25
+         FROM tf JOIN dfq USING (query_id) JOIN dl USING (doc_id), stats
+         ORDER BY query_id, doc_id""",
     // q176: champion selection on BUILD-TIME (full-corpus) weights,
     // rescore on the live corpus — two stat sets, exactly the standing
     // tier's lifecycle

@@ -761,6 +761,60 @@ object Bm25 {
       adjustedStats(spark, name, idCol), idCol, k1, b)
   }
 
+  /** BATCH exact-phrase serving — many phrases at once against the
+    * standing positional index: `phrases` holds (query_id, off, term)
+    * rows (off = 0-based position of the term inside its query's
+    * phrase; phrases may have different lengths). The positions table
+    * is probed ONCE with the bucket-pruned union of all phrase terms;
+    * token instances fan out to the (query_id, off) pairs wanting the
+    * term via a broadcast of the tiny phrase table, and occurrence
+    * detection is one (query_id, doc, start) aggregation checked
+    * against each query's own offset count — same shape as the
+    * single-phrase path with the query id riding along. Per-query df
+    * is the per-query hit-doc count; stats/dl are the shared
+    * tombstone-adjusted serving inputs. Returns (query_id, idCol,
+    * phrase_tf, bm25 UNROUNDED) for pairs with ≥ 1 occurrence. */
+  def phraseIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      name: String, phrases: DataFrame, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireServable(spark, name)
+    require(spark.catalog.tableExists(s"${name}_positions"),
+      s"index '$name' has no positional table — buildPositional first")
+    val ph = phrases.select(col("query_id"), col("off"), col("term")).distinct()
+    val mlen = ph.groupBy(col("query_id"))
+      .agg(count_distinct(col("off")).as("__m"))
+    // the term union arrives as a literal IN list (query parameters,
+    // bounded by the batch — scoreIndexedBatch's discipline) so the
+    // positions scan bucket-prunes
+    val terms = ph.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pRaw = spark.table(s"${name}_positions")
+      .filter(col("term").isin(terms: _*))
+    val p =
+      if (!spark.catalog.tableExists(s"${name}_tombstones")) pRaw
+      else pRaw.join(
+        spark.table(s"${name}_tombstones").select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val hits = p.select(col(idCol), col("term"),
+        explode(col("positions")).as("pos"))
+      .join(broadcast(ph), "term")
+      .groupBy(col("query_id"), col(idCol),
+        (col("pos") - col("off")).as("start"))
+      .agg(count_distinct(col("off")).as("__n_off"))
+      .join(broadcast(mlen), "query_id")
+      .filter(col("__n_off") === col("__m"))
+    val tf = hits.groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("query_id")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "query_id")
+      .join(spark.table(s"${name}_doclens"), idCol)
+      .crossJoin(broadcast(adjustedStats(spark, name, idCol)))
+      .withColumn("w", weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b))
+      .select(col("query_id"), col(idCol), col("tf").as("phrase_tf"),
+        col("w").as("bm25"))
+  }
+
   /** Shared scoring tail of the two phrase paths: phrase df is the
     * 1-row count of docs with a hit (broadcast, like the per-term df
     * table), dl attaches per hit doc, stats cross in — one weight per

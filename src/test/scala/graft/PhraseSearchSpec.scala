@@ -94,6 +94,29 @@ class PhraseSearchSpec extends SparkSpec {
     assert(boom2.getMessage.contains("same snapshot"))
   }
 
+  test("phraseIndexedBatch equals per-phrase serving, variable lengths included") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    Bm25.buildIndex(docs, "graft_phrase_t4", buckets = 8)
+    Bm25.buildPositional(docs, "graft_phrase_t4", buckets = 8)
+    def firstTokens(id: Long, n: Int): Seq[String] = docs.filter($"doc_id" === id)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, n)).as("t"))
+      .as[String].collect().toSeq
+    val p1 = firstTokens(1, 2); val p2 = firstTokens(2, 3)
+    val ph = (p1.zipWithIndex.map { case (t, i) => (1L, i, t) } ++
+      p2.zipWithIndex.map { case (t, i) => (2L, i, t) })
+      .toDF("query_id", "off", "term")
+    val batch = Bm25.phraseIndexedBatch(spark, "graft_phrase_t4", ph)
+      .orderBy($"query_id", $"doc_id").collect().toSeq
+    val singles =
+      Bm25.phraseIndexed(spark, "graft_phrase_t4", p1)
+        .select(lit(1L).as("query_id"), $"doc_id", $"phrase_tf", $"bm25")
+        .unionByName(Bm25.phraseIndexed(spark, "graft_phrase_t4", p2)
+          .select(lit(2L).as("query_id"), $"doc_id", $"phrase_tf", $"bm25"))
+        .orderBy($"query_id", $"doc_id").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(batch === singles)
+  }
+
   test("streaming maintenance keeps the positional table in sync") {
     import graft.streaming.IndexMaintenance
     val name = "graft_phrase_m1"
