@@ -3019,6 +3019,37 @@ object SparkEntry {
       full.unionByName(tiered).orderBy(col("form"), col("rank"))
     }),
 
+    // q178: the standing lexical index through the SQL frontend — the
+    // q162/q173 story for the third surface: the index tables are
+    // ordinary catalog tables, so a SQL-only user serves BM25 with
+    // plain SQL over `<idx>_postings/_terms/_stats` (term-IN predicate
+    // bucket-prunes exactly like the DataFrame path; D-suffixed
+    // literals keep every constant a double, mirroring the Column
+    // weight formula operation for operation). Hash-gated against the
+    // same DuckDB oracle as the ad-hoc and DataFrame-indexed paths —
+    // three engines, one score.
+    "q178_sql_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = sharedDocsIndex(s, d)
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
+        .collect().map(_.getString(0)).distinct.toSeq
+      val inList = qTerms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+      s.sql(s"""
+        WITH t AS (
+          SELECT term, df FROM ${idx}_terms WHERE term IN ($inList)),
+        st AS (
+          SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM ${idx}_stats)
+        SELECT p.doc_id, count(*) AS n_matched,
+          round(sum(ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+            * (tf * (1.2D + 1.0D))
+            / (tf + 1.2D * (1.0D - 0.75D + 0.75D * dl / avgdl))), 4) AS bm25
+        FROM ${idx}_postings p JOIN t USING (term), st
+        WHERE p.term IN ($inList)
+        GROUP BY p.doc_id ORDER BY doc_id""")
+    }),
+
     // q177: BATCH phrase serving with deletes pending — many phrases
     // (of different lengths) against the standing positional table in
     // one plan: one bucket-pruned positions probe for the term union,
@@ -5125,6 +5156,30 @@ object SparkEntry {
          SELECT 'tiered', rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10
          ORDER BY form, rank""",
+    // q178: same truth as q78 — the SQL face serves the identical
+    // score from the standing tables
+    "q178_sql_bm25" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
     // q177: the phrase table zips per-query offsets; occurrence =
     // every offset of THAT query witnessed at one (doc, start)
     "q177_phrase_batch" ->
