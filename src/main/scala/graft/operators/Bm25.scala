@@ -795,20 +795,59 @@ object Bm25 {
       else pRaw.join(
         spark.table(s"${name}_tombstones").select(col(idCol)).distinct(),
         Seq(idCol), "left_anti")
-    val hits = p.select(col(idCol), col("term"),
-        explode(col("positions")).as("pos"))
-      .join(broadcast(ph), "term")
+    val pos = p.select(col(idCol), col("term"),
+      explode(col("positions")).as("pos"))
+    scorePhraseBatchTf(
+      phraseBatchTf(pos, ph, mlen, idCol, "term"),
+      spark.table(s"${name}_doclens"),
+      adjustedStats(spark, name, idCol), idCol, k1, b)
+  }
+
+  /** AD-HOC batch phrase scoring over raw documents — the un-indexed
+    * sibling of [[phraseIndexedBatch]] (same (query_id, off, term)
+    * phrase-table contract, same occurrence algebra): one corpus
+    * posexplode immediately pre-filtered to the phrase terms by the
+    * broadcast phrase join, corpus stats from the frame itself. */
+  def phraseScoreBatch(docs: DataFrame, phrases: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ph = phrases.select(col("query_id"), col("off"), col("term")).distinct()
+    val mlen = ph.groupBy(col("query_id"))
+      .agg(count_distinct(col("off")).as("__m"))
+    val pos = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    scorePhraseBatchTf(
+      phraseBatchTf(pos, ph, mlen, idCol, "token"), dl, stats, idCol, k1, b)
+  }
+
+  /** Batch occurrence counting shared by the ad-hoc and indexed batch
+    * paths: token instances fan out to the (query_id, off) pairs
+    * wanting the term, then one (query, doc, start) aggregation keeps
+    * starts where every offset of THAT query is witnessed (the
+    * [[phraseStarts]] trick with the query id riding along); returns
+    * per-(query_id, doc) phrase tf. */
+  private def phraseBatchTf(pos: DataFrame, ph: DataFrame, mlen: DataFrame,
+      idCol: String, tokCol: String): DataFrame =
+    pos.join(broadcast(ph), pos(tokCol) === ph("term"))
       .groupBy(col("query_id"), col(idCol),
         (col("pos") - col("off")).as("start"))
       .agg(count_distinct(col("off")).as("__n_off"))
       .join(broadcast(mlen), "query_id")
       .filter(col("__n_off") === col("__m"))
-    val tf = hits.groupBy(col("query_id"), col(idCol))
+      .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("tf"))
+
+  /** Batch scoring tail: per-query df (hit-doc count per query_id,
+    * broadcast), dl per hit doc, 1-row stats crossed in — the batch
+    * face of [[scorePhraseTf]]'s algebra. */
+  private def scorePhraseBatchTf(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, idCol: String, k1: Double, b: Double): DataFrame = {
     val dfq = tf.groupBy(col("query_id")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfq), "query_id")
-      .join(spark.table(s"${name}_doclens"), idCol)
-      .crossJoin(broadcast(adjustedStats(spark, name, idCol)))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
       .withColumn("w", weight(col("tf"), col("df"), col("dl"),
         col("n_docs"), col("avgdl"), k1, b))
       .select(col("query_id"), col(idCol), col("tf").as("phrase_tf"),

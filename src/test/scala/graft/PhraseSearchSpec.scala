@@ -115,6 +115,9 @@ class PhraseSearchSpec extends SparkSpec {
         .orderBy($"query_id", $"doc_id").collect().toSeq
     assert(batch.nonEmpty)
     assert(batch === singles)
+    // the ad-hoc batch sibling computes the same rows from raw text
+    assert(Bm25.phraseScoreBatch(docs, ph)
+      .orderBy($"query_id", $"doc_id").collect().toSeq === batch)
   }
 
   test("streaming maintenance keeps the positional table in sync") {
