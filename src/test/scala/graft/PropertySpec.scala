@@ -453,4 +453,34 @@ class PropertySpec extends SparkSpec {
       assert(ra.filter(_._2 == best).map(_._1).min === top, s"seed ${950 + i}")
     }
   }
+
+  test("phrase tf ≡ naive sliding-window count on random low-alphabet corpora") {
+    // a 3-letter alphabet makes overlapping and repeated-term matches
+    // common — exactly the cases the (doc, start) offset-witness trick
+    // must get right; the brute truth is a driver-side window scan
+    val gen = for {
+      nDocs <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 14).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+      plen <- Gen.choose(1, 3)
+      phrase <- Gen.listOfN(plen, Gen.oneOf("a", "b", "c"))
+    } yield (docs.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.mkString(" ")) }, phrase)
+    (1 to 8).foreach { i =>
+      val (rows, phrase) = gen(Gen.Parameters.default, Seed(7000L + i)).get
+      val docs = rows.toDF("doc_id", "text")
+      val got = graft.operators.Bm25.phraseScore(docs, phrase)
+        .select($"doc_id", $"phrase_tf").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = rows.map { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        id -> toks.indices.count(s =>
+          s + phrase.length <= toks.length &&
+            toks.slice(s, s + phrase.length) == phrase)
+      }.filter(_._2 > 0).toMap
+      assert(got === want.map { case (k, v) => (k, v.toLong) },
+        s"seed ${7000 + i} phrase ${phrase.mkString(" ")}")
+    }
+  }
 }
