@@ -4738,6 +4738,11 @@ object SparkEntry {
            UNION ALL
            SELECT 'n_postings', CAST(count(*) AS BIGINT) FROM p
            UNION ALL
+           SELECT 'n_positions', CAST(count(*) AS BIGINT) FROM p
+           UNION ALL
+           SELECT 'n_champions', CAST(sum(least(32, df)) AS BIGINT)
+           FROM (SELECT count(*) AS df FROM p GROUP BY term)
+           UNION ALL
            SELECT 'n_terms', CAST(count(DISTINCT term) AS BIGINT) FROM toks
            UNION ALL
            SELECT 'sum_dl_indexed', CAST(count(*) AS BIGINT) FROM toks) t

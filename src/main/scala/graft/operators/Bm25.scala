@@ -183,7 +183,7 @@ object Bm25 {
     val tomb = tombRaw.join(doclens.select(col(idCol)), Seq(idCol), "left_semi")
     def one(metric: String, v: DataFrame): DataFrame =
       v.select(lit(metric).as("metric"), col(v.columns.head).cast("long").as("value"))
-    one("n_docs_indexed", doclens.agg(count(lit(1))))
+    val base = one("n_docs_indexed", doclens.agg(count(lit(1))))
       .unionByName(one("n_docs_live",
         doclens.join(tomb, Seq(idCol), "left_anti").agg(count(lit(1)))))
       .unionByName(one("n_docs_tombstoned", tomb.agg(count(lit(1)))))
@@ -193,6 +193,15 @@ object Bm25 {
         spark.table(s"${name}_terms").agg(count(lit(1)))))
       .unionByName(one("sum_dl_indexed",
         spark.table(s"${name}_stats").select(col("sum_dl"))))
+    // derived tiers report only when present — an index without them
+    // keeps its original metric set
+    val withPos =
+      if (!spark.catalog.tableExists(s"${name}_positions")) base
+      else base.unionByName(one("n_positions",
+        spark.table(s"${name}_positions").agg(count(lit(1)))))
+    if (!spark.catalog.tableExists(s"${name}_champions")) withPos
+    else withPos.unionByName(one("n_champions",
+      spark.table(s"${name}_champions").agg(count(lit(1)))))
   }
 
   private def requireServable(spark: org.apache.spark.sql.SparkSession,
