@@ -68,7 +68,9 @@ object SparkEntry {
   private def sharedDocsIndex(s: SparkSession, d: String): String = {
     val name = "graft_docs_idx_" +
       d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
-    graft.sources.StoreCache.table(s, name, s"v10|buckets8|$d",
+    // v11: champion selection moved to the 4dp weight grid — a cached
+    // v10 tier would carry the old membership rule
+    graft.sources.StoreCache.table(s, name, s"v11|buckets8|$d",
       Seq("_postings", "_terms", "_doclens", "_stats", "_positions",
         "_champions").map(name + _)) {
       val docs = Tables.documents(s, d)
@@ -2988,7 +2990,8 @@ object SparkEntry {
     }),
 
     // q175: impact-tiered TOP-K serving — champion lists over the
-    // standing index (per-term top-32 postings by exact BM25 weight,
+    // standing index (per-term top-32 postings by BM25 weight on the
+    // 4dp grid — cross-engine-stable membership at the cutoff —
     // heap-pruned through TopKPerKeyExec at build) vs the full
     // aggregation, both ranked on the 4dp grid with id tiebreak. The
     // tiered leg reads c·|terms| champion rows (bucket-pruned) and
@@ -3008,14 +3011,10 @@ object SparkEntry {
       val tiered = graft.operators.Bm25.scoreIndexedTopK(s, idx, qTerms, 10)
         .select(lit("tiered").as("form"), col("rank"), col("doc_id"),
           col("n_matched"), round(col("bm25"), 4).as("bm25"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)).orderBy(col("__key").desc, col("doc_id"))
-      val full = graft.operators.Bm25.scoreIndexed(s, idx, qTerms)
-        .withColumn("__key", round(col("bm25"), 4))
-        .orderBy(col("__key").desc, col("doc_id")).limit(10)
-        .withColumn("rank", row_number().over(win))
+      val full = graft.operators.Bm25.rankTopK(
+          graft.operators.Bm25.scoreIndexed(s, idx, qTerms), 10)
         .select(lit("full").as("form"), col("rank"), col("doc_id"),
-          col("n_matched"), col("__key").as("bm25"))
+          col("n_matched"), round(col("bm25"), 4).as("bm25"))
       full.unionByName(tiered).orderBy(col("form"), col("rank"))
     }),
 
@@ -3034,7 +3033,11 @@ object SparkEntry {
       val qTerms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("term"))
         .collect().map(_.getString(0)).distinct.toSeq
-      val inList = qTerms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+      // Spark SQL string literals process backslash escapes (unlike
+      // DuckDB's) — escape them BEFORE quoting or a token containing a
+      // backslash would splice into a different (or unparseable) literal
+      val inList = qTerms.map(t =>
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
       s.sql(s"""
         WITH t AS (
           SELECT term, df FROM ${idx}_terms WHERE term IN ($inList)),
@@ -5148,7 +5151,8 @@ object SparkEntry {
          champ AS (
            SELECT term, doc_id FROM (
              SELECT term, doc_id,
-               row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+               row_number() OVER (PARTITION BY term
+                 ORDER BY round(w, 4) DESC, doc_id) AS rn
              FROM wt) t WHERE rn <= 32),
          cand AS (SELECT DISTINCT doc_id FROM champ),
          tiered AS (
@@ -5250,7 +5254,8 @@ object SparkEntry {
          champ AS (
            SELECT term, doc_id FROM (
              SELECT term, doc_id,
-               row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+               row_number() OVER (PARTITION BY term
+                 ORDER BY round(w, 4) DESC, doc_id) AS rn
              FROM wtF) t WHERE rn <= 32),
          cand AS (
            SELECT DISTINCT query_id, doc_id FROM champ JOIN q USING (term)),

@@ -135,6 +135,14 @@ object Bm25 {
     setBuilding(spark, name, on = false)
   }
 
+  /** The bucket count a catalog table was written with (None for an
+    * unbucketed table) — what an append must match or fail fast. */
+  private def tableBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[Int] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
   /** The build-in-progress marker is a plain warehouse file, not a
     * catalog entry — it must survive the JVM and be visible to a fresh
     * catalog, exactly like the table directories it guards. */
@@ -291,6 +299,17 @@ object Bm25 {
     }
     require(nRows == nIds,
       s"appendDocs: batch has $nRows rows over $nIds distinct ids — dedupe first")
+    // bucket-spec mismatches must fail BEFORE any write: the positions
+    // append runs after postings/doclens, so a late AnalysisException
+    // would leave the index physically torn (marker set, half the
+    // tables grown) instead of cleanly refused
+    for (t <- Seq(s"${name}_postings") ++
+        (if (spark.catalog.tableExists(s"${name}_positions"))
+          Seq(s"${name}_positions") else Nil);
+        have <- tableBuckets(spark, t))
+      require(have == buckets,
+        s"appendDocs: $t is bucketed $have-way but buckets=$buckets was " +
+          "passed — use the table's own bucket count")
     setBuilding(spark, name, on = true)
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -476,46 +495,56 @@ object Bm25 {
         spark.catalog.tableExists(s"${name}_doclens"),
       s"index '$name' predates the (sum_dl, doclens) layout — " +
         "rerun buildIndex to upgrade it")
-    if (!spark.catalog.tableExists(s"${name}_tombstones"))
-      (pRaw, dRaw, adjustedStats(spark, name, idCol))
-    else {
-      // serve as if tombstoned docs were never indexed: their
-      // postings drop out (anti-join, still bucket-pruned), each
-      // term's df loses their postings count, and (N, sum_dl) lose
-      // their doc count/lengths — exact integer decrements
-      val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
-      val dfRemoved = pRaw.join(tomb, Seq(idCol), "left_semi")
-        .groupBy(col("term")).agg(count(lit(1)).as("__df_rm"))
-      val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
-      (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj,
-        adjustedStats(spark, name, idCol))
+    pendingTomb(spark, name, idCol) match {
+      case None => (pRaw, dRaw, statsFrom(spark, name, idCol, None))
+      case some @ Some(tomb) =>
+        // serve as if tombstoned docs were never indexed: their
+        // postings drop out (anti-join, still bucket-pruned), each
+        // term's df loses their postings count, and (N, sum_dl) lose
+        // their doc count/lengths — exact integer decrements; ONE
+        // tombstone frame feeds both the postings adjustment and the
+        // stats decrement
+        val dfRemoved = pRaw.join(tomb, Seq(idCol), "left_semi")
+          .groupBy(col("term")).agg(count(lit(1)).as("__df_rm"))
+        val dAdj = dRaw.join(dfRemoved, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("__df_rm"), lit(0L))).as("df"))
+        (pRaw.join(tomb, Seq(idCol), "left_anti"), dAdj,
+          statsFrom(spark, name, idCol, some))
     }
   }
+
+  /** The distinct pending-tombstone id frame, or None when the index
+    * has none — computed once per serve and threaded through every
+    * consumer instead of re-probing the catalog and re-scanning the
+    * tombstone table per sub-plan. */
+  private def pendingTomb(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) None
+    else Some(spark.table(s"${name}_tombstones").select(col(idCol)).distinct())
 
   /** The tombstone-adjusted 1-row corpus stats (n_docs, avgdl) of a
     * standing index — shared by the bag-of-terms and phrase serving
     * paths. Exact integer decrements from the persisted doc lengths,
     * one double division at the end (the same two operands the ad-hoc
     * path's avg(dl) divides, so indexed and ad-hoc weights agree). */
-  private def adjustedStats(spark: org.apache.spark.sql.SparkSession,
-      name: String, idCol: String): DataFrame = {
+  private def statsFrom(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, tomb: Option[DataFrame]): DataFrame = {
     val statsRaw = spark.table(s"${name}_stats")
-    if (!spark.catalog.tableExists(s"${name}_tombstones"))
-      statsRaw.select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    else {
-      val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
-      val removed = spark.table(s"${name}_doclens")
-        .join(tomb, Seq(idCol), "left_semi")
-        .agg(count(lit(1)).as("__n_rm"),
-          coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
-      statsRaw.crossJoin(removed)
-        .select(
-          (col("n_docs") - col("__n_rm")).as("n_docs"),
-          ((col("sum_dl") - col("__dl_rm")).cast("double") /
-            (col("n_docs") - col("__n_rm"))).as("avgdl"))
+    tomb match {
+      case None =>
+        statsRaw.select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      case Some(t) =>
+        val removed = spark.table(s"${name}_doclens")
+          .join(t, Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("__n_rm"),
+            coalesce(sum(col("dl")), lit(0L)).as("__dl_rm"))
+        statsRaw.crossJoin(removed)
+          .select(
+            (col("n_docs") - col("__n_rm")).as("n_docs"),
+            ((col("sum_dl") - col("__dl_rm")).cast("double") /
+              (col("n_docs") - col("__n_rm"))).as("avgdl"))
     }
   }
 
@@ -527,8 +556,12 @@ object Bm25 {
     * that makes TOP-K serving candidate-bounded instead of hit-bounded.
     * Computed from the STANDING tables only (postings ⋈ df ⋈ stats —
     * index-sized, no corpus scan), heap-pruned per term by
-    * (weight DESC, id ASC) so the tier is deterministic. Same bucketed
-    * layout as the postings, so a query's champion probe bucket-prunes.
+    * (weight rounded to the repo-wide 4dp grid DESC, id ASC) so the
+    * tier is deterministic AND cross-engine reproducible — membership
+    * at the top-c cutoff must not hang on the last ULP of ln(), which
+    * Java's Math.log and another engine's libm may round differently.
+    * Same bucketed layout as the postings, so a query's champion probe
+    * bucket-prunes.
     *
     * Lifecycle contract: [[appendDocs]] and [[buildIndex]] DROP the
     * tier (the corpus changed — every weight input moved; silently
@@ -542,13 +575,19 @@ object Bm25 {
       c: Int = 64, buckets: Int = 32, idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): Unit = {
     requireServable(spark, name)
+    // a tier built over pending tombstones would spend each term's
+    // c-budget on docs that drop out of every rescore AND rank the
+    // survivors by dead-doc-inflated (df, N, avgdl) — settle first
+    require(!spark.catalog.tableExists(s"${name}_tombstones"),
+      s"buildChampions: index '$name' has pending tombstones — " +
+        "compactIndex first, then build the tier on the settled corpus")
     val stats = spark.table(s"${name}_stats").select(col("n_docs"),
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val w = spark.table(s"${name}_postings")
       .join(spark.table(s"${name}_terms"), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("__negw", -weight(col("tf"), col("df"), col("dl"),
-        col("n_docs"), col("avgdl"), k1, b))
+      .withColumn("__negw", -round(weight(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b), 4))
       .select(col("term"), col(idCol), col("__negw"))
     val champ = graft.plans.TopKPerKey.perKey(
         w, Seq("term"), Seq("__negw", idCol), c)
@@ -597,16 +636,26 @@ object Bm25 {
         col("n_docs"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("w")).as("bm25"))
+    rankTopK(scored, k, idCol)
+      .select(col(idCol), col("n_matched"), col("bm25"), col("rank"))
+  }
+
+  /** The serving-contract top-k ranking, shared by every single-query
+    * rank consumer (scoreIndexedTopK, q175's full leg, probes): order
+    * by (bm25 rounded to the 4dp grid DESC, id ASC) — reproducible
+    * across engines and shuffle orders — take k, and number the ≤ k
+    * survivors. The constant partition key keeps Spark from warning
+    * about a global window over the tiny frame. Appends a `rank`
+    * column; callers project. */
+  def rankTopK(scored: DataFrame, k: Int,
+      idCol: String = "doc_id", scoreCol: String = "bm25"): DataFrame = {
     val top = scored
-      .withColumn("__key", round(col("bm25"), 4))
+      .withColumn("__key", round(col(scoreCol), 4))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
-    // the window ranks the ≤ k surviving rows only; the constant
-    // partition key keeps Spark from warning about a global window
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("__key").desc, col(idCol))
     top.withColumn("rank", row_number().over(win))
-      .select(col(idCol), col("n_matched"), col("bm25"), col("rank"))
   }
 
   /** BATCH top-k through the champion tier — the production serving
@@ -752,22 +801,28 @@ object Bm25 {
       phrase: Seq[String], idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(phrase.nonEmpty, "phraseIndexed: empty phrase")
+    val (pos, stats) = livePositions(spark, name, phrase.distinct, idCol)
+    val tf = phraseStarts(pos, phrase, idCol, "term")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("tf"))
+    scorePhraseTf(tf, spark.table(s"${name}_doclens"), stats, idCol, k1, b)
+  }
+
+  /** The shared serving preamble of both indexed phrase paths: the
+    * bucket-pruned positions of `terms` with tombstoned docs
+    * anti-joined out, exploded to (id, term, pos) instances, plus the
+    * matching adjusted corpus stats — ONE tombstone frame feeds both. */
+  private def livePositions(spark: org.apache.spark.sql.SparkSession,
+      name: String, terms: Seq[String], idCol: String)
+      : (DataFrame, DataFrame) = {
     requireServable(spark, name)
     require(spark.catalog.tableExists(s"${name}_positions"),
       s"index '$name' has no positional table — buildPositional first")
     val pRaw = spark.table(s"${name}_positions")
-      .filter(col("term").isin(phrase.distinct: _*))
-    val p =
-      if (!spark.catalog.tableExists(s"${name}_tombstones")) pRaw
-      else pRaw.join(
-        spark.table(s"${name}_tombstones").select(col(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    val pos = p.select(col(idCol), col("term"),
-      explode(col("positions")).as("pos"))
-    val tf = phraseStarts(pos, phrase, idCol, "term")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("tf"))
-    scorePhraseTf(tf, spark.table(s"${name}_doclens"),
-      adjustedStats(spark, name, idCol), idCol, k1, b)
+      .filter(col("term").isin(terms: _*))
+    val tomb = pendingTomb(spark, name, idCol)
+    val p = tomb.fold(pRaw)(t => pRaw.join(t, Seq(idCol), "left_anti"))
+    (p.select(col(idCol), col("term"), explode(col("positions")).as("pos")),
+      statsFrom(spark, name, idCol, tomb))
   }
 
   /** BATCH exact-phrase serving — many phrases at once against the
@@ -786,9 +841,6 @@ object Bm25 {
   def phraseIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       name: String, phrases: DataFrame, idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    requireServable(spark, name)
-    require(spark.catalog.tableExists(s"${name}_positions"),
-      s"index '$name' has no positional table — buildPositional first")
     val ph = phrases.select(col("query_id"), col("off"), col("term")).distinct()
     val mlen = ph.groupBy(col("query_id"))
       .agg(count_distinct(col("off")).as("__m"))
@@ -797,19 +849,10 @@ object Bm25 {
     // positions scan bucket-prunes
     val terms = ph.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val pRaw = spark.table(s"${name}_positions")
-      .filter(col("term").isin(terms: _*))
-    val p =
-      if (!spark.catalog.tableExists(s"${name}_tombstones")) pRaw
-      else pRaw.join(
-        spark.table(s"${name}_tombstones").select(col(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    val pos = p.select(col(idCol), col("term"),
-      explode(col("positions")).as("pos"))
+    val (pos, stats) = livePositions(spark, name, terms, idCol)
     scorePhraseBatchTf(
       phraseBatchTf(pos, ph, mlen, idCol, "term"),
-      spark.table(s"${name}_doclens"),
-      adjustedStats(spark, name, idCol), idCol, k1, b)
+      spark.table(s"${name}_doclens"), stats, idCol, k1, b)
   }
 
   /** AD-HOC batch phrase scoring over raw documents — the un-indexed

@@ -500,19 +500,16 @@ object IndexMaintenance {
     * one store rewrite, exactly like the text index's change-forced
     * compaction. */
   def ivfStoreFold(spark: SparkSession, model: graft.ann.IvfModel,
-      table: String, buckets: Int = 32): VecFold = (gone, put) => {
-    if (spark.catalog.tableExists(table) && !gone.isEmpty) {
-      model.removeStore(spark, table, gone)
-      model.compactStore(spark, table, buckets)
-    }
-    if (!put.isEmpty) {
-      val idCol = put.columns(0); val vCol = put.columns(1)
-      if (!spark.catalog.tableExists(table))
-        model.saveStore(put, table, buckets, corpusId = idCol, corpusVec = vCol)
-      else
-        model.appendStore(put, table, buckets, corpusId = idCol, corpusVec = vCol)
-    }
-  }
+      table: String, buckets: Int = 32): VecFold =
+    storeFold(spark, table,
+      removeAndCompact = gone => {
+        model.removeStore(spark, table, gone)
+        model.compactStore(spark, table, buckets)
+      },
+      save = (put, idCol, vCol) =>
+        model.saveStore(put, table, buckets, corpusId = idCol, corpusVec = vCol),
+      append = (put, idCol, vCol) =>
+        model.appendStore(put, table, buckets, corpusId = idCol, corpusVec = vCol))
 
   /** The IVF-PQ sibling of [[ivfStoreFold]]: the gated decision
     * maintains the COMPRESSED standing store ([[graft.ann.PqModel]]
@@ -522,19 +519,35 @@ object IndexMaintenance {
     * encoded rows; change/takedown batches pay the store rewrite). */
   def ivfPqStoreFold(spark: SparkSession, pq: graft.ann.PqModel,
       ivf: graft.ann.IvfModel, table: String,
-      buckets: Int = 32): VecFold = (gone, put) => {
-    if (spark.catalog.tableExists(table) && !gone.isEmpty) {
-      pq.removeCorpusIvf(spark, table, gone)
-      pq.compactCorpusIvf(spark, table, buckets)
-    }
+      buckets: Int = 32): VecFold =
+    storeFold(spark, table,
+      removeAndCompact = gone => {
+        pq.removeCorpusIvf(spark, table, gone)
+        pq.compactCorpusIvf(spark, table, buckets)
+      },
+      save = (put, idCol, vCol) =>
+        pq.saveCorpusIvf(ivf, put, table, buckets,
+          corpusId = idCol, corpusVec = vCol),
+      append = (put, idCol, vCol) =>
+        pq.appendCorpusIvf(ivf, put, table, buckets,
+          corpusId = idCol, corpusVec = vCol))
+
+  /** The shared standing-store fold skeleton: tombstone+compact
+    * departures (only when the store exists and the batch has any —
+    * the two isEmpty probes are batch-bounded jobs over the settled
+    * delta, cheaper than an unconditional store rewrite), bootstrap
+    * the table from the first arrivals, append later ones. The
+    * backend-specific store ops are the only moving parts. */
+  private def storeFold(spark: SparkSession, table: String,
+      removeAndCompact: DataFrame => Unit,
+      save: (DataFrame, String, String) => Unit,
+      append: (DataFrame, String, String) => Unit): VecFold = (gone, put) => {
+    if (spark.catalog.tableExists(table) && !gone.isEmpty)
+      removeAndCompact(gone)
     if (!put.isEmpty) {
       val idCol = put.columns(0); val vCol = put.columns(1)
-      if (!spark.catalog.tableExists(table))
-        pq.saveCorpusIvf(ivf, put, table, buckets,
-          corpusId = idCol, corpusVec = vCol)
-      else
-        pq.appendCorpusIvf(ivf, put, table, buckets,
-          corpusId = idCol, corpusVec = vCol)
+      if (!spark.catalog.tableExists(table)) save(put, idCol, vCol)
+      else append(put, idCol, vCol)
     }
   }
 

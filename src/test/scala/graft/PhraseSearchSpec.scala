@@ -213,9 +213,30 @@ class PhraseSearchSpec extends SparkSpec {
     assert(tb.groupBy($"query_id").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
       .filter($"n" =!= lit(5) || $"mx" =!= lit(5)).isEmpty)
 
+    // a tier build over pending tombstones would bake dead docs and
+    // stale weights into the champion selection — refused loudly
+    Bm25.removeDocs(spark, "graft_champ_t1",
+      docs.filter($"doc_id" === 3).select($"doc_id"))
+    val boomTomb = intercept[IllegalArgumentException] {
+      Bm25.buildChampions(spark, "graft_champ_t1", c = 8, buckets = 8)
+    }
+    assert(boomTomb.getMessage.contains("compactIndex first"))
+    Bm25.compactIndex(spark, "graft_champ_t1", buckets = 8)
+
+    // a bucket-spec mismatch fails BEFORE any write — a late
+    // AnalysisException on the positions append would leave the index
+    // physically torn (postings/doclens already grown)
+    val extra = Seq((1000000L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    val nPost = spark.table("graft_champ_t1_postings").count()
+    val boomBuckets = intercept[IllegalArgumentException] {
+      Bm25.appendDocs(spark, "graft_champ_t1", extra, buckets = 4)
+    }
+    assert(boomBuckets.getMessage.contains("bucketed"))
+    assert(spark.table("graft_champ_t1_postings").count() == nPost,
+      "refused append must not have written anything")
+
     // an append invalidates every weight input — the tier is dropped
     // and the next tiered serve fails loudly instead of silently stale
-    val extra = Seq((1000000L, "zz1 zz2 zz3")).toDF("doc_id", "text")
     Bm25.appendDocs(spark, "graft_champ_t1", extra, buckets = 8)
     val boom = intercept[IllegalArgumentException] {
       Bm25.scoreIndexedTopK(spark, "graft_champ_t1", qTerms, 10)
