@@ -3053,6 +3053,88 @@ object SparkEntry {
         GROUP BY p.doc_id ORDER BY doc_id""")
     }),
 
+    // q179: WordPiece-style greedy longest-match (MaxMatch, Devlin et
+    // al. 2019) token ids under the COMMITTED unigram piece asset
+    // (PieceAssets — fixed-point integer costs, lexicographic ids) —
+    // the third tokenizer family next to BPE (q119) and the Viterbi
+    // unigram it shares its vocabulary with (q180). MaxMatch is
+    // single-successor, so the DuckDB oracle replays it EXACTLY as a
+    // linear recursive CTE generated from the same constants (one
+    // equality join per piece length replaces the argmax — see
+    // PieceAssets.maxMatchOracleSql). Narrow UDF encode, posexploded
+    // to scalar (doc_id, pos, token_id) rows, hash-gated.
+    "q179_maxmatch_ids" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.UnigramTokenizer.maxMatchIds(
+            col("text"), PieceAssets.costs, PieceAssets.ids,
+            PieceAssets.MaxPieceLen)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // q180: unigram-LM (Kudo 2018) token ids — Viterbi segmentation
+    // under the same committed piece costs q179 serves greedily. The
+    // lattice DP has exponentially many paths, so no linear recursive
+    // CTE can replay it (rows-only here); its defining invariants are
+    // hash-gated in-engine by q181 instead (optimality vs the two
+    // oracled/trivial segmentations, lossless roundtrip, EM
+    // monotonicity), and the DP itself is specced on hand-checked
+    // lattices. Integer-cost ties prefer fewer pieces then the
+    // longest final piece — fully deterministic rows.
+    "q180_unigram_ids" -> ((s, d) => {
+      GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.UnigramTokenizer.viterbiIds(
+            col("text"), PieceAssets.costs, PieceAssets.ids,
+            PieceAssets.MaxPieceLen)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // q181: INVARIANT GATE for the unigram tokenizer family (the q168
+    // pattern): q180's rows-only Viterbi face is pinned by in-engine
+    // constant-truth ok-bits. viterbi_le_maxmatch / viterbi_le_chars:
+    // the DP optimum never costs more than the greedy (q179-oracled)
+    // or the all-single-characters segmentation — both live in
+    // Viterbi's search space, so optimality is a constant TRUE a
+    // broken DP breaks. viterbi_roundtrip: pieces concatenate back to
+    // the normalized text on the in-alphabet slice. em_monotone /
+    // probs_normalized: retraining on the fixture (same params as the
+    // committed asset) must show non-decreasing within-round corpus
+    // likelihood — the defining EM guarantee — and a normalized final
+    // distribution. All deterministic: same fixture → same bits.
+    "q181_tokenizer_gates" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val r = GraftSession.widen(docs).select(
+          graft.operators.UnigramTokenizer.gateMetrics(col("text"),
+            PieceAssets.costs, PieceAssets.MaxPieceLen).as("g"),
+          lower(col("text")).rlike("^[a-wy\\s]*$").as("in_alpha"))
+        .agg(
+          sum(when(col("g._1") <= col("g._2"), 0).otherwise(1)).as("bad_mm"),
+          sum(when(col("g._1") <= col("g._3"), 0).otherwise(1)).as("bad_ch"),
+          sum(when(!col("in_alpha") || col("g._4"), 0).otherwise(1)).as("bad_rt"),
+          sum(when(col("in_alpha"), 1).otherwise(0)).as("n_alpha"))
+        .head()
+      val fit = graft.operators.UnigramTokenizer.fit(docs, "text",
+        vocabSize = 80, seedSize = 400, emIters = 2, maxPieceLen = 6)
+      val emOk = fit.likelihoodTrajectories.forall(t =>
+        t.lazyZip(t.tail).forall((a, b) => b >= a - 1e-9 * math.abs(a)))
+      val probsOk = math.abs(fit.pieces.iterator.map(_._2).sum - 1.0) < 1e-6
+      Seq(
+        ("em_monotone_likelihood", if (emOk) 1 else 0),
+        ("probs_normalized", if (probsOk) 1 else 0),
+        ("viterbi_le_chars", if (r.getLong(1) == 0) 1 else 0),
+        ("viterbi_le_maxmatch", if (r.getLong(0) == 0) 1 else 0),
+        ("viterbi_roundtrip",
+          if (r.getLong(3) > 0 && r.getLong(2) == 0) 1 else 0))
+        .toDF("component", "ok")
+        .orderBy(col("component"))
+    }),
+
     // q177: BATCH phrase serving with deletes pending — many phrases
     // (of different lengths) against the standing positional table in
     // one plan: one bucket-pruned positions probe for the term union,
@@ -5165,6 +5247,16 @@ object SparkEntry {
          SELECT 'tiered', rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10
          ORDER BY form, rank""",
+    // q179: generated from the committed piece table — a linear
+    // recursive CTE replays MaxMatch's single-successor consumption
+    "q179_maxmatch_ids" -> PieceAssets.maxMatchOracleSql,
+    // q181: constant truth — every tokenizer invariant must hold
+    "q181_tokenizer_gates" ->
+      """SELECT * FROM (VALUES
+           ('em_monotone_likelihood', 1), ('probs_normalized', 1),
+           ('viterbi_le_chars', 1), ('viterbi_le_maxmatch', 1),
+           ('viterbi_roundtrip', 1)) t(component, ok)
+         ORDER BY component""",
     // q178: same truth as q78 — the SQL face serves the identical
     // score from the standing tables
     "q178_sql_bm25" ->
