@@ -3135,6 +3135,40 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // q182: the ORC face of the q136/q170 losslessness contract — the
+    // documents table written as zstd ORC with id bloom filters and
+    // read back through the schema-ASSERTED path (self-describing
+    // formats drift silently; the checked read throws on a renamed
+    // column or narrowed type instead of null-filling). The oracle
+    // compares against the parquet original, so any value or
+    // empty-vs-null loss through the third interchange format breaks
+    // the hash.
+    "q182_orc_roundtrip" -> ((s, d) => {
+      import graft.sources.OrcSource
+      val path = "/tmp/graft_q182_orc"
+      OrcSource.write(Tables.documents(s, d), path)
+      OrcSource.readDocuments(s, path)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q183: deterministic training-shard DELIVERY — the last step of
+    // the pipeline: the corpus lands as shard=K directories, one file
+    // per shard (fixed shard count is the data-loader contract), shard
+    // a pure Knuth-hash function of the id (q47's split arithmetic
+    // generalized), and the MANIFEST is computed from the files that
+    // actually landed, not from the source frame. The oracle computes
+    // the same per-shard counts/chars/id-checksum from the original
+    // table, so a lost, duplicated, or misrouted row — or a shard
+    // function that drifted — breaks the hash.
+    "q183_shard_manifest" -> ((s, d) => {
+      val path = "/tmp/graft_q183_shards"
+      graft.sources.Sinks.sharded(
+        Tables.documents(s, d), path, nShards = 16, idCol = "doc_id")
+      graft.sources.Sinks.shardManifest(s, path)
+    }),
+
     // q177: BATCH phrase serving with deletes pending — many phrases
     // (of different lengths) against the standing positional table in
     // one plan: one bucket-pruned positions probe for the term union,
@@ -5257,6 +5291,20 @@ object SparkEntry {
            ('viterbi_le_chars', 1), ('viterbi_le_maxmatch', 1),
            ('viterbi_roundtrip', 1)) t(component, ok)
          ORDER BY component""",
+    // q182: same truth as q170 — ORC roundtrip must reproduce the
+    // parquet original value for value
+    "q182_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    // q183: the manifest recomputed from the source table — counts,
+    // payload chars, and the order-insensitive id checksum per shard
+    "q183_shard_manifest" ->
+      """SELECT (doc_id % 1000003 * 2654435761) % 4294967296 % 16 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum((doc_id % 1000003) * 2654435761 % 4294967296) AS BIGINT)
+             AS id_checksum
+         FROM documents GROUP BY shard ORDER BY shard""",
     // q178: same truth as q78 — the SQL face serves the identical
     // score from the standing tables
     "q178_sql_bm25" ->

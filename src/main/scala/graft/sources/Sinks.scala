@@ -21,6 +21,55 @@ object Sinks {
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Knuth multiplicative hash shard of an integer id — the q47 split
+    * arithmetic generalized to N shards: exact BIGINT arithmetic (the
+    * id is pre-reduced mod a prime so the multiply cannot overflow
+    * 64-bit ANSI checks), engine-neutral, reproducible at any
+    * parallelism with no RNG state. */
+  def hashShard(id: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(pmod(pmod(id, lit(1000003L)) * lit(2654435761L),
+      lit(4294967296L)), lit(nShards.toLong))
+  }
+
+  /** Deterministic training-shard delivery: the corpus written as
+    * `path/shard=K/` with exactly ONE file per shard — the fixed-count
+    * layout a training job's data loader consumes (shard count, not
+    * file count, is the contract). The shard of a row is a pure
+    * function of its id ([[hashShard]]), so re-runs and backfills land
+    * every doc in the same shard; `repartition(col("shard"))` routes
+    * each shard's rows to a single task before the partitioned write,
+    * which is what bounds files-per-shard to one. Rows are sorted by
+    * id within the shard for run-length/dictionary-friendly pages. */
+  def sharded(df: DataFrame, path: String, nShards: Int,
+      idCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("shard", hashShard(col(idCol), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** The delivery manifest read back FROM THE WRITTEN SHARDS (not from
+    * the source frame — the manifest certifies what landed on disk):
+    * per shard, row count, total payload chars, and an order-
+    * insensitive exact-integer id checksum. Hash-compared by q183
+    * against the same summary computed from the original table, so a
+    * lost/duplicated/misrouted row breaks the gate. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "doc_id",
+      charsCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("total_chars"),
+        sum(pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+          lit(4294967296L))).as("id_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Drop a managed table AND its on-disk location. `DROP TABLE` alone
     * is not enough across JVMs: a prior process's saveAsTable leaves
     * the table directory under the warehouse, a fresh in-memory

@@ -222,4 +222,57 @@ class SinksAndAggSpec extends SparkSpec {
     assert(cleanRows.length === 1 && cleanRows(0).getLong(0) === 10L)
     assert(CsvSource.corruptCount(spark, badDir) === 1L)
   }
+
+  test("ORC checked read round-trips; schema drift throws with the diff") {
+    import graft.sources.OrcSource
+    val docs = Seq(
+      (1L, "plain", "en", "web", 5L),
+      (2L, null.asInstanceOf[String], "de", "web", 0L),
+      (3L, "", "en", "books", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    OrcSource.write(docs, s"$dir/docs")
+    val back = OrcSource.readDocuments(spark, s"$dir/docs")
+      .orderBy($"doc_id").collect()
+    assert(back.toSeq === docs.orderBy($"doc_id").collect().toSeq,
+      "ORC write+read must be lossless, null and empty kept apart")
+    assert(back(1).isNullAt(1) && back(2).getString(1) === "")
+    // drift: a renamed column must throw, not null-fill
+    docs.withColumnRenamed("lang", "language")
+      .write.mode("overwrite").orc(s"$dir/drifted")
+    val ex = intercept[IllegalArgumentException] {
+      OrcSource.readDocuments(spark, s"$dir/drifted")
+    }
+    assert(ex.getMessage.contains("language") &&
+      ex.getMessage.contains("schema drift"))
+  }
+
+  test("sharded sink: one file per shard, id-deterministic routing, manifest from disk") {
+    val docs = spark.range(0, 200)
+      .select($"id".as("doc_id"), concat(lit("t"), $"id").as("text"),
+        lit(3).as("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sinks.sharded(docs, s"$dir/out", nShards = 8, idCol = "doc_id")
+    // one data file per shard directory — the fixed-count contract
+    val root = new java.io.File(s"$dir/out")
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 8)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${sd.getName} has ${files.length} files")
+    }
+    // routing matches the hash function; nothing lost or duplicated
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 200)
+    assert(back.filter(
+      $"shard" =!= Sinks.hashShard($"doc_id", 8)).isEmpty)
+    // manifest certifies the on-disk content
+    val m = Sinks.shardManifest(spark, s"$dir/out").collect()
+    assert(m.map(_.getLong(1)).sum === 200)
+    // a re-write with different parallelism lands ids identically
+    Sinks.sharded(docs.repartition(7), s"$dir/out2", nShards = 8,
+      idCol = "doc_id")
+    val m2 = Sinks.shardManifest(spark, s"$dir/out2").collect()
+    assert(m.toSeq === m2.toSeq)
+  }
 }
