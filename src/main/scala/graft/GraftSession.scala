@@ -79,6 +79,21 @@ object GraftSession {
       graft.operators.TextAnalysis.qualityScore(GraftBridge.column(es(0)))), "built-in")
     reg.createOrReplaceTempFunction("language_id", es => GraftBridge.resolvedExpression(
       graft.operators.TextAnalysis.languageId(GraftBridge.column(es(0)))), "built-in")
+    // SQL faces for the tokenizer assets (round 9): a SQL-only user
+    // encodes with the SAME committed constants the DataFrame faces
+    // serve — BPE merge table, MaxMatch and Viterbi over the unigram
+    // piece table. bpe_ids/maxmatch_ids are hash-gated through q184
+    // against the generated recursive-CTE oracles; unigram_ids is the
+    // q180 face (rows-only by necessity, invariants gated by q181).
+    reg.createOrReplaceTempFunction("bpe_ids", es => GraftBridge.resolvedExpression(
+      graft.operators.Bpe.encodeIds(GraftBridge.column(es(0)),
+        BpeAssets.merges, BpeAssets.vocabMap)), "built-in")
+    reg.createOrReplaceTempFunction("maxmatch_ids", es => GraftBridge.resolvedExpression(
+      graft.operators.UnigramTokenizer.maxMatchIds(GraftBridge.column(es(0)),
+        PieceAssets.costs, PieceAssets.ids, PieceAssets.MaxPieceLen)), "built-in")
+    reg.createOrReplaceTempFunction("unigram_ids", es => GraftBridge.resolvedExpression(
+      graft.operators.UnigramTokenizer.viterbiIds(GraftBridge.column(es(0)),
+        PieceAssets.costs, PieceAssets.ids, PieceAssets.MaxPieceLen)), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

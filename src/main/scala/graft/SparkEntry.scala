@@ -3153,6 +3153,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q184: the TOKENIZERS through the SQL frontend — the q162/q173/
+    // q178 story for the asset layer: a SQL-only user encodes with
+    // the same committed constants (BPE merges, unigram pieces) via
+    // registered functions + LATERAL VIEW posexplode, and both legs
+    // hash-match the generated recursive-CTE oracles — so DataFrame,
+    // SQL, and DuckDB replay produce the identical token streams.
+    // (unigram_ids is registered too, but Viterbi is oracle-
+    // inexpressible — q180/q181 own that face.)
+    "q184_sql_tokenize" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      GraftSession.widen(Tables.documents(s, d))
+        .createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT 'bpe' AS form, doc_id, CAST(pos AS BIGINT) AS pos, token_id
+        FROM documents LATERAL VIEW posexplode(bpe_ids(text)) t AS pos, token_id
+        UNION ALL
+        SELECT 'maxmatch', doc_id, CAST(pos AS BIGINT), token_id
+        FROM documents LATERAL VIEW posexplode(maxmatch_ids(text)) t AS pos, token_id
+        ORDER BY form, doc_id, pos""")
+    }),
+
     // q183: deterministic training-shard DELIVERY — the last step of
     // the pipeline: the corpus lands as shard=K directories, one file
     // per shard (fixed shard count is the data-loader contract), shard
@@ -5291,6 +5312,15 @@ object SparkEntry {
            ('viterbi_le_chars', 1), ('viterbi_le_maxmatch', 1),
            ('viterbi_roundtrip', 1)) t(component, ok)
          ORDER BY component""",
+    // q184: both token streams replayed by the generated CTEs —
+    // the same truths as q119 and q179, stacked with a form label
+    "q184_sql_tokenize" ->
+      s"""SELECT 'bpe' AS form, doc_id, pos, token_id
+            FROM (${BpeAssets.tokenIdsOracleSql}) b
+          UNION ALL
+          SELECT 'maxmatch' AS form, doc_id, pos, token_id
+            FROM (${PieceAssets.maxMatchOracleSql}) m
+          ORDER BY form, doc_id, pos""",
     // q182: same truth as q170 — ORC roundtrip must reproduce the
     // parquet original value for value
     "q182_orc_roundtrip" ->
