@@ -3174,6 +3174,37 @@ object SparkEntry {
         ORDER BY form, doc_id, pos""")
     }),
 
+    // q185: INCREMENTAL shard refresh — the delta-delivery form of
+    // q183: initial delivery (ids with id%5≠4), then one refresh wave
+    // carrying adds (id%5=4), edits (initial ids with id%7=0 get
+    // " v2" appended, n_chars+3) and deletes (initial ids with
+    // id%11=3, minus the edit overlap — ids must be unique across the
+    // delta). Only the shards the delta hashes into are rewritten
+    // (partition-pruned read + dynamic partition overwrite; untouched
+    // directories keep their exact files — specced). The manifest is
+    // read from the refreshed FILES and hash-compared against the
+    // upserted corpus recomputed in SQL — a stale, lost, duplicated,
+    // or misrouted row after the partial rewrite breaks the gate.
+    "q185_shard_refresh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = "/tmp/graft_q185_shards"
+      graft.sources.Sinks.sharded(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4), path,
+        nShards = 16, idCol = "doc_id")
+      val edits = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4 &&
+          pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+      val adds = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val deletes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4 &&
+          pmod(col("doc_id"), lit(11)) === 3 &&
+          pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"))
+      graft.sources.Sinks.shardedRefresh(s, path,
+        adds.unionByName(edits), deletes, nShards = 16, idCol = "doc_id")
+      graft.sources.Sinks.shardManifest(s, path)
+    }),
+
     // q183: deterministic training-shard DELIVERY — the last step of
     // the pipeline: the corpus lands as shard=K directories, one file
     // per shard (fixed shard count is the data-loader contract), shard
@@ -5335,6 +5366,18 @@ object SparkEntry {
            CAST(sum((doc_id % 1000003) * 2654435761 % 4294967296) AS BIGINT)
              AS id_checksum
          FROM documents GROUP BY shard ORDER BY shard""",
+    // q185: the refreshed corpus recomputed in SQL — edits bump
+    // n_chars, deletes drop, adds join; manifest per shard
+    "q185_shard_refresh" ->
+      """SELECT (doc_id % 1000003 * 2654435761) % 4294967296 % 16 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 5 <> 4 AND doc_id % 7 = 0
+             THEN n_chars + 3 ELSE n_chars END) AS BIGINT) AS total_chars,
+           CAST(sum((doc_id % 1000003) * 2654435761 % 4294967296) AS BIGINT)
+             AS id_checksum
+         FROM documents
+         WHERE NOT (doc_id % 5 <> 4 AND doc_id % 11 = 3 AND doc_id % 7 <> 0)
+         GROUP BY shard ORDER BY shard""",
     // q178: same truth as q78 — the SQL face serves the identical
     // score from the standing tables
     "q178_sql_bm25" ->

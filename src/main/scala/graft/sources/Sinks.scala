@@ -51,6 +51,55 @@ object Sinks {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** INCREMENTAL shard refresh — the delta-delivery form of
+    * [[sharded]]: apply upserts + deletes to an existing shard layout,
+    * rewriting ONLY the shard directories the delta's ids hash into.
+    * At 100 TB this is the difference between a corpus-sized rewrite
+    * per drop and O(touched shards): the id→shard function is pure, so
+    * the affected-shard set is computable from the delta alone (≤
+    * nShards literals — a partition-pruned read, never a full scan),
+    * and Spark's DYNAMIC partition-overwrite replaces exactly the
+    * partitions present in the written data. The merged frame is
+    * checkpoint-settled before the write (overwriting a path that is
+    * also being read is the classic self-read failure); its size is
+    * bounded by the touched shards, not the corpus. A shard whose last
+    * row is deleted is removed explicitly (dynamic overwrite only
+    * touches partitions it WRITES — an emptied shard would otherwise
+    * keep serving stale files). Ids must be unique across
+    * upserts ∪ deletes. Untouched shard directories keep their exact
+    * files (SinksAndAggSpec pins this). */
+  def shardedRefresh(spark: org.apache.spark.sql.SparkSession,
+      path: String, upserts: DataFrame, deleteIds: DataFrame,
+      nShards: Int, idCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val up = upserts.withColumn("shard", hashShard(col(idCol), nShards))
+    val gone = deleteIds.select(col(idCol))
+    val touched = up.select(col(idCol))
+      .unionByName(gone).distinct().localCheckpoint()
+    val shards = touched.select(hashShard(col(idCol), nShards).as("s"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    if (shards.isEmpty) return
+    val old = spark.read.parquet(path)
+      .filter(col("shard").isin(shards: _*)) // partition-pruned
+    val kept = old.join(touched, Seq(idCol), "left_anti")
+    val next = kept.unionByName(up.select(kept.columns.map(col).toIndexedSeq: _*))
+      .localCheckpoint() // settle BEFORE overwriting what we read
+    next.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(path)
+    // shards whose content is now empty never appear in `next` and
+    // dynamic overwrite leaves them — clear them explicitly
+    val alive = next.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    shards.filterNot(alive).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
+    }
+  }
+
   /** The delivery manifest read back FROM THE WRITTEN SHARDS (not from
     * the source frame — the manifest certifies what landed on disk):
     * per shard, row count, total payload chars, and an order-

@@ -275,4 +275,52 @@ class SinksAndAggSpec extends SparkSpec {
     val m2 = Sinks.shardManifest(spark, s"$dir/out2").collect()
     assert(m.toSeq === m2.toSeq)
   }
+
+  test("shardedRefresh rewrites only touched shards; result equals a full rewrite; emptied shards vanish") {
+    def mkDocs(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, s"$tag$i", 2L)).toDF("doc_id", "text", "n_chars")
+    val docs = mkDocs(0L until 300L, "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val out = s"$dir/out"
+    Sinks.sharded(docs, out, nShards = 8, idCol = "doc_id")
+    def fileNames(): Map[String, Seq[String]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted)
+        .toMap
+    val before = fileNames()
+
+    val upserts = mkDocs(Seq(5L, 6L, 301L), "v2-") // 2 edits + 1 add
+    val deletes = Seq(7L).toDF("doc_id")
+    Sinks.shardedRefresh(spark, out, upserts, deletes,
+      nShards = 8, idCol = "doc_id")
+    val after = fileNames()
+    val touched = Seq(5L, 6L, 301L, 7L).toDF("doc_id")
+      .select(Sinks.hashShard($"doc_id", 8).as("s"))
+      .distinct().collect().map(r => s"shard=${r.getLong(0)}").toSet
+    after.keySet.union(before.keySet).foreach { sh =>
+      if (touched(sh))
+        assert(before(sh) !== after(sh), s"$sh should have been rewritten")
+      else
+        assert(before(sh) === after(sh), s"$sh must keep its exact files")
+    }
+    // content = the full-rewrite truth
+    val expected = docs.filter(!$"doc_id".isin(5L, 6L, 7L))
+      .unionByName(mkDocs(Seq(5L, 6L, 301L), "v2-"))
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"text", $"n_chars").orderBy($"doc_id").collect()
+    assert(got.toSeq === expected.orderBy($"doc_id").collect().toSeq)
+
+    // emptying a shard removes its directory (dynamic overwrite alone
+    // would leave the stale files in place)
+    val victim = spark.read.parquet(out)
+      .filter($"shard" === 0).select($"doc_id")
+    assert(victim.count() > 0)
+    Sinks.shardedRefresh(spark, out,
+      upserts = victim.limit(0).withColumn("text", lit(""))
+        .withColumn("n_chars", lit(0L)),
+      deleteIds = victim, nShards = 8, idCol = "doc_id")
+    assert(!new java.io.File(s"$out/shard=0").exists())
+    assert(spark.read.parquet(out).filter($"shard" === 0).isEmpty)
+  }
 }
