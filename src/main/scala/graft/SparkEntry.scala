@@ -3205,6 +3205,40 @@ object SparkEntry {
       graft.sources.Sinks.shardManifest(s, path)
     }),
 
+    // q186: tokenizer FERTILITY report — the number that actually
+    // picks a tokenizer for a corpus: tokens-per-word (fertility) and
+    // squeezed-chars-per-token, per language, for both committed
+    // assets side by side. High fertility on a language = that
+    // language pays more sequence length for the same text — the
+    // standard multilingual-tokenizer audit. One narrow encode pass
+    // per form, partial-agg to |langs| rows; exact integer sums
+    // divide once at the end (deterministic → 6dp-roundable). The
+    // oracle regroups the same generated CTEs q119/q179 are gated by.
+    "q186_tokenizer_fertility" -> ((s, d) => {
+      val docs = GraftSession.widen(Tables.documents(s, d))
+      def leg(form: String, nToks: org.apache.spark.sql.Column) = docs
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          nToks.as("n_toks"),
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            .as("n_sq_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_toks")) / sum(col("n_words")), 6)
+            .as("tokens_per_word"),
+          round(sum(col("n_sq_chars")) / sum(col("n_toks")), 6)
+            .as("chars_per_token"))
+        .select(lit(form).as("form"), col("lang"), col("n_docs"),
+          col("tokens_per_word"), col("chars_per_token"))
+      leg("bpe", size(graft.operators.Bpe.encodeIds(
+          col("text"), BpeAssets.merges, BpeAssets.vocabMap)).cast("long"))
+        .unionByName(leg("maxmatch",
+          size(graft.operators.UnigramTokenizer.maxMatchIds(col("text"),
+            PieceAssets.costs, PieceAssets.ids,
+            PieceAssets.MaxPieceLen)).cast("long")))
+        .orderBy(col("form"), col("lang"))
+    }),
+
     // q183: deterministic training-shard DELIVERY — the last step of
     // the pipeline: the corpus lands as shard=K directories, one file
     // per shard (fixed shard count is the data-loader contract), shard
@@ -5352,6 +5386,30 @@ object SparkEntry {
           SELECT 'maxmatch' AS form, doc_id, pos, token_id
             FROM (${PieceAssets.maxMatchOracleSql}) m
           ORDER BY form, doc_id, pos""",
+    // q186: the fertility report regrouped from the same generated
+    // CTEs that gate the token streams themselves
+    "q186_tokenizer_fertility" ->
+      s"""WITH bpe AS (${BpeAssets.tokenIdsOracleSql}),
+          mm AS (${PieceAssets.maxMatchOracleSql}),
+          base AS (
+            SELECT doc_id, lang,
+              len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                w -> w <> '')) AS n_words,
+              length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+                AS n_sq_chars
+            FROM documents),
+          bt AS (SELECT doc_id, count(*) AS n_toks FROM bpe GROUP BY doc_id),
+          mt AS (SELECT doc_id, count(*) AS n_toks FROM mm GROUP BY doc_id)
+          SELECT 'bpe' AS form, lang, count(*) AS n_docs,
+            round(sum(n_toks)::DOUBLE / sum(n_words), 6) AS tokens_per_word,
+            round(sum(n_sq_chars)::DOUBLE / sum(n_toks), 6) AS chars_per_token
+          FROM base JOIN bt USING (doc_id) GROUP BY lang
+          UNION ALL
+          SELECT 'maxmatch', lang, count(*),
+            round(sum(n_toks)::DOUBLE / sum(n_words), 6),
+            round(sum(n_sq_chars)::DOUBLE / sum(n_toks), 6)
+          FROM base JOIN mt USING (doc_id) GROUP BY lang
+          ORDER BY form, lang""",
     // q182: same truth as q170 — ORC roundtrip must reproduce the
     // parquet original value for value
     "q182_orc_roundtrip" ->

@@ -79,8 +79,7 @@ object Sinks {
     val shards = touched.select(hashShard(col(idCol), nShards).as("s"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
     if (shards.isEmpty) return
-    val old = spark.read.parquet(path)
-      .filter(col("shard").isin(shards: _*)) // partition-pruned
+    val old = refreshScan(spark, path, shards)
     val kept = old.join(touched, Seq(idCol), "left_anti")
     val next = kept.unionByName(up.select(kept.columns.map(col).toIndexedSeq: _*))
       .localCheckpoint() // settle BEFORE overwriting what we read
@@ -98,6 +97,17 @@ object Sinks {
     shards.filterNot(alive).foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
     }
+  }
+
+  /** The refresh's read of the prior layout — ≤ nShards literal values
+    * against the Hive partition column, so only the touched shard
+    * DIRECTORIES are listed and read (static partition pruning, visible
+    * as PartitionFilters; SinksAndAggSpec pins the shape). Package-
+    * private for exactly that pin. */
+  private[graft] def refreshScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path).filter(col("shard").isin(shards: _*))
   }
 
   /** The delivery manifest read back FROM THE WRITTEN SHARDS (not from

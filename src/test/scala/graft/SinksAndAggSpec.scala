@@ -311,6 +311,13 @@ class SinksAndAggSpec extends SparkSpec {
       .select($"doc_id", $"text", $"n_chars").orderBy($"doc_id").collect()
     assert(got.toSeq === expected.orderBy($"doc_id").collect().toSeq)
 
+    // the refresh's read of the prior layout is partition-PRUNED: the
+    // touched-shard literals reach the scan as PartitionFilters, so
+    // only those directories are listed and read
+    val scan = Sinks.refreshScan(spark, out, Seq(1L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"), scan)
+
     // emptying a shard removes its directory (dynamic overwrite alone
     // would leave the stale files in place)
     val victim = spark.read.parquet(out)
