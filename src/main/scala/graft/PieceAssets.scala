@@ -14,7 +14,16 @@ package graft
   *
   * Integer costs are the cross-engine trick: the oracle replays
   * segmentation decisions in exact BIGINT arithmetic, so no float
-  * rounding can flip a tie between Spark and DuckDB. */
+  * rounding can flip a tie between Spark and DuckDB.
+  *
+  * Text contract (same boundary the CSV source documents): corpus
+  * text is BMP, ASCII-whitespace-delimited. Outside it the engines'
+  * string models legitimately diverge — Java walks UTF-16 code units
+  * where DuckDB's substr counts code points (an astral char would be
+  * two unks vs one), Java's `\\s` includes \\x0B where RE2's does
+  * not, and Java `trim` strips all chars ≤ 0x20 vs SQL trim's
+  * spaces. The committed alphabet is ASCII, so every out-of-contract
+  * char lands on the unk path in BOTH engines for BMP inputs. */
 object PieceAssets {
   // 80 pieces; EM trajectories: [-147101.9, -98542.4] [-97201.2, -96727.5] [-96603.1, -96595.4] [-96595.3, -96595.3] [-96595.3, -96595.3] [-96595.3, -96595.3] [-96595.3, -96595.3] [-96595.3, -96595.3]
   val pieces: Seq[(String, Long)] = Seq(
@@ -114,7 +123,7 @@ object PieceAssets {
 
   private def pieceValues: String =
     pieces.map(_._1).zipWithIndex
-      .map { case (p, i) => s"('${sq(p)}',${p.length},${i + 1})" }
+      .map { case (p, i) => s"('${sq(p)}',${i + 1})" }
       .mkString(",")
 
   /** DuckDB oracle for `q179_maxmatch_ids`, GENERATED from the
@@ -134,7 +143,7 @@ object PieceAssets {
     val chosen = (MaxPieceLen to 1 by -1).map(l => s"p$l.piece").mkString(", ")
     val chosenId = (MaxPieceLen to 1 by -1).map(l => s"p$l.token_id").mkString(", ")
     s"""WITH RECURSIVE
-       |pieces(piece, plen, token_id) AS (VALUES $pieceValues),
+       |pieces(piece, token_id) AS (VALUES $pieceValues),
        |toks AS (
        |  SELECT doc_id, ord, w FROM (
        |    SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS ord

@@ -100,7 +100,7 @@ object Bpe {
     val f = udf { (text: String) =>
       if (text == null) 0L
       else {
-        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         var n = 0L
         toks.foreach { w => n += encodeWord(w, m).length }
         n
@@ -175,7 +175,7 @@ object Bpe {
     val m: IndexedSeq[(String, String)] = merges.toIndexedSeq
     val f = udf { (text: String) =>
       if (text == null) Array.empty[Long]
-      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, m).map(s => vocabMap.getOrElse(s, 0L)))
     }
     f(textCol)
@@ -211,7 +211,7 @@ object Bpe {
     val m: IndexedSeq[(String, String)] = merges.toIndexedSeq
     val f = udf { (text: String) =>
       if (text == null) ""
-      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         .map(w => encodeWord(w, m).mkString(" ")).mkString("|")
     }
     f(textCol)

@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
 object UnigramTokenizer {
 
   /** Cost charged for an out-of-alphabet character (consumed as one
-    * `<unk>` token): worse than any real piece (1e6·25 ≙ ln p = −25,
-    * i.e. p ≈ 1.4e-11, below any piece a ≥1e-6-floored EM can emit),
-    * so Viterbi never prefers an unk over a covering piece. */
+    * `<unk>` token): worse than any real piece — EM floors
+    * probabilities at 1e-9, so the costliest possible piece is
+    * −1e6·ln(1e-9) ≈ 20,723,266 < 25,000,000 (≙ ln p = −25) — so
+    * Viterbi never prefers an unk over a covering piece. */
   val UnkCost: Long = 25000000L
 
   val Unk = "<unk>"
@@ -82,6 +83,12 @@ object UnigramTokenizer {
     val words = wordCounts.toArray
     val chars: Set[String] =
       words.iterator.flatMap(_._1.map(_.toString)).toSet
+    // single characters are never pruned (they guarantee coverage), so
+    // a budget below the alphabet could never be met — fail loudly
+    // instead of looping the prune rounds forever
+    require(vocabSize >= chars.size,
+      s"vocabSize=$vocabSize is below the corpus alphabet " +
+        s"(${chars.size} single characters, which are never pruned)")
 
     // substring seed scores: Σ count · len
     val seedScore = new java.util.HashMap[String, Long]()
@@ -318,10 +325,19 @@ object UnigramTokenizer {
 
   // ---- Column faces (narrow UDFs over broadcast piece tables) ----
 
+  /** The faces' word normalization: locale-pinned lowercase (a Turkish
+    * default locale would dot-swap I/i and miss committed pieces) +
+    * whitespace split, mirroring `TextAnalysis.tokens`. Exotic
+    * whitespace/astral chars follow the fixture contract documented on
+    * [[graft.PieceAssets]]. */
+  private def normWords(text: String): Array[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+
   private def perWord(textCol: Column)(f: String => Array[Long]): Column = {
     val g = udf { (text: String) =>
       if (text == null) Array.empty[Long]
-      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap(f)
+      else normWords(text).flatMap(f)
     }
     g(textCol)
   }
@@ -349,7 +365,7 @@ object UnigramTokenizer {
     val f = udf { (text: String) =>
       if (text == null) (0L, 0L, 0L, true)
       else {
-        val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val ws = normWords(text)
         var v = 0L; var m = 0L; var c = 0L; var lossless = true
         ws.foreach { w =>
           val vp = viterbi(w, costs, maxPieceLen)

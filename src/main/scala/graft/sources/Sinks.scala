@@ -21,16 +21,15 @@ object Sinks {
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
-  /** Knuth multiplicative hash shard of an integer id — the q47 split
-    * arithmetic generalized to N shards: exact BIGINT arithmetic (the
-    * id is pre-reduced mod a prime so the multiply cannot overflow
-    * 64-bit ANSI checks), engine-neutral, reproducible at any
+  /** Knuth multiplicative hash shard of an integer id — the q47/q49/
+    * q72 split arithmetic ([[graft.operators.WeightedSample.portableHash]],
+    * the single home of the constants) reduced to N shards: exact
+    * BIGINT arithmetic, engine-neutral, reproducible at any
     * parallelism with no RNG state. */
   def hashShard(id: org.apache.spark.sql.Column,
       nShards: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    pmod(pmod(pmod(id, lit(1000003L)) * lit(2654435761L),
-      lit(4294967296L)), lit(nShards.toLong))
+    pmod(graft.operators.WeightedSample.portableHash(id), lit(nShards.toLong))
   }
 
   /** Deterministic training-shard delivery: the corpus written as
@@ -49,6 +48,33 @@ object Sinks {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    writeNShards(df.sparkSession, path, nShards)
+  }
+
+  /** The layout's shard count as a sidecar (`_graft_nshards`) — the
+    * routing function's modulus IS the layout contract, and a refresh
+    * run with a different count would scan the wrong directories and
+    * silently duplicate upserted ids (old copy in shard h%16, new in
+    * h%32). The sidecar makes that a loud error instead. */
+  private def writeNShards(spark: org.apache.spark.sql.SparkSession,
+      path: String, nShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_nshards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nShards.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readNShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_nshards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      Some(buf.toString("UTF-8").trim.toInt)
+    } finally in.close()
   }
 
   /** INCREMENTAL shard refresh — the delta-delivery form of
@@ -72,6 +98,10 @@ object Sinks {
       path: String, upserts: DataFrame, deleteIds: DataFrame,
       nShards: Int, idCol: String): Unit = {
     import org.apache.spark.sql.functions._
+    readNShards(spark, path).foreach(n => require(n == nShards,
+      s"shardedRefresh: layout at $path was written with nShards=$n, " +
+        s"refresh called with $nShards — the routing modulus is the " +
+        "layout contract (a mismatch would duplicate upserted ids)"))
     val up = upserts.withColumn("shard", hashShard(col(idCol), nShards))
     val gone = deleteIds.select(col(idCol))
     val touched = up.select(col(idCol))
@@ -92,10 +122,12 @@ object Sinks {
     // dynamic overwrite leaves them — clear them explicitly
     val alive = next.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path-owned FS, not the default one — the layout can live on a
+    // different filesystem than fs.defaultFS
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     shards.filterNot(alive).foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/shard=$s"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$s"), true)
     }
   }
 
@@ -120,12 +152,17 @@ object Sinks {
       path: String, idCol: String = "doc_id",
       charsCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.functions._
+    // id_checksum: per-row terms are < 2^32 ([[graft.operators
+    // .WeightedSample.portableHash]]), so the BIGINT sum is exact up
+    // to 2^31 rows PER SHARD — size nShards so shards stay under that
+    // (any layout a data loader can consume already does); past it the
+    // non-ANSI sum would wrap where the oracle's promotes.
     spark.read.parquet(path)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(charsCol)).as("total_chars"),
-        sum(pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
-          lit(4294967296L))).as("id_checksum"))
+        sum(graft.operators.WeightedSample.portableHash(col(idCol)))
+          .as("id_checksum"))
       .orderBy(col("shard"))
   }
 

@@ -311,6 +311,14 @@ class SinksAndAggSpec extends SparkSpec {
       .select($"doc_id", $"text", $"n_chars").orderBy($"doc_id").collect()
     assert(got.toSeq === expected.orderBy($"doc_id").collect().toSeq)
 
+    // a refresh under a different modulus would scan the wrong
+    // directories and silently duplicate ids — the sidecar makes it loud
+    val exN = intercept[IllegalArgumentException] {
+      Sinks.shardedRefresh(spark, out, upserts, deletes,
+        nShards = 16, idCol = "doc_id")
+    }
+    assert(exN.getMessage.contains("nShards"))
+
     // the refresh's read of the prior layout is partition-PRUNED: the
     // touched-shard literals reach the scan as PartitionFilters, so
     // only those directories are listed and read

@@ -104,6 +104,13 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(lowP > 0.1, s"p(low) = $lowP")
   }
 
+  test("fitLocal rejects a vocab budget below the alphabet (would never terminate)") {
+    val ex = intercept[IllegalArgumentException] {
+      UnigramTokenizer.fitLocal(Seq(("abcdefgh", 3L)), vocabSize = 4)
+    }
+    assert(ex.getMessage.contains("alphabet"))
+  }
+
   test("distributed fit over a DataFrame equals fitLocal on the histogram") {
     val hist = Seq(("glow", 6L), ("low", 9L), ("slow", 4L))
     val docs = hist.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
