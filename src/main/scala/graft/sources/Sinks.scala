@@ -85,7 +85,12 @@ object Sinks {
     * the affected-shard set is computable from the delta alone (≤
     * nShards literals — a partition-pruned read, never a full scan),
     * and Spark's DYNAMIC partition-overwrite replaces exactly the
-    * partitions present in the written data. The merged frame is
+    * partitions present in the written data. Honest bound: uniform
+    * hashing scatters ids, so a delta of k ids touches min(k, nShards)
+    * shards — the win holds when k ≪ nShards (takedown/edit waves
+    * against a 10⁴-10⁵-shard production layout; ProbeShardRefresh
+    * measures both regimes), while a corpus-sized delta degrades to
+    * the full rewrite it semantically is. The merged frame is
     * checkpoint-settled before the write (overwriting a path that is
     * also being read is the classic self-read failure); its size is
     * bounded by the touched shards, not the corpus. A shard whose last
