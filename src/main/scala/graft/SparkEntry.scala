@@ -3205,6 +3205,30 @@ object SparkEntry {
       graft.sources.Sinks.shardManifest(s, path)
     }),
 
+    // q187: MAINTAINED champion tier — the serving tier kept warm by
+    // the streaming maintenance loop instead of dropped-and-forgotten:
+    // replayUpserts with maintainChampions rebuilds the tier after
+    // every append-carrying batch (index-sized work — postings ⋈ terms
+    // ⋈ stats, no corpus scan; pending tombstones force the compaction
+    // a warm tier requires). After three add waves the standing tier
+    // must equal a from-scratch selection over the full corpus, so the
+    // oracle is q175's champion CTE verbatim: selection on 4dp-rounded
+    // weights, candidate-bounded rescore, top-10. The spec proves the
+    // same through an edit/delete schedule.
+    "q187_maintained_champions" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.IndexMaintenance.initStores(s, "graft_q187_idx")
+      graft.streaming.IndexMaintenance.replayUpserts(docs, "graft_q187_idx",
+        nBatches = 3, buckets = 8, maintainChampions = Some(32))
+      val qTerms = Tables.documents(s, d).filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexedTopK(s, "graft_q187_idx", qTerms, 10)
+        .select(col("rank"), col("doc_id"), col("n_matched"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("rank"))
+    }),
+
     // q186: tokenizer FERTILITY report — the number that actually
     // picks a tokenizer for a corpus: tokens-per-word (fertility) and
     // squeezed-chars-per-token, per language, for both committed
@@ -5386,6 +5410,46 @@ object SparkEntry {
           SELECT 'maxmatch' AS form, doc_id, pos, token_id
             FROM (${PieceAssets.maxMatchOracleSql}) m
           ORDER BY form, doc_id, pos""",
+    // q187: q175's champion selection + candidate-bounded rescore,
+    // tiered leg only — the maintained tier must serve the same top-10
+    "q187_maintained_champions" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         wt AS (
+           SELECT doc_id, term,
+             ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                   + 0.75::DOUBLE * dl / avgdl)) AS w
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats),
+         scored AS (
+           SELECT doc_id, count(*) AS n_matched, round(sum(w), 4) AS bm25
+           FROM wt GROUP BY doc_id),
+         champ AS (
+           SELECT term, doc_id FROM (
+             SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term
+                 ORDER BY round(w, 4) DESC, doc_id) AS rn
+             FROM wt) t WHERE rn <= 32),
+         cand AS (SELECT DISTINCT doc_id FROM champ),
+         tiered AS (
+           SELECT doc_id, n_matched, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM scored JOIN cand USING (doc_id))
+         SELECT rank, doc_id, n_matched, bm25
+         FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q186: the fertility report regrouped from the same generated
     // CTEs that gate the token streams themselves
     "q186_tokenizer_fertility" ->

@@ -566,7 +566,10 @@ object Bm25 {
     * Lifecycle contract: [[appendDocs]] and [[buildIndex]] DROP the
     * tier (the corpus changed — every weight input moved; silently
     * serving stale champions is worse than failing loudly), re-run
-    * buildChampions after an append wave. [[removeDocs]] and
+    * buildChampions after an append wave — or let the maintenance
+    * loop do it: `IndexMaintenance.applyUpserts(maintainChampions =
+    * Some(c))` rebuilds the tier after every append-carrying batch
+    * (serve-optimized; q187 gates it). [[removeDocs]] and
     * [[compactIndex]] KEEP it: deletes don't change the live corpus
     * the rescore adjusts to — a tombstoned champion simply has no
     * surviving postings and drops out of the exact rescore, and the

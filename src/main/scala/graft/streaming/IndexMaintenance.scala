@@ -54,7 +54,7 @@ object IndexMaintenance {
     * fingerprint log), location-safely. */
   def initStores(spark: SparkSession, name: String): Unit = {
     for (s <- Seq("_postings", "_terms", "_doclens", "_stats",
-        "_tombstones", "_fplog"))
+        "_tombstones", "_fplog", "_champions", "_positions"))
       graft.sources.Sinks.dropTable(spark, name + s)
   }
 
@@ -72,7 +72,8 @@ object IndexMaintenance {
   def applyUpserts(spark: SparkSession, name: String, batch: DataFrame,
       ver: Long, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text",
-      compactRatio: Double = 0.2): DataFrame = {
+      compactRatio: Double = 0.2,
+      maintainChampions: Option[Int] = None): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     val (nRows, nIds) = {
@@ -89,6 +90,8 @@ object IndexMaintenance {
       graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
       logFingerprints(spark, name, idCol,
         live.select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver")))
+      maintainChampions.foreach(c =>
+        Bm25.buildChampions(spark, name, c, buckets, idCol))
       return live.select(col(idCol), lit("added").as("status")).localCheckpoint()
     }
 
@@ -149,6 +152,28 @@ object IndexMaintenance {
         .select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver"))
         .unionByName(removed
           .select(col(idCol), lit(null).cast("long").as("h"), lit(ver).as("ver"))))
+    // SERVE-OPTIMIZED maintenance: keep the champion tier current.
+    // appendDocs drops the tier by contract (every weight input moved),
+    // so an append-carrying batch rebuilds it — index-sized work
+    // (postings ⋈ terms ⋈ stats), never a corpus scan, but tier-build
+    // requires a settled corpus, so pending tombstones force the
+    // compaction a pure-add batch would otherwise amortize away. That
+    // is the explicit trade of a warm tier: ingest-optimized pipelines
+    // leave maintainChampions off and rebuild on their own schedule.
+    // Delete-only batches keep the existing tier (valid by the
+    // removeDocs contract — tombstoned champions drop out of the
+    // rescore on their own).
+    maintainChampions.foreach { c =>
+      if (statusCounts.getOrElse("added", 0L) +
+          statusCounts.getOrElse("changed", 0L) > 0 ||
+          !spark.catalog.tableExists(s"${name}_champions")) {
+        if (spark.catalog.tableExists(s"${name}_tombstones")) {
+          Bm25.compactIndex(spark, name, buckets, idCol)
+          compactFingerprints(spark, name, idCol)
+        }
+        Bm25.buildChampions(spark, name, c, buckets, idCol)
+      }
+    }
     delta
   }
 
@@ -286,14 +311,16 @@ object IndexMaintenance {
     * the maintenance path end to end. */
   def replayUpserts(docs: DataFrame, name: String, nBatches: Int,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
-      compactRatio: Double = 0.2): DataFrame = {
+      compactRatio: Double = 0.2,
+      maintainChampions: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     val maxId = docs.agg(max(col(idCol))).head().getLong(0)
     val step = (maxId + nBatches) / nBatches
     (0 until nBatches).map { k =>
       applyUpserts(spark, name,
         docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step),
-        ver = k + 1L, buckets, idCol, textCol, compactRatio)
+        ver = k + 1L, buckets, idCol, textCol, compactRatio,
+        maintainChampions)
     }.reduce(_.unionByName(_))
   }
 
@@ -311,7 +338,8 @@ object IndexMaintenance {
       vecCol: String = "embedding",
       compactRatio: Double = 0.2,
       verBase: Long = 1L,
-      vecFold: Option[VecFold] = None)
+      vecFold: Option[VecFold] = None,
+      maintainChampions: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -321,7 +349,7 @@ object IndexMaintenance {
           // verBase lets a stream resume past versions already written
           // by a batch-mode seed (bootstrap build + model fit)
           val delta = applyUpserts(spark, name, batch, ver = batchId + verBase,
-            buckets, idCol, textCol, compactRatio)
+            buckets, idCol, textCol, compactRatio, maintainChampions)
           foldVectorStores(batch, delta, idCol, vecCol, annRef, vecFold)
           sink(delta, batchId)
         }

@@ -95,6 +95,32 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(boom.getMessage.contains("strictly increasing"))
   }
 
+  test("maintainChampions: tier current after every batch, equal to a fresh tier") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint()
+    IndexMaintenance.initStores(spark, "graft_im_c")
+    schedule(docs).zipWithIndex.foreach { case (b, k) =>
+      IndexMaintenance.applyUpserts(spark, "graft_im_c", b, ver = k + 1L,
+        buckets = 8, maintainChampions = Some(32))
+      // the tier exists (and is servable — no pending tombstones can
+      // outlive a maintained batch that rebuilt it) after every batch
+      assert(spark.catalog.tableExists("graft_im_c_champions"))
+    }
+    val corpus = finalCorpus(docs).localCheckpoint()
+    Bm25.buildIndex(corpus, "graft_im_cf", buckets = 8)
+    Bm25.buildChampions(spark, "graft_im_cf", c = 32, buckets = 8)
+    val a = spark.table("graft_im_c_champions")
+    val f = spark.table("graft_im_cf_champions")
+    assert(a.exceptAll(f).isEmpty && f.exceptAll(a).isEmpty,
+      "maintained tier must equal a fresh buildChampions over the final corpus")
+    // tiered serving through the maintained index == through the fresh one
+    val probe = probeTerms(corpus)
+    def served(idx: String) = Bm25.scoreIndexedTopK(spark, idx, probe, 10)
+      .select($"rank", $"doc_id", $"n_matched", round($"bm25", 4).as("bm25"))
+      .orderBy($"rank").collect().toSeq
+    assert(served("graft_im_c") === served("graft_im_cf"))
+  }
+
   test("delete-then-re-add of the same id forces compaction instead of wedging") {
     // regression: a re-added id classifies `added` (its latest
     // fingerprint is a null-h delete marker), but its old rows are
