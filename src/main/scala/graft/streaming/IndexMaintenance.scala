@@ -414,7 +414,8 @@ object IndexMaintenance {
       annRef: Option[java.util.concurrent.atomic.AtomicReference[
         graft.ann.DistributedAnnModel]] = None,
       vecCol: String = "embedding",
-      vecFold: Option[VecFold] = None)
+      vecFold: Option[VecFold] = None,
+      maintainChampions: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -423,7 +424,7 @@ object IndexMaintenance {
           sink(applyGatedUpserts(batch.sparkSession, name, sigName, batch,
             ver = batchId + verBase, buckets, idCol, textCol,
             ngram, numHashes, bands, threshold, seed, compactRatio,
-            annRef, vecCol, vecFold), batchId)
+            annRef, vecCol, vecFold, maintainChampions), batchId)
       }
 
   /** One gated batch — [[maintainStreamDeduped]]'s per-batch unit,
@@ -440,7 +441,8 @@ object IndexMaintenance {
       annRef: Option[java.util.concurrent.atomic.AtomicReference[
         graft.ann.DistributedAnnModel]] = None,
       vecCol: String = "embedding",
-      vecFold: Option[VecFold] = None): DataFrame = {
+      vecFold: Option[VecFold] = None,
+      maintainChampions: Option[Int] = None): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     val delta = classifyUpserts(spark, name, b, idCol, textCol)
@@ -467,7 +469,7 @@ object IndexMaintenance {
       .unionByName(b.filter(col(textCol).isNull))
       .localCheckpoint()
     val applied = applyUpserts(spark, name, gated, ver,
-      buckets, idCol, textCol, compactRatio)
+      buckets, idCol, textCol, compactRatio, maintainChampions)
     // fold the ANN/vector store(s) from the SAME classification and
     // admission decision (r8 verdict #1): admitted adds append their
     // vectors, changes remove + append, takedowns remove. A rejected

@@ -121,6 +121,26 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(served("graft_im_c") === served("graft_im_cf"))
   }
 
+  test("gated face threads maintainChampions: admitted-only tier, current after the wave") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").filter($"doc_id" < 200).localCheckpoint()
+    IndexMaintenance.initStores(spark, "graft_im_gc")
+    graft.streaming.IngestDedup.initStore(spark, "graft_im_gc_sigs")
+    graft.sources.Sinks.dropTable(spark, "graft_im_gc_sigs_pending_rm")
+    IndexMaintenance.applyGatedUpserts(spark, "graft_im_gc", "graft_im_gc_sigs",
+      docs, ver = 1L, buckets = 8, maintainChampions = Some(16))
+    assert(spark.catalog.tableExists("graft_im_gc_champions"))
+    // the tier covers exactly the ADMITTED corpus: a fresh tier over
+    // the live doclens ids must match
+    val admitted = spark.table("graft_im_gc_doclens").select($"doc_id")
+    val corpus = docs.join(admitted, Seq("doc_id"), "left_semi").localCheckpoint()
+    Bm25.buildIndex(corpus, "graft_im_gcf", buckets = 8)
+    Bm25.buildChampions(spark, "graft_im_gcf", c = 16, buckets = 8)
+    val a = spark.table("graft_im_gc_champions")
+    val f = spark.table("graft_im_gcf_champions")
+    assert(a.exceptAll(f).isEmpty && f.exceptAll(a).isEmpty)
+  }
+
   test("delete-then-re-add of the same id forces compaction instead of wedging") {
     // regression: a re-added id classifies `added` (its latest
     // fingerprint is a null-h delete marker), but its old rows are
