@@ -3239,27 +3239,31 @@ object SparkEntry {
     // divide once at the end (deterministic → 6dp-roundable). The
     // oracle regroups the same generated CTEs q119/q179 are gated by.
     "q186_tokenizer_fertility" -> ((s, d) => {
-      val docs = GraftSession.widen(Tables.documents(s, d))
-      def leg(form: String, nToks: org.apache.spark.sql.Column) = docs
+      // ONE corpus pass: both encodes in one projection, one
+      // partial-agg shuffle to |langs| rows, settled tiny before the
+      // two form-rows fan out (the DSIR lesson: a per-form leg would
+      // scan the corpus once per tokenizer)
+      val base = GraftSession.widen(Tables.documents(s, d))
         .select(col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_words"),
-          nToks.as("n_toks"),
           length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
-            .as("n_sq_chars"))
+            .as("n_sq_chars"),
+          size(graft.operators.Bpe.encodeIds(
+            col("text"), BpeAssets.merges, BpeAssets.vocabMap))
+            .cast("long").as("nb"),
+          size(graft.operators.UnigramTokenizer.maxMatchIds(col("text"),
+            PieceAssets.costs, PieceAssets.ids, PieceAssets.MaxPieceLen))
+            .cast("long").as("nm"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("n_toks")) / sum(col("n_words")), 6)
-            .as("tokens_per_word"),
-          round(sum(col("n_sq_chars")) / sum(col("n_toks")), 6)
-            .as("chars_per_token"))
+          sum(col("n_words")).as("w"), sum(col("n_sq_chars")).as("c"),
+          sum(col("nb")).as("tb"), sum(col("nm")).as("tm"))
+        .localCheckpoint()
+      def leg(form: String, t: org.apache.spark.sql.Column) = base
         .select(lit(form).as("form"), col("lang"), col("n_docs"),
-          col("tokens_per_word"), col("chars_per_token"))
-      leg("bpe", size(graft.operators.Bpe.encodeIds(
-          col("text"), BpeAssets.merges, BpeAssets.vocabMap)).cast("long"))
-        .unionByName(leg("maxmatch",
-          size(graft.operators.UnigramTokenizer.maxMatchIds(col("text"),
-            PieceAssets.costs, PieceAssets.ids,
-            PieceAssets.MaxPieceLen)).cast("long")))
+          round(t / col("w"), 6).as("tokens_per_word"),
+          round(col("c") / t, 6).as("chars_per_token"))
+      leg("bpe", col("tb")).unionByName(leg("maxmatch", col("tm")))
         .orderBy(col("form"), col("lang"))
     }),
 
