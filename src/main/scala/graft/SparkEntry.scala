@@ -3229,6 +3229,24 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q188: SPAN CORRUPTION prep (the T5 denoising objective) over
+    // real token ids — span selection is a pure Knuth-hash function of
+    // (doc_id, pos), so the corruption is reproducible at any
+    // parallelism with no RNG state and the oracle replays it exactly
+    // over the q119 generated CTE: total/masked token counts, MERGED
+    // span count (the sentinel count a T5 encoder input carries), and
+    // a position-weighted checksum of the surviving ids.
+    "q188_span_corruption" -> ((s, d) => {
+      val ids = GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(graft.operators.Bpe.encodeIds(
+            col("text"), BpeAssets.merges, BpeAssets.vocabMap)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+      graft.operators.SpanCorruption.summarize(ids)
+        .orderBy(col("doc_id"))
+    }),
+
     // q186: tokenizer FERTILITY report — the number that actually
     // picks a tokenizer for a corpus: tokens-per-word (fertility) and
     // squeezed-chars-per-token, per language, for both committed
@@ -5454,6 +5472,44 @@ object SparkEntry {
            FROM scored JOIN cand USING (doc_id))
          SELECT rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
+    // q188: the corruption replayed over the q119 CTE — same Knuth
+    // arithmetic, same merge-by-predecessor span heads
+    "q188_span_corruption" ->
+      s"""WITH ids AS (${BpeAssets.tokenIdsOracleSql}),
+          h AS (
+            SELECT doc_id, pos, token_id,
+              ((doc_id % 999983) * 127 + pos) % 1000003 * 2654435761
+                % 4294967296 AS hh
+            FROM ids),
+          starts AS (
+            SELECT doc_id, pos, 2 + hh % 3 AS len FROM h WHERE hh % 100 < 5),
+          cover AS (
+            SELECT DISTINCT doc_id, pos + unnest(range(0, len)) AS mpos
+            FROM starts),
+          masked AS (
+            SELECT i.doc_id, i.pos FROM ids i
+            JOIN cover c ON c.doc_id = i.doc_id AND c.mpos = i.pos),
+          heads AS (
+            SELECT m.doc_id, m.pos FROM masked m
+            LEFT JOIN masked m2
+              ON m2.doc_id = m.doc_id AND m2.pos = m.pos - 1
+            WHERE m2.pos IS NULL),
+          kept AS (
+            SELECT i.doc_id, sum((i.pos + 1) * i.token_id) AS kept_checksum
+            FROM ids i LEFT JOIN masked m
+              ON m.doc_id = i.doc_id AND m.pos = i.pos
+            WHERE m.pos IS NULL GROUP BY i.doc_id)
+          SELECT t.doc_id, t.n_tokens,
+            CAST(coalesce(km.n_masked, 0) AS BIGINT) AS n_masked,
+            CAST(coalesce(hs.n_spans, 0) AS BIGINT) AS n_spans,
+            CAST(coalesce(kept.kept_checksum, 0) AS BIGINT) AS kept_checksum
+          FROM (SELECT doc_id, count(*) AS n_tokens FROM ids GROUP BY doc_id) t
+          LEFT JOIN (SELECT doc_id, count(*) AS n_masked FROM masked
+                     GROUP BY doc_id) km USING (doc_id)
+          LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM heads
+                     GROUP BY doc_id) hs USING (doc_id)
+          LEFT JOIN kept USING (doc_id)
+          ORDER BY doc_id""",
     // q186: the fertility report regrouped from the same generated
     // CTEs that gate the token streams themselves
     "q186_tokenizer_fertility" ->
