@@ -3229,6 +3229,26 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q189: HTML → text extraction (the WET step) under the hash
+    // gate: deterministic markup is synthesized around the fixture
+    // text (inline tags at every " the ", a wrapper div, a script
+    // block and entity tail), then stripHtml must recover the clean
+    // text — the whole strip is a codegen'd regexp/replace chain the
+    // oracle mirrors operation for operation, so a missed block, a
+    // tag leak, or an entity double-decode breaks the hash.
+    "q189_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("""<div class="doc"><!-- c --><p>"""),
+        regexp_replace(col("text"), " the ", " <b>the</b> "),
+        lit("""</p><script>var x = 1 < 2;</script>""" +
+          """<style>p { color: red }</style>&amp;amp; &lt;tail&gt;</div>"""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(html).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")))
+        .orderBy(col("doc_id"))
+    }),
+
     // q188: SPAN CORRUPTION prep (the T5 denoising objective) over
     // real token ids — span selection is a pure Knuth-hash function of
     // (doc_id, pos), so the corruption is reproducible at any
@@ -5472,6 +5492,36 @@ object SparkEntry {
            FROM scored JOIN cand USING (doc_id))
          SELECT rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
+    // q189: the same synthesized markup put through the same strip
+    // chain, operation for operation (RE2-safe patterns, &amp; last)
+    "q189_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<div class="doc"><!-- c --><p>' ||
+             regexp_replace(text, ' the ', ' <b>the</b> ', 'g') ||
+             '</p><script>var x = 1 < 2;</script><style>p { color: red }</style>&amp;amp; &lt;tail&gt;</div>'
+               AS t
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)</?[A-Za-z][^>]*>', ' ', 'g'),
+               '(?s)<![A-Za-z][^>]*>', ' ', 'g') AS t
+           FROM h),
+         d AS (
+           SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+               '&amp;', '&') AS t
+           FROM s)
+         SELECT doc_id,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS n_chars_clean
+         FROM d ORDER BY doc_id""",
     // q188: the corruption replayed over the q119 CTE — same Knuth
     // arithmetic, same merge-by-predecessor span heads
     "q188_span_corruption" ->

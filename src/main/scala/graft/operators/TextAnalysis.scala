@@ -540,6 +540,35 @@ object TextAnalysis {
     * Narrow per-row map (one UDF: java.text.Normalizer is the JDK's
     * Unicode implementation; the regex steps ride along rather than
     * paying three more non-codegen passes), no shuffle. */
+  /** HTML → text extraction (the WET-style step before every other
+    * curation filter runs on crawled pages): drop script/style/comment
+    * blocks wholesale, strip remaining tags to spaces, decode the
+    * common named entities, squeeze whitespace. A pure codegen'd
+    * `regexp_replace`/`replace` chain — no UDF, no parser — which is
+    * both the 100 TB-friendly shape and what lets the DuckDB oracle
+    * mirror it operation for operation (RE2-safe: non-greedy
+    * quantifiers but no backreferences). `&amp;` decodes LAST so
+    * double-encoded entities (`&amp;lt;`) don't double-decode. Not a
+    * full HTML5 parser by design: boilerplate-heavy malformed markup
+    * degrades to extra whitespace, never to dropped text. */
+  def stripHtml(text: Column): Column = {
+    // tag patterns require a tag-name start (`</?letter`, `<!word`) so
+    // prose like "5 < 6 and 7 > 3" survives — a bare `<[^>]+>` would
+    // eat any bracketed span of text
+    val noBlocks = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)</?[A-Za-z][^>]*>",
+      "(?s)<![A-Za-z][^>]*>").foldLeft(text)((c, p) => regexp_replace(c, p, " "))
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&")
+      .foldLeft(noBlocks) { case (c, (f, t)) => replace(c, lit(f), lit(t)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def normalizeText(text: Column): Column = {
     val f = udf { (t: String) =>
       if (t == null) null

@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("stripHtml: blocks drop wholesale, tags strip, entities decode once, malformed degrades safely") {
+    import spark.implicits._
+    val cases = Seq(
+      // blocks removed with their content, inline tags stripped
+      ("""<p>Hello <b>world</b></p><script>if (a<b) { x(); }</script>""",
+        "Hello world"),
+      ("""<style type="text/css">p { color: red }</style>body text""",
+        "body text"),
+      ("""<!-- a <b>comment</b> with tags -->kept""", "kept"),
+      // entities decode exactly once: &amp;lt; is a LITERAL "&lt;"
+      ("""a &lt;tag&gt; &amp; &amp;lt;not-a-tag&gt; &quot;q&quot; &#39;s&#39;""",
+        """a <tag> & &lt;not-a-tag> "q" 's'"""),
+      // unclosed / stray brackets: extra whitespace, never lost text
+      ("""before <div unclosed after""", "before <div unclosed after"),
+      ("""5 < 6 and 7 > 3""", "5 < 6 and 7 > 3"),
+      // nbsp joins words with a plain space; whitespace squeezes
+      ("""one&nbsp;two   three
+          four""", "one two three four"))
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.operators.TextAnalysis.stripHtml($"h")).as[String]
+      .collect().toSeq
+    got.lazyZip(cases.map(_._2)).foreach((g, e) => assert(g === e))
+  }
   import spark.implicits._
 
   test("SQL faces equal the Column API: normalize_text/quality_score/language_id/redact_pii") {
