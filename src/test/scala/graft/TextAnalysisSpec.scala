@@ -27,6 +27,12 @@ class TextAnalysisSpec extends SparkSpec {
       .select(graft.operators.TextAnalysis.stripHtml($"h")).as[String]
       .collect().toSeq
     got.lazyZip(cases.map(_._2)).foreach((g, e) => assert(g === e))
+    // the SQL face serves the same chain (one source of semantics)
+    GraftSession.registerFunctions(spark)
+    cases.map(_._1).toDF("h").createOrReplaceTempView("strip_cases")
+    val viaSql = spark.sql("SELECT strip_html(h) FROM strip_cases")
+      .as[String].collect().toSeq
+    assert(viaSql === got)
   }
   import spark.implicits._
 
