@@ -37,14 +37,17 @@ object Bench {
     // load average sampled at sweep START (the external-contention
     // signal, before our own run inflates it) and at sweep end.
     final case class Sweep(head: Map[String, Double], cur: Map[String, Double],
+        asset: Map[String, Double],
         steal: Long, loadPre: Double, loadPost: Double)
     def sweep(): Sweep = {
       val l0 = loadAvg1m()
       val s0 = stealTicks()
       val head = minOf3(SparkEntry.benchQueries)
       val cur = minOf3(SparkEntry.benchCurationQueries)
+      val asset = minOf3(SparkEntry.benchAssetQueries)
       val s1 = stealTicks()
-      Sweep(head, cur, if (s0 < 0 || s1 < 0) -1L else s1 - s0, l0, loadAvg1m())
+      Sweep(head, cur, asset,
+        if (s0 < 0 || s1 < 0) -1L else s1 - s0, l0, loadAvg1m())
     }
     // Contention GATES: rounds 6 and 7 committed recordings contaminated
     // by hypervisor steal (12.8s vs a 7.6s quiet-host truth); round 8's
@@ -84,9 +87,10 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.head.values.filter(_ >= 0).sum
     val curTotal = best.cur.values.filter(_ >= 0).sum
+    val assetTotal = best.asset.values.filter(_ >= 0).sum
     // Both load samples stay in the artifact so a recording that
     // somehow slips both gates is still self-identifying.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
     spark.stop()
   }
 

@@ -3770,6 +3770,16 @@ object SparkEntry {
     "q139_bloom_decontaminate", "q140_phash_neardup", "q141_nb_classifier",
     "q146_incremental_index", "q151_pipeline_funnel", "q158_dedup_dashboard")
 
+  /** Third bench group (round 9): the asset/delivery layer —
+    * committed-tokenizer encode throughput (MaxMatch + the BPE-based
+    * fertility pass), HTML extraction, span-corruption prep, and
+    * shard delivery+manifest. Separate total, same rationale as the
+    * curation group: keep the older groups comparable across rounds
+    * while the new layer gets regression-visible numbers. */
+  val benchAssetQueries: Seq[String] = Seq(
+    "q179_maxmatch_ids", "q183_shard_manifest", "q186_tokenizer_fertility",
+    "q188_span_corruption", "q189_html_extract")
+
   /** TPC-H Q3 shape in dialect-neutral SQL — executed verbatim by BOTH
     * Spark (q54 query) and DuckDB (q54 oracle). */
   private val sharedSqlQ3: String =
