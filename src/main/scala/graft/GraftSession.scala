@@ -51,12 +51,14 @@ object GraftSession {
 
   /** Register graft's native SQL functions (usable from spark.sql). */
   def registerFunctions(s: SparkSession): Unit = {
-    import graft.functions.{CosineSimilarity, DotProduct, SqEucDistance}
+    import graft.functions.{CosineSimilarity, DotProduct, HammingPacked, SignPack, SqEucDistance}
     import org.apache.spark.sql.GraftBridge
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sq_euc_dist", es => SqEucDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sign_pack", es => SignPack(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_packed", es => HammingPacked(es(0), es(1)), "built-in")
     // Column-composition operators exposed to the SQL frontend: the
     // builder re-wraps the argument expressions as Columns, applies the
     // same composition the DataFrame API uses (single source of

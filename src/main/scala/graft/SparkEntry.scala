@@ -3236,6 +3236,21 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q190: BINARY-QUANTIZED serving — sign-bit codes (32×), popcount
+    // Hamming scan to top-c candidates, exact-cosine rerank to top-k.
+    // Unlike the ANN family this approximate path is fully
+    // deterministic (sign bits + integer Hamming + id tiebreaks), so
+    // the WHOLE two-stage pipeline hash-matches a DuckDB oracle that
+    // recomputes the sign bits with a list lambda — candidate cut
+    // included, not just the final ranks.
+    "q190_bq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.BinaryQuant.topKRerank(emb, queries, k = 10, c = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q189_html_extract" -> ((s, d) => {
       val html = concat(
         lit("""<div class="doc"><!-- c --><p>"""),
@@ -5504,6 +5519,31 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q190: the oracle recomputes the sign bits with a list lambda
+    // (bit ⇔ element < 0 — the SignPack convention), so the Hamming
+    // scan, the top-c candidate cut (ham, id tiebreak), and the
+    // exact-cosine rerank are ALL replayed, not just the final ranks.
+    "q190_bq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         ham AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             len(list_filter(range(1, len(e.v) + 1),
+                 i -> (e.v[i] < 0) <> (q.qv[i] < 0))) AS ham,
+             list_cosine_similarity(e.v, q.qv) AS c
+           FROM e CROSS JOIN q),
+         cand AS (
+           SELECT query_id, neighbor_id, ham, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ham, neighbor_id) AS hrk
+           FROM ham),
+         rer AS (
+           SELECT query_id, neighbor_id, ham, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id) AS rank
+           FROM cand WHERE hrk <= 50)
+         SELECT query_id, rank, neighbor_id, ham, round(c, 4) AS cos
+         FROM rer WHERE rank <= 10 ORDER BY query_id, rank""",
     "q189_html_extract" ->
       """WITH h AS (
            SELECT doc_id,

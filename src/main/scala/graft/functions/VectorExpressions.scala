@@ -111,6 +111,102 @@ case class L2Normalize(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Sign-bit (1-bit) quantization: ARRAY<FLOAT>[d] → ARRAY<BIGINT>[⌈d/64⌉].
+  * Bit (i & 63) of word (i >> 6) is set iff xᵢ < 0 — the binary-quant
+  * convention: strictly negative sets the bit, so NaN, −0.0 and nulls
+  * land on 0 (the `x < 0` predicate an oracle can mirror verbatim).
+  * 32× compression (f32 → 1 bit); Hamming over the packed words
+  * ([[HammingPacked]]) approximates angle for roughly-centered data —
+  * the cheap first pass of a two-stage (scan → exact rerank) serving
+  * path. CodegenFallback for the same reason as [[L2Normalize]]:
+  * array-valued, encode-once ingest side, not a per-probe hot loop. */
+case class SignPack(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && x.getFloat(i) < 0f)
+        words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    ArrayData.toArrayData(words)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two [[SignPack]] codes: Σ popcount(aᵢ ⊕ bᵢ)
+  * over the common word prefix (mismatched lengths score the shared
+  * prefix, the house convention; null words contribute 0). Full
+  * whole-stage codegen — this IS the per-probe hot loop: one XOR and
+  * one POPCNT per 64 dimensions, fused into the scan stage. */
+case class HammingPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      val xw = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yw = if (y.isNullAt(i)) 0L else y.getLong(i)
+      acc += java.lang.Long.bitCount(xw ^ yw)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xw = ctx.freshName("xw")
+      val yw = ctx.freshName("yw")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $acc = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          long $xw = $a.isNullAt($i) ? 0L : $a.getLong($i);
+          long $yw = $b.isNullAt($i) ? 0L : $b.getLong($i);
+          $acc += java.lang.Long.bitCount($xw ^ $yw);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingPacked =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Σ aᵢ·bᵢ — dot product. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryVectorExpression {

@@ -92,6 +92,21 @@ object VectorFunctions {
 
   def floatBits(a: Column): Column = floatBitsUdf(a)
 
+  // ---- 1-bit (binary) quantization (the 32× compression path) ----
+
+  /** Sign-bit pack an ARRAY<FLOAT> into ARRAY<BIGINT> words (bit set ⇔
+    * element < 0); see [[SignPack]]. The encode step of the two-stage
+    * Hamming-scan → exact-rerank serving path
+    * ([[graft.operators.BinaryQuant]]). */
+  def signPack(a: Column): Column =
+    GraftBridge.column(SignPack(toFloatArr(a)))
+
+  /** Popcount Hamming between two [[signPack]] codes — one XOR+POPCNT
+    * per 64 dims, whole-stage codegen'd ([[HammingPacked]]). */
+  def hammingPacked(a: Column, b: Column): Column =
+    GraftBridge.column(HammingPacked(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   // ---- int8 scalar quantization (the 4× compression path) ----
   //
   // Symmetric per-vector linear quantization: scale = max|xᵢ|/127,
