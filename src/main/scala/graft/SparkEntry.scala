@@ -3236,6 +3236,29 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q191: MIXTURE WATERFILL — the data-recipe allocation step:
+    // per-source token availability (≤4 epochs) + integer priorities
+    // (p = 1 + len(source) % 3, a deterministic stand-in for a recipe
+    // table) waterfilled against a 3.5×-single-epoch token budget.
+    // The capped/uncapped decision is exact integer cross-
+    // multiplication over prefix sums (no float water level), so the
+    // oracle replays the whole closed form. The single collect is the
+    // 1-row budget scalar — model-artifact-sized by the house rule.
+    "q191_mixture_waterfill" -> ((s, d) => {
+      val toks = GraftSession.widen(Tables.documents(s, d))
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).cast("long").as("toks"))
+        .localCheckpoint()
+      val totalToks = toks.agg(sum(col("toks"))).head().getLong(0)
+      val domains = toks.select(col("source"),
+        (lit(1) + pmod(length(col("source")), lit(3))).as("p"),
+        (col("toks") * 4).as("cap"))
+      graft.operators.MixtureAlloc
+        .waterfill(domains, budget = 7L * totalToks / 2, domainCol = "source")
+        .orderBy(col("source"))
+    }),
+
     // q190: BINARY-QUANTIZED serving — sign-bit codes (32×), popcount
     // Hamming scan to top-c candidates, exact-cosine rerank to top-k.
     // Unlike the ANN family this approximate path is fully
@@ -5519,6 +5542,37 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q191: the oracle replays the closed-form waterfill — same bind
+    // order (cap/p asc, source tiebreak), same exact-integer capped
+    // predicate over exclusive prefix sums, same floor division for
+    // the uncapped draws. Aggregates cast to BIGINT (DuckDB sums to
+    // HUGEINT, which pandas mangles).
+    "q191_mixture_waterfill" ->
+      """WITH toks AS (
+           SELECT source, 1 + length(source) % 3 AS p,
+             sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::BIGINT AS toks
+           FROM documents GROUP BY source),
+         caps AS (SELECT source, p, 4 * toks AS cap FROM toks),
+         tot AS (SELECT sum(p)::BIGINT AS pp,
+                   ((7 * sum(toks)::BIGINT) // 2)::BIGINT AS b FROM toks),
+         f AS (
+           SELECT c.source, c.p, c.cap, t.pp, t.b,
+             coalesce(sum(c.cap) OVER w, 0)::BIGINT AS cumcap,
+             coalesce(sum(c.p) OVER w, 0)::BIGINT AS cump
+           FROM caps c, tot t
+           WINDOW w AS (ORDER BY c.cap::DOUBLE / c.p, c.source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT *, (cap * (pp - cump) < p * (b - cumcap)) AS capped FROM f),
+         ca AS (
+           SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)::BIGINT AS c,
+             coalesce(sum(CASE WHEN capped THEN p END), 0)::BIGINT AS pc
+           FROM g)
+         SELECT g.source, g.p, g.cap, g.capped,
+           (CASE WHEN g.capped THEN g.cap
+             ELSE (g.p * (g.b - ca.c)) // (g.pp - ca.pc) END)::BIGINT AS alloc,
+           round((CASE WHEN g.capped THEN g.cap
+             ELSE (g.p * (g.b - ca.c)) // (g.pp - ca.pc) END)::DOUBLE / g.b, 6) AS share
+         FROM g, ca ORDER BY g.source""",
     // q190: the oracle recomputes the sign bits with a list lambda
     // (bit ⇔ element < 0 — the SignPack convention), so the Hamming
     // scan, the top-c candidate cut (ham, id tiebreak), and the
