@@ -3236,6 +3236,20 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q192: MATRYOSHKA dim audit — overlap@10 between prefix-dim
+    // (16/32) top-k and full-dim (64) top-k per query: the number
+    // that picks a serving dim, computed in ONE corpus pass for all
+    // dims (dims explode on the broadcast side). Deterministic (exact
+    // cosine + id tiebreaks at every dim) → full oracle.
+    "q192_matryoshka_overlap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.Matryoshka.overlapReport(
+          emb, queries, k = 10, dims = Seq(16, 32), fullDim = 64)
+        .orderBy(col("dim"), col("query_id"))
+    }),
+
     // q191: MIXTURE WATERFILL — the data-recipe allocation step:
     // per-source token availability (≤4 epochs) + integer priorities
     // (p = 1 + len(source) % 3, a deterministic stand-in for a recipe
@@ -5542,6 +5556,33 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q192: every dim's top-k replayed with list_slice + cosine +
+    // (c DESC, id) row_number; overlap via LEFT join so a
+    // zero-overlap dim still reports 0
+    "q192_matryoshka_overlap" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         dims AS (SELECT unnest([16, 32, 64]) AS dim),
+         sc AS (
+           SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(list_slice(e.v, 1, d.dim),
+               list_slice(q.qv, 1, d.dim)) AS c
+           FROM e CROSS JOIN q CROSS JOIN dims d),
+         tk AS (
+           SELECT dim, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY dim, query_id
+               ORDER BY c DESC, neighbor_id) AS rk
+           FROM sc),
+         kk AS (SELECT dim, query_id, neighbor_id FROM tk WHERE rk <= 10),
+         fl AS (SELECT query_id, neighbor_id FROM kk WHERE dim = 64)
+         SELECT k.dim, k.query_id,
+           coalesce(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 END), 0)::BIGINT
+             AS overlap
+         FROM kk k LEFT JOIN fl f
+           ON k.query_id = f.query_id AND k.neighbor_id = f.neighbor_id
+         WHERE k.dim <> 64
+         GROUP BY k.dim, k.query_id
+         ORDER BY k.dim, k.query_id""",
     // q191: the oracle replays the closed-form waterfill — same bind
     // order (cap/p asc, source tiebreak), same exact-integer capped
     // predicate over exclusive prefix sums, same floor division for
