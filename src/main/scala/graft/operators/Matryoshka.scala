@@ -76,8 +76,12 @@ object Matryoshka {
       .select(col("dim"), col(queryId), col(corpusId).as("neighbor_id"),
         (-cosine(slice(col(corpusVec), lit(1), col("dim")),
           slice(col(queryVec), lit(1), col("dim")))).as("__neg"))
+    // settle the k·|q|·|dims|-row top-k ONCE: it feeds both the full-dim
+    // and prefix-dim legs, and an unsettled frame would re-execute the
+    // corpus scan per leg (the q186/q191 localCheckpoint discipline)
     val topk = graft.plans.TopKPerKey.perKey(
-      scored, Seq("dim", queryId), Seq("__neg", "neighbor_id"), k)
+        scored, Seq("dim", queryId), Seq("__neg", "neighbor_id"), k)
+      .localCheckpoint()
     val full = topk.filter(col("dim") === fullDim)
       .select(col(queryId).as("__qid"), col("neighbor_id").as("__nid"),
         lit(1L).as("__hit"))

@@ -23,7 +23,8 @@ class DeterminismSpec extends SparkSpec {
       "q152_quantile_buckets", "q155_temperature_mix", "q158_dedup_dashboard",
       "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select",
       "q164_hybrid_linear", "q165_distinct_ngrams", "q166_top_ngram",
-      "q167_dup_ngram")
+      "q167_dup_ngram", "q190_bq_rerank", "q191_mixture_waterfill",
+      "q192_matryoshka_overlap")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)

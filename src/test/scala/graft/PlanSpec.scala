@@ -416,4 +416,50 @@ class PlanSpec extends SparkSpec {
     assert(phys.contains("LeftSemi"),
       s"candidate restriction must be a semi-join:\n$phys")
   }
+
+  test("q190 binary-quant serving: corpus streams unshuffled through both passes") {
+    val p = planOf("q190_bq_rerank")
+    // query batch broadcasts out (pass 1), candidates broadcast back
+    // (pass 2) — the corpus side must never sort-merge or go cartesian
+    assert(p.contains("TopKPerKey"), "bounded heaps lost:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), "rerank joins must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q191 waterfill: report-sized window, scalar totals broadcast, no sort-merge") {
+    val p = planOf("q191_mixture_waterfill")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), "scalar joins must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("matryoshka serving: prefix pass broadcasts queries, rerank broadcasts candidates") {
+    // prefixRerank carries the full two-pass subtree in one lazy plan
+    // (overlapReport settles its probe stage behind a localCheckpoint,
+    // so q192's executed plan only shows the report tail — see below)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = graft.operators.Matryoshka.prefixRerank(emb, qs, 5, 20, 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "bounded heaps lost:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), "rerank joins must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q192 matryoshka audit tail: settled top-k, broadcast overlap join, partial aggs") {
+    val p = planOf("q192_matryoshka_overlap")
+    assert(p.contains("BroadcastHashJoin"), "overlap join must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe stage ran once at checkpoint time: the report tail must
+    // not rescan the corpus at all
+    assert(!p.contains("Scan parquet"), "corpus rescan in the report tail:\n" + p)
+  }
 }
