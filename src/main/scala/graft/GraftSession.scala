@@ -51,7 +51,7 @@ object GraftSession {
 
   /** Register graft's native SQL functions (usable from spark.sql). */
   def registerFunctions(s: SparkSession): Unit = {
-    import graft.functions.{CosineSimilarity, DotProduct, HammingPacked, SignPack, SqEucDistance}
+    import graft.functions.{AsymmetricBqDot, CosineSimilarity, DotProduct, HammingPacked, SignPack, SqEucDistance}
     import org.apache.spark.sql.GraftBridge
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sq_euc_dist", es => SqEucDistance(es(0), es(1)), "built-in")
@@ -59,6 +59,7 @@ object GraftSession {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sign_pack", es => SignPack(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hamming_packed", es => HammingPacked(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bq_asym_dot", es => AsymmetricBqDot(es(0), es(1)), "built-in")
     // Column-composition operators exposed to the SQL frontend: the
     // builder re-wraps the argument expressions as Columns, applies the
     // same composition the DataFrame API uses (single source of

