@@ -3236,6 +3236,41 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q194: IVF × binary-quant composition gate (the Faiss IVF+binary
+    // 100 TB serving shape): coarse cells prune the corpus, 32×
+    // asymmetric codes score within probed cells, exact rerank on the
+    // bounded candidate set. Constant-truth bits (q130's pattern —
+    // seeded kmeans → deterministic recall): recall@10 vs exact
+    // euclidean ≥ floor, and at full oversample the composition must
+    // EQUAL plain IVF (the candidate cut is the only approximation it
+    // adds).
+    "q194_ivf_bq_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val model = ivf16x4(s, d)
+      def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairsOf(graft.operators.KnnExact.knnBatch(e, queries, 10))
+      val bq = pairsOf(model.knnJoinBq(e, queries, topK = 10, c = 64))
+      val recall = (bq & truth).size.toDouble / truth.size
+      val n = e.count().toInt
+      val fullC = pairsOf(model.knnJoinBq(e, queries, topK = 10, c = n))
+      val plain = pairsOf(model.knnJoin(e, queries, topK = 10))
+      val plainRecall = (plain & truth).size.toDouble / truth.size
+      import s.implicits._
+      Seq(
+        // the composition's only OWN approximation is the candidate
+        // cut: exact at full oversample, and within 5pp of the plain
+        // IVF ceiling at c=64 (measured 0.633 vs 0.635 — the cell
+        // pruning dominates the loss, the 32× codes are nearly free)
+        ("bq_cut_within_5pp_of_ivf", if (recall >= plainRecall - 0.05) 1 else 0),
+        ("full_oversample_equals_ivf", if (fullC == plain) 1 else 0),
+        ("recall10_floor_060", if (recall >= 0.60) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q193: ASYMMETRIC binary-quant serving — the full-precision
     // query dotted against sign-reconstructed ±1 documents (Jégou's
     // asymmetric-distance idea on 1-bit codes): same 32× document
@@ -5570,6 +5605,13 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q194: constant-truth gate rows (q130's pattern)
+    "q194_ivf_bq_gate" ->
+      """SELECT * FROM (VALUES
+           ('bq_cut_within_5pp_of_ivf', 1),
+           ('full_oversample_equals_ivf', 1), ('recall10_floor_060', 1))
+           t(component, ok)
+         ORDER BY component""",
     // q193: the asymmetric first pass replayed term for term — the
     // ±1 reconstruction inside a list lambda, same sequential
     // accumulation order as the codegen'd loop

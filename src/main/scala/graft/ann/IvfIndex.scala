@@ -211,6 +211,59 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
         sqEucDist(col("__cv"), col("__qv")).as("dist"))
   }
 
+  /** IVF × binary-quant composition — the 100 TB serving shape (the
+    * Faiss IVF+binary layout): the coarse quantizer prunes to `nprobe`
+    * cells, a 32×-compressed ASYMMETRIC first pass
+    * ([[graft.functions.AsymmetricBqDot]]: full-precision query ×
+    * sign-reconstructed docs) scores inside the probed cells to top-c
+    * candidates per query, and exact squared-euclidean reranks to
+    * top-k — so the full-precision vectors are touched only for the
+    * |q|·c candidate set. Versus [[knnJoin]] the within-cell scan
+    * reads 1/32 of the bytes; versus flat [[graft.operators
+    * .BinaryQuant]] the cell equi-join prunes (nlist−nprobe)/nlist of
+    * the corpus before any scoring. Corpus rows live in their single
+    * home cell, so no candidate dedup is needed. Output
+    * (queryId, rank 1..k, neighbor_id, dist) — knnJoin's contract
+    * with the rank made explicit by the exact rerank. */
+  def knnJoinBq(
+      corpus: DataFrame, queries: DataFrame, topK: Int, c: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.{bqAsymDot, signPack, sqEucDist}
+    require(c >= topK, s"oversample c=$c must be >= topK=$topK")
+    val codes = assignCells(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        "__cv", 1)
+      .select(col("cell"), col("neighbor_id"), signPack(col("__cv")).as("__code"))
+    val q = assignCells(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
+      "__qv", nprobe)
+    // the wide query vector does NOT ride the within-cell scan rows —
+    // scored rows carry only (query_id, neighbor_id, score); both wide
+    // sides rejoin on the bounded candidate set below
+    val scored = q.join(codes, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bqAsymDot(col("__qv"), col("__code"))).as("__negasym"))
+    val cand = graft.plans.TopKPerKey.perKey(
+      scored, Seq("query_id"), Seq("__negasym", "neighbor_id"), c)
+    // exact rerank on the bounded candidate set only: candidates are
+    // the SMALL side — broadcast them back against the full-precision
+    // corpus so the wide vectors never shuffle
+    val withVec = corpus.join(
+        org.apache.spark.sql.functions.broadcast(cand),
+        corpus(corpusId) === cand("neighbor_id"))
+      .select(cand("query_id"), cand("neighbor_id"),
+        corpus(corpusVec).as("__cv"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv2"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cv"), col("__qv2")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(
+        withVec, "query_id", Seq("dist", "neighbor_id"), topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Distance-threshold ("radius") join via probed cells: same cell
     * equi-join as [[knnJoin]], tail = `dist ≤ maxDist` filter + pair
     * dedup ([[BucketSelfJoin.dedupRadius]]). Approximate like top-k

@@ -96,6 +96,27 @@ class PqSpec extends SparkSpec {
     assert(r >= 0.60, s"IVF-PQ recall $r")
   }
 
+  test("IVF×BQ join: full oversample ≡ plain IVF; bounded oversample keeps recall") {
+    import org.apache.spark.sql.functions.col
+    val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count().toInt
+    // at c = |corpus| the asym cut keeps every in-cell candidate, so the
+    // composition must EQUAL plain IVF — its only own approximation is
+    // the candidate cut
+    assert(pairs(ivf.knnJoinBq(emb, queries, topK = 10, c = n)) ===
+      pairs(ivf.knnJoin(emb, queries, topK = 10)))
+    val r = recallVsExact(ivf.knnJoinBq(emb, queries, topK = 10, c = 64), 10, queries)
+    assert(r >= 0.55, s"IVF×BQ recall $r")
+    // the plan must never go cartesian and must heap-bound the candidates
+    val p = ivf.knnJoinBq(emb, queries, topK = 10, c = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("standing compressed corpus: indexed IVF-PQ serve ≡ ad-hoc, no corpus-side exchange") {
     import spark.implicits._
     val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
