@@ -305,11 +305,25 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
       corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     graft.sources.Sinks.dropTable(spark, table + "_tombstones")
-    val c = assignCells(
+    graft.sources.Sinks.parquetBucketed(storeRows(corpus, corpusId, corpusVec),
+      table, buckets, Seq("cell"), Seq("cell"))
+  }
+
+  /** The standing-store row shape: (cell, neighbor_id, __cvec, __bq).
+    * The sign-packed `__bq` column (1/32 the vector's bytes) rides
+    * next to the vector so [[knnJoinStoreBq]]'s first pass can
+    * COLUMN-PRUNE the wide `__cvec` out of its scan — in a columnar
+    * store the 32× scan saving is a projection away, no sidecar
+    * table, and every lifecycle op (append/tombstone/compact) keeps
+    * code and vector in sync by construction. */
+  private def storeRows(corpus: DataFrame, corpusId: String,
+      corpusVec: String): DataFrame = {
+    import graft.functions.VectorFunctions.signPack
+    assignCells(
       corpus.select(col(corpusId).cast("long").as("neighbor_id"),
         col(corpusVec).as("__cvec")), "__cvec", 1)
-      .select(col("cell"), col("neighbor_id"), col("__cvec"))
-    graft.sources.Sinks.parquetBucketed(c, table, buckets, Seq("cell"), Seq("cell"))
+      .select(col("cell"), col("neighbor_id"), col("__cvec"),
+        signPack(col("__cvec")).as("__bq"))
   }
 
   /** Append a corpus delta to the standing store WITHOUT retraining:
@@ -322,15 +336,11 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
     * frozen-quantizer index. Dedup against the standing corpus is the
     * caller's choice (same contract as the forest's append). */
   def appendStore(delta: DataFrame, table: String, buckets: Int = 32,
-      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
-    val c = assignCells(
-      delta.select(col(corpusId).cast("long").as("neighbor_id"),
-        col(corpusVec).as("__cvec")), "__cvec", 1)
-      .select(col("cell"), col("neighbor_id"), col("__cvec"))
-    c.write.mode("append").format("parquet")
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit =
+    storeRows(delta, corpusId, corpusVec)
+      .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(table)
-  }
 
   /** Delete ids from the standing store: a tombstone append (the Bm25
     * removeDocs pattern) — O(delete batch), no store rewrite. Serving
@@ -380,6 +390,54 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
         .select(col("query_id"), col("neighbor_id"),
           sqEucDist(col("__cvec"), col("__qv")).as("dist")),
       topK)
+  }
+
+  /** [[knnJoinBq]] against the standing store — the shape you would
+    * actually run at 100 TB, with BOTH prunings visible in the plan:
+    *   - the query batch's probed cells become a LITERAL in-filter on
+    *     the bucket column (the champion-list move), so both passes
+    *     scan `SelectedBucketsCount ≈ |q|·nprobe` of the buckets, not
+    *     the whole store;
+    *   - the first pass projects (cell, neighbor_id, __bq) ONLY — the
+    *     wide `__cvec` is column-pruned out of the scan (PlanSpec pins
+    *     its ReadSchema), so the corpus-wide stage reads 1/32 of the
+    *     vector bytes; the exact rerank reads `__cvec` for the probed
+    *     buckets probed against a broadcast hashtable of the |q|·c
+    *     candidate ids.
+    * The probed-cell collect is |q|·nprobe ints (bounded, query-batch
+    * sized). Pending tombstones subtract before scoring, as in
+    * [[knnJoinStore]]. Result-identical to [[knnJoinBq]] over the same
+    * live corpus (frozen quantizer → same cells → same candidates;
+    * specced). */
+  def knnJoinStoreBq(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, topK: Int, c: Int,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import graft.functions.VectorFunctions.{bqAsymDot, sqEucDist}
+    require(c >= topK, s"oversample c=$c must be >= topK=$topK")
+    val q = assignCells(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
+        "__qv", nprobe)
+      .localCheckpoint()
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val live = AnnStores.liveRows(spark, table)
+      .filter(col("cell").isin(probed: _*))
+    val scored = q.join(live.select(col("cell"), col("neighbor_id"),
+        col("__bq")), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bqAsymDot(col("__qv"), col("__bq"))).as("__negasym"))
+    val cand = graft.plans.TopKPerKey.perKey(
+      scored, Seq("query_id"), Seq("__negasym", "neighbor_id"), c)
+    val withVec = live.select(col("neighbor_id"), col("__cvec"))
+      .join(org.apache.spark.sql.functions.broadcast(cand), Seq("neighbor_id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv2"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqEucDist(col("__cvec"), col("__qv2")).as("dist"))
+    graft.plans.TopKPerKey.rankedTopK(
+        withVec, "query_id", Seq("dist", "neighbor_id"), topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 }
 

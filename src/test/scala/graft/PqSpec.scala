@@ -117,6 +117,33 @@ class PqSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("standing-store BQ serve ≡ ad-hoc composition; bucket AND column pruning visible") {
+    import org.apache.spark.sql.functions.col
+    val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
+    val t = "graft_pqspec_bqstore"
+    ivf.saveStore(emb, t, buckets = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // frozen quantizer + same codes → store serve is bit-identical to ad-hoc
+    assert(pairs(ivf.knnJoinStoreBq(spark, t, queries, topK = 10, c = 64)) ===
+      pairs(ivf.knnJoinBq(emb, queries, topK = 10, c = 64)))
+    // tombstoned ids disappear immediately
+    val dropIds = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    ivf.removeStore(spark, t, dropIds)
+    val served = pairs(ivf.knnJoinStoreBq(spark, t, queries, topK = 10, c = 64))
+    assert(served.forall { case (_, nid) => nid % 5 != 0 }, "tombstoned id served")
+    // plan: probed cells prune buckets; the scoring scan never reads __cvec
+    val p = ivf.knnJoinStoreBq(spark, t, queries, topK = 10, c = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), "bucket pruning lost:\n" + p)
+    val bqScans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      .filter(_.contains("__bq"))
+    assert(bqScans.nonEmpty, "no scan reads the code column:\n" + p)
+    assert(bqScans.forall(!_.contains("__cvec")),
+      "the scoring scan must column-prune the vector:\n" + p)
+  }
+
   test("standing compressed corpus: indexed IVF-PQ serve ≡ ad-hoc, no corpus-side exchange") {
     import spark.implicits._
     val ivf = IvfIndex(nlist = 16, nprobe = 8, seed = 42L).fit(emb, "embedding")
