@@ -526,6 +526,17 @@ class IndexMaintenanceSpec extends SparkSpec {
     val b = spark.table(store + "_rebuilt")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "maintained IVF store diverged from a rebuild over the live corpus")
+    // the maintained store's sign-packed codes serve the 32× BQ path
+    // with zero extra maintenance: store-served ≡ ad-hoc over the live
+    // corpus (the TABLE-equality above already covers __bq; this pins
+    // the serving face end to end)
+    val bqQ = Seq((100L, vec(6, 1f))).toDF("query_id", "qvec")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id").collect().toSet
+    assert(
+      served(model.knnJoinStoreBq(spark, store, bqQ, topK = 3, c = 5)) ===
+      served(model.knnJoinBq(liveVecs, bqQ, topK = 3, c = 5,
+        corpusId = "doc_id", corpusVec = "embedding")))
 
     // the compressed leg: same ids, and the maintained IVF-PQ store is
     // TABLE-equal (cells + codes) to a fresh saveCorpusIvf of the live
