@@ -3236,6 +3236,47 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q195: RECIPE → SELECTION — the waterfill allocation (q191)
+    // driving an actual document draw: within each source, docs are
+    // ordered by the portable Knuth hash (the q47/q188 deterministic-
+    // shuffle arithmetic) and taken while the running token total
+    // stays within the source's allocation. Capped (4-epoch) sources
+    // take everything (their repeat demand shows as util 0.25 ≈ 1/4
+    // epochs); uncapped sources stop at the water line. The per-source
+    // prefix-sum window is the delivery-time exact form — the scale
+    // lever is a Bernoulli rate alloc/cap when a source's doc list
+    // outgrows one partition's window (same stance as the fplog note).
+    "q195_recipe_select" -> ((s, d) => {
+      val docs = GraftSession.widen(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+        .localCheckpoint()
+      val toks = docs.groupBy(col("source")).agg(sum(col("t")).as("toks"))
+      val totalToks = toks.agg(sum(col("toks"))).head().getLong(0)
+      val domains = toks.select(col("source"),
+        (lit(1) + pmod(length(col("source")), lit(3))).as("p"),
+        (col("toks") * 4).as("cap"))
+      val alloc = graft.operators.MixtureAlloc
+        .waterfill(domains, budget = 7L * totalToks / 2, domainCol = "source")
+        .select(col("source"), col("alloc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("__ord"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs
+        .withColumn("__ord",
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("__cum", sum(col("t")).over(w))
+        .join(broadcast(alloc), "source")
+        .filter(col("__cum") <= col("alloc"))
+        .groupBy(col("source"), col("alloc"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sel_tokens"))
+        .select(col("source"), col("n_docs"), col("sel_tokens"), col("alloc"),
+          round(col("sel_tokens").cast("double") / col("alloc"), 6).as("util"))
+        .orderBy(col("source"))
+    }),
+
     // q194: IVF × binary-quant composition gate (the Faiss IVF+binary
     // 100 TB serving shape): coarse cells prune the corpus, 32×
     // asymmetric codes score within probed cells, exact rerank on the
@@ -5605,6 +5646,48 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q195: q191's closed-form waterfill CTE chain, then the budgeted
+    // prefix-take replayed with the same Knuth ordering
+    "q195_recipe_select" ->
+      """WITH dt AS (
+           SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS t
+           FROM documents),
+         toks AS (SELECT source, 1 + length(source) % 3 AS p,
+             sum(t)::BIGINT AS toks
+           FROM dt GROUP BY source),
+         caps AS (SELECT source, p, 4 * toks AS cap FROM toks),
+         tot AS (SELECT sum(p)::BIGINT AS pp,
+                   ((7 * sum(toks)::BIGINT) // 2)::BIGINT AS b FROM toks),
+         f AS (
+           SELECT c.source, c.p, c.cap, t.pp, t.b,
+             coalesce(sum(c.cap) OVER w, 0)::BIGINT AS cumcap,
+             coalesce(sum(c.p) OVER w, 0)::BIGINT AS cump
+           FROM caps c, tot t
+           WINDOW w AS (ORDER BY c.cap::DOUBLE / c.p, c.source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT *, (cap * (pp - cump) < p * (b - cumcap)) AS capped FROM f),
+         ca AS (
+           SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)::BIGINT AS c,
+             coalesce(sum(CASE WHEN capped THEN p END), 0)::BIGINT AS pc
+           FROM g),
+         alloc AS (
+           SELECT g.source,
+             (CASE WHEN g.capped THEN g.cap
+               ELSE (g.p * (g.b - ca.c)) // (g.pp - ca.pc) END)::BIGINT AS alloc
+           FROM g, ca),
+         sel AS (
+           SELECT d.source, d.t,
+             sum(d.t) OVER (PARTITION BY d.source
+               ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM dt d)
+         SELECT s.source, count(*)::BIGINT AS n_docs,
+           sum(s.t)::BIGINT AS sel_tokens, a.alloc,
+           round(sum(s.t)::DOUBLE / a.alloc, 6) AS util
+         FROM sel s JOIN alloc a USING (source)
+         WHERE s.cum <= a.alloc
+         GROUP BY s.source, a.alloc ORDER BY s.source""",
     // q194: constant-truth gate rows (q130's pattern)
     "q194_ivf_bq_gate" ->
       """SELECT * FROM (VALUES

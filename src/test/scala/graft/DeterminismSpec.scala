@@ -24,7 +24,7 @@ class DeterminismSpec extends SparkSpec {
       "q160_stream_maintain", "q162_sql_curation", "q163_dsir_select",
       "q164_hybrid_linear", "q165_distinct_ngrams", "q166_top_ngram",
       "q167_dup_ngram", "q190_bq_rerank", "q191_mixture_waterfill",
-      "q192_matryoshka_overlap")
+      "q192_matryoshka_overlap", "q195_recipe_select")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] =
       qs.map(q => q -> SparkEntry.queries(q)(spark, sf0001)
