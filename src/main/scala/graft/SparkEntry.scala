@@ -3236,6 +3236,18 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q196: HARD-negative mining (DPR/SimCSE recipe) — for each
+    // labeled anchor, the top-5 most-similar DIFFERENT-label vectors
+    // plus the margin to its nearest same-label vector. One corpus
+    // pass: a single (anchor, same_label)-keyed bounded heap serves
+    // both legs. Deterministic → full oracle.
+    "q196_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") % 25 === 0)
+      graft.operators.Contrastive.hardNegatives(e, anchors, k = 5)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // q195: RECIPE → SELECTION — the waterfill allocation (q191)
     // driving an actual document draw: within each source, docs are
     // ordered by the portable Knuth hash (the q47/q188 deterministic-
@@ -5646,6 +5658,27 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q196: both legs replayed from one (anchor, same)-partitioned
+    // row_number — the oracle mirror of the composite-key heap
+    "q196_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         a AS (SELECT vec_id AS anchor_id, label AS albl, v AS av
+           FROM e WHERE vec_id % 25 = 0),
+         j AS (
+           SELECT a.anchor_id, e.vec_id AS neg_id,
+             (e.label = a.albl) AS same,
+             list_cosine_similarity(e.v, a.av) AS c
+           FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+         t AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+             ORDER BY c DESC, neg_id) AS rank
+           FROM j),
+         p AS (SELECT anchor_id, c AS poscos FROM t WHERE same AND rank = 1)
+         SELECT t.anchor_id, t.rank, t.neg_id, round(t.c, 4) AS neg_cos,
+           round(p.poscos - t.c, 4) AS margin
+         FROM t LEFT JOIN p USING (anchor_id)
+         WHERE NOT t.same AND t.rank <= 5
+         ORDER BY t.anchor_id, t.rank""",
     // q195: q191's closed-form waterfill CTE chain, then the budgeted
     // prefix-take replayed with the same Knuth ordering
     "q195_recipe_select" ->

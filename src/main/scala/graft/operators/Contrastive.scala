@@ -88,4 +88,53 @@ object Contrastive {
           .when(col("__dup").isNotNull, 0)
           .otherwise(1).as("neg_clean"))
   }
+
+  /** HARD-negative mining — the other half of the contrastive data
+    * story ([[tripletsFromPairs]] draws RANDOM negatives; retrieval-
+    * quality training wants the negatives the model currently confuses,
+    * the DPR/SimCSE hard-negative recipe): for each labeled anchor,
+    * the top-`k` most-cosine-similar vectors with a DIFFERENT label,
+    * plus the margin to the anchor's nearest SAME-label vector (the
+    * number a curriculum thresholds on — a negative inside the margin
+    * is "hard").
+    *
+    * ONE corpus pass for both legs: the broadcast anchor batch joins
+    * the corpus once, self-pairs drop, and a single bounded heap keyed
+    * by (anchor, same_label) cuts to k rows per leg — negatives are the
+    * same=false leg, the positive is the same=true leg's rank 1; no
+    * second scan, no window over the corpus. Deterministic (exact
+    * cosine, id tiebreaks) → fully SQL-mirrorable.
+    *
+    * Output: (anchor_id, rank 1..k, neg_id, neg_cos, margin) with
+    * margin = pos₁_cos − neg_cos (rounded 4dp; NULL if the anchor's
+    * label has no other member).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"), col(labelCol).as("__albl"))
+    val joined = graft.GraftSession.widen(corpus).crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col(idCol).as("neg_id"),
+        (col(labelCol) === col("__albl")).as("__same"),
+        (-cosine(col(vecCol), col("__avec"))).as("__negcos"))
+    // composite-key rankedTopK: heap-prune per (anchor, same_label),
+    // then a rank window over the ≤k surviving rows per group
+    val pruned = graft.plans.TopKPerKey.perKey(
+      joined, Seq("anchor_id", "__same"), Seq("__negcos", "neg_id"), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"), col("__same"))
+      .orderBy(col("__negcos"), col("neg_id"))
+    val top = pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val pos = top.filter(col("__same") && col("rank") === 1)
+      .select(col("anchor_id"), (-col("__negcos")).as("__poscos"))
+    top.filter(!col("__same"))
+      .join(broadcast(pos), Seq("anchor_id"), "left_outer")
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        round(-col("__negcos"), 4).as("neg_cos"),
+        round(col("__poscos") - (-col("__negcos")), 4).as("margin"))
+  }
 }

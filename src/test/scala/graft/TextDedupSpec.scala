@@ -265,4 +265,30 @@ class TextDedupSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 3L)))
     assert(r.getString(4) === md5("m n o"))
   }
+
+  test("hard negatives: labels respected, margin vs hand-built geometry, no self-pairs") {
+    import org.apache.spark.sql.functions.col
+    // axis-aligned geometry: label 0 near x-axis, label 1 near y-axis;
+    // anchor 0 = (1, 0). Nearest same-label = 1 (cos .9806 highest in
+    // label 0), hardest negative = 3 (the y-ish vector leaning to x).
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(5f, 1f), 0), (2L, Array(1f, 1f), 0),
+      (3L, Array(1f, 2f), 1), (4L, Array(0f, 1f), 1), (5L, Array(-1f, 4f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") === 0)
+    val got = graft.operators.Contrastive.hardNegatives(emb, anchors, k = 2)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(3L, 4L), "negative ranking")
+    assert(got.forall(_.getLong(2) != 0L), "self excluded")
+    // pos1 = id 1: cos = 5/sqrt(26); neg1 = id 3: cos = 1/sqrt(5)
+    val margin = got.head.getDouble(4)
+    val want = 5.0 / math.sqrt(26) - 1.0 / math.sqrt(5)
+    assert(math.abs(margin - (math.rint(want * 1e4) / 1e4)) < 1e-9, s"margin $margin")
+    // an anchor whose label has no other member: margin is NULL, negatives still rank
+    val lone = emb.filter(col("vec_id") === 5).withColumn("label", col("label") * 0 + 7)
+    val g2 = graft.operators.Contrastive
+      .hardNegatives(emb.filter(col("vec_id") =!= 5).unionByName(lone), lone, k = 2)
+      .collect()
+    assert(g2.length === 2 && g2.forall(_.isNullAt(4)), "lone-label margin must be NULL")
+  }
 }
