@@ -14,7 +14,11 @@ object ProbeR9Times {
       "q179_maxmatch_ids", "q180_unigram_ids", "q181_tokenizer_gates",
       "q182_orc_roundtrip", "q183_shard_manifest", "q184_sql_tokenize",
       "q185_shard_refresh", "q186_tokenizer_fertility",
-      "q187_maintained_champions")
+      "q187_maintained_champions",
+      // the round-9 second wave (serving + recipe layer)
+      "q188_span_corruption", "q189_html_extract", "q190_bq_rerank",
+      "q191_mixture_waterfill", "q192_matryoshka_overlap", "q193_bq_asym",
+      "q194_ivf_bq_gate", "q195_recipe_select", "q196_hard_negatives")
     qs.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       def once(): Double = {
