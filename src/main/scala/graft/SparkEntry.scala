@@ -3236,6 +3236,38 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q197: EMBEDDING near-dup, sub-quadratic — the q31 pigeonhole
+    // discipline on sign-bit codes: Hamming(signPack) ≤ 7 means at
+    // least one of 8 disjoint bands is IDENTICAL, so the banded
+    // equi-join finds every qualifying pair exactly (no recall loss
+    // to gate) and only candidate buckets pay a pair join. Reuses the
+    // simhash band machinery verbatim on embedding fingerprints. The
+    // fixture's random vectors yield no organic ham≤7 pairs, so the
+    // corpus unions deterministic sign-jittered copies (flip the
+    // first id%5 dims — the q131/q140 synthetic-payload pattern);
+    // exact cosine reported per surviving pair.
+    "q197_bq_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val kJ = pmod(col("vec_id"), lit(5)).cast("int")
+      val jit = e.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          transform(slice(col("embedding"), lit(1), kJ), x => -x),
+          slice(col("embedding"), kJ + 1, size(col("embedding")) - kJ))
+          .as("embedding"))
+      val u = e.unionByName(jit).localCheckpoint()
+      val fp = u.select(col("vec_id").as("id"),
+        element_at(graft.functions.VectorFunctions.signPack(col("embedding")), 1)
+          .as("fp"))
+        .localCheckpoint()
+      TextDedup.simhashPairsBandedFp(fp, maxHamming = 7)
+        .join(u.select(col("vec_id").as("id_a"), col("embedding").as("__va")), "id_a")
+        .join(u.select(col("vec_id").as("id_b"), col("embedding").as("__vb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("ham"),
+          round(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")), 4)
+            .as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q196: HARD-negative mining (DPR/SimCSE recipe) — for each
     // labeled anchor, the top-5 most-similar DIFFERENT-label vectors
     // plus the margin to its nearest same-label vector. One corpus
@@ -5658,6 +5690,24 @@ object SparkEntry {
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
     // q189: the same synthesized markup put through the same strip
     // chain, operation for operation (RE2-safe patterns, &amp; last)
+    // q197: brute replay — the banded join is pigeonhole-EXACT at
+    // ham ≤ 7, so the oracle's all-pairs form must match it row for row
+    "q197_bq_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         jit AS (SELECT vec_id + 100000 AS vec_id,
+             list_concat(
+               list_transform(v[1:(vec_id % 5)], x -> -x),
+               v[(vec_id % 5) + 1:]) AS v
+           FROM e),
+         u AS (SELECT * FROM e UNION ALL SELECT * FROM jit),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             len(list_filter(range(1, len(a.v) + 1),
+                 i -> (a.v[i] < 0) <> (b.v[i] < 0))) AS ham,
+             list_cosine_similarity(a.v, b.v) AS c
+           FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, ham, round(c, 4) AS cos
+         FROM pairs WHERE ham <= 7 ORDER BY id_a, id_b""",
     // q196: both legs replayed from one (anchor, same)-partitioned
     // row_number — the oracle mirror of the composite-key heap
     "q196_hard_negatives" ->

@@ -266,6 +266,22 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getString(4) === md5("m n o"))
   }
 
+  test("banded sign-code near-dup: pigeonhole boundary at ham 7 vs 8") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    def v(flips: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < flips) -1f else 1f)
+    val emb = Seq((0L, v(0)), (1L, v(7)), (2L, v(8)))
+      .toDF("vec_id", "embedding")
+    val fp = emb.select(col("vec_id").as("id"),
+      element_at(graft.functions.VectorFunctions.signPack(col("embedding")), 1)
+        .as("fp"))
+    val got = TextDedup.simhashPairsBandedFp(fp, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 0-1: ham 7 (included, exactly at the bound); 1-2: ham 1;
+    // 0-2: ham 8 — excluded by the threshold, NOT by a missed band
+    assert(got === Set((0L, 1L, 7), (1L, 2L, 1)))
+  }
+
   test("hard negatives: labels respected, margin vs hand-built geometry, no self-pairs") {
     import org.apache.spark.sql.functions.col
     // axis-aligned geometry: label 0 near x-axis, label 1 near y-axis;
