@@ -3236,6 +3236,38 @@ object SparkEntry {
     // text — the whole strip is a codegen'd regexp/replace chain the
     // oracle mirrors operation for operation, so a missed block, a
     // tag leak, or an entity double-decode breaks the hash.
+    // q198: the asymmetric BQ pipeline through the SQL frontend (the
+    // q162/q173/q178/q184 three-surface discipline for the new
+    // serving layer): sign_pack / bq_asym_dot / cosine_sim as
+    // registered functions, candidate cut and rerank as plain window
+    // SQL — hash-matched to q193's DataFrame path by sharing its
+    // oracle verbatim.
+    "q198_sql_bq" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("bq_embeddings")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM bq_embeddings WHERE vec_id % 50 = 0),
+        codes AS (SELECT vec_id, embedding, sign_pack(embedding) AS bq
+               FROM bq_embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+            bq_asym_dot(q.qvec, c.bq) AS asym,
+            cosine_sim(c.embedding, q.qvec) AS cos
+          FROM codes c CROSS JOIN q),
+        cand AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY asym DESC, neighbor_id) AS ark
+          FROM scored),
+        rer AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand WHERE ark <= 50)
+        SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        FROM rer WHERE rank <= 10 ORDER BY query_id, rank""")
+    }),
+
     // q197: EMBEDDING near-dup, sub-quadratic — the q31 pigeonhole
     // discipline on sign-bit codes: Hamming(signPack) ≤ 7 means at
     // least one of 8 disjoint bands is IDENTICAL, so the banded
@@ -3965,6 +3997,29 @@ object SparkEntry {
   val benchAssetQueries: Seq[String] = Seq(
     "q179_maxmatch_ids", "q183_shard_manifest", "q186_tokenizer_fertility",
     "q188_span_corruption", "q189_html_extract")
+
+  /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
+    * the same pipeline): one truth, two engine-side surfaces. */
+  private val bqAsymOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       p AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(e.v) + 1),
+             i -> q.qv[i] * (CASE WHEN e.v[i] < 0 THEN -1 ELSE 1 END))) AS asym,
+           list_cosine_similarity(e.v, q.qv) AS c
+         FROM e CROSS JOIN q),
+       cand AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY asym DESC, neighbor_id) AS ark
+         FROM p),
+       rer AS (
+         SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY c DESC, neighbor_id) AS rank
+         FROM cand WHERE ark <= 50)
+       SELECT query_id, rank, neighbor_id, round(c, 4) AS cos
+       FROM rer WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** TPC-H Q3 shape in dialect-neutral SQL — executed verbatim by BOTH
     * Spark (q54 query) and DuckDB (q54 oracle). */
@@ -5781,26 +5836,10 @@ object SparkEntry {
     // q193: the asymmetric first pass replayed term for term — the
     // ±1 reconstruction inside a list lambda, same sequential
     // accumulation order as the codegen'd loop
-    "q193_bq_asym" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-         p AS (
-           SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> q.qv[i] * (CASE WHEN e.v[i] < 0 THEN -1 ELSE 1 END))) AS asym,
-             list_cosine_similarity(e.v, q.qv) AS c
-           FROM e CROSS JOIN q),
-         cand AS (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY asym DESC, neighbor_id) AS ark
-           FROM p),
-         rer AS (
-           SELECT query_id, neighbor_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, neighbor_id) AS rank
-           FROM cand WHERE ark <= 50)
-         SELECT query_id, rank, neighbor_id, round(c, 4) AS cos
-         FROM rer WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q193_bq_asym" -> bqAsymOracleSql,
+    // q198: the SQL-frontend face of the same pipeline — one oracle,
+    // DataFrame and spark.sql surfaces both hash against it
+    "q198_sql_bq" -> bqAsymOracleSql,
     // q192: every dim's top-k replayed with list_slice + cosine +
     // (c DESC, id) row_number; overlap via LEFT join so a
     // zero-overlap dim still reports 0
