@@ -3998,6 +3998,14 @@ object SparkEntry {
     "q179_maxmatch_ids", "q183_shard_manifest", "q186_tokenizer_fertility",
     "q188_span_corruption", "q189_html_extract")
 
+  /** Fourth bench group (round 9): the compression-serving + mining
+    * layer — both binary-quant passes, the matryoshka audit, hard
+    * negatives, and the banded embedding near-dup. First recorded the
+    * round it was born, so every later round sees its regressions. */
+  val benchServingQueries: Seq[String] = Seq(
+    "q190_bq_rerank", "q192_matryoshka_overlap", "q193_bq_asym",
+    "q196_hard_negatives", "q197_bq_neardup")
+
   /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
     * the same pipeline): one truth, two engine-side surfaces. */
   private val bqAsymOracleSql: String =
