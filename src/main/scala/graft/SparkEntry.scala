@@ -3229,13 +3229,6 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
-    // q189: HTML → text extraction (the WET step) under the hash
-    // gate: deterministic markup is synthesized around the fixture
-    // text (inline tags at every " the ", a wrapper div, a script
-    // block and entity tail), then stripHtml must recover the clean
-    // text — the whole strip is a codegen'd regexp/replace chain the
-    // oracle mirrors operation for operation, so a missed block, a
-    // tag leak, or an entity double-decode breaks the hash.
     // q198: the asymmetric BQ pipeline through the SQL frontend (the
     // q162/q173/q178/q184 three-surface discipline for the new
     // serving layer): sign_pack / bq_asym_dot / cosine_sim as
@@ -3280,6 +3273,12 @@ object SparkEntry {
     // exact cosine reported per surviving pair.
     "q197_bq_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // the single-word fingerprint (and the 8-band pigeonhole bound)
+      // covers 64 dims; a wider corpus needs banding over EVERY
+      // signPack word — fail loudly rather than under-count Hamming
+      val dim = e.agg(max(size(col("embedding")))).head().getInt(0)
+      require(dim <= 64,
+        s"q197's single-word sign fingerprint covers <=64 dims, corpus has $dim")
       val kJ = pmod(col("vec_id"), lit(5)).cast("int")
       val jit = e.select((col("vec_id") + 100000L).as("vec_id"),
         concat(
@@ -3454,6 +3453,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q189: HTML → text extraction (the WET step) under the hash
+    // gate: deterministic markup is synthesized around the fixture
+    // text (inline tags at every " the ", a wrapper div, a script
+    // block and entity tail), then stripHtml must recover the clean
+    // text — the whole strip is a codegen'd regexp/replace chain the
+    // oracle mirrors operation for operation, so a missed block, a
+    // tag leak, or an entity double-decode breaks the hash.
     "q189_html_extract" -> ((s, d) => {
       val html = concat(
         lit("""<div class="doc"><!-- c --><p>"""),
@@ -5751,8 +5757,6 @@ object SparkEntry {
            FROM scored JOIN cand USING (doc_id))
          SELECT rank, doc_id, n_matched, bm25
          FROM tiered WHERE rank <= 10 ORDER BY rank""",
-    // q189: the same synthesized markup put through the same strip
-    // chain, operation for operation (RE2-safe patterns, &amp; last)
     // q197: brute replay — the banded join is pigeonhole-EXACT at
     // ham ≤ 7, so the oracle's all-pairs form must match it row for row
     "q197_bq_neardup" ->
@@ -5931,6 +5935,8 @@ object SparkEntry {
            FROM cand WHERE hrk <= 50)
          SELECT query_id, rank, neighbor_id, ham, round(c, 4) AS cos
          FROM rer WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q189: the same synthesized markup put through the same strip
+    // chain, operation for operation (RE2-safe patterns, &amp; last)
     "q189_html_extract" ->
       """WITH h AS (
            SELECT doc_id,

@@ -246,17 +246,27 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
         (-bqAsymDot(col("__qv"), col("__code"))).as("__negasym"))
     val cand = graft.plans.TopKPerKey.perKey(
       scored, Seq("query_id"), Seq("__negasym", "neighbor_id"), c)
-    // exact rerank on the bounded candidate set only: candidates are
-    // the SMALL side — broadcast them back against the full-precision
-    // corpus so the wide vectors never shuffle
-    val withVec = corpus.join(
-        org.apache.spark.sql.functions.broadcast(cand),
-        corpus(corpusId) === cand("neighbor_id"))
-      .select(cand("query_id"), cand("neighbor_id"),
-        corpus(corpusVec).as("__cv"))
-      .join(org.apache.spark.sql.functions.broadcast(
+    rerankEuclid(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+      queries, cand, topK, queryId, queryVec)
+  }
+
+  /** Exact-euclid rerank tail shared by [[knnJoinBq]] and
+    * [[knnJoinStoreBq]] (one rerank discipline, one code path — the
+    * BinaryQuant/Matryoshka cosine tail's euclidean sibling): `vecs` =
+    * (neighbor_id, __cv) full-precision rows; the bounded candidate
+    * set and the query batch broadcast against them, so the wide
+    * vectors never shuffle. */
+  private def rerankEuclid(vecs: DataFrame, queries: DataFrame,
+      cand: DataFrame, topK: Int, queryId: String, queryVec: String): DataFrame = {
+    import graft.functions.VectorFunctions.sqEucDist
+    import org.apache.spark.sql.functions.broadcast
+    val withVec = vecs
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(
         queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv2"))),
-        "query_id")
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEucDist(col("__cv"), col("__qv2")).as("dist"))
     graft.plans.TopKPerKey.rankedTopK(
@@ -334,7 +344,10 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
     * zero-exchange serving join survives growth. Re-fit when cell
     * occupancy drifts far out of balance, as with any
     * frozen-quantizer index. Dedup against the standing corpus is the
-    * caller's choice (same contract as the forest's append). */
+    * caller's choice (same contract as the forest's append). A store
+    * persisted BEFORE the `__bq` code column existed cannot take
+    * appends (parquet append requires a matching schema — the write
+    * fails loudly); rewrite it once via [[saveStore]]. */
   def appendStore(delta: DataFrame, table: String, buckets: Int = 32,
       corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit =
     storeRows(delta, corpusId, corpusVec)
@@ -412,8 +425,17 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
   def knnJoinStoreBq(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, topK: Int, c: Int,
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
-    import graft.functions.VectorFunctions.{bqAsymDot, sqEucDist}
+    import graft.functions.VectorFunctions.bqAsymDot
     require(c >= topK, s"oversample c=$c must be >= topK=$topK")
+    // schema guard: a store persisted before the code column existed
+    // has (cell, neighbor_id, __cvec) only — fail loudly with the
+    // migration path instead of an unresolved-column error (or, worse,
+    // null-scored legacy rows poisoning the candidate heaps under a
+    // merged schema)
+    require(spark.table(table).columns.contains("__bq"),
+      s"standing store '$table' predates the sign-code column __bq; " +
+        "rewrite it via saveStore (or compactStore after re-append) " +
+        "before serving knnJoinStoreBq")
     val q = assignCells(
         queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
         "__qv", nprobe)
@@ -428,16 +450,9 @@ class IvfModel(val centroids: Array[Array[Float]], val nprobe: Int)
         (-bqAsymDot(col("__qv"), col("__bq"))).as("__negasym"))
     val cand = graft.plans.TopKPerKey.perKey(
       scored, Seq("query_id"), Seq("__negasym", "neighbor_id"), c)
-    val withVec = live.select(col("neighbor_id"), col("__cvec"))
-      .join(org.apache.spark.sql.functions.broadcast(cand), Seq("neighbor_id"))
-      .join(org.apache.spark.sql.functions.broadcast(
-        queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv2"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        sqEucDist(col("__cvec"), col("__qv2")).as("dist"))
-    graft.plans.TopKPerKey.rankedTopK(
-        withVec, "query_id", Seq("dist", "neighbor_id"), topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+    rerankEuclid(
+      live.select(col("neighbor_id"), col("__cvec").as("__cv")),
+      queries, cand, topK, queryId, queryVec)
   }
 }
 

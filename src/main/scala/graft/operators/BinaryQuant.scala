@@ -89,11 +89,13 @@ object BinaryQuant {
       carry = Seq.empty)
   }
 
-  /** Pass 2 shared by both first passes: candidates (|q|·c rows) — the
-    * SMALL side now — broadcast against the full-precision corpus, so
-    * the wide vectors never shuffle; exact cosine orders the top-k.
-    * `carry` = pass-1 columns to keep in the output. */
-  private def rerank(corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+  /** Pass 2 shared by both first passes AND by
+    * [[Matryoshka.prefixRerank]] (one rerank discipline, one code
+    * path): candidates (|q|·c rows) — the SMALL side now — broadcast
+    * against the full-precision corpus, so the wide vectors never
+    * shuffle; exact cosine orders the top-k. `carry` = pass-1 columns
+    * to keep in the output. */
+  private[operators] def rerank(corpus: DataFrame, queries: DataFrame, cand: DataFrame,
       k: Int, corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, carry: Seq[String]): DataFrame = {
     val withVec = corpus.join(broadcast(cand),

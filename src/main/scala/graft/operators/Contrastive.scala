@@ -120,15 +120,8 @@ object Contrastive {
       .select(col("anchor_id"), col(idCol).as("neg_id"),
         (col(labelCol) === col("__albl")).as("__same"),
         (-cosine(col(vecCol), col("__avec"))).as("__negcos"))
-    // composite-key rankedTopK: heap-prune per (anchor, same_label),
-    // then a rank window over the ≤k surviving rows per group
-    val pruned = graft.plans.TopKPerKey.perKey(
+    val top = graft.plans.TopKPerKey.rankedTopKMulti(
       joined, Seq("anchor_id", "__same"), Seq("__negcos", "neg_id"), k)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"), col("__same"))
-      .orderBy(col("__negcos"), col("neg_id"))
-    val top = pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
     val pos = top.filter(col("__same") && col("rank") === 1)
       .select(col("anchor_id"), (-col("__negcos")).as("__poscos"))
     top.filter(!col("__same"))

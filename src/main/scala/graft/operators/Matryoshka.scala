@@ -43,17 +43,9 @@ object Matryoshka {
           slice(col(queryVec), 1, dPrefix))).as("__negpre"))
     val cand = graft.plans.TopKPerKey.perKey(
       pre, Seq(queryId), Seq("__negpre", "neighbor_id"), c)
-    val withVec = corpus.join(broadcast(cand),
-        corpus(corpusId) === cand("neighbor_id"))
-      .select(cand(queryId), cand("neighbor_id"), corpus(corpusVec).as("__vec"))
-    val scored = withVec.join(broadcast(queries), queryId)
-      .select(col(queryId), col("neighbor_id"),
-        cosine(col("__vec"), col(queryVec)).as("__cos"))
-      .withColumn("__negcos", -col("__cos"))
-    graft.plans.TopKPerKey.rankedTopK(
-        scored, queryId, Seq("__negcos", "neighbor_id"), k)
-      .select(col(queryId), col("rank"), col("neighbor_id"),
-        round(col("__cos"), 4).as("cos"))
+    // one rerank discipline, one code path — shared with BinaryQuant
+    BinaryQuant.rerank(corpus, queries, cand, k,
+      corpusId, corpusVec, queryId, queryVec, carry = Seq.empty)
   }
 
   /** The dim-selection audit: for every prefix dim d in `dims`,

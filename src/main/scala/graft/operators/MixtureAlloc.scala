@@ -39,6 +39,12 @@ object MixtureAlloc {
       domainCol: String = "domain", capCol: String = "cap",
       pCol: String = "p"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // p ≤ 0 would flip the cross-multiplied capped predicate's
+    // direction and poison the bind-order sort — fail fast instead of
+    // allocating silently wrong (domains is report-sized, the check is
+    // one tiny job)
+    require(domains.filter(col(pCol) <= 0).isEmpty,
+      s"every $pCol priority must be positive")
     val totals = domains.agg(sum(col(pCol)).cast("long").as("__P"))
     // exclusive prefix sums in bind order (cap/p asc, domain tiebreak)
     val pre = Window

@@ -122,13 +122,22 @@ object TopKPerKey {
     * keeps exactly the rows the window would rank. */
   def rankedTopK(
       df: org.apache.spark.sql.DataFrame,
-      keyCol: String, orderAsc: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+      keyCol: String, orderAsc: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    rankedTopKMulti(df, Seq(keyCol), orderAsc, k)
+
+  /** [[rankedTopK]] for a COMPOSITE key (e.g. hardNegatives'
+    * (anchor, same_label) legs): same heap-prune + bounded rank
+    * window, partitioned by all key columns. No rank filter needed:
+    * the heap already bounds each group to k rows, so row_number can
+    * never exceed k. */
+  def rankedTopKMulti(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], orderAsc: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, row_number}
-    val pruned = perKey(df, Seq(keyCol), orderAsc, k)
+    val pruned = perKey(df, keyCols, orderAsc, k)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(orderAsc.map(col): _*)
+      .partitionBy(keyCols.map(col): _*).orderBy(orderAsc.map(col): _*)
     pruned.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** df rows reduced to the k smallest per key under the ascending
