@@ -51,6 +51,13 @@ object SparkEntry {
       graft.ann.PqIndex(m = 16, seed = 42L).fit(Tables.embeddings(s, d))
     }
 
+  /** The (m 12, efC 64, 4 shards, seed 42) NSW graph (q199). */
+  private def nsw4(s: SparkSession, d: String): graft.ann.NswModel =
+    graft.sources.StoreCache.model(s"nsw|12|64|4|42|$d") {
+      graft.ann.NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+        .fit(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
   /** The (nlist 16, nprobe 4, seed 42) IVF quantizer (q37/q83). */
   private def ivf16x4(s: SparkSession, d: String): graft.ann.IvfModel =
     graft.sources.StoreCache.model(s"ivf|16|4|42|$d") {
@@ -3261,6 +3268,34 @@ object SparkEntry {
         FROM rer WHERE rank <= 10 ORDER BY query_id, rank""")
     }),
 
+    // q199: the GRAPH-family ANN backend (NSW small-world) under the
+    // constant-truth gate — recall/MRR/nDCG floors vs the exact
+    // oracle, the q130 pattern for the sixth backend. Four hash
+    // shards build independent in-memory proximity graphs in one
+    // mapPartitions pass; the query batch beam-searches every shard
+    // and a global top-k merges the union, so the gate also certifies
+    // the cross-shard merge (a dropped shard or a broken merge floors
+    // recall immediately).
+    "q199_nsw_gate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val results = nsw4(s, d).knnJoin(queries, topK = 10, ef = 80)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val truth = graft.operators.KnnExact.knnBatch(e, queries, 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          (lit(11) - col("rank")).cast("double").as("grade"))
+      val m = graft.operators.RetrievalEval.metrics(results, truth, k = 10)
+        .agg(avg(col("recall")).as("r"), avg(col("mrr")).as("m"), avg(col("ndcg")).as("n"))
+        .head()
+      import s.implicits._
+      Seq(
+        ("mrr_self_exact", if (m.getDouble(1) == 1.0) 1 else 0),
+        ("ndcg10_floor_090", if (m.getDouble(2) >= 0.90) 1 else 0),
+        ("recall10_floor_090", if (m.getDouble(0) >= 0.90) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q197: EMBEDDING near-dup, sub-quadratic — the q31 pigeonhole
     // discipline on sign-bit codes: Hamming(signPack) ≤ 7 means at
     // least one of 8 disjoint bands is IDENTICAL, so the banded
@@ -5852,6 +5887,13 @@ object SparkEntry {
     // q198: the SQL-frontend face of the same pipeline — one oracle,
     // DataFrame and spark.sql surfaces both hash against it
     "q198_sql_bq" -> bqAsymOracleSql,
+    // q199: constant-truth gate bits (recall floors measured in-engine
+    // against the exact oracle; a floor breach flips the hash)
+    "q199_nsw_gate" ->
+      """SELECT * FROM (VALUES
+           ('mrr_self_exact', 1), ('ndcg10_floor_090', 1),
+           ('recall10_floor_090', 1)) t(component, ok)
+         ORDER BY component""",
     // q192: every dim's top-k replayed with list_slice + cosine +
     // (c DESC, id) row_number; overlap via LEFT join so a
     // zero-overlap dim still reports 0

@@ -1,0 +1,253 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Navigable-small-world (NSW) graph ANN — the graph-family backend
+  * next to the hyperplane forest ([[AnnForest]]/[[DistributedAnnForest]]),
+  * the coarse quantizer ([[IvfIndex]]) and the compressed forms
+  * ([[PqIndex]], SQ8, binary sign codes). Covers the same query surface
+  * as the reference's `search_approximate` (`lib.rs:130-149`) with a
+  * third routing geometry: greedy best-first walks over a proximity
+  * graph (Malkov et al., "Approximate nearest neighbor algorithm based
+  * on navigable small world graphs", Inf. Systems 2014).
+  *
+  * Scale shape: the corpus is hash-sharded (`pmod(xxhash64(seed,id),S)`)
+  * and each shard builds an INDEPENDENT in-memory graph inside one
+  * `mapPartitions` pass — the standard sharded-vector-store layout: no
+  * cross-shard edges, so build is embarrassingly parallel and a shard
+  * is the unit of executor memory (size S so n/S nodes × (dim·4 +
+  * m·8) bytes fit an executor). A query batch broadcasts to every
+  * shard (each must be searched — same contract as every sharded ANN
+  * serving system), each shard returns its local top-k from a beam
+  * search, and a global [[graft.plans.TopKPerKey]] merge keeps the true
+  * top-k of the union. Graph builds don't take deltas (inserting into a
+  * frozen shard graph needs a single writer per shard); the standing
+  * alternatives with delta lifecycles are the forest store and
+  * [[IvfModel.appendStore]] — this backend trades that for the best
+  * recall-per-distance-computation of the three routings.
+  *
+  * Determinism: insertion order is node-id ascending per shard, every
+  * heap comparison tie-breaks (distance, id), so two fits with one seed
+  * produce identical adjacency — same policy as the seeded forest.
+  */
+case class NswGraph(m: Int = 12, efConstruction: Int = 64,
+    numShards: Int = 8, metric: String = "euclidean", seed: Long = 42L) {
+  require(metric == "euclidean" || metric == "cosine",
+    s"metric must be euclidean|cosine, got $metric")
+  require(m >= 2, s"graph degree m must be >= 2, got $m")
+  require(efConstruction >= m, s"efConstruction must be >= m=$m")
+  require(numShards >= 1, s"numShards must be >= 1")
+
+  def fit(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): NswModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2Normalize
+    // bit-exact dedup first, raw vectors (same order as the forest fit:
+    // normalizing first would collapse distinct colinear vectors)
+    val deduped = Dedup.exactVectors(df, vecCol, idCol)
+    val vecExpr =
+      if (metric == "cosine") l2Normalize(col(vecCol).cast("array<float>"))
+      else col(vecCol).cast("array<float>")
+    val mm = m; val efc = efConstruction // serializable copies (no `this` capture)
+    val graph = deduped
+      .select(
+        pmod(xxhash64(lit(seed), col(idCol).cast("long")), lit(numShards))
+          .cast("int").as("shard"),
+        col(idCol).cast("long").as("node_id"), vecExpr.as("vec"))
+      .as[(Int, Long, Seq[Float])]
+      .repartition(numShards, col("shard"))
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
+      .toDF("shard", "node_id", "vec", "nbrs")
+      // eager materialization: the build is the expensive pass; every
+      // query batch against the model must reuse it, never re-run it
+      .localCheckpoint()
+    new NswModel(m, numShards, metric, graph)
+  }
+}
+
+object NswGraph {
+
+  private[ann] def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** Greedy best-first beam search over one shard graph, classic NSW:
+    * a min-heap frontier expands the closest unexpanded node, a bounded
+    * max-heap keeps the best `ef` seen; stop when the frontier's best
+    * is worse than the result heap's worst. Only indices `< bound`
+    * exist (during build, bound = #inserted so far). All comparisons
+    * are (dist, idx) tuples so ties resolve by insertion order. */
+  private def beam(qv: Array[Float], entry: Int, ef: Int, bound: Int,
+      vecs: Array[Array[Float]], adj: Array[scala.collection.mutable.ArrayBuffer[Int]],
+      visited: Array[Boolean], touched: scala.collection.mutable.ArrayBuffer[Int])
+      : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+    val e = (sqDist(qv, vecs(entry)), entry)
+    visited(entry) = true; touched += entry
+    frontier += e; res += e
+    var done = false
+    while (!done && frontier.nonEmpty) {
+      val c = frontier.dequeue()
+      if (res.size >= ef && ord.gt(c, res.head)) done = true
+      else {
+        val ns = adj(c._2); var i = 0
+        while (i < ns.length) {
+          val nb = ns(i)
+          if (nb < bound && !visited(nb)) {
+            visited(nb) = true; touched += nb
+            val cand = (sqDist(qv, vecs(nb)), nb)
+            if (res.size < ef || ord.lt(cand, res.head)) {
+              frontier += cand; res += cand
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    // reset the scratch bitmap for the next query (O(|touched|), not O(n))
+    var i = 0
+    while (i < touched.length) { visited(touched(i)) = false; i += 1 }
+    touched.clear()
+    res
+  }
+
+  /** One shard's graph build: nodes insert in id order; each new node
+    * beam-searches the graph-so-far (ef = efConstruction) from the
+    * fixed entry (first node), links bidirectionally to its m nearest,
+    * and any over-degree neighbor prunes back to its m nearest —
+    * plain nearest-neighbor selection (the original NSW rule). Cost
+    * O(n · ef · m · dim) per shard, independent across shards. */
+  private[ann] def buildShards(it: Iterator[(Int, Long, Seq[Float])],
+      m: Int, efC: Int): Iterator[(Int, Long, Seq[Float], Seq[Long])] = {
+    // a physical partition may hold several hash-colliding shards;
+    // each still builds its own independent graph
+    it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.length
+      val ids = sorted.map(_._2)
+      val vecs = sorted.map(_._3.toArray)
+      val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      val visited = new Array[Boolean](n)
+      val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      var i = 1
+      while (i < n) {
+        val res = beam(vecs(i), entry = 0, ef = efC, bound = i, vecs, adj, visited, touched)
+        val sel = res.toArray.sorted(ord).take(m)
+        var j = 0
+        while (j < sel.length) {
+          val s = sel(j)._2
+          adj(i) += s
+          adj(s) += i
+          if (adj(s).length > m) {
+            val pruned = adj(s).toArray
+              .map(x => (sqDist(vecs(s), vecs(x)), x)).sorted(ord)
+              .take(m).map(_._2)
+            adj(s).clear(); adj(s) ++= pruned
+          }
+          j += 1
+        }
+        i += 1
+      }
+      Iterator.tabulate(n)(k =>
+        (shard, ids(k), sorted(k)._3, adj(k).map(ids(_)).sorted.toSeq))
+    }
+  }
+
+  /** Per-shard serve: broadcast query batch against one shard's graph,
+    * emitting each query's local top-k. Shared by [[NswModel.knnJoin]]
+    * (and exposed for tests). */
+  private[ann] def searchShards(it: Iterator[(Int, Long, Seq[Float], Seq[Long])],
+      qs: Array[(Long, Array[Float])], topK: Int, ef: Int)
+      : Iterator[(Long, Long, Double)] = {
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.length
+      val ids = sorted.map(_._2)
+      val idToIdx = ids.zipWithIndex.toMap
+      val vecs = sorted.map(_._3.toArray)
+      val adj = sorted.map(r => scala.collection.mutable.ArrayBuffer(
+        r._4.map(idToIdx): _*))
+      val visited = new Array[Boolean](n)
+      val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+      qs.iterator.flatMap { case (qid, qv) =>
+        val res = beam(qv, entry = 0, ef = math.max(ef, topK), bound = n,
+          vecs, adj, visited, touched)
+        res.toArray.sorted(ord).iterator.take(topK)
+          .map { case (d, idx) => (qid, ids(idx), d) }
+      }
+    }
+  }
+
+  def load(path: String, spark: SparkSession): NswModel = {
+    val p = spark.read.parquet(path + "/params").head()
+    new NswModel(p.getInt(0), p.getInt(1), p.getString(2),
+      spark.read.parquet(path + "/graph"))
+  }
+}
+
+/** Fitted NSW model: the sharded graph as a DataFrame (one row per
+  * node: shard, id, vector, adjacency) — the store never leaves the
+  * executors. `graph` is checkpoint-materialized by fit, so repeated
+  * query batches reuse it. */
+class NswModel(val m: Int, val numShards: Int, val metric: String,
+    val graph: DataFrame) extends Serializable {
+
+  /** Top-k ANN join: every shard beam-searches the broadcast query
+    * batch (queries must be broadcast-sized — the same contract as the
+    * repo's other broadcast-query serving joins), then one global
+    * top-k merge over |q|·S·k candidate rows keeps the union's best.
+    * `ef` is the per-shard beam width (recall knob, ≥ topK). Distances
+    * are exact squared euclid (in l2-normalized space when the model is
+    * cosine — monotone with cosine), so no rerank pass is needed. */
+  def knnJoin(queries: DataFrame, topK: Int, ef: Int = 64,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2Normalize
+    val qExpr =
+      if (metric == "cosine") l2Normalize(col(queryVec).cast("array<float>"))
+      else col(queryVec).cast("array<float>")
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), qExpr)
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val bc = spark.sparkContext.broadcast(qs)
+    val k = topK; val beamEf = ef
+    val perShard = graph
+      .select(col("shard"), col("node_id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Float], Seq[Long])]
+      .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf))
+      .toDF("query_id", "neighbor_id", "dist")
+    graft.plans.TopKPerKey.rankedTopK(
+        perShard, "query_id", Seq("dist", "neighbor_id"), topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Graph health: per-shard node counts and degree stats — the NSW
+    * analog of the forest's describe(). */
+  def describe(): DataFrame =
+    graph.groupBy(col("shard")).agg(
+      count(lit(1)).as("nodes"),
+      round(avg(size(col("nbrs"))), 2).as("avg_degree"),
+      max(size(col("nbrs"))).as("max_degree"),
+      min(size(col("nbrs"))).as("min_degree"))
+      .orderBy(col("shard"))
+
+  def save(path: String): Unit = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    graph.write.mode("overwrite").parquet(path + "/graph")
+    Seq((m, numShards, metric)).toDF("m", "shards", "metric")
+      .write.mode("overwrite").parquet(path + "/params")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann._
+import graft.operators.KnnExact
+import graft.sources.Tables
+
+class NswGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val model = NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+    .fit(emb, "vec_id", "embedding")
+
+  test("build is deterministic: two fits produce identical adjacency") {
+    val m2 = NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+      .fit(emb, "vec_id", "embedding")
+    val g1 = model.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    val g2 = m2.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    assert(g1 === g2)
+  }
+
+  test("every corpus row lands in exactly one shard; degree bounded by m") {
+    val n = emb.count()
+    assert(model.graph.count() === n)
+    assert(model.graph.select(count_distinct(col("node_id"))).head().getLong(0) === n)
+    val maxDeg = model.describe().agg(max(col("max_degree"))).head().getInt(0)
+    assert(maxDeg <= 12)
+    // no orphan nodes beyond the per-shard entry in a trivial shard:
+    // every node of a >1-node shard has at least one edge
+    val orphans = model.graph.filter(size(col("nbrs")) === 0)
+      .join(model.graph.groupBy("shard").agg(count(lit(1)).as("sn"))
+        .filter(col("sn") > 1), Seq("shard"))
+      .count()
+    assert(orphans === 0L)
+  }
+
+  test("adjacency is symmetric or prune-reduced: every edge endpoint exists in the shard") {
+    val nodes = model.graph.select(col("shard"), col("node_id"))
+      .as[(Int, Long)].collect().toSet
+    val edges = model.graph.select(col("shard"), col("node_id"), explode(col("nbrs")).as("nb"))
+      .as[(Int, Long, Long)].collect()
+    edges.foreach { case (s, _, nb) => assert(nodes.contains((s, nb))) }
+  }
+
+  test("knnJoin: rank-1 self match and recall floor vs exact oracle") {
+    val queries = emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = model.knnJoin(queries, topK = 10, ef = 80).cache()
+    val r1 = got.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    r1.foreach { case (q, n) => assert(q === n, s"rank-1 self miss for $q") }
+    val exact = KnnExact.knnBatch(emb, queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    val recalls = exact.map { case (q, t) =>
+      approx(q).toSet.intersect(t.toSet).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"nsw mean recall@10 (4 shards, m=12, ef=80) = $mean%.3f")
+    assert(mean >= 0.9)
+  }
+
+  test("knnJoin distances are exact squared euclid on returned pairs") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = model.knnJoin(queries, topK = 3, ef = 32)
+    val checked = got
+      .join(emb.select($"vec_id".as("query_id"), $"embedding".as("qv")), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv")), "neighbor_id")
+      .select(($"dist" - graft.functions.VectorFunctions.sqEucDist($"qv", $"nv")).as("err"))
+      .agg(max(abs($"err"))).head().getDouble(0)
+    assert(checked < 1e-9)
+  }
+
+  test("save/load roundtrip serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("nsw").toString
+    model.save(dir)
+    val loaded = NswGraph.load(dir, spark)
+    assert(loaded.m === 12 && loaded.numShards === 4 && loaded.metric === "euclidean")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val a = model.knnJoin(queries, topK = 5, ef = 40)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = loaded.knnJoin(queries, topK = 5, ef = 40)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("cosine metric: normalized-space ordering matches exact cosine top-1") {
+    val cos = NswGraph(m = 12, efConstruction = 64, numShards = 2,
+      metric = "cosine", seed = 42L).fit(emb, "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = cos.knnJoin(queries, topK = 1, ef = 80)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    got.foreach { case (q, n) => assert(q === n, s"cosine rank-1 self miss for $q") }
+  }
+}
