@@ -3296,6 +3296,19 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q200: curriculum ordering — deterministic lexical difficulty
+    // (mean word length, type-token ratio, log length), quantile
+    // phases easy→hard, reproducible intra-phase rank. The phase cut
+    // is ntile ARITHMETIC on a zipWithIndex position over the
+    // range-partitioned sort (no unpartitioned window anywhere — the
+    // corpus never converges on one task); the oracle replays the
+    // same score and uses DuckDB's actual ntile window, so the gate
+    // also certifies the arithmetic ≡ ntile equivalence.
+    "q200_curriculum" -> ((s, d) => {
+      graft.operators.Curriculum.phases(Tables.documents(s, d), numPhases = 4)
+        .orderBy(col("phase"), col("rank_in_phase"))
+    }),
+
     // q197: EMBEDDING near-dup, sub-quadratic — the q31 pigeonhole
     // discipline on sign-bit codes: Hamming(signPack) ≤ 7 means at
     // least one of 8 disjoint bands is IDENTICAL, so the banded
@@ -5894,6 +5907,32 @@ object SparkEntry {
            ('mrr_self_exact', 1), ('ndcg10_floor_090', 1),
            ('recall10_floor_090', 1)) t(component, ok)
          ORDER BY component""",
+    // q200: same lexical difficulty score (difficulty rounded 4dp as
+    // the sort key — ln is libm-sensitive; mean_wlen/ttr stay raw,
+    // they're exact IEEE integer ratios), DuckDB's real ntile window
+    // against the engine's arithmetic phase cut
+    "q200_curriculum" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           FROM toks),
+         d AS (
+           SELECT doc_id, n_tok, mean_wlen, ttr,
+             round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
+               AS difficulty
+           FROM sc),
+         ph AS (
+           SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+           FROM d)
+         SELECT CAST(phase AS INT) AS phase,
+           CAST(row_number() OVER (PARTITION BY phase
+             ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
+           doc_id, n_tok, mean_wlen, ttr, difficulty
+         FROM ph ORDER BY phase, rank_in_phase""",
     // q192: every dim's top-k replayed with list_slice + cosine +
     // (c DESC, id) row_number; overlap via LEFT join so a
     // zero-overlap dim still reports 0
