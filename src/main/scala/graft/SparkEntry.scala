@@ -3309,6 +3309,36 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q201: line-level BOILERPLATE removal (the jusText/trafilatura
+    // step after q189's HTML strip) under the hash gate: a
+    // deterministic page is synthesized around the fixture text (nav
+    // menu, search stub, share bar, copyright footer, legal links;
+    // content split into pseudo-lines at " and "), then
+    // stripBoilerplate must keep exactly the lines the three rules
+    // admit — the oracle replays the rules lambda for lambda, so a
+    // changed threshold, a tokenization drift, or a separator-rule
+    // miss breaks the hash.
+    "q201_boilerplate" -> ((s, d) => {
+      val page = concat_ws("\n",
+        lit("Home | About | Contact | Login"),
+        lit("Search"),
+        regexp_replace(col("text"), " and ", " and\n"),
+        lit("Share on social media"),
+        lit("Copyright 2026 Example Corp. All rights reserved."),
+        lit("Privacy Policy | Terms of Service"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(page, "\n")).as("total_lines"),
+          TextAnalysis.stripBoilerplate(page).as("clean"))
+        .withColumn("kept_lines",
+          when(length(col("clean")) === 0, lit(0))
+            .otherwise(size(split(col("clean"), "\n"))))
+        .withColumn("n_chars_clean", length(col("clean")))
+        .select(col("doc_id"), col("total_lines"), col("kept_lines"),
+          col("n_chars_clean"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q197: EMBEDDING near-dup, sub-quadratic — the q31 pigeonhole
     // discipline on sign-bit codes: Hamming(signPack) ≤ 7 means at
     // least one of 8 disjoint bands is IDENTICAL, so the banded
@@ -5933,6 +5963,40 @@ object SparkEntry {
              ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
            doc_id, n_tok, mean_wlen, ttr, difficulty
          FROM ph ORDER BY phase, rank_in_phase""",
+    // q201: the same synthesized page through the same three line
+    // rules (separator, token floor, stopword density), lambda for
+    // lambda against the engine's HOF chain
+    "q201_boilerplate" ->
+      """WITH pg AS (
+           SELECT doc_id,
+             'Home | About | Contact | Login' || chr(10) ||
+             'Search' || chr(10) ||
+             regexp_replace(text, ' and ', ' and' || chr(10), 'g') || chr(10) ||
+             'Share on social media' || chr(10) ||
+             'Copyright 2026 Example Corp. All rights reserved.' || chr(10) ||
+             'Privacy Policy | Terms of Service' AS page
+           FROM documents),
+         ln AS (
+           SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+         kept AS (
+           SELECT doc_id, len(lines) AS total_lines,
+             list_filter(lines, l ->
+               NOT contains(l, ' | ')
+               AND len(regexp_split_to_array(lower(trim(l)), '\s+')) >= 5
+               AND CAST(len(list_filter(
+                     regexp_split_to_array(lower(trim(l)), '\s+'),
+                     w -> list_contains(['the','a','an','and','or','of','to',
+                       'in','is','it','that','for','on','with','as','at','by',
+                       'be','this'], w))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(l)), '\s+')) >= 0.15)
+               AS kl
+           FROM ln)
+         SELECT doc_id, CAST(total_lines AS INT) AS total_lines,
+           CAST(len(kl) AS INT) AS kept_lines,
+           CAST(length(COALESCE(array_to_string(kl, chr(10)), '')) AS INT)
+             AS n_chars_clean,
+           COALESCE(array_to_string(kl, chr(10)), '') AS clean
+         FROM kept ORDER BY doc_id""",
     // q192: every dim's top-k replayed with list_slice + cosine +
     // (c DESC, id) row_number; overlap via LEFT join so a
     // zero-overlap dim still reports 0

@@ -569,6 +569,29 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Line-level boilerplate removal — the jusText/trafilatura step a
+    * WET pipeline runs after [[stripHtml]]: navigation menus, footers
+    * and share bars are short, stopword-poor, separator-ridden lines,
+    * so each line keeps or drops on three deterministic signals
+    * (pipe-separator presence, token count, stopword density). Pure
+    * HOF expressions (nested `filter` lambdas), no UDF — scale shape
+    * is a narrow per-row map, and the DuckDB oracle mirrors the rules
+    * lambda for lambda. Content lines misjudged by the heuristics drop
+    * deterministically on BOTH sides (the rules, not a parse, are the
+    * contract — same stance as stripHtml's non-parser). */
+  def stripBoilerplate(text: Column, minTokens: Int = 5,
+      minStopwordRatio: Double = 0.15): Column = {
+    val sw = array(defaultStopwords.map(lit): _*)
+    val kept = filter(split(text, "\n"), l => {
+      val toks = split(trim(lower(l)), "\\s+")
+      val n = size(toks)
+      val nsw = size(filter(toks, t => array_contains(sw, t)))
+      !l.contains(" | ") && n >= minTokens &&
+        nsw.cast("double") / n.cast("double") >= minStopwordRatio
+    })
+    array_join(kept, "\n")
+  }
+
   def normalizeText(text: Column): Column = {
     val f = udf { (t: String) =>
       if (t == null) null

@@ -417,6 +417,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getInt(3) === 1 && out(1).getInt(3) === 0)
   }
 
+  test("stripBoilerplate: separator, token-floor and stopword rules, hand-checked") {
+    import spark.implicits._
+    val page = Seq(
+      "Home | About | Contact",                       // separator → drop
+      "Search",                                       // 1 token → drop
+      "the cat sat on the mat today",                 // 7 toks, 3/7 sw → keep
+      "quick brown fox jumps over lazy dog",          // 7 toks, 0/7 sw → drop
+      "it is a good day for the team to play",        // 10 toks, 6/10 → keep
+      "Copyright 2026 Example Corp All rights reserved" // 0 sw → drop
+    ).mkString("\n")
+    val got = Seq(page).toDF("t")
+      .select(TextAnalysis.stripBoilerplate($"t")).as[String].head()
+    assert(got === "the cat sat on the mat today\nit is a good day for the team to play")
+    // all-boilerplate page → empty string, not null
+    val empty = Seq("Home | About\nSearch").toDF("t")
+      .select(TextAnalysis.stripBoilerplate($"t")).as[String].head()
+    assert(empty === "")
+    // thresholds are parameters
+    val loose = Seq(page).toDF("t")
+      .select(TextAnalysis.stripBoilerplate($"t", minTokens = 5,
+        minStopwordRatio = 0.0)).as[String].head()
+    assert(loose.split("\n").length === 4) // fox + copyright lines now pass
+  }
+
   test("NB classifier: full-corpus shape — one row per doc, token-less docs prior-only") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val withEmpty = docs.select($"doc_id", $"text", $"lang")
