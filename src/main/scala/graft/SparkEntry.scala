@@ -3309,6 +3309,20 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q202: the EPOCH SCHEDULE — deterministic resumable data order
+    // for a training loop: each epoch is a seeded permutation from
+    // pure hash arithmetic on (epoch, id) (the q47 Knuth discipline,
+    // so the oracle replays the keys exactly), positions from ONE
+    // range-partitioned sort across all epochs (GlobalOrder — no
+    // unpartitioned window), within-epoch position arithmetic off the
+    // global one. The oracle uses real per-epoch row_number windows,
+    // so the gate certifies the arithmetic ≡ window equivalence too.
+    "q202_epoch_schedule" -> ((s, d) => {
+      graft.operators.EpochShuffle.schedule(
+          Tables.documents(s, d), numEpochs = 3)
+        .orderBy(col("epoch"), col("position"))
+    }),
+
     // q201: line-level BOILERPLATE removal (the jusText/trafilatura
     // step after q189's HTML strip) under the hash gate: a
     // deterministic page is synthesized around the fixture text (nav
@@ -4088,7 +4102,12 @@ object SparkEntry {
     * round it was born, so every later round sees its regressions. */
   val benchServingQueries: Seq[String] = Seq(
     "q190_bq_rerank", "q192_matryoshka_overlap", "q193_bq_asym",
-    "q196_hard_negatives", "q197_bq_neardup")
+    "q196_hard_negatives", "q197_bq_neardup",
+    // round-9 wave 3, tracked from birth: the one-sort curriculum cut
+    // and the line-rule boilerplate strip (q199's NSW build is a
+    // fit-time cost, not a serving path — its scale numbers live in
+    // ARCHITECTURE's probe table instead of the bench)
+    "q200_curriculum", "q201_boilerplate")
 
   /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
     * the same pipeline): one truth, two engine-side surfaces. */
@@ -5963,6 +5982,18 @@ object SparkEntry {
              ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
            doc_id, n_tok, mean_wlen, ttr, difficulty
          FROM ph ORDER BY phase, rank_in_phase""",
+    // q202: same Knuth keys, real per-epoch row_number windows
+    "q202_epoch_schedule" ->
+      """WITH e AS (SELECT unnest(range(3)) AS epoch),
+         k AS (
+           SELECT epoch, doc_id,
+             (doc_id + 131071 * epoch) % 1000003 * 2654435761 % 4294967296 AS hk
+           FROM documents CROSS JOIN e)
+         SELECT CAST(epoch AS INT) AS epoch,
+           CAST(row_number() OVER (PARTITION BY epoch
+             ORDER BY hk, doc_id) AS BIGINT) AS position,
+           doc_id, CAST(hk AS BIGINT) AS hk
+         FROM k ORDER BY epoch, position""",
     // q201: the same synthesized page through the same three line
     // rules (separator, token floor, stopword density), lambda for
     // lambda against the engine's HOF chain

@@ -51,15 +51,14 @@ object Curriculum {
     * NO unpartitioned window (`ntile().over(Window.orderBy(…))` would
     * shuffle the corpus to one task — the exact anti-pattern
     * [[RankFusion]] documents): the global order comes from Spark's
-    * range-partitioned `sort` (parallel), positions from the
-    * `zipWithIndex` per-partition-offset pass (the [[graft.sources.VecReader]]
-    * pattern), and phase / rank-in-phase are then pure ARITHMETIC on
+    * range-partitioned `sort` (parallel), positions from
+    * [[graft.plans.GlobalOrder]] (the zipWithIndex per-partition-offset
+    * pass), and phase / rank-in-phase are then pure ARITHMETIC on
     * the position — ntile's exact definition (first n mod k tiles get
     * ⌈n/k⌉ rows), no second shuffle at all. */
   def phases(docs: DataFrame, numPhases: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(numPhases >= 1, s"numPhases must be >= 1, got $numPhases")
-    val spark = docs.sparkSession
     // row count is metadata-cheap on a parquet-backed corpus and fixes
     // the tile arithmetic; difficulty() is row-preserving
     val n = docs.count()
@@ -70,14 +69,10 @@ object Curriculum {
     // rounding TIE is measure-zero for a log-bearing double, unlike
     // the exact integer ratios mean_wlen/ttr, which therefore stay
     // unrounded: they're bit-identical IEEE divisions on both engines)
-    val sorted = difficulty(docs, idCol, textCol)
-      .withColumn("difficulty", round(col("difficulty"), 4))
-      .sort(col("difficulty"), col(idCol))
-    val schema = sorted.schema.add("__pos", org.apache.spark.sql.types.LongType)
-    val withPos = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
-      schema)
+    val withPos = graft.plans.GlobalOrder.withPositions(
+      difficulty(docs, idCol, textCol)
+        .withColumn("difficulty", round(col("difficulty"), 4)),
+      Seq(col("difficulty"), col(idCol)))
     val k = numPhases.toLong
     val q = n / k; val r = n % k
     val cut = r * (q + 1) // rows 1..cut fill the (q+1)-sized tiles

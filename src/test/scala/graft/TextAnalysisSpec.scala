@@ -439,6 +439,12 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.stripBoilerplate($"t", minTokens = 5,
         minStopwordRatio = 0.0)).as[String].head()
     assert(loose.split("\n").length === 4) // fox + copyright lines now pass
+    // the SQL face serves the same rule chain (one source of semantics)
+    GraftSession.registerFunctions(spark)
+    Seq(page).toDF("t").createOrReplaceTempView("bp_cases")
+    val viaSql = spark.sql("SELECT strip_boilerplate(t) FROM bp_cases")
+      .as[String].head()
+    assert(viaSql === got)
   }
 
   test("NB classifier: full-corpus shape — one row per doc, token-less docs prior-only") {
