@@ -3288,8 +3288,20 @@ object SparkEntry {
       val m = graft.operators.RetrievalEval.metrics(results, truth, k = 10)
         .agg(avg(col("recall")).as("r"), avg(col("mrr")).as("m"), avg(col("ndcg")).as("n"))
         .head()
+      // filtered serving under the same gate: admission-flagged beam
+      // vs the exact kNN over the filtered corpus
+      val allowed = e.filter(col("label") % 2 === 0).select(col("vec_id"))
+      val fGot = nsw4(s, d).knnJoinFiltered(queries, allowed, topK = 5, ef = 80)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      val fTruth = graft.operators.KnnExact.knnBatch(
+          e.join(allowed, Seq("vec_id")), queries, 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          (lit(6) - col("rank")).cast("double").as("grade"))
+      val fr = graft.operators.RetrievalEval.metrics(fGot, fTruth, k = 5)
+        .agg(avg(col("recall"))).head().getDouble(0)
       import s.implicits._
       Seq(
+        ("filtered_recall5_floor_090", if (fr >= 0.90) 1 else 0),
         ("mrr_self_exact", if (m.getDouble(1) == 1.0) 1 else 0),
         ("ndcg10_floor_090", if (m.getDouble(2) >= 0.90) 1 else 0),
         ("recall10_floor_090", if (m.getDouble(0) >= 0.90) 1 else 0))
@@ -5953,6 +5965,7 @@ object SparkEntry {
     // against the exact oracle; a floor breach flips the hash)
     "q199_nsw_gate" ->
       """SELECT * FROM (VALUES
+           ('filtered_recall5_floor_090', 1),
            ('mrr_self_exact', 1), ('ndcg10_floor_090', 1),
            ('recall10_floor_090', 1)) t(component, ok)
          ORDER BY component""",

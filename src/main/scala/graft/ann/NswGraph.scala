@@ -78,20 +78,27 @@ object NswGraph {
 
   /** Greedy best-first beam search over one shard graph, classic NSW:
     * a min-heap frontier expands the closest unexpanded node, a bounded
-    * max-heap keeps the best `ef` seen; stop when the frontier's best
-    * is worse than the result heap's worst. Only indices `< bound`
-    * exist (during build, bound = #inserted so far). All comparisons
-    * are (dist, idx) tuples so ties resolve by insertion order. */
+    * max-heap keeps the best `ef` ADMISSIBLE nodes seen; stop when the
+    * frontier's best is worse than the result heap's worst. Only
+    * indices `< bound` exist (during build, bound = #inserted so far).
+    * `admit` gates RESULT membership only — inadmissible nodes still
+    * route (the standard filtered-graph-ANN traversal: filtering edges
+    * instead would disconnect the graph), so a very selective filter
+    * degrades toward a shard scan rather than losing recall. All
+    * comparisons are (dist, idx) tuples so ties resolve by insertion
+    * order. */
   private def beam(qv: Array[Float], entry: Int, ef: Int, bound: Int,
       vecs: Array[Array[Float]], adj: Array[scala.collection.mutable.ArrayBuffer[Int]],
-      visited: Array[Boolean], touched: scala.collection.mutable.ArrayBuffer[Int])
+      visited: Array[Boolean], touched: scala.collection.mutable.ArrayBuffer[Int],
+      admit: Int => Boolean = _ => true)
       : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
     val e = (sqDist(qv, vecs(entry)), entry)
     visited(entry) = true; touched += entry
-    frontier += e; res += e
+    frontier += e
+    if (admit(entry)) res += e
     var done = false
     while (!done && frontier.nonEmpty) {
       val c = frontier.dequeue()
@@ -104,8 +111,11 @@ object NswGraph {
             visited(nb) = true; touched += nb
             val cand = (sqDist(qv, vecs(nb)), nb)
             if (res.size < ef || ord.lt(cand, res.head)) {
-              frontier += cand; res += cand
-              if (res.size > ef) res.dequeue()
+              frontier += cand
+              if (admit(nb)) {
+                res += cand
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
           i += 1
@@ -163,10 +173,14 @@ object NswGraph {
   }
 
   /** Per-shard serve: broadcast query batch against one shard's graph,
-    * emitting each query's local top-k. Shared by [[NswModel.knnJoin]]
-    * (and exposed for tests). */
-  private[ann] def searchShards(it: Iterator[(Int, Long, Seq[Float], Seq[Long])],
-      qs: Array[(Long, Array[Float])], topK: Int, ef: Int)
+    * emitting each query's local top-k among flagged (admissible)
+    * nodes within `maxDist`. Shared by [[NswModel.knnJoin]],
+    * [[NswModel.knnJoinFiltered]] and [[NswModel.radiusJoin]] (and
+    * exposed for tests). */
+  private[ann] def searchShards(
+      it: Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)],
+      qs: Array[(Long, Array[Float])], topK: Int, ef: Int,
+      maxDist: Double = Double.PositiveInfinity)
       : Iterator[(Long, Long, Double)] = {
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
@@ -177,12 +191,14 @@ object NswGraph {
       val vecs = sorted.map(_._3.toArray)
       val adj = sorted.map(r => scala.collection.mutable.ArrayBuffer(
         r._4.map(idToIdx): _*))
+      val flags = sorted.map(_._5)
       val visited = new Array[Boolean](n)
       val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
       qs.iterator.flatMap { case (qid, qv) =>
         val res = beam(qv, entry = 0, ef = math.max(ef, topK), bound = n,
-          vecs, adj, visited, touched)
-        res.toArray.sorted(ord).iterator.take(topK)
+          vecs, adj, visited, touched, admit = flags(_))
+        res.toArray.sorted(ord).iterator
+          .filter(_._1 <= maxDist).take(topK)
           .map { case (d, idx) => (qid, ids(idx), d) }
       }
     }
@@ -210,7 +226,57 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
     * are exact squared euclid (in l2-normalized space when the model is
     * cosine — monotone with cosine), so no rerank pass is needed. */
   def knnJoin(queries: DataFrame, topK: Int, ef: Int = 64,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+    graft.plans.TopKPerKey.rankedTopK(
+        serve(graph.withColumn("__ok", lit(true)), queries, topK, ef,
+          Double.PositiveInfinity, queryId, queryVec),
+        "query_id", Seq("dist", "neighbor_id"), topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+
+  /** Attribute-FILTERED top-k (the forest/IVF `corpusFilter` parity):
+    * only ids present in `allowed` may enter a result heap, but every
+    * node still routes — filtering edges would disconnect the graph,
+    * so a selective filter costs traversal, never recall (it degrades
+    * toward a shard scan). The flag rides the graph rows through one
+    * left semi-style join per batch; a standing filtered workload
+    * should persist the flag on the graph instead. `ef` should
+    * oversample roughly by the filter's selectivity. */
+  def knnJoinFiltered(queries: DataFrame, allowed: DataFrame, topK: Int,
+      ef: Int = 64, allowedId: String = "vec_id",
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    // the flag join hash-partitions by node_id; searchShards needs a
+    // shard whole within one partition, so route back by shard (the
+    // wide columns shuffle once per batch — persist the flag on the
+    // graph for a standing filtered workload)
+    val flagged = graph.join(
+        allowed.select(col(allowedId).cast("long").as("node_id")).distinct()
+          .withColumn("__ok", lit(true)),
+        Seq("node_id"), "left")
+      .withColumn("__ok", coalesce(col("__ok"), lit(false)))
+      .repartition(numShards, col("shard"))
+    graft.plans.TopKPerKey.rankedTopK(
+        serve(flagged, queries, topK, ef, Double.PositiveInfinity,
+          queryId, queryVec),
+        "query_id", Seq("dist", "neighbor_id"), topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Distance-threshold serve (the forest/IVF radius parity), with the
+    * graph family's honest contract: per shard, up to `ef` nearest
+    * in-radius neighbors are found by the same beam — a radius holding
+    * more than `ef` points per shard is truncated to the closest `ef`
+    * (raise `ef` for dense radii; exactness needs the bucketed
+    * backends). Output (query_id, neighbor_id, dist), unranked. */
+  def radiusJoin(queries: DataFrame, maxDist: Double, ef: Int = 64,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+    serve(graph.withColumn("__ok", lit(true)), queries, ef, ef, maxDist,
+      queryId, queryVec)
+
+  /** Shared serve core: broadcast the (metric-normalized) query batch,
+    * beam every shard of `flagged` (graph rows + `__ok` admission
+    * flag), emit per-shard candidates. */
+  private def serve(flagged: DataFrame, queries: DataFrame, topK: Int,
+      ef: Int, maxDist: Double, queryId: String, queryVec: String): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.l2Normalize
@@ -222,15 +288,12 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
       .as[(Long, Seq[Float])].collect()
       .map { case (id, v) => (id, v.toArray) }
     val bc = spark.sparkContext.broadcast(qs)
-    val k = topK; val beamEf = ef
-    val perShard = graph
-      .select(col("shard"), col("node_id"), col("vec"), col("nbrs"))
-      .as[(Int, Long, Seq[Float], Seq[Long])]
-      .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf))
+    val k = topK; val beamEf = ef; val md = maxDist
+    flagged
+      .select(col("shard"), col("node_id"), col("vec"), col("nbrs"), col("__ok"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf, md))
       .toDF("query_id", "neighbor_id", "dist")
-    graft.plans.TopKPerKey.rankedTopK(
-        perShard, "query_id", Seq("dist", "neighbor_id"), topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
   /** Graph health: per-shard node counts and degree stats — the NSW

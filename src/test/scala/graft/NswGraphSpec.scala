@@ -91,6 +91,47 @@ class NswGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("knnJoinFiltered: results only from the allowed set, recall floor vs filtered exact") {
+    val allowed = emb.filter($"label" % 2 === 0).select($"vec_id")
+    val queries = emb.filter($"vec_id" % 11 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = model.knnJoinFiltered(queries, allowed, topK = 5, ef = 80).cache()
+    // no inadmissible neighbor ever surfaces
+    assert(got.join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() === 0L)
+    val filteredCorpus = emb.join(allowed, Seq("vec_id")).cache()
+    val exact = KnnExact.knnBatch(filteredCorpus, queries, 5)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("truth"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("got"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Seq.empty).toSet.intersect(t.toSet).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"nsw filtered mean recall@5 = $mean%.3f")
+    assert(mean >= 0.9)
+  }
+
+  test("radiusJoin: every returned pair is in radius; dense-exactness at generous ef") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // pick a radius around the exact 5th-NN distance of the corpus
+    val exact5 = KnnExact.knnBatch(emb, queries, 5)
+    val r = exact5.filter($"rank" === 5).agg(avg($"dist")).head().getDouble(0)
+    val got = model.radiusJoin(queries, maxDist = r, ef = 200).cache()
+    assert(got.filter($"dist" > r).count() === 0L)
+    // with ef far above the in-radius density, the beam finds every
+    // in-radius point the exact scan finds
+    val truth = graft.operators.KnnExact.knnBatch(emb, queries, 50)
+      .filter($"dist" <= r)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rec = (gotSet & truth).size.toDouble / truth.size
+    info(f"nsw radius recall = $rec%.3f (${truth.size} truth pairs)")
+    assert(rec >= 0.95)
+  }
+
   test("cosine metric: normalized-space ordering matches exact cosine top-1") {
     val cos = NswGraph(m = 12, efConstruction = 64, numShards = 2,
       metric = "cosine", seed = 42L).fit(emb, "vec_id", "embedding")
