@@ -3321,6 +3321,32 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q203: EXACT edit-distance near-dup pairs (PassJoin segment
+    // banding + levenshtein verify) — the character-level near-dup
+    // family member, pigeonhole-exact like q197's sign-code banding,
+    // so the all-pairs brute oracle must match it ROW FOR ROW. The
+    // fixture has no organic typo pairs, so two deterministic typo
+    // families are synthesized (the q131/q140/q197 pattern): double
+    // substitution (in-place banding) and single deletion (whose tail
+    // shift exercises the ±k start slots; prefix-60 ed = deletion +
+    // the char pulled across the truncation boundary = 2).
+    "q203_edit_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val jitSub = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("text"), 1, 2), lit("x"),
+            substring(col("text"), 4, 7), lit("q"),
+            substring(col("text"), 12, 1000000)).as("text"))
+      val jitDel = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("text"), 1, 6),
+            substring(col("text"), 8, 1000000)).as("text"))
+      graft.operators.TextDedup.editNearDupPairs(
+          docs.unionByName(jitSub).unionByName(jitDel),
+          "doc_id", "text", maxDist = 2, prefixLen = 60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q202: the EPOCH SCHEDULE — deterministic resumable data order
     // for a training loop: each epoch is a seeded permutation from
     // pure hash arithmetic on (epoch, id) (the q47 Knuth discipline,
@@ -5995,6 +6021,29 @@ object SparkEntry {
              ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
            doc_id, n_tok, mean_wlen, ttr, difficulty
          FROM ph ORDER BY phase, rank_in_phase""",
+    // q203: brute replay — the segment banding is pigeonhole-EXACT at
+    // ed <= 2, so the oracle's all-pairs form must match row for row
+    // (same sub-3-char prefix exclusion as the engine's contract)
+    "q203_edit_neardup" ->
+      """WITH jit AS (
+           SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, 2) || 'x' || substr(text, 4, 7) || 'q' ||
+               substr(text, 12) AS text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, 6) || substr(text, 8) AS text
+           FROM documents WHERE doc_id % 10 = 5),
+         c AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM jit),
+         p AS (SELECT doc_id, lower(substr(text, 1, 60)) AS t
+               FROM c WHERE length(substr(text, 1, 60)) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE abs(length(a.t) - length(b.t)) <= 2
+           AND levenshtein(a.t, b.t) <= 2
+         ORDER BY id_a, id_b""",
     // q202: same Knuth keys, real per-epoch row_number windows
     "q202_epoch_schedule" ->
       """WITH e AS (SELECT unnest(range(3)) AS epoch),

@@ -597,4 +597,78 @@ object TextDedup {
             s => s.getField("seg")),
           " ")).as("kept_md5"))
   }
+
+  /** EXACT edit-distance near-dup pairs, sub-quadratic — the
+    * character-level family member next to the token-level (Jaccard /
+    * MinHash) and bit-level (SimHash / sign-code) ones: typo-grade
+    * duplicates that shingle sets miss entirely. PassJoin-style
+    * segment banding (Li, Deng, Feng, "PASS-JOIN", VLDB 2011):
+    * if ed(s,t) ≤ k, the ≤ k edits touch at most k of s's k+1
+    * segments, so at least one segment appears VERBATIM in t, start
+    * shifted by at most k (the indels before it) — joining probe
+    * segments against index substrings at the compatible
+    * (segment, probe-length, ±k-start) slots is therefore COMPLETE
+    * (pigeonhole-exact, no recall loss to the banding), and a final
+    * `levenshtein` verify on candidates only makes the result the
+    * exact ed ≤ k pair set.
+    *
+    * Operates on the `prefixLen`-char lowercased prefix (the
+    * head-dup/typo-variant contract; full-string joins use the same
+    * machinery with longer segments). Explode factors are constants:
+    * k+1 probe rows and ≤ (k+1)(2k+1)² deduped index rows per string,
+    * joined on (segment idx, text, probe length) — a banded equi-join
+    * like every other family member, then exact verify on candidates. */
+  def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2, prefixLen: Int = 60): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist
+    // prefixes shorter than k+1 chars would have EMPTY probe segments
+    // and lose the pigeonhole guarantee (k edits could touch every
+    // non-empty one) — excluded by contract, mirrored by the oracle
+    val s = df.select(
+      col(idCol).cast("long").as("id"),
+      substring(lower(col(textCol)), 1, prefixLen).as("t"))
+      .withColumn("len", length(col("t")))
+      .filter(col("len") >= k + 1)
+    val segIdx = explode(sequence(lit(0), lit(k))).as("i")
+    // probe side: string s cut into k+1 segments by its own length
+    // (last segment takes the remainder); Column./ is DOUBLE division,
+    // so the integer cut is floor-cast (operands are positive)
+    def idiv(plen: Column): Column = floor(plen / (k + 1)).cast("int")
+    def segStart(i: Column, plen: Column) = i * idiv(plen) + 1
+    def segLen(i: Column, plen: Column) =
+      when(i === k, plen - lit(k) * idiv(plen)).otherwise(idiv(plen))
+    val probeSegs = s.select(col("id"), col("t"), col("len"), segIdx)
+      .select(col("id").as("pid"), col("i"), col("len").as("plen"),
+        col("t").substr(segStart(col("i"), col("len")), segLen(col("i"), col("len")))
+          .as("seg"))
+      .filter(length(col("seg")) >= 1)
+    // index side: for every (segment idx, hypothetical probe length
+    // within ±k of this string's length, start shift within ±k), the
+    // substring a matching probe segment would have to equal
+    val index = s
+      .select(col("id"), col("t"), col("len"), segIdx)
+      .withColumn("dl", explode(sequence(lit(-k), lit(k))))
+      .withColumn("plen", col("len") + col("dl"))
+      .filter(col("plen") >= 1)
+      .withColumn("ds", explode(sequence(lit(-k), lit(k))))
+      .withColumn("start", segStart(col("i"), col("plen")) + col("ds"))
+      .withColumn("slen", segLen(col("i"), col("plen")))
+      .filter(col("start") >= 1 && col("slen") >= 1 &&
+        col("start") + col("slen") - 1 <= col("len"))
+      .select(col("id").as("iid"), col("i"), col("plen"),
+        col("t").substr(col("start"), col("slen")).as("seg"))
+      .distinct()
+    val cand = probeSegs.join(index, Seq("i", "plen", "seg"))
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= k)
+  }
 }

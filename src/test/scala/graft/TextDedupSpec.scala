@@ -307,4 +307,73 @@ class TextDedupSpec extends SparkSpec {
       .collect()
     assert(g2.length === 2 && g2.forall(_.isNullAt(4)), "lone-label margin must be NULL")
   }
+
+  test("editNearDupPairs: hand-built edits found exactly, banding is complete vs brute") {
+    val base = "the quick brown fox jumps over the lazy dog again and"
+    val rows = Seq(
+      (1L, base),
+      (2L, base.updated(10, 'X').toString),                 // 1 substitution
+      (3L, base.substring(0, 5) + base.substring(6)
+        + "Q"),                                             // 1 deletion + 1 append = ed 2
+      (4L, "completely different content here with nothing shared at"),
+      (5L, base.updated(3, 'A').updated(20, 'B').updated(40, 'C').toString) // ed 3
+    ).toDF("doc_id", "text")
+    val got = TextDedup.editNearDupPairs(rows, "doc_id", "text", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // brute truth over the same prefix contract
+    val brute = {
+      val ts = rows.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.take(60)).toMap
+      (for {
+        a <- ts.keys; b <- ts.keys if a < b
+        d = levenshteinDist(ts(a), ts(b)) if d <= 2
+      } yield (a, b, d)).toSet
+    }
+    assert(got === brute)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("editNearDupPairs: fixture + typo'd copies, banded == brute (completeness at scale)") {
+    val sub = docs.filter($"doc_id" < 200)
+    // two jitter families: substitutions (ds=0 banding) and a single
+    // deletion (tail shift exercises the ±k start slots; its prefix-60
+    // edit distance is 2 — the deletion plus the char the shift pulls
+    // across the truncation boundary)
+    val jitSub = sub.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat(substring($"text", 1, 2), lit("x"), substring($"text", 4, 7),
+          lit("q"), substring($"text", 12, 1000000)).as("text"))
+    val jitDel = sub.filter($"doc_id" % 2 === 1)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat(substring($"text", 1, 6), substring($"text", 8, 1000000)).as("text"))
+    val corpus = sub.select($"doc_id", $"text")
+      .unionByName(jitSub).unionByName(jitDel).cache()
+    val got = TextDedup.editNearDupPairs(corpus, "doc_id", "text", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val ts = corpus.select($"doc_id", lower(substring($"text", 1, 60)))
+      .as[(Long, String)].collect().filter(_._2.length >= 3)
+    val brute = (for {
+      (a, ta) <- ts; (b, tb) <- ts if a < b && math.abs(ta.length - tb.length) <= 2
+      d = levenshteinDist(ta, tb) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(got.size >= sub.count() * 9 / 10, "every typo'd copy pairs with its base")
+  }
+
+  /** Reference Levenshtein for the spec's brute side. */
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
 }
