@@ -3321,6 +3321,30 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q204: perceptual AUDIO near-dup — the modality completing the
+    // dedup matrix (text shingles, image dHash, embedding sign codes,
+    // now sound): a 64-bit loudness-envelope fingerprint from the
+    // REAL PCM decode (integer cross-multiplied mean comparisons, so
+    // gain changes don't move the bits), paired by the SAME banded
+    // Hamming machinery as q31/q197 (pigeonhole-exact at ham ≤ 7).
+    // Fixture: every doc's synthetic WAV plus half-volume copies of
+    // every 5th — the perceptual-duplicate case by construction. The
+    // oracle replays the sample formula, the halving truncation, the
+    // segment bits and the pair Hamming entirely in SQL.
+    "q204_audio_neardup" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val clips = ids.select(col("doc_id").as("id"),
+          Multimodal.syntheticWav(col("doc_id")).as("payload"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000L).as("id"),
+            Multimodal.syntheticWavHalved(col("doc_id")).as("payload")))
+      val fp = clips.select(col("id"),
+        Multimodal.audioFingerprint(col("payload")).as("fp"))
+      TextDedup.simhashPairsBandedFp(fp, maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q203: EXACT edit-distance near-dup pairs (PassJoin segment
     // banding + levenshtein verify) — the character-level near-dup
     // family member, pigeonhole-exact like q197's sign-code banding,
@@ -6021,6 +6045,45 @@ object SparkEntry {
              ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
            doc_id, n_tok, mean_wlen, ttr, difficulty
          FROM ph ORDER BY phase, rank_in_phase""",
+    // q204: the sample formula, halving truncation, envelope bits and
+    // pair Hamming replayed in SQL; banding is pigeonhole-exact at
+    // ham <= 7 so the all-pairs form matches row for row
+    "q204_audio_neardup" ->
+      """WITH clips AS (
+           SELECT doc_id AS id, doc_id AS base, FALSE AS hv FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, TRUE FROM documents
+           WHERE doc_id % 5 = 0),
+         b AS (
+           SELECT id, base, hv, 1 + base % 2 AS channels, 64 + base % 33 AS n
+           FROM clips),
+         samp AS (
+           SELECT id, n, i,
+             CASE WHEN hv THEN CAST(trunc(s0 / 2.0) AS BIGINT) ELSE s0 END AS s
+           FROM (
+             SELECT id, hv, n, i,
+               ((base * 31 + (i * channels) * 7919) % 65536) - 32768 AS s0
+             FROM (SELECT id, base, hv, channels, n,
+                     unnest(range(n)) AS i FROM b))),
+         seg AS (
+           SELECT id, n, (i * 64) // n AS k,
+             CAST(sum(abs(s)) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS cnt
+           FROM samp GROUP BY id, n, (i * 64) // n),
+         tot AS (SELECT id, n, CAST(sum(sa) AS BIGINT) AS ta
+                 FROM seg GROUP BY id, n),
+         bits AS (
+           SELECT t.id, g.k AS k,
+             COALESCE(s.sa * t.n > t.ta * s.cnt, FALSE) AS bit
+           FROM tot t CROSS JOIN (SELECT unnest(range(64)) AS k) g
+           LEFT JOIN seg s ON s.id = t.id AND s.k = g.k),
+         hm AS (
+           SELECT a.id AS id_a, b2.id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT)
+               AS ham
+           FROM bits a JOIN bits b2 ON a.k = b2.k AND a.id < b2.id
+           GROUP BY a.id, b2.id)
+         SELECT id_a, id_b, ham FROM hm WHERE ham <= 7
+         ORDER BY id_a, id_b""",
     // q203: brute replay — the segment banding is pigeonhole-EXACT at
     // ed <= 2, so the oracle's all-pairs form must match row for row
     // (same sub-3-char prefix exclusion as the engine's contract)

@@ -411,40 +411,58 @@ object Multimodal {
     * that is not audio at all — returns null and the caller falls back
     * to the byte-stats stub. Null second-channel lanes are 0 for mono.
     * One narrow UDF, no shuffle. */
+  /** Shared PCM16 decode behind [[audioStats]] and
+    * [[audioFingerprint]]: container sniff, format guards (the
+    * contract is None-and-fall-back, never a task-killing throw),
+    * raw sample bytes. Returns (channels, sampleRate, isBigEndian,
+    * data). */
+  private def decodePcm16(p: Array[Byte])
+      : Option[(Int, Int, Boolean, Array[Byte])] = {
+    val ais =
+      if (!looksLikeAudio(p)) null
+      else
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) None
+    else {
+      val fmt = ais.getFormat
+      // header sanity bounds, not just encoding: a crafted/corrupt
+      // fmt chunk reporting 0 channels or a 0 sample rate would
+      // divide by zero downstream
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 ||
+          fmt.getChannels < 1 || fmt.getChannels > 2 ||
+          fmt.getSampleRate <= 0f || fmt.getSampleRate.isNaN) None
+      else try {
+        Some((fmt.getChannels, fmt.getSampleRate.toInt, fmt.isBigEndian,
+          ais.readAllBytes()))
+      } catch { // truncated/corrupt data section: same None contract
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
+
+  /** PCM16 sample `j` (interleaved index) from raw data bytes. */
+  @inline private def sampleAt(bytes: Array[Byte], j: Int, big: Boolean): Int = {
+    val lo = if (big) bytes(2 * j + 1) else bytes(2 * j)
+    val hi = if (big) bytes(2 * j) else bytes(2 * j + 1)
+    ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toInt
+  }
+
   def audioStats(payload: Column): Column = {
     val f = udf { (p: Array[Byte]) =>
-      val ais =
-        if (!looksLikeAudio(p)) null
-        else
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(p))
-          catch { case scala.util.control.NonFatal(_) => null }
-      if (ais == null) null
-      else {
-        val fmt = ais.getFormat
-        // header sanity bounds, not just encoding: a crafted/corrupt
-        // fmt chunk reporting 0 channels or a 0 sample rate would
-        // divide by zero below — the contract is null-and-fall-back,
-        // never a task-killing throw
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16 ||
-            fmt.getChannels < 1 || fmt.getChannels > 2 ||
-            fmt.getSampleRate <= 0f || fmt.getSampleRate.isNaN) null
-        else try {
-          val bytes = ais.readAllBytes()
-          val channels = fmt.getChannels
-          val rate = fmt.getSampleRate.toInt
+      decodePcm16(p) match {
+        case None => null
+        case Some((channels, rate, big, bytes)) =>
           val nFrames = bytes.length / (2 * channels)
           val peak = new Array[Long](2)
           val sumAbs = new Array[Long](2)
           val sumSq = new Array[Long](2)
-          val big = fmt.isBigEndian
           var j = 0
           val total = nFrames * channels
           while (j < total) {
-            val lo = if (big) bytes(2 * j + 1) else bytes(2 * j)
-            val hi = if (big) bytes(2 * j) else bytes(2 * j + 1)
-            val s = ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toLong
+            val s = sampleAt(bytes, j, big).toLong
             val c = j % channels
             val a = math.abs(s)
             if (a > peak(c)) peak(c) = a
@@ -455,9 +473,6 @@ object Multimodal {
           WavStatsRow(rate, channels, nFrames.toLong,
             nFrames.toLong * 1000L / rate,
             peak(0), sumAbs(0), sumSq(0), peak(1), sumAbs(1), sumSq(1))
-        } catch { // truncated/corrupt data section: same null contract
-          case scala.util.control.NonFatal(_) => null
-        }
       }
     }
     f(payload)
@@ -466,6 +481,49 @@ object Multimodal {
   /** Back-compat name for [[audioStats]] (q120 predates the AIFF/AU
     * extension; same decode, wider sniff). */
   def wavStats(payload: Column): Column = audioStats(payload)
+
+  /** Perceptual 64-bit AUDIO fingerprint — the [[imageDHash]] analog
+    * for sound: the first channel's |sample| stream is cut into 64
+    * equal segments and bit k is set when segment k's mean loudness
+    * exceeds the clip's mean (compared by exact integer
+    * cross-multiplication, so the bit pattern is engine-reproducible
+    * and — crucially — INVARIANT to uniform gain: the same clip at
+    * half volume fingerprints (near-)identically, which is what makes
+    * banded-Hamming pairing on this signature a perceptual dedup).
+    * Null on anything [[decodePcm16]] rejects. Cross-products are
+    * bounded by 32768·nFrames², exact in a Long up to ~1.6e7 frames
+    * (≈ 6 min at 44.1 kHz) — longer clips should fingerprint a
+    * bounded excerpt. */
+  def audioFingerprint(payload: Column): Column = {
+    val f = udf { (p: Array[Byte]) =>
+      decodePcm16(p) match {
+        case None => null
+        case Some((channels, _, big, bytes)) =>
+          val n = bytes.length / (2 * channels)
+          if (n == 0) null
+          else {
+            val segAbs = new Array[Long](64)
+            val segCnt = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val a = math.abs(sampleAt(bytes, i * channels, big).toLong)
+              val k = ((i.toLong * 64L) / n).toInt
+              segAbs(k) += a; segCnt(k) += 1; total += a
+              i += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < 64) {
+              if (segAbs(k) * n > total * segCnt(k)) fp |= (1L << k)
+              k += 1
+            }
+            java.lang.Long.valueOf(fp)
+          }
+      }
+    }
+    f(payload)
+  }
 
   /** One synthetic clip's PCM16 frames encoded into a real container:
     * flat sample j of clip `id` is the closed-form
@@ -476,14 +534,18 @@ object Multimodal {
     * carry the SAME samples losslessly and decode to identical integer
     * lanes — which is exactly what q161 proves. */
   private def encodeSynthetic(id: Long, big: Boolean,
-      t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      t: javax.sound.sampled.AudioFileFormat.Type,
+      halve: Boolean = false): Array[Byte] = {
     val channels = 1 + (id % 2).toInt
     val rate = 8000 * (1 + (id % 3).toInt)
     val nFrames = (64 + id % 33).toInt
     val data = new Array[Byte](nFrames * channels * 2)
     var j = 0
     while (j < nFrames * channels) {
-      val s = (((id * 31 + j.toLong * 7919) % 65536) - 32768).toInt
+      val s0 = (((id * 31 + j.toLong * 7919) % 65536) - 32768).toInt
+      // the "same clip, half volume" variant: integer truncation
+      // toward zero (the oracle mirrors with trunc(s/2.0))
+      val s = if (halve) s0 / 2 else s0
       if (big) {
         data(2 * j) = ((s >> 8) & 0xff).toByte
         data(2 * j + 1) = (s & 0xff).toByte
@@ -511,6 +573,17 @@ object Multimodal {
     val f = udf { (id: Long) =>
       encodeSynthetic(id, big = false,
         javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    }
+    f(id)
+  }
+
+  /** [[syntheticWav]] at half volume (every sample integer-halved,
+    * truncation toward zero): the perceptual-duplicate fixture for the
+    * audio near-dup path — same clip, different gain. */
+  def syntheticWavHalved(id: Column): Column = {
+    val f = udf { (id: Long) =>
+      encodeSynthetic(id, big = false,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, halve = true)
     }
     f(id)
   }

@@ -289,4 +289,26 @@ class MultimodalSpec extends SparkSpec {
     val f = out.getSeq[Float](3)
     assert(f(0) === 1.0f && f(1) === 0.5f && f(2) === 0.5f)
   }
+
+  test("audioFingerprint: gain-invariant (half-volume clip within ham 7), junk is null") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 50L).toDF("id")
+    val both = ids.select($"id",
+      Multimodal.audioFingerprint(Multimodal.syntheticWav($"id")).as("fp_full"),
+      Multimodal.audioFingerprint(Multimodal.syntheticWavHalved($"id")).as("fp_half"))
+      .withColumn("ham", bit_count($"fp_full".bitwiseXOR($"fp_half")))
+      .select($"id", $"ham").as[(Long, Int)].collect()
+    both.foreach { case (id, ham) =>
+      assert(ham <= 7, s"clip $id: half-volume fingerprint drifted $ham bits") }
+    // deterministic across invocations
+    val a = ids.select(Multimodal.audioFingerprint(
+      Multimodal.syntheticWav($"id"))).as[Long].collect().toSeq
+    val b = ids.select(Multimodal.audioFingerprint(
+      Multimodal.syntheticWav($"id"))).as[Long].collect().toSeq
+    assert(a === b)
+    // non-audio payloads are null, not a throw
+    val junk = Seq(Array[Byte](1, 2, 3, 4)).toDF("p")
+      .select(Multimodal.audioFingerprint($"p")).collect()
+    assert(junk.head.isNullAt(0))
+  }
 }
