@@ -22,11 +22,12 @@ import graft.operators.Dedup
   * shard (each must be searched — same contract as every sharded ANN
   * serving system), each shard returns its local top-k from a beam
   * search, and a global [[graft.plans.TopKPerKey]] merge keeps the true
-  * top-k of the union. Graph builds don't take deltas (inserting into a
-  * frozen shard graph needs a single writer per shard); the standing
-  * alternatives with delta lifecycles are the forest store and
-  * [[IvfModel.appendStore]] — this backend trades that for the best
-  * recall-per-distance-computation of the three routings.
+  * top-k of the union. Deltas are taken at SHARD granularity
+  * ([[NswModel.append]]/[[NswModel.remove]]/[[NswModel.compact]]): a
+  * frozen shard graph can't absorb single inserts in parallel, but a
+  * shard rebuild is a pure id-ordered function of its live rows, so
+  * touched shards rebuild bit-identically to a fresh fit and the rest
+  * pass through untouched.
   *
   * Determinism: insertion order is node-id ascending per shard, every
   * heap comparison tie-breaks (distance, id), so two fits with one seed
@@ -61,10 +62,11 @@ case class NswGraph(m: Int = 12, efConstruction: Int = 64,
       .repartition(numShards, col("shard"))
       .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
       .toDF("shard", "node_id", "vec", "nbrs")
+      .withColumn("del", lit(false))
       // eager materialization: the build is the expensive pass; every
       // query batch against the model must reuse it, never re-run it
       .localCheckpoint()
-    new NswModel(m, numShards, metric, graph)
+    new NswModel(m, efConstruction, numShards, metric, seed, graph)
   }
 }
 
@@ -205,18 +207,34 @@ object NswGraph {
   }
 
   def load(path: String, spark: SparkSession): NswModel = {
-    val p = spark.read.parquet(path + "/params").head()
-    new NswModel(p.getInt(0), p.getInt(1), p.getString(2),
-      spark.read.parquet(path + "/graph"))
+    val p = spark.read.parquet(path + "/params")
+      .select("m", "efc", "shards", "metric", "seed").head()
+    new NswModel(p.getInt(0), p.getInt(1), p.getInt(2), p.getString(3),
+      p.getLong(4), spark.read.parquet(path + "/graph"))
   }
 }
 
 /** Fitted NSW model: the sharded graph as a DataFrame (one row per
-  * node: shard, id, vector, adjacency) — the store never leaves the
-  * executors. `graph` is checkpoint-materialized by fit, so repeated
-  * query batches reuse it. */
-class NswModel(val m: Int, val numShards: Int, val metric: String,
-    val graph: DataFrame) extends Serializable {
+  * node: shard, id, vector, adjacency, tombstone flag) — the store
+  * never leaves the executors. `graph` is checkpoint-materialized by
+  * fit, so repeated query batches reuse it.
+  *
+  * Delta LIFECYCLE (the forest-store discipline, adapted to graphs):
+  * a frozen shard graph can't take single inserts in parallel, but a
+  * shard CAN be rebuilt independently — so [[append]] rebuilds only
+  * the shards the delta hashes into (a k-row delta touches ≤ min(k, S)
+  * shards; every other shard passes through untouched), [[remove]]
+  * tombstones via the same admission flag the filtered serve uses
+  * (deleted nodes still route, never surface), and [[compact]]
+  * rebuilds only the shards whose tombstone ratio crossed the
+  * threshold. Because a shard build is a pure function of its live
+  * (id, vector) set (insertion is id-ordered), append/compact output
+  * is BIT-IDENTICAL to a fresh fit of the union — specced, not just
+  * claimed. Caller dedups deltas against the store (the q93 ingest
+  * machinery), same contract as the forest/IVF appends. */
+class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
+    val metric: String, val seed: Long, val graph: DataFrame)
+    extends Serializable {
 
   /** Top-k ANN join: every shard beam-searches the broadcast query
     * batch (queries must be broadcast-sized — the same contract as the
@@ -228,7 +246,7 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
   def knnJoin(queries: DataFrame, topK: Int, ef: Int = 64,
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
     graft.plans.TopKPerKey.rankedTopK(
-        serve(graph.withColumn("__ok", lit(true)), queries, topK, ef,
+        serve(graph.withColumn("__ok", !col("del")), queries, topK, ef,
           Double.PositiveInfinity, queryId, queryVec),
         "query_id", Seq("dist", "neighbor_id"), topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -250,9 +268,9 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
     // graph for a standing filtered workload)
     val flagged = graph.join(
         allowed.select(col(allowedId).cast("long").as("node_id")).distinct()
-          .withColumn("__ok", lit(true)),
+          .withColumn("__alw", lit(true)),
         Seq("node_id"), "left")
-      .withColumn("__ok", coalesce(col("__ok"), lit(false)))
+      .withColumn("__ok", coalesce(col("__alw"), lit(false)) && !col("del"))
       .repartition(numShards, col("shard"))
     graft.plans.TopKPerKey.rankedTopK(
         serve(flagged, queries, topK, ef, Double.PositiveInfinity,
@@ -269,7 +287,7 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
     * backends). Output (query_id, neighbor_id, dist), unranked. */
   def radiusJoin(queries: DataFrame, maxDist: Double, ef: Int = 64,
       queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
-    serve(graph.withColumn("__ok", lit(true)), queries, ef, ef, maxDist,
+    serve(graph.withColumn("__ok", !col("del")), queries, ef, ef, maxDist,
       queryId, queryVec)
 
   /** Shared serve core: broadcast the (metric-normalized) query batch,
@@ -296,11 +314,91 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
       .toDF("query_id", "neighbor_id", "dist")
   }
 
-  /** Graph health: per-shard node counts and degree stats — the NSW
-    * analog of the forest's describe(). */
+  /** Rebuild the given shards from `rows` (live (shard, node_id, vec)
+    * triples routed there) and pass every other shard through — the
+    * single rebuild core behind [[append]] and [[compact]]. */
+  private def rebuildShards(touched: Seq[Int], rows: DataFrame): NswModel = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val mm = m; val efc = efConstruction
+    val rebuilt = rows
+      .as[(Int, Long, Seq[Float])]
+      .repartition(math.max(touched.length, 1), col("shard"))
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
+      .toDF("shard", "node_id", "vec", "nbrs")
+      .withColumn("del", lit(false))
+    val untouched = graph.filter(!col("shard").isin(touched: _*))
+      .select("shard", "node_id", "vec", "nbrs", "del")
+    new NswModel(m, efConstruction, numShards, metric, seed,
+      untouched.unionByName(rebuilt).localCheckpoint())
+  }
+
+  /** Ingest a delta by rebuilding ONLY the shards it hashes into:
+    * touched-shard live rows ∪ delta rows re-run the seeded id-ordered
+    * build, so the result is bit-identical to a fresh fit of the union
+    * (touched shards also compact in passing — their tombstones purge
+    * for free). A k-row delta rebuilds ≤ min(k, numShards) shards.
+    * Delta must be deduped against the store by the caller (q93's
+    * ingest admission), same contract as the forest/IVF appends. */
+  def append(delta: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): NswModel = {
+    import graft.functions.VectorFunctions.l2Normalize
+    val vecExpr =
+      if (metric == "cosine") l2Normalize(col(vecCol).cast("array<float>"))
+      else col(vecCol).cast("array<float>")
+    val deltaRows = Dedup.exactVectors(delta, vecCol, idCol)
+      .select(
+        pmod(xxhash64(lit(seed), col(idCol).cast("long")), lit(numShards))
+          .cast("int").as("shard"),
+        col(idCol).cast("long").as("node_id"), vecExpr.as("vec"))
+    val touched = deltaRows.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) this
+    else rebuildShards(touched,
+      graph.filter(col("shard").isin(touched: _*) && !col("del"))
+        .select("shard", "node_id", "vec")
+        .unionByName(deltaRows))
+  }
+
+  /** Tombstone `ids`: marked nodes still ROUTE (dropping them would
+    * tear edges and strand graph regions) but never surface — the
+    * admission flag the filtered serve already uses. Physical purge is
+    * [[compact]]'s job. */
+  def remove(ids: DataFrame, idCol: String = "vec_id"): NswModel = {
+    val marked = graph.join(
+        ids.select(col(idCol).cast("long").as("node_id")).distinct()
+          .withColumn("__rm", lit(true)),
+        Seq("node_id"), "left")
+      .withColumn("del", col("del") || coalesce(col("__rm"), lit(false)))
+      .select("shard", "node_id", "vec", "nbrs", "del")
+      // the id join hash-partitions by node_id; serving needs whole
+      // shards per partition
+      .repartition(numShards, col("shard"))
+    new NswModel(m, efConstruction, numShards, metric, seed,
+      marked.localCheckpoint())
+  }
+
+  /** Ratio-gated physical purge: rebuild only the shards whose
+    * tombstone fraction exceeds `maxDeadRatio` (live rows re-run the
+    * seeded build — fit-identical, like [[append]]); healthy shards
+    * pass through untouched. */
+  def compact(maxDeadRatio: Double = 0.2): NswModel = {
+    val touched = graph.groupBy("shard")
+      .agg(avg(col("del").cast("double")).as("ratio"))
+      .filter(col("ratio") > maxDeadRatio)
+      .select("shard").collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) this
+    else rebuildShards(touched,
+      graph.filter(col("shard").isin(touched: _*) && !col("del"))
+        .select("shard", "node_id", "vec"))
+  }
+
+  /** Graph health: per-shard node counts, degree stats and tombstone
+    * backlog — the NSW analog of the forest's describe(). */
   def describe(): DataFrame =
     graph.groupBy(col("shard")).agg(
       count(lit(1)).as("nodes"),
+      sum(col("del").cast("long")).as("tombstones"),
       round(avg(size(col("nbrs"))), 2).as("avg_degree"),
       max(size(col("nbrs"))).as("max_degree"),
       min(size(col("nbrs"))).as("min_degree"))
@@ -310,7 +408,8 @@ class NswModel(val m: Int, val numShards: Int, val metric: String,
     val spark = graph.sparkSession
     import spark.implicits._
     graph.write.mode("overwrite").parquet(path + "/graph")
-    Seq((m, numShards, metric)).toDF("m", "shards", "metric")
+    Seq((m, efConstruction, numShards, metric, seed))
+      .toDF("m", "efc", "shards", "metric", "seed")
       .write.mode("overwrite").parquet(path + "/params")
   }
 }

@@ -132,6 +132,57 @@ class NswGraphSpec extends SparkSpec {
     assert(rec >= 0.95)
   }
 
+  test("append rebuilds only touched shards and is BIT-IDENTICAL to a fresh fit of the union") {
+    val old = emb.filter($"vec_id" < 400)
+    val delta = emb.filter($"vec_id" >= 400 && $"vec_id" < 420)
+    val appended = NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+      .fit(old, "vec_id", "embedding").append(delta)
+    val fresh = NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+      .fit(emb.filter($"vec_id" < 420), "vec_id", "embedding")
+    val ga = appended.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    val gf = fresh.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    assert(ga === gf)
+  }
+
+  test("remove tombstones: id never surfaces but still routes; compact purges fit-identically") {
+    val queries = emb.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val removedIds = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val after = model.remove(removedIds)
+    val got = after.knnJoin(queries, topK = 10, ef = 80).cache()
+    assert(got.join(removedIds.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() === got.count())
+    // tombstones visible in describe, graph row count unchanged (routing intact)
+    assert(after.graph.count() === model.graph.count())
+    assert(after.describe().agg(sum($"tombstones")).head().getLong(0) ===
+      removedIds.count())
+    // serve over tombstones == exact kNN over the live set (generous ef)
+    val exact = graft.operators.KnnExact.knnBatch(
+        emb.join(removedIds, Seq("vec_id"), "left_anti"), queries, 10)
+      .groupBy("query_id").agg(collect_set("neighbor_id").as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val approx = got.groupBy("query_id").agg(collect_set("neighbor_id").as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val rec = exact.map { case (q, t) =>
+      approx(q).toSet.intersect(t.toSet).size.toDouble / t.size }
+    assert(rec.sum / rec.size >= 0.9)
+    // ratio-gated compact: every shard holds ~1/7 tombstones > 0.05
+    // threshold → all rebuild; result is fit-identical to the live set
+    val compacted = after.compact(maxDeadRatio = 0.05)
+    assert(compacted.graph.count() === model.graph.count() - removedIds.count())
+    val fresh = NswGraph(m = 12, efConstruction = 64, numShards = 4, seed = 42L)
+      .fit(emb.join(removedIds, Seq("vec_id"), "left_anti"), "vec_id", "embedding")
+    val gc = compacted.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    val gf = fresh.graph.select("shard", "node_id", "nbrs")
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    assert(gc === gf)
+    // a no-op compact (threshold above the backlog) returns this model
+    assert(after.compact(maxDeadRatio = 0.99).graph eq after.graph)
+  }
+
   test("cosine metric: normalized-space ordering matches exact cosine top-1") {
     val cos = NswGraph(m = 12, efConstruction = 64, numShards = 2,
       metric = "cosine", seed = 42L).fit(emb, "vec_id", "embedding")
