@@ -4165,11 +4165,13 @@ object SparkEntry {
   val benchServingQueries: Seq[String] = Seq(
     "q190_bq_rerank", "q192_matryoshka_overlap", "q193_bq_asym",
     "q196_hard_negatives", "q197_bq_neardup",
-    // round-9 wave 3, tracked from birth: the one-sort curriculum cut
-    // and the line-rule boilerplate strip (q199's NSW build is a
-    // fit-time cost, not a serving path — its scale numbers live in
-    // ARCHITECTURE's probe table instead of the bench)
-    "q200_curriculum", "q201_boilerplate")
+    // round-9 wave 3, tracked from birth: the one-sort curriculum cut,
+    // the line-rule boilerplate strip, and the audio near-dup miner.
+    // q199 (NSW build) and q203 (PassJoin, ~15s at sf0.1) are
+    // fit/mining-time costs, not serving paths — their scale numbers
+    // live in ARCHITECTURE's probe tables (ProbeNsw, ProbeEditDedup)
+    // instead of inflating the min-of-3 sweep.
+    "q200_curriculum", "q201_boilerplate", "q204_audio_neardup")
 
   /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
     * the same pipeline): one truth, two engine-side surfaces. */

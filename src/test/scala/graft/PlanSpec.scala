@@ -462,4 +462,30 @@ class PlanSpec extends SparkSpec {
     // not rescan the corpus at all
     assert(!p.contains("Scan parquet"), "corpus rescan in the report tail:\n" + p)
   }
+
+  test("q203 edit near-dup: banded equi-join, never cartesian; verify joins stay hash") {
+    val p = planOf("q203_edit_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "segment banding degenerated to all-pairs:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join must be an equi-join on (i, plen, seg):\n" + p)
+  }
+
+  test("q201 boilerplate strip is a narrow map: no exchange except the presentation sort") {
+    val p = planOf("q201_boilerplate")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // rangepartitioning for the final orderBy is the only exchange
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q200 curriculum: no unpartitioned window anywhere in the plan") {
+    val p = planOf("q200_curriculum")
+    // a global ntile/row_number window would show as
+    // Window ... SinglePartition (or an Exchange SinglePartition feeding it)
+    assert(!p.contains("Window"),
+      "curriculum must not plan a window (GlobalOrder is sort+zipWithIndex):\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "corpus converged on one task:\n" + p)
+  }
 }
