@@ -86,6 +86,8 @@ object GraftSession {
       graft.operators.TextAnalysis.stripHtml(GraftBridge.column(es(0)))), "built-in")
     reg.createOrReplaceTempFunction("strip_boilerplate", es => GraftBridge.resolvedExpression(
       graft.operators.TextAnalysis.stripBoilerplate(GraftBridge.column(es(0)))), "built-in")
+    reg.createOrReplaceTempFunction("audio_fp", es => GraftBridge.resolvedExpression(
+      graft.operators.Multimodal.audioFingerprint(GraftBridge.column(es(0)))), "built-in")
     // SQL faces for the tokenizer assets (round 9): a SQL-only user
     // encodes with the SAME committed constants the DataFrame faces
     // serve — BPE merge table, MaxMatch and Viterbi over the unigram

@@ -3321,6 +3321,42 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q205: the audio near-dup pipeline through the SQL frontend —
+    // the q162/q173/q178/q184/q198 three-surface discipline reaching
+    // multimodal: audio_fp from the registry, the 8-band pigeonhole
+    // split, bucket join and popcount Hamming all in spark.sql,
+    // sharing q204's oracle string VERBATIM (one truth, two engine
+    // surfaces). Clip synthesis stays a Scala-built temp view (fixture
+    // generators don't belong in the user-facing function registry).
+    "q205_sql_audio" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      ids.select(col("doc_id").as("id"),
+          Multimodal.syntheticWav(col("doc_id")).as("payload"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000L).as("id"),
+            Multimodal.syntheticWavHalved(col("doc_id")).as("payload")))
+        .createOrReplaceTempView("audio_clips")
+      s.sql("""
+        WITH fp AS (SELECT id, audio_fp(payload) AS fp FROM audio_clips),
+        bands AS (
+          SELECT id, fp, band,
+            shiftrightunsigned(fp, band * 8) & 255 AS bval
+          FROM fp LATERAL VIEW explode(sequence(0, 7)) t AS band),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bval = y.bval AND x.id < y.id),
+        hm AS (
+          SELECT c.id_a, c.id_b, bit_count(a.fp ^ b.fp) AS ham
+          FROM cand c
+          JOIN fp a ON a.id = c.id_a
+          JOIN fp b ON b.id = c.id_b)
+        SELECT id_a, id_b, ham FROM hm WHERE ham <= 7
+        ORDER BY id_a, id_b""")
+    }),
+
     // q204: perceptual AUDIO near-dup — the modality completing the
     // dedup matrix (text shingles, image dHash, embedding sign codes,
     // now sound): a 64-bit loudness-envelope fingerprint from the
@@ -4172,6 +4208,46 @@ object SparkEntry {
     // live in ARCHITECTURE's probe tables (ProbeNsw, ProbeEditDedup)
     // instead of inflating the min-of-3 sweep.
     "q200_curriculum", "q201_boilerplate", "q204_audio_neardup")
+
+  /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
+    * the same audio near-dup pipeline): one truth, two engine-side
+    * surfaces — the q193/q198 discipline for multimodal. */
+  private val audioNearDupOracleSql: String =
+    """WITH clips AS (
+         SELECT doc_id AS id, doc_id AS base, FALSE AS hv FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, doc_id, TRUE FROM documents
+         WHERE doc_id % 5 = 0),
+       b AS (
+         SELECT id, base, hv, 1 + base % 2 AS channels, 64 + base % 33 AS n
+         FROM clips),
+       samp AS (
+         SELECT id, n, i,
+           CASE WHEN hv THEN CAST(trunc(s0 / 2.0) AS BIGINT) ELSE s0 END AS s
+         FROM (
+           SELECT id, hv, n, i,
+             ((base * 31 + (i * channels) * 7919) % 65536) - 32768 AS s0
+           FROM (SELECT id, base, hv, channels, n,
+                   unnest(range(n)) AS i FROM b))),
+       seg AS (
+         SELECT id, n, (i * 64) // n AS k,
+           CAST(sum(abs(s)) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS cnt
+         FROM samp GROUP BY id, n, (i * 64) // n),
+       tot AS (SELECT id, n, CAST(sum(sa) AS BIGINT) AS ta
+               FROM seg GROUP BY id, n),
+       bits AS (
+         SELECT t.id, g.k AS k,
+           COALESCE(s.sa * t.n > t.ta * s.cnt, FALSE) AS bit
+         FROM tot t CROSS JOIN (SELECT unnest(range(64)) AS k) g
+         LEFT JOIN seg s ON s.id = t.id AND s.k = g.k),
+       hm AS (
+         SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT)
+             AS ham
+         FROM bits a JOIN bits b2 ON a.k = b2.k AND a.id < b2.id
+         GROUP BY a.id, b2.id)
+       SELECT id_a, id_b, ham FROM hm WHERE ham <= 7
+       ORDER BY id_a, id_b"""
 
   /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
     * the same pipeline): one truth, two engine-side surfaces. */
@@ -6050,42 +6126,10 @@ object SparkEntry {
     // q204: the sample formula, halving truncation, envelope bits and
     // pair Hamming replayed in SQL; banding is pigeonhole-exact at
     // ham <= 7 so the all-pairs form matches row for row
-    "q204_audio_neardup" ->
-      """WITH clips AS (
-           SELECT doc_id AS id, doc_id AS base, FALSE AS hv FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, doc_id, TRUE FROM documents
-           WHERE doc_id % 5 = 0),
-         b AS (
-           SELECT id, base, hv, 1 + base % 2 AS channels, 64 + base % 33 AS n
-           FROM clips),
-         samp AS (
-           SELECT id, n, i,
-             CASE WHEN hv THEN CAST(trunc(s0 / 2.0) AS BIGINT) ELSE s0 END AS s
-           FROM (
-             SELECT id, hv, n, i,
-               ((base * 31 + (i * channels) * 7919) % 65536) - 32768 AS s0
-             FROM (SELECT id, base, hv, channels, n,
-                     unnest(range(n)) AS i FROM b))),
-         seg AS (
-           SELECT id, n, (i * 64) // n AS k,
-             CAST(sum(abs(s)) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS cnt
-           FROM samp GROUP BY id, n, (i * 64) // n),
-         tot AS (SELECT id, n, CAST(sum(sa) AS BIGINT) AS ta
-                 FROM seg GROUP BY id, n),
-         bits AS (
-           SELECT t.id, g.k AS k,
-             COALESCE(s.sa * t.n > t.ta * s.cnt, FALSE) AS bit
-           FROM tot t CROSS JOIN (SELECT unnest(range(64)) AS k) g
-           LEFT JOIN seg s ON s.id = t.id AND s.k = g.k),
-         hm AS (
-           SELECT a.id AS id_a, b2.id AS id_b,
-             CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT)
-               AS ham
-           FROM bits a JOIN bits b2 ON a.k = b2.k AND a.id < b2.id
-           GROUP BY a.id, b2.id)
-         SELECT id_a, id_b, ham FROM hm WHERE ham <= 7
-         ORDER BY id_a, id_b""",
+    "q204_audio_neardup" -> audioNearDupOracleSql,
+    // q205: the SAME oracle string, verbatim — one truth for both
+    // engine surfaces (DataFrame banding machinery vs SQL frontend)
+    "q205_sql_audio" -> audioNearDupOracleSql,
     // q203: brute replay — the segment banding is pigeonhole-EXACT at
     // ed <= 2, so the oracle's all-pairs form must match row for row
     // (same sub-3-char prefix exclusion as the engine's contract)
