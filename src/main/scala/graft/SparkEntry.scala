@@ -3321,6 +3321,56 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q206: the NSW LIFECYCLE demonstration under the driver gate
+    // (q121/q172's pattern for the graph family): build on a prefix,
+    // append the next slice, tombstone a stripe, compact — then
+    // assert, as constant-truth ok-bits, the properties the lifecycle
+    // scaladoc promises. NSW serve is fully deterministic, so
+    // "maintained ≡ fresh fit" is EXACT row equality, not a recall
+    // floor.
+    "q206_nsw_lifecycle" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val removed = e.filter(col("vec_id") % 9 === 2).select(col("vec_id"))
+      val nsw = graft.ann.NswGraph(m = 12, efConstruction = 64,
+        numShards = 4, seed = 42L)
+      val maintained = nsw
+        .fit(e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding")
+        .append(e.filter(col("vec_id") % 3 === 0))
+        .remove(removed)
+      val compacted = maintained.compact(maxDeadRatio = 0.05)
+      // ef = 200 > any shard's node count at the gate fixture → the
+      // beam is exhaustive per shard, so BOTH serves return the exact
+      // live top-10 and the equality bit is guaranteed by
+      // construction, not by recall luck
+      def served(mm: graft.ann.NswModel) =
+        mm.knnJoin(queries, topK = 10, ef = 200)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val fresh = nsw.fit(
+        e.join(removed, Seq("vec_id"), "left_anti"), "vec_id", "embedding")
+      val liveN = e.count() - removed.count()
+      val tombSurfaced = served(maintained)
+        .join(removed.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").count()
+      val maintainedEqFresh = served(maintained)
+        .unionByName(served(fresh)).distinct().count() ==
+        served(fresh).count()
+      val compactedEqFresh = compacted.graph
+        .select(col("shard"), col("node_id"), col("nbrs"))
+        .unionByName(fresh.graph
+          .select(col("shard"), col("node_id"), col("nbrs")))
+        .distinct().count() == fresh.graph.count()
+      import s.implicits._
+      Seq(
+        ("compact_graph_eq_fresh_fit", if (compactedEqFresh) 1 else 0),
+        ("compact_purges_to_live_count",
+          if (compacted.graph.count() == liveN) 1 else 0),
+        ("maintained_serve_eq_fresh", if (maintainedEqFresh) 1 else 0),
+        ("tombstones_never_surface", if (tombSurfaced == 0L) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q205: the audio near-dup pipeline through the SQL frontend —
     // the q162/q173/q178/q184/q198 three-surface discipline reaching
     // multimodal: audio_fp from the registry, the 8-band pigeonhole
@@ -6130,6 +6180,16 @@ object SparkEntry {
     // q205: the SAME oracle string, verbatim — one truth for both
     // engine surfaces (DataFrame banding machinery vs SQL frontend)
     "q205_sql_audio" -> audioNearDupOracleSql,
+    // q206: constant-truth lifecycle bits (exact equalities, not
+    // floors — NSW serve is deterministic and the gate beam is
+    // exhaustive)
+    "q206_nsw_lifecycle" ->
+      """SELECT * FROM (VALUES
+           ('compact_graph_eq_fresh_fit', 1),
+           ('compact_purges_to_live_count', 1),
+           ('maintained_serve_eq_fresh', 1),
+           ('tombstones_never_surface', 1)) t(component, ok)
+         ORDER BY component""",
     // q203: brute replay — the segment banding is pigeonhole-EXACT at
     // ed <= 2, so the oracle's all-pairs form must match row for row
     // (same sub-3-char prefix exclusion as the engine's contract)
