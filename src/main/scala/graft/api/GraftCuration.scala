@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, DedupClusters, Drift, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
+import graft.operators.{Bpe, Curriculum, DedupClusters, Drift, EpochShuffle, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
 
 /** Typed document record for the curation surface (mirrors the fixture
   * `documents` schema — FIXTURES.md). */
@@ -42,6 +42,15 @@ case class Triplet(anchor_id: Long, pos_id: Long, neg_id: Long, neg_clean: Int)
 
 /** Typed DSIR selection row (log_w = 6dp log importance weight). */
 case class DsirPick(doc_id: Long, log_w: Double)
+
+/** Typed curriculum slot (phase 1 = easiest; rank is the reproducible
+  * read order within the phase). */
+case class CurriculumSlot(phase: Int, rank_in_phase: Int, doc_id: Long,
+  n_tok: Long, difficulty: Double)
+
+/** Typed epoch-schedule slot (position 1..n within each epoch;
+  * resume = a (epoch, position) filter, never a replay). */
+case class EpochSlot(epoch: Int, position: Long, doc_id: Long)
 
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
@@ -287,4 +296,45 @@ object GraftCuration {
   def topNgramRepetition(docs: Dataset[Document],
       n: Int = 2): org.apache.spark.sql.DataFrame =
     TextAnalysis.topNgramCharFraction(docs.toDF(), "doc_id", "text", n)
+
+  /** Exact edit-distance near-dup pairs (PassJoin banding + verify —
+    * the q203 path). `score` = edit distance over the compared prefix:
+    * LOWER = more duplicate (the [[simhashPairs]] polarity). */
+  def editNearDups(docs: Dataset[Document], maxDist: Int = 2,
+      prefixLen: Int = 60): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    TextDedup.editNearDupPairs(docs.toDF(), "doc_id", "text", maxDist, prefixLen)
+      .select(col("id_a"), col("id_b"), col("dist").cast("double").as("score"))
+      .as[NearDupPair]
+  }
+
+  /** Line-level boilerplate strip (q201): text replaced by the kept
+    * lines, n_chars recomputed. */
+  def stripBoilerplate(docs: Dataset[Document]): Dataset[Document] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withColumn("text", TextAnalysis.stripBoilerplate(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .as[Document]
+  }
+
+  /** Quantile curriculum phases over the lexical difficulty score
+    * (q200's path — one range-partitioned sort, no global window). */
+  def curriculum(docs: Dataset[Document],
+      numPhases: Int = 4): Dataset[CurriculumSlot] = {
+    import docs.sparkSession.implicits._
+    Curriculum.phases(docs.toDF(), numPhases)
+      .select(col("phase"), col("rank_in_phase"), col("doc_id"),
+        col("n_tok"), col("difficulty"))
+      .as[CurriculumSlot]
+  }
+
+  /** Deterministic resumable epoch order (q202's path). */
+  def epochSchedule(docs: Dataset[Document],
+      numEpochs: Int): Dataset[EpochSlot] = {
+    import docs.sparkSession.implicits._
+    EpochShuffle.schedule(docs.toDF(), numEpochs)
+      .select(col("epoch"), col("position"), col("doc_id"))
+      .as[EpochSlot]
+  }
 }

@@ -260,4 +260,20 @@ class ApiSpec extends SparkSpec {
     assert(viaSql("t_knn_exact").filter(_._2 == 1)
       .forall(h => h._1 == h._3 && h._4 == 0.0))
   }
+
+  test("typed facade: curriculum, epoch schedule, edit near-dups, boilerplate strip") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).as[Document]
+    val n = docs.count()
+    val cur = GraftCuration.curriculum(docs, numPhases = 3)
+    assert(cur.count() === n)
+    assert(cur.filter($"phase" === 1).count() > 0)
+    val sched = GraftCuration.epochSchedule(docs, numEpochs = 2)
+    assert(sched.count() === 2 * n)
+    val pairs = GraftCuration.editNearDups(docs.limit(50))
+    assert(pairs.collect().forall(p => p.score <= 2.0 && p.id_a < p.id_b))
+    val stripped = GraftCuration.stripBoilerplate(docs.limit(20)).collect()
+    stripped.foreach(d => assert(d.n_chars === d.text.length.toLong))
+  }
 }
