@@ -3321,6 +3321,18 @@ object SparkEntry {
         .orderBy(col("phase"), col("rank_in_phase"))
     }),
 
+    // q207: SOURCE-INTERLEAVED curriculum — within each difficulty
+    // phase the read order rotates across sources (dataloader balance
+    // stacked on easy→hard). Grouped ranks via GlobalOrder sorts plus
+    // exact offsets (min global position per (phase, source);
+    // ntile-arithmetic phase offsets) — still zero windows; the
+    // oracle's nested row_number windows certify the equivalence.
+    "q207_curriculum_interleave" -> ((s, d) => {
+      graft.operators.Curriculum.interleaved(
+          Tables.documents(s, d), numPhases = 4)
+        .orderBy(col("phase"), col("read_pos"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6225,6 +6237,39 @@ object SparkEntry {
              ORDER BY hk, doc_id) AS BIGINT) AS position,
            doc_id, CAST(hk AS BIGINT) AS hk
          FROM k ORDER BY epoch, position""",
+    // q207: q200's difficulty and ntile phase, then the two nested
+    // grouped ranks as REAL windows against the engine's offset form
+    "q207_curriculum_interleave" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           FROM toks),
+         d AS (
+           SELECT doc_id,
+             round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
+               AS difficulty
+           FROM sc),
+         ph AS (
+           SELECT d.*, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+           FROM d),
+         j AS (
+           SELECT ph.*, doc.source
+           FROM ph JOIN documents doc USING (doc_id)),
+         s AS (
+           SELECT *, row_number() OVER (PARTITION BY phase, source
+             ORDER BY difficulty, doc_id) AS src_rank
+           FROM j),
+         o AS (
+           SELECT *, row_number() OVER (PARTITION BY phase
+             ORDER BY src_rank, source) AS read_pos
+           FROM s)
+         SELECT CAST(phase AS INT) AS phase, CAST(read_pos AS INT) AS read_pos,
+           doc_id, source, CAST(src_rank AS INT) AS src_rank, difficulty
+         FROM o ORDER BY phase, read_pos""",
     // q201: the same synthesized page through the same three line
     // rules (separator, token floor, stopword density), lambda for
     // lambda against the engine's HOF chain

@@ -90,4 +90,43 @@ object Curriculum {
       .select(col("phase"), col("rank_in_phase"), col(idCol),
         col("n_tok"), col("mean_wlen"), col("ttr"), col("difficulty"))
   }
+
+  /** SOURCE-INTERLEAVED curriculum: within each difficulty phase the
+    * read order rotates across sources (all sources' easiest docs
+    * first, then their second-easiest, …), so a phase never serves one
+    * domain in a block — the dataloader-balance requirement stacked on
+    * the easy→hard one.
+    *
+    * Still no windows: grouped ranks come from [[graft.plans.GlobalOrder]]
+    * sorts plus EXACT group offsets — `min(__pos)` per (phase, source)
+    * is the group's first global position (the groups are
+    * phases × sources, a driver-sized broadcast), and phase offsets
+    * are pure ntile arithmetic. The oracle replays the same order with
+    * real nested row_number windows, so the gate certifies the
+    * offsets ≡ windows equivalence. */
+  def interleaved(docs: DataFrame, numPhases: Int, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val n = docs.count()
+    val ph = phases(docs, numPhases, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val pos2 = graft.plans.GlobalOrder.withPositions(ph,
+      Seq(col("phase"), col(sourceCol), col("difficulty"), col(idCol)))
+    val starts = pos2.groupBy(col("phase"), col(sourceCol))
+      .agg(min(col("__pos")).as("__start"))
+    val withSrcRank = pos2
+      .join(broadcast(starts), Seq("phase", sourceCol))
+      .withColumn("src_rank", (col("__pos") - col("__start") + 1).cast("int"))
+      .drop("__pos", "__start")
+    val pos3 = graft.plans.GlobalOrder.withPositions(withSrcRank,
+      Seq(col("phase"), col("src_rank"), col(sourceCol)))
+    val k = numPhases.toLong
+    val q = n / k; val r = n % k
+    // exclusive offset of phase p under ntile sizing: (p-1) full tiles,
+    // the first min(p-1, r) of which carry the +1 remainder row
+    val off = (col("phase") - 1) * q + least(col("phase") - 1, lit(r))
+    pos3
+      .withColumn("read_pos", (col("__pos") - off).cast("int"))
+      .select(col("phase"), col("read_pos"), col(idCol), col(sourceCol),
+        col("src_rank"), col("difficulty"))
+  }
 }

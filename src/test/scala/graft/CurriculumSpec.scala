@@ -60,6 +60,28 @@ class CurriculumSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("interleaved: read order rotates sources (sorted by (src_rank, source)), set preserved") {
+    val out = Curriculum.interleaved(docs, numPhases = 3).cache()
+    assert(out.count() === docs.count())
+    assert(out.select(count_distinct(col("doc_id"))).head().getLong(0) === docs.count())
+    // within each phase: read_pos is 1..size, and the order is exactly
+    // (src_rank asc, source asc) — the rotation property
+    val rows = out.select("phase", "read_pos", "src_rank", "source")
+      .as[(Int, Int, Int, String)].collect()
+      .groupBy(_._1).values
+    rows.foreach { phaseRows =>
+      val sorted = phaseRows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      val keys = sorted.map(r => (r._3, r._4)).toSeq
+      assert(keys === keys.sorted, "read order must be (src_rank, source)")
+    }
+    // src_rank is contiguous per (phase, source)
+    val perSrc = out.groupBy("phase", "source").agg(
+      min(col("src_rank")).as("lo"), max(col("src_rank")).as("hi"),
+      count(lit(1)).as("c")).as[(Int, String, Int, Int, Long)].collect()
+    perSrc.foreach { case (_, _, lo, hi, c) => assert(lo === 1 && hi.toLong === c) }
+  }
+
   test("numPhases > corpus: one row per phase, arithmetic stays ANSI-safe") {
     val tiny = docs.limit(3)
     val out = Curriculum.phases(tiny, numPhases = 7)
