@@ -4281,7 +4281,11 @@ object SparkEntry {
          SELECT doc_id + 100000, doc_id, TRUE FROM documents
          WHERE doc_id % 5 = 0),
        b AS (
-         SELECT id, base, hv, 1 + base % 2 AS channels, 64 + base % 33 AS n
+         -- least(·, 1e7) mirrors audioFingerprint's ENFORCED excerpt
+         -- bound (FpMaxFrames): identity at the fixture's <=96 frames,
+         -- definitional for podcast-length clips
+         SELECT id, base, hv, 1 + base % 2 AS channels,
+           least(64 + base % 33, 10000000) AS n
          FROM clips),
        samp AS (
          SELECT id, n, i,
@@ -6225,12 +6229,18 @@ object SparkEntry {
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2
          ORDER BY id_a, id_b""",
-    // q202: same Knuth keys, real per-epoch row_number windows
+    // q202: same CRT-paired multiplicative keys (two 31-bit-prime
+    // rounds, combined k1*p2 + k2 — injective per epoch, every
+    // product < 2^63 so DuckDB's BIGINT computes it exactly), real
+    // per-epoch row_number windows
     "q202_epoch_schedule" ->
       """WITH e AS (SELECT unnest(range(3)) AS epoch),
          k AS (
            SELECT epoch, doc_id,
-             (doc_id + 131071 * epoch) % 1000003 * 2654435761 % 4294967296 AS hk
+             ((doc_id + 131071 * epoch) % 2147483647 * 2654435761
+                % 2147483647) * 2147483629
+               + (doc_id + 524287 * epoch) % 2147483629 * 2246822519
+                 % 2147483629 AS hk
            FROM documents CROSS JOIN e)
          SELECT CAST(epoch AS INT) AS epoch,
            CAST(row_number() OVER (PARTITION BY epoch

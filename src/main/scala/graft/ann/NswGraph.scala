@@ -209,8 +209,15 @@ object NswGraph {
   def load(path: String, spark: SparkSession): NswModel = {
     val p = spark.read.parquet(path + "/params")
       .select("m", "efc", "shards", "metric", "seed").head()
+    // restore whole-shard partitioning: every serve and the
+    // rebuild passthrough assume a shard's rows sit in ONE partition
+    // (fit/remove/rebuildShards all route by shard) — a saved shard
+    // file larger than files.maxPartitionBytes would otherwise split
+    // across input partitions and searchShards' id→idx map would miss
+    // adjacency ids living in the other split
     new NswModel(p.getInt(0), p.getInt(1), p.getInt(2), p.getString(3),
-      p.getLong(4), spark.read.parquet(path + "/graph"))
+      p.getLong(4), spark.read.parquet(path + "/graph")
+        .repartition(p.getInt(2), col("shard")))
   }
 }
 

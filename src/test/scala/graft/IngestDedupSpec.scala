@@ -148,4 +148,21 @@ class IngestDedupSpec extends SparkSpec {
     // and it still finds the cross-batch duplicate (doc 3 copies doc 0)
     assert(rej.select("id").as[Long].collect().toSet === Set(3L))
   }
+
+  test("a store persisted before generation tags fails LOUDLY, not with an unresolved column") {
+    // simulate a pre-round-9 store: band/shingle tables without the
+    // `ver` column. The generation-aware exclusion must refuse with a
+    // message naming the rebuild, not die in an AnalysisException.
+    graft.sources.Sinks.dropTable(spark, "graft_legacy_bands")
+    graft.sources.Sinks.dropTable(spark, "graft_legacy_shingles")
+    Seq((0, 1L, 2L)).toDF("band_id", "band_key", "id")
+      .write.saveAsTable("graft_legacy_bands")
+    Seq((2L, Seq(1L))).toDF("id", "sh")
+      .write.saveAsTable("graft_legacy_shingles")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IngestDedup.admitBatch(batch, "graft_legacy")
+    }
+    assert(e.getMessage.contains("predates generation-tagged"))
+  }
 }
