@@ -41,23 +41,31 @@ case class NswGraph(m: Int = 12, efConstruction: Int = 64,
   require(efConstruction >= m, s"efConstruction must be >= m=$m")
   require(numShards >= 1, s"numShards must be >= 1")
 
-  def fit(df: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): NswModel = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Shared ingest routing — bit-exact dedup first (raw vectors: the
+    * forest-fit order; normalizing first would collapse distinct
+    * colinear vectors), metric transform, hash-shard assignment. The
+    * SINGLE preprocessing [[fit]], [[NswModel.append]] and
+    * [[NswStore.upsertStore]] all run, so every ingest path routes a
+    * row identically. Output: (shard, node_id, vec). */
+  private[ann] def routeRows(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Normalize
-    // bit-exact dedup first, raw vectors (same order as the forest fit:
-    // normalizing first would collapse distinct colinear vectors)
-    val deduped = Dedup.exactVectors(df, vecCol, idCol)
     val vecExpr =
       if (metric == "cosine") l2Normalize(col(vecCol).cast("array<float>"))
       else col(vecCol).cast("array<float>")
-    val mm = m; val efc = efConstruction // serializable copies (no `this` capture)
-    val graph = deduped
+    Dedup.exactVectors(df, vecCol, idCol)
       .select(
         pmod(xxhash64(lit(seed), col(idCol).cast("long")), lit(numShards))
           .cast("int").as("shard"),
         col(idCol).cast("long").as("node_id"), vecExpr.as("vec"))
+  }
+
+  def fit(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): NswModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mm = m; val efc = efConstruction // serializable copies (no `this` capture)
+    val graph = routeRows(df, idCol, vecCol)
       .as[(Int, Long, Seq[Float])]
       .repartition(numShards, col("shard"))
       .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
@@ -88,8 +96,18 @@ object NswGraph {
     * instead would disconnect the graph), so a very selective filter
     * degrades toward a shard scan rather than losing recall. All
     * comparisons are (dist, idx) tuples so ties resolve by insertion
-    * order. */
-  private def beam(qv: Array[Float], entry: Int, ef: Int, bound: Int,
+    * order.
+    *
+    * `entries` seeds the frontier with MULTIPLE starting nodes
+    * (round-10 verdict #4): a flat NSW walking from one fixed entry
+    * pays long greedy descents once shards reach 10⁵–10⁶ nodes —
+    * seeding E spread entries starts the search near E graph regions
+    * at the cost of E extra distance evaluations, the cheap half of
+    * the HNSW fix (the layer hierarchy's job is exactly to place the
+    * walk near the target before the flat search). Search-time only:
+    * the BUILD still inserts from entry 0, so adjacency — and every
+    * bit-identical lifecycle invariant — is unchanged. */
+  private def beam(qv: Array[Float], entries: Seq[Int], ef: Int, bound: Int,
       vecs: Array[Array[Float]], adj: Array[scala.collection.mutable.ArrayBuffer[Int]],
       visited: Array[Boolean], touched: scala.collection.mutable.ArrayBuffer[Int],
       admit: Int => Boolean = _ => true)
@@ -97,10 +115,17 @@ object NswGraph {
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-    val e = (sqDist(qv, vecs(entry)), entry)
-    visited(entry) = true; touched += entry
-    frontier += e
-    if (admit(entry)) res += e
+    entries.foreach { entry =>
+      if (!visited(entry)) {
+        val e = (sqDist(qv, vecs(entry)), entry)
+        visited(entry) = true; touched += entry
+        frontier += e
+        if (admit(entry)) {
+          res += e
+          if (res.size > ef) res.dequeue()
+        }
+      }
+    }
     var done = false
     while (!done && frontier.nonEmpty) {
       val c = frontier.dequeue()
@@ -124,12 +149,56 @@ object NswGraph {
         }
       }
     }
+    // Exhaustive FALLBACK (round 10): plain nearest-neighbor pruning
+    // can orphan a node from the entry's component — an outlier is
+    // everyone's worst neighbor, so over-degree prunes strip every
+    // reverse edge to it and no walk from the entry can reach it (the
+    // flat-NSW artifact the HNSW diversity heuristic exists to
+    // soften). When the frontier drains with result capacity left,
+    // the remaining unvisited nodes are scanned directly, so
+    //   - ef ≥ shard size is EXACT by construction (the q206/q209
+    //     equality gates' stated semantics, now actually guaranteed —
+    //     before this, "exhaustive" meant the reachable component);
+    //   - orphans and very selective admission filters degrade toward
+    //     a shard scan, never toward silent recall loss (the cost is
+    //     paid exactly when the beam found fewer than ef admissible
+    //     nodes — i.e. when the scan is the truth's price).
+    if (res.size < ef) {
+      var u = 0
+      while (u < bound) {
+        if (!visited(u)) {
+          visited(u) = true; touched += u
+          val cand = (sqDist(qv, vecs(u)), u)
+          if (admit(u) && (res.size < ef || ord.lt(cand, res.head))) {
+            res += cand
+            if (res.size > ef) res.dequeue()
+          }
+        }
+        u += 1
+      }
+    }
     // reset the scratch bitmap for the next query (O(|touched|), not O(n))
+    visitedCount.add(touched.length)
     var i = 0
     while (i < touched.length) { visited(touched(i)) = false; i += 1 }
     touched.clear()
     res
   }
+
+  /** Probe instrumentation: nodes visited (= distance evaluations)
+    * across all beams in this JVM — meaningful in local mode only
+    * (ProbeNsw reads it to compare flat vs multi-entry routing work);
+    * never consulted by any serving path. */
+  private[graft] val visitedCount = new java.util.concurrent.atomic.LongAdder()
+
+  /** Deterministic spread of `e` search entries over a shard of `n`
+    * id-ordered nodes: node 0 (the build's insertion root, always the
+    * best-connected) plus evenly spaced insertion ranks. A pure
+    * function of (n, e) — stable across rebuilds of the same live
+    * set, so multi-entry serving preserves the lifecycle equalities. */
+  private[graft] def spreadEntries(n: Int, e: Int): Seq[Int] =
+    (0 until math.max(1, e)).map(j => (j.toLong * n / math.max(1, e)).toInt)
+      .distinct.filter(_ < n)
 
   /** One shard's graph build: nodes insert in id order; each new node
     * beam-searches the graph-so-far (ef = efConstruction) from the
@@ -152,7 +221,7 @@ object NswGraph {
       val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       var i = 1
       while (i < n) {
-        val res = beam(vecs(i), entry = 0, ef = efC, bound = i, vecs, adj, visited, touched)
+        val res = beam(vecs(i), Seq(0), ef = efC, bound = i, vecs, adj, visited, touched)
         val sel = res.toArray.sorted(ord).take(m)
         var j = 0
         while (j < sel.length) {
@@ -182,7 +251,7 @@ object NswGraph {
   private[ann] def searchShards(
       it: Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)],
       qs: Array[(Long, Array[Float])], topK: Int, ef: Int,
-      maxDist: Double = Double.PositiveInfinity)
+      maxDist: Double = Double.PositiveInfinity, numEntries: Int = 1)
       : Iterator[(Long, Long, Double)] = {
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
@@ -196,8 +265,9 @@ object NswGraph {
       val flags = sorted.map(_._5)
       val visited = new Array[Boolean](n)
       val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val entries = spreadEntries(n, numEntries)
       qs.iterator.flatMap { case (qid, qv) =>
-        val res = beam(qv, entry = 0, ef = math.max(ef, topK), bound = n,
+        val res = beam(qv, entries, ef = math.max(ef, topK), bound = n,
           vecs, adj, visited, touched, admit = flags(_))
         res.toArray.sorted(ord).iterator
           .filter(_._1 <= maxDist).take(topK)
@@ -251,10 +321,11 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     * are exact squared euclid (in l2-normalized space when the model is
     * cosine — monotone with cosine), so no rerank pass is needed. */
   def knnJoin(queries: DataFrame, topK: Int, ef: Int = 64,
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+      queryId: String = "query_id", queryVec: String = "qvec",
+      numEntries: Int = 1): DataFrame =
     graft.plans.TopKPerKey.rankedTopK(
         serve(graph.withColumn("__ok", !col("del")), queries, topK, ef,
-          Double.PositiveInfinity, queryId, queryVec),
+          Double.PositiveInfinity, queryId, queryVec, numEntries),
         "query_id", Seq("dist", "neighbor_id"), topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
 
@@ -268,7 +339,8 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     * oversample roughly by the filter's selectivity. */
   def knnJoinFiltered(queries: DataFrame, allowed: DataFrame, topK: Int,
       ef: Int = 64, allowedId: String = "vec_id",
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "qvec",
+      numEntries: Int = 1): DataFrame = {
     // the flag join hash-partitions by node_id; searchShards needs a
     // shard whole within one partition, so route back by shard (the
     // wide columns shuffle once per batch — persist the flag on the
@@ -281,7 +353,7 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
       .repartition(numShards, col("shard"))
     graft.plans.TopKPerKey.rankedTopK(
         serve(flagged, queries, topK, ef, Double.PositiveInfinity,
-          queryId, queryVec),
+          queryId, queryVec, numEntries),
         "query_id", Seq("dist", "neighbor_id"), topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
@@ -293,15 +365,17 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     * (raise `ef` for dense radii; exactness needs the bucketed
     * backends). Output (query_id, neighbor_id, dist), unranked. */
   def radiusJoin(queries: DataFrame, maxDist: Double, ef: Int = 64,
-      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+      queryId: String = "query_id", queryVec: String = "qvec",
+      numEntries: Int = 1): DataFrame =
     serve(graph.withColumn("__ok", !col("del")), queries, ef, ef, maxDist,
-      queryId, queryVec)
+      queryId, queryVec, numEntries)
 
   /** Shared serve core: broadcast the (metric-normalized) query batch,
     * beam every shard of `flagged` (graph rows + `__ok` admission
     * flag), emit per-shard candidates. */
   private def serve(flagged: DataFrame, queries: DataFrame, topK: Int,
-      ef: Int, maxDist: Double, queryId: String, queryVec: String): DataFrame = {
+      ef: Int, maxDist: Double, queryId: String, queryVec: String,
+      numEntries: Int = 1): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.l2Normalize
@@ -313,11 +387,11 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
       .as[(Long, Seq[Float])].collect()
       .map { case (id, v) => (id, v.toArray) }
     val bc = spark.sparkContext.broadcast(qs)
-    val k = topK; val beamEf = ef; val md = maxDist
+    val k = topK; val beamEf = ef; val md = maxDist; val ne = numEntries
     flagged
       .select(col("shard"), col("node_id"), col("vec"), col("nbrs"), col("__ok"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
-      .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf, md))
+      .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf, md, ne))
       .toDF("query_id", "neighbor_id", "dist")
   }
 
@@ -349,15 +423,8 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     * ingest admission), same contract as the forest/IVF appends. */
   def append(delta: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): NswModel = {
-    import graft.functions.VectorFunctions.l2Normalize
-    val vecExpr =
-      if (metric == "cosine") l2Normalize(col(vecCol).cast("array<float>"))
-      else col(vecCol).cast("array<float>")
-    val deltaRows = Dedup.exactVectors(delta, vecCol, idCol)
-      .select(
-        pmod(xxhash64(lit(seed), col(idCol).cast("long")), lit(numShards))
-          .cast("int").as("shard"),
-        col(idCol).cast("long").as("node_id"), vecExpr.as("vec"))
+    val deltaRows = NswGraph(m, efConstruction, numShards, metric, seed)
+      .routeRows(delta, idCol, vecCol)
     val touched = deltaRows.select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) this
@@ -418,5 +485,138 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     Seq((m, efConstruction, numShards, metric, seed))
       .toDF("m", "efc", "shards", "metric", "seed")
       .write.mode("overwrite").parquet(path + "/params")
+  }
+}
+
+/** The STANDING-TABLE face of the NSW graph (round-10 verdict #1/#3)
+  * — the `IvfIndex.knnJoinStore` discipline for the graph family: at
+  * 100 TB the graph lives as a catalog table, not a driver-held model
+  * checkpoint, and every operation below reads/writes that table
+  * directly (no fit, no localCheckpoint, no model materialization
+  * beyond a lazy wrapper over the table scan).
+  *
+  * Layout: `<table>` = the model's graph rows (shard, node_id, vec,
+  * nbrs, del) bucketed by the INT shard id — one bucket per shard, so
+  * a serve's whole-shard routing is one narrow exchange of exactly the
+  * rows it beams — plus the 1-row `<table>_params` (m, efc, shards,
+  * metric, seed) that freezes the build geometry the way the IVF
+  * store freezes its quantizer.
+  *
+  * Lifecycle: [[upsertStore]] applies one batch's departures and
+  * arrivals in a SINGLE rebuild pass over only the touched shards —
+  * and because a shard build is a pure id-ordered function of its
+  * live rows, the table after ANY upsert history is BIT-IDENTICAL to
+  * [[saveStore]] of a fresh fit of the live set (the q206 equality,
+  * now as a standing-table invariant: tombstones never persist, every
+  * del-carrying shard rebuilds in the same pass its delta does).
+  * That exactness is what lets [[graft.streaming.IndexMaintenance
+  * .nswStoreFold]] gate the maintained store against a fresh fit with
+  * EQUALITY bits rather than the recall floors the forest/IVF folds
+  * settle for. */
+object NswStore {
+
+  private[ann] def params(spark: SparkSession, table: String): NswGraph = {
+    require(spark.catalog.tableExists(table + "_params"),
+      s"${table}_params missing — saveStore first")
+    val p = spark.table(table + "_params")
+      .select("m", "efc", "shards", "metric", "seed").head()
+    NswGraph(p.getInt(0), p.getInt(1), p.getInt(2), p.getString(3),
+      p.getLong(4))
+  }
+
+  /** Persist a fitted model as the standing store: graph rows bucketed
+    * by shard (one bucket per shard), params as a 1-row side table.
+    * Location-safe overwrite (the repo's dropTable discipline). */
+  def saveStore(model: NswModel, table: String): Unit = {
+    val spark = model.graph.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.parquetBucketed(
+      model.graph.select(col("shard"), col("node_id"), col("vec"),
+        col("nbrs"), col("del")),
+      table, model.numShards, Seq("shard"), Seq("shard", "node_id"))
+    graft.sources.Sinks.dropTable(spark, table + "_params")
+    Seq((model.m, model.efConstruction, model.numShards, model.metric,
+        model.seed))
+      .toDF("m", "efc", "shards", "metric", "seed")
+      .write.format("parquet").saveAsTable(table + "_params")
+  }
+
+  /** Lazy model view over the standing table — no fit, no checkpoint:
+    * `graph` IS the (shard-restored) table scan, so [[NswModel]]'s
+    * whole serve surface runs straight off the store. The repartition
+    * restores the whole-shard-per-partition contract serving needs
+    * (same reasoning as [[NswGraph.load]]); with one bucket per shard
+    * it is a narrow routing exchange of exactly the served rows. */
+  def loadStore(spark: SparkSession, table: String): NswModel = {
+    val p = params(spark, table)
+    new NswModel(p.m, p.efConstruction, p.numShards, p.metric, p.seed,
+      spark.table(table).repartition(p.numShards, col("shard")))
+  }
+
+  /** Top-k serve straight from the standing table (the
+    * `IvfIndex.knnJoinStore` analog): scan → shard routing →
+    * per-shard beam → global top-k merge. Exactly [[NswModel.knnJoin]]
+    * over the same rows — specced, and q209 pins the equality under
+    * the driver gate. */
+  def knnJoinStore(spark: SparkSession, table: String, queries: DataFrame,
+      topK: Int, ef: Int = 64, numEntries: Int = 1,
+      queryId: String = "query_id", queryVec: String = "qvec"): DataFrame =
+    loadStore(spark, table).knnJoin(queries, topK, ef, queryId, queryVec,
+      numEntries)
+
+  /** Apply one batch's DEPARTURES (`gone`: one id column) and
+    * ARRIVALS (`put`: (id, vector)) to the standing store in a single
+    * touched-shard rebuild pass:
+    *
+    *   1. departures mark their rows dead;
+    *   2. arrivals route to their home shards ([[NswGraph.routeRows]]
+    *      — the same preprocessing a fresh fit runs);
+    *   3. every shard holding a mark OR receiving delta rows rebuilds
+    *      from its live rows ∪ its delta (the seeded id-ordered build
+    *      — bit-identical to a fresh fit of that live set), every
+    *      other shard passes through byte-untouched;
+    *   4. the new graph settles, then overwrites the table (Spark
+    *      cannot overwrite a table its own plan reads).
+    *
+    * A k-row batch touches ≤ min(k, numShards) shards — O(delta)
+    * shard rebuilds, never a full-store rewrite — and because step 3
+    * purges in the same pass it applies, tombstones NEVER persist:
+    * after any upsert history the table is bit-identical to
+    * [[saveStore]] of a fresh fit of the live set. A changed id must
+    * appear in BOTH frames (departure + arrival with the new vector)
+    * — the [[graft.streaming.IndexMaintenance.VecFold]] contract;
+    * arrivals must be deduped against the store by the caller (the
+    * gated-admission machinery), same as every ANN append here. */
+  def upsertStore(spark: SparkSession, table: String,
+      gone: DataFrame, put: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val p = params(spark, table)
+    val goneIds = gone
+      .select(col(gone.columns.head).cast("long").as("node_id")).distinct()
+    val marked = spark.table(table)
+      .join(goneIds.withColumn("__rm", lit(true)), Seq("node_id"), "left")
+      .withColumn("del", col("del") || coalesce(col("__rm"), lit(false)))
+      .select("shard", "node_id", "vec", "nbrs", "del")
+    val deltaRows = p.routeRows(put, idCol, vecCol).localCheckpoint()
+    val touched = marked.filter(col("del")).select("shard").distinct()
+      .unionByName(deltaRows.select("shard").distinct()).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (touched.isEmpty) return
+    val mm = p.m; val efc = p.efConstruction
+    val rebuilt = marked
+      .filter(col("shard").isin(touched: _*) && !col("del"))
+      .select("shard", "node_id", "vec")
+      .unionByName(deltaRows)
+      .as[(Int, Long, Seq[Float])]
+      .repartition(touched.length, col("shard"))
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
+      .toDF("shard", "node_id", "vec", "nbrs")
+      .withColumn("del", lit(false))
+    val next = marked.filter(!col("shard").isin(touched: _*))
+      .unionByName(rebuilt)
+      .localCheckpoint() // settle-then-overwrite
+    graft.sources.Sinks.parquetBucketed(next, table, p.numShards,
+      Seq("shard"), Seq("shard", "node_id"))
   }
 }

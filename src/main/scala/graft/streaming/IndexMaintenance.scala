@@ -541,6 +541,33 @@ object IndexMaintenance {
       append = (put, idCol, vCol) =>
         model.appendStore(put, table, buckets, corpusId = idCol, corpusVec = vCol))
 
+  /** The GRAPH-family [[VecFold]] (round-10 verdict #1): one admission
+    * decision also maintains a standing NSW store
+    * ([[graft.ann.NswStore]] layout) — the best-recall backend rides
+    * the same gate as BM25/forest/IVF, so text index, forest, IVF
+    * store and graph store can never desync. First arrivals bootstrap
+    * the store from a fresh fit; every later batch flows through
+    * [[graft.ann.NswStore.upsertStore]]'s single touched-shard rebuild
+    * pass (departures purge and arrivals build in ONE pass — O(delta)
+    * shard rebuilds, never a store rewrite). Because a shard rebuild
+    * is bit-identical to a fresh fit of its live rows, the maintained
+    * table stays EQUAL to a fresh fit of the live set after any batch
+    * history — so the fold's gate (q208) pins exact equality bits, a
+    * strictly stronger invariant than the recall floors the
+    * forest/IVF folds settle for. */
+  def nswStoreFold(spark: SparkSession, nsw: graft.ann.NswGraph,
+      table: String): VecFold = (gone, put) => {
+    if (!spark.catalog.tableExists(table)) {
+      if (!put.isEmpty) {
+        val idCol = put.columns(0); val vCol = put.columns(1)
+        graft.ann.NswStore.saveStore(nsw.fit(put, idCol, vCol), table)
+      }
+    } else if (!gone.isEmpty || !put.isEmpty) {
+      val idCol = put.columns(0); val vCol = put.columns(1)
+      graft.ann.NswStore.upsertStore(spark, table, gone, put, idCol, vCol)
+    }
+  }
+
   /** The IVF-PQ sibling of [[ivfStoreFold]]: the gated decision
     * maintains the COMPRESSED standing store ([[graft.ann.PqModel]]
     * `saveCorpusIvf` layout) under both frozen quantizers — what you

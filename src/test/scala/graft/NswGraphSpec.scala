@@ -192,4 +192,22 @@ class NswGraphSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     got.foreach { case (q, n) => assert(q === n, s"cosine rank-1 self miss for $q") }
   }
+
+  test("beam drain-fallback: an orphaned outlier still serves exactly at ef >= shard size") {
+    // a tight cluster plus one extreme outlier: the outlier is every
+    // cluster node's worst neighbor, so over-degree prunes strip its
+    // reverse edges and no walk from the entry reaches it — the
+    // flat-NSW orphan artifact. The round-10 drain-fallback scans the
+    // unvisited remainder when the frontier exhausts with capacity
+    // left, so ef >= shard size is EXACT by construction, not
+    // exact-over-the-reachable-component.
+    val rows = (0L until 40L).map(i => (i, Seq(i.toFloat / 100f, 0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, Seq(1000f, 1000f))).toDF("vec_id", "embedding"))
+    val m1 = NswGraph(m = 4, efConstruction = 8, numShards = 1, seed = 1L).fit(rows)
+    val q = Seq((0L, Seq(999f, 999f))).toDF("query_id", "qvec")
+    val got = m1.knnJoin(q, topK = 1, ef = 100)
+      .select("neighbor_id").as[Long].head()
+    assert(got === 99L, "orphaned outlier missed even at exhaustive ef")
+  }
 }
