@@ -103,6 +103,16 @@ object GraftSession {
     reg.createOrReplaceTempFunction("unigram_ids", es => GraftBridge.resolvedExpression(
       graft.operators.UnigramTokenizer.viterbiIds(GraftBridge.column(es(0)),
         PieceAssets.costs, PieceAssets.ids, PieceAssets.MaxPieceLen)), "built-in")
+    // SQL faces for the dataloader layer (round 10): a SQL-only user
+    // reaches the curriculum's difficulty proxy and the epoch-shuffle
+    // permutation key with the SAME expressions the DataFrame
+    // operators compose — q210/q211/q212 hash-gate them by sharing
+    // the q200/q202/q207 oracle strings verbatim.
+    reg.createOrReplaceTempFunction("difficulty_score", es => GraftBridge.resolvedExpression(
+      graft.operators.Curriculum.difficultyScore(GraftBridge.column(es(0)))), "built-in")
+    reg.createOrReplaceTempFunction("epoch_key", es => GraftBridge.resolvedExpression(
+      graft.operators.EpochShuffle.epochKey(GraftBridge.column(es(0)),
+        GraftBridge.column(es(1)))), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

@@ -58,6 +58,30 @@ object SparkEntry {
         .fit(Tables.embeddings(s, d), "vec_id", "embedding")
     }
 
+  /** q204/q205's synthetic audio fixture (every doc's WAV + the
+    * half-volume perceptual duplicate of every 5th), settled with
+    * localCheckpoint and memoized per (session, fixture) — the 6,000+
+    * javax.sound encodes are fixture SYNTHESIS, not serving work
+    * (round-10 verdict #8): the bench's min-of-3 now measures the
+    * fingerprint + banded-pair cost on runs 2–3 (the min), and the
+    * gate reuses one synthesis across the q204/q205 pair. Results are
+    * byte-identical to inline synthesis (same deterministic encoder),
+    * so the committed hash is unchanged. Keyed by session identity so
+    * a stopped session's checkpointed blocks are never served. */
+  private val clipMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def audioClips(s: SparkSession, d: String): DataFrame =
+    clipMemo.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      ids.select(col("doc_id").as("id"),
+          Multimodal.syntheticWav(col("doc_id")).as("payload"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000L).as("id"),
+            Multimodal.syntheticWavHalved(col("doc_id")).as("payload")))
+        .localCheckpoint()
+    })
+
   /** The (nlist 16, nprobe 4, seed 42) IVF quantizer (q37/q83). */
   private def ivf16x4(s: SparkSession, d: String): graft.ann.IvfModel =
     graft.sources.StoreCache.model(s"ivf|16|4|42|$d") {
@@ -3333,6 +3357,223 @@ object SparkEntry {
         .orderBy(col("phase"), col("read_pos"))
     }),
 
+    // q208: the GRAPH store under the gated-ingest fold (round-10
+    // verdict #1) — one admission decision maintains the BM25 index
+    // AND a standing NSW store through `nswStoreFold`. Because an NSW
+    // shard rebuild is bit-identical to a fresh fit of its live rows
+    // (and upsertStore purges departures in the same pass), the gate
+    // pins EXACT equality bits — maintained table ≡ fresh-fit save of
+    // the live set, table-served top-k ≡ fresh-model-served — strictly
+    // stronger than the recall floors the forest/IVF folds (q171)
+    // settle for. Waves replay q171's schedule, so the deterministic
+    // halves reuse its admitted-CTE oracle counts verbatim.
+    "q208_nsw_fold" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.IndexMaintenance
+      val idx = "graft_q208_idx"; val sig = "graft_q208_sigs"
+      val store = "graft_q208_nsw"; val freshT = store + "_fresh"
+      IndexMaintenance.initStores(s, idx)
+      graft.streaming.IngestDedup.initStore(s, sig)
+      graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
+      for (t <- Seq(store, store + "_params", freshT, freshT + "_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .localCheckpoint()
+      val n = 3
+      val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+      val step = (maxId + n) / n
+      def wave(k: Int) = corpus
+        .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      val nsw = graft.ann.NswGraph(m = 8, efConstruction = 32,
+        numShards = 4, seed = 7L)
+      val fold = IndexMaintenance.nswStoreFold(s, nsw, store)
+      // three add waves (the fold bootstraps the store from the first
+      // admitted arrivals), then edits + takedowns over the live set
+      for (k <- 0 until n)
+        IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
+          ver = k + 1L, buckets = 8, vecFold = Some(fold))
+      val live3 = s.table(idx + "_doclens").select(col("doc_id")).localCheckpoint()
+      val edits = corpus.join(live3, Seq("doc_id"), "left_semi")
+        .filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("embedding"))
+      val dels = live3.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("array<float>").as("embedding"))
+      val d4 = IndexMaintenance.applyGatedUpserts(s, idx, sig,
+        edits.unionByName(dels), ver = 4L, buckets = 8, vecFold = Some(fold))
+        .localCheckpoint()
+      val nEdited = d4.filter(col("status") === "changed").count()
+      val nRemoved = d4.filter(col("status") === "removed").count()
+      val tomb =
+        if (s.catalog.tableExists(idx + "_tombstones"))
+          s.table(idx + "_tombstones").select(col("doc_id"))
+        else s.range(0).select(col("id").as("doc_id"))
+      val liveIds = s.table(idx + "_doclens").select(col("doc_id"))
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      val liveCorpus = corpus.join(liveIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("embedding")).localCheckpoint()
+      // the EXACT half: maintained store table ≡ a fresh fit of the
+      // live set saved under the same frozen geometry (one fit serves
+      // both the table comparison and the serve-parity leg)
+      val freshModel = nsw.fit(liveCorpus, "doc_id", "embedding")
+      graft.ann.NswStore.saveStore(freshModel, freshT)
+      val a = s.table(store); val b = s.table(freshT)
+      val storeEq = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val storeIds = a.select(col("node_id").as("doc_id")).distinct()
+        .localCheckpoint()
+      val idsSubset = storeIds.exceptAll(liveIds).isEmpty
+      // the store holds exactly the first-seen-deduped live vectors
+      // (the fit's D2 dedup — bit-dup embeddings keep one id)
+      val coverOk = storeIds.count() ==
+        Dedup.exactVectors(liveCorpus, "embedding", "doc_id").count()
+      // serve parity STRAIGHT OFF the maintained table vs the fresh
+      // in-memory model — certifies the store read path restores
+      // whole-shard routing (the round-9 advisory's bug class)
+      val queries = liveCorpus.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+      def keyed(df: DataFrame) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"))
+      val sv = keyed(graft.ann.NswStore.knnJoinStore(s, store, queries,
+        topK = 5, ef = 64))
+      val fv = keyed(freshModel.knnJoin(queries, topK = 5, ef = 64))
+      val serveEq = sv.exceptAll(fv).isEmpty && fv.exceptAll(sv).isEmpty
+      Seq(
+        ("n_edited", nEdited),
+        ("n_live", liveIds.count()),
+        ("n_removed", nRemoved),
+        ("nsw_covers_deduped_live", if (coverOk) 1L else 0L),
+        ("nsw_ids_subset_live", if (idsSubset) 1L else 0L),
+        ("nsw_serve_eq_fresh", if (serveEq) 1L else 0L),
+        ("nsw_store_eq_fresh", if (storeEq) 1L else 0L))
+        .toDF("component", "val")
+        .orderBy(col("component"))
+    }),
+
+    // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
+    // graph lives as a shard-bucketed catalog table and top-k serves
+    // straight off it (no fit, no model checkpoint): the IvfIndex
+    // knnJoinStore discipline reaching the graph family. Gate bits:
+    // table-served ≡ model-served (the store read path must restore
+    // whole-shard routing — the round-9 advisory's failure mode), and
+    // multi-entry seeding at ef ≥ max shard size changes nothing
+    // (exact by the drain-fallback construction, at ANY fixture
+    // scale — the ef is computed from the store, not hardcoded).
+    "q209_nsw_store_serve" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val model = nsw4(s, d)
+      val store = "graft_q209_nsw"
+      graft.sources.StoreCache.table(s, store, s"nswstore|12|64|4|42|r10|$d",
+        Seq(store, store + "_params")) {
+        graft.ann.NswStore.saveStore(model, store)
+      }
+      val queries = e.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      def keyed(df: DataFrame) =
+        df.select(col("query_id"), col("rank"), col("neighbor_id"))
+      val fromStore = keyed(graft.ann.NswStore.knnJoinStore(s, store,
+        queries, topK = 10, ef = 80))
+      val fromModel = keyed(model.knnJoin(queries, topK = 10, ef = 80))
+      val storeEq = fromStore.exceptAll(fromModel).isEmpty &&
+        fromModel.exceptAll(fromStore).isEmpty
+      val efEx = graft.ann.NswStore.loadStore(s, store).describe()
+        .agg(max(col("nodes"))).head().getLong(0).toInt + 10
+      val multi = keyed(graft.ann.NswStore.knnJoinStore(s, store, queries,
+        topK = 10, ef = efEx, numEntries = 4))
+      val single = keyed(graft.ann.NswStore.knnJoinStore(s, store, queries,
+        topK = 10, ef = efEx))
+      val multiEq = multi.exceptAll(single).isEmpty &&
+        single.exceptAll(multi).isEmpty
+      val p = graft.ann.NswStore.loadStore(s, store)
+      val paramsOk = p.m == 12 && p.efConstruction == 64 &&
+        p.numShards == 4 && p.metric == "euclidean" && p.seed == 42L
+      Seq(
+        ("multi_entry_eq_at_exhaustive_ef", if (multiEq) 1 else 0),
+        ("store_params_roundtrip", if (paramsOk) 1 else 0),
+        ("store_serve_eq_model", if (storeEq) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
+    // q210: the curriculum through the SQL frontend — difficulty via
+    // the registered `difficulty_score` scalar (the SAME Column
+    // expression the DataFrame path composes), phases via SQL's real
+    // ntile/row_number windows, sharing q200's oracle string VERBATIM
+    // (one truth, two engine surfaces). The windows are the honest
+    // cost of a pure-SQL face; the scale path remains the DataFrame
+    // operator's zero-window GlobalOrder form — which q200 proves
+    // equal to exactly these windows.
+    "q210_sql_curriculum" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_q210")
+      s.sql("""
+        WITH sc AS (
+          SELECT doc_id,
+            CAST(size(split(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok,
+            CAST(aggregate(split(trim(lower(text)), '\\s+'), 0L,
+                (acc, t) -> acc + length(t)) AS DOUBLE)
+              / size(split(trim(lower(text)), '\\s+')) AS mean_wlen,
+            CAST(size(array_distinct(split(trim(lower(text)), '\\s+'))) AS DOUBLE)
+              / size(split(trim(lower(text)), '\\s+')) AS ttr,
+            round(difficulty_score(text), 4) AS difficulty
+          FROM docs_q210),
+        ph AS (
+          SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+          FROM sc)
+        SELECT CAST(phase AS INT) AS phase,
+          CAST(row_number() OVER (PARTITION BY phase
+            ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
+          doc_id, n_tok, mean_wlen, ttr, difficulty
+        FROM ph ORDER BY phase, rank_in_phase""")
+    }),
+
+    // q211: the epoch schedule through the SQL frontend — the
+    // registered `epoch_key` scalar (the CRT permutation key, one
+    // source of semantics with EpochShuffle) under real per-epoch
+    // windows, sharing q202's oracle verbatim.
+    "q211_sql_epoch" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_q211")
+      s.sql("""
+        WITH k AS (
+          SELECT epoch, doc_id, epoch_key(doc_id, epoch) AS hk
+          FROM docs_q211
+          LATERAL VIEW explode(sequence(0, 2)) t AS epoch)
+        SELECT CAST(epoch AS INT) AS epoch,
+          CAST(row_number() OVER (PARTITION BY epoch
+            ORDER BY hk, doc_id) AS BIGINT) AS position,
+          doc_id, CAST(hk AS BIGINT) AS hk
+        FROM k ORDER BY epoch, position""")
+    }),
+
+    // q212: the source-interleaved curriculum through the SQL
+    // frontend — difficulty_score + the two nested grouped-rank
+    // windows, sharing q207's oracle verbatim.
+    "q212_sql_interleave" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_q212")
+      s.sql("""
+        WITH dsc AS (
+          SELECT doc_id, source, round(difficulty_score(text), 4) AS difficulty
+          FROM docs_q212),
+        ph AS (
+          SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+          FROM dsc),
+        st AS (
+          SELECT *, row_number() OVER (PARTITION BY phase, source
+            ORDER BY difficulty, doc_id) AS src_rank
+          FROM ph),
+        o AS (
+          SELECT *, row_number() OVER (PARTITION BY phase
+            ORDER BY src_rank, source) AS read_pos
+          FROM st)
+        SELECT CAST(phase AS INT) AS phase, CAST(read_pos AS INT) AS read_pos,
+          doc_id, source, CAST(src_rank AS INT) AS src_rank, difficulty
+        FROM o ORDER BY phase, read_pos""")
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -3392,14 +3633,7 @@ object SparkEntry {
     // generators don't belong in the user-facing function registry).
     "q205_sql_audio" -> ((s, d) => {
       GraftSession.registerFunctions(s)
-      import graft.operators.Multimodal
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-      ids.select(col("doc_id").as("id"),
-          Multimodal.syntheticWav(col("doc_id")).as("payload"))
-        .unionByName(ids.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select((col("doc_id") + 100000L).as("id"),
-            Multimodal.syntheticWavHalved(col("doc_id")).as("payload")))
-        .createOrReplaceTempView("audio_clips")
+      audioClips(s, d).createOrReplaceTempView("audio_clips")
       s.sql("""
         WITH fp AS (SELECT id, audio_fp(payload) AS fp FROM audio_clips),
         bands AS (
@@ -3431,13 +3665,7 @@ object SparkEntry {
     // segment bits and the pair Hamming entirely in SQL.
     "q204_audio_neardup" -> ((s, d) => {
       import graft.operators.Multimodal
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-      val clips = ids.select(col("doc_id").as("id"),
-          Multimodal.syntheticWav(col("doc_id")).as("payload"))
-        .unionByName(ids.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select((col("doc_id") + 100000L).as("id"),
-            Multimodal.syntheticWavHalved(col("doc_id")).as("payload")))
-      val fp = clips.select(col("id"),
+      val fp = audioClips(s, d).select(col("id"),
         Multimodal.audioFingerprint(col("payload")).as("fp"))
       TextDedup.simhashPairsBandedFp(fp, maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
@@ -4314,6 +4542,87 @@ object SparkEntry {
          GROUP BY a.id, b2.id)
        SELECT id_a, id_b, ham FROM hm WHERE ham <= 7
        ORDER BY id_a, id_b"""
+
+  /** q200's oracle, shared verbatim by q210 (the SQL-frontend face of
+    * the same curriculum): the lexical difficulty score with the
+    * 4dp-rounded sort key, DuckDB's real ntile window against the
+    * engine's arithmetic phase cut. */
+  private val curriculumOracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       sc AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+         FROM toks),
+       d AS (
+         SELECT doc_id, n_tok, mean_wlen, ttr,
+           round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
+             AS difficulty
+         FROM sc),
+       ph AS (
+         SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+         FROM d)
+       SELECT CAST(phase AS INT) AS phase,
+         CAST(row_number() OVER (PARTITION BY phase
+           ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
+         doc_id, n_tok, mean_wlen, ttr, difficulty
+       FROM ph ORDER BY phase, rank_in_phase"""
+
+  /** q202's oracle, shared verbatim by q211: the CRT-paired
+    * multiplicative permutation keys (every product < 2^63 — exact
+    * BIGINT in both engines), real per-epoch row_number windows
+    * against the engine's one-sort arithmetic positions. */
+  private val epochScheduleOracleSql: String =
+    """WITH e AS (SELECT unnest(range(3)) AS epoch),
+       k AS (
+         SELECT epoch, doc_id,
+           ((doc_id + 131071 * epoch) % 2147483647 * 2654435761
+              % 2147483647) * 2147483629
+             + (doc_id + 524287 * epoch) % 2147483629 * 2246822519
+               % 2147483629 AS hk
+         FROM documents CROSS JOIN e)
+       SELECT CAST(epoch AS INT) AS epoch,
+         CAST(row_number() OVER (PARTITION BY epoch
+           ORDER BY hk, doc_id) AS BIGINT) AS position,
+         doc_id, CAST(hk AS BIGINT) AS hk
+       FROM k ORDER BY epoch, position"""
+
+  /** q207's oracle, shared verbatim by q212: q200's difficulty and
+    * ntile phase, then the two nested grouped ranks as REAL windows
+    * against the engine's exact-offset form. */
+  private val interleaveOracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       sc AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+         FROM toks),
+       d AS (
+         SELECT doc_id,
+           round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
+             AS difficulty
+         FROM sc),
+       ph AS (
+         SELECT d.*, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+         FROM d),
+       j AS (
+         SELECT ph.*, doc.source
+         FROM ph JOIN documents doc USING (doc_id)),
+       s AS (
+         SELECT *, row_number() OVER (PARTITION BY phase, source
+           ORDER BY difficulty, doc_id) AS src_rank
+         FROM j),
+       o AS (
+         SELECT *, row_number() OVER (PARTITION BY phase
+           ORDER BY src_rank, source) AS read_pos
+         FROM s)
+       SELECT CAST(phase AS INT) AS phase, CAST(read_pos AS INT) AS read_pos,
+         doc_id, source, CAST(src_rank AS INT) AS src_rank, difficulty
+       FROM o ORDER BY phase, read_pos"""
 
   /** q193's oracle, shared verbatim by q198 (the SQL-frontend face of
     * the same pipeline): one truth, two engine-side surfaces. */
@@ -6167,28 +6476,11 @@ object SparkEntry {
     // the sort key — ln is libm-sensitive; mean_wlen/ttr stay raw,
     // they're exact IEEE integer ratios), DuckDB's real ntile window
     // against the engine's arithmetic phase cut
-    "q200_curriculum" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         sc AS (
-           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
-             CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
-             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
-           FROM toks),
-         d AS (
-           SELECT doc_id, n_tok, mean_wlen, ttr,
-             round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
-               AS difficulty
-           FROM sc),
-         ph AS (
-           SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
-           FROM d)
-         SELECT CAST(phase AS INT) AS phase,
-           CAST(row_number() OVER (PARTITION BY phase
-             ORDER BY difficulty, doc_id) AS INT) AS rank_in_phase,
-           doc_id, n_tok, mean_wlen, ttr, difficulty
-         FROM ph ORDER BY phase, rank_in_phase""",
+    "q200_curriculum" -> curriculumOracleSql,
+    // q210: the SAME oracle string, verbatim — one truth for the
+    // DataFrame curriculum and its SQL face (difficulty_score + real
+    // Spark-SQL windows)
+    "q210_sql_curriculum" -> curriculumOracleSql,
     // q204: the sample formula, halving truncation, envelope bits and
     // pair Hamming replayed in SQL; banding is pigeonhole-exact at
     // ham <= 7 so the all-pairs form matches row for row
@@ -6205,6 +6497,45 @@ object SparkEntry {
            ('compact_purges_to_live_count', 1),
            ('maintained_serve_eq_fresh', 1),
            ('tombstones_never_surface', 1)) t(component, ok)
+         ORDER BY component""",
+    // q208: q171's admitted-CTE counts (the waves replay its schedule,
+    // and admission is order-independent, so the admitted set is the
+    // same plain SQL); the graph-store halves are in-engine EXACT
+    // equality bits (maintained ≡ fresh fit — the q206 invariant as a
+    // standing-table property)
+    "q208_nsw_fold" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         adm AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         SELECT * FROM (VALUES
+           ('n_edited', (SELECT count(*) FROM adm WHERE doc_id % 10 = 1)),
+           ('n_live', (SELECT count(*) FROM adm WHERE doc_id % 10 <> 2)),
+           ('n_removed', (SELECT count(*) FROM adm WHERE doc_id % 10 = 2)),
+           ('nsw_covers_deduped_live', 1),
+           ('nsw_ids_subset_live', 1),
+           ('nsw_serve_eq_fresh', 1),
+           ('nsw_store_eq_fresh', 1)) t(component, val)
+         ORDER BY component""",
+    // q209: constant-truth serve-parity bits (exact by construction —
+    // deterministic serve over equal rows, drain-fallback exactness
+    // at ef ≥ shard size)
+    "q209_nsw_store_serve" ->
+      """SELECT * FROM (VALUES
+           ('multi_entry_eq_at_exhaustive_ef', 1),
+           ('store_params_roundtrip', 1),
+           ('store_serve_eq_model', 1)) t(component, ok)
          ORDER BY component""",
     // q203: brute replay — the segment banding is pigeonhole-EXACT at
     // ed <= 2, so the oracle's all-pairs form must match row for row
@@ -6233,53 +6564,16 @@ object SparkEntry {
     // rounds, combined k1*p2 + k2 — injective per epoch, every
     // product < 2^63 so DuckDB's BIGINT computes it exactly), real
     // per-epoch row_number windows
-    "q202_epoch_schedule" ->
-      """WITH e AS (SELECT unnest(range(3)) AS epoch),
-         k AS (
-           SELECT epoch, doc_id,
-             ((doc_id + 131071 * epoch) % 2147483647 * 2654435761
-                % 2147483647) * 2147483629
-               + (doc_id + 524287 * epoch) % 2147483629 * 2246822519
-                 % 2147483629 AS hk
-           FROM documents CROSS JOIN e)
-         SELECT CAST(epoch AS INT) AS epoch,
-           CAST(row_number() OVER (PARTITION BY epoch
-             ORDER BY hk, doc_id) AS BIGINT) AS position,
-           doc_id, CAST(hk AS BIGINT) AS hk
-         FROM k ORDER BY epoch, position""",
+    "q202_epoch_schedule" -> epochScheduleOracleSql,
+    // q211: the SAME oracle string, verbatim — the epoch schedule's
+    // SQL face (epoch_key + real windows) against one truth
+    "q211_sql_epoch" -> epochScheduleOracleSql,
     // q207: q200's difficulty and ntile phase, then the two nested
     // grouped ranks as REAL windows against the engine's offset form
-    "q207_curriculum_interleave" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         sc AS (
-           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
-             CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
-             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
-           FROM toks),
-         d AS (
-           SELECT doc_id,
-             round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
-               AS difficulty
-           FROM sc),
-         ph AS (
-           SELECT d.*, ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
-           FROM d),
-         j AS (
-           SELECT ph.*, doc.source
-           FROM ph JOIN documents doc USING (doc_id)),
-         s AS (
-           SELECT *, row_number() OVER (PARTITION BY phase, source
-             ORDER BY difficulty, doc_id) AS src_rank
-           FROM j),
-         o AS (
-           SELECT *, row_number() OVER (PARTITION BY phase
-             ORDER BY src_rank, source) AS read_pos
-           FROM s)
-         SELECT CAST(phase AS INT) AS phase, CAST(read_pos AS INT) AS read_pos,
-           doc_id, source, CAST(src_rank AS INT) AS src_rank, difficulty
-         FROM o ORDER BY phase, read_pos""",
+    "q207_curriculum_interleave" -> interleaveOracleSql,
+    // q212: the SAME oracle string, verbatim — the interleaved
+    // curriculum's SQL face against one truth
+    "q212_sql_interleave" -> interleaveOracleSql,
     // q201: the same synthesized page through the same three line
     // rules (separator, token floor, stopword density), lambda for
     // lambda against the engine's HOF chain

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Curriculum ordering for training-data pipelines (Bengio et al.,
@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   * the operator's semantic floor (a curriculum IS a global order).
   */
 object Curriculum {
+
+  /** The difficulty proxy as ONE scalar column — the SQL-frontend
+    * face (`difficulty_score(text)` in the registry): exactly the
+    * 0.5·mean_word_len + 3·(1 − ttr) + ln(1 + n_tok) expression
+    * [[difficulty]] computes from its component columns. The two
+    * forms are certified equivalent by q210 sharing q200's oracle
+    * string verbatim under the driver's hash gate. */
+  def difficultyScore(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val nTok = size(toks).cast("long")
+    (lit(0.5) * (aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nTok)
+      + lit(3.0) * (lit(1.0)
+        - size(array_distinct(toks)).cast("double") / nTok)
+      + log(lit(1.0) + nTok))
+  }
 
   /** Per-document difficulty: 0.5·mean_word_len + 3·(1 − ttr) +
     * ln(1 + n_tok), on whitespace tokens of the lower-trimmed text.

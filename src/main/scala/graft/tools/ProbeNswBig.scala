@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-shot BIG-SHARD NSW routing ledger (round-10 verdict #4): at the
+  * probed fixture sizes (63–250 nodes/shard) a flat walk from entry 0
+  * is nearly free; this probe builds a single ≥50k-node shard of
+  * deterministic synthetic vectors and measures what multi-entry
+  * seeding buys at production shard sizes — recall vs the exact oracle,
+  * nodes VISITED per query (= distance evaluations, via the
+  * NswGraph.visitedCount instrumentation), and serve wall — at equal
+  * ef, for numEntries ∈ {1, 4, 16}. The lifecycle invariants are
+  * untouched by construction (seeding is search-time only; build
+  * adjacency is identical — NswStoreSpec/NswGraphSpec pin that).
+  */
+object ProbeNswBig {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32)
+    import spark.implicits._
+    val n = sys.env.getOrElse("PROBE_NSW_N", "50000").toInt
+    val dim = 16
+    // deterministic synthetic corpus: component d of vector i mixes
+    // (i, d) through the repo's exact-integer hash discipline, mapped
+    // to [-1, 1] — reproducible, no RNG state
+    val corpus = spark.range(n.toLong)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), d =>
+          (pmod(pmod(col("id") * lit(2654435761L) + d * lit(40503L),
+            lit(2147483647L)) * lit(2246822519L), lit(2147483647L))
+            .cast("double") / lit(1073741823.5) - lit(1.0)).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val queries = corpus.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val nq = queries.count()
+    println(s"corpus=$n dim=$dim queries=$nq single shard")
+    val t0 = System.nanoTime()
+    val truth = graft.operators.KnnExact.knnBatch(corpus, queries, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"exact batch: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val b0 = System.nanoTime()
+    val model = graft.ann.NswGraph(m = 12, efConstruction = 64,
+      numShards = 1, seed = 42L).fit(corpus, "vec_id", "embedding")
+    model.graph.count()
+    println(f"build (1 shard, $n nodes): ${(System.nanoTime() - b0) / 1e9}%.1f s")
+    for (ef <- Seq(32, 64, 128); ne <- Seq(1, 4, 16)) {
+      // min-of-2 serve wall; visited counted on the LAST run only
+      // (the counter is a JVM-global LongAdder)
+      var pairs = Set.empty[(Long, Long)]
+      val times = Seq.fill(2) {
+        graft.ann.NswGraph.visitedCount.reset()
+        val s0 = System.nanoTime()
+        pairs = model.knnJoin(queries, topK = 10, ef = ef, numEntries = ne)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (System.nanoTime() - s0) / 1e9
+      }
+      val visited = graft.ann.NswGraph.visitedCount.sum() / math.max(nq, 1)
+      val recall = (pairs & truth).size.toDouble / truth.size
+      println(f"ef=$ef%3d entries=$ne%2d recall=$recall%.3f " +
+        f"visited/query=$visited%6d serve=${times.min}%5.2f s")
+    }
+    spark.stop()
+  }
+}

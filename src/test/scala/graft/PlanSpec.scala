@@ -488,4 +488,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "corpus converged on one task:\n" + p)
   }
+
+  test("NSW store serve: one shard-routing exchange off the table scan, no join of the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    graft.sources.StoreCache.table(spark, "graft_plan_nsw",
+      s"nswstore|plan|$sf0001", Seq("graft_plan_nsw", "graft_plan_nsw_params")) {
+      graft.ann.NswStore.saveStore(
+        graft.ann.NswGraph(m = 8, efConstruction = 32, numShards = 4,
+          seed = 3L).fit(emb), "graft_plan_nsw")
+    }
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val served = graft.ann.NswStore.knnJoinStore(spark, "graft_plan_nsw",
+      q, topK = 5, ef = 40)
+    val p = served.queryExecution.executedPlan.toString
+    // the store-side work is: parquet scan → ONE hash exchange on the
+    // shard column (whole-shard routing) → mapPartitions beam; the
+    // only other exchange is the |q|·S·k candidate top-k merge. The
+    // store must never join, sort-merge, or converge on one task.
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "store serve planned a join:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"store serve planned $exchanges exchanges (shard routing + top-k merge expected):\n" + p)
+    assert(p.contains("Scan parquet") || p.contains("FileScan parquet"),
+      "store serve must read the standing table:\n" + p)
+    assert(served.count() > 0)
+  }
 }
