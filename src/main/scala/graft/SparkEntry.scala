@@ -58,6 +58,15 @@ object SparkEntry {
         .fit(Tables.embeddings(s, d), "vec_id", "embedding")
     }
 
+  /** nsw4's HIERARCHICAL sibling (q213): same geometry, HNSW layer
+    * stack + diversity-heuristic selection. */
+  private def nswh4(s: SparkSession, d: String): graft.ann.NswModel =
+    graft.sources.StoreCache.model(s"nswh|12|64|4|42|$d") {
+      graft.ann.NswGraph(m = 12, efConstruction = 64, numShards = 4,
+          seed = 42L, hierarchy = true)
+        .fit(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
   /** q204/q205's synthetic audio fixture (every doc's WAV + the
     * half-volume perceptual duplicate of every 5th), settled with
     * localCheckpoint and memoized per (session, fixture) — the 6,000+
@@ -3497,6 +3506,55 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q213: the HIERARCHICAL NSW backend (round-10 verdict #4) under
+    // the constant-truth gate — the HNSW layer stack (deterministic
+    // hash-assigned levels, greedy layer descent, diversity-heuristic
+    // neighbor selection) on the q199 geometry. ProbeNswBig is the
+    // scale ledger: on a 50k-node CLUSTERED shard flat NSW strands at
+    // recall 0.015 while the hierarchy serves 0.961 at ef=32 with
+    // FEWER distance evaluations (51 vs 78 visited/query). Gate bits:
+    // recall/MRR floors vs exact (q199's pattern), hierarchical ≡
+    // flat at exhaustive ef (both exact by the drain-fallback
+    // construction), and the lifecycle invariant (append ≡ fresh fit
+    // — levels reproduce from ids, so the hierarchy rebuilds bit-
+    // identically).
+    "q213_nsw_hier" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val hier = nswh4(s, d)
+      val results = hier.knnJoin(queries, topK = 10, ef = 80)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val truth = graft.operators.KnnExact.knnBatch(e, queries, 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          (lit(11) - col("rank")).cast("double").as("grade"))
+      val mtr = graft.operators.RetrievalEval.metrics(results, truth, k = 10)
+        .agg(avg(col("recall")).as("r"), avg(col("mrr")).as("m"))
+        .head()
+      val efEx = hier.describe().agg(max(col("nodes"))).head()
+        .getLong(0).toInt + 10
+      def served(mm: graft.ann.NswModel) =
+        mm.knnJoin(queries, topK = 10, ef = efEx)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val eqFlat = served(hier).exceptAll(served(nsw4(s, d))).isEmpty &&
+        served(nsw4(s, d)).exceptAll(served(hier)).isEmpty
+      val hg = graft.ann.NswGraph(m = 12, efConstruction = 64,
+        numShards = 4, seed = 42L, hierarchy = true)
+      val maintained = hg.fit(e.filter(col("vec_id") % 4 =!= 0))
+        .append(e.filter(col("vec_id") % 4 === 0))
+      val fresh = nswh4(s, d)
+      val lifeEq = maintained.graph.exceptAll(fresh.graph).isEmpty &&
+        fresh.graph.exceptAll(maintained.graph).isEmpty
+      Seq(
+        ("hier_append_eq_fresh_fit", if (lifeEq) 1 else 0),
+        ("hier_eq_flat_at_exhaustive_ef", if (eqFlat) 1 else 0),
+        ("mrr_self_exact", if (mtr.getDouble(1) == 1.0) 1 else 0),
+        ("recall10_floor_090", if (mtr.getDouble(0) >= 0.90) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q210: the curriculum through the SQL frontend — difficulty via
     // the registered `difficulty_score` scalar (the SAME Column
     // expression the DataFrame path composes), phases via SQL's real
@@ -6527,6 +6585,15 @@ object SparkEntry {
            ('nsw_ids_subset_live', 1),
            ('nsw_serve_eq_fresh', 1),
            ('nsw_store_eq_fresh', 1)) t(component, val)
+         ORDER BY component""",
+    // q213: constant-truth hierarchy bits (recall floors measured
+    // in-engine vs exact; equalities exact by construction)
+    "q213_nsw_hier" ->
+      """SELECT * FROM (VALUES
+           ('hier_append_eq_fresh_fit', 1),
+           ('hier_eq_flat_at_exhaustive_ef', 1),
+           ('mrr_self_exact', 1),
+           ('recall10_floor_090', 1)) t(component, ok)
          ORDER BY component""",
     // q209: constant-truth serve-parity bits (exact by construction —
     // deterministic serve over equal rows, drain-fallback exactness

@@ -32,9 +32,26 @@ import graft.operators.Dedup
   * Determinism: insertion order is node-id ascending per shard, every
   * heap comparison tie-breaks (distance, id), so two fits with one seed
   * produce identical adjacency — same policy as the seeded forest.
+  *
+  * `hierarchy = true` builds the HNSW layer stack on top (Malkov &
+  * Yashunin, "Efficient and robust approximate nearest neighbor search
+  * using Hierarchical Navigable Small World graphs", TPAMI 2018):
+  * each node draws a deterministic exponential level from its id
+  * ([[NswGraph.levelOf]] — a pure function, so every rebuild
+  * reproduces it and the bit-identical lifecycle invariants survive),
+  * upper levels hold sparse long-range routing graphs, and both
+  * INSERTION and SEARCH first greedy-descend the stack to a
+  * near-target entry before running the level-0 beam. This is what
+  * makes 10⁵⁺-node shards of CLUSTERED data navigable: ProbeNswBig
+  * measured flat NSW at recall 0.015 on a 50k-node clustered shard
+  * (the walk from one fixed entry strands in the wrong cluster, and
+  * the id-ordered build suffers the same failure while wiring the
+  * graph) where the hierarchy restores it. Flat mode is the default
+  * and byte-identical to the pre-hierarchy build.
   */
 case class NswGraph(m: Int = 12, efConstruction: Int = 64,
-    numShards: Int = 8, metric: String = "euclidean", seed: Long = 42L) {
+    numShards: Int = 8, metric: String = "euclidean", seed: Long = 42L,
+    hierarchy: Boolean = false) {
   require(metric == "euclidean" || metric == "cosine",
     s"metric must be euclidean|cosine, got $metric")
   require(m >= 2, s"graph degree m must be >= 2, got $m")
@@ -64,17 +81,18 @@ case class NswGraph(m: Int = 12, efConstruction: Int = 64,
       vecCol: String = "embedding"): NswModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mm = m; val efc = efConstruction // serializable copies (no `this` capture)
+    // serializable copies (no `this` capture)
+    val mm = m; val efc = efConstruction; val sd = seed; val hier = hierarchy
     val graph = routeRows(df, idCol, vecCol)
       .as[(Int, Long, Seq[Float])]
       .repartition(numShards, col("shard"))
-      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
-      .toDF("shard", "node_id", "vec", "nbrs")
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc, sd, hier))
+      .toDF("shard", "node_id", "vec", "nbrs", "hnbrs")
       .withColumn("del", lit(false))
       // eager materialization: the build is the expensive pass; every
       // query batch against the model must reuse it, never re-run it
       .localCheckpoint()
-    new NswModel(m, efConstruction, numShards, metric, seed, graph)
+    new NswModel(m, efConstruction, numShards, metric, seed, graph, hierarchy)
   }
 }
 
@@ -110,7 +128,7 @@ object NswGraph {
   private def beam(qv: Array[Float], entries: Seq[Int], ef: Int, bound: Int,
       vecs: Array[Array[Float]], adj: Array[scala.collection.mutable.ArrayBuffer[Int]],
       visited: Array[Boolean], touched: scala.collection.mutable.ArrayBuffer[Int],
-      admit: Int => Boolean = _ => true)
+      admit: Int => Boolean = _ => true, scanFallback: Boolean = true)
       : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
@@ -163,7 +181,9 @@ object NswGraph {
     //     a shard scan, never toward silent recall loss (the cost is
     //     paid exactly when the beam found fewer than ef admissible
     //     nodes — i.e. when the scan is the truth's price).
-    if (res.size < ef) {
+    // (upper-level HNSW build beams disable the scan — it would admit
+    // nodes that are not members of the level being built)
+    if (scanFallback && res.size < ef) {
       var u = 0
       while (u < bound) {
         if (!visited(u)) {
@@ -200,14 +220,69 @@ object NswGraph {
     (0 until math.max(1, e)).map(j => (j.toLong * n / math.max(1, e)).toInt)
       .distinct.filter(_ < n)
 
+  /** Deterministic HNSW level draw for a node: an exponential
+    * distribution with base m (P(level ≥ l) = m^-l — the standard
+    * mL = 1/ln(m) parameterization) sampled from a splitmix-style
+    * integer mix of (seed, id). A PURE function of (id, seed, m), so
+    * every shard rebuild reproduces the levels and the bit-identical
+    * lifecycle invariants carry over to hierarchical graphs. */
+  private[graft] def levelOf(id: Long, seed: Long, m: Int): Int = {
+    var h = id * 0x9E3779B97F4A7C15L + seed * 0xC2B2AE3D27D4EB4FL
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^= (h >>> 31)
+    val u = ((h >>> 11).toDouble + 1.0) / 9007199254740993.0 // (0, 1]
+    math.min((-math.log(u) / math.log(m.toDouble)).toInt, 24)
+  }
+
+  /** Greedy descent at one level: hop to the strictly closer neighbor
+    * ((dist, idx) total order) until a local minimum — the HNSW
+    * upper-layer routing step. `adjAt(x)` may be null for nodes not
+    * participating at this level; edges only reference members, so a
+    * member entry never dereferences a null. */
+  private def greedyStep(qv: Array[Float], start: Int,
+      adjAt: Int => scala.collection.mutable.ArrayBuffer[Int],
+      vecs: Array[Array[Float]]): Int = {
+    var best = start
+    var bestD = sqDist(qv, vecs(best))
+    var improved = true
+    while (improved) {
+      improved = false
+      val ns = adjAt(best)
+      if (ns != null) {
+        var i = 0
+        while (i < ns.length) {
+          val nb = ns(i)
+          val d = sqDist(qv, vecs(nb))
+          if (d < bestD || (d == bestD && nb < best)) {
+            bestD = d; best = nb; improved = true
+          }
+          i += 1
+        }
+      }
+    }
+    best
+  }
+
   /** One shard's graph build: nodes insert in id order; each new node
-    * beam-searches the graph-so-far (ef = efConstruction) from the
-    * fixed entry (first node), links bidirectionally to its m nearest,
-    * and any over-degree neighbor prunes back to its m nearest —
-    * plain nearest-neighbor selection (the original NSW rule). Cost
-    * O(n · ef · m · dim) per shard, independent across shards. */
+    * beam-searches the graph-so-far (ef = efConstruction), links
+    * bidirectionally to its m nearest, and any over-degree neighbor
+    * prunes back to its m nearest — plain nearest-neighbor selection
+    * (the original NSW rule). Cost O(n · ef · m · dim) per shard,
+    * independent across shards.
+    *
+    * FLAT mode (hier = false): every insertion beams from node 0;
+    * `hnbrs` is empty — byte-identical to the pre-hierarchy build.
+    * HIERARCHICAL mode: each node draws its [[levelOf]] level; an
+    * insertion first greedy-descends the layer stack from the current
+    * top entry to a near-target node, then beams and links at every
+    * level it participates in (upper levels hold the sparse long-range
+    * graphs; level 0 is the full graph, built with the SAME selection
+    * and prune rule as flat mode — only the beam's entry differs).
+    * `hnbrs` holds the per-level neighbor lists for levels ≥ 1. */
   private[ann] def buildShards(it: Iterator[(Int, Long, Seq[Float])],
-      m: Int, efC: Int): Iterator[(Int, Long, Seq[Float], Seq[Long])] = {
+      m: Int, efC: Int, seed: Long, hier: Boolean)
+      : Iterator[(Int, Long, Seq[Float], Seq[Long], Seq[Seq[Long]])] = {
     // a physical partition may hold several hash-colliding shards;
     // each still builds its own independent graph
     it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
@@ -215,31 +290,105 @@ object NswGraph {
       val n = sorted.length
       val ids = sorted.map(_._2)
       val vecs = sorted.map(_._3.toArray)
-      val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      val levels =
+        if (hier) Array.tabulate(n)(k => levelOf(ids(k), seed, m))
+        else Array.fill(n)(0)
+      val topCap = if (n == 0) 0 else levels.max
+      // adjacency per level: level 0 always dense; upper levels sparse
+      // (only member nodes get a buffer)
+      val adjL = Array.tabulate(topCap + 1, n) { (l, k) =>
+        if (l <= levels(k)) scala.collection.mutable.ArrayBuffer.empty[Int]
+        else null
+      }
+      val adj0 = adjL(0)
       val visited = new Array[Boolean](n)
       val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
       val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-      var i = 1
-      while (i < n) {
-        val res = beam(vecs(i), Seq(0), ef = efC, bound = i, vecs, adj, visited, touched)
-        val sel = res.toArray.sorted(ord).take(m)
+      var entry = 0
+      var topL = if (n == 0) 0 else levels(0)
+      // HNSW diversity heuristic (Malkov & Yashunin Alg. 4, with the
+      // keep-pruned fill): take a candidate only when it is closer to
+      // the target than to every already-kept neighbor, then fill any
+      // remaining degree from the discarded nearest. Hierarchy mode
+      // only — it is what keeps intra- AND inter-cluster edges alive
+      // (plain nearest-m links only within the local blob: ProbeNswBig
+      // measured the plateau it causes at recall 0.70 on the 50k
+      // clustered shard). Deterministic: candidates arrive
+      // (dist, idx)-sorted and the test is exact arithmetic.
+      def selectDiverse(qv: Array[Float],
+          cands: Array[(Double, Int)]): Array[(Double, Int)] = {
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+        val dropped = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+        var i = 0
+        while (i < cands.length && kept.length < m) {
+          val (d, e) = cands(i)
+          var diverse = true
+          var j = 0
+          while (diverse && j < kept.length) {
+            if (sqDist(vecs(e), vecs(kept(j)._2)) < d) diverse = false
+            j += 1
+          }
+          if (diverse) kept += cands(i) else dropped += cands(i)
+          i += 1
+        }
+        var j = 0
+        while (kept.length < m && j < dropped.length) {
+          kept += dropped(j); j += 1
+        }
+        kept.toArray
+      }
+      def linkAt(l: Int, i: Int,
+          sel: Array[(Double, Int)]): Unit = {
+        val a = adjL(l)
         var j = 0
         while (j < sel.length) {
           val s = sel(j)._2
-          adj(i) += s
-          adj(s) += i
-          if (adj(s).length > m) {
-            val pruned = adj(s).toArray
+          a(i) += s
+          a(s) += i
+          if (a(s).length > m) {
+            val cands = a(s).toArray
               .map(x => (sqDist(vecs(s), vecs(x)), x)).sorted(ord)
-              .take(m).map(_._2)
-            adj(s).clear(); adj(s) ++= pruned
+            val pruned =
+              if (hier) selectDiverse(vecs(s), cands).map(_._2)
+              else cands.take(m).map(_._2)
+            a(s).clear(); a(s) ++= pruned
           }
           j += 1
         }
+      }
+      var i = 1
+      while (i < n) {
+        if (!hier) {
+          val res = beam(vecs(i), Seq(0), ef = efC, bound = i, vecs, adj0,
+            visited, touched)
+          linkAt(0, i, res.toArray.sorted(ord).take(m))
+        } else {
+          val li = levels(i)
+          var cur = entry
+          var l = topL
+          while (l > li) {
+            cur = greedyStep(vecs(i), cur, adjL(l)(_), vecs)
+            l -= 1
+          }
+          var lvl = math.min(li, topL)
+          while (lvl >= 0) {
+            // upper-level beams disable the drain-fallback: the scan
+            // would admit nodes that are not members of this level
+            val res = beam(vecs(i), Seq(cur), ef = efC, bound = i, vecs,
+              adjL(lvl), visited, touched, scanFallback = lvl == 0)
+            val selAll = res.toArray.sorted(ord)
+            if (selAll.nonEmpty) cur = selAll.head._2
+            linkAt(lvl, i, selectDiverse(vecs(i), selAll))
+            lvl -= 1
+          }
+          if (li > topL) { topL = li; entry = i }
+        }
         i += 1
       }
-      Iterator.tabulate(n)(k =>
-        (shard, ids(k), sorted(k)._3, adj(k).map(ids(_)).sorted.toSeq))
+      Iterator.tabulate(n) { k =>
+        (shard, ids(k), sorted(k)._3, adj0(k).map(ids(_)).sorted.toSeq,
+          (1 to levels(k)).map(l => adjL(l)(k).map(ids(_)).sorted.toSeq))
+      }
     }
   }
 
@@ -249,7 +398,7 @@ object NswGraph {
     * [[NswModel.knnJoinFiltered]] and [[NswModel.radiusJoin]] (and
     * exposed for tests). */
   private[ann] def searchShards(
-      it: Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)],
+      it: Iterator[(Int, Long, Seq[Float], Seq[Long], Seq[Seq[Long]], Boolean)],
       qs: Array[(Long, Array[Float])], topK: Int, ef: Int,
       maxDist: Double = Double.PositiveInfinity, numEntries: Int = 1)
       : Iterator[(Long, Long, Double)] = {
@@ -262,11 +411,39 @@ object NswGraph {
       val vecs = sorted.map(_._3.toArray)
       val adj = sorted.map(r => scala.collection.mutable.ArrayBuffer(
         r._4.map(idToIdx): _*))
-      val flags = sorted.map(_._5)
+      val flags = sorted.map(_._6)
+      // HNSW upper layers (empty for flat shards): hnbrs(l-1) is the
+      // node's level-l neighbor list; a node's level = hnbrs length
+      val topL = if (n == 0) 0 else sorted.iterator.map(_._5.length).max
+      val upAdj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]] =
+        Array.tabulate(topL + 1) { l =>
+          if (l == 0) null
+          else sorted.map(r =>
+            if (r._5.length >= l)
+              scala.collection.mutable.ArrayBuffer(r._5(l - 1).map(idToIdx): _*)
+            else null)
+        }
+      val hierEntry: Int =
+        if (topL == 0) 0
+        else sorted.indexWhere(_._5.length == topL)
       val visited = new Array[Boolean](n)
       val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val entries = spreadEntries(n, numEntries)
+      val spread = spreadEntries(n, numEntries)
       qs.iterator.flatMap { case (qid, qv) =>
+        // per-query layer descent to a near-target entry (topL·m
+        // distance evaluations — the HNSW routing step); flat shards
+        // fall back to the spread entries
+        val entries =
+          if (topL == 0) spread
+          else {
+            var cur = hierEntry
+            var l = topL
+            while (l >= 1) {
+              cur = greedyStep(qv, cur, upAdj(l)(_), vecs)
+              l -= 1
+            }
+            (cur +: spread.take(numEntries - 1)).distinct
+          }
         val res = beam(qv, entries, ef = math.max(ef, topK), bound = n,
           vecs, adj, visited, touched, admit = flags(_))
         res.toArray.sorted(ord).iterator
@@ -278,7 +455,7 @@ object NswGraph {
 
   def load(path: String, spark: SparkSession): NswModel = {
     val p = spark.read.parquet(path + "/params")
-      .select("m", "efc", "shards", "metric", "seed").head()
+      .select("m", "efc", "shards", "metric", "seed", "hier").head()
     // restore whole-shard partitioning: every serve and the
     // rebuild passthrough assume a shard's rows sit in ONE partition
     // (fit/remove/rebuildShards all route by shard) — a saved shard
@@ -287,7 +464,7 @@ object NswGraph {
     // adjacency ids living in the other split
     new NswModel(p.getInt(0), p.getInt(1), p.getInt(2), p.getString(3),
       p.getLong(4), spark.read.parquet(path + "/graph")
-        .repartition(p.getInt(2), col("shard")))
+        .repartition(p.getInt(2), col("shard")), p.getBoolean(5))
   }
 }
 
@@ -310,7 +487,8 @@ object NswGraph {
   * claimed. Caller dedups deltas against the store (the q93 ingest
   * machinery), same contract as the forest/IVF appends. */
 class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
-    val metric: String, val seed: Long, val graph: DataFrame)
+    val metric: String, val seed: Long, val graph: DataFrame,
+    val hierarchy: Boolean = false)
     extends Serializable {
 
   /** Top-k ANN join: every shard beam-searches the broadcast query
@@ -389,8 +567,9 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     val bc = spark.sparkContext.broadcast(qs)
     val k = topK; val beamEf = ef; val md = maxDist; val ne = numEntries
     flagged
-      .select(col("shard"), col("node_id"), col("vec"), col("nbrs"), col("__ok"))
-      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .select(col("shard"), col("node_id"), col("vec"), col("nbrs"),
+        col("hnbrs"), col("__ok"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Seq[Seq[Long]], Boolean)]
       .mapPartitions(it => NswGraph.searchShards(it, bc.value, k, beamEf, md, ne))
       .toDF("query_id", "neighbor_id", "dist")
   }
@@ -401,17 +580,17 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
   private def rebuildShards(touched: Seq[Int], rows: DataFrame): NswModel = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val mm = m; val efc = efConstruction
+    val mm = m; val efc = efConstruction; val sd = seed; val hier = hierarchy
     val rebuilt = rows
       .as[(Int, Long, Seq[Float])]
       .repartition(math.max(touched.length, 1), col("shard"))
-      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
-      .toDF("shard", "node_id", "vec", "nbrs")
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc, sd, hier))
+      .toDF("shard", "node_id", "vec", "nbrs", "hnbrs")
       .withColumn("del", lit(false))
     val untouched = graph.filter(!col("shard").isin(touched: _*))
-      .select("shard", "node_id", "vec", "nbrs", "del")
+      .select("shard", "node_id", "vec", "nbrs", "hnbrs", "del")
     new NswModel(m, efConstruction, numShards, metric, seed,
-      untouched.unionByName(rebuilt).localCheckpoint())
+      untouched.unionByName(rebuilt).localCheckpoint(), hierarchy)
   }
 
   /** Ingest a delta by rebuilding ONLY the shards it hashes into:
@@ -423,7 +602,8 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     * ingest admission), same contract as the forest/IVF appends. */
   def append(delta: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): NswModel = {
-    val deltaRows = NswGraph(m, efConstruction, numShards, metric, seed)
+    val deltaRows = NswGraph(m, efConstruction, numShards, metric, seed,
+        hierarchy)
       .routeRows(delta, idCol, vecCol)
     val touched = deltaRows.select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -444,12 +624,12 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
           .withColumn("__rm", lit(true)),
         Seq("node_id"), "left")
       .withColumn("del", col("del") || coalesce(col("__rm"), lit(false)))
-      .select("shard", "node_id", "vec", "nbrs", "del")
+      .select("shard", "node_id", "vec", "nbrs", "hnbrs", "del")
       // the id join hash-partitions by node_id; serving needs whole
       // shards per partition
       .repartition(numShards, col("shard"))
     new NswModel(m, efConstruction, numShards, metric, seed,
-      marked.localCheckpoint())
+      marked.localCheckpoint(), hierarchy)
   }
 
   /** Ratio-gated physical purge: rebuild only the shards whose
@@ -482,8 +662,8 @@ class NswModel(val m: Int, val efConstruction: Int, val numShards: Int,
     val spark = graph.sparkSession
     import spark.implicits._
     graph.write.mode("overwrite").parquet(path + "/graph")
-    Seq((m, efConstruction, numShards, metric, seed))
-      .toDF("m", "efc", "shards", "metric", "seed")
+    Seq((m, efConstruction, numShards, metric, seed, hierarchy))
+      .toDF("m", "efc", "shards", "metric", "seed", "hier")
       .write.mode("overwrite").parquet(path + "/params")
   }
 }
@@ -518,10 +698,15 @@ object NswStore {
   private[ann] def params(spark: SparkSession, table: String): NswGraph = {
     require(spark.catalog.tableExists(table + "_params"),
       s"${table}_params missing — saveStore first")
-    val p = spark.table(table + "_params")
-      .select("m", "efc", "shards", "metric", "seed").head()
+    val pt = spark.table(table + "_params")
+    // migration guard (the knnJoinStoreBq discipline): a store
+    // persisted before the hierarchy flag existed cannot be served —
+    // its graph rows also lack the hnbrs column
+    require(pt.columns.contains("hier"),
+      s"${table}_params predates the hierarchy flag — rebuild via saveStore")
+    val p = pt.select("m", "efc", "shards", "metric", "seed", "hier").head()
     NswGraph(p.getInt(0), p.getInt(1), p.getInt(2), p.getString(3),
-      p.getLong(4))
+      p.getLong(4), p.getBoolean(5))
   }
 
   /** Persist a fitted model as the standing store: graph rows bucketed
@@ -532,12 +717,12 @@ object NswStore {
     import spark.implicits._
     graft.sources.Sinks.parquetBucketed(
       model.graph.select(col("shard"), col("node_id"), col("vec"),
-        col("nbrs"), col("del")),
+        col("nbrs"), col("hnbrs"), col("del")),
       table, model.numShards, Seq("shard"), Seq("shard", "node_id"))
     graft.sources.Sinks.dropTable(spark, table + "_params")
     Seq((model.m, model.efConstruction, model.numShards, model.metric,
-        model.seed))
-      .toDF("m", "efc", "shards", "metric", "seed")
+        model.seed, model.hierarchy))
+      .toDF("m", "efc", "shards", "metric", "seed", "hier")
       .write.format("parquet").saveAsTable(table + "_params")
   }
 
@@ -550,7 +735,8 @@ object NswStore {
   def loadStore(spark: SparkSession, table: String): NswModel = {
     val p = params(spark, table)
     new NswModel(p.m, p.efConstruction, p.numShards, p.metric, p.seed,
-      spark.table(table).repartition(p.numShards, col("shard")))
+      spark.table(table).repartition(p.numShards, col("shard")),
+      p.hierarchy)
   }
 
   /** Top-k serve straight from the standing table (the
@@ -597,21 +783,22 @@ object NswStore {
     val marked = spark.table(table)
       .join(goneIds.withColumn("__rm", lit(true)), Seq("node_id"), "left")
       .withColumn("del", col("del") || coalesce(col("__rm"), lit(false)))
-      .select("shard", "node_id", "vec", "nbrs", "del")
+      .select("shard", "node_id", "vec", "nbrs", "hnbrs", "del")
     val deltaRows = p.routeRows(put, idCol, vecCol).localCheckpoint()
     val touched = marked.filter(col("del")).select("shard").distinct()
       .unionByName(deltaRows.select("shard").distinct()).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     if (touched.isEmpty) return
     val mm = p.m; val efc = p.efConstruction
+    val sd = p.seed; val hier = p.hierarchy
     val rebuilt = marked
       .filter(col("shard").isin(touched: _*) && !col("del"))
       .select("shard", "node_id", "vec")
       .unionByName(deltaRows)
       .as[(Int, Long, Seq[Float])]
       .repartition(touched.length, col("shard"))
-      .mapPartitions(it => NswGraph.buildShards(it, mm, efc))
-      .toDF("shard", "node_id", "vec", "nbrs")
+      .mapPartitions(it => NswGraph.buildShards(it, mm, efc, sd, hier))
+      .toDF("shard", "node_id", "vec", "nbrs", "hnbrs")
       .withColumn("del", lit(false))
     val next = marked.filter(!col("shard").isin(touched: _*))
       .unionByName(rebuilt)

@@ -210,4 +210,44 @@ class NswGraphSpec extends SparkSpec {
       .select("neighbor_id").as[Long].head()
     assert(got === 99L, "orphaned outlier missed even at exhaustive ef")
   }
+
+  test("HNSW hierarchy: deterministic levels, exhaustive-ef equality with flat, lifecycle invariant") {
+    // levels are a pure function of (id, seed, m) — the property that
+    // carries the bit-identical rebuild invariants to hierarchy mode
+    for (id <- Seq(0L, 1L, 17L, 123456789L))
+      assert(NswGraph.levelOf(id, 42L, 12) === NswGraph.levelOf(id, 42L, 12))
+    // levels follow the exponential shape: over many ids, level >= 1
+    // frequency ~ 1/m
+    val frac = (0L until 10000L).count(NswGraph.levelOf(_, 42L, 12) >= 1) / 10000.0
+    assert(frac > 0.03 && frac < 0.20, s"level>=1 fraction $frac off 1/12")
+    val hg = NswGraph(m = 12, efConstruction = 64, numShards = 4,
+      seed = 42L, hierarchy = true)
+    val queries = emb.filter($"vec_id" % 17 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def served(mm: NswModel, ef: Int) =
+      mm.knnJoin(queries, topK = 5, ef = ef)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val hier = hg.fit(emb)
+    // at ef >= shard size both modes are EXACT (drain-fallback), so
+    // the hierarchy cannot change results there
+    val flat = NswGraph(m = 12, efConstruction = 64, numShards = 4,
+      seed = 42L).fit(emb)
+    assert(served(hier, 500) === served(flat, 500),
+      "hierarchical and flat diverge at exhaustive ef")
+    // fixture-scale recall at constrained ef stays high
+    val got = served(hier, 40).map { case (q, _, n) => (q, n) }
+    val truth = graft.operators.KnnExact.knnBatch(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"hierarchical recall $recall below floor")
+    // lifecycle: append rebuild of touched shards is bit-identical to
+    // a fresh hierarchical fit of the union (levels reproduce from ids)
+    val a = hg.fit(emb.filter($"vec_id" % 4 =!= 0))
+      .append(emb.filter($"vec_id" % 4 === 0))
+    val b = hg.fit(emb)
+    assert(a.graph.exceptAll(b.graph).isEmpty &&
+      b.graph.exceptAll(a.graph).isEmpty,
+      "hierarchical append diverged from fresh fit")
+  }
 }
