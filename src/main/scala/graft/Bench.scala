@@ -64,7 +64,17 @@ object Bench {
     // average can actually decay before the retry).
     val gate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "50").toLong
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    // Retry-with-BACKOFF (round-10 verdict #5): rounds 8 and 9 both
+    // committed artifacts recorded under external steal because three
+    // back-to-back attempts all landed inside the same contention
+    // window — back-to-back retries sample the SAME weather. Attempts
+    // now grow (default 6) and every contaminated attempt sleeps a
+    // linearly growing backoff first (30s, 60s, 90s, …; load keeps
+    // its extra decay wait), so a minutes-long neighbor burst is
+    // OUTWAITED instead of re-measured. The quietest attempt is still
+    // reported (and self-identifies) if the host never calms.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "6").toInt
+    val backoffMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "30000").toLong
     var attempts = List.empty[Sweep]
     var done = false
     while (!done) {
@@ -74,10 +84,11 @@ object Bench {
       val loadBad = a.loadPre >= 0 && a.loadPre > loadGate
       done = (!stealBad && !loadBad) || attempts.length >= maxAttempts
       if (!done) {
+        val wait = backoffMs * attempts.length
         System.err.println(s"[bench] attempt ${attempts.length} contaminated " +
           s"(steal_ticks=${a.steal} gate=$gate, load_pre=${a.loadPre} " +
-          s"gate=$loadGate) — rerunning the sweep")
-        if (loadBad) Thread.sleep(20000)
+          s"gate=$loadGate) — backing off ${wait / 1000}s, then rerunning")
+        Thread.sleep(wait + (if (loadBad) 20000 else 0))
       }
     }
     val best = attempts.minBy { a =>

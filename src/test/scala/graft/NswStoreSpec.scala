@@ -106,6 +106,32 @@ class NswStoreSpec extends SparkSpec {
     assert(after.count() === before.count() + 1)
   }
 
+  test("HIERARCHICAL standing store: upsert keeps the bit-identical invariant; serve matches model") {
+    // the hierarchy flag rides the params table, so the store's
+    // touched-shard rebuilds re-run the HNSW build (levels reproduce
+    // from ids) — the exact-equality discipline is mode-independent
+    val hg = NswGraph(m = 12, efConstruction = 64, numShards = 4,
+      seed = 42L, hierarchy = true)
+    NswStore.saveStore(hg.fit(emb.filter($"vec_id" % 2 === 0)), "graft_nswstore_t4")
+    NswStore.upsertStore(spark, "graft_nswstore_t4",
+      emb.filter($"vec_id" % 8 === 0).select($"vec_id"),
+      emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding"))
+    val live = emb.filter($"vec_id" % 2 === 1 ||
+      ($"vec_id" % 2 === 0 && $"vec_id" % 8 =!= 0))
+    NswStore.saveStore(hg.fit(live), "graft_nswstore_t4f")
+    val a = spark.table("graft_nswstore_t4")
+    val b = spark.table("graft_nswstore_t4f")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "hierarchical maintained store diverged from fresh fit")
+    // params roundtrip the flag, and the store serve runs the
+    // hierarchy (equal to the fresh model's serve)
+    assert(NswStore.loadStore(spark, "graft_nswstore_t4").hierarchy)
+    val sv = servedSet(NswStore.knnJoinStore(spark, "graft_nswstore_t4",
+      queries, topK = 5, ef = 40))
+    val mv = servedSet(hg.fit(live).knnJoin(queries, topK = 5, ef = 40))
+    assert(sv === mv)
+  }
+
   test("multi-entry seeding: exhaustive-beam equality, and entries spread deterministically") {
     val model = nsw.fit(emb)
     // ef past any shard size makes both walks exhaustive — equal by
