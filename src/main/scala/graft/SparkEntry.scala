@@ -3395,8 +3395,12 @@ object SparkEntry {
       val step = (maxId + n) / n
       def wave(k: Int) = corpus
         .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      // the HIERARCHICAL backend under the fold (q213's HNSW stack —
+      // the best-recall config is the one a real pipeline maintains;
+      // levels reproduce from ids, so the exact equality bits hold
+      // for hierarchy mode identically)
       val nsw = graft.ann.NswGraph(m = 8, efConstruction = 32,
-        numShards = 4, seed = 7L)
+        numShards = 4, seed = 7L, hierarchy = true)
       val fold = IndexMaintenance.nswStoreFold(s, nsw, store)
       // three add waves (the fold bootstraps the store from the first
       // admitted arrivals), then edits + takedowns over the live set

@@ -74,6 +74,43 @@ object ProbeNswBig {
           f"visited/query=$visited%6d serve=${times.min}%5.2f s")
       }
     }
+    // the SHARDED picture at 8× the corpus: 400k rows over 8 shards
+    // (~50k/shard — the per-shard regime probed above), hierarchy on;
+    // per-shard builds run in parallel inside one mapPartitions pass,
+    // a serve broadcasts the query batch to all 8 beams and the global
+    // top-k merges the union
+    val big = spark.range(8L * n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), d =>
+          (h(1L, pmod(col("id"), lit(1024)), d)
+            + h(2L, col("id"), d) * lit(0.15)).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val bigQ = big.filter(col("vec_id") % 2003 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val bigTruth = graft.operators.KnnExact.knnBatch(big, bigQ, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bb0 = System.nanoTime()
+    val bigModel = graft.ann.NswGraph(m = 12, efConstruction = 64,
+      numShards = 8, seed = 42L, hierarchy = true)
+      .fit(big, "vec_id", "embedding")
+    bigModel.graph.count()
+    println(f"sharded build (8 shards x ~${n} nodes, hier): " +
+      f"${(System.nanoTime() - bb0) / 1e9}%.1f s")
+    for (ef <- Seq(32, 64)) {
+      val times = Seq.fill(2) {
+        val s0 = System.nanoTime()
+        val p = bigModel.knnJoin(bigQ, topK = 10, ef = ef)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - s0) / 1e9, p)
+      }
+      val (ts, p) = times.minBy(_._1)
+      println(f"sharded 400k hier ef=$ef%3d " +
+        f"recall=${(p & bigTruth).size.toDouble / bigTruth.size}%.3f serve=$ts%5.2f s")
+    }
     spark.stop()
   }
 }
