@@ -249,5 +249,18 @@ class NswGraphSpec extends SparkSpec {
     assert(a.graph.exceptAll(b.graph).isEmpty &&
       b.graph.exceptAll(a.graph).isEmpty,
       "hierarchical append diverged from fresh fit")
+    // filtered serve under the hierarchy: results only from the
+    // allowed set, and exact at exhaustive ef (descent entry + the
+    // admission-gated beam + drain-fallback compose)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val fGot = hier.knnJoinFiltered(queries, allowed, topK = 3, ef = 500)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val allowedSet = allowed.as[Long].collect().toSet
+    fGot.foreach { case (_, n) => assert(allowedSet.contains(n)) }
+    val fTruth = graft.operators.KnnExact.knnBatch(
+        emb.join(allowed, Seq("vec_id")), queries, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fGot.toSet === fTruth,
+      "hierarchical filtered serve not exact at exhaustive ef")
   }
 }
