@@ -3636,6 +3636,22 @@ object SparkEntry {
         FROM o ORDER BY phase, read_pos""")
     }),
 
+    // q214: trigram STUPID-BACKOFF LM scoring (Brants et al. 2007) —
+    // the smoothing web-scale n-gram LMs shipped. Train on the
+    // deterministic 90% hash split (the q49 arithmetic), score the
+    // 10% holdout: self-training never backs off (every observed
+    // trigram is in its own model), so the split is what makes all
+    // three tiers fire. tri_frac is the per-doc in-distribution
+    // diagnostic (fraction of positions the trigram tier resolved).
+    "q214_trigram_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      graft.operators.UnigramLm.trigramStupidBackoff(
+          docs.filter(h % 100 >= 90), docs.filter(h % 100 < 90))
+        .orderBy(col("doc_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6599,6 +6615,56 @@ object SparkEntry {
            ('mrr_self_exact', 1),
            ('recall10_floor_090', 1)) t(component, ok)
          ORDER BY component""",
+    // q214: term-for-term replay of trigramStupidBackoff — raw
+    // relative frequencies, left-associated (α·c)/denom arithmetic
+    // (α² via 0.4*0.4 so both engines fold the same double), CASE
+    // tiers in the engine's order. / on integers is float division
+    // in both engines; the train/holdout split is the q49 hash.
+    "q214_trigram_backoff" ->
+      """WITH tr AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 100 < 90),
+         ho AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 100 >= 90),
+         occ AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+1])) AS p1,
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+2])) AS p2,
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+3])) AS cur
+           FROM ho WHERE len(toks) >= 3),
+         tg AS (
+           SELECT
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+1])) AS p1,
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+2])) AS p2,
+             unnest(list_transform(range(len(toks) - 2), i -> toks[i+3])) AS cur
+           FROM tr WHERE len(toks) >= 3),
+         tc AS (SELECT p1, p2, cur, count(*) AS c3 FROM tg GROUP BY p1, p2, cur),
+         bgi AS (
+           SELECT
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS prev,
+             unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS cur
+           FROM tr WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM bgi GROUP BY prev, cur),
+         uct AS (SELECT unnest(toks) AS token FROM tr),
+         uc AS (SELECT token, count(*) AS cu FROM uct GROUP BY token),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uc)
+         SELECT occ.doc_id, count(*) AS n_trigrams,
+           round(avg(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END), 4) AS tri_frac,
+           round(avg(ln(
+             CASE WHEN c3 IS NOT NULL THEN c3 / b12.cb
+                  WHEN b23.cb IS NOT NULL THEN 0.4::DOUBLE * b23.cb / u2.cu
+                  ELSE 0.4::DOUBLE * 0.4::DOUBLE * u3.cu / tot.total
+             END)), 4) AS logprob_avg
+         FROM occ
+         LEFT JOIN tc USING (p1, p2, cur)
+         LEFT JOIN bc b12 ON b12.prev = occ.p1 AND b12.cur = occ.p2
+         LEFT JOIN bc b23 ON b23.prev = occ.p2 AND b23.cur = occ.cur
+         LEFT JOIN uc u2 ON u2.token = occ.p2
+         JOIN uc u3 ON u3.token = occ.cur, tot
+         GROUP BY occ.doc_id ORDER BY doc_id""",
     // q209: constant-truth serve-parity bits (exact by construction —
     // deterministic serve over equal rows, drain-fallback exactness
     // at ef ≥ shard size)

@@ -107,6 +107,101 @@ object UnigramLm {
       wBigram: Double = 0.7, wUnigram: Double = 0.3): DataFrame =
     bigramScoreAgainst(docs, docs, idCol, textCol, wBigram, wUnigram)
 
+  /** Trigram STUPID BACKOFF scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4) — the smoothing
+    * web-scale n-gram LMs actually shipped: no discounting, no
+    * normalization, just raw relative frequencies with a fixed
+    * back-off penalty α per order skipped. Per position i ≥ 2
+    * (full trigram context; shorter docs contribute nothing):
+    *
+    *   S(wᵢ | wᵢ₋₂ wᵢ₋₁) =
+    *     c₃(wᵢ₋₂ wᵢ₋₁ wᵢ) / c₂(wᵢ₋₂ wᵢ₋₁)      if c₃ > 0
+    *     α · c₂(wᵢ₋₁ wᵢ) / c₁(wᵢ₋₁)              else if c₂ > 0
+    *     α² · c₁(wᵢ) / total                      otherwise
+    *
+    * with every count estimated on `reference` (canonical Brants: the
+    * denominators are the RAW (n−1)-gram corpus frequencies, not sums
+    * of continuations — a doc's final bigram counts toward c₂ though
+    * it heads no trigram). Positions whose CURRENT token is
+    * unigram-OOV drop from the mean (inner join — the established
+    * drop-unseen policy of [[scoreAgainst]]); a self-trained call
+    * never backs off (every observed trigram is in its own model), so
+    * the interesting form is train-on-split / score-the-holdout —
+    * that is what exercises all three tiers and what CCNet-style
+    * pipelines do (fit on clean reference text, score the crawl).
+    *
+    * Returns (id, n_trigrams, tri_frac, logprob_avg): `tri_frac` is
+    * the fraction of scored positions served by the trigram tier — the
+    * per-doc "how in-distribution is this text" diagnostic that falls
+    * out of backoff for free (fluent in-domain text resolves almost
+    * everything at order 3; word soup backs off constantly).
+    *
+    * Scale shape: instances explode narrowly (one row per position,
+    * three string keys); the three model tables are Zipf-bounded
+    * aggregates with map-side combine, joined on compact keys —
+    * left-joined (absence IS the signal), unigram inner last. At
+    * 100 TB the trigram table is the big one (it is still ≪ corpus
+    * tokens); the joins are plain equi-shuffles AQE can turn into
+    * broadcasts when a tier fits. Nothing collects to the driver. */
+  def trigramStupidBackoff(docs: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.4): DataFrame = {
+    val occ = trigramInstances(docs, idCol, textCol)
+    val tc = trigramInstances(reference, idCol, textCol)
+      .groupBy(col("p1"), col("p2"), col("cur"))
+      .agg(count(lit(1)).as("c3"))
+    val bc = bigramInstances(reference, idCol, textCol)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val uc = tokenInstances(reference, idCol, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val total = uc.agg(sum(col("cu")).as("total"))
+    // the two bigram probes hit the SAME model table with different
+    // key roles: (p1,p2) as the trigram denominator, (p2,cur) as the
+    // back-off numerator
+    val bCtx = bc.select(col("prev").as("p1"), col("cur").as("p2"),
+      col("cb").as("cb12"))
+    val bBack = bc.select(col("prev").as("p2"), col("cur").as("cur"),
+      col("cb").as("cb23"))
+    val uCtx = uc.select(col("token").as("p2"), col("cu").as("cu2"))
+    val uCur = uc.select(col("token").as("cur"), col("cu").as("cu3"))
+    // c3 > 0 ⇒ its context bigram occurred ⇒ cb12 non-null; cb23 > 0
+    // ⇒ p2 occurred ⇒ cu2 non-null — each tier's denominator is
+    // guaranteed by its numerator, so the CASE never divides by null
+    val s =
+      when(col("c3").isNotNull, col("c3") / col("cb12"))
+        .when(col("cb23").isNotNull,
+          lit(alpha) * col("cb23") / col("cu2"))
+        .otherwise(lit(alpha) * lit(alpha) * col("cu3") / col("total"))
+    occ
+      .join(tc, Seq("p1", "p2", "cur"), "left")
+      .join(bCtx, Seq("p1", "p2"), "left")
+      .join(bBack, Seq("p2", "cur"), "left")
+      .join(uCtx, Seq("p2"), "left")
+      .join(uCur, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round(avg(when(col("c3").isNotNull, 1.0).otherwise(0.0)), 4)
+          .as("tri_frac"),
+        round(avg(log(s)), 4).as("logprob_avg"))
+  }
+
+  /** One row per position with full trigram context: (id, p1, p2,
+    * cur). Docs with fewer than three tokens contribute nothing (the
+    * same downward-`sequence` guard as [[bigramInstances]]). */
+  private def trigramInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => struct(
+          element_at(col("toks"), i + 1).as("p1"),
+          element_at(col("toks"), i + 2).as("p2"),
+          element_at(col("toks"), i + 3).as("cur")))).as("t"))
+      .select(col(idCol), col("t.p1").as("p1"), col("t.p2").as("p2"),
+        col("t.cur").as("cur"))
+
   private def tokenInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
 

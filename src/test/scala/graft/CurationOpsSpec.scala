@@ -70,6 +70,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(biF > biS, s"fluent $biF must outscore shuffled $biS under the bigram model")
   }
 
+  // ---- trigram stupid backoff ----
+
+  test("stupid backoff: each tier hand-computed against Brants' formula") {
+    // reference "a b c a b d": c3(abc)=c3(bca)=c3(cab)=c3(abd)=1;
+    // c2: ab→2 bc→1 ca→1 bd→1; c1: a=2 b=2 c=1 d=1, total 6.
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    def score(text: String): (Long, Double, Double) = {
+      val r = UnigramLm.trigramStupidBackoff(
+        Seq((9L, text)).toDF("doc_id", "text"), ref).collect().head
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tier 1 (trigram seen): s = c3(abc)/c2(ab) = 1/2
+    assert(score("a b c") === ((1L, 1.0, r4(math.log(1.0 / 2)))))
+    // tier 2 (trigram unseen, bigram seen): s = α·c2(bc)/c1(b) = 0.4·1/2
+    assert(score("b b c") === ((1L, 0.0, r4(math.log(0.4 * 1 / 2)))))
+    // tier 3 (both unseen, cur in-vocab): s = α²·c1(a)/total — the
+    // SAME left-associated double arithmetic the Column tree folds
+    assert(score("b b a") === ((1L, 0.0, r4(math.log(0.4 * 0.4 * 2 / 6)))))
+    // mixed doc: (c,a,b) resolves at tier 1 with s=1, (a,b,c) at 1/2
+    assert(score("c a b c") ===
+      ((2L, 1.0, r4((math.log(1.0) + math.log(1.0 / 2)) / 2))))
+  }
+
+  test("stupid backoff: OOV current token and short docs drop, context-OOV backs off") {
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "a b zzz"),   // cur OOV at the only position → doc drops
+      (11L, "a b"),       // no trigram position → drops
+      (12L, "zzz zzz a")  // OOV CONTEXT, in-vocab cur → tier 3 serves it
+    ).toDF("doc_id", "text")
+    val out = UnigramLm.trigramStupidBackoff(probe, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(12L))
+    assert(out(12L) === 0.0, "OOV context cannot resolve above tier 3")
+  }
+
   // ---- dupShingleStats ----
 
   test("dup spans: duplicated shingles across docs detected, self-only shingles not") {
