@@ -113,6 +113,15 @@ object GraftSession {
     reg.createOrReplaceTempFunction("epoch_key", es => GraftBridge.resolvedExpression(
       graft.operators.EpochShuffle.epochKey(GraftBridge.column(es(0)),
         GraftBridge.column(es(1)))), "built-in")
+    // chunk_texts(text, window, stride): the sliding-window chunker.
+    // window/stride parameterize the GENERATED expression tree (they
+    // are plan-shape, not per-row data), so they must be literals —
+    // eval() at registration resolves them once; a non-foldable
+    // argument fails loudly here instead of mis-planning silently.
+    reg.createOrReplaceTempFunction("chunk_texts", es => GraftBridge.resolvedExpression(
+      graft.operators.Chunking.chunkTexts(GraftBridge.column(es(0)),
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

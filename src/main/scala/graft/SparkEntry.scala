@@ -3652,6 +3652,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q215: sliding-window chunking — the sequence-prep step between
+    // tokenize and pack (max_seq_len pieces with overlap for
+    // pretraining; chunk-then-embed for RAG). Narrow projection +
+    // explode, zero shuffle; the last chunk always reaches the doc
+    // end and no chunk is a strict suffix of its predecessor.
+    "q215_chunk_sliding" -> ((s, d) =>
+      graft.operators.Chunking.chunk(Tables.documents(s, d),
+          window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // q216: the chunker through the SQL frontend — chunk_texts is the
+    // registered face of Chunking.chunkTexts (one source of
+    // semantics); shares q215's oracle verbatim.
+    "q216_sql_chunk" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_q216")
+      s.sql("""
+        SELECT doc_id, chunk_id,
+          CAST(least(64, n - chunk_id * 48) AS INT) AS n_tokens, chunk
+        FROM (
+          SELECT doc_id, size(split(lower(trim(text)), '\\s+')) AS n, text
+          FROM docs_q216) t
+        LATERAL VIEW posexplode(chunk_texts(text, 64, 48)) c
+          AS chunk_id, chunk
+        ORDER BY doc_id, chunk_id""")
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -4670,6 +4697,24 @@ object SparkEntry {
   /** q207's oracle, shared verbatim by q212: q200's difficulty and
     * ntile phase, then the two nested grouped ranks as REAL windows
     * against the engine's exact-offset form. */
+  /** q215's oracle, shared verbatim by q216 (the SQL-frontend face of
+    * the same chunker): one truth, two engine-side surfaces. */
+  private val chunkOracleSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) <= 64 THEN 1
+                ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+           END AS nc
+         FROM t),
+       e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS k FROM c)
+       SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         CAST(least(64, n - k * 48) AS INT) AS n_tokens,
+         array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk
+       FROM e ORDER BY doc_id, chunk_id"""
+
   private val interleaveOracleSql: String =
     """WITH toks AS (
          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -6615,6 +6660,12 @@ object SparkEntry {
            ('mrr_self_exact', 1),
            ('recall10_floor_090', 1)) t(component, ok)
          ORDER BY component""",
+    // q215: window-placement arithmetic replayed — n_chunks = 1 if
+    // n <= w else 1 + ceil((n-w)/s); DuckDB 1-based inclusive list
+    // slice toks[a:b] mirrors Spark's slice(toks, a, w). Shared
+    // verbatim by q216 (the SQL-frontend face).
+    "q215_chunk_sliding" -> chunkOracleSql,
+    "q216_sql_chunk" -> chunkOracleSql,
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

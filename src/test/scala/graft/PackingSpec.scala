@@ -88,4 +88,39 @@ class PackingSpec extends SparkSpec {
     // waste can only grow (weakly) as buckets widen
     assert(got(1)._4 <= got(4)._4 && got(4)._4 <= got(0)._4)
   }
+
+  // ---- sliding-window chunking ----
+
+  test("chunking: window placement, tail reach, and no suffix-duplicate chunks") {
+    def chunksOf(text: String, w: Int, s: Int): Seq[(Int, Int, String)] =
+      graft.operators.Chunking.chunk(
+          Seq((1L, text)).toDF("doc_id", "text"), window = w, stride = s)
+        .orderBy($"chunk_id").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // n=5, w=3, s=2: starts 0 and 2, tail reaches the end
+    assert(chunksOf("a b c d e", 3, 2) ===
+      Seq((0, 3, "a b c"), (1, 3, "c d e")))
+    // n=6, w=3, s=2: last chunk SHORTER than the window but reaches 6
+    assert(chunksOf("a b c d e f", 3, 2) ===
+      Seq((0, 3, "a b c"), (1, 3, "c d e"), (2, 2, "e f")))
+    // n <= w: exactly one chunk, the doc itself
+    assert(chunksOf("a b c", 3, 2) === Seq((0, 3, "a b c")))
+    // stride = window: disjoint tiling, no overlap
+    assert(chunksOf("a b c d", 2, 2) === Seq((0, 2, "a b"), (1, 2, "c d")))
+    // n = w + s exactly: second chunk is FULL and ends at n — and a
+    // third start (2s) would be a strict suffix, so there is none
+    assert(chunksOf("a b c d e", 3, 2).size === 2)
+  }
+
+  test("chunking: tokens round-trip — concatenating stride prefixes rebuilds the doc") {
+    val doc = (1 to 23).map(i => s"t$i").mkString(" ")
+    val ch = graft.operators.Chunking.chunk(
+        Seq((7L, doc)).toDF("doc_id", "text"), window = 8, stride = 5)
+      .orderBy($"chunk_id").collect().map(r => (r.getInt(1), r.getString(3)))
+    // the first `stride` tokens of each non-final chunk end exactly
+    // where the last chunk starts, so prefixes + last chunk = the doc
+    val rebuilt = (ch.init.map(_._2.split(" ").take(5)) :+
+      ch.last._2.split(" ")).flatten.mkString(" ")
+    assert(rebuilt === doc)
+  }
 }
