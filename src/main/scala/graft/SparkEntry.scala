@@ -3679,6 +3679,28 @@ object SparkEntry {
         ORDER BY doc_id, chunk_id""")
     }),
 
+    // q217: multinomial Naive Bayes domain classifier — train on the
+    // 90% hash split (label = source), classify the holdout. The
+    // model is closed-form count arithmetic (the smoothed score
+    // telescopes to ln prior − n_d·ln(T_c+V) + Σ ln(cnt+1)), so the
+    // full fit+serve pipeline hash-matches the oracle — the strongest
+    // gate any trained model in the repo can offer. The fixtures'
+    // labels carry no textual signal (measured: NB ≈ chance, below
+    // the majority class), so this query gates ENGINE PARITY of
+    // fit+serve; the learning demonstration (disjoint vocabularies →
+    // 20/20) is NbClassifierSpec's separability test.
+    "q217_nb_domain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val train = docs.filter(h % 100 < 90)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      graft.operators.NbClassifier.classify(docs.filter(h % 100 >= 90), train)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("pred"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6666,6 +6688,48 @@ object SparkEntry {
     // verbatim by q216 (the SQL-frontend face).
     "q215_chunk_sliding" -> chunkOracleSql,
     "q216_sql_chunk" -> chunkOracleSql,
+    // q217: the telescoped NB score replayed — unseen (class, token)
+    // pairs are the absent join rows (ln 1 = 0), OOV tokens shift all
+    // classes equally through the n_d·ln(T_c+V) term; argmax by
+    // rounded score DESC, label ASC (the engine orders by −score ASC
+    // — identical on the 4dp grid)
+    "q217_nb_domain" ->
+      """WITH tr AS (
+           SELECT source AS label,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 100 < 90),
+         ho AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 100 >= 90),
+         ti AS (SELECT label, unnest(toks) AS token FROM tr),
+         cc AS (SELECT label, token, count(*) AS cnt FROM ti GROUP BY label, token),
+         bycls AS (
+           SELECT label, count(*) AS n_c, CAST(sum(len(toks)) AS BIGINT) AS t_c
+           FROM tr GROUP BY label),
+         g AS (SELECT (SELECT count(DISTINCT token) FROM ti) AS v,
+                      (SELECT count(*) FROM tr) AS n),
+         cls AS (
+           SELECT label, ln(CAST(n_c AS DOUBLE) / n) AS logprior,
+             ln(CAST(t_c + v AS DOUBLE)) AS logden
+           FROM bycls, g),
+         hi AS (SELECT doc_id, unnest(toks) AS token FROM ho),
+         hits AS (
+           SELECT doc_id, label, sum(ln(cnt + 1)) AS hitsum
+           FROM hi JOIN cc USING (token) GROUP BY doc_id, label),
+         nd AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_d FROM ho),
+         sc AS (
+           SELECT nd.doc_id, nd.source, cls.label,
+             round(logprior - n_d * logden + coalesce(hitsum, 0.0), 4) AS score
+           FROM nd CROSS JOIN cls
+           LEFT JOIN hits ON hits.doc_id = nd.doc_id AND hits.label = cls.label)
+         SELECT doc_id, source, label AS pred, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, label) AS rn
+           FROM sc) t
+         WHERE rn = 1 ORDER BY doc_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE
