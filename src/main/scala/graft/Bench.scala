@@ -38,6 +38,7 @@ object Bench {
     // signal, before our own run inflates it) and at sweep end.
     final case class Sweep(head: Map[String, Double], cur: Map[String, Double],
         asset: Map[String, Double], serving: Map[String, Double],
+        model: Map[String, Double],
         steal: Long, loadPre: Double, loadPost: Double)
     def sweep(): Sweep = {
       val l0 = loadAvg1m()
@@ -46,8 +47,9 @@ object Bench {
       val cur = minOf3(SparkEntry.benchCurationQueries)
       val asset = minOf3(SparkEntry.benchAssetQueries)
       val serving = minOf3(SparkEntry.benchServingQueries)
+      val model = minOf3(SparkEntry.benchModelQueries)
       val s1 = stealTicks()
-      Sweep(head, cur, asset, serving,
+      Sweep(head, cur, asset, serving, model,
         if (s0 < 0 || s1 < 0) -1L else s1 - s0, l0, loadAvg1m())
     }
     // Contention GATES: rounds 6 and 7 committed recordings contaminated
@@ -101,9 +103,10 @@ object Bench {
     val curTotal = best.cur.values.filter(_ >= 0).sum
     val assetTotal = best.asset.values.filter(_ >= 0).sum
     val servingTotal = best.serving.values.filter(_ >= 0).sum
+    val modelTotal = best.model.values.filter(_ >= 0).sum
     // Both load samples stay in the artifact so a recording that
     // somehow slips both gates is still self-identifying.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"model_total":$modelTotal,"model_queries":${fmt(best.model)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
     spark.stop()
   }
 

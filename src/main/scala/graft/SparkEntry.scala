@@ -4626,6 +4626,15 @@ object SparkEntry {
     // instead of inflating the min-of-3 sweep.
     "q200_curriculum", "q201_boilerplate", "q204_audio_neardup")
 
+  /** Fifth bench group (round 10): the text-model layer — trigram
+    * stupid-backoff LM scoring, sliding-window chunking, and the
+    * multiclass NB fit+serve pipeline. Tracked from birth, same
+    * rationale as every prior group: older totals stay comparable
+    * across rounds, the new layer's regressions are artifact-visible
+    * from the round it appeared. */
+  val benchModelQueries: Seq[String] = Seq(
+    "q214_trigram_backoff", "q215_chunk_sliding", "q217_nb_domain")
+
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
     * surfaces — the q193/q198 discipline for multimodal. */

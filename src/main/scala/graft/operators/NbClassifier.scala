@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * (fit AND serve) hash-matches a SQL oracle, the repo's strongest
   * gate, where an LBFGS fit could only offer statistical floors.
   *
+  * Relationship to [[TextAnalysis.nbClassifierScores]] (q141): that is
+  * the BINARY in-corpus scorer — one boolean signal, scored over the
+  * same frame it was counted on, serving a log-odds column for
+  * threshold filters. This object is the MULTICLASS fit/serve split:
+  * train on a labeled reference, classify a different frame, argmax
+  * serve — the "classifier as a standing model" surface. The two keep
+  * their own arithmetic (q141's per-token form vs the telescoped form
+  * here) because each is hash-gated against its own oracle; the
+  * telescoped form is the one that avoids materializing any smoothed
+  * zero.
+  *
   * Add-one (Laplace) smoothing with the vocabulary of the TRAINING
   * corpus. The per-document class score telescopes:
   *

@@ -632,7 +632,11 @@ object TextAnalysis {
     * broadcastable asset, like the BPE merge table — and scoring is
     * one join of per-(doc, token) counts against it plus a per-doc
     * agg. Totals and priors travel as broadcast 1-row frames; nothing
-    * corpus-sized ever reaches the driver. */
+    * corpus-sized ever reaches the driver.
+    *
+    * Multiclass / train-serve-split sibling: [[NbClassifier]] (q217)
+    * — same closed-form-over-counts stance, telescoped smoothing,
+    * argmax serve over a labeled reference. */
   def nbClassifierScores(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       label: Column): org.apache.spark.sql.DataFrame = {
