@@ -489,6 +489,34 @@ class PlanSpec extends SparkSpec {
       "corpus converged on one task:\n" + p)
   }
 
+  test("q215 chunking is a narrow map: no exchange except the presentation sort") {
+    val p = planOf("q215_chunk_sliding")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // rangepartitioning for the final orderBy is the only exchange —
+    // chunking itself is projection + generator, shuffle-free at any
+    // corpus size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), "chunk explode lost:\n" + p)
+  }
+
+  test("q214 trigram backoff: equi-joins only, crosses are 1-row broadcasts") {
+    val p = planOf("q214_trigram_backoff")
+    assert(!p.contains("CartesianProduct"),
+      "LM scoring must never plan a cartesian:\n" + p)
+    // the only nested-loop join allowed is the broadcast cross of the
+    // 1-row totals frame
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val cross = "Cross".r.findAllIn(p).length
+    assert(cross <= bnl + 1, s"non-broadcast cross in the LM plan:\n" + p)
+  }
+
+  test("q217 NB classify: heap-pruned argmax, no corpus-wide window, no cartesian") {
+    val p = planOf("q217_nb_domain")
+    assert(p.contains("TopKPerKey"), "argmax must heap-prune:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NSW store serve: one shard-routing exchange off the table scan, no join of the store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
