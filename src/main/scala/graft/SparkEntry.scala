@@ -3701,6 +3701,90 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q218: the NB model as a STANDING STORE under the driver gate —
+    // counts are additive, so the lifecycle (init on the even half,
+    // append the odd half, remove a stripe) is algebraically EXACT:
+    // the maintained tables must equal a fresh fit of the live set
+    // bit-for-bit (integer counts), and store-served scores must
+    // equal the in-memory path row-for-row. Equality bits, no recall
+    // floors — the q206/q208 pattern for the text-model layer.
+    "q218_nb_store_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val labeled = docs.filter(h % 100 < 90)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val holdout = docs.filter(h % 100 >= 90)
+      val name = "graft_q218_nb"
+      val fresh = "graft_q218_nb_fresh"
+      graft.operators.NbStore.initStore(
+        labeled.filter(col("doc_id") % 2 === 0), name)
+      graft.operators.NbStore.appendDocs(
+        labeled.filter(col("doc_id") % 2 =!= 0), name)
+      graft.operators.NbStore.removeDocs(
+        labeled.filter(col("doc_id") % 7 === 3), name)
+      val live = labeled.filter(col("doc_id") % 7 =!= 3)
+      graft.operators.NbStore.initStore(live, fresh)
+      def tableEq(a: String, b: String): Boolean = {
+        val x = s.table(a); val y = s.table(b)
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+      }
+      val servedStore = graft.operators.NbStore
+        .scoreFromStore(s, name, holdout)
+      val servedFresh = graft.operators.NbClassifier
+        .scoreAgainst(holdout, live)
+      val serveEq = servedStore.exceptAll(servedFresh).isEmpty &&
+        servedFresh.exceptAll(servedStore).isEmpty
+      val predEq = {
+        val a = graft.operators.NbStore.classifyFromStore(s, name, holdout)
+        val b = graft.operators.NbClassifier.classify(holdout, live)
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
+      Seq(
+        ("class_eq_fresh_fit", if (tableEq(s"${name}_class", s"${fresh}_class")) 1 else 0),
+        ("counts_eq_fresh_fit", if (tableEq(s"${name}_counts", s"${fresh}_counts")) 1 else 0),
+        ("pred_eq_in_memory", if (predEq) 1 else 0),
+        ("scores_eq_in_memory", if (serveEq) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
+    // q219: the trigram LM as a STANDING STORE — q218's additive-count
+    // exactness applied to the n-gram tables: init on the even half of
+    // the reference, append the odd half, remove a stripe; maintained
+    // tri/bi/uni tables must equal a fresh count of the live reference
+    // bit-for-bit, and store-served backoff scores must equal the
+    // in-memory path row-for-row.
+    "q219_lm_store_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val ref = docs.filter(h % 100 < 90).select(col("doc_id"), col("text"))
+      val holdout = docs.filter(h % 100 >= 90)
+      val name = "graft_q219_lm"
+      val fresh = "graft_q219_lm_fresh"
+      graft.operators.LmStore.initStore(ref.filter(col("doc_id") % 2 === 0), name)
+      graft.operators.LmStore.appendDocs(ref.filter(col("doc_id") % 2 =!= 0), name)
+      graft.operators.LmStore.removeDocs(ref.filter(col("doc_id") % 7 === 3), name)
+      val live = ref.filter(col("doc_id") % 7 =!= 3)
+      graft.operators.LmStore.initStore(live, fresh)
+      def tableEq(a: String, b: String): Boolean = {
+        val x = s.table(a); val y = s.table(b)
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+      }
+      val viaStore = graft.operators.LmStore.scoreFromStore(s, name, holdout)
+      val viaFit = graft.operators.UnigramLm.trigramStupidBackoff(holdout, live)
+      val serveEq = viaStore.exceptAll(viaFit).isEmpty &&
+        viaFit.exceptAll(viaStore).isEmpty
+      Seq(
+        ("bi_eq_fresh_count", if (tableEq(s"${name}_bi", s"${fresh}_bi")) 1 else 0),
+        ("scores_eq_in_memory", if (serveEq) 1 else 0),
+        ("tri_eq_fresh_count", if (tableEq(s"${name}_tri", s"${fresh}_tri")) 1 else 0),
+        ("uni_eq_fresh_count", if (tableEq(s"${name}_uni", s"${fresh}_uni")) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6739,6 +6823,24 @@ object SparkEntry {
              ORDER BY score DESC, label) AS rn
            FROM sc) t
          WHERE rn = 1 ORDER BY doc_id""",
+    // q218: constant-truth lifecycle bits — exact by the additivity
+    // of counts (maintained ≡ fresh fit bit-for-bit)
+    "q218_nb_store_lifecycle" ->
+      """SELECT * FROM (VALUES
+           ('class_eq_fresh_fit', 1),
+           ('counts_eq_fresh_fit', 1),
+           ('pred_eq_in_memory', 1),
+           ('scores_eq_in_memory', 1)) t(component, ok)
+         ORDER BY component""",
+    // q219: constant-truth lifecycle bits — exact by the additivity
+    // of n-gram counts
+    "q219_lm_store_lifecycle" ->
+      """SELECT * FROM (VALUES
+           ('bi_eq_fresh_count', 1),
+           ('scores_eq_in_memory', 1),
+           ('tri_eq_fresh_count', 1),
+           ('uni_eq_fresh_count', 1)) t(component, ok)
+         ORDER BY component""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

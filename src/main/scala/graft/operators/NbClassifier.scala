@@ -46,25 +46,33 @@ import org.apache.spark.sql.functions._
   */
 object NbClassifier {
 
-  /** Per-(doc, class) log scores: (id, label, score), score rounded to
-    * the repo-wide 4dp grid (the Σ ln(cnt+1) sum is a float reduction,
-    * combine-order-dependent like every DOUBLE aggregate here).
-    * `train` must carry `labelCol`; docs scored need not. */
-  def scoreAgainst(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+  /** The trained model as two frames: observed (label, token, cnt)
+    * pairs — the entire model beyond three scalars per class — and the
+    * per-class (label, n_c, t_c) doc count / token mass. Everything a
+    * scorer (or a standing store) needs; vocab and corpus totals are
+    * derivable aggregates of these. */
+  private[operators] def modelFrames(train: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val trainInst = train.select(col(labelCol).as("label"),
-      explode(toks).as("token"))
-    // observed (class, token) counts — the entire model beyond 3 scalars/class
-    val cc = trainInst.groupBy(col("label"), col("token"))
+    val cc = train.select(col(labelCol).as("label"), explode(toks).as("token"))
+      .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-    // per-class doc count and token mass; corpus-wide doc count and vocab
     val byClass = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_c"),
         sum(size(toks).cast("long")).as("t_c"))
-    val globals = trainInst.agg(
-      countDistinct(col("token")).as("v"))
-      .crossJoin(train.agg(count(lit(1)).as("n")))
+    (cc, byClass)
+  }
+
+  /** Scoring tail over model frames: vocab V = distinct tokens of the
+    * pair table, N = Σ n_c — both in-plan 1-row aggregates, so a
+    * STORED model serves through exactly this code path and exactly
+    * this arithmetic (classifyFromStore ≡ classify is algebra, not
+    * luck). */
+  private[operators] def scoreWith(docs: DataFrame, cc: DataFrame,
+      byClass: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val globals = cc.agg(countDistinct(col("token")).as("v"))
+      .crossJoin(byClass.agg(sum(col("n_c")).as("n")))
     val classes = byClass.crossJoin(globals)
       .select(col("label"),
         log(col("n_c").cast("double") / col("n")).as("logprior"),
@@ -81,14 +89,98 @@ object NbClassifier {
           coalesce(col("hitsum"), lit(0.0)), 4).as("score"))
   }
 
+  /** Per-(doc, class) log scores: (id, label, score), score rounded to
+    * the repo-wide 4dp grid (the Σ ln(cnt+1) sum is a float reduction,
+    * combine-order-dependent like every DOUBLE aggregate here).
+    * `train` must carry `labelCol`; docs scored need not. */
+  def scoreAgainst(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+    val (cc, byClass) = modelFrames(train, textCol, labelCol)
+    scoreWith(docs, cc, byClass, idCol, textCol)
+  }
+
   /** Argmax serve: (id, label) with the highest score, ties broken by
     * label ascending (total order — the 4dp grid makes cross-engine
     * ties representable, so the break must be deterministic). */
   def classify(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", labelCol: String = "label"): DataFrame =
+    classifyScores(scoreAgainst(docs, train, idCol, textCol, labelCol), idCol)
+
+  private[operators] def classifyScores(scores: DataFrame,
+      idCol: String): DataFrame =
     graft.plans.TopKPerKey.rankedTopKMulti(
-      scoreAgainst(docs, train, idCol, textCol, labelCol)
-        .withColumn("__ns", -col("score")),
+      scores.withColumn("__ns", -col("score")),
       keyCols = Seq(idCol), orderAsc = Seq("__ns", "label"), k = 1)
       .select(col(idCol), col("label").as("pred"), col("score"))
+}
+
+/** STANDING NB model — the classifier as a maintained catalog asset.
+  * The model is two count tables, and counts are ADDITIVE: appending a
+  * batch adds its counts, removing indexed docs subtracts them — so
+  * the lifecycle is algebraically EXACT (maintained store ≡ fresh fit
+  * of the live corpus, bit-identical integer counts, hence identical
+  * scores), with no tombstones, no rebuild, no recall floor. The
+  * strongest lifecycle gate in the repo (the q206/q208 equality-bit
+  * pattern) comes for free from the algebra; q218 pins it.
+  *
+  * Tables: `<name>_counts` (label, token, cnt), bucketed by token so
+  * the serve join bucket-prunes like the BM25 postings;
+  * `<name>_class` (label, n_c, t_c), class-count-sized. Merges rewrite
+  * the MODEL (vocab-bounded ≪ corpus) — one union + re-aggregate,
+  * settled before overwriting what it read.
+  *
+  * Fail-loud contract: removing documents that were never indexed
+  * would drive counts negative — silent model corruption. Every merge
+  * asserts non-negativity (one model-sized action) and drops exact
+  * zeros, so the store always equals SOME corpus's fresh fit. */
+object NbStore {
+
+  def initStore(train: DataFrame, name: String, buckets: Int = 32,
+      textCol: String = "text", labelCol: String = "label"): Unit = {
+    val (cc, byClass) = NbClassifier.modelFrames(train, textCol, labelCol)
+    graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts", buckets,
+      Seq("token"), Seq("token"))
+    graft.sources.Sinks.parquetTable(byClass, s"${name}_class")
+  }
+
+  /** Fold a labeled batch into the standing model (sign = +1). */
+  def appendDocs(delta: DataFrame, name: String, buckets: Int = 32,
+      textCol: String = "text", labelCol: String = "label"): Unit =
+    merge(delta, name, buckets, textCol, labelCol, sign = 1L)
+
+  /** Subtract previously-indexed docs from the model (sign = −1).
+    * Pass the SAME rows that were appended — the non-negativity
+    * assertion catches anything else. */
+  def removeDocs(removed: DataFrame, name: String, buckets: Int = 32,
+      textCol: String = "text", labelCol: String = "label"): Unit =
+    merge(removed, name, buckets, textCol, labelCol, sign = -1L)
+
+  private def merge(docs: DataFrame, name: String, buckets: Int,
+      textCol: String, labelCol: String, sign: Long): Unit = {
+    val (dcc, dby) = NbClassifier.modelFrames(docs, textCol, labelCol)
+    // BOTH merges validate (non-negativity, settled) before EITHER
+    // table is rewritten — a delta that passes the counts check but
+    // fails the class check must leave the store untouched
+    val cc = CountStore.prepareSigned(s"${name}_counts", dcc,
+      keyCols = Seq("label", "token"), cntCols = Seq("cnt"), sign = sign)
+    val by = CountStore.prepareSigned(s"${name}_class", dby,
+      keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign)
+    CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
+    CountStore.write(s"${name}_class", by, 0, Nil)
+  }
+
+  /** Serve per-(doc, class) scores straight from the standing tables —
+    * the same scoring tail (and arithmetic) as the in-memory path. */
+  def scoreFromStore(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    NbClassifier.scoreWith(docs, spark.table(s"${name}_counts"),
+      spark.table(s"${name}_class"), idCol, textCol)
+
+  /** Argmax serve from the standing tables. */
+  def classifyFromStore(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    NbClassifier.classifyScores(
+      scoreFromStore(spark, name, docs, idCol, textCol), idCol)
 }

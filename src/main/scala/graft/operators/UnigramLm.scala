@@ -146,7 +146,16 @@ object UnigramLm {
   def trigramStupidBackoff(docs: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       alpha: Double = 0.4): DataFrame = {
-    val occ = trigramInstances(docs, idCol, textCol)
+    val (tc, bc, uc) = trigramFrames(reference, idCol, textCol)
+    trigramScoreWith(docs, tc, bc, uc, idCol, textCol, alpha)
+  }
+
+  /** The trigram model as three count frames — (p1, p2, cur, c3),
+    * (prev, cur, cb), (token, cu): everything the scorer (or a
+    * standing [[LmStore]]) needs; the unigram total is a derivable
+    * aggregate. */
+  private[operators] def trigramFrames(reference: DataFrame,
+      idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val tc = trigramInstances(reference, idCol, textCol)
       .groupBy(col("p1"), col("p2"), col("cur"))
       .agg(count(lit(1)).as("c3"))
@@ -154,6 +163,16 @@ object UnigramLm {
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
     val uc = tokenInstances(reference, idCol, textCol)
       .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    (tc, bc, uc)
+  }
+
+  /** Scoring tail over model frames — a STORED model serves through
+    * exactly this code path and arithmetic (scoreFromStore ≡
+    * trigramStupidBackoff is algebra, not luck). */
+  private[operators] def trigramScoreWith(docs: DataFrame, tc: DataFrame,
+      bc: DataFrame, uc: DataFrame, idCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    val occ = trigramInstances(docs, idCol, textCol)
     val total = uc.agg(sum(col("cu")).as("total"))
     // the two bigram probes hit the SAME model table with different
     // key roles: (p1,p2) as the trigram denominator, (p2,cur) as the
@@ -217,4 +236,63 @@ object UnigramLm {
           element_at(col("toks"), i + 1).as("prev"),
           element_at(col("toks"), i + 2).as("cur")))).as("b"))
       .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+}
+
+/** STANDING trigram LM — the stupid-backoff model as a maintained
+  * catalog asset: three n-gram count tables (`<name>_tri` bucketed by
+  * p1, `<name>_bi` by prev, `<name>_uni` by token — serving joins
+  * bucket-prune like the BM25 postings). N-gram counts are ADDITIVE,
+  * so the lifecycle is algebraically EXACT: maintained tables ≡ a
+  * fresh count of the live reference bit-for-bit, hence identical
+  * scores — the [[CountStore]] equality contract, gated by q219 the
+  * way q218 gates the NB store. At 100 TB the reference corpus
+  * evolves (new crawl snapshots in, takedowns out); the LM follows by
+  * merging deltas of MODEL size instead of recounting the corpus. */
+object LmStore {
+
+  def initStore(reference: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (tc, bc, uc) = UnigramLm.trigramFrames(reference, idCol, textCol)
+    graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
+      Seq("p1"), Seq("p1"))
+    graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
+      Seq("prev"), Seq("prev"))
+    graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
+      Seq("token"), Seq("token"))
+  }
+
+  def appendDocs(delta: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    merge(delta, name, buckets, idCol, textCol, sign = 1L)
+
+  /** Subtract previously-appended reference docs. Pass the SAME rows
+    * that went in — CountStore's non-negativity assertion catches
+    * anything else before a byte is written. */
+  def removeDocs(removed: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    merge(removed, name, buckets, idCol, textCol, sign = -1L)
+
+  private def merge(docs: DataFrame, name: String, buckets: Int,
+      idCol: String, textCol: String, sign: Long): Unit = {
+    val (dtc, dbc, duc) = UnigramLm.trigramFrames(docs, idCol, textCol)
+    // validate ALL THREE merges before writing ANY table
+    val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
+      Seq("p1", "p2", "cur"), Seq("c3"), sign)
+    val bi = CountStore.prepareSigned(s"${name}_bi", dbc,
+      Seq("prev", "cur"), Seq("cb"), sign)
+    val uni = CountStore.prepareSigned(s"${name}_uni", duc,
+      Seq("token"), Seq("cu"), sign)
+    CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
+    CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
+    CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+  }
+
+  /** Serve stupid-backoff scores straight from the standing tables —
+    * the same scoring tail (and arithmetic) as the in-memory path. */
+  def scoreFromStore(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.4): DataFrame =
+    UnigramLm.trigramScoreWith(docs, spark.table(s"${name}_tri"),
+      spark.table(s"${name}_bi"), spark.table(s"${name}_uni"),
+      idCol, textCol, alpha)
 }

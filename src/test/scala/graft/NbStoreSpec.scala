@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NbClassifier, NbStore}
+
+/** Standing NB model: the additive-count lifecycle must be
+  * algebraically exact (append+remove ≡ fresh fit of the live set,
+  * table-for-table and score-for-score), and misuse must fail loud. */
+class NbStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labeled(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "label")
+
+  test("init + append + remove equals the fresh fit of the live set, tables and scores") {
+    val a = labeled((1L, "a a b", "x"), (2L, "c c", "y"), (3L, "b c", "x"))
+    val b = labeled((4L, "a c c", "y"), (5L, "b b b", "x"))
+    val gone = labeled((2L, "c c", "y"), (5L, "b b b", "x"))
+    val live = labeled((1L, "a a b", "x"), (3L, "b c", "x"), (4L, "a c c", "y"))
+    NbStore.initStore(a, "nbspec_m", buckets = 4)
+    NbStore.appendDocs(b, "nbspec_m", buckets = 4)
+    NbStore.removeDocs(gone, "nbspec_m", buckets = 4)
+    NbStore.initStore(live, "nbspec_f", buckets = 4)
+    for (t <- Seq("_counts", "_class")) {
+      val m = spark.table("nbspec_m" + t)
+      val f = spark.table("nbspec_f" + t)
+      assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+        s"maintained $t diverged from the fresh fit")
+    }
+    val probe = Seq((9L, "a b c"), (10L, "zzz")).toDF("doc_id", "text")
+    val viaStore = NbStore.scoreFromStore(spark, "nbspec_m", probe)
+    val viaFit = NbClassifier.scoreAgainst(probe, live)
+    assert(viaStore.exceptAll(viaFit).isEmpty &&
+      viaFit.exceptAll(viaStore).isEmpty)
+    // removing y's last doc next: class row must disappear entirely
+    NbStore.removeDocs(labeled((4L, "a c c", "y")), "nbspec_m", buckets = 4)
+    assert(spark.table("nbspec_m_class").filter($"label" === "y").isEmpty)
+    assert(spark.table("nbspec_m_counts").filter($"label" === "y").isEmpty)
+  }
+
+  test("removing never-appended docs fails loud and leaves the store unchanged") {
+    val a = labeled((1L, "a a", "x"))
+    NbStore.initStore(a, "nbspec_neg", buckets = 4)
+    val before = spark.table("nbspec_neg_counts").collect().toSet
+    val ex = intercept[IllegalArgumentException] {
+      NbStore.removeDocs(labeled((7L, "a a a a", "x")), "nbspec_neg", buckets = 4)
+    }
+    assert(ex.getMessage.contains("negative"))
+    assert(spark.table("nbspec_neg_counts").collect().toSet === before)
+  }
+
+  test("classifyFromStore serves the argmax with the in-memory tie-break") {
+    val train = labeled((1L, "a a", "m"), (2L, "b b", "k"))
+    NbStore.initStore(train, "nbspec_tie", buckets = 4)
+    val pred = NbStore.classifyFromStore(spark, "nbspec_tie",
+      Seq((5L, "a b")).toDF("doc_id", "text")).collect().head
+    assert(pred.getString(1) === "k", "tie must go to the ascending label")
+  }
+
+  // ---- LmStore (same CountStore contract, n-gram tables) ----
+
+  test("LM store: init + append + remove equals the fresh count; store serve equals in-memory") {
+    import graft.operators.{LmStore, UnigramLm}
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val a = docs((1L, "a b c a b d"), (2L, "c a b"))
+    val b = docs((3L, "b c a b"), (4L, "d d d d"))
+    val gone = docs((2L, "c a b"), (4L, "d d d d"))
+    val live = docs((1L, "a b c a b d"), (3L, "b c a b"))
+    LmStore.initStore(a, "lmspec_m", buckets = 4)
+    LmStore.appendDocs(b, "lmspec_m", buckets = 4)
+    LmStore.removeDocs(gone, "lmspec_m", buckets = 4)
+    LmStore.initStore(live, "lmspec_f", buckets = 4)
+    for (t <- Seq("_tri", "_bi", "_uni")) {
+      val m = spark.table("lmspec_m" + t)
+      val f = spark.table("lmspec_f" + t)
+      assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+        s"maintained $t diverged from the fresh count")
+    }
+    val probe = docs((9L, "a b c"), (10L, "b b a"))
+    val viaStore = LmStore.scoreFromStore(spark, "lmspec_m", probe)
+    val viaFit = UnigramLm.trigramStupidBackoff(probe, live)
+    assert(viaStore.exceptAll(viaFit).isEmpty &&
+      viaFit.exceptAll(viaStore).isEmpty)
+  }
+
+  test("LM store: a removal that passes one table but not all writes NOTHING") {
+    import graft.operators.LmStore
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // store from "a b" twice: uni a=2 b=2, bi (a,b)=2, NO trigrams.
+    LmStore.initStore(docs((1L, "a b"), (2L, "a b")), "lmspec_atomic", buckets = 4)
+    val triBefore = spark.table("lmspec_atomic_tri").count()
+    val uniBefore = spark.table("lmspec_atomic_uni").collect().toSet
+    // removing "a b c" passes nothing trigram-wise? it INTRODUCES a
+    // trigram debit the store never had → tri merge must fail, and
+    // the uni/bi tables (whose merges would pass for a/b but not c)
+    // must stay untouched
+    val ex = intercept[IllegalArgumentException] {
+      LmStore.removeDocs(docs((1L, "a b c")), "lmspec_atomic", buckets = 4)
+    }
+    assert(ex.getMessage.contains("negative"))
+    assert(spark.table("lmspec_atomic_tri").count() === triBefore)
+    assert(spark.table("lmspec_atomic_uni").collect().toSet === uniBefore)
+  }
+}
