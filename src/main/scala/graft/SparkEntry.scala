@@ -3785,6 +3785,50 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q220: STREAMING maintenance of the NB store — waves replayed
+    // through the SAME applyBatch body the foreachBatch stream runs
+    // (the q160 discipline; the live MemoryStream equivalence is
+    // NbStoreSpec's). Bits: stream-fed tables ≡ one-shot fit
+    // bit-for-bit (count additivity), a RE-DELIVERED batch id is
+    // skipped by the idempotence ledger (at-least-once closed — the
+    // one corruption non-negativity cannot see), and the maintained
+    // store serves holdout classifications ≡ the in-memory path.
+    "q220_nb_stream_maintain" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val labeled = docs.filter(h % 100 < 90)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val holdout = docs.filter(h % 100 >= 90)
+      val name = "graft_q220_nb"
+      val fresh = "graft_q220_nb_fresh"
+      graft.operators.NbStore.initStore(
+        labeled.filter(col("doc_id") % 3 === 0), name)
+      graft.operators.NbStore.applyBatch(
+        labeled.filter(col("doc_id") % 3 === 1), name, 32, "text", "label", 1L)
+      graft.operators.NbStore.applyBatch(
+        labeled.filter(col("doc_id") % 3 === 2), name, 32, "text", "label", 2L)
+      val dupSkipped = !graft.operators.NbStore.applyBatch(
+        labeled.filter(col("doc_id") % 3 === 1), name, 32, "text", "label", 1L)
+      graft.operators.NbStore.initStore(labeled, fresh)
+      def tableEq(a: String, b: String): Boolean = {
+        val x = s.table(a); val y = s.table(b)
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+      }
+      val serveEq = {
+        val a = graft.operators.NbStore.classifyFromStore(s, name, holdout)
+        val b = graft.operators.NbClassifier.classify(holdout, labeled)
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
+      Seq(
+        ("class_eq_one_shot", if (tableEq(s"${name}_class", s"${fresh}_class")) 1 else 0),
+        ("counts_eq_one_shot", if (tableEq(s"${name}_counts", s"${fresh}_counts")) 1 else 0),
+        ("dup_delivery_skipped", if (dupSkipped) 1 else 0),
+        ("serve_eq_in_memory", if (serveEq) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6840,6 +6884,14 @@ object SparkEntry {
            ('scores_eq_in_memory', 1),
            ('tri_eq_fresh_count', 1),
            ('uni_eq_fresh_count', 1)) t(component, ok)
+         ORDER BY component""",
+    // q220: constant-truth streaming-maintenance bits
+    "q220_nb_stream_maintain" ->
+      """SELECT * FROM (VALUES
+           ('class_eq_one_shot', 1),
+           ('counts_eq_one_shot', 1),
+           ('dup_delivery_skipped', 1),
+           ('serve_eq_in_memory', 1)) t(component, ok)
          ORDER BY component""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic

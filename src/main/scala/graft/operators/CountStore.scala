@@ -62,4 +62,73 @@ object CountStore {
       bucketCols: Seq[String]): Unit =
     write(table, prepareSigned(table, delta, keyCols, cntCols, sign),
       buckets, bucketCols)
+
+  // ---- torn-write marker + streaming idempotence ledger ----
+  // A count-store commit spans several table rewrites; a crash between
+  // them leaves tables from two model states. The Bm25 discipline
+  // generalized: a plain warehouse marker file goes down before the
+  // first write and up after the last — every serve and every merge
+  // refuses a marked store LOUDLY (rebuild via initStore), so a torn
+  // commit can never silently serve, and a re-delivered streaming
+  // batch can never silently double-count (either its ledger row
+  // committed, or the marker is still down). Exactly-once OR loud.
+
+  private def marker(spark: org.apache.spark.sql.SparkSession,
+      name: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT) + "__building")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def setBuilding(spark: org.apache.spark.sql.SparkSession,
+      name: String, on: Boolean): Unit = {
+    val (fs, p) = marker(spark, name)
+    if (on) fs.create(p, true).close()
+    else fs.delete(p, false)
+  }
+
+  def requireServable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val (fs, p) = marker(spark, name)
+    require(!fs.exists(p),
+      s"count store '$name': a commit is in progress or was interrupted " +
+        s"(marker $p present) — rebuild via initStore")
+  }
+
+  /** Apply a streaming micro-batch's writes EXACTLY ONCE (or fail
+    * loud): skip if `batchId` is already in `<name>_applied`;
+    * otherwise run `writes` and the ledger insert inside one marker
+    * window. Validation (prepareSigned) belongs OUTSIDE — a rejected
+    * delta must leave the store serveable. Returns whether the batch
+    * was applied (false = known-duplicate delivery, skipped). */
+  /** Has `batchId` already committed to `<name>_applied`? */
+  def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
+      name: String, batchId: Long): Boolean = {
+    val ledger = s"${name}_applied"
+    spark.catalog.tableExists(ledger) &&
+      !spark.table(ledger).filter(col("batch_id") === batchId).isEmpty
+  }
+
+  def applyOnce(spark: org.apache.spark.sql.SparkSession, name: String,
+      batchId: Long)(writes: => Unit): Boolean = {
+    requireServable(spark, name)
+    import spark.implicits._
+    val ledger = s"${name}_applied"
+    if (alreadyApplied(spark, name, batchId)) false
+    else {
+      setBuilding(spark, name, on = true)
+      writes
+      Seq(batchId).toDF("batch_id")
+        .write.mode("append").format("parquet").saveAsTable(ledger)
+      setBuilding(spark, name, on = false)
+      true
+    }
+  }
+
+  /** A rebuild resets stream state: drop the idempotence ledger so a
+    * re-seeded store does not skip batches meant for the new model. */
+  private[operators] def dropLedger(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Sinks.dropTable(spark, s"${name}_applied")
 }

@@ -137,10 +137,16 @@ object NbStore {
 
   def initStore(train: DataFrame, name: String, buckets: Int = 32,
       textCol: String = "text", labelCol: String = "label"): Unit = {
+    val spark = train.sparkSession
     val (cc, byClass) = NbClassifier.modelFrames(train, textCol, labelCol)
+    // a rebuild clears a torn-commit marker (this IS the repair path)
+    // and the stream-idempotence ledger (new model, new stream state)
+    CountStore.setBuilding(spark, name, on = true)
+    CountStore.dropLedger(spark, name)
     graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts", buckets,
       Seq("token"), Seq("token"))
     graft.sources.Sinks.parquetTable(byClass, s"${name}_class")
+    CountStore.setBuilding(spark, name, on = false)
   }
 
   /** Fold a labeled batch into the standing model (sign = +1). */
@@ -157,25 +163,77 @@ object NbStore {
 
   private def merge(docs: DataFrame, name: String, buckets: Int,
       textCol: String, labelCol: String, sign: Long): Unit = {
-    val (dcc, dby) = NbClassifier.modelFrames(docs, textCol, labelCol)
-    // BOTH merges validate (non-negativity, settled) before EITHER
-    // table is rewritten — a delta that passes the counts check but
-    // fails the class check must leave the store untouched
-    val cc = CountStore.prepareSigned(s"${name}_counts", dcc,
-      keyCols = Seq("label", "token"), cntCols = Seq("cnt"), sign = sign)
-    val by = CountStore.prepareSigned(s"${name}_class", dby,
-      keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign)
+    val spark = docs.sparkSession
+    CountStore.requireServable(spark, name)
+    val (cc, by) = prepared(docs, name, textCol, labelCol, sign)
+    CountStore.setBuilding(spark, name, on = true)
     CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
     CountStore.write(s"${name}_class", by, 0, Nil)
+    CountStore.setBuilding(spark, name, on = false)
+  }
+
+  /** BOTH merges validated (non-negativity, settled) before EITHER
+    * table is rewritten — a delta that passes the counts check but
+    * fails the class check must leave the store untouched. */
+  private def prepared(docs: DataFrame, name: String, textCol: String,
+      labelCol: String, sign: Long): (DataFrame, DataFrame) = {
+    val (dcc, dby) = NbClassifier.modelFrames(docs, textCol, labelCol)
+    (CountStore.prepareSigned(s"${name}_counts", dcc,
+      keyCols = Seq("label", "token"), cntCols = Seq("cnt"), sign = sign),
+      CountStore.prepareSigned(s"${name}_class", dby,
+        keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign))
+  }
+
+  /** Streaming maintenance: `foreachBatch` over a labeled doc stream,
+    * folding each micro-batch's counts into the standing model —
+    * online NB learning with the exactness the algebra gives batch
+    * mode. foreachBatch is AT-LEAST-ONCE: a restarted stream
+    * re-delivers batches, and a blind re-append would silently double
+    * counts — the one corruption the non-negativity check cannot see.
+    * [[CountStore.applyOnce]] closes it: the batch id lands in
+    * `<name>_applied` inside the same marker window as the table
+    * writes, so a re-delivery either finds the ledger row (skipped) or
+    * finds the marker (fails loud, rebuild). Exactly-once OR loud —
+    * NbStoreSpec proves stream-fed ≡ one-shot batch fit, including
+    * under a simulated duplicate delivery. */
+  def maintainStream(docs: DataFrame, name: String, buckets: Int = 32,
+      textCol: String = "text", labelCol: String = "label")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { applyBatch(batch, name, buckets,
+          textCol, labelCol, batchId); () }
+      }
+
+  /** One micro-batch application — shared by the live stream and the
+    * batch-replay gate query (q220 replays waves through exactly this
+    * body, the q160 discipline). */
+  def applyBatch(batch: DataFrame, name: String, buckets: Int,
+      textCol: String, labelCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    // ledger probe BEFORE the (checkpointing) prepare: a re-delivered
+    // batch must skip without paying the merge computation
+    if (CountStore.alreadyApplied(spark, name, batchId)) false
+    else {
+      val (cc, by) = prepared(batch, name, textCol, labelCol, sign = 1L)
+      CountStore.applyOnce(spark, name, batchId) {
+        CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
+        CountStore.write(s"${name}_class", by, 0, Nil)
+      }
+    }
   }
 
   /** Serve per-(doc, class) scores straight from the standing tables —
     * the same scoring tail (and arithmetic) as the in-memory path. */
   def scoreFromStore(spark: org.apache.spark.sql.SparkSession, name: String,
       docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    CountStore.requireServable(spark, name)
     NbClassifier.scoreWith(docs, spark.table(s"${name}_counts"),
       spark.table(s"${name}_class"), idCol, textCol)
+  }
 
   /** Argmax serve from the standing tables. */
   def classifyFromStore(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -252,13 +252,18 @@ object LmStore {
 
   def initStore(reference: DataFrame, name: String, buckets: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = reference.sparkSession
     val (tc, bc, uc) = UnigramLm.trigramFrames(reference, idCol, textCol)
+    // rebuild = the torn-commit repair path; also resets stream state
+    CountStore.setBuilding(spark, name, on = true)
+    CountStore.dropLedger(spark, name)
     graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
       Seq("p1"), Seq("p1"))
     graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
       Seq("prev"), Seq("prev"))
     graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
       Seq("token"), Seq("token"))
+    CountStore.setBuilding(spark, name, on = false)
   }
 
   def appendDocs(delta: DataFrame, name: String, buckets: Int = 32,
@@ -274,6 +279,8 @@ object LmStore {
 
   private def merge(docs: DataFrame, name: String, buckets: Int,
       idCol: String, textCol: String, sign: Long): Unit = {
+    val spark = docs.sparkSession
+    CountStore.requireServable(spark, name)
     val (dtc, dbc, duc) = UnigramLm.trigramFrames(docs, idCol, textCol)
     // validate ALL THREE merges before writing ANY table
     val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
@@ -282,17 +289,57 @@ object LmStore {
       Seq("prev", "cur"), Seq("cb"), sign)
     val uni = CountStore.prepareSigned(s"${name}_uni", duc,
       Seq("token"), Seq("cu"), sign)
+    CountStore.setBuilding(spark, name, on = true)
     CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
     CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
     CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+    CountStore.setBuilding(spark, name, on = false)
   }
 
   /** Serve stupid-backoff scores straight from the standing tables —
     * the same scoring tail (and arithmetic) as the in-memory path. */
   def scoreFromStore(spark: org.apache.spark.sql.SparkSession, name: String,
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      alpha: Double = 0.4): DataFrame =
+      alpha: Double = 0.4): DataFrame = {
+    CountStore.requireServable(spark, name)
     UnigramLm.trigramScoreWith(docs, spark.table(s"${name}_tri"),
       spark.table(s"${name}_bi"), spark.table(s"${name}_uni"),
       idCol, textCol, alpha)
+  }
+
+  /** Streaming maintenance of the reference corpus: `foreachBatch`
+    * appends each micro-batch's n-gram counts under the same
+    * exactly-once-or-loud ledger as [[NbStore.maintainStream]]. */
+  def maintainStream(docs: DataFrame, name: String, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { applyBatch(batch, name, buckets,
+          idCol, textCol, batchId); () }
+      }
+
+  /** One micro-batch application — shared by the live stream and
+    * batch replay (the q160/q220 discipline). */
+  def applyBatch(batch: DataFrame, name: String, buckets: Int,
+      idCol: String, textCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    if (CountStore.alreadyApplied(spark, name, batchId)) false
+    else {
+      val (dtc, dbc, duc) = UnigramLm.trigramFrames(batch, idCol, textCol)
+      val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
+        Seq("p1", "p2", "cur"), Seq("c3"), sign = 1L)
+      val bi = CountStore.prepareSigned(s"${name}_bi", dbc,
+        Seq("prev", "cur"), Seq("cb"), sign = 1L)
+      val uni = CountStore.prepareSigned(s"${name}_uni", duc,
+        Seq("token"), Seq("cu"), sign = 1L)
+      CountStore.applyOnce(spark, name, batchId) {
+        CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
+        CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
+        CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+      }
+    }
+  }
 }

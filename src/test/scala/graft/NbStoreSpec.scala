@@ -83,6 +83,60 @@ class NbStoreSpec extends SparkSpec {
       viaFit.exceptAll(viaStore).isEmpty)
   }
 
+  test("stream-fed NB store equals the one-shot fit; duplicate delivery is skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_stream").toString
+    val all = Seq((1L, "a a b", "x"), (2L, "c c", "y"), (3L, "b c", "x"),
+      (4L, "a c c", "y"), (5L, "b b b", "x"), (6L, "a b", "y"))
+    def write(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "label").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(all.slice(0, 2))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    NbStore.initStore(labeled(), "nbspec_stream", buckets = 4)
+    val q = NbStore.maintainStream(stream, "nbspec_stream", buckets = 4).start()
+    q.processAllAvailable()
+    write(all.slice(2, 4))
+    q.processAllAvailable()
+    write(all.slice(4, 6))
+    q.processAllAvailable()
+    q.stop()
+    NbStore.initStore(labeled(all: _*), "nbspec_stream_f", buckets = 4)
+    for (t <- Seq("_counts", "_class")) {
+      val m = spark.table("nbspec_stream" + t)
+      val f = spark.table("nbspec_stream_f" + t)
+      assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+        s"stream-fed $t diverged from the one-shot fit")
+    }
+    // at-least-once simulation: re-deliver an already-applied batch id
+    // (the stream committed ids 0, 1, 2 to the ledger)
+    val before = spark.table("nbspec_stream_counts").collect().toSet
+    assert(!NbStore.applyBatch(labeled(all.head), "nbspec_stream", 4,
+      "text", "label", batchId = 1L),
+      "re-delivered batch must be skipped")
+    assert(spark.table("nbspec_stream_counts").collect().toSet === before,
+      "duplicate delivery must not change the model")
+  }
+
+  test("a torn commit (marker present) refuses serve and merge loudly; initStore repairs") {
+    import graft.operators.CountStore
+    NbStore.initStore(labeled((1L, "a a", "x")), "nbspec_torn", buckets = 4)
+    CountStore.setBuilding(spark, "nbspec_torn", on = true)
+    val e1 = intercept[IllegalArgumentException] {
+      NbStore.scoreFromStore(spark, "nbspec_torn",
+        Seq((5L, "a")).toDF("doc_id", "text")).collect()
+    }
+    assert(e1.getMessage.contains("interrupted"))
+    intercept[IllegalArgumentException] {
+      NbStore.appendDocs(labeled((2L, "b", "x")), "nbspec_torn", buckets = 4)
+    }
+    // rebuild IS the repair path
+    NbStore.initStore(labeled((1L, "a a", "x")), "nbspec_torn", buckets = 4)
+    assert(NbStore.scoreFromStore(spark, "nbspec_torn",
+      Seq((5L, "a")).toDF("doc_id", "text")).count() > 0)
+  }
+
   test("LM store: a removal that passes one table but not all writes NOTHING") {
     import graft.operators.LmStore
     def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
