@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Curriculum, DedupClusters, Drift, EpochShuffle, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
+import graft.operators.{Bpe, Chunking, Curriculum, DedupClusters, Drift, EpochShuffle, NbClassifier, TextAnalysis, TextDedup, UnigramLm, WeightedSample}
 
 /** Typed document record for the curation surface (mirrors the fixture
   * `documents` schema — FIXTURES.md). */
@@ -51,6 +51,18 @@ case class CurriculumSlot(phase: Int, rank_in_phase: Int, doc_id: Long,
 /** Typed epoch-schedule slot (position 1..n within each epoch;
   * resume = a (epoch, position) filter, never a replay). */
 case class EpochSlot(epoch: Int, position: Long, doc_id: Long)
+
+/** Trigram stupid-backoff score; tri_frac = fraction of positions the
+  * trigram tier resolved (the in-distribution diagnostic). */
+case class BackoffScore(doc_id: Long, n: Long, tri_frac: Double,
+    logprob_avg: Double)
+
+/** One sliding-window chunk of a document. */
+case class TextChunk(doc_id: Long, chunk_id: Int, n_tokens: Int,
+    chunk: String)
+
+/** Multiclass NB argmax prediction. */
+case class DomainPrediction(doc_id: Long, pred: String, score: Double)
 
 /** Typed compile-checked face of the text-curation suite — the
   * document-side sibling of [[GraftVectors]]: the engine stays
@@ -336,5 +348,37 @@ object GraftCuration {
     EpochShuffle.schedule(docs.toDF(), numEpochs)
       .select(col("epoch"), col("position"), col("doc_id"))
       .as[EpochSlot]
+  }
+
+  /** Trigram stupid-backoff LM score against a reference corpus
+    * (q214's path): n = scored trigram positions; `triFrac` rides
+    * along in [[BackoffScore]] as the in-distribution diagnostic. */
+  def backoffScore(docs: Dataset[Document],
+      reference: Dataset[Document]): Dataset[BackoffScore] = {
+    import docs.sparkSession.implicits._
+    UnigramLm.trigramStupidBackoff(docs.toDF(), reference.toDF())
+      .select(col("doc_id"), col("n_trigrams").as("n"),
+        col("tri_frac"), col("logprob_avg"))
+      .as[BackoffScore]
+  }
+
+  /** Sliding token-window chunks (q215's path). */
+  def chunk(docs: Dataset[Document], window: Int = 64,
+      stride: Int = 48): Dataset[TextChunk] = {
+    import docs.sparkSession.implicits._
+    Chunking.chunk(docs.toDF(), window = window, stride = stride)
+      .as[TextChunk]
+  }
+
+  /** Multiclass NB domain prediction, trained on a labeled reference
+    * (q217's path): label = any Document field name. */
+  def classifyDomain(docs: Dataset[Document],
+      reference: Dataset[Document],
+      labelBy: String = "source"): Dataset[DomainPrediction] = {
+    import docs.sparkSession.implicits._
+    NbClassifier.classify(docs.toDF(),
+        reference.toDF().withColumn("label", col(labelBy)))
+      .select(col("doc_id"), col("pred"), col("score"))
+      .as[DomainPrediction]
   }
 }

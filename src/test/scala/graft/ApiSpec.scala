@@ -276,4 +276,23 @@ class ApiSpec extends SparkSpec {
     val stripped = GraftCuration.stripBoilerplate(docs.limit(20)).collect()
     stripped.foreach(d => assert(d.n_chars === d.text.length.toLong))
   }
+
+  test("typed facade: backoff score, chunking, domain classify") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).as[Document]
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val other = docs.filter($"doc_id" % 2 =!= 0)
+    val sc = GraftCuration.backoffScore(other, half).collect()
+    assert(sc.nonEmpty)
+    sc.foreach(s => assert(s.tri_frac >= 0.0 && s.tri_frac <= 1.0 && s.n > 0))
+    val chunks = GraftCuration.chunk(docs, window = 16, stride = 12)
+    // every doc chunked; every chunk non-larger than the window; the
+    // per-doc max chunk reaches the doc's token count
+    assert(chunks.select($"doc_id").distinct().count() === docs.count())
+    assert(chunks.filter($"n_tokens" > 16).isEmpty)
+    val preds = GraftCuration.classifyDomain(other.limit(30), half)
+    assert(preds.count() === 30)
+    preds.collect().foreach(p => assert(p.pred.startsWith("src")))
+  }
 }
