@@ -3730,15 +3730,19 @@ object SparkEntry {
         val x = s.table(a); val y = s.table(b)
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
       }
+      // settle each side once; the directional diffs then read
+      // checkpointed rows instead of recomputing the scoring plans
       val servedStore = graft.operators.NbStore
-        .scoreFromStore(s, name, holdout)
+        .scoreFromStore(s, name, holdout).localCheckpoint()
       val servedFresh = graft.operators.NbClassifier
-        .scoreAgainst(holdout, live)
+        .scoreAgainst(holdout, live).localCheckpoint()
       val serveEq = servedStore.exceptAll(servedFresh).isEmpty &&
         servedFresh.exceptAll(servedStore).isEmpty
       val predEq = {
         val a = graft.operators.NbStore.classifyFromStore(s, name, holdout)
+          .localCheckpoint()
         val b = graft.operators.NbClassifier.classify(holdout, live)
+          .localCheckpoint()
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
       }
       Seq(
@@ -3773,15 +3777,32 @@ object SparkEntry {
         val x = s.table(a); val y = s.table(b)
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
       }
-      val viaStore = graft.operators.LmStore.scoreFromStore(s, name, holdout)
-      val viaFit = graft.operators.UnigramLm.trigramStupidBackoff(holdout, live)
-      val serveEq = viaStore.exceptAll(viaFit).isEmpty &&
-        viaFit.exceptAll(viaStore).isEmpty
+      def frameEq(a0: org.apache.spark.sql.DataFrame,
+          b0: org.apache.spark.sql.DataFrame): Boolean = {
+        // settle each side ONCE: the two directional diffs then read
+        // checkpointed rows instead of recomputing the 5-join scoring
+        // plan four times
+        val a = a0.localCheckpoint(); val b = b0.localCheckpoint()
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
+      val serveEq = frameEq(
+        graft.operators.LmStore.scoreFromStore(s, name, holdout),
+        graft.operators.UnigramLm.trigramStupidBackoff(holdout, live))
+      // one stored model serves ALL THREE LM orders: the bigram and
+      // unigram faces read the same tables (context totals derived)
+      val biServeEq = frameEq(
+        graft.operators.LmStore.bigramScoreFromStore(s, name, holdout),
+        graft.operators.UnigramLm.bigramScoreAgainst(holdout, live))
+      val uniServeEq = frameEq(
+        graft.operators.LmStore.unigramScoreFromStore(s, name, holdout),
+        graft.operators.UnigramLm.scoreAgainst(holdout, live))
       Seq(
         ("bi_eq_fresh_count", if (tableEq(s"${name}_bi", s"${fresh}_bi")) 1 else 0),
+        ("bigram_serve_eq_in_memory", if (biServeEq) 1 else 0),
         ("scores_eq_in_memory", if (serveEq) 1 else 0),
         ("tri_eq_fresh_count", if (tableEq(s"${name}_tri", s"${fresh}_tri")) 1 else 0),
-        ("uni_eq_fresh_count", if (tableEq(s"${name}_uni", s"${fresh}_uni")) 1 else 0))
+        ("uni_eq_fresh_count", if (tableEq(s"${name}_uni", s"${fresh}_uni")) 1 else 0),
+        ("unigram_serve_eq_in_memory", if (uniServeEq) 1 else 0))
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
@@ -3818,7 +3839,9 @@ object SparkEntry {
       }
       val serveEq = {
         val a = graft.operators.NbStore.classifyFromStore(s, name, holdout)
+          .localCheckpoint()
         val b = graft.operators.NbClassifier.classify(holdout, labeled)
+          .localCheckpoint()
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
       }
       Seq(
@@ -6881,9 +6904,11 @@ object SparkEntry {
     "q219_lm_store_lifecycle" ->
       """SELECT * FROM (VALUES
            ('bi_eq_fresh_count', 1),
+           ('bigram_serve_eq_in_memory', 1),
            ('scores_eq_in_memory', 1),
            ('tri_eq_fresh_count', 1),
-           ('uni_eq_fresh_count', 1)) t(component, ok)
+           ('uni_eq_fresh_count', 1),
+           ('unigram_serve_eq_in_memory', 1)) t(component, ok)
          ORDER BY component""",
     // q220: constant-truth streaming-maintenance bits
     "q220_nb_stream_maintain" ->

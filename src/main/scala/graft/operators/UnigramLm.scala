@@ -221,13 +221,13 @@ object UnigramLm {
       .select(col(idCol), col("t.p1").as("p1"), col("t.p2").as("p2"),
         col("t.cur").as("cur"))
 
-  private def tokenInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[operators] def tokenInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
 
   /** One row per adjacent token pair: (id, prev, cur). Docs with fewer
     * than two tokens contribute nothing (`sequence` with a negative
     * stop would run DOWNWARD, so the guard is load-bearing). */
-  private def bigramInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[operators] def bigramInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col(idCol), explode(transform(
@@ -305,6 +305,52 @@ object LmStore {
     UnigramLm.trigramScoreWith(docs, spark.table(s"${name}_tri"),
       spark.table(s"${name}_bi"), spark.table(s"${name}_uni"),
       idCol, textCol, alpha)
+  }
+
+  /** Interpolated-bigram scoring off the SAME standing tables — one
+    * stored model serves all three LM orders: the context totals the
+    * bigram scorer needs are a derivable aggregate of the stored
+    * bigram counts (pc = Σ_cur cb), so no fourth table exists to
+    * drift out of sync. Arithmetic ≡ [[UnigramLm.bigramScoreAgainst]]
+    * whenever the store equals the fresh count — which the lifecycle
+    * guarantees exactly. */
+  def bigramScoreFromStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", wBigram: Double = 0.7,
+      wUnigram: Double = 0.3): DataFrame = {
+    CountStore.requireServable(spark, name)
+    val bc = spark.table(s"${name}_bi")
+    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    val uc = spark.table(s"${name}_uni").withColumnRenamed("token", "cur")
+    val total = uc.agg(sum(col("cu")).as("total"))
+    UnigramLm.bigramInstances(docs, idCol, textCol)
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(pc, Seq("prev"), "left")
+      .join(uc, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          coalesce(lit(wBigram) * col("cb") / col("cp"), lit(0.0)) +
+          lit(wUnigram) * col("cu") / col("total"))), 4).as("logprob_avg"))
+  }
+
+  /** Unigram scoring off the standing `_uni` table (the q73 form). */
+  def unigramScoreFromStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    CountStore.requireServable(spark, name)
+    val uc = spark.table(s"${name}_uni")
+      .select(col("token"), col("cu").as("cnt"))
+    val total = uc.agg(sum(col("cnt")).as("total"))
+    UnigramLm.tokenInstances(docs, idCol, textCol)
+      .join(uc, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("logprob_avg"))
   }
 
   /** Streaming maintenance of the reference corpus: `foreachBatch`
