@@ -3852,6 +3852,39 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q221: the DATALOADER END-TO-END — curriculum cut → sliding-
+    // window chunking → greedy sequence packing, composed under ONE
+    // hash: each stage is individually gated (q200/q215/q91); this
+    // query proves the HANDOFFS (schema, ordering keys, group
+    // boundaries) compose correctly — the "prepare a training run"
+    // pipeline a user actually strings together. Chunks pack within
+    // their curriculum phase in (rank_in_phase, chunk_id) order via
+    // the composite key rank·1000 + chunk (exact while docs stay
+    // under 48k tokens — far beyond any fixture; the bound is the
+    // demo's, not the operators'). The oracle replays all three
+    // stages: the ntile/rank windows, the window-placement
+    // arithmetic, and the greedy fold as a recursive CTE.
+    "q221_dataloader_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pr = graft.operators.Curriculum.phases(docs, numPhases = 4)
+        .select(col("doc_id"), col("phase"), col("rank_in_phase"))
+      val seq = graft.operators.Chunking.chunk(docs, window = 64, stride = 48)
+        .join(pr, "doc_id")
+        .select(col("phase").cast("string").as("grp"),
+          (col("rank_in_phase").cast("long") * 1000 + col("chunk_id"))
+            .as("ord"),
+          col("doc_id"), col("chunk_id"),
+          col("n_tokens").cast("long").as("tokens"))
+      graft.operators.Packing.packGreedy(seq, "ord", "tokens", "grp",
+          budget = 256)
+        .withColumnRenamed("id", "ord")
+        .join(seq.select(col("grp"), col("ord"), col("doc_id"),
+          col("chunk_id")), Seq("grp", "ord"))
+        .select(col("grp").cast("int").as("phase"), col("doc_id"),
+          col("chunk_id"), col("tokens").as("n_tokens"), col("bin"))
+        .orderBy(col("phase"), col("doc_id"), col("chunk_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -6918,6 +6951,62 @@ object SparkEntry {
            ('dup_delivery_skipped', 1),
            ('serve_eq_in_memory', 1)) t(component, ok)
          ORDER BY component""",
+    // q221: all three stages replayed in one statement — the q212
+    // difficulty/ntile/rank windows, the q215 window-placement
+    // arithmetic, and the q91 greedy fold as a recursive CTE keyed by
+    // the composite (rank·1000 + chunk) packing order
+    "q221_dataloader_e2e" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           FROM toks),
+         d AS (
+           SELECT doc_id,
+             round(0.5 * mean_wlen + 3.0 * (1.0 - ttr) + ln(1.0 + n_tok), 4)
+               AS difficulty
+           FROM sc),
+         ph AS (
+           SELECT doc_id, difficulty,
+             ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+           FROM d),
+         pr AS (
+           SELECT doc_id, phase,
+             row_number() OVER (PARTITION BY phase
+               ORDER BY difficulty, doc_id) AS rank_in_phase
+           FROM ph),
+         c AS (
+           SELECT doc_id, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS INT)
+             END AS nc
+           FROM toks),
+         ch AS (
+           SELECT doc_id, CAST(k AS INT) AS chunk_id,
+             CAST(least(64, n - k * 48) AS BIGINT) AS tokens
+           FROM (SELECT doc_id, n, unnest(range(nc)) AS k FROM c)),
+         seq AS (
+           SELECT pr.phase, pr.rank_in_phase * 1000 + ch.chunk_id AS ord,
+             ch.doc_id, ch.chunk_id, ch.tokens,
+             row_number() OVER (PARTITION BY pr.phase
+               ORDER BY pr.rank_in_phase * 1000 + ch.chunk_id) AS rn
+           FROM ch JOIN pr ON pr.doc_id = ch.doc_id),
+         r AS (
+           SELECT phase, doc_id, chunk_id, tokens, rn, tokens AS acc, 0 AS bin
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.phase, s.doc_id, s.chunk_id, s.tokens, s.rn,
+             CASE WHEN r.acc > 0 AND r.acc + s.tokens > 256
+                  THEN s.tokens ELSE r.acc + s.tokens END,
+             CASE WHEN r.acc > 0 AND r.acc + s.tokens > 256
+                  THEN r.bin + 1 ELSE r.bin END
+           FROM r JOIN seq s ON s.phase = r.phase AND s.rn = r.rn + 1)
+         SELECT CAST(phase AS INT) AS phase, doc_id, chunk_id,
+           tokens AS n_tokens, bin
+         FROM r ORDER BY phase, doc_id, chunk_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE
