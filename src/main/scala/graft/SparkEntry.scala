@@ -3885,6 +3885,15 @@ object SparkEntry {
         .orderBy(col("phase"), col("doc_id"), col("chunk_id"))
     }),
 
+    // q222: PMI collocation mining (Church & Hanks 1990) — top-50
+    // adjacent pairs by pointwise mutual information with a min-count
+    // floor; bigram-margin unigram probabilities so every axis
+    // marginalizes to 1. Global top-k plans as TakeOrdered; the rank
+    // window runs over the 50 survivors only.
+    "q222_collocations" -> ((s, d) =>
+      graft.operators.TextAnalysis.collocations(
+        Tables.documents(s, d), "text", minCount = 5L, topK = 50)),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7007,6 +7016,32 @@ object SparkEntry {
          SELECT CAST(phase AS INT) AS phase, doc_id, chunk_id,
            tokens AS n_tokens, bin
          FROM r ORDER BY phase, doc_id, chunk_id""",
+    // q222: PMI replayed — margins of the bigram event space (NOT
+    // unigram token counts), double arithmetic before the products
+    // (BIGINT c·T overflows at web scale), same (pmi DESC, pair)
+    // total order on the rounded grid
+    "q222_collocations" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         bi AS (
+           SELECT unnest(list_transform(range(len(t) - 1), i -> t[i+1])) AS w1,
+             unnest(list_transform(range(len(t) - 1), i -> t[i+2])) AS w2
+           FROM toks WHERE len(t) >= 2),
+         bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+         m1 AS (SELECT w1, sum(cb) AS c1 FROM bc GROUP BY w1),
+         m2 AS (SELECT w2, sum(cb) AS c2 FROM bc GROUP BY w2),
+         tot AS (SELECT CAST(sum(cb) AS BIGINT) AS t FROM bc),
+         scored AS (
+           SELECT w1, w2, cb,
+             round(ln(CAST(cb AS DOUBLE) * t / (CAST(c1 AS DOUBLE) * c2)), 4)
+               AS pmi
+           FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+           WHERE cb >= 5
+           ORDER BY pmi DESC, w1, w2 LIMIT 50)
+         SELECT w1, w2, cb, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+         FROM scored ORDER BY rank""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

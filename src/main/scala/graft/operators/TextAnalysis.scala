@@ -701,4 +701,54 @@ object TextAnalysis {
       .withColumn("ratio_2",
         round(col("distinct_2").cast("double") / col("total_2"), 6))
   }
+
+  /** COLLOCATION mining — top-k adjacent word pairs by pointwise
+    * mutual information (Church & Hanks 1990), the corpus-analysis
+    * step that surfaces multi-word units ("new york", "machine
+    * learning") worth protecting from tokenizers and dedup shinglers.
+    * PMI over the bigram event space with bigram-margin unigram
+    * probabilities:
+    *
+    *   pmi(x, y) = ln( c(x,y) · T / (c₁(x) · c₂(y)) )
+    *
+    * where T = total bigram instances, c₁(x) = x's count as a FIRST
+    * element, c₂(y) = y's as a SECOND — margins of the same event
+    * space, so Σp = 1 on every axis (mixing unigram token counts in
+    * would not marginalize). `minCount` floors the classic PMI
+    * rare-pair explosion (a hapax pair maxes the score by luck);
+    * rank by (rounded pmi DESC, pair) — the total order both engines
+    * share.
+    *
+    * Scale shape: two Zipf-bounded count aggregations off one narrow
+    * explode, a margin join, and a global top-k that plans as
+    * TakeOrdered (no full sort of the vocabulary); the bounded rank
+    * window runs over k rows. */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val bi = df.select(explode(
+        zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val m1 = bc.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val m2 = bc.groupBy(col("w2")).agg(sum(col("cb")).as("c2"))
+    val total = bc.agg(sum(col("cb")).as("t"))
+    val scored = bc.filter(col("cb") >= minCount)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cb"),
+        // double arithmetic BEFORE the products: c·T and c₁·c₂ at
+        // web scale (T ~ 1e13) overflow BIGINT multiplication
+        round(log(col("cb").cast("double") * col("t") /
+          (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    // rank over the k surviving rows only (bounded window)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+  }
 }

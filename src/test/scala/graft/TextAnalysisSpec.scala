@@ -461,4 +461,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.getDouble(1) ===
       BigDecimal(math.log(n1 / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("collocations: hand-computed PMI over bigram margins, tie-broken by pair") {
+    // "a b a b c c": cb ab=2 ba=1 bc=1 cc=1, T=5;
+    // c1 a=2 b=2 c=1; c2 a=1 b=2 c=2
+    val df = Seq((1L, "a b a b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getInt(4), r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ab: ln(2·5/(2·2)); ba: ln(5/(2·1)); cc: ln(5/(1·2)) — all ln 2.5,
+    // tie → pair order; bc: ln(5/(2·2)) last
+    assert(got.toSeq === Seq(
+      (1, "a", "b", 2L, r4(math.log(2.5))),
+      (2, "b", "a", 1L, r4(math.log(2.5))),
+      (3, "c", "c", 1L, r4(math.log(2.5))),
+      (4, "b", "c", 1L, r4(math.log(1.25)))))
+    // the min-count floor kills the hapax pairs
+    assert(TextAnalysis.collocations(df, "text", minCount = 2L, topK = 10)
+      .count() === 1L)
+  }
 }
