@@ -33,8 +33,15 @@ object UnigramLm {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val refToks = tokenInstances(reference, idCol, textCol)
     val counts = refToks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // total as a 1-row aggregate crossed in (not a driver action): the
-    // whole score stays one declarative plan.
+    unigramScoreWith(docs, counts, idCol, textCol)
+  }
+
+  /** Unigram scoring tail over a (token, cnt) model frame — shared by
+    * the in-memory path and [[LmStore.unigramScoreFromStore]]. The
+    * total is a 1-row aggregate crossed in (not a driver action): the
+    * whole score stays one declarative plan. */
+  private[operators] def unigramScoreWith(docs: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val total = counts.agg(sum(col("cnt")).as("total"))
     tokenInstances(docs, idCol, textCol)
       .join(counts, "token")
@@ -76,18 +83,29 @@ object UnigramLm {
   def bigramScoreAgainst(docs: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       wBigram: Double = 0.7, wUnigram: Double = 0.3): DataFrame = {
-    val occ = bigramInstances(docs, idCol, textCol)
     val bc = bigramInstances(reference, idCol, textCol)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
     val uc = tokenInstances(reference, idCol, textCol)
       .groupBy(col("token")).agg(count(lit(1)).as("cu"))
-      .withColumnRenamed("token", "cur")
-    val total = uc.agg(sum(col("cu")).as("total"))
+    bigramScoreWith(docs, bc, uc, idCol, textCol, wBigram, wUnigram)
+  }
+
+  /** Bigram scoring tail over (prev, cur, cb) / (token, cu) model
+    * frames — shared by the in-memory path and
+    * [[LmStore.bigramScoreFromStore]]; the context totals are a
+    * derivable margin of the bigram frame (pc = Σ_cur cb), never a
+    * separate input that could drift. */
+  private[operators] def bigramScoreWith(docs: DataFrame, bc: DataFrame,
+      uc: DataFrame, idCol: String, textCol: String,
+      wBigram: Double, wUnigram: Double): DataFrame = {
+    val occ = bigramInstances(docs, idCol, textCol)
+    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    val ucCur = uc.withColumnRenamed("token", "cur")
+    val total = ucCur.agg(sum(col("cu")).as("total"))
     occ
       .join(bc, Seq("prev", "cur"), "left")
       .join(pc, Seq("prev"), "left")
-      .join(uc, Seq("cur"))
+      .join(ucCur, Seq("cur"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
@@ -319,21 +337,8 @@ object LmStore {
       textCol: String = "text", wBigram: Double = 0.7,
       wUnigram: Double = 0.3): DataFrame = {
     CountStore.requireServable(spark, name)
-    val bc = spark.table(s"${name}_bi")
-    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
-    val uc = spark.table(s"${name}_uni").withColumnRenamed("token", "cur")
-    val total = uc.agg(sum(col("cu")).as("total"))
-    UnigramLm.bigramInstances(docs, idCol, textCol)
-      .join(bc, Seq("prev", "cur"), "left")
-      .join(pc, Seq("prev"), "left")
-      .join(uc, Seq("cur"))
-      .crossJoin(broadcast(total))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(log(
-          coalesce(lit(wBigram) * col("cb") / col("cp"), lit(0.0)) +
-          lit(wUnigram) * col("cu") / col("total"))), 4).as("logprob_avg"))
+    UnigramLm.bigramScoreWith(docs, spark.table(s"${name}_bi"),
+      spark.table(s"${name}_uni"), idCol, textCol, wBigram, wUnigram)
   }
 
   /** Unigram scoring off the standing `_uni` table (the q73 form). */
@@ -341,16 +346,9 @@ object LmStore {
       name: String, docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     CountStore.requireServable(spark, name)
-    val uc = spark.table(s"${name}_uni")
-      .select(col("token"), col("cu").as("cnt"))
-    val total = uc.agg(sum(col("cnt")).as("total"))
-    UnigramLm.tokenInstances(docs, idCol, textCol)
-      .join(uc, "token")
-      .crossJoin(broadcast(total))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt") / col("total"))), 4).as("logprob_avg"))
+    UnigramLm.unigramScoreWith(docs,
+      spark.table(s"${name}_uni").select(col("token"), col("cu").as("cnt")),
+      idCol, textCol)
   }
 
   /** Streaming maintenance of the reference corpus: `foreachBatch`
