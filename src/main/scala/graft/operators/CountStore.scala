@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Signed merge into a standing COUNT table — the shared lifecycle
@@ -131,4 +131,24 @@ object CountStore {
   private[operators] def dropLedger(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
     graft.sources.Sinks.dropTable(spark, s"${name}_applied")
+
+  /** (metric, value) introspection report: one UNION of 1-row
+    * aggregates over the named tables (metric → (table, aggregate)),
+    * plus `applied_batches` from the streaming ledger (0 when no
+    * stream ever fed the store). Declarative end to end — the
+    * Bm25.describeIndex shape for count stores. */
+  private[operators] def describe(spark: org.apache.spark.sql.SparkSession,
+      name: String, metrics: Map[String, (String, Column)]): DataFrame = {
+    requireServable(spark, name)
+    val rows = metrics.toSeq.sortBy(_._1).map { case (m, (table, agg)) =>
+      spark.table(table).agg(agg.cast("long").as("value"))
+        .select(lit(m).as("metric"), col("value"))
+    }
+    val ledger =
+      (if (spark.catalog.tableExists(s"${name}_applied"))
+        spark.table(s"${name}_applied").agg(count(lit(1)).as("value"))
+      else spark.range(1).agg(lit(0L).as("value")))
+        .select(lit("applied_batches").as("metric"), col("value").cast("long"))
+    (rows :+ ledger).reduce(_.unionByName(_)).orderBy(col("metric"))
+  }
 }

@@ -241,4 +241,17 @@ object NbStore {
       textCol: String = "text"): DataFrame =
     NbClassifier.classifyScores(
       scoreFromStore(spark, name, docs, idCol, textCol), idCol)
+
+  /** Operational introspection (the Bm25.describeIndex discipline):
+    * (metric, value) rows a retention/monitoring policy reads — one
+    * declarative union of 1-row aggregates over the model tables,
+    * no driver loop. */
+  def describeStore(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    CountStore.describe(spark, name, Map(
+      "n_class_token_pairs" -> (s"${name}_counts", count(lit(1))),
+      "vocab" -> (s"${name}_counts", countDistinct(col("token"))),
+      "n_classes" -> (s"${name}_class", count(lit(1))),
+      "n_docs" -> (s"${name}_class", coalesce(sum(col("n_c")), lit(0L))),
+      "n_tokens" -> (s"${name}_class", coalesce(sum(col("t_c")), lit(0L)))))
 }

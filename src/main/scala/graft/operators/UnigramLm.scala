@@ -364,6 +364,15 @@ object LmStore {
           idCol, textCol, batchId); () }
       }
 
+  /** Operational introspection (the Bm25.describeIndex discipline). */
+  def describeStore(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    CountStore.describe(spark, name, Map(
+      "n_trigrams" -> (s"${name}_tri", count(lit(1))),
+      "n_bigrams" -> (s"${name}_bi", count(lit(1))),
+      "vocab" -> (s"${name}_uni", count(lit(1))),
+      "total_tokens" -> (s"${name}_uni", coalesce(sum(col("cu")), lit(0L)))))
+
   /** One micro-batch application — shared by the live stream and
     * batch replay (the q160/q220 discipline). */
   def applyBatch(batch: DataFrame, name: String, buckets: Int,

@@ -137,6 +137,29 @@ class NbStoreSpec extends SparkSpec {
       Seq((5L, "a")).toDF("doc_id", "text")).count() > 0)
   }
 
+  test("describeStore reports exact model metrics incl the streaming ledger") {
+    val train = labeled((1L, "a a b", "x"), (2L, "c c", "y"))
+    NbStore.initStore(train, "nbspec_desc", buckets = 4)
+    val m = NbStore.describeStore(spark, "nbspec_desc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pairs: (x,a)(x,b)(y,c) = 3; vocab 3; 2 classes; 2 docs; 5 tokens
+    assert(m === Map("applied_batches" -> 0L, "n_class_token_pairs" -> 3L,
+      "n_classes" -> 2L, "n_docs" -> 2L, "n_tokens" -> 5L, "vocab" -> 3L))
+    NbStore.applyBatch(labeled((3L, "b", "x")), "nbspec_desc", 4,
+      "text", "label", batchId = 7L)
+    val m2 = NbStore.describeStore(spark, "nbspec_desc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("applied_batches") === 1L && m2("n_docs") === 3L)
+    // LM flavor over "a b c": 1 trigram, 2 bigrams, vocab 3, 3 tokens
+    import graft.operators.LmStore
+    LmStore.initStore(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "lmspec_desc", buckets = 4)
+    val lm = LmStore.describeStore(spark, "lmspec_desc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lm === Map("applied_batches" -> 0L, "n_bigrams" -> 2L,
+      "n_trigrams" -> 1L, "total_tokens" -> 3L, "vocab" -> 3L))
+  }
+
   test("LM store: a removal that passes one table but not all writes NOTHING") {
     import graft.operators.LmStore
     def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
