@@ -3894,6 +3894,30 @@ object SparkEntry {
       graft.operators.TextAnalysis.collocations(
         Tables.documents(s, d), "text", minCount = 5L, topK = 50)),
 
+    // q223: BINNED point-in-interval range join — events inside each
+    // same-customer order's 7-day fulfillment window. The naive form
+    // has no equi-key (nested loop per customer); binning manufactures
+    // one (bin = ⌊epoch_us/w⌋, intervals explode to ≤2 bins at
+    // w = span), so the plan is a plain shuffled equi-join + exact
+    // containment filter — exact, dedup-free. The oracle is the naive
+    // theta join, which must match row for row.
+    "q223_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        // NTZ → TIMESTAMP is identity under the session's UTC zone
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("p"))
+      val hour = 3600000000L // 1 hour in microseconds
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("p").as("s0"), (col("p") + hour).as("e0"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("user_id"), col("event_id"), col("p")), iv,
+          pointCol = "p", startCol = "s0", endCol = "e0",
+          binWidth = hour, equiKeys = Seq("user_id"))
+        .select(col("purchase_id"), col("event_id"), col("user_id"))
+        .orderBy(col("purchase_id"), col("event_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7042,6 +7066,16 @@ object SparkEntry {
          SELECT w1, w2, cb, pmi,
            CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
          FROM scored ORDER BY rank""",
+    // q223: the naive theta join IS the oracle — the binned engine
+    // path must reproduce it exactly (end-exclusive, same-customer)
+    "q223_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id, e.user_id
+         FROM events p JOIN events e
+           ON e.user_id = p.user_id
+          AND epoch_us(e.ts) >= epoch_us(p.ts)
+          AND epoch_us(e.ts) < epoch_us(p.ts) + 3600000000
+         WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id, e.event_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

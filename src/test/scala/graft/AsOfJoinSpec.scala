@@ -170,4 +170,50 @@ class AsOfJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected exactly one shuffle:\n$plan")
   }
+
+  // ---- RangeJoin (binned point-in-interval) ----
+
+  test("range join: boundary semantics, multi-bin spans, empty intervals, key separation") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 100L, 10L), (1L, 101L, 19L), (1L, 102L, 20L),
+      (1L, 103L, 35L), (2L, 104L, 12L))
+      .toDF("k", "pid", "p")
+    val iv = Seq((1L, 900L, 10L, 20L),   // [10,20): spans bins 1..1 at w=10
+      (1L, 901L, 5L, 36L),               // spans bins 0..3 — multi-bin
+      (1L, 902L, 7L, 7L),                // empty → matches nothing
+      (2L, 903L, 10L, 20L))              // other key
+      .toDF("k", "ivid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "s", "e",
+        binWidth = 10L, equiKeys = Seq("k"))
+      .select($"ivid", $"pid").as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (900L, 100L), (900L, 101L),            // 10 in, 19 in, 20 OUT (end-exclusive)
+      (901L, 100L), (901L, 101L), (901L, 102L), (901L, 103L), // 35 < 36
+      (903L, 104L)))                          // key 2 only sees its own interval
+    // exactness vs the naive theta join on a seeded random instance
+    val rpts = spark.range(500).selectExpr("id % 7 AS k", "id AS pid",
+      "CAST((id * 2654435761) % 1000 AS LONG) AS p")
+    val riv = spark.range(120).selectExpr("id % 7 AS k", "id AS ivid",
+      "CAST((id * 40503) % 900 AS LONG) AS s",
+      "CAST((id * 40503) % 900 + (id % 50) AS LONG) AS e")
+    val binned = RangeJoin.pointInInterval(rpts, riv, "p", "s", "e",
+        binWidth = 37L, equiKeys = Seq("k"))
+      .select($"ivid", $"pid").as[(Long, Long)].collect().toSet
+    val naive = rpts.join(riv, "k")
+      .filter($"p" >= $"s" && $"p" < $"e")
+      .select($"ivid", $"pid").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+  }
+
+  test("range join plans an equi-join, never a nested loop") {
+    import graft.operators.RangeJoin
+    val pts = spark.range(100).selectExpr("id % 5 AS k", "id AS pid", "id AS p")
+    val iv = spark.range(20).selectExpr("id % 5 AS k", "id AS ivid",
+      "id * 3 AS s", "id * 3 + 10 AS e")
+    val plan = RangeJoin.pointInInterval(pts, iv, "p", "s", "e",
+      binWidth = 10L, equiKeys = Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"binned range join must be an equi-join:\n$plan")
+  }
 }
