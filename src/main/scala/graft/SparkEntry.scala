@@ -3918,6 +3918,29 @@ object SparkEntry {
         .orderBy(col("purchase_id"), col("event_id"))
     }),
 
+    // q224: interval-OVERLAP join — purchase hours × click
+    // half-hours, same user. Same binning as q223 plus the
+    // canonical-bin trick (keep only the bin containing the overlap
+    // start), so each overlapping pair reports exactly once with no
+    // distinct pass. Oracle = the naive s₁<e₂ ∧ s₂<e₁ theta join.
+    "q224_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("p"))
+      val hour = 3600000000L
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("p").as("s1"), (col("p") + hour).as("e1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("p").as("s2"), (col("p") + hour / 2).as("e2"))
+      graft.operators.RangeJoin.intervalOverlap(purch, clicks,
+          "s1", "e1", "s2", "e2", binWidth = hour,
+          equiKeys = Seq("user_id"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7076,6 +7099,20 @@ object SparkEntry {
           AND epoch_us(e.ts) < epoch_us(p.ts) + 3600000000
          WHERE p.event_type = 'purchase'
          ORDER BY purchase_id, e.event_id""",
+    // q224: the naive overlap theta join IS the oracle
+    "q224_interval_overlap" ->
+      """WITH pu AS (
+           SELECT user_id, event_id AS purchase_id,
+             epoch_us(ts) AS s1, epoch_us(ts) + 3600000000 AS e1
+           FROM events WHERE event_type = 'purchase'),
+         cl AS (
+           SELECT user_id, event_id AS click_id,
+             epoch_us(ts) AS s2, epoch_us(ts) + 1800000000 AS e2
+           FROM events WHERE event_type = 'click')
+         SELECT pu.purchase_id, cl.click_id, pu.user_id
+         FROM pu JOIN cl ON pu.user_id = cl.user_id
+          AND pu.s1 < cl.e2 AND cl.s2 < pu.e1
+         ORDER BY pu.purchase_id, cl.click_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

@@ -38,13 +38,40 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val iv = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    val iv = binned(intervals, startCol, endCol, binWidth)
     p.join(iv, equiKeys :+ "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join (both sides intervals, end-exclusive:
+    * max(s₁, s₂) < min(e₁, e₂)) — same binning, plus the canonical-bin
+    * trick that keeps it dedup-free: two overlapping intervals share
+    * every bin their overlap covers, so candidates would duplicate
+    * per shared bin; keeping only the bin CONTAINING THE OVERLAP
+    * START (⌊max(s₁,s₂)/w⌋ — covered by both sides whenever the
+    * overlap is non-empty, since sᵢ ≤ max ≤ min(e)−1 ≤ eᵢ−1) reports
+    * each pair exactly once with no distinct pass. Column names of
+    * the two sides must not collide apart from `equiKeys`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      startL: String, endL: String, startR: String, endR: String,
+      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = binned(left, startL, endL, binWidth)
+    val r = binned(right, startR, endR, binWidth)
+    l.join(r, equiKeys :+ "__bin")
+      .filter(greatest(col(startL), col(startR)) <
+        least(col(endL), col(endR)))
+      .filter(col("__bin") ===
+        floor(greatest(col(startL), col(startR)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
+
+  private def binned(intervals: DataFrame, startCol: String,
+      endCol: String, binWidth: Long): DataFrame =
+    intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor((col(endCol) - 1) / binWidth).cast("long"))))
 }

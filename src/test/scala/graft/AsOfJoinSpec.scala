@@ -205,6 +205,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(binned === naive)
   }
 
+  test("interval overlap: canonical bin dedups multi-bin overlaps; touching is not overlap") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, 10L, 5L, 45L),   // spans bins 0..4 at w=10
+      (1L, 11L, 50L, 60L))
+      .toDF("k", "aid", "s1", "e1")
+    val b = Seq((1L, 20L, 15L, 44L),  // overlaps aid=10 across bins 1..4 → ONE row
+      (1L, 21L, 45L, 50L),            // touches aid=10 at 45 (e1-exclusive) → none; touches 11 at 50 → none
+      (1L, 22L, 58L, 90L))            // overlaps aid=11
+      .toDF("k", "bid", "s2", "e2")
+    val got = RangeJoin.intervalOverlap(a, b, "s1", "e1", "s2", "e2",
+        binWidth = 10L, equiKeys = Seq("k"))
+      .select($"aid", $"bid").as[(Long, Long)].collect().toList.sorted
+    assert(got === List((10L, 20L), (11L, 22L)))
+    // seeded replay vs the naive theta join
+    val ra = spark.range(150).selectExpr("id % 5 AS k", "id AS aid",
+      "CAST((id * 2654435761) % 800 AS LONG) AS s1",
+      "CAST((id * 2654435761) % 800 + 1 + id % 60 AS LONG) AS e1")
+    val rb = spark.range(150).selectExpr("id % 5 AS k", "id AS bid",
+      "CAST((id * 40503) % 800 AS LONG) AS s2",
+      "CAST((id * 40503) % 800 + 1 + id % 40 AS LONG) AS e2")
+    val binnedPairs = RangeJoin.intervalOverlap(ra, rb, "s1", "e1", "s2", "e2",
+        binWidth = 23L, equiKeys = Seq("k"))
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    val naive = ra.join(rb, "k")
+      .filter($"s1" < $"e2" && $"s2" < $"e1")
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    assert(binnedPairs.length === binnedPairs.toSet.size, "duplicated pair")
+    assert(binnedPairs.toSet === naive.toSet)
+  }
+
   test("range join plans an equi-join, never a nested loop") {
     import graft.operators.RangeJoin
     val pts = spark.range(100).selectExpr("id % 5 AS k", "id AS pid", "id AS p")
