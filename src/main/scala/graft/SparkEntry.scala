@@ -80,7 +80,7 @@ object SparkEntry {
   private val clipMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def audioClips(s: SparkSession, d: String): DataFrame =
-    clipMemo.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+    clipMemo.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
       import graft.operators.Multimodal
       val ids = Tables.documents(s, d).select(col("doc_id"))
       ids.select(col("doc_id").as("id"),
