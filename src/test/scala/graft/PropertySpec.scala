@@ -483,4 +483,85 @@ class PropertySpec extends SparkSpec {
         s"seed ${7000 + i} phrase ${phrase.mkString(" ")}")
     }
   }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 15)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("chunking: lossless coverage — stride prefixes + last chunk rebuild every doc (random)") {
+    import graft.operators.Chunking
+    (1 to 8).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(8000L + i)).get
+      val w = 3 + i % 6
+      val s = 1 + (i * 3) % w
+      val chunks = Chunking.chunk(docs.toDF("doc_id", "text"),
+          window = w, stride = s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+        .groupBy(_._1).map { case (id, cs) => id ->
+          cs.sortBy(_._2).map(_._3).toList }
+      docs.foreach { case (id, text) =>
+        val ch = chunks(id)
+        val rebuilt = (ch.init.map(_.split(" ").take(s).toSeq) :+
+          ch.last.split(" ").toSeq).flatten.mkString(" ")
+        assert(rebuilt === text, s"seed ${8000 + i} doc $id w=$w s=$s")
+        // no chunk exceeds the window; only the last may be short
+        val sizes = ch.map(_.split(" ").length)
+        assert(sizes.forall(_ <= w) && sizes.init.forall(_ == w),
+          s"seed ${8000 + i} doc $id sizes $sizes")
+      }
+    }
+  }
+
+  test("count store: random add/remove interleavings equal the fresh fit (random)") {
+    import graft.operators.{NbClassifier, NbStore}
+    (1 to 4).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(9000L + i)).get
+        .map { case (id, t) => (id, t, s"c${id % 3}") }
+      val (a, b) = docs.splitAt(docs.length / 2)
+      val gone = docs.filter(_._1 % 3 == 1)
+      val live = docs.filterNot(_._1 % 3 == 1)
+      val name = s"prop_nb_$i"
+      NbStore.initStore(a.toDF("doc_id", "text", "label"), name, buckets = 2)
+      NbStore.appendDocs(b.toDF("doc_id", "text", "label"), name, buckets = 2)
+      NbStore.removeDocs(gone.toDF("doc_id", "text", "label"), name, buckets = 2)
+      NbStore.initStore(live.toDF("doc_id", "text", "label"),
+        s"${name}_f", buckets = 2)
+      for (t <- Seq("_counts", "_class")) {
+        val m = spark.table(name + t); val f = spark.table(s"${name}_f" + t)
+        assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+          s"seed ${9000 + i} table $t")
+      }
+    }
+  }
+
+  test("range join: binned equals naive on random instances incl. empty and touching intervals") {
+    import graft.operators.RangeJoin
+    val rjGen = for {
+      np <- Gen.choose(5, 60)
+      ni <- Gen.choose(1, 30)
+      ps <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 120L)))
+      is <- Gen.listOfN(ni, for {
+        k <- Gen.choose(0L, 2L)
+        st <- Gen.choose(0L, 120L)
+        len <- Gen.choose(0L, 40L) // 0 ⇒ empty interval
+      } yield (k, st, st + len))
+    } yield (ps, is)
+    (1 to 8).foreach { i =>
+      val (ps, is) = rjGen(Gen.Parameters.default, Seed(9100L + i)).get
+      val pts = ps.zipWithIndex.map { case ((k, p), j) => (k, j.toLong, p) }
+        .toDF("k", "pid", "p")
+      val iv = is.zipWithIndex.map { case ((k, s, e), j) => (k, j.toLong, s, e) }
+        .toDF("k", "ivid", "s", "e")
+      val w = 1L + i * 7 % 30
+      val binned = RangeJoin.pointInInterval(pts, iv, "p", "s", "e", w, Seq("k"))
+        .select($"pid", $"ivid").as[(Long, Long)].collect().toSet
+      val naive = pts.join(iv, "k").filter($"p" >= $"s" && $"p" < $"e")
+        .select($"pid", $"ivid").as[(Long, Long)].collect().toSet
+      assert(binned === naive, s"seed ${9100 + i} w=$w")
+    }
+  }
 }
