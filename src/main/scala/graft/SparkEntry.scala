@@ -3718,14 +3718,16 @@ object SparkEntry {
       val holdout = docs.filter(h % 100 >= 90)
       val name = "graft_q218_nb"
       val fresh = "graft_q218_nb_fresh"
+      // 8 buckets: the gate's model tables are tiny — 32-bucket
+      // rewrites would be pure file-count overhead in the wall budget
       graft.operators.NbStore.initStore(
-        labeled.filter(col("doc_id") % 2 === 0), name)
+        labeled.filter(col("doc_id") % 2 === 0), name, buckets = 8)
       graft.operators.NbStore.appendDocs(
-        labeled.filter(col("doc_id") % 2 =!= 0), name)
+        labeled.filter(col("doc_id") % 2 =!= 0), name, buckets = 8)
       graft.operators.NbStore.removeDocs(
-        labeled.filter(col("doc_id") % 7 === 3), name)
+        labeled.filter(col("doc_id") % 7 === 3), name, buckets = 8)
       val live = labeled.filter(col("doc_id") % 7 =!= 3)
-      graft.operators.NbStore.initStore(live, fresh)
+      graft.operators.NbStore.initStore(live, fresh, buckets = 8)
       def tableEq(a: String, b: String): Boolean = {
         val x = s.table(a); val y = s.table(b)
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
@@ -3768,11 +3770,14 @@ object SparkEntry {
       val holdout = docs.filter(h % 100 >= 90)
       val name = "graft_q219_lm"
       val fresh = "graft_q219_lm_fresh"
-      graft.operators.LmStore.initStore(ref.filter(col("doc_id") % 2 === 0), name)
-      graft.operators.LmStore.appendDocs(ref.filter(col("doc_id") % 2 =!= 0), name)
-      graft.operators.LmStore.removeDocs(ref.filter(col("doc_id") % 7 === 3), name)
+      graft.operators.LmStore.initStore(
+        ref.filter(col("doc_id") % 2 === 0), name, buckets = 8)
+      graft.operators.LmStore.appendDocs(
+        ref.filter(col("doc_id") % 2 =!= 0), name, buckets = 8)
+      graft.operators.LmStore.removeDocs(
+        ref.filter(col("doc_id") % 7 === 3), name, buckets = 8)
       val live = ref.filter(col("doc_id") % 7 =!= 3)
-      graft.operators.LmStore.initStore(live, fresh)
+      graft.operators.LmStore.initStore(live, fresh, buckets = 8)
       def tableEq(a: String, b: String): Boolean = {
         val x = s.table(a); val y = s.table(b)
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
@@ -3825,14 +3830,14 @@ object SparkEntry {
       val name = "graft_q220_nb"
       val fresh = "graft_q220_nb_fresh"
       graft.operators.NbStore.initStore(
-        labeled.filter(col("doc_id") % 3 === 0), name)
+        labeled.filter(col("doc_id") % 3 === 0), name, buckets = 8)
       graft.operators.NbStore.applyBatch(
-        labeled.filter(col("doc_id") % 3 === 1), name, 32, "text", "label", 1L)
+        labeled.filter(col("doc_id") % 3 === 1), name, 8, "text", "label", 1L)
       graft.operators.NbStore.applyBatch(
-        labeled.filter(col("doc_id") % 3 === 2), name, 32, "text", "label", 2L)
+        labeled.filter(col("doc_id") % 3 === 2), name, 8, "text", "label", 2L)
       val dupSkipped = !graft.operators.NbStore.applyBatch(
-        labeled.filter(col("doc_id") % 3 === 1), name, 32, "text", "label", 1L)
-      graft.operators.NbStore.initStore(labeled, fresh)
+        labeled.filter(col("doc_id") % 3 === 1), name, 8, "text", "label", 1L)
+      graft.operators.NbStore.initStore(labeled, fresh, buckets = 8)
       def tableEq(a: String, b: String): Boolean = {
         val x = s.table(a); val y = s.table(b)
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
