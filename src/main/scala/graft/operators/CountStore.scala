@@ -132,6 +132,27 @@ object CountStore {
       name: String): Unit =
     graft.sources.Sinks.dropTable(spark, s"${name}_applied")
 
+  /** The append-mode ledger grows ONE FILE PER BATCH — a week-long
+    * minutely stream is ~10k tiny files and every `alreadyApplied`
+    * probe lists them all. Compaction rewrites the ledger as a single
+    * file under the same marker discipline as a model commit (a torn
+    * ledger rewrite must refuse to serve, or a lost batch id would
+    * re-admit a duplicate silently). Run it on the maintenance cadence
+    * of any log-structured store here (FreqStream's compact, Bm25's
+    * compactIndex); skip-behavior is unchanged — specced. */
+  def compactLedger(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val ledger = s"${name}_applied"
+    if (spark.catalog.tableExists(ledger)) {
+      requireServable(spark, name)
+      val ids = spark.table(ledger).distinct()
+        .coalesce(1).localCheckpoint()
+      setBuilding(spark, name, on = true)
+      graft.sources.Sinks.parquetTable(ids, ledger)
+      setBuilding(spark, name, on = false)
+    }
+  }
+
   /** (metric, value) introspection report: one UNION of 1-row
     * aggregates over the named tables (metric → (table, aggregate)),
     * plus `applied_batches` from the streaming ledger (0 when no

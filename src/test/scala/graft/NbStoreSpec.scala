@@ -119,6 +119,22 @@ class NbStoreSpec extends SparkSpec {
       "duplicate delivery must not change the model")
   }
 
+  test("ledger compaction: one file, identical skip behavior") {
+    import graft.operators.CountStore
+    NbStore.initStore(labeled((1L, "a", "x")), "nbspec_led", buckets = 2)
+    (1L to 5L).foreach(b => NbStore.applyBatch(
+      labeled((10L + b, "b c", "x")), "nbspec_led", 2, "text", "label", b))
+    val filesBefore = spark.table("nbspec_led_applied").inputFiles.length
+    assert(filesBefore >= 5, s"expected >=5 ledger files, got $filesBefore")
+    CountStore.compactLedger(spark, "nbspec_led")
+    assert(spark.table("nbspec_led_applied").inputFiles.length === 1)
+    // skips exactly the applied ids, admits a fresh one
+    assert(!NbStore.applyBatch(labeled((99L, "z", "x")), "nbspec_led", 2,
+      "text", "label", batchId = 3L))
+    assert(NbStore.applyBatch(labeled((99L, "z", "x")), "nbspec_led", 2,
+      "text", "label", batchId = 6L))
+  }
+
   test("a torn commit (marker present) refuses serve and merge loudly; initStore repairs") {
     import graft.operators.CountStore
     NbStore.initStore(labeled((1L, "a a", "x")), "nbspec_torn", buckets = 4)
