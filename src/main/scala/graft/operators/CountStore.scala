@@ -31,6 +31,9 @@ object CountStore {
   def prepareSigned(table: String, delta: DataFrame, keyCols: Seq[String],
       cntCols: Seq[String], sign: Long): DataFrame = {
     val spark = delta.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"count store table '$table' does not exist — run initStore before " +
+        "appendDocs/removeDocs (merges fold into a standing model)")
     val signed = delta.select(
       keyCols.map(col) ++ cntCols.map(c => (col(c) * sign).as(c)): _*)
     val merged = spark.table(table)
