@@ -3946,6 +3946,52 @@ object SparkEntry {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // q225: the NB standing store served from PLAIN SQL — the model
+    // is ordinary catalog tables, so a SQL-only user replays the
+    // telescoped score with vanilla SQL (no registered functions at
+    // all); the gate pins SQL-served ≡ DataFrame-served row-for-row.
+    // DuckDB cannot see the catalog, so the oracle is the constant
+    // truth the equality bit establishes in-engine.
+    "q225_sql_nb_serve" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val labeled = docs.filter(h % 100 < 90)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val holdout = docs.filter(h % 100 >= 90)
+      graft.operators.NbStore.initStore(labeled, "graft_q225_nb", buckets = 8)
+      holdout.createOrReplaceTempView("holdout_q225")
+      val viaSql = s.sql("""
+        WITH g AS (SELECT count(DISTINCT token) AS v FROM graft_q225_nb_counts),
+          tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM graft_q225_nb_class),
+          cls AS (
+            SELECT label, ln(CAST(n_c AS DOUBLE) / n) AS logprior,
+              ln(CAST(t_c + v AS DOUBLE)) AS logden
+            FROM graft_q225_nb_class, g, tot),
+          inst AS (
+            SELECT doc_id, token FROM holdout_q225
+            LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS token),
+          hits AS (
+            SELECT doc_id, label, sum(ln(cnt + 1)) AS hitsum
+            FROM inst JOIN graft_q225_nb_counts USING (token)
+            GROUP BY doc_id, label),
+          nd AS (
+            SELECT doc_id,
+              CAST(size(split(lower(trim(text)), '\\s+')) AS BIGINT) AS n_d
+            FROM holdout_q225)
+        SELECT nd.doc_id, cls.label,
+          round(logprior - n_d * logden + coalesce(hitsum, 0.0D), 4) AS score
+        FROM nd CROSS JOIN cls
+        LEFT JOIN hits ON hits.doc_id = nd.doc_id AND hits.label = cls.label
+        """).localCheckpoint()
+      val viaDf = graft.operators.NbStore
+        .scoreFromStore(s, "graft_q225_nb", holdout).localCheckpoint()
+      val eq = viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty
+      Seq(("sql_serve_eq_dataframe", if (eq) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7118,6 +7164,12 @@ object SparkEntry {
          FROM pu JOIN cl ON pu.user_id = cl.user_id
           AND pu.s1 < cl.e2 AND cl.s2 < pu.e1
          ORDER BY pu.purchase_id, cl.click_id""",
+    // q225: constant-truth SQL-face bit (catalog tables are invisible
+    // to DuckDB; the equality is established in-engine)
+    "q225_sql_nb_serve" ->
+      """SELECT * FROM (VALUES
+           ('sql_serve_eq_dataframe', 1)) t(component, ok)
+         ORDER BY component""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE
