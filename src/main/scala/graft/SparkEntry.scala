@@ -3992,6 +3992,56 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q226: the trigram-LM standing store served from PLAIN SQL —
+    // q225's discipline on the n-gram tables: stupid backoff as
+    // vanilla SQL over _tri/_bi/_uni (two self-joins of _bi play the
+    // context and back-off roles), gated SQL ≡ DataFrame row-for-row.
+    "q226_sql_lm_serve" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val ref = docs.filter(h % 100 < 90).select(col("doc_id"), col("text"))
+      val holdout = docs.filter(h % 100 >= 90)
+      graft.operators.LmStore.initStore(ref, "graft_q226_lm", buckets = 8)
+      holdout.createOrReplaceTempView("holdout_q226")
+      val viaSql = s.sql("""
+        WITH toks AS (
+          SELECT doc_id, split(lower(trim(text)), '\\s+') AS t
+          FROM holdout_q226),
+        occ AS (
+          SELECT doc_id, t[i] AS p1, t[i+1] AS p2, t[i+2] AS cur
+          FROM toks
+          LATERAL VIEW explode(sequence(0, size(t) - 3)) x AS i
+          WHERE size(t) >= 3),
+        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM graft_q226_lm_uni)
+        SELECT occ.doc_id, count(1) AS n_trigrams,
+          round(avg(CASE WHEN tc.c3 IS NOT NULL THEN 1.0D ELSE 0.0D END), 4)
+            AS tri_frac,
+          round(avg(ln(
+            CASE WHEN tc.c3 IS NOT NULL THEN tc.c3 / b12.cb
+                 WHEN b23.cb IS NOT NULL THEN 0.4D * b23.cb / u2.cu
+                 ELSE 0.4D * 0.4D * u3.cu / tot.total
+            END)), 4) AS logprob_avg
+        FROM occ
+        LEFT JOIN graft_q226_lm_tri tc
+          ON tc.p1 = occ.p1 AND tc.p2 = occ.p2 AND tc.cur = occ.cur
+        LEFT JOIN graft_q226_lm_bi b12
+          ON b12.prev = occ.p1 AND b12.cur = occ.p2
+        LEFT JOIN graft_q226_lm_bi b23
+          ON b23.prev = occ.p2 AND b23.cur = occ.cur
+        LEFT JOIN graft_q226_lm_uni u2 ON u2.token = occ.p2
+        JOIN graft_q226_lm_uni u3 ON u3.token = occ.cur
+        CROSS JOIN tot
+        GROUP BY occ.doc_id
+        """).localCheckpoint()
+      val viaDf = graft.operators.LmStore
+        .scoreFromStore(s, "graft_q226_lm", holdout).localCheckpoint()
+      val eq = viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty
+      Seq(("sql_serve_eq_dataframe", if (eq) 1 else 0))
+        .toDF("component", "ok").orderBy(col("component"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7164,9 +7214,13 @@ object SparkEntry {
          FROM pu JOIN cl ON pu.user_id = cl.user_id
           AND pu.s1 < cl.e2 AND cl.s2 < pu.e1
          ORDER BY pu.purchase_id, cl.click_id""",
-    // q225: constant-truth SQL-face bit (catalog tables are invisible
-    // to DuckDB; the equality is established in-engine)
+    // q225/q226: constant-truth SQL-face bits (catalog tables are
+    // invisible to DuckDB; the equality is established in-engine)
     "q225_sql_nb_serve" ->
+      """SELECT * FROM (VALUES
+           ('sql_serve_eq_dataframe', 1)) t(component, ok)
+         ORDER BY component""",
+    "q226_sql_lm_serve" ->
       """SELECT * FROM (VALUES
            ('sql_serve_eq_dataframe', 1)) t(component, ok)
          ORDER BY component""",
