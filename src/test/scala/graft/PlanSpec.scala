@@ -517,6 +517,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q221 dataloader composite: equi-joins only, no corpus cartesian, no nested loop") {
+    val p = planOf("q221_dataloader_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "composite handoffs must stay equi-joined:\n" + p)
+  }
+
+  test("q222 collocations: global top-k plans as TakeOrdered, no vocabulary-wide sort") {
+    val p = planOf("q222_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not globally sort the pair vocabulary:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NSW store serve: one shard-routing exchange off the table scan, no join of the store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
