@@ -3960,7 +3960,14 @@ object SparkEntry {
       val labeled = docs.filter(h % 100 < 90)
         .select(col("doc_id"), col("text"), col("source").as("label"))
       val holdout = docs.filter(h % 100 >= 90)
-      graft.operators.NbStore.initStore(labeled, "graft_q225_nb", buckets = 8)
+      // deterministic per sf-dir: the GATE reuses the fit across runs
+      // (StoreCache is opt-in via graft.store.cache; bench/specs pay
+      // real builds). The __building marker stays authoritative — a
+      // cached-but-torn store still refuses below.
+      graft.sources.StoreCache.table(s, "graft_q225_nb",
+        s"nbstore|q225|$d", Seq("graft_q225_nb_counts", "graft_q225_nb_class")) {
+        graft.operators.NbStore.initStore(labeled, "graft_q225_nb", buckets = 8)
+      }
       holdout.createOrReplaceTempView("holdout_q225")
       val viaSql = s.sql("""
         WITH g AS (SELECT count(DISTINCT token) AS v FROM graft_q225_nb_counts),
@@ -4003,7 +4010,11 @@ object SparkEntry {
         lit(4294967296L))
       val ref = docs.filter(h % 100 < 90).select(col("doc_id"), col("text"))
       val holdout = docs.filter(h % 100 >= 90)
-      graft.operators.LmStore.initStore(ref, "graft_q226_lm", buckets = 8)
+      graft.sources.StoreCache.table(s, "graft_q226_lm",
+        s"lmstore|q226|$d", Seq("graft_q226_lm_tri", "graft_q226_lm_bi",
+          "graft_q226_lm_uni")) {
+        graft.operators.LmStore.initStore(ref, "graft_q226_lm", buckets = 8)
+      }
       holdout.createOrReplaceTempView("holdout_q226")
       val viaSql = s.sql("""
         WITH toks AS (
