@@ -4053,6 +4053,30 @@ object SparkEntry {
         .toDF("component", "ok").orderBy(col("component"))
     }),
 
+    // q227: the STANDING weighted sample — per-key ES top-k is an
+    // associative combiner over per-row deterministic priorities
+    // (topk(topk(A) ∪ B) = topk(A ∪ B)), so the store maintained
+    // across three waves must equal the batch sample of the whole
+    // corpus — and the gate gets a FULL DuckDB oracle (q101's
+    // arithmetic over the union), stronger than equality bits.
+    "q227_sample_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val name = "graft_q227_ws"
+      graft.operators.SampleStore.initStore(
+        docs.filter(col("doc_id") % 3 === 0), name,
+        "lang", "doc_id", "n_chars", k = 5)
+      graft.operators.SampleStore.applyBatch(
+        docs.filter(col("doc_id") % 3 === 1), name,
+        "lang", "doc_id", "n_chars", 1L)
+      graft.operators.SampleStore.applyBatch(
+        docs.filter(col("doc_id") % 3 === 2), name,
+        "lang", "doc_id", "n_chars", 2L)
+      graft.operators.SampleStore.sample(s, name)
+        .select(col("grp").as("lang"), col("id").as("doc_id"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7235,6 +7259,16 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            ('sql_serve_eq_dataframe', 1)) t(component, ok)
          ORDER BY component""",
+    // q227: q101's batch arithmetic over the WHOLE corpus — the
+    // maintained store must reproduce it despite never seeing more
+    // than one wave plus the standing k×groups rows at a time
+    "q227_sample_store" ->
+      """SELECT lang, doc_id, rank FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
+                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 5 ORDER BY lang, rank""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

@@ -163,3 +163,91 @@ object WeightedSample {
           .cast("long"))
   }
 }
+
+/** STANDING weighted sample — the per-group Efraimidis-Spirakis top-k
+  * as a maintained catalog asset: "keep the best k docs per domain
+  * from an unbounded crawl" without ever re-scanning what already
+  * arrived. Works because per-key top-k under a PER-ROW deterministic
+  * priority is an associative combiner — topk(topk(A) ∪ B) =
+  * topk(A ∪ B) — so the maintained store is EXACTLY the batch sample
+  * of everything ever fed, and the gate (q227) gets a FULL DuckDB
+  * oracle over the union (stronger than equality bits: an external
+  * engine recomputes the same k rows from the same arithmetic).
+  *
+  * Identity is (grp, id): a re-delivered id merges by max(weight)
+  * (priority u^(1/w) is monotone in w, so max-weight is the
+  * deterministic "best claim wins" rule; a duplicate delivery with
+  * the same weight is a no-op). Same marker + idempotence ledger as
+  * the count stores ([[CountStore.applyOnce]]) — exactly-once OR
+  * loud. Store size is k × groups rows; every merge is store + batch
+  * sized, never corpus sized. */
+object SampleStore {
+  import org.apache.spark.sql.SparkSession
+
+  def initStore(docs: DataFrame, name: String, grpCol: String,
+      idCol: String, weightCol: String, k: Int): Unit = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    CountStore.setBuilding(spark, name, on = true)
+    CountStore.dropLedger(spark, name)
+    graft.sources.Sinks.parquetTable(
+      topK(canon(docs, grpCol, idCol, weightCol), k),
+      s"${name}_sample")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(k).as("k")), s"${name}_sample_params")
+    CountStore.setBuilding(spark, name, on = false)
+  }
+
+  /** One micro-batch fold — shared by [[maintainStream]] and batch
+    * replay (the q160/q220 discipline). Returns false on a
+    * re-delivered batch id. */
+  def applyBatch(batch: DataFrame, name: String, grpCol: String,
+      idCol: String, weightCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    if (CountStore.alreadyApplied(spark, name, batchId)) false
+    else {
+      val k = spark.table(s"${name}_sample_params")
+        .head().getAs[Int]("k")
+      val merged = topK(
+        spark.table(s"${name}_sample")
+          .unionByName(canon(batch, grpCol, idCol, weightCol)), k)
+        .localCheckpoint() // settle BEFORE overwriting what we read
+      CountStore.applyOnce(spark, name, batchId) {
+        graft.sources.Sinks.parquetTable(merged, s"${name}_sample")
+      }
+    }
+  }
+
+  def maintainStream(docs: DataFrame, name: String, grpCol: String,
+      idCol: String, weightCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch, name, grpCol, idCol, weightCol, batchId); ()
+        }
+      }
+
+  /** The standing sample, ranked 1..k per group (rank recomputed from
+    * the stored ≤ k rows — a bounded window). */
+  def sample(spark: SparkSession, name: String): DataFrame = {
+    CountStore.requireServable(spark, name)
+    val k = spark.table(s"${name}_sample_params").head().getAs[Int]("k")
+    WeightedSample.perKey(spark.table(s"${name}_sample"),
+      "grp", "id", "w", k)
+  }
+
+  private def canon(df: DataFrame, grpCol: String, idCol: String,
+      weightCol: String): DataFrame =
+    df.select(col(grpCol).cast("string").as("grp"),
+      col(idCol).cast("long").as("id"),
+      col(weightCol).cast("long").as("w"))
+
+  private def topK(df: DataFrame, k: Int): DataFrame =
+    WeightedSample.perKey(
+      df.groupBy(col("grp"), col("id")).agg(max(col("w")).as("w")),
+      "grp", "id", "w", k)
+      .drop("rank")
+}

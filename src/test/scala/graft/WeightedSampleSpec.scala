@@ -117,4 +117,44 @@ class WeightedSampleSpec extends SparkSpec {
     assert(small.subsetOf(big))
     assert(small.size < big.size)
   }
+
+  // ---- SampleStore (standing per-group top-k) ----
+
+  test("sample store: maintained across waves equals the one-shot batch sample") {
+    import graft.operators.{SampleStore, WeightedSample}
+    val docs = (1L to 90L).map(i => (s"g${i % 4}", i, 10L + i % 37))
+      .toDF("grp", "doc_id", "w")
+    SampleStore.initStore(docs.filter($"doc_id" <= 30), "wsstore_a",
+      "grp", "doc_id", "w", k = 3)
+    SampleStore.applyBatch(docs.filter($"doc_id" > 30 && $"doc_id" <= 60),
+      "wsstore_a", "grp", "doc_id", "w", 1L)
+    SampleStore.applyBatch(docs.filter($"doc_id" > 60), "wsstore_a",
+      "grp", "doc_id", "w", 2L)
+    val maintained = SampleStore.sample(spark, "wsstore_a")
+      .select($"grp", $"id", $"rank").as[(String, Long, Int)].collect().toSet
+    val oneShot = WeightedSample.perKey(
+        docs.select($"grp", $"doc_id".as("id"), $"w"), "grp", "id", "w", 3)
+      .select($"grp", $"id", $"rank").as[(String, Long, Int)].collect().toSet
+    assert(maintained === oneShot)
+    // re-delivered batch id: skipped, store unchanged
+    assert(!SampleStore.applyBatch(docs.limit(5), "wsstore_a",
+      "grp", "doc_id", "w", 1L))
+    assert(SampleStore.sample(spark, "wsstore_a")
+      .select($"grp", $"id", $"rank").as[(String, Long, Int)]
+      .collect().toSet === maintained)
+  }
+
+  test("sample store: duplicate ids merge by max weight (best claim wins)") {
+    import graft.operators.SampleStore
+    val a = Seq(("g", 1L, 5L), ("g", 2L, 50L)).toDF("grp", "doc_id", "w")
+    SampleStore.initStore(a, "wsstore_dup", "grp", "doc_id", "w", k = 2)
+    // id 1 re-arrives with a BIGGER weight: priority u^(1/w) grows
+    // with w, so the merged store must rank id 1 by w=500
+    SampleStore.applyBatch(Seq(("g", 1L, 500L)).toDF("grp", "doc_id", "w"),
+      "wsstore_dup", "grp", "doc_id", "w", 1L)
+    val got = SampleStore.sample(spark, "wsstore_dup")
+      .select($"id", $"w").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 500L)
+    assert(got.size === 2, "no duplicate rows for the re-delivered id")
+  }
 }
