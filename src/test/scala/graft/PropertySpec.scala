@@ -538,6 +538,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff: self-training never backs off — tri_frac is 1.0 on random corpora") {
+    import graft.operators.UnigramLm
+    (1 to 5).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(9200L + i)).get
+        .filter(_._2.split(" ").length >= 3)
+      if (docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val fr = UnigramLm.trigramStupidBackoff(df, df).collect()
+        assert(fr.nonEmpty && fr.forall(_.getDouble(2) === 1.0),
+          s"seed ${9200 + i}: a self-trained model backed off")
+      }
+    }
+  }
+
+  test("collocations: margins sum to T and every PMI recomputes from raw counts (random)") {
+    import graft.operators.TextAnalysis
+    (1 to 5).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(9300L + i)).get
+      val df = docs.toDF("doc_id", "text")
+      val got = TextAnalysis.collocations(df, "text", minCount = 1L, topK = 1000)
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      // raw truth recomputed in Scala
+      val bigrams = docs.flatMap { case (_, t) =>
+        val ws = t.split(" ").toSeq; ws.zip(ws.drop(1)) }
+      val bc = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tTot = bigrams.size.toLong
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(bc.values.sum === tTot)
+      got.foreach { case (pair, (cb, pmi)) =>
+        assert(cb === bc(pair), s"seed ${9300 + i} count $pair")
+        val want = BigDecimal(math.log(
+          cb.toDouble * tTot / (c1(pair._1).toDouble * c2(pair._2))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(pmi === want, s"seed ${9300 + i} pmi $pair")
+      }
+    }
+  }
+
   test("range join: binned equals naive on random instances incl. empty and touching intervals") {
     import graft.operators.RangeJoin
     val rjGen = for {
