@@ -538,6 +538,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LM store: random add/remove interleavings equal the fresh count (random)") {
+    import graft.operators.LmStore
+    (1 to 3).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(9400L + i)).get
+      val (a, b) = docs.splitAt(docs.length / 2)
+      val gone = docs.filter(_._1 % 3 == 2)
+      val live = docs.filterNot(_._1 % 3 == 2)
+      val name = s"prop_lm_$i"
+      LmStore.initStore(a.toDF("doc_id", "text"), name, buckets = 2)
+      LmStore.appendDocs(b.toDF("doc_id", "text"), name, buckets = 2)
+      LmStore.removeDocs(gone.toDF("doc_id", "text"), name, buckets = 2)
+      LmStore.initStore(live.toDF("doc_id", "text"), s"${name}_f", buckets = 2)
+      for (t <- Seq("_tri", "_bi", "_uni")) {
+        val m = spark.table(name + t); val f = spark.table(s"${name}_f" + t)
+        assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+          s"seed ${9400 + i} table $t")
+      }
+    }
+  }
+
   test("stupid backoff: self-training never backs off — tri_frac is 1.0 on random corpora") {
     import graft.operators.UnigramLm
     (1 to 5).foreach { i =>
