@@ -239,6 +239,13 @@ object SampleStore {
       "grp", "id", "w", k)
   }
 
+  /** Operational introspection (the Bm25.describeIndex discipline). */
+  def describeStore(spark: SparkSession, name: String): DataFrame =
+    CountStore.describe(spark, name, Map(
+      "n_rows" -> (s"${name}_sample", count(lit(1))),
+      "n_groups" -> (s"${name}_sample", countDistinct(col("grp"))),
+      "k" -> (s"${name}_sample_params", sum(col("k")))))
+
   private def canon(df: DataFrame, grpCol: String, idCol: String,
       weightCol: String): DataFrame =
     df.select(col(grpCol).cast("string").as("grp"),

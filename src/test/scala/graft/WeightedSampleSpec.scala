@@ -144,6 +144,15 @@ class WeightedSampleSpec extends SparkSpec {
       .collect().toSet === maintained)
   }
 
+  test("sample store: describeStore reports rows, groups, k, ledger") {
+    import graft.operators.SampleStore
+    val m = SampleStore.describeStore(spark, "wsstore_a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_groups") === 4L && m("k") === 3L)
+    assert(m("n_rows") === 12L, "4 groups x k=3")
+    assert(m("applied_batches") === 2L)
+  }
+
   test("sample store: duplicate ids merge by max weight (best claim wins)") {
     import graft.operators.SampleStore
     val a = Seq(("g", 1L, 5L), ("g", 2L, 50L)).toDF("grp", "doc_id", "w")
