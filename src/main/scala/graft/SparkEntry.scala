@@ -4077,6 +4077,44 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // q228: the CATALYST RANGE-JOIN REWRITE under the driver gate —
+    // plain SQL with NO equi-key (`e.p >= iv.s0 AND e.p < iv.e0`,
+    // global intervals), which stock Spark can only plan as a nested
+    // loop. With graft's optimizer rule installed and its binWidth
+    // conf set, the SAME SQL plans as the binned shuffled equi-join
+    // (RangeJoinRewrite.scala) — and DuckDB evaluates the ORIGINAL
+    // SQL as the oracle, so the hash match certifies the rewrite is
+    // invisible to results. The in-query require pins that the rule
+    // actually fired (no CartesianProduct/BNLJ in the physical plan):
+    // the gate hashes rows the REWRITTEN plan produced, not a silent
+    // fallback. localCheckpoint scopes the conf: the plan is
+    // materialized while the conf is set, then the conf is dropped so
+    // no other query of the shared session sees the rule armed.
+    "q228_sql_range_rule" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("p"))
+        .createOrReplaceTempView("graft_q228_events")
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BIN_CONF,
+        3600000000L.toString) // w = the interval span: ≤ 2 bins each
+      try {
+        val out = s.sql(
+          """SELECT iv.event_id AS purchase_id, e.event_id, e.user_id
+             FROM (SELECT event_id, p AS s0, p + 3600000000 AS e0
+                   FROM graft_q228_events
+                   WHERE event_type = 'purchase' AND event_id % 97 = 0) iv
+             JOIN graft_q228_events e
+               ON e.p >= iv.s0 AND e.p < iv.e0
+             ORDER BY purchase_id, event_id, user_id""")
+        val plan = out.queryExecution.sparkPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"),
+          "range-join rewrite did not fire:\n" + plan)
+        out.localCheckpoint()
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BIN_CONF)
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -5009,7 +5047,11 @@ object SparkEntry {
     * across rounds, the new layer's regressions are artifact-visible
     * from the round it appeared. */
   val benchModelQueries: Seq[String] = Seq(
-    "q214_trigram_backoff", "q215_chunk_sliding", "q217_nb_domain")
+    "q214_trigram_backoff", "q215_chunk_sliding", "q217_nb_domain",
+    // the dataloader end-to-end composite, tracked from ITS birth
+    // round too — a regression in any stage handoff shows here even
+    // if the per-stage entries stay flat
+    "q221_dataloader_e2e")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
@@ -7269,6 +7311,20 @@ object SparkEntry {
                  / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY lang, rank""",
+    // q228: the ORIGINAL (pre-rewrite) theta-join SQL — DuckDB plans
+    // it its own way (IEJoin); the engine answers it through the
+    // Catalyst rewrite. Hash match ⇒ the rewrite changed the plan and
+    // nothing else.
+    "q228_sql_range_rule" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS p
+           FROM events),
+         iv AS (
+           SELECT event_id, p AS s0, p + 3600000000 AS e0
+           FROM ev WHERE event_type = 'purchase' AND event_id % 97 = 0)
+         SELECT iv.event_id AS purchase_id, e.event_id, e.user_id
+         FROM iv JOIN ev e ON e.p >= iv.s0 AND e.p < iv.e0
+         ORDER BY purchase_id, e.event_id, e.user_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

@@ -103,10 +103,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** SparkSessionExtensions entry point:
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Installs the whole repo's Catalyst surface: the top-k strategy and
+  * the (conf-gated, dormant-by-default) range-join rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object TopKPerKey {

@@ -31,4 +31,14 @@ object GraftBridge {
     ext(e)
     e.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
   }
+  /** [[injectedStrategies]] for optimizer rules — covers the
+    * injectOptimizerRule leg of the extensions contract the same way. */
+  def injectedOptimizerRules(
+      ext: SparkSessionExtensions => Unit,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
+  }
 }
