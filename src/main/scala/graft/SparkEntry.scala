@@ -4115,6 +4115,26 @@ object SparkEntry {
       } finally s.conf.unset(graft.plans.RangeJoinRewrite.BIN_CONF)
     }),
 
+    // q229: Z-ORDER layout arithmetic under the driver gate — the
+    // Morton curve (clamp → fixed-range bucket → mask-cascade bit
+    // spread → interleave) computed over (user_id × event second),
+    // hash-matched against DuckDB replaying the identical shifts and
+    // masks. This gates the CURVE itself exactly; the layout's read
+    // side effect (files a box query must open, z vs linear) is
+    // ZOrderSpec's geometry test and ProbeR17's at-scale measurement.
+    // Caller-declared ranges (not data quantiles) keep the mapping
+    // deterministic and append-stable — the frozen-centroid
+    // discipline applied to storage layout.
+    "q229_zorder_curve" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+        .select(col("event_id"), graft.operators.ZOrder.zvalue2(
+            col("user_id"), 0L, 99999L,
+            col("sec"), 1704067200L, 1735689599L, bits = 16).as("z"))
+        .orderBy(col("z"), col("event_id"))
+    }),
+
     // q206: the NSW LIFECYCLE demonstration under the driver gate
     // (q121/q172's pattern for the graph family): build on a prefix,
     // append the next slice, tombstone a stripe, compact — then
@@ -7325,6 +7345,31 @@ object SparkEntry {
          SELECT iv.event_id AS purchase_id, e.event_id, e.user_id
          FROM iv JOIN ev e ON e.p >= iv.s0 AND e.p < iv.e0
          ORDER BY purchase_id, e.event_id, e.user_id""",
+    // q229: the Morton dilation replayed shift-for-shift (integer
+    // floor-div buckets are exact here: every product < 2^53, so
+    // Spark's floor(double) and DuckDB's // agree bit-for-bit)
+    "q229_zorder_curve" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+           FROM events),
+         b AS (
+           SELECT event_id,
+             (LEAST(GREATEST(user_id, 0), 99999) * 65536) // 100000 AS x,
+             ((LEAST(GREATEST(sec, 1704067200), 1735689599)
+               - 1704067200) * 65536) // 31622400 AS y
+           FROM ev),
+         s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+                  (y | (y << 16)) & 281470681808895 AS y FROM b),
+         s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+                  (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+         s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+                  (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+         s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+                  (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+         s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+                  (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+         SELECT event_id, (x | (y << 1)) AS z FROM s5
+         ORDER BY z, event_id""",
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

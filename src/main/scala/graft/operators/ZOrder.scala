@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) data layout — the storage-side lever the
+  * scan-heavy operators lean on at 100 TB. A table sorted on ONE
+  * column prunes scans on that column only; a table laid out by the
+  * interleaved bits of TWO dimensions clusters rows that are close in
+  * BOTH, so a file's (min, max) footer box is tight in both dimensions
+  * and a reader with a 2-predicate box query opens only the files
+  * whose boxes intersect it. This is layout-time work: one
+  * range-partitioned sort at write, zero cost at read — exactly where
+  * a 1000-executor cluster wants its effort.
+  *
+  * The z-value is PURE integer arithmetic (clamp → fixed-width bucket
+  * → magic-mask bit spreading → interleave), deliberately expressible
+  * in both Spark and ANSI-ish SQL: the q229 gate hash-matches DuckDB
+  * replaying the identical shifts and masks, so the curve itself — not
+  * just its side effects — is under the oracle. Buckets come from a
+  * CALLER-DECLARED [min, max] per dimension (clamped outside), not
+  * from data-dependent quantiles: the mapping is then deterministic,
+  * mirrorable, and stable as the table grows — append waves land in
+  * the same curve without re-ranking the corpus (the same
+  * frozen-parameter discipline as the IVF centroids and the epoch-key
+  * arithmetic).
+  *
+  * Bit spreading is the classic 5-step mask cascade (2D): 32 source
+  * bits fan out to the 64 even positions in O(1) ops/row, no loop, no
+  * UDF — whole-stage codegen keeps it in the scan's generated code.
+  * `bits ≤ 31` keeps the interleaved value in a non-negative Long. */
+object ZOrder {
+
+  /** Clamp to [min, max] and scale to an unsigned `bits`-wide bucket:
+    * ⌊(v − min)·2^bits / (max − min + 1)⌋. All intermediates stay
+    * < 2⁵³ for bits ≤ 31 and 32-bit-ish ranges, so the double division
+    * is exact (the RangeJoin.binned argument, same arithmetic). */
+  def bucket(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(max > min, s"degenerate range [$min, $max]")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val clamped = least(greatest(c.cast("long"), lit(min)), lit(max))
+    floor((clamped - min) * (1L << bits) / (max - min + 1)).cast("long")
+  }
+
+  /** Spread the low 32 bits of `c` to the even bit positions 0,2,…,62
+    * (Morton dilation): 5 shift-or-mask steps, each separating one
+    * power-of-two group. */
+  def spread(c: Column): Column = {
+    val steps = Seq(
+      16 -> 281470681808895L,    // 0x0000FFFF0000FFFF
+      8 -> 71777214294589695L,   // 0x00FF00FF00FF00FF
+      4 -> 1085102592571150095L, // 0x0F0F0F0F0F0F0F0F
+      2 -> 3689348814741910323L, // 0x3333333333333333
+      1 -> 6148914691236517205L) // 0x5555555555555555
+    steps.foldLeft(c.bitwiseAND(lit(4294967295L))) { case (x, (sh, mask)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 2-D z-value: bucket each dimension to `bits` bits over its
+    * declared range, interleave (x gets the even positions, y the
+    * odd). Total 2·bits ≤ 62 bits — always a non-negative Long. */
+  def zvalue2(x: Column, xMin: Long, xMax: Long,
+      y: Column, yMin: Long, yMax: Long, bits: Int = 16): Column =
+    spread(bucket(x, xMin, xMax, bits))
+      .bitwiseOR(shiftleft(spread(bucket(y, yMin, yMax, bits)), 1))
+
+  /** Lay `df` out along the curve: range-partition by z (each output
+    * file owns a contiguous curve segment — a tight box in BOTH
+    * dimensions), sort within partitions so row-group stats are tight
+    * too. `numFiles` is the write parallelism knob: at 100 TB pick
+    * target-file-size, not a count. The z column is layout scaffolding
+    * and is dropped from the written schema. */
+  def layout(df: DataFrame, z: Column, numFiles: Int): DataFrame =
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+
+  /** The read-side pruning metric the layout exists for: how many
+    * files must a box query (`xLo ≤ x ≤ xHi ∧ yLo ≤ y ≤ yHi`) open?
+    * Computes each file's footer-equivalent (min, max) per dimension
+    * from the data itself and counts files whose stats box intersects
+    * the query box — exactly the decision a parquet reader makes from
+    * column-chunk statistics, measured engine-independently. */
+  def filesTouched(parquetDir: String, spark: org.apache.spark.sql.SparkSession,
+      xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long): (Long, Long) = {
+    val stats = spark.read.parquet(parquetDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+    val total = stats.count()
+    val touched = stats.filter(
+      col("x_max") >= xLo && col("x_min") <= xHi &&
+      col("y_max") >= yLo && col("y_min") <= yHi).count()
+    (touched, total)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The JVM bit-twiddling reference the Column arithmetic must
+    * reproduce — an independent statement of the Morton dilation. */
+  private def spreadRef(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  private def bucketRef(v: Long, min: Long, max: Long, bits: Int): Long = {
+    val c = math.min(math.max(v, min), max)
+    (c - min) * (1L << bits) / (max - min + 1)
+  }
+
+  test("zvalue2 reproduces the reference interleave (mixed magnitudes, clamping)") {
+    val rows = (0 until 2000).map { i =>
+      val x = (i * 2654435761L) % 100003L - 5000L // some below xMin
+      val y = (i * 40503L) % 70001L
+      (i.toLong, x, y)
+    }
+    val got = rows.toDF("id", "x", "y")
+      .select($"id", ZOrder.zvalue2($"x", 0L, 90000L, $"y", 0L, 70000L,
+        bits = 16).as("z"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, x, y) =>
+      val want = spreadRef(bucketRef(x, 0L, 90000L, 16)) |
+        (spreadRef(bucketRef(y, 0L, 70000L, 16)) << 1)
+      assert(got(id) === want, s"id=$id x=$x y=$y")
+    }
+  }
+
+  test("z-values are non-negative and within 2*bits bits") {
+    val n = spark.range(0, 5000)
+      .select(ZOrder.zvalue2(($"id" * 7919) % 1000000L, 0L, 999999L,
+        ($"id" * 104729) % 1000000L, 0L, 999999L, bits = 20).as("z"))
+      .filter($"z" < 0 || $"z" >= (1L << 40)).count()
+    assert(n === 0)
+  }
+
+  test("curve locality: box queries touch far fewer files than a linear sort") {
+    // full 256x256 grid -> 64 files each way; footer-box pruning is
+    // then a pure geometry statement, not a data-luck one.
+    val grid = spark.range(0, 65536L)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.layout(grid,
+        ZOrder.zvalue2($"x", 0L, 255L, $"y", 0L, 255L, bits = 8), 64)
+      .write.mode("overwrite").parquet(s"$base/z")
+    grid.repartitionByRange(64, $"x")
+      .sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(s"$base/linear")
+
+    // selective in BOTH dims: a 64x4 slab
+    val (zT1, zTot) = ZOrder.filesTouched(s"$base/z", spark,
+      "x", 64, 127, "y", 64, 67)
+    val (lT1, lTot) = ZOrder.filesTouched(s"$base/linear", spark,
+      "x", 64, 127, "y", 64, 67)
+    assert(zTot === 64 && lTot === 64, s"$zTot/$lTot")
+    assert(zT1 < lT1, s"z touched $zT1, linear touched $lT1")
+
+    // selective ONLY in the non-sort dim — the linear layout's blind
+    // spot: every x-strip overlaps, z opens only one block row.
+    val (zT2, _) = ZOrder.filesTouched(s"$base/z", spark,
+      "x", 0, 255, "y", 100, 103)
+    val (lT2, _) = ZOrder.filesTouched(s"$base/linear", spark,
+      "x", 0, 255, "y", 100, 103)
+    assert(lT2 === 64, s"linear should touch every file, got $lT2")
+    assert(zT2 <= 16, s"z should touch ~one block row, got $zT2")
+  }
+
+  test("bucket guards degenerate ranges and bit widths") {
+    intercept[IllegalArgumentException] {
+      ZOrder.bucket($"x", 10L, 10L, 8)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.bucket($"x", 0L, 10L, 32)
+    }
+  }
+}
