@@ -4115,6 +4115,42 @@ object SparkEntry {
       } finally s.conf.unset(graft.plans.RangeJoinRewrite.BIN_CONF)
     }),
 
+    // q230: the SAMPLE store served from PLAIN SQL (q225/q226's
+    // discipline for the third standing-store family) — and unlike
+    // the NB/LM faces, this one gets a FULL DuckDB oracle: the ES
+    // priority is engine-portable arithmetic, so DuckDB replays
+    // q227's whole-corpus ranking from raw documents while the
+    // engine answers from the maintained store via vanilla SQL over
+    // the catalog tables (no registered functions). Store ≡ batch ≡
+    // cross-engine truth, in one hash.
+    "q230_sql_sample_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val name = "graft_q230_ws"
+      graft.sources.StoreCache.table(s, name, s"samplestore|q230|$d",
+        Seq(s"${name}_sample", s"${name}_sample_params")) {
+        graft.operators.SampleStore.initStore(
+          docs.filter(col("doc_id") % 3 === 0), name,
+          "lang", "doc_id", "n_chars", k = 5)
+        graft.operators.SampleStore.applyBatch(
+          docs.filter(col("doc_id") % 3 === 1), name,
+          "lang", "doc_id", "n_chars", 1L)
+        graft.operators.SampleStore.applyBatch(
+          docs.filter(col("doc_id") % 3 === 2), name,
+          "lang", "doc_id", "n_chars", 2L)
+        ()
+      }
+      graft.operators.CountStore.requireServable(s, name)
+      s.sql(
+        s"""SELECT grp AS lang, id AS doc_id, rank FROM (
+              SELECT grp, id, row_number() OVER (PARTITION BY grp ORDER BY
+                round(pow(((id % 1000003 * 2654435761) % 4294967296 + 1)
+                    / 4294967297.0, 1.0 / w), 6) DESC, id) AS rank
+              FROM ${name}_sample) t
+            WHERE rank <= (SELECT max(k) FROM ${name}_sample_params)
+            ORDER BY lang, rank""")
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7345,6 +7381,16 @@ object SparkEntry {
          SELECT iv.event_id AS purchase_id, e.event_id, e.user_id
          FROM iv JOIN ev e ON e.p >= iv.s0 AND e.p < iv.e0
          ORDER BY purchase_id, e.event_id, e.user_id""",
+    // q230: q227's oracle VERBATIM — the maintained store, served by
+    // catalog-table SQL, must reproduce the whole-corpus batch
+    // arithmetic DuckDB computes from raw documents
+    "q230_sql_sample_serve" ->
+      """SELECT lang, doc_id, rank FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
+                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 5 ORDER BY lang, rank""",
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so
     // Spark's floor(double) and DuckDB's // agree bit-for-bit)

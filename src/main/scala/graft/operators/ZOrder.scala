@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   * Bit spreading is the classic 5-step mask cascade (2D): 32 source
   * bits fan out to the 64 even positions in O(1) ops/row, no loop, no
   * UDF — whole-stage codegen keeps it in the scan's generated code.
-  * `bits ≤ 31` keeps the interleaved value in a non-negative Long. */
+  * `bits ≤ 31` keeps the interleaved value in a non-negative Long.
+  *
+  * Relationship to [[graft.sources.Sinks.mortonCode2]] (q66, SQL fn
+  * `morton_code`): that is the fail-loud RAW-domain face (inputs must
+  * already fit in `bits`; out-of-range raises); [[zvalue2]] is the
+  * declared-range face (wide domains bucket first, outliers clamp).
+  * Both interleave through the ONE [[spread]] cascade. */
 object ZOrder {
 
   /** Clamp to [min, max] and scale to an unsigned `bits`-wide bucket:

@@ -219,11 +219,16 @@ object Sinks {
 
   /** Morton (Z-order) code: interleaves the low `bits` bits of two
     * non-negative integer columns into one BIGINT, so sorting by the
-    * code clusters rows that are close in BOTH dimensions. Pure
-    * Catalyst bit arithmetic (sequence + aggregate fold over shifts —
-    * no UDF), mirrored term-for-term by a DuckDB list fold in the q66
-    * oracle. Disjoint bit positions make `+` ≡ `|`, which both engines
-    * fold identically. */
+    * code clusters rows that are close in BOTH dimensions. The
+    * fail-loud RAW-DOMAIN face of the curve (inputs must already fit
+    * in `bits`); [[graft.operators.ZOrder.zvalue2]] is the
+    * declared-range face for wide domains (it buckets first), and both
+    * share ONE dilation: [[graft.operators.ZOrder.spread]]'s 5-step
+    * mask cascade — static bit arithmetic inside whole-stage codegen
+    * (this replaced the original `aggregate`-fold interleave, whose
+    * higher-order lambda ran interpreted per row and per bit). The q66
+    * oracle folds bit-by-bit in DuckDB; bit positions are disjoint, so
+    * its `+`-fold equals the cascade's `|` composition value-for-value. */
   def mortonCode2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -239,14 +244,9 @@ object Sinks {
         lit(s"mortonCode2: input outside [0, $max): "), l.cast("string"))))
         .otherwise(l)
     }
-    val (cx, cy) = (checked(x), checked(y))
-    def bit(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
-        off: Int) =
-      call_function("shiftleft",
-        call_function("shiftright", c, i).bitwiseAND(lit(1L)),
-        i * 2 + lit(off))
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc + bit(cx, i, 0) + bit(cy, i, 1))
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    graft.operators.ZOrder.spread(checked(x))
+      .bitwiseOR(shiftleft(graft.operators.ZOrder.spread(checked(y)), 1))
   }
 
   /** Z-ordered parquet: a total sort by the interleaved code gives each
