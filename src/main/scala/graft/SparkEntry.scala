@@ -4151,6 +4151,53 @@ object SparkEntry {
             ORDER BY lang, rank""")
     }),
 
+    // q231: the HLL SKETCH store under the driver gate — standing
+    // per-group distinct-count sketches maintained across three waves
+    // (state ∝ groups, not data; maintenance = register-wise max, no
+    // raw-id retention). Hybrid gate, stronger than bits alone: the
+    // EXACT per-group distinct counts are computed in-engine and
+    // hash-matched against DuckDB's COUNT(DISTINCT), while the two
+    // sketch claims ride as ok-bits — ok_rel (estimate within 5% of
+    // exact at lgK=12) and ok_eq_fresh (maintained store estimate ≡
+    // fresh single-pass sketch — exact by register-max associativity,
+    // the q206-class equality, not a tolerance).
+    "q231_hll_store" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val name = "graft_q231_hll"
+      graft.sources.StoreCache.table(s, name, s"hllstore|q231|$d",
+        Seq(s"${name}_hll", s"${name}_hll_params")) {
+        graft.operators.SketchStore.initStore(
+          ev.filter(col("event_id") % 3 === 0), name,
+          "event_type", "user_id", lgK = 12)
+        graft.operators.SketchStore.applyBatch(
+          ev.filter(col("event_id") % 3 === 1), name,
+          "event_type", "user_id", 1L)
+        graft.operators.SketchStore.applyBatch(
+          ev.filter(col("event_id") % 3 === 2), name,
+          "event_type", "user_id", 2L)
+        ()
+      }
+      val est = graft.operators.SketchStore.estimate(s, name)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val fresh = ev
+        .select(col("event_type").cast("string").as("grp"),
+          col("user_id").as("id"))
+        .groupBy(col("grp"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("id"), lit(12))).as("fresh_est"))
+      est
+        .join(exact, est("grp") === exact("event_type"))
+        .join(fresh, "grp")
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("n_distinct_est") - col("exact_distinct"))
+            / col("exact_distinct") <= 0.05).cast("int").as("ok_rel"),
+          (col("n_distinct_est") === col("fresh_est"))
+            .cast("int").as("ok_eq_fresh"))
+        .orderBy(col("event_type"))
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7391,6 +7438,14 @@ object SparkEntry {
                  / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY lang, rank""",
+    // q231: exact distinct counts are the cross-engine leg; the
+    // sketch-vs-exact and maintained-vs-fresh claims are the
+    // in-engine constant-truth bits (DuckDB's own HLL is a different
+    // implementation, so only the EXACT counts can hash-match)
+    "q231_hll_store" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+           1 AS ok_rel, 1 AS ok_eq_fresh
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so
     // Spark's floor(double) and DuckDB's // agree bit-for-bit)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STANDING DISTINCT-COUNT SKETCHES — per-group HLL (DataSketches,
+  * Spark's `hll_sketch_agg` family) maintained across ingest waves
+  * under the CountStore lifecycle (the NbStore/LmStore/SampleStore
+  * discipline: `__building` torn-write marker, `_applied` batch
+  * ledger, fail-loud serve guard).
+  *
+  * Why a sketch store is the 100 TB shape for COUNT(DISTINCT …): the
+  * exact form needs the distinct key set per group — state
+  * proportional to the DATA; the sketch needs 2^lgK bytes per group —
+  * state proportional to the GROUPS, and maintenance is a
+  * register-wise max (one tiny merge per wave, no corpus re-scan, no
+  * raw-id retention — which also matters when ids are user
+  * identifiers a standing store should not keep). HLL union is
+  * register-wise max, so maintained-across-waves ≡ sketched-fresh on
+  * the union BY CONSTRUCTION — Spark's own partial aggregation
+  * already computes `hll_sketch_agg` as a union of per-partition
+  * sketches, so the wave split is the same operation at a coarser
+  * grain (the SampleStore associativity argument, replayed for
+  * registers; gated as estimate equality in q231 and specced directly).
+  *
+  * Store layout: `<name>_hll` (grp string, sk binary) — one row per
+  * group; `<name>_hll_params` (lg_k int). All corpus-sized passes are
+  * one partial-agg-friendly groupBy; every store-sized pass is
+  * groups-sized. */
+object SketchStore {
+
+  def initStore(docs: DataFrame, name: String, grpCol: String,
+      idCol: String, lgK: Int = 12): Unit = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val spark = docs.sparkSession
+    CountStore.setBuilding(spark, name, on = true)
+    CountStore.dropLedger(spark, name)
+    graft.sources.Sinks.parquetTable(
+      sketched(docs, grpCol, idCol, lgK), s"${name}_hll")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(lgK).as("lg_k")), s"${name}_hll_params")
+    CountStore.setBuilding(spark, name, on = false)
+  }
+
+  /** One wave: sketch the batch per group, register-max into the
+    * store (full outer union-agg keeps groups first seen in either
+    * side). Returns false on a re-delivered batch id. */
+  def applyBatch(batch: DataFrame, name: String, grpCol: String,
+      idCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    if (CountStore.alreadyApplied(spark, name, batchId)) false
+    else {
+      val lgK = lgKOf(spark, name)
+      val merged = spark.table(s"${name}_hll")
+        .unionByName(sketched(batch, grpCol, idCol, lgK))
+        .groupBy(col("grp"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .localCheckpoint() // settle BEFORE overwriting what we read
+      CountStore.applyOnce(spark, name, batchId) {
+        graft.sources.Sinks.parquetTable(merged, s"${name}_hll")
+      }
+    }
+  }
+
+  def maintainStream(docs: DataFrame, name: String, grpCol: String,
+      idCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch, name, grpCol, idCol, batchId); ()
+        }
+      }
+
+  /** Serve: (grp, n_distinct_est). Groups-sized scan, no raw data. */
+  def estimate(spark: SparkSession, name: String): DataFrame = {
+    CountStore.requireServable(spark, name)
+    spark.table(s"${name}_hll")
+      .select(col("grp"),
+        hll_sketch_estimate(col("sk")).as("n_distinct_est"))
+  }
+
+  /** Operational introspection (the describeStore discipline). */
+  def describeStore(spark: SparkSession, name: String): DataFrame =
+    CountStore.describe(spark, name, Map(
+      "n_groups" -> (s"${name}_hll", count(lit(1))),
+      "sketch_bytes" -> (s"${name}_hll", sum(length(col("sk")))),
+      "lg_k" -> (s"${name}_hll_params", sum(col("lg_k")))))
+
+  private def lgKOf(spark: SparkSession, name: String): Int =
+    spark.table(s"${name}_hll_params").head().getAs[Int]("lg_k")
+
+  private def sketched(df: DataFrame, grpCol: String, idCol: String,
+      lgK: Int): DataFrame =
+    df.select(col(grpCol).cast("string").as("grp"), col(idCol).as("id"))
+      .groupBy(col("grp"))
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
+}
