@@ -4198,6 +4198,48 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // q232: the sketch store's PLAIN-SQL serve face — completing the
+    // every-standing-store-serves-from-SQL claim (forest q173, BM25
+    // q178, NB q225, LM q226, sample q230, sketch here). This face
+    // needs ZERO graft-registered functions: `hll_sketch_estimate` is
+    // a Spark built-in, so any stock SQL client that can see the
+    // catalog serves the store. Gate = the q231 hybrid with the
+    // SQL-served estimate on the sketch legs: exact counts
+    // cross-engine hashed, ok_rel + ok_sql_eq_df as in-engine bits.
+    "q232_sql_sketch_serve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val name = "graft_q231_hll" // q231's store, same cache key
+      graft.sources.StoreCache.table(s, name, s"hllstore|q231|$d",
+        Seq(s"${name}_hll", s"${name}_hll_params")) {
+        graft.operators.SketchStore.initStore(
+          ev.filter(col("event_id") % 3 === 0), name,
+          "event_type", "user_id", lgK = 12)
+        graft.operators.SketchStore.applyBatch(
+          ev.filter(col("event_id") % 3 === 1), name,
+          "event_type", "user_id", 1L)
+        graft.operators.SketchStore.applyBatch(
+          ev.filter(col("event_id") % 3 === 2), name,
+          "event_type", "user_id", 2L)
+        ()
+      }
+      graft.operators.CountStore.requireServable(s, name)
+      val estSql = s.sql(
+        s"SELECT grp, hll_sketch_estimate(sk) AS n_sql FROM ${name}_hll")
+      val estDf = graft.operators.SketchStore.estimate(s, name)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      estSql
+        .join(estDf, "grp")
+        .join(exact, estSql("grp") === exact("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("n_sql") - col("exact_distinct"))
+            / col("exact_distinct") <= 0.05).cast("int").as("ok_rel"),
+          (col("n_sql") === col("n_distinct_est"))
+            .cast("int").as("ok_sql_eq_df"))
+        .orderBy(col("event_type"))
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7445,6 +7487,12 @@ object SparkEntry {
     "q231_hll_store" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
            1 AS ok_rel, 1 AS ok_eq_fresh
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // q232: same hybrid shape as q231, with the SQL-served estimate
+    // on the sketch legs
+    "q232_sql_sketch_serve" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+           1 AS ok_rel, 1 AS ok_sql_eq_df
          FROM events GROUP BY event_type ORDER BY event_type""",
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
   * silent rewrite of every inequality join would surprise more than it
   * saves.
   *
-  * FIRES on: an Inner join whose condition contains a lower bound
+  * FIRES on: an inner-like join (Inner, or Cross carrying a pushed
+  * predicate — the `FROM a, b WHERE …` form) whose condition contains a lower bound
   * `p >= s` / `p > s` and an upper bound `p < e` / `p <= e` on the
   * same expression `p`, where `p` references only one side, `s` and
   * `e` only the other, all three deterministic and of integral type —
@@ -86,7 +87,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       catch { case _: NumberFormatException => 0L }
     if (w <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) =>
+      // Inner AND Cross: `FROM a, b WHERE p BETWEEN …` and explicit
+      // CROSS JOINs arrive as Cross with the predicate pushed into the
+      // condition by the main optimizer batches (which run before
+      // user-provided rules); both are inner-like for planning.
+      case j @ Join(_, _, Inner | Cross, Some(_), _) =>
         rewrite(j, w).getOrElse(j)
     }
   }

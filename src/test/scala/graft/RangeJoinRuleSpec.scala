@@ -59,6 +59,20 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("comma-form FROM a, b WHERE … (a Cross join post-pushdown) also rewrites") {
+    fixture
+    val sql = "SELECT pt_id, iv_id FROM rjr_pts, rjr_ivs WHERE p >= s AND p < e"
+    val naive = spark.sql(sql).as[(Long, Long)].collect().toSet
+    val (got, plan) = withRule(16L) {
+      val df = spark.sql(sql)
+      (df.as[(Long, Long)].collect().toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(got === naive)
+    assert(plan.contains("__graft_bin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("dormant (conf unset) the naive join really is a nested loop") {
     fixture
     val plan = spark.sql(
