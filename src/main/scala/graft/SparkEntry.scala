@@ -4240,6 +4240,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // q233: the HILBERT curve under the driver gate — same gate shape
+    // as q229 (the curve itself, hash-matched cross-engine), for the
+    // better-locality layout: unlike Z, consecutive Hilbert positions
+    // are Manhattan-adjacent cells (specced as a full-grid bijection
+    // + adjacency walk), so a file owning a contiguous d-range has a
+    // tighter bounding box. The oracle replays all 16 reflect-rotate
+    // rounds as GENERATED materialized CTEs (hilbertOracleSql) — the
+    // oracle text is derived from the same recurrence, not hand-typed.
+    "q233_hilbert_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+        .select(col("event_id"),
+          graft.operators.ZOrder.bucket(
+            col("user_id"), 0L, 99999L, 16).as("bx"),
+          graft.operators.ZOrder.bucket(
+            col("sec"), 1704067200L, 1735689599L, 16).as("by"))
+      graft.operators.ZOrder.withHilbert(ev, col("bx"), col("by"), 16, "d")
+        .select(col("event_id"), col("d"))
+        .orderBy(col("d"), col("event_id"))
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -5413,9 +5435,45 @@ object SparkEntry {
            SELECT 0.2 * avg(l_quantity)
            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
 
+  /** q233's oracle, GENERATED round-for-round from the Hilbert
+    * reflect-rotate recurrence (ZOrder.withHilbert's loop): 16
+    * materialized CTEs, each one round over the previous round's
+    * (x, y, d). Generated, not hand-typed, so the oracle cannot drift
+    * from the recurrence; MATERIALIZED keeps DuckDB from inlining the
+    * rounds into an exponentially-duplicated expression tree — the
+    * same blowup withHilbert's per-round projections avoid in
+    * Catalyst. The xor leg uses rx,ry ∈ {0,1}, where DuckDB's
+    * xor(3·rx, ry) equals the engine's bitwiseXOR term-for-term. */
+  private def hilbertOracleSql(bits: Int): String = {
+    val head =
+      """WITH r0 AS MATERIALIZED (
+           SELECT event_id,
+             (LEAST(GREATEST(user_id, 0), 99999) * 65536) // 100000 AS x,
+             ((LEAST(GREATEST(epoch_us(ts) // 1000000, 1704067200),
+               1735689599) - 1704067200) * 65536) // 31622400 AS y,
+             CAST(0 AS BIGINT) AS d
+           FROM events)"""
+    val rounds = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      s""",
+         r${k + 1} AS MATERIALIZED (
+           SELECT event_id,
+             CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0
+               THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+             CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0
+               THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+             d + $s*$s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+               CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+           FROM r$k)"""
+    }.mkString
+    head + rounds +
+      s"\nSELECT event_id, d FROM r$bits ORDER BY d, event_id"
+  }
+
   /** DuckDB-runnable oracle per query (same parquet tables, same column
     * names, same rounding, same ordering). */
   def oracleSql: Map[String, String] = Map(
+    "q233_hilbert_curve" -> hilbertOracleSql(16),
     "q54_sql_frontend" -> sharedSqlQ3,
     "q56_correlated_subquery" -> sharedSqlQ17,
     "q45_grouping_sets" -> sharedSqlGroupingSets,

@@ -83,6 +83,61 @@ object ZOrder {
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
 
+  /** HILBERT curve position (xy→d, the classic per-bit
+    * reflect-and-rotate recurrence) — the better-locality layout
+    * face: unlike Z, the Hilbert curve never jumps (consecutive d are
+    * Manhattan-adjacent cells — an EXACT property, specced as a
+    * bijection + adjacency walk over a full grid), so a file owning a
+    * contiguous d-range has a tighter bounding box than the same-size
+    * z-range, which is the whole game for footer-stats pruning.
+    *
+    * Inputs are already-bucketed coordinates in [0, 2^bits) (compose
+    * with [[bucket]] for wide domains — same contract as
+    * [[graft.sources.Sinks.mortonCode2]]'s checked raw domain).
+    *
+    * Shape: the recurrence carries (x, y, d) state across `bits`
+    * rounds, so a single Column expression would DOUBLE its tree per
+    * round (x feeds both next-x and next-y) — 2^bits nodes by the
+    * end. Instead each round lands in named columns via one
+    * `select` per round: rx/ry/nx/ny are small when-trees over the
+    * PREVIOUS round's attributes, Catalyst's CollapseProject keeps
+    * non-cheap expressions un-inlined, and whole-stage codegen fuses
+    * the ~`bits` projections into one pass — the plan is linear in
+    * `bits`, not exponential. Hence a DataFrame transform, not a
+    * Column. */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (hx, hy, rx, ry) = ("__graft_hx", "__graft_hy", "__graft_rx", "__graft_ry")
+    var cur = df.select(col("*"), x.cast("long").as(hx),
+      y.cast("long").as(hy), lit(0L).as(out))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      cur = cur.select(col("*"),
+        when(col(hx).bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)).as(rx),
+        when(col(hy).bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)).as(ry))
+      val nd = col(out) + lit(s) * lit(s) *
+        (lit(3L) * col(rx)).bitwiseXOR(col(ry))
+      // rot: if ry == 0 { if rx == 1 reflect; swap } else keep
+      val nx = when(col(ry) === 0,
+        when(col(rx) === 1, lit(s - 1) - col(hy)).otherwise(col(hy)))
+        .otherwise(col(hx))
+      val ny = when(col(ry) === 0,
+        when(col(rx) === 1, lit(s - 1) - col(hx)).otherwise(col(hx)))
+        .otherwise(col(hy))
+      cur = cur
+        .withColumn("__graft_nd", nd)
+        .withColumn("__graft_nx", nx)
+        .withColumn("__graft_ny", ny)
+        .drop(hx, hy, rx, ry, out)
+        .withColumnRenamed("__graft_nx", hx)
+        .withColumnRenamed("__graft_ny", hy)
+        .withColumnRenamed("__graft_nd", out)
+      s >>= 1
+    }
+    cur.drop(hx, hy)
+  }
+
   /** The read-side pruning metric the layout exists for: how many
     * files must a box query (`xLo ≤ x ≤ xHi ∧ yLo ≤ y ≤ yHi`) open?
     * Computes each file's footer-equivalent (min, max) per dimension

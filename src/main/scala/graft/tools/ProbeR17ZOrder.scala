@@ -41,7 +41,16 @@ object ProbeR17ZOrder {
           col("user_id"), 0L, 9999L, col("sec"), tMin, tMax, bits = 16), 128)
         .write.mode("overwrite").parquet(s"$base/z")
     }
-    println(f"PROBE_R17 write: linear $wLin%.1f s, zorder $wZ%.1f s (10M rows, 128 files)")
+    val (_, wH) = timed {
+      val bucketed = df
+        .withColumn("__bx", ZOrder.bucket(col("user_id"), 0L, 9999L, 16))
+        .withColumn("__by", ZOrder.bucket(col("sec"), tMin, tMax, 16))
+      ZOrder.withHilbert(bucketed, col("__bx"), col("__by"), 16, "__d")
+        .repartitionByRange(128, col("__d")).sortWithinPartitions("__d")
+        .drop("__bx", "__by", "__d")
+        .write.mode("overwrite").parquet(s"$base/hilbert")
+    }
+    println(f"PROBE_R17 write: linear $wLin%.1f s, zorder $wZ%.1f s, hilbert $wH%.1f s (10M rows, 128 files)")
 
     // 1%-wide slices: both dims, user only, time only
     val boxes = Seq(
@@ -49,7 +58,7 @@ object ProbeR17ZOrder {
       ("user-only", 5000L, 5099L, tMin, tMax),
       ("time-only", 0L, 9999L, tMin + 15000000L, tMin + 15316224L))
     for ((name, uLo, uHi, sLo, sHi) <- boxes) {
-      for (layout <- Seq("linear", "z")) {
+      for (layout <- Seq("linear", "z", "hilbert")) {
         val dir = s"$base/$layout"
         val (touched, total) = ZOrder.filesTouched(dir, spark,
           "user_id", uLo, uHi, "sec", sLo, sHi)

@@ -78,6 +78,58 @@ class ZOrderSpec extends SparkSpec {
     assert(zT2 <= 16, s"z should touch ~one block row, got $zT2")
   }
 
+  /** Independent JVM statement of the Hilbert recurrence. */
+  private def hilbertRef(x0: Long, y0: Long, bits: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert matches the reference recurrence (bits=16, mixed inputs)") {
+    val rows = (0 until 1500).map { i =>
+      (i.toLong, (i * 2654435761L) % 65536L, (i * 40503L) % 65536L)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val got = ZOrder.withHilbert(df, $"x", $"y", 16, "d")
+      .select($"id", $"d").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, x, y) =>
+      assert(got(id) === hilbertRef(x, y, 16), s"id=$id x=$x y=$y")
+    }
+  }
+
+  test("hilbert is a bijection whose consecutive positions are grid-adjacent") {
+    // the property Z-order famously lacks: on the full 32x32 grid,
+    // d is exactly 0..1023 and |dx|+|dy| == 1 between neighbors on
+    // the curve — no jumps, hence the tighter per-file boxes.
+    val grid = spark.range(0, 1024L)
+      .select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"))
+    val walk = ZOrder.withHilbert(grid, $"x", $"y", 5, "d")
+      .select($"d", $"x", $"y").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(walk.map(_._1).toSeq === (0L until 1024L), "bijection")
+    walk.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1L,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
+
+  test("hilbert plan stays linear in bits (no exponential expression blowup)") {
+    val df = spark.range(0, 10L).select(($"id" % 4).as("x"), ($"id" % 3).as("y"))
+    val plan = ZOrder.withHilbert(df, $"x", $"y", 16, "d")
+      .queryExecution.executedPlan.toString
+    assert(plan.length < 2000000, s"plan string ${plan.length} chars")
+  }
+
   test("bucket guards degenerate ranges and bit widths") {
     intercept[IllegalArgumentException] {
       ZOrder.bucket($"x", 10L, 10L, 8)
