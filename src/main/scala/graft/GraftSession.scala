@@ -127,7 +127,11 @@ object GraftSession {
   /** Local session for tests / ad-hoc runs. */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft"),
+      SparkSession.builder().master(s"local[$cpus]").appName("graft")
+        // the production injection path for graft's Catalyst surface
+        // (TopKPerKey strategy + the conf-dormant range-join rewrite)
+        // — the same class a cluster names via spark.sql.extensions
+        .withExtensions(new graft.plans.GraftExtensions),
       cpus
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

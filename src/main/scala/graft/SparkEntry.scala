@@ -5220,6 +5220,15 @@ object SparkEntry {
     // if the per-stage entries stay flat
     "q221_dataloader_e2e")
 
+  /** Sixth bench group (round 10): the layout curves and the SQL
+    * range-join rewrite — pure-compute entries (curve arithmetic +
+    * the rewritten join), regression-visible from their birth round.
+    * Store-lifecycle queries (q231/q232) stay out: bench pays real
+    * builds by design, and the lifecycle cost story lives with the
+    * other store families in the curation group's q146 class. */
+  val benchLayoutQueries: Seq[String] = Seq(
+    "q229_zorder_curve", "q233_hilbert_curve", "q228_sql_range_rule")
+
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
     * surfaces — the q193/q198 discipline for multimodal. */

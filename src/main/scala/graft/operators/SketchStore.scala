@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   * Store layout: `<name>_hll` (grp string, sk binary) — one row per
   * group; `<name>_hll_params` (lg_k int). All corpus-sized passes are
   * one partial-agg-friendly groupBy; every store-sized pass is
-  * groups-sized. */
+  * groups-sized.
+  *
+  * TAKEDOWN LIMITATION (stated, not hidden): HLL registers are
+  * monotone — union-only, not invertible — so this store cannot
+  * honor a purge list in place the way the count/sample/index stores
+  * do. Takedown semantics = [[initStore]] over the retained corpus
+  * (one pass, the same cost as the original build); anything subtler
+  * (e.g. per-wave sketch retention for bounded rewind) buys
+  * complexity the distinct-count use case doesn't need. */
 object SketchStore {
 
   def initStore(docs: DataFrame, name: String, grpCol: String,
