@@ -4158,9 +4158,15 @@ object SparkEntry {
     // EXACT per-group distinct counts are computed in-engine and
     // hash-matched against DuckDB's COUNT(DISTINCT), while the two
     // sketch claims ride as ok-bits — ok_rel (estimate within 5% of
-    // exact at lgK=12) and ok_eq_fresh (maintained store estimate ≡
-    // fresh single-pass sketch — exact by register-max associativity,
-    // the q206-class equality, not a tolerance).
+    // exact at lgK=12) and ok_near_fresh (maintained store estimate
+    // within 1% of the fresh single-pass sketch). NOT exact equality,
+    // deliberately: union equivalence holds at the REGISTER level,
+    // but DataSketches serves the HIP estimator from a directly-built
+    // sketch and only the composite estimator from a merged dense one
+    // — so estimate equality is a sparse-mode accident (it held at
+    // sf0.01, broke at sf0.1 where groups cross ~1k distincts; the
+    // measured gap is ≤0.4% in the crossing band and 0 at scale,
+    // ProbeHllDivergence).
     "q231_hll_store" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"), col("event_id"))
@@ -4193,8 +4199,8 @@ object SparkEntry {
         .select(col("event_type"), col("exact_distinct"),
           (abs(col("n_distinct_est") - col("exact_distinct"))
             / col("exact_distinct") <= 0.05).cast("int").as("ok_rel"),
-          (col("n_distinct_est") === col("fresh_est"))
-            .cast("int").as("ok_eq_fresh"))
+          (abs(col("n_distinct_est") - col("fresh_est"))
+            / col("fresh_est") <= 0.01).cast("int").as("ok_near_fresh"))
         .orderBy(col("event_type"))
     }),
 
@@ -7553,7 +7559,7 @@ object SparkEntry {
     // implementation, so only the EXACT counts can hash-match)
     "q231_hll_store" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
-           1 AS ok_rel, 1 AS ok_eq_fresh
+           1 AS ok_rel, 1 AS ok_near_fresh
          FROM events GROUP BY event_type ORDER BY event_type""",
     // q232: same hybrid shape as q231, with the SQL-served estimate
     // on the sketch legs

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   * register-wise max (one tiny merge per wave, no corpus re-scan, no
   * raw-id retention — which also matters when ids are user
   * identifiers a standing store should not keep). HLL union is
-  * register-wise max, so maintained-across-waves ≡ sketched-fresh on
-  * the union BY CONSTRUCTION — Spark's own partial aggregation
-  * already computes `hll_sketch_agg` as a union of per-partition
-  * sketches, so the wave split is the same operation at a coarser
-  * grain (the SampleStore associativity argument, replayed for
-  * registers; gated as estimate equality in q231 and specced directly).
+  * register-wise max, so maintained-across-waves ≡ sketched-fresh at
+  * the REGISTER level by construction — Spark's own partial
+  * aggregation already computes `hll_sketch_agg` as a union of
+  * per-partition sketches, so the wave split is the same operation at
+  * a coarser grain. The served ESTIMATES, however, are only
+  * near-equal once sketches go dense: DataSketches serves the HIP
+  * estimator from a directly-built sketch but only the composite
+  * estimator from a merged dense one, so exact estimate equality is a
+  * sparse-mode property (measured: equality below ~1k distincts/group,
+  * ≤0.4% relative gap in the sparse→dense crossing band, 0 again at
+  * 10⁴–10⁶ — ProbeHllDivergence; q231 gates maintained-within-1%-of-
+  * fresh plus both-within-5%-of-exact).
   *
   * Store layout: `<name>_hll` (grp string, sk binary) — one row per
   * group; `<name>_hll_params` (lg_k int). All corpus-sized passes are

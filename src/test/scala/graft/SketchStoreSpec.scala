@@ -10,7 +10,10 @@ class SketchStoreSpec extends SparkSpec {
   private lazy val ev = Tables.events(spark, sf0001)
     .select($"event_type", $"user_id", $"event_id")
 
-  test("maintained across 3 waves == fresh single-pass sketch (register-max associativity)") {
+  // exact estimate equality is a SPARSE-MODE property (coupon replay
+  // preserves the HIP estimator below ~1k distincts per group); the
+  // dense-regime contract is the 1% closeness test below
+  test("maintained across 3 waves == fresh single-pass sketch (sparse mode: exact)") {
     SketchStore.initStore(ev.filter($"event_id" % 3 === 0),
       "graft_tsk_a", "event_type", "user_id", lgK = 12)
     SketchStore.applyBatch(ev.filter($"event_id" % 3 === 1),
@@ -34,6 +37,31 @@ class SketchStoreSpec extends SparkSpec {
     assert(est.keySet === exact.keySet)
     exact.foreach { case (g, n) =>
       assert(math.abs(est(g) - n).toDouble / n <= 0.05, s"$g: est ${est(g)} exact $n")
+    }
+  }
+
+  test("dense regime: maintained within 1% of fresh (HIP vs composite estimator gap)") {
+    // 90k distinct ids split in 3 waves — every sketch dense at
+    // lgK=12, so the direct build serves HIP while the merged store
+    // serves the composite estimator over the SAME registers; the
+    // measured gap is 0 here and <=0.4% in the crossing band
+    // (ProbeHllDivergence), gated at 1%
+    val big = spark.range(0, 90000L)
+      .selectExpr("CAST(id % 3 AS STRING) AS grp", "id", "id AS wave")
+    SketchStore.initStore(big.filter($"id" % 7 < 3),
+      "graft_tsk_dense", "grp", "id", lgK = 12)
+    SketchStore.applyBatch(big.filter($"id" % 7 >= 3 && $"id" % 7 < 5),
+      "graft_tsk_dense", "grp", "id", 1L)
+    SketchStore.applyBatch(big.filter($"id" % 7 >= 5),
+      "graft_tsk_dense", "grp", "id", 2L)
+    SketchStore.initStore(big, "graft_tsk_dense_f", "grp", "id", lgK = 12)
+    val m = SketchStore.estimate(spark, "graft_tsk_dense")
+      .as[(String, Long)].collect().toMap
+    val f = SketchStore.estimate(spark, "graft_tsk_dense_f")
+      .as[(String, Long)].collect().toMap
+    f.foreach { case (g, fv) =>
+      assert(math.abs(m(g) - fv).toDouble / fv <= 0.01, s"$g: ${m(g)} vs $fv")
+      assert(math.abs(fv - 30000L).toDouble / 30000L <= 0.05, s"$g accuracy: $fv")
     }
   }
 
