@@ -44,6 +44,15 @@ object ZOrder {
   def bucket(c: Column, min: Long, max: Long, bits: Int): Column = {
     require(max > min, s"degenerate range [$min, $max]")
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // (v − min)·2^bits must stay < 2⁵³ or the double division stops
+    // being exactly integer division (silently shifting bucket
+    // boundaries AND diverging from any //-based mirror, e.g. the
+    // q229/q233 oracles). Fail loud at construction: callers with
+    // wider domains coarsen units first (q229 buckets SECONDS, not
+    // the 3e13-wide micros range).
+    require(max - min < (1L << (53 - bits)),
+      s"range [$min, $max] too wide for exact $bits-bit bucketing " +
+        s"(max span ${(1L << (53 - bits)) - 1}); coarsen the units first")
     val clamped = least(greatest(c.cast("long"), lit(min)), lit(max))
     floor((clamped - min) * (1L << bits) / (max - min + 1)).cast("long")
   }
@@ -108,9 +117,20 @@ object ZOrder {
   def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
       out: String): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // same fail-loud domain contract as mortonCode2's checked(): an
+    // out-of-range coordinate would silently alias cells 2^bits apart
+    // and break the adjacency/bounding-box property the layout exists
+    // for; negatives would corrupt the reflect arithmetic
+    val max = 1L << bits
+    def checked(c: Column) = {
+      val l = c.cast("long")
+      when(l < 0 || l >= max, raise_error(concat(
+        lit(s"withHilbert: input outside [0, $max): "), l.cast("string"))))
+        .otherwise(l)
+    }
     val (hx, hy, rx, ry) = ("__graft_hx", "__graft_hy", "__graft_rx", "__graft_ry")
-    var cur = df.select(col("*"), x.cast("long").as(hx),
-      y.cast("long").as(hy), lit(0L).as(out))
+    var cur = df.select(col("*"), checked(x).as(hx),
+      checked(y).as(hy), lit(0L).as(out))
     var s = 1L << (bits - 1)
     while (s > 0) {
       cur = cur.select(col("*"),

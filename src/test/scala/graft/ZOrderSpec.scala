@@ -130,12 +130,25 @@ class ZOrderSpec extends SparkSpec {
     assert(plan.length < 2000000, s"plan string ${plan.length} chars")
   }
 
-  test("bucket guards degenerate ranges and bit widths") {
+  test("bucket guards degenerate ranges, bit widths, and exactness-breaking spans") {
     intercept[IllegalArgumentException] {
       ZOrder.bucket($"x", 10L, 10L, 8)
     }
     intercept[IllegalArgumentException] {
       ZOrder.bucket($"x", 0L, 10L, 32)
     }
+    // a micros-scale year at 16 bits would overflow the 2^53 exact
+    // window — must fail at construction, not mis-bucket silently
+    intercept[IllegalArgumentException] {
+      ZOrder.bucket($"x", 0L, (1L << 38), 16)
+    }
+  }
+
+  test("hilbert fails loud on out-of-domain coordinates (no silent aliasing)") {
+    val bad = Seq((1L, 5L, 40L)).toDF("id", "x", "y") // y >= 2^5
+    val e = intercept[Exception] {
+      ZOrder.withHilbert(bad, $"x", $"y", 5, "d").collect()
+    }
+    assert(e.getMessage != null)
   }
 }
