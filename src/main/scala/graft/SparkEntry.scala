@@ -4268,6 +4268,17 @@ object SparkEntry {
         .orderBy(col("d"), col("event_id"))
     }),
 
+    // q234: the data-profiling report (per-column n / nulls / EXACT
+    // distincts / min-max) — one corpus pass (multi-countDistinct
+    // plans as a single Expand + shuffle, not k scans), pivoted to
+    // the tall report by stack over the one aggregated row. Fully
+    // hash-matched: counts are integers, min/max surface only for
+    // types whose textual form is engine-identical (integrals,
+    // byte-ordered strings).
+    "q234_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7567,6 +7578,33 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
            1 AS ok_rel, 1 AS ok_sql_eq_df
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // q234: one UNION ALL leg per profiled column — DuckDB's VARCHAR
+    // comparison is byte-ordered like Spark's UTF8String, so string
+    // min/max hash-match too
+    "q234_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+             COUNT(*) - COUNT(doc_id) AS n_null,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+             CAST(MAX(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+             CAST(MAX(n_chars) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+             COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+             CAST(MAX(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+             COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
+             CAST(MAX(text) AS VARCHAR) FROM documents)
+         SELECT * FROM p ORDER BY col_name""",
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so
     // Spark's floor(double) and DuckDB's // agree bit-for-bit)
