@@ -523,6 +523,40 @@ class PlanSpec extends SparkSpec {
       "composite handoffs must stay equi-joined:\n" + p)
   }
 
+  test("q228 rewritten range join: bin equi-join + interval explode, no nested loop") {
+    // q228 returns a localCheckpointed frame (conf scoping), so pin
+    // the armed SQL's own plan the way the query builds it
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("p"))
+      .createOrReplaceTempView("graft_q228_events")
+    graft.plans.RangeJoinRewrite.install(spark)
+    spark.conf.set(graft.plans.RangeJoinRewrite.BIN_CONF, "3600000000")
+    try {
+      val p = spark.sql(
+        """SELECT iv.event_id AS purchase_id, e.event_id, e.user_id
+           FROM (SELECT event_id, p AS s0, p + 3600000000 AS e0
+                 FROM graft_q228_events
+                 WHERE event_type = 'purchase' AND event_id % 97 = 0) iv
+           JOIN graft_q228_events e
+             ON e.p >= iv.s0 AND e.p < iv.e0""")
+        .queryExecution.executedPlan.toString
+      // positive shape, not just absence: the rule's plan is an
+      // equi-join on the manufactured bins fed by the interval explode
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), "bin equi-join lost:\n" + p)
+      assert(p.contains("Generate"), "interval bin explode lost:\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_CONF)
+  }
+
+  test("q234 profile: one Expand-fused pass, no per-column scan union") {
+    val p = planOf("q234_profile")
+    assert(p.contains("Expand"), "multi-distinct must fuse via Expand:\n" + p)
+    assert(!p.toLowerCase.contains("union"), "per-column scans would union:\n" + p)
+  }
+
   test("q222 collocations: global top-k plans as TakeOrdered, no vocabulary-wide sort") {
     val p = planOf("q222_collocations")
     assert(p.contains("TakeOrderedAndProject"),

@@ -624,4 +624,74 @@ class PropertySpec extends SparkSpec {
       assert(binned === naive, s"seed ${9100 + i} w=$w")
     }
   }
+
+  test("range rewrite RULE: armed SQL equals dormant SQL on random instances and shapes") {
+    import graft.plans.RangeJoinRewrite
+    val shapes = Seq("p >= s AND p < e", "p > s AND p <= e",
+      "s <= p AND e > p", "p >= s AND p <= e")
+    val gen = for {
+      np <- Gen.choose(5, 50)
+      ni <- Gen.choose(1, 25)
+      ps <- Gen.listOfN(np, Gen.choose(-60L, 120L))
+      is <- Gen.listOfN(ni, for {
+        st <- Gen.choose(-60L, 120L)
+        len <- Gen.choose(-10L, 40L) // negatives ⇒ reversed bounds
+      } yield (st, st + len))
+    } yield (ps, is)
+    RangeJoinRewrite.install(spark)
+    (1 to 8).foreach { i =>
+      val (ps, is) = gen(Gen.Parameters.default, Seed(9200L + i)).get
+      ps.zipWithIndex.map { case (p, j) => (j.toLong, p) }
+        .toDF("pid", "p").createOrReplaceTempView("prop_rr_pts")
+      is.zipWithIndex.map { case ((s, e), j) => (j.toLong, s, e) }
+        .toDF("ivid", "s", "e").createOrReplaceTempView("prop_rr_ivs")
+      val sql = s"SELECT pid, ivid FROM prop_rr_pts JOIN prop_rr_ivs ON ${shapes(i % 4)}"
+      val dormant = spark.sql(sql).as[(Long, Long)].collect().toSet
+      spark.conf.set(RangeJoinRewrite.BIN_CONF, (1L + i * 5 % 23).toString)
+      try {
+        val df = spark.sql(sql)
+        assert(df.queryExecution.sparkPlan.toString.contains("__graft_bin"),
+          s"seed ${9200 + i}: rule did not fire")
+        assert(df.as[(Long, Long)].collect().toSet === dormant,
+          s"seed ${9200 + i} shape ${shapes(i % 4)}")
+      } finally spark.conf.unset(RangeJoinRewrite.BIN_CONF)
+    }
+  }
+
+  test("z-curve: dominance monotone — x1<=x2 and y1<=y2 implies z1<=z2 (random)") {
+    import graft.operators.ZOrder
+    val pairGen = Gen.listOfN(400,
+      Gen.zip(Gen.choose(0L, 500000L), Gen.choose(0L, 500000L),
+        Gen.choose(0L, 500000L), Gen.choose(0L, 500000L)))
+    val rows = pairGen(Gen.Parameters.default, Seed(9300L)).get
+      .map { case (a, b, c, d) =>
+        // force dominance: second point = first + nonneg deltas
+        (math.min(a, 500000L), math.min(b, 500000L),
+          math.min(a + c % 100000L, 500000L), math.min(b + d % 100000L, 500000L))
+      }
+    val df = rows.zipWithIndex.map { case ((x1, y1, x2, y2), i) =>
+      (i.toLong, x1, y1, x2, y2) }.toDF("i", "x1", "y1", "x2", "y2")
+    val bad = df.select(
+        ZOrder.zvalue2($"x1", 0L, 500000L, $"y1", 0L, 500000L, 16).as("z1"),
+        ZOrder.zvalue2($"x2", 0L, 500000L, $"y2", 0L, 500000L, 16).as("z2"))
+      .filter($"z1" > $"z2").count()
+    assert(bad === 0L)
+  }
+
+  test("hilbert: bijection + unit-step adjacency on full grids across bit widths") {
+    import graft.operators.ZOrder
+    for (bits <- Seq(2, 3, 4, 6)) {
+      val side = 1L << bits
+      val n = side * side
+      val grid = spark.range(0, n)
+        .select(($"id" % side).as("x"), ($"id" / side).cast("long").as("y"))
+      val walk = ZOrder.withHilbert(grid, $"x", $"y", bits, "d")
+        .select($"d", $"x", $"y").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(walk.map(_._1).toSeq === (0L until n), s"bits=$bits bijection")
+      walk.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1L, s"bits=$bits jump")
+      }
+    }
+  }
 }
