@@ -4279,6 +4279,24 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // q235: the 3-D curve (entity × time × shard) — q229's gate shape
+    // with the stride-3 dilation; the third dimension here is the
+    // event's hash shard, the (id × time × placement) layout a
+    // sharded 100 TB event store actually wants. Same declared-range
+    // discipline; DuckDB replays the three bucketings and all five
+    // stride-3 mask steps.
+    "q235_zorder3_curve" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+        .select(col("event_id"), graft.operators.ZOrder.zvalue3(
+            col("user_id"), 0L, 99999L,
+            col("sec"), 1704067200L, 1735689599L,
+            pmod(col("event_id"), lit(1024L)), 0L, 1023L,
+            bits = 10).as("z"))
+        .orderBy(col("z"), col("event_id"))
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7605,6 +7623,37 @@ object SparkEntry {
              COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
              CAST(MAX(text) AS VARCHAR) FROM documents)
          SELECT * FROM p ORDER BY col_name""",
+    // q235: three bucketings + the stride-3 cascade, shift-for-shift
+    "q235_zorder3_curve" ->
+      """WITH b AS (
+           SELECT event_id,
+             (LEAST(GREATEST(user_id, 0), 99999) * 1024) // 100000 AS x,
+             ((LEAST(GREATEST(epoch_us(ts) // 1000000, 1704067200),
+               1735689599) - 1704067200) * 1024) // 31622400 AS y,
+             (((event_id % 1024) + 1024) % 1024 * 1024) // 1024 AS z
+           FROM events),
+         s1 AS (SELECT event_id,
+             (x | (x << 32)) & 8725724278095871 AS x,
+             (y | (y << 32)) & 8725724278095871 AS y,
+             (z | (z << 32)) & 8725724278095871 AS z FROM b),
+         s2 AS (SELECT event_id,
+             (x | (x << 16)) & 8725728556220671 AS x,
+             (y | (y << 16)) & 8725728556220671 AS y,
+             (z | (z << 16)) & 8725728556220671 AS z FROM s1),
+         s3 AS (SELECT event_id,
+             (x | (x << 8)) & 1157144660301377551 AS x,
+             (y | (y << 8)) & 1157144660301377551 AS y,
+             (z | (z << 8)) & 1157144660301377551 AS z FROM s2),
+         s4 AS (SELECT event_id,
+             (x | (x << 4)) & 1207822528635744451 AS x,
+             (y | (y << 4)) & 1207822528635744451 AS y,
+             (z | (z << 4)) & 1207822528635744451 AS z FROM s3),
+         s5 AS (SELECT event_id,
+             (x | (x << 2)) & 1317624576693539401 AS x,
+             (y | (y << 2)) & 1317624576693539401 AS y,
+             (z | (z << 2)) & 1317624576693539401 AS z FROM s4)
+         SELECT event_id, (x | (y << 1) | (z << 2)) AS z FROM s5
+         ORDER BY z, event_id""",
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so
     // Spark's floor(double) and DuckDB's // agree bit-for-bit)

@@ -80,6 +80,33 @@ object ZOrder {
     spread(bucket(x, xMin, xMax, bits))
       .bitwiseOR(shiftleft(spread(bucket(y, yMin, yMax, bits)), 1))
 
+  /** 3-way Morton dilation: the low 21 bits of `c` fan out to
+    * positions 0,3,6,…,60 — same cascade idea as [[spread]] with the
+    * stride-3 mask set. */
+  def spread3(c: Column): Column = {
+    val steps = Seq(
+      32 -> 8725724278095871L,   // 0x001F00000000FFFF
+      16 -> 8725728556220671L,   // 0x001F0000FF0000FF
+      8 -> 1157144660301377551L, // 0x100F00F00F00F00F
+      4 -> 1207822528635744451L, // 0x10C30C30C30C30C3
+      2 -> 1317624576693539401L) // 0x1249249249249249
+    steps.foldLeft(c.bitwiseAND(lit(2097151L))) { case (x, (sh, mask)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 3-D z-value — the (entity × time × shard)-style layout: three
+    * declared-range bucketed dimensions interleaved x→0,3,…, y→1,4,…,
+    * z→2,5,…; `bits ≤ 20` keeps 3·bits ≤ 60 non-negative. */
+  def zvalue3(x: Column, xMin: Long, xMax: Long,
+      y: Column, yMin: Long, yMax: Long,
+      z: Column, zMin: Long, zMax: Long, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    spread3(bucket(x, xMin, xMax, bits))
+      .bitwiseOR(shiftleft(spread3(bucket(y, yMin, yMax, bits)), 1))
+      .bitwiseOR(shiftleft(spread3(bucket(z, zMin, zMax, bits)), 2))
+  }
+
   /** Lay `df` out along the curve: range-partition by z (each output
     * file owns a contiguous curve segment — a tight box in BOTH
     * dimensions), sort within partitions so row-group stats are tight

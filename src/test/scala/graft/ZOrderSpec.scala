@@ -78,6 +78,29 @@ class ZOrderSpec extends SparkSpec {
     assert(zT2 <= 16, s"z should touch ~one block row, got $zT2")
   }
 
+  test("zvalue3 reproduces the bit-loop reference interleave") {
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (d, i) =>
+        d | ((x >> i) & 1) << (3 * i) | ((y >> i) & 1) << (3 * i + 1) |
+          ((z >> i) & 1) << (3 * i + 2)
+      }
+    def bucketRef3(v: Long, max: Long, bits: Int): Long =
+      math.min(math.max(v, 0L), max) * (1L << bits) / (max + 1)
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, (i * 2654435761L) % 5000L, (i * 40503L) % 7001L,
+        (i * 7919L) % 1024L)
+    }
+    val got = rows.toDF("id", "x", "y", "zz")
+      .select($"id", ZOrder.zvalue3($"x", 0L, 4999L, $"y", 0L, 7000L,
+        $"zz", 0L, 1023L, bits = 10).as("d"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, x, y, z) =>
+      val want = ref3(bucketRef3(x, 4999L, 10), bucketRef3(y, 7000L, 10),
+        bucketRef3(z, 1023L, 10), 10)
+      assert(got(id) === want, s"id=$id")
+    }
+  }
+
   /** Independent JVM statement of the Hilbert recurrence. */
   private def hilbertRef(x0: Long, y0: Long, bits: Int): Long = {
     var (x, y, d) = (x0, y0, 0L)
