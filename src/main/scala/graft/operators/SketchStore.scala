@@ -3,8 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** STANDING DISTINCT-COUNT SKETCHES — per-group HLL (DataSketches,
-  * Spark's `hll_sketch_agg` family) maintained across ingest waves
+/** STANDING DISTINCT-COUNT SKETCHES — per-group HLL (HyperLogLog,
+  * Flajolet et al. 2007, as implemented by Apache DataSketches behind
+  * Spark's `hll_sketch_agg` family; the HIP estimator asymmetry noted
+  * below is Ting 2014 / the DataSketches HIP documentation)
+  * maintained across ingest waves
   * under the CountStore lifecycle (the NbStore/LmStore/SampleStore
   * discipline: `__building` torn-write marker, `_applied` batch
   * ledger, fail-loud serve guard).

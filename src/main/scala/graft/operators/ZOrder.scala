@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Z-ORDER (Morton-curve) data layout — the storage-side lever the
+/** Z-ORDER (Morton-curve, Morton 1966; Hilbert curve per Hilbert
+  * 1891 via the standard published xy→d reflect-rotate formulation)
+  * data layout — the storage-side lever the
   * scan-heavy operators lean on at 100 TB. A table sorted on ONE
   * column prunes scans on that column only; a table laid out by the
   * interleaved bits of TWO dimensions clusters rows that are close in
