@@ -4297,6 +4297,41 @@ object SparkEntry {
         .orderBy(col("z"), col("event_id"))
     }),
 
+    // q236: the NOT EXISTS range-window EXCLUSION under the driver
+    // gate — the decontamination shape ("drop every event inside any
+    // flagged purchase's 1-hour window") that Catalyst turns into a
+    // LeftAnti join with only range conjuncts: stock Spark can only
+    // plan it as a BroadcastNestedLoopJoin; the armed rule turns it
+    // into an anti equi-join on bins. Same scoping as q228
+    // (localCheckpoint + conf unset), same oracle discipline (DuckDB
+    // evaluates the ORIGINAL subquery SQL), and the in-query require
+    // pins that no nested loop survived.
+    "q236_sql_range_anti" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("p"))
+        .createOrReplaceTempView("graft_q236_events")
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BIN_CONF,
+        3600000000L.toString)
+      try {
+        val out = s.sql(
+          """SELECT e.event_id, e.user_id FROM graft_q236_events e
+             WHERE NOT EXISTS (
+               SELECT 1 FROM (SELECT p AS s0, p + 3600000000 AS e0
+                              FROM graft_q236_events
+                              WHERE event_type = 'purchase'
+                                AND event_id % 97 = 0) iv
+               WHERE e.p >= iv.s0 AND e.p < iv.e0)
+             ORDER BY event_id""")
+        val plan = out.queryExecution.sparkPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"),
+          "range anti-join rewrite did not fire:\n" + plan)
+        out.localCheckpoint()
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BIN_CONF)
+    }),
+
     // q229: Z-ORDER layout arithmetic under the driver gate — the
     // Morton curve (clamp → fixed-range bucket → mask-cascade bit
     // spread → interleave) computed over (user_id × event second),
@@ -7623,6 +7658,18 @@ object SparkEntry {
              COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
              CAST(MAX(text) AS VARCHAR) FROM documents)
          SELECT * FROM p ORDER BY col_name""",
+    // q236: the original NOT EXISTS SQL, evaluated DuckDB's own way
+    "q236_sql_range_anti" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS p
+           FROM events),
+         iv AS (
+           SELECT p AS s0, p + 3600000000 AS e0
+           FROM ev WHERE event_type = 'purchase' AND event_id % 97 = 0)
+         SELECT e.event_id, e.user_id FROM ev e
+         WHERE NOT EXISTS (
+           SELECT 1 FROM iv WHERE e.p >= iv.s0 AND e.p < iv.e0)
+         ORDER BY event_id""",
     // q235: three bucketings + the stride-3 cascade, shift-for-shift
     "q235_zorder3_curve" ->
       """WITH b AS (

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -30,7 +30,10 @@ import org.apache.spark.sql.types._
   * saves.
   *
   * FIRES on: an inner-like join (Inner, or Cross carrying a pushed
-  * predicate — the `FROM a, b WHERE …` form) whose condition contains a lower bound
+  * predicate — the `FROM a, b WHERE …` form), or a LeftSemi/LeftAnti
+  * whose PRESERVED side carries the point (the `WHERE [NOT] EXISTS`
+  * decontamination-window shape after Catalyst's subquery rewrite),
+  * whose condition contains a lower bound
   * `p >= s` / `p > s` and an upper bound `p < e` / `p <= e` on the
   * same expression `p`, where `p` references only one side, `s` and
   * `e` only the other, all three deterministic and of integral type —
@@ -91,7 +94,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // CROSS JOINs arrive as Cross with the predicate pushed into the
       // condition by the main optimizer batches (which run before
       // user-provided rules); both are inner-like for planning.
-      case j @ Join(_, _, Inner | Cross, Some(_), _) =>
+      // LeftSemi/LeftAnti: `WHERE [NOT] EXISTS (… p BETWEEN s AND e)`
+      // — RewritePredicateSubquery has already turned the subquery
+      // into exactly these join types by the time user rules run, and
+      // a range-only EXISTS is the same nested-loop hazard (the
+      // decontamination-window pattern: "drop every event inside any
+      // incident window"). Only the point-side-preserved orientation
+      // rewrites — see the guard in rewrite().
+      case j @ Join(_, _, Inner | Cross | LeftSemi | LeftAnti, Some(_), _) =>
         rewrite(j, w).getOrElse(j)
     }
   }
@@ -160,7 +170,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
     }.take(1).toSeq.headOption
 
-    hit.map { case (p, s, e, upperInclusive, pointOnLeft) =>
+    // Semi/anti joins preserve ONLY the left side: exploding a
+    // preserved interval side would duplicate its rows in semi output
+    // (one per matching bin) — semantics semi joins must never have.
+    // So those join types rewrite only when the point is on the left
+    // (the exploded side is then the discarded probe side, where
+    // duplication is invisible). Exactness for anti: a left row is
+    // dropped iff some exploded row shares its bin AND satisfies the
+    // original condition — the same exists-set as the naive join,
+    // since every satisfying pair shares the point's one bin; null
+    // points match nothing in both forms and stay kept.
+    val preservedOnly = j.joinType == LeftSemi || j.joinType == LeftAnti
+
+    hit.filter { case (_, _, _, _, pointOnLeft) =>
+      !preservedOnly || pointOnLeft
+    }.map { case (p, s, e, upperInclusive, pointOnLeft) =>
       // All arithmetic over LongType, binning over exact doubles —
       // identical to RangeJoin.binned:70 (⌊x/w⌋ exact for integral x).
       def asLong(x: Expression): Expression =
@@ -197,8 +221,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight) =
         if (pointOnLeft) (ptSide, ivSide) else (ivSide, ptSide)
       val newCond = And(EqualTo(ptBin.toAttribute, binAttr), cond)
+      val newType = if (preservedOnly) j.joinType else Inner
       Project(j.output,
-        Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+        Join(newLeft, newRight, newType, Some(newCond), j.hint))
     }
   }
   /** Ensure the rule is available on this session (idempotent) — the

@@ -73,6 +73,53 @@ class RangeJoinRuleSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("NOT EXISTS range subquery (LeftAnti) rewrites — the decontamination-window shape") {
+    fixture
+    val sql = """SELECT pt_id FROM rjr_pts
+                 WHERE NOT EXISTS (SELECT 1 FROM rjr_ivs
+                                   WHERE p >= s AND p < e)"""
+    val naive = spark.sql(sql).as[Long].collect().toSet
+    val (got, plan) = withRule(16L) {
+      val df = spark.sql(sql)
+      (df.as[Long].collect().toSet, df.queryExecution.executedPlan.toString)
+    }
+    assert(got === naive)
+    assert(plan.contains("__graft_bin") && !plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    // null points match nothing and must survive the anti join
+    assert(naive.contains(49L), "null-p row must be kept by NOT EXISTS")
+  }
+
+  test("EXISTS range subquery (LeftSemi) rewrites and matches dormant") {
+    fixture
+    val sql = """SELECT pt_id FROM rjr_pts
+                 WHERE EXISTS (SELECT 1 FROM rjr_ivs
+                               WHERE p >= s AND p < e)"""
+    val naive = spark.sql(sql).as[Long].collect().toSet
+    val (got, plan) = withRule(16L) {
+      val df = spark.sql(sql)
+      (df.as[Long].collect().toSet, df.queryExecution.executedPlan.toString)
+    }
+    assert(got === naive)
+    assert(plan.contains("__graft_bin"), plan)
+  }
+
+  test("semi with the INTERVAL side preserved stands down (explode would duplicate)") {
+    fixture
+    // intervals containing >=1 point: the preserved side would be the
+    // exploded one — the rule must leave this to the nested loop
+    val sql = """SELECT iv_id FROM rjr_ivs
+                 WHERE EXISTS (SELECT 1 FROM rjr_pts
+                               WHERE p >= s AND p < e)"""
+    val naive = spark.sql(sql).as[Long].collect().toSet
+    val (got, plan) = withRule(16L) {
+      val df = spark.sql(sql)
+      (df.as[Long].collect().toSet, df.queryExecution.executedPlan.toString)
+    }
+    assert(got === naive)
+    assert(!plan.contains("__graft_bin"), plan)
+  }
+
   test("dormant (conf unset) the naive join really is a nested loop") {
     fixture
     val plan = spark.sql(
