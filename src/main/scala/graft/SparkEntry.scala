@@ -5297,7 +5297,8 @@ object SparkEntry {
     * builds by design, and the lifecycle cost story lives with the
     * other store families in the curation group's q146 class. */
   val benchLayoutQueries: Seq[String] = Seq(
-    "q229_zorder_curve", "q233_hilbert_curve", "q228_sql_range_rule")
+    "q229_zorder_curve", "q233_hilbert_curve", "q228_sql_range_rule",
+    "q236_sql_range_anti")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
