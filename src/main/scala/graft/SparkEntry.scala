@@ -4144,8 +4144,10 @@ object SparkEntry {
       s.sql(
         s"""SELECT grp AS lang, id AS doc_id, rank FROM (
               SELECT grp, id, row_number() OVER (PARTITION BY grp ORDER BY
-                round(pow(((id % 1000003 * 2654435761) % 4294967296 + 1)
-                    / 4294967297.0, 1.0 / w), 6) DESC, id) AS rank
+                round(pow(((((id % 2147483647) * 2654435761) % 2147483647)
+                      * 2147483629
+                      + ((id % 2147483629) * 2246822519) % 2147483629 + 1)
+                    / 4611686018427387904.0, 1.0 / w), 6) DESC, id) AS rank
               FROM ${name}_sample) t
             WHERE rank <= (SELECT max(k) FROM ${name}_sample_params)
             ORDER BY lang, rank""")
@@ -6773,8 +6775,10 @@ object SparkEntry {
     "q101_weighted_sample" ->
       """SELECT lang, doc_id, rank FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
-             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
-                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+             round(pow(((((doc_id % 2147483647) * 2654435761) % 2147483647)
+                   * 2147483629
+                   + ((doc_id % 2147483629) * 2246822519) % 2147483629 + 1)
+                 / 4611686018427387904.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY lang, rank""",
     // q97: weights written as the exact literals the Scala passes
@@ -7590,8 +7594,10 @@ object SparkEntry {
     "q227_sample_store" ->
       """SELECT lang, doc_id, rank FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
-             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
-                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+             round(pow(((((doc_id % 2147483647) * 2654435761) % 2147483647)
+                   * 2147483629
+                   + ((doc_id % 2147483629) * 2246822519) % 2147483629 + 1)
+                 / 4611686018427387904.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY lang, rank""",
     // q228: the ORIGINAL (pre-rewrite) theta-join SQL — DuckDB plans
@@ -7614,8 +7620,10 @@ object SparkEntry {
     "q230_sql_sample_serve" ->
       """SELECT lang, doc_id, rank FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
-             round(pow(((doc_id % 1000003 * 2654435761) % 4294967296 + 1)
-                 / 4294967297.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
+             round(pow(((((doc_id % 2147483647) * 2654435761) % 2147483647)
+                   * 2147483629
+                   + ((doc_id % 2147483629) * 2246822519) % 2147483629 + 1)
+                 / 4611686018427387904.0, 1.0 / n_chars), 6) DESC, doc_id) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY lang, rank""",
     // q231: exact distinct counts are the cross-engine leg; the
@@ -8448,7 +8456,8 @@ object SparkEntry {
       """WITH t AS (
            SELECT lang, doc_id,
              len(string_split(lower(trim(text)), ' '))::BIGINT AS tokens,
-             ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+             (((doc_id % 2147483647) * 2654435761) % 2147483647) * 2147483629
+               + ((doc_id % 2147483629) * 2246822519) % 2147483629 AS h
            FROM documents),
          b(lang, budget) AS (VALUES
            ('en', 5000), ('de', 1500), ('es', 2000), ('fr', 1000), ('zh', 2500)),
@@ -8665,7 +8674,10 @@ object SparkEntry {
          dd AS (SELECT ntext, min(doc_id) AS doc_id FROM lf GROUP BY ntext),
          tr AS (
            SELECT * FROM dd
-           WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 90),
+           WHERE ((((doc_id % 2147483647) * 2654435761) % 2147483647)
+                  * 2147483629
+                  + ((doc_id % 2147483629) * 2246822519) % 2147483629)
+                 % 100 < 90),
          tok AS (SELECT 1 AS i, 'raw' AS stage, count(*) AS n_docs,
              coalesce(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 0)::BIGINT AS n_tokens
            FROM documents

@@ -34,8 +34,14 @@ import org.apache.spark.sql.functions._
   * scorer needs ONLY the observed (class, token) count table (Zipf-
   * bounded), never the dense vocab × classes smoothing grid: absent
   * join rows ARE the smoothed zeros. Out-of-vocabulary tokens fall out
-  * the same way (count 0 in every class — they shift all classes
-  * equally via the n_d·ln(T_c+V) term and decide nothing).
+  * the same way (count 0 in every class, contributing nothing to the
+  * Σ) but still count in n_d, so each OOV token adds a CLASS-DEPENDENT
+  * −ln(T_c + V): they act as vocabulary items unseen in every class
+  * and bias the argmax toward classes with smaller token mass — the
+  * same treatment an in-vocab token unseen in class c gets, just
+  * applied in every class. (Standard "drop OOV entirely" NB would
+  * instead exclude them from n_d; this engine's form keeps them, is
+  * deterministic, and is what the q217 oracle pins.)
   *
   * Scale shape: fit = one narrow explode + two count aggregations
   * (map-side combine; model size = observed pairs, ≪ corpus tokens).

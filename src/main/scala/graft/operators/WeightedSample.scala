@@ -13,10 +13,11 @@ import graft.plans.TopKPerKey
   * pipeline takes a length-weighted document sample per language
   * without a global sort or a sequential scan.
   *
-  * Determinism: u derives from the same integer hash the engine's other
-  * sampling ops use (q47/q49/q72's multiplicative hash — portable
-  * integer arithmetic, identical in any engine), shifted into (0, 1] so
-  * pow is defined at every row. Priorities are rounded to 6 decimals
+  * Determinism: u derives from a portable integer hash (the
+  * [[EpochShuffle.epochKey]] CRT two-prime construction — exact
+  * integer arithmetic, identical in any engine, injective up to
+  * ~4.6e18 ids so priorities never collide in blocks at corpus
+  * scale), shifted off zero so pow is defined at every row. Priorities are rounded to 6 decimals
   * before ranking: Spark's java.lang.Math.pow and another engine's
   * libm may differ in the last ulp, and the round puts both on the
   * same grid (ties then break by id — total order).
@@ -28,14 +29,35 @@ import graft.plans.TopKPerKey
   * silently reordered (u^(1/w) is monotone-in-u only for w > 0). */
 object WeightedSample {
 
-  /** Portable multiplicative integer hash of `id` in [0, 2^32) — the
-    * q47/q49/q72 arithmetic, exact in any engine. */
-  def portableHash(id: Column): Column =
-    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+  /** Portable integer hash of `id` in [0, p1·p2) ≈ [0, 4.6e18) — the
+    * [[EpochShuffle.epochKey]] CRT construction (epoch 0): two
+    * independent multiplicative rounds modulo distinct 31-bit primes,
+    * combined as k1·p2 + k2 with p1 = 2147483647, p2 = 2147483629,
+    * M1 = 2654435761, M2 = 2246822519. Each round is a bijection of
+    * its residue ring (gcd(M, p) = 1), so by CRT the combined key is
+    * INJECTIVE over ids up to p1·p2 ≈ 4.6e18 — a true permutation
+    * key at any corpus size. (The pre-round-11 mod-1000003 key had
+    * only ~1e6 distinct values: at the 1e9-doc scale, priorities
+    * collided in blocks and equal-weight ties fell back to
+    * ascending-id order, breaking the ES inclusion-∝-weight claim.)
+    * Every intermediate product is < 2^63, so the arithmetic is EXACT
+    * integer math any engine mirrors without overflow hops. */
+  def portableHash(id: Column): Column = {
+    val k1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
+      lit(2147483647L))
+    val k2 = pmod(pmod(id, lit(2147483629L)) * lit(2246822519L),
+      lit(2147483629L))
+    k1 * lit(2147483629L) + k2
+  }
 
-  /** Uniform in (0, 1] from the portable integer hash of `id`. */
+  /** Uniform in (0, p1·p2/2^62] ⊂ (0, 1) from [[portableHash]]. The
+    * divisor is 2^62 — a power of two, EXACTLY representable as a
+    * double in any engine — rather than p1·p2 + 1 (whose nearest
+    * double is engine-parser-dependent rounding territory); the
+    * ~1e-9 of unreachable headroom below 1.0 is a deterministic
+    * rescale, not a bias. */
   def uniform(id: Column): Column =
-    (portableHash(id) + 1) / lit(4294967297.0)
+    (portableHash(id) + 1) / lit(4611686018427387904.0)
 
   /** ES priority: u(id)^(1/w), rounded to the cross-engine grid. */
   def priority(id: Column, weight: Column): Column =
@@ -93,10 +115,13 @@ object WeightedSample {
   def tokenBudgetSample(docs: DataFrame, groupCol: String, idCol: String,
       tokensCol: Column, budgets: Map[String, Long],
       buckets: Int = 1024): DataFrame = {
-    require(buckets > 0 && 4294967296L % buckets == 0,
-      "buckets must divide 2^32 so bucket index is monotone in the hash")
+    require(buckets > 0 && 4611686018427387904L % buckets == 0,
+      "buckets must divide 2^62 so every bucket has the same width")
     val spark = docs.sparkSession
-    val width = 4294967296L / buckets
+    // hash keys live in [0, p1*p2) < 2^62, so index < buckets always;
+    // floor(h/width) is monotone in h, so bucket-then-hash order IS
+    // hash order
+    val width = 4611686018427387904L / buckets
     val base = docs.select(
       col(groupCol), col(idCol),
       tokensCol.cast("long").as("__tok"),

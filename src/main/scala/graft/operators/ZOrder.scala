@@ -52,7 +52,12 @@ object ZOrder {
     // q229/q233 oracles). Fail loud at construction: callers with
     // wider domains coarsen units first (q229 buckets SECONDS, not
     // the 3e13-wide micros range).
-    require(max - min < (1L << (53 - bits)),
+    // BigInt, not Long: max − min itself overflows for extreme
+    // declared ranges (min near Long.MinValue, max positive), and an
+    // overflowed NEGATIVE span would sail through a Long compare —
+    // turning the fail-loud guard into division-by-zero / garbage
+    // buckets downstream.
+    require(BigInt(max) - BigInt(min) < BigInt(1L << (53 - bits)),
       s"range [$min, $max] too wide for exact $bits-bit bucketing " +
         s"(max span ${(1L << (53 - bits)) - 1}); coarsen the units first")
     val clamped = least(greatest(c.cast("long"), lit(min)), lit(max))

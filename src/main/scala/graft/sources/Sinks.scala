@@ -21,15 +21,28 @@ object Sinks {
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
-  /** Knuth multiplicative hash shard of an integer id — the q47/q49/
-    * q72 split arithmetic ([[graft.operators.WeightedSample.portableHash]],
-    * the single home of the constants) reduced to N shards: exact
-    * BIGINT arithmetic, engine-neutral, reproducible at any
-    * parallelism with no RNG state. */
+  /** Knuth multiplicative hash of an integer id in [0, 2^32) — the
+    * q47/q49/q72 split arithmetic. Deliberately NOT
+    * [[graft.operators.WeightedSample.portableHash]]'s CRT 64-bit key:
+    * sharding and checksumming need UNIFORMITY, not injectivity (ids
+    * 1000003 apart landing in the same shard is harmless balance-wise;
+    * a weighted sample's colliding priorities are not), and the
+    * [[shardManifest]] checksum's exactness bound — BIGINT sum of
+    * per-row terms — requires terms < 2^32 to stay exact to 2^31 rows
+    * per shard. */
+  private[graft] def shardHash(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+  }
+
+  /** [[shardHash]] reduced to N shards: exact BIGINT arithmetic,
+    * engine-neutral, reproducible at any parallelism with no RNG
+    * state. */
   def hashShard(id: org.apache.spark.sql.Column,
       nShards: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    pmod(graft.operators.WeightedSample.portableHash(id), lit(nShards.toLong))
+    pmod(shardHash(id), lit(nShards.toLong))
   }
 
   /** Deterministic training-shard delivery: the corpus written as
@@ -157,17 +170,16 @@ object Sinks {
       path: String, idCol: String = "doc_id",
       charsCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.functions._
-    // id_checksum: per-row terms are < 2^32 ([[graft.operators
-    // .WeightedSample.portableHash]]), so the BIGINT sum is exact up
-    // to 2^31 rows PER SHARD — size nShards so shards stay under that
-    // (any layout a data loader can consume already does); past it the
-    // non-ANSI sum would wrap where the oracle's promotes.
+    // id_checksum: per-row terms are < 2^32 ([[shardHash]]), so the
+    // BIGINT sum is exact up to 2^31 rows PER SHARD — size nShards so
+    // shards stay under that (any layout a data loader can consume
+    // already does); past it the non-ANSI sum would wrap where the
+    // oracle's promotes.
     spark.read.parquet(path)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(charsCol)).as("total_chars"),
-        sum(graft.operators.WeightedSample.portableHash(col(idCol)))
-          .as("id_checksum"))
+        sum(shardHash(col(idCol))).as("id_checksum"))
       .orderBy(col("shard"))
   }
 
@@ -244,7 +256,12 @@ object Sinks {
         lit(s"mortonCode2: input outside [0, $max): "), l.cast("string"))))
         .otherwise(l)
     }
-    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    // bits ≤ 31, matching zvalue2's 2·bits ≤ 62 rule: at bits = 32,
+    // y's bit 31 would interleave into bit position 63 — the SIGN bit
+    // — so top-quadrant codes would go negative and a signed Long sort
+    // would no longer follow the curve (negatives sort first),
+    // silently breaking the clustering contract.
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     graft.operators.ZOrder.spread(checked(x))
       .bitwiseOR(shiftleft(graft.operators.ZOrder.spread(checked(y)), 1))
   }

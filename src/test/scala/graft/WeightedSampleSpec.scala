@@ -72,7 +72,9 @@ class WeightedSampleSpec extends SparkSpec {
     * order, maximal prefix with cumsum <= budget. */
   private def budgetTruth(rows: Seq[(String, Long, Long)],
       budgets: Map[String, Long]): Set[(String, Long)] = {
-    def h(id: Long) = ((id % 1000003L) * 2654435761L) % 4294967296L
+    def h(id: Long) =
+      (id % 2147483647L) * 2654435761L % 2147483647L * 2147483629L +
+        (id % 2147483629L) * 2246822519L % 2147483629L
     // .toSeq first: flatMap on the Map itself would re-collect the
     // (group, id) pairs INTO a Map and keep one doc per group
     rows.groupBy(_._1).toSeq.flatMap { case (g, docs) =>
