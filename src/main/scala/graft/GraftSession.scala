@@ -122,6 +122,33 @@ object GraftSession {
       graft.operators.Chunking.chunkTexts(GraftBridge.column(es(0)),
         es(1).eval().asInstanceOf[Number].intValue,
         es(2).eval().asInstanceOf[Number].intValue)), "built-in")
+    // SQL faces for the LAYOUT curves (round 11): a SQL-only user can
+    // lay tables out along the Morton/Hilbert curves with the SAME
+    // arithmetic the DataFrame operators compose — q241/q242 hash-gate
+    // them by sharing q229/q235's oracles verbatim; hilbert_d is the
+    // native codegen expression, gated through q243 against q233's
+    // generated round-for-round oracle. Range/bits parameterize the
+    // GENERATED tree (plan-shape, not data), so they must be literals —
+    // eval() at registration, the chunk_texts discipline.
+    def longArg(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        i: Int): Long = es(i).eval().asInstanceOf[Number].longValue
+    reg.createOrReplaceTempFunction("zvalue2", es => GraftBridge.resolvedExpression(
+      graft.operators.ZOrder.zvalue2(
+        GraftBridge.column(es(0)), longArg(es, 1), longArg(es, 2),
+        GraftBridge.column(es(3)), longArg(es, 4), longArg(es, 5),
+        bits = longArg(es, 6).toInt)), "built-in")
+    reg.createOrReplaceTempFunction("zvalue3", es => GraftBridge.resolvedExpression(
+      graft.operators.ZOrder.zvalue3(
+        GraftBridge.column(es(0)), longArg(es, 1), longArg(es, 2),
+        GraftBridge.column(es(3)), longArg(es, 4), longArg(es, 5),
+        GraftBridge.column(es(6)), longArg(es, 7), longArg(es, 8),
+        bits = longArg(es, 9).toInt)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_d",
+      es => graft.functions.HilbertIndex(es(0), es(1),
+        longArg(es, 2).toInt), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_d3",
+      es => graft.functions.HilbertIndex3(es(0), es(1), es(2),
+        longArg(es, 3).toInt), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

@@ -4281,6 +4281,29 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // q240: the NO-EXPAND profiling face (round-10 verdict #7) —
+    // approxProfile's plan aggregates all k columns in one pass over
+    // UNMULTIPLIED rows (PlanSpec pins the absence of Expand), so
+    // profiled-column count stops being a shuffle-volume multiplier:
+    // the shape that profiles a 200-column table at 100 TB. Gate: the
+    // exact columns (n, n_null, min/max) hash-match the same DuckDB
+    // report q234 uses, and the HLL++ estimate is pinned within rsd=5%
+    // of the exact distinct per column (ok_rel, a constant-truth bit
+    // the oracle mirrors as literal 1 — the q137 discipline).
+    "q240_approx_profile" -> ((s, d) => {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val docs = Tables.documents(s, d)
+      val approx = graft.operators.Profile.approxProfile(docs, cols, rsd = 0.05)
+      val exact = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_distinct"))
+      approx.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"),
+          when(abs(col("n_distinct_est") - col("n_distinct"))
+            <= col("n_distinct") * 0.05, 1).otherwise(0).as("ok_rel"))
+        .orderBy(col("col_name"))
+    }),
+
     // q235: the 3-D curve (entity × time × shard) — q229's gate shape
     // with the stride-3 dilation; the third dimension here is the
     // event's hash shard, the (id × time × placement) layout a
@@ -4297,6 +4320,74 @@ object SparkEntry {
             pmod(col("event_id"), lit(1024L)), 0L, 1023L,
             bits = 10).as("z"))
         .orderBy(col("z"), col("event_id"))
+    }),
+
+    // q241/q242/q243: the LAYOUT-CURVE SQL faces (round-10 verdict
+    // #8) — a SQL-only user lays tables out along the Morton/Hilbert
+    // curves through registered scalars (`zvalue2`/`zvalue3` re-wrap
+    // the ZOrder Column compositions; `hilbert_d` is the native
+    // codegen expression — one source of semantics per curve), each
+    // hash-gated by SHARING its DataFrame counterpart's oracle
+    // verbatim (q229/q235/q233 — one truth, two engine surfaces).
+    "q241_sql_zorder" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.events(s, d).createOrReplaceTempView("events_q241")
+      s.sql("""
+        SELECT event_id,
+          zvalue2(user_id, 0, 99999,
+            unix_micros(cast(ts as timestamp)) div 1000000,
+            1704067200, 1735689599, 16) AS z
+        FROM events_q241 ORDER BY z, event_id""")
+    }),
+
+    "q242_sql_zorder3" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.events(s, d).createOrReplaceTempView("events_q242")
+      s.sql("""
+        SELECT event_id,
+          zvalue3(user_id, 0, 99999,
+            unix_micros(cast(ts as timestamp)) div 1000000,
+            1704067200, 1735689599,
+            pmod(event_id, 1024), 0, 1023, 10) AS z
+        FROM events_q242 ORDER BY z, event_id""")
+    }),
+
+    // q243: hilbert_d over SQL-side bucket arithmetic — the bucket's
+    // floor(double) ≡ integer `div` equivalence (every product < 2^53)
+    // is the same exactness argument the q229 oracle documents.
+    "q243_sql_hilbert" -> ((s, d) => {
+      GraftSession.registerFunctions(s)
+      Tables.events(s, d).createOrReplaceTempView("events_q243")
+      s.sql("""
+        SELECT event_id,
+          hilbert_d(
+            (least(greatest(user_id, 0), 99999) * 65536) div 100000,
+            ((least(greatest(unix_micros(cast(ts as timestamp)) div 1000000,
+              1704067200), 1735689599) - 1704067200) * 65536) div 31622400,
+            16) AS d
+        FROM events_q243 ORDER BY d, event_id""")
+    }),
+
+    // q244: the 3-D HILBERT curve (round-10 verdict #5) — the
+    // entity × time × shard layout finally gets the no-jump curve
+    // instead of settling for 3-D Morton (q235). Skilling transform
+    // (inverse-undo + Gray + stride-3 interleave), gated against a
+    // GENERATED DuckDB oracle replaying every step (the q233
+    // discipline); HilbertExprSpec pins full-grid bijection +
+    // unit-step adjacency, ProbeR17 measures the blind-spot-box win
+    // over zvalue3.
+    "q244_hilbert3_curve" -> ((s, d) => {
+      import graft.operators.ZOrder
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+        .select(col("event_id"),
+          ZOrder.bucket(col("user_id"), 0L, 99999L, 10).as("bx"),
+          ZOrder.bucket(col("sec"), 1704067200L, 1735689599L, 10).as("by"),
+          ZOrder.bucket(pmod(col("event_id"), lit(1024L)), 0L, 1023L, 10).as("bz"))
+        .select(col("event_id"),
+          ZOrder.hilbertIndex3(col("bx"), col("by"), col("bz"), 10).as("d"))
+        .orderBy(col("d"), col("event_id"))
     }),
 
     // q236: the NOT EXISTS range-window EXCLUSION under the driver
@@ -5300,7 +5391,10 @@ object SparkEntry {
     * other store families in the curation group's q146 class. */
   val benchLayoutQueries: Seq[String] = Seq(
     "q229_zorder_curve", "q233_hilbert_curve", "q228_sql_range_rule",
-    "q236_sql_range_anti")
+    "q236_sql_range_anti",
+    // round 11: the 3-D Hilbert curve, tracked from ITS birth round
+    // (pure compute — the Skilling kernel inside whole-stage codegen)
+    "q244_hilbert3_curve")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
@@ -5550,6 +5644,139 @@ object SparkEntry {
     }.mkString
     head + rounds +
       s"\nSELECT event_id, d FROM r$bits ORDER BY d, event_id"
+  }
+
+  /** q229's oracle — the 2-D Morton dilation replayed shift-for-shift;
+    * shared verbatim by q241 (the zvalue2 SQL face). */
+  private val zorder2OracleSql: String =
+    """WITH ev AS (
+         SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+         FROM events),
+       b AS (
+         SELECT event_id,
+           (LEAST(GREATEST(user_id, 0), 99999) * 65536) // 100000 AS x,
+           ((LEAST(GREATEST(sec, 1704067200), 1735689599)
+             - 1704067200) * 65536) // 31622400 AS y
+         FROM ev),
+       s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+                (y | (y << 16)) & 281470681808895 AS y FROM b),
+       s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+                (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+       s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+                (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+       s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+                (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+       s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+                (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+       SELECT event_id, (x | (y << 1)) AS z FROM s5
+       ORDER BY z, event_id"""
+
+  /** q235's oracle — the 3-D stride-3 cascade; shared verbatim by
+    * q242 (the zvalue3 SQL face). */
+  private val oracleSqlShared235: String =
+    """WITH b AS (
+         SELECT event_id,
+           (LEAST(GREATEST(user_id, 0), 99999) * 1024) // 100000 AS x,
+           ((LEAST(GREATEST(epoch_us(ts) // 1000000, 1704067200),
+             1735689599) - 1704067200) * 1024) // 31622400 AS y,
+           (((event_id % 1024) + 1024) % 1024 * 1024) // 1024 AS z
+         FROM events),
+       s1 AS (SELECT event_id,
+           (x | (x << 32)) & 8725724278095871 AS x,
+           (y | (y << 32)) & 8725724278095871 AS y,
+           (z | (z << 32)) & 8725724278095871 AS z FROM b),
+       s2 AS (SELECT event_id,
+           (x | (x << 16)) & 8725728556220671 AS x,
+           (y | (y << 16)) & 8725728556220671 AS y,
+           (z | (z << 16)) & 8725728556220671 AS z FROM s1),
+       s3 AS (SELECT event_id,
+           (x | (x << 8)) & 1157144660301377551 AS x,
+           (y | (y << 8)) & 1157144660301377551 AS y,
+           (z | (z << 8)) & 1157144660301377551 AS z FROM s2),
+       s4 AS (SELECT event_id,
+           (x | (x << 4)) & 1207822528635744451 AS x,
+           (y | (y << 4)) & 1207822528635744451 AS y,
+           (z | (z << 4)) & 1207822528635744451 AS z FROM s3),
+       s5 AS (SELECT event_id,
+           (x | (x << 2)) & 1317624576693539401 AS x,
+           (y | (y << 2)) & 1317624576693539401 AS y,
+           (z | (z << 2)) & 1317624576693539401 AS z FROM s4)
+       SELECT event_id, (x | (y << 1) | (z << 2)) AS z FROM s5
+       ORDER BY z, event_id"""
+
+  /** q244's oracle, GENERATED step-for-step from the Skilling
+    * transform (HilbertCurve.index3's loop): one MATERIALIZED CTE per
+    * (Q, i) inverse-undo step, then Gray encode, the t-fold, and the
+    * stride-3 dilation cascade — the q233/q235 oracle discipline.
+    * Generated, not hand-typed, so the oracle cannot drift from the
+    * kernel; MATERIALIZED stops DuckDB from inlining the steps into an
+    * exponentially-duplicated tree (each step reads x0 several times). */
+  private def hilbert3OracleSql(bits: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH g0 AS MATERIALIZED (
+           SELECT event_id,
+             (LEAST(GREATEST(user_id, 0), 99999) * ${1L << bits}) // 100000 AS x0,
+             ((LEAST(GREATEST(epoch_us(ts) // 1000000, 1704067200),
+               1735689599) - 1704067200) * ${1L << bits}) // 31622400 AS x1,
+             (((event_id % 1024) + 1024) % 1024 * ${1L << bits}) // 1024 AS x2
+           FROM events)"""
+    var k = 0
+    // inverse undo: Q from 2^(bits-1) down to 2, dims 0,1,2 in order
+    for (e <- (1 until bits).reverse; i <- 0 until 3) {
+      val q = 1L << e; val p = q - 1
+      val prev = s"g$k"; k += 1
+      val step =
+        if (i == 0)
+          s"""SELECT event_id,
+              CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+              x1, x2 FROM $prev"""
+        else {
+          val xi = s"x$i"
+          val others = Seq(1, 2).filter(_ != i).map(j => s"x$j").mkString(", ")
+          s"""SELECT event_id,
+              CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p)
+                   ELSE xor(x0, xor(x0, $xi) & $p) END AS x0,
+              CASE WHEN ($xi & $q) <> 0 THEN $xi
+                   ELSE xor($xi, xor(x0, $xi) & $p) END AS $xi,
+              $others FROM $prev"""
+        }
+      sb ++= s",\n g$k AS MATERIALIZED ($step)"
+    }
+    // Gray encode (x2 uses the NEW x1)
+    sb ++= s""",\n gray AS MATERIALIZED (
+        SELECT event_id, x0, xor(x1, x0) AS x1,
+          xor(x2, xor(x1, x0)) AS x2 FROM g$k)"""
+    // t = xor-fold of (Q-1 | x2 bit Q set), Q from 2^(bits-1) down to 2
+    val tFold = (1 until bits).reverse.map { e =>
+      val q = 1L << e
+      s"CASE WHEN (x2 & $q) <> 0 THEN ${q - 1} ELSE 0 END"
+    }.reduceRight((a, b) => s"xor($a, $b)")
+    sb ++= s""",\n fin AS MATERIALIZED (
+        SELECT event_id, xor(x0, t) AS x0, xor(x1, t) AS x1,
+          xor(x2, t) AS x2
+        FROM (SELECT *, $tFold AS t FROM gray))"""
+    // stride-3 dilation (the q235 cascade) on the transposed words
+    val masks = Seq(
+      32 -> 8725724278095871L, 16 -> 8725728556220671L,
+      8 -> 1157144660301377551L, 4 -> 1207822528635744451L,
+      2 -> 1317624576693539401L)
+    var prev = "fin"
+    sb ++= s""",\n d0 AS MATERIALIZED (
+        SELECT event_id, x0 & 2097151 AS x0, x1 & 2097151 AS x1,
+          x2 & 2097151 AS x2 FROM fin)"""
+    prev = "d0"
+    masks.zipWithIndex.foreach { case ((sh, m), j) =>
+      sb ++= s""",\n d${j + 1} AS MATERIALIZED (
+          SELECT event_id, (x0 | (x0 << $sh)) & $m AS x0,
+            (x1 | (x1 << $sh)) & $m AS x1,
+            (x2 | (x2 << $sh)) & $m AS x2 FROM $prev)"""
+      prev = s"d${j + 1}"
+    }
+    // word 0 is the most significant bit of each 3-bit group
+    sb ++= s"""\nSELECT event_id, ((x0 << 2) | (x1 << 1) | x2) AS d
+        FROM $prev ORDER BY d, event_id"""
+    sb.toString
   }
 
   /** DuckDB-runnable oracle per query (same parquet tables, same column
@@ -7667,6 +7894,32 @@ object SparkEntry {
              COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
              CAST(MAX(text) AS VARCHAR) FROM documents)
          SELECT * FROM p ORDER BY col_name""",
+    // q240: the exact columns of the q234 report + the literal-1
+    // mirror of the in-engine approx-within-5% bit
+    "q240_approx_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+             COUNT(*) - COUNT(doc_id) AS n_null,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+             CAST(MAX(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+             CAST(MAX(n_chars) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+             COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+             CAST(MAX(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+             COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
+             CAST(MAX(text) AS VARCHAR) FROM documents)
+         SELECT *, 1 AS ok_rel FROM p ORDER BY col_name""",
     // q236: the original NOT EXISTS SQL, evaluated DuckDB's own way
     "q236_sql_range_anti" ->
       """WITH ev AS (
@@ -7680,61 +7933,20 @@ object SparkEntry {
            SELECT 1 FROM iv WHERE e.p >= iv.s0 AND e.p < iv.e0)
          ORDER BY event_id""",
     // q235: three bucketings + the stride-3 cascade, shift-for-shift
-    "q235_zorder3_curve" ->
-      """WITH b AS (
-           SELECT event_id,
-             (LEAST(GREATEST(user_id, 0), 99999) * 1024) // 100000 AS x,
-             ((LEAST(GREATEST(epoch_us(ts) // 1000000, 1704067200),
-               1735689599) - 1704067200) * 1024) // 31622400 AS y,
-             (((event_id % 1024) + 1024) % 1024 * 1024) // 1024 AS z
-           FROM events),
-         s1 AS (SELECT event_id,
-             (x | (x << 32)) & 8725724278095871 AS x,
-             (y | (y << 32)) & 8725724278095871 AS y,
-             (z | (z << 32)) & 8725724278095871 AS z FROM b),
-         s2 AS (SELECT event_id,
-             (x | (x << 16)) & 8725728556220671 AS x,
-             (y | (y << 16)) & 8725728556220671 AS y,
-             (z | (z << 16)) & 8725728556220671 AS z FROM s1),
-         s3 AS (SELECT event_id,
-             (x | (x << 8)) & 1157144660301377551 AS x,
-             (y | (y << 8)) & 1157144660301377551 AS y,
-             (z | (z << 8)) & 1157144660301377551 AS z FROM s2),
-         s4 AS (SELECT event_id,
-             (x | (x << 4)) & 1207822528635744451 AS x,
-             (y | (y << 4)) & 1207822528635744451 AS y,
-             (z | (z << 4)) & 1207822528635744451 AS z FROM s3),
-         s5 AS (SELECT event_id,
-             (x | (x << 2)) & 1317624576693539401 AS x,
-             (y | (y << 2)) & 1317624576693539401 AS y,
-             (z | (z << 2)) & 1317624576693539401 AS z FROM s4)
-         SELECT event_id, (x | (y << 1) | (z << 2)) AS z FROM s5
-         ORDER BY z, event_id""",
+    // (q242, the zvalue3 SQL face, shares it verbatim)
+    "q235_zorder3_curve" -> oracleSqlShared235,
     // q229: the Morton dilation replayed shift-for-shift (integer
     // floor-div buckets are exact here: every product < 2^53, so
-    // Spark's floor(double) and DuckDB's // agree bit-for-bit)
-    "q229_zorder_curve" ->
-      """WITH ev AS (
-           SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
-           FROM events),
-         b AS (
-           SELECT event_id,
-             (LEAST(GREATEST(user_id, 0), 99999) * 65536) // 100000 AS x,
-             ((LEAST(GREATEST(sec, 1704067200), 1735689599)
-               - 1704067200) * 65536) // 31622400 AS y
-           FROM ev),
-         s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
-                  (y | (y << 16)) & 281470681808895 AS y FROM b),
-         s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
-                  (y | (y << 8)) & 71777214294589695 AS y FROM s1),
-         s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
-                  (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
-         s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
-                  (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
-         s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
-                  (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
-         SELECT event_id, (x | (y << 1)) AS z FROM s5
-         ORDER BY z, event_id""",
+    // Spark's floor(double) and DuckDB's // agree bit-for-bit);
+    // q241 (the zvalue2 SQL face) shares it verbatim — one truth,
+    // two engine-side surfaces
+    "q229_zorder_curve" -> zorder2OracleSql,
+    "q241_sql_zorder" -> zorder2OracleSql,
+    // q242/q244: the zvalue3 SQL face and the 3-D Hilbert curve
+    "q242_sql_zorder3" -> oracleSqlShared235,
+    "q244_hilbert3_curve" -> hilbert3OracleSql(10),
+    // q243: the hilbert_d SQL face shares q233's generated oracle
+    "q243_sql_hilbert" -> hilbertOracleSql(16),
     // q214: term-for-term replay of trigramStupidBackoff — raw
     // relative frequencies, left-associated (α·c)/denom arithmetic
     // (α² via 0.4*0.4 so both engines fold the same double), CASE

@@ -192,6 +192,32 @@ object ZOrder {
     cur.drop(hx, hy)
   }
 
+  /** The 2-D Hilbert index as a scalar Column — the native-expression
+    * face of [[withHilbert]] (bit-identical curve, HilbertExprSpec
+    * pins the equality on a full grid). Same checked [0, 2^bits)
+    * domain. Use this form inside arbitrary expressions and SQL
+    * (`hilbert_d`); use [[withHilbert]] when you want the pure
+    * Column-free transform. */
+  def hilbertIndex2(x: Column, y: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.HilbertIndex(
+      GraftBridge.expression(x), GraftBridge.expression(y), bits))
+  }
+
+  /** The 3-D Hilbert index (Skilling transform) — the better-locality
+    * counterpart of [[zvalue3]] for the entity × time × shard layout:
+    * unlike 3-D Morton the curve never jumps, so a contiguous d-range
+    * owns a tighter 3-D box (ProbeR17's blind-spot measurement).
+    * Inputs are already-bucketed coordinates in [0, 2^bits) (compose
+    * with [[bucket]]); bits ≤ 20 keeps the index in a non-negative
+    * Long. SQL face: `hilbert_d3`. */
+  def hilbertIndex3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.HilbertIndex3(
+      GraftBridge.expression(x), GraftBridge.expression(y),
+      GraftBridge.expression(z), bits))
+  }
+
   /** The read-side pruning metric the layout exists for: how many
     * files must a box query (`xLo ≤ x ≤ xHi ∧ yLo ≤ y ≤ yHi`) open?
     * Computes each file's footer-equivalent (min, max) per dimension

@@ -557,6 +557,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("union"), "per-column scans would union:\n" + p)
   }
 
+  test("approxProfile: NO Expand — k columns profile over unmultiplied rows") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = graft.operators.Profile.approxProfile(docs,
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      "approx profiling must not multiply rows per column:\n" + p)
+    assert(!p.toLowerCase.contains("union"), "per-column scans would union:\n" + p)
+  }
+
   test("q222 collocations: global top-k plans as TakeOrdered, no vocabulary-wide sort") {
     val p = planOf("q222_collocations")
     assert(p.contains("TakeOrderedAndProject"),

@@ -34,5 +34,28 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.profile(Seq((1, 2)).toDF("a", "b"), Nil)
     }
+    intercept[IllegalArgumentException] {
+      Profile.approxProfile(Seq((1, 2)).toDF("a", "b"), Nil)
+    }
+  }
+
+  test("approxProfile: exact columns identical to profile, estimate within rsd") {
+    val df = graft.sources.Tables.documents(spark, sf0001)
+    val cols = Seq("doc_id", "lang", "n_chars", "source")
+    val exact = Profile.profile(df, cols)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = Profile.approxProfile(df, cols, rsd = 0.05)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    for (c <- cols) {
+      val e = exact(c); val a = approx(c)
+      // n, n_null, min, max are EXACT on both faces
+      assert((a._2, a._3, a._5, a._6) === ((e._2, e._3, e._5, e._6)), c)
+      // n_distinct_est within the estimator's documented error (the
+      // 5% rsd gives ~3-sigma headroom at these cardinalities)
+      assert(math.abs(a._4 - e._4) <= math.max(1L, (e._4 * 0.05).toLong),
+        s"$c: est ${a._4} vs exact ${e._4}")
+    }
   }
 }
