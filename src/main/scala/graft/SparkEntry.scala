@@ -3465,6 +3465,133 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // q245: the COUNT-MODEL stores under the gated-ingest fold
+    // (round-10 verdict #1, the round's headline) — ONE admission
+    // decision now maintains the text index AND the NB classifier,
+    // trigram LM, weighted sample and HLL sketch stores, through
+    // `countStoreFold` + the CorpusLog (departing docs' OLD payload
+    // resolved from the prefix-pruned log for the signed
+    // subtractions). Waves replay q171/q208's schedule, so the
+    // deterministic halves reuse its admitted-CTE oracle counts
+    // verbatim; the store halves are EXACT equality bits — count
+    // additivity makes maintained ≡ fresh-fit-of-the-live-set hold
+    // bit-for-bit (the q218/q219 equality, now under the admission
+    // gate), the sample equality holds by the dropDocs superset
+    // argument, and the sketch estimates match because the takedown
+    // wave re-inits over the same live rows a fresh build reads.
+    "q245_store_fold" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{CorpusLog, IndexMaintenance, IngestDedup}
+      import graft.operators.{CountStore, LmStore, NbStore, SampleStore, SketchStore}
+      val idx = "graft_q245_idx"; val sig = "graft_q245_sigs"
+      val log = "graft_q245_log"
+      val nb = "graft_q245_nb"; val lm = "graft_q245_lm"
+      val smp = "graft_q245_smp"; val hll = "graft_q245_hll"
+      val (fnb, flm, fsmp, fhll) = ("graft_q245_fnb", "graft_q245_flm",
+        "graft_q245_fsmp", "graft_q245_fhll")
+      IndexMaintenance.initStores(s, idx)
+      IngestDedup.initStore(s, sig)
+      graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
+      for (t <- Seq(log, log + "_applied",
+          nb + "_counts", nb + "_class", lm + "_tri", lm + "_bi", lm + "_uni",
+          smp + "_sample", smp + "_sample_params", hll + "_hll",
+          hll + "_hll_params",
+          fnb + "_counts", fnb + "_class", flm + "_tri", flm + "_bi",
+          flm + "_uni", fsmp + "_sample", fsmp + "_sample_params",
+          fhll + "_hll", fhll + "_hll_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      for (n <- Seq(log, nb, lm, smp, hll, fnb, flm, fsmp, fhll))
+        CountStore.setBuilding(s, n, on = false)
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint()
+      // TWO add waves (bootstrap + append-into-existing), then the
+      // edit/takedown wave — the admitted set (hence the oracle
+      // counts) is wave-count-independent because admission is
+      // order-independent; q208 keeps the three-wave replay, so this
+      // gate buys the same coverage one full fold-wave cheaper (the
+      // r10 verdict's gate-wall-time item)
+      val n = 2
+      val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+      val step = (maxId + n) / n
+      def wave(k: Int) = corpus
+        .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      val fold = IndexMaintenance.countStoreFold(s,
+        nbStore = Some((nb, "lang")), lmStore = Some(lm),
+        sampleStore = Some((smp, "source", "n_chars")), sampleK = 5,
+        sketchStore = Some((hll, "lang")), buckets = 8)
+      for (k <- 0 until n)
+        IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
+          ver = k + 1L, buckets = 8, docFold = Some((log, fold)))
+      val live3 = s.table(idx + "_doclens").select(col("doc_id")).localCheckpoint()
+      // wave 4: edits (%10==1 — new text AND heavier weight, so the
+      // sample's max-weight stale-claim path is exercised) + takedowns
+      val edits = corpus.join(live3, Seq("doc_id"), "left_semi")
+        .filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 7).as("n_chars"))
+      val dels = live3.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+      val d4 = IndexMaintenance.applyGatedUpserts(s, idx, sig,
+        edits.unionByName(dels), ver = 4L, buckets = 8,
+        docFold = Some((log, fold)))
+        .localCheckpoint()
+      val nEdited = d4.filter(col("status") === "changed").count()
+      val nRemoved = d4.filter(col("status") === "removed").count()
+      // the live admitted corpus, constructed INDEPENDENTLY of the log
+      // (index doclens minus tombstones, edit rule applied) — the log's
+      // live view must equal it, and the fresh fits consume it
+      val tomb =
+        if (s.catalog.tableExists(idx + "_tombstones"))
+          s.table(idx + "_tombstones").select(col("doc_id"))
+        else s.range(0).select(col("id").as("doc_id"))
+      val liveIds = s.table(idx + "_doclens").select(col("doc_id"))
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      val liveCorpus = corpus.join(liveIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 1,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+          col("lang"), col("source"),
+          when(pmod(col("doc_id"), lit(10)) === 1, col("n_chars") + 7)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .localCheckpoint()
+      // symmetric-difference probes as ONE job per comparison (union
+      // of both exceptAll legs), not two — the equality bits are the
+      // gate's dominant job count
+      def symEq(x: org.apache.spark.sql.DataFrame,
+          y: org.apache.spark.sql.DataFrame) =
+        x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty
+      val logLive = CorpusLog.live(s, log, "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val logOk = symEq(logLive, liveCorpus)
+      NbStore.initStore(liveCorpus, fnb, buckets = 8, labelCol = "lang")
+      LmStore.initStore(liveCorpus, flm, buckets = 8)
+      SampleStore.initStore(liveCorpus, fsmp, "source", "doc_id", "n_chars", k = 5)
+      SketchStore.initStore(liveCorpus, fhll, "lang", "doc_id")
+      def eq(a: String, b: String) = symEq(s.table(a), s.table(b))
+      val nbOk = eq(nb + "_counts", fnb + "_counts") && eq(nb + "_class", fnb + "_class")
+      val lmOk = eq(lm + "_tri", flm + "_tri") && eq(lm + "_bi", flm + "_bi") &&
+        eq(lm + "_uni", flm + "_uni")
+      val smpOk = eq(smp + "_sample", fsmp + "_sample")
+      val hllOk = symEq(SketchStore.estimate(s, hll),
+        SketchStore.estimate(s, fhll))
+      Seq(
+        ("lm_store_eq_fresh", if (lmOk) 1L else 0L),
+        ("log_live_eq_expected", if (logOk) 1L else 0L),
+        ("n_edited", nEdited),
+        ("n_live", liveIds.count()),
+        ("n_removed", nRemoved),
+        ("nb_store_eq_fresh", if (nbOk) 1L else 0L),
+        ("sample_store_eq_fresh", if (smpOk) 1L else 0L),
+        ("sketch_est_eq_fresh", if (hllOk) 1L else 0L))
+        .toDF("component", "val")
+        .orderBy(col("component"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -7613,6 +7740,38 @@ object SparkEntry {
            ('nsw_ids_subset_live', 1),
            ('nsw_serve_eq_fresh', 1),
            ('nsw_store_eq_fresh', 1)) t(component, val)
+         ORDER BY component""",
+    // q245: the SAME admitted-CTE counts as q208 (the waves replay
+    // q171's schedule and admission is order-independent), plus the
+    // count-model store halves as in-engine EXACT equality bits
+    // (maintained ≡ fresh fit of the live admitted set — count
+    // additivity for NB/LM, the dropDocs superset argument for the
+    // sample, re-init-over-the-same-rows for the sketch)
+    "q245_store_fold" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         adm AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+         SELECT * FROM (VALUES
+           ('lm_store_eq_fresh', 1),
+           ('log_live_eq_expected', 1),
+           ('n_edited', (SELECT count(*) FROM adm WHERE doc_id % 10 = 1)),
+           ('n_live', (SELECT count(*) FROM adm WHERE doc_id % 10 <> 2)),
+           ('n_removed', (SELECT count(*) FROM adm WHERE doc_id % 10 = 2)),
+           ('nb_store_eq_fresh', 1),
+           ('sample_store_eq_fresh', 1),
+           ('sketch_est_eq_fresh', 1)) t(component, val)
          ORDER BY component""",
     // q213: constant-truth hierarchy bits (recall floors measured
     // in-engine vs exact; equalities exact by construction)

@@ -68,16 +68,32 @@ object SketchStore {
     CountStore.requireServable(spark, name)
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val lgK = lgKOf(spark, name)
-      val merged = spark.table(s"${name}_hll")
-        .unionByName(sketched(batch, grpCol, idCol, lgK))
-        .groupBy(col("grp"))
-        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
-        .localCheckpoint() // settle BEFORE overwriting what we read
+      val merged = mergedWith(batch, name, grpCol, idCol)
       CountStore.applyOnce(spark, name, batchId) {
         graft.sources.Sinks.parquetTable(merged, s"${name}_hll")
       }
     }
+  }
+
+  /** Ledger-FREE register-max merge — the admission fold's put-side
+    * op (the fold carries its own batch ledger). */
+  def mergeDocs(batch: DataFrame, name: String, grpCol: String,
+      idCol: String): Unit = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    graft.sources.Sinks.parquetTable(
+      mergedWith(batch, name, grpCol, idCol), s"${name}_hll")
+  }
+
+  private def mergedWith(batch: DataFrame, name: String, grpCol: String,
+      idCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val lgK = lgKOf(spark, name)
+    spark.table(s"${name}_hll")
+      .unionByName(sketched(batch, grpCol, idCol, lgK))
+      .groupBy(col("grp"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .localCheckpoint() // settle BEFORE overwriting what we read
   }
 
   def maintainStream(docs: DataFrame, name: String, grpCol: String,

@@ -232,15 +232,66 @@ object SampleStore {
     CountStore.requireServable(spark, name)
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val k = spark.table(s"${name}_sample_params")
-        .head().getAs[Int]("k")
-      val merged = topK(
-        spark.table(s"${name}_sample")
-          .unionByName(canon(batch, grpCol, idCol, weightCol)), k)
-        .localCheckpoint() // settle BEFORE overwriting what we read
+      val merged = mergedWith(batch, name, grpCol, idCol, weightCol)
       CountStore.applyOnce(spark, name, batchId) {
         graft.sources.Sinks.parquetTable(merged, s"${name}_sample")
       }
+    }
+  }
+
+  /** Ledger-FREE merge — the admission fold's put-side op (the fold
+    * carries its own batch ledger, so a second ledger here would skip
+    * legitimate work). Same associative-combiner algebra as
+    * [[applyBatch]]. */
+  def mergeDocs(batch: DataFrame, name: String, grpCol: String,
+      idCol: String, weightCol: String): Unit = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    graft.sources.Sinks.parquetTable(
+      mergedWith(batch, name, grpCol, idCol, weightCol), s"${name}_sample")
+  }
+
+  private def mergedWith(batch: DataFrame, name: String, grpCol: String,
+      idCol: String, weightCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val k = spark.table(s"${name}_sample_params").head().getAs[Int]("k")
+    topK(spark.table(s"${name}_sample")
+        .unionByName(canon(batch, grpCol, idCol, weightCol)), k)
+      .localCheckpoint() // settle BEFORE overwriting what we read
+  }
+
+  /** TAKEDOWN/EDIT support for the admission fold. The sample's
+    * per-row deterministic priority makes departures cheap to
+    * classify: a departing id NOT in the stored sample cannot change
+    * it (top-k over a set that lost only below-k rows is the same
+    * top-k — priorities are per-row, so removals never promote), so
+    * those cost nothing; a departing id that IS sampled invalidates
+    * exactly its group, which refits from the live corpus (group-
+    * bounded store surgery; the live read is the stated full-pass —
+    * the SketchStore takedown class). Edits route here too (an edited
+    * doc's old weight/group claim must not survive — the max-weight
+    * merge would otherwise keep a higher OLD weight forever). The
+    * maintained-≡-fresh-fit equality is exact by the superset
+    * argument plus refit-by-construction; CountFoldSpec and q245 pin
+    * it. */
+  def dropDocs(spark: SparkSession, name: String, goneIds: DataFrame,
+      liveDocs: => DataFrame, grpCol: String, idCol: String,
+      weightCol: String): Unit = {
+    CountStore.requireServable(spark, name)
+    val store = spark.table(s"${name}_sample")
+    val gone = goneIds
+      .select(col(goneIds.columns.head).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val hitGroups = store.join(broadcast(gone), Seq("id"), "left_semi")
+      .select(col("grp")).distinct().localCheckpoint()
+    if (!hitGroups.isEmpty) {
+      val k = spark.table(s"${name}_sample_params").head().getAs[Int]("k")
+      val fresh = topK(canon(liveDocs, grpCol, idCol, weightCol)
+        .join(broadcast(hitGroups), Seq("grp"), "left_semi"), k)
+      val merged = store.join(broadcast(hitGroups), Seq("grp"), "left_anti")
+        .unionByName(fresh)
+        .localCheckpoint() // settle BEFORE overwriting what we read
+      graft.sources.Sinks.parquetTable(merged, s"${name}_sample")
     }
   }
 

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ADMITTED-CORPUS LOG — the standing record of what the gated
+  * ingest admitted, with full payload: (id, payload columns…, __ver,
+  * __deleted), append-only, Hive-partitioned by
+  * `__pfx = pmod(xxhash64(id), 64)`.
+  *
+  * Why it exists: the count-model stores (NB, LM, weighted sample)
+  * subtract a departing document's OLD content — counts are signed,
+  * so an edit is "−old +new" — but the ingest pipeline's fingerprint
+  * log keeps only content HASHES. A real pipeline retains its admitted
+  * corpus anyway (the corpus IS the product); this log is that
+  * retention in the exact shape the per-batch probe wants: the
+  * `_fplog` discipline (IndexMaintenance.scala — file-pruned probe,
+  * latest-ver-wins fold) extended to carry the payload.
+  *
+  * Scale shape: appends are delta-sized file drops into ≤64 prefix
+  * partitions. The per-batch old-payload probe prunes the log's FILES
+  * to the batch's prefix set (a ≤64-int literal partition filter),
+  * broadcasts the batch ids into a semi-join, and takes
+  * latest-ver-wins over only the matching rows — nothing log-sized
+  * shuffles, and the bytes READ are bounded by the batch's prefixes
+  * however large the log grows (the ProbeFplogPrune argument,
+  * payload-carrying). [[live]] is the one deliberately corpus-sized
+  * read (sketch re-init, sample group refit — both stated costs);
+  * [[compact]] folds the per-batch file accumulation back to one row
+  * per live id. */
+object CorpusLog {
+
+  /** Partition-count twin of IndexMaintenance.FP_PREFIXES: bounds the
+    * probe's literal In-filter while keeping per-append file counts
+    * sane. */
+  val Prefixes = 64
+
+  private def pfx(idCol: String) =
+    pmod(xxhash64(col(idCol)), lit(Prefixes))
+
+  private def payloadCols(t: DataFrame, idCol: String): Seq[String] =
+    t.columns.filterNot(c =>
+      c == idCol || c == "__ver" || c == "__deleted" || c == "__pfx").toSeq
+
+  /** Append one batch's upserts: `puts` (full payload rows — admitted
+    * adds and new versions of edits) plus delete markers for
+    * `removedIds` (same schema, null payload, __deleted = true), all
+    * stamped `ver`. Schema-guarded against the existing log (a payload
+    * column that silently vanished would corrupt every later
+    * subtraction). */
+  def append(spark: SparkSession, name: String, puts: DataFrame,
+      removedIds: DataFrame, idCol: String, ver: Long): Unit = {
+    val markers = removedIds
+      .select(col(removedIds.columns.head).cast("long").as(idCol))
+      .select(col(idCol) +: puts.schema.fields.filterNot(_.name == idCol)
+        .map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      .withColumn("__deleted", lit(true))
+    val rows = puts.withColumn("__deleted", lit(false))
+      .unionByName(markers)
+      .withColumn("__ver", lit(ver))
+      .withColumn("__pfx", pfx(idCol))
+    if (!spark.catalog.tableExists(name)) {
+      // stale-location clearing on first create (fresh catalog over an
+      // old warehouse), the standing-store discipline
+      graft.sources.Sinks.dropTable(spark, name)
+    } else {
+      val have = payloadCols(spark.table(name), idCol).sorted
+      val got = payloadCols(puts, idCol).sorted
+      require(have == got,
+        s"corpus log '$name': payload schema changed ($have -> $got) — " +
+          "rebuild the log (and the stores it feeds) before continuing")
+    }
+    rows.write.mode("append").format("parquet")
+      .partitionBy("__pfx").saveAsTable(name)
+  }
+
+  /** Latest-wins LIVE payload for ONLY the given ids — the per-batch
+    * old-content probe: prefix partition pruning + broadcast semi-join,
+    * batch-bounded however large the log is. Checkpoint-settled (the
+    * caller appends this batch's new versions right after — a lazy
+    * plan would re-read the log post-append). */
+  def lookup(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String): DataFrame = {
+    require(spark.catalog.tableExists(name),
+      s"corpus log '$name' does not exist — the log must be attached " +
+        "from the fold's first batch")
+    val prefixes = ids.select(pfx(idCol).as("p")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    latestWins(spark.table(name)
+        .filter(col("__pfx").isin(prefixes: _*))
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi"),
+      idCol)
+      .localCheckpoint()
+  }
+
+  /** The full LIVE corpus (latest-wins over every id, markers drop
+    * out) — deliberately corpus-sized; consumed only by the stated
+    * full-pass paths (sketch re-init, sample group refit). */
+  def live(spark: SparkSession, name: String, idCol: String): DataFrame = {
+    require(spark.catalog.tableExists(name),
+      s"corpus log '$name' does not exist")
+    latestWins(spark.table(name), idCol)
+  }
+
+  private def latestWins(rows: DataFrame, idCol: String): DataFrame = {
+    val pc = payloadCols(rows, idCol)
+    rows.groupBy(col(idCol))
+      .agg(max_by(
+        struct((pc.map(col) :+ col("__deleted")): _*), col("__ver")).as("s"))
+      .select(col(idCol) +: pc.map(c => col(s"s.$c").as(c))
+        :+ col("s.__deleted").as("__deleted"): _*)
+      .filter(!col("__deleted")).drop("__deleted")
+  }
+
+  /** Fold the append-only log to one row per live id (latest ver kept,
+    * markers and superseded versions drop) — run on the same
+    * maintenance cadence as compactFingerprints; also folds the
+    * per-batch file accumulation inside each prefix. */
+  def compact(spark: SparkSession, name: String, idCol: String): Unit = {
+    if (!spark.catalog.tableExists(name)) return
+    val t = spark.table(name)
+    val pc = payloadCols(t, idCol)
+    val latest = t.groupBy(col(idCol))
+      .agg(max_by(struct((pc.map(col) :+ col("__deleted") :+ col("__ver")): _*),
+        col("__ver")).as("s"))
+      .select(col(idCol) +: pc.map(c => col(s"s.$c").as(c))
+        :+ col("s.__deleted").as("__deleted") :+ col("s.__ver").as("__ver"): _*)
+      .filter(!col("__deleted"))
+      .withColumn("__pfx", pfx(idCol))
+      .localCheckpoint()
+    graft.sources.Sinks.dropTable(spark, name)
+    latest.write.mode("append").format("parquet")
+      .partitionBy("__pfx").saveAsTable(name)
+  }
+}

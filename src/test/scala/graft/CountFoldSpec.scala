@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CountStore, LmStore, NbStore, SampleStore, SketchStore}
+import graft.streaming.{CorpusLog, IndexMaintenance, IngestDedup}
+
+/** One admission decision maintains EVERY count-shaped model store
+  * (round-11): the gated ingest's classification routes through
+  * [[IndexMaintenance.countStoreFold]] into NB / LM / weighted-sample
+  * / HLL stores, with the [[CorpusLog]] supplying departing documents'
+  * OLD payload for the signed subtractions. The certifying invariant
+  * is the q218/q219 equality lifted to the admission gate: after any
+  * add/edit/takedown history, each maintained store is BIT-IDENTICAL
+  * to a fresh fit of the live admitted corpus. */
+class CountFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val idx = "cf_idx"; private val sig = "cf_sigs"
+  private val log = "cf_log"
+  private val nb = "cf_nb"; private val lm = "cf_lm"
+  private val smp = "cf_smp"; private val hll = "cf_hll"
+
+  private def doc(i: Int, text: String = null, lang: String = null,
+      src: String = null, w: java.lang.Long = null) =
+    (i.toLong, Option(text), Option(lang), Option(src),
+      Option(w).map(Long.unbox))
+
+  private def mkDf(rows: Seq[(Long, Option[String], Option[String],
+      Option[String], Option[Long])]): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "src", "w")
+
+  private def baseText(i: Int) =
+    s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+
+  private def baseDoc(i: Int) = doc(i,
+    text = if (i == 25) baseText(5) else baseText(i), // 25 = near-dup of 5
+    lang = if (i % 2 == 0) "en" else "de",
+    src = s"s${i % 3}", w = (10 + i).toLong)
+
+  private def cleanAll(): Unit = {
+    IndexMaintenance.initStores(spark, idx)
+    IngestDedup.initStore(spark, sig)
+    graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+    for (t <- Seq(log, log + "_applied",
+        nb + "_counts", nb + "_class", nb + "_applied",
+        lm + "_tri", lm + "_bi", lm + "_uni", lm + "_applied",
+        smp + "_sample", smp + "_sample_params", smp + "_applied",
+        hll + "_hll", hll + "_hll_params", hll + "_applied",
+        "cff_nb_counts", "cff_nb_class", "cff_lm_tri", "cff_lm_bi",
+        "cff_lm_uni", "cff_smp_sample", "cff_smp_sample_params",
+        "cff_hll_hll", "cff_hll_hll_params"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log, nb, lm, smp, hll, "cff_nb", "cff_lm", "cff_smp", "cff_hll"))
+      CountStore.setBuilding(spark, n, on = false)
+  }
+
+  private def fold = IndexMaintenance.countStoreFold(spark,
+    nbStore = Some((nb, "lang")), lmStore = Some(lm),
+    sampleStore = Some((smp, "src", "w")), sampleK = 3,
+    sketchStore = Some((hll, "lang")), buckets = 4)
+
+  private def apply(batch: DataFrame, ver: Long): DataFrame =
+    IndexMaintenance.applyGatedUpserts(spark, idx, sig, batch, ver = ver,
+      buckets = 4, docFold = Some((log, fold)))
+
+  private def tablesEq(a: String, b: String): Boolean = {
+    val x = spark.table(a); val y = spark.table(b)
+    x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+  }
+
+  test("maintained stores ≡ fresh fits of the live admitted corpus after add/edit/takedown waves") {
+    cleanAll()
+    // wave 1: ids 0..19; wave 2: ids 20..39 (25 is an exact dup of 5
+    // -> rejected by the admission gate, must never enter any store)
+    apply(mkDf((0 until 20).map(baseDoc)), ver = 1L)
+    apply(mkDf((20 until 40).map(baseDoc)), ver = 2L)
+    // wave 3: edits (ids %5==1: new text, heavier weight; id 11 also
+    // MOVES group) + takedowns (ids %5==2)
+    val edits = (0 until 40).filter(i => i % 5 == 1).map { i =>
+      doc(i, text = baseText(i) + " edited", lang = if (i % 2 == 0) "en" else "de",
+        src = if (i == 11) "s9" else s"s${i % 3}", w = (10 + i + 100).toLong)
+    }
+    val dels = (0 until 40).filter(i => i % 5 == 2 && i != 25)
+      .map(i => doc(i))
+    val d3 = apply(mkDf(edits ++ dels), ver = 3L).localCheckpoint()
+    assert(d3.filter(col("status") === "changed").count() === 8)
+    assert(d3.filter(col("status") === "removed").count() === 8)
+
+    // the live admitted corpus the fresh fits use: all 40 minus the
+    // rejected dup (25) minus takedowns, with wave-3 edits applied
+    val live = (0 until 40)
+      .filterNot(_ == 25).filterNot(i => i % 5 == 2)
+      .map { i =>
+        if (i % 5 == 1)
+          doc(i, baseText(i) + " edited", if (i % 2 == 0) "en" else "de",
+            if (i == 11) "s9" else s"s${i % 3}", (10 + i + 100).toLong)
+        else baseDoc(i)
+      }
+    val liveDf = mkDf(live)
+
+    // the corpus log's live view IS that corpus
+    val logLive = CorpusLog.live(spark, log, "doc_id")
+      .select("doc_id", "text", "lang", "src", "w")
+    assert(logLive.exceptAll(liveDf).isEmpty && liveDf.exceptAll(logLive).isEmpty)
+
+    // fresh fits over the live corpus
+    NbStore.initStore(liveDf, "cff_nb", buckets = 4, labelCol = "lang")
+    LmStore.initStore(liveDf, "cff_lm", buckets = 4)
+    SampleStore.initStore(liveDf, "cff_smp", "src", "doc_id", "w", k = 3)
+    SketchStore.initStore(liveDf, "cff_hll", "lang", "doc_id")
+
+    assert(tablesEq(nb + "_counts", "cff_nb_counts"), "nb counts diverged")
+    assert(tablesEq(nb + "_class", "cff_nb_class"), "nb class diverged")
+    assert(tablesEq(lm + "_tri", "cff_lm_tri"), "lm trigrams diverged")
+    assert(tablesEq(lm + "_bi", "cff_lm_bi"), "lm bigrams diverged")
+    assert(tablesEq(lm + "_uni", "cff_lm_uni"), "lm unigrams diverged")
+    assert(tablesEq(smp + "_sample", "cff_smp_sample"), "sample diverged")
+    val a = SketchStore.estimate(spark, hll)
+    val b = SketchStore.estimate(spark, "cff_hll")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sketch estimates diverged")
+
+    // the rejected near-dup never reached any store
+    assert(spark.table(smp + "_sample").filter(col("id") === 25L).isEmpty)
+    assert(logLive.filter(col("doc_id") === 25L).isEmpty)
+  }
+
+  test("re-delivered batch version is a no-op for every store (fold ledger)") {
+    // state carries over from the previous test (same schedule)
+    val before = Seq(nb + "_counts", lm + "_uni", smp + "_sample")
+      .map(t => t -> spark.table(t).count()).toMap
+    val applied = CountStore.alreadyApplied(spark, log, 3L)
+    assert(applied, "wave 3 must be in the fold ledger")
+    // replay wave 3 verbatim: classification sees all-unchanged, the
+    // fold ledger already holds ver 3 — nothing may move
+    val edits = (0 until 40).filter(i => i % 5 == 1).map { i =>
+      doc(i, text = baseText(i) + " edited", lang = if (i % 2 == 0) "en" else "de",
+        src = if (i == 11) "s9" else s"s${i % 3}", w = (10 + i + 100).toLong)
+    }
+    val dels = (0 until 40).filter(i => i % 5 == 2 && i != 25)
+      .map(i => doc(i))
+    apply(mkDf(edits ++ dels), ver = 3L)
+    for ((t, n) <- before)
+      assert(spark.table(t).count() === n, s"$t changed on re-delivery")
+  }
+
+  test("corpus log lookup returns the pre-batch payload (prefix-pruned probe)") {
+    // after the waves above, id 1 was edited in ver 3: lookup sees v3
+    val got = CorpusLog.lookup(spark, log,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(got.count() === 1)
+    assert(got.head().getAs[String]("text") === baseText(1) + " edited")
+    // a removed id resolves to NO live row (marker wins)
+    val gone = CorpusLog.lookup(spark, log,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    assert(gone.isEmpty)
+  }
+
+  test("corpus log compact preserves the live view") {
+    val before = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    CorpusLog.compact(spark, log, "doc_id")
+    val after = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    assert(after === before)
+  }
+
+  test("payload schema drift fails loud") {
+    intercept[IllegalArgumentException] {
+      CorpusLog.append(spark, log,
+        Seq((999L, "x")).toDF("doc_id", "text"),
+        spark.range(0).select(col("id").as("doc_id")), "doc_id", ver = 99L)
+    }
+  }
+}
