@@ -3592,6 +3592,89 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // q246: the HEAVY-HITTERS store (round-10 verdict #3) — per-group
+    // Misra-Gries summaries under the CountStore lifecycle: "top
+    // n-grams per source" with GROUPS-sized state (≤ k counters per
+    // group), the standing feed the q139 decontamination path wants.
+    // The MG guarantees are deterministic, so the gate pins them as
+    // exact bits against a full fixture-scale recompute: estimates
+    // never overcount, undercount ≤ n_grp/(k+1), every true heavy
+    // above the bound is present, the group totals fold exactly, and
+    // no group exceeds k counters. n_groups is the oracle-mirrored
+    // deterministic count.
+    "q246_hh_store" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{CountStore, HhStore}
+      val name = "graft_q246_hh"
+      for (t <- Seq(name + "_hh", name + "_hh_n", name + "_hh_params",
+          name + "_applied"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, name, on = false)
+      val grams = Tables.documents(s, d)
+        .select(col("source").as("grp"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(split(lower(trim(text)), '\\s+')) - 2, 1)),
+               i -> concat_ws(' ', slice(split(lower(trim(text)), '\\s+'), i, 3)))"""))
+            .as("item"))
+        .localCheckpoint()
+      val k = 50
+      HhStore.initStore(grams.filter(xxhash64(col("item")) % 2 === 0),
+        name, "grp", "item", k)
+      HhStore.applyBatch(grams.filter(xxhash64(col("item")) % 2 =!= 0),
+        name, "grp", "item", batchId = 1L)
+      val truth = grams.groupBy("grp", "item").agg(count(lit(1)).as("t"))
+      val n = grams.groupBy("grp").agg(count(lit(1)).as("n"))
+      val store = s.table(name + "_hh")
+      val joined = store.join(truth, Seq("grp", "item")).join(n, Seq("grp"))
+        .select(col("cnt"), col("t"), floor(col("n") / (k + 1)).as("bound"))
+        .localCheckpoint()
+      val estLe = joined.filter(col("cnt") > col("t")).isEmpty
+      val underOk = joined.filter(col("t") - col("cnt") > col("bound")).isEmpty
+      val heaviesOk = truth.join(n, Seq("grp"))
+        .filter(col("t") > floor(col("n") / (k + 1)))
+        .join(store, Seq("grp", "item"), "left_anti").isEmpty
+      val nExact = s.table(name + "_hh_n")
+        .join(n, Seq("grp"))
+        .filter(s.table(name + "_hh_n")("n") =!= n("n")).isEmpty
+      val boundedK = store.groupBy("grp").count()
+        .filter(col("count") > k).isEmpty
+      Seq(
+        ("counters_le_k", if (boundedK) 1L else 0L),
+        ("est_le_true", if (estLe) 1L else 0L),
+        ("heavies_all_present", if (heaviesOk) 1L else 0L),
+        ("n_groups", s.table(name + "_hh_n").count()),
+        ("n_tracked_exact", if (nExact) 1L else 0L),
+        ("undercount_within_bound", if (underOk) 1L else 0L))
+        .toDF("component", "val").orderBy(col("component"))
+    }),
+
+    // q247: the MG state under a FULL cross-engine oracle — the merge
+    // arithmetic is deterministic integers (count, rank with item
+    // tiebreak, offset subtraction), so DuckDB replays BOTH waves'
+    // compress steps and the serve must hash-match row for row: the
+    // strongest possible gate for a sketch (state equality, not just
+    // bound satisfaction). Split is the q49 portable hash; items are
+    // word tokens per source.
+    "q247_hh_serve" -> ((s, d) => {
+      import graft.operators.{CountStore, HhStore}
+      val name = "graft_q247_hh"
+      for (t <- Seq(name + "_hh", name + "_hh_n", name + "_hh_params",
+          name + "_applied"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, name, on = false)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val toks = Tables.documents(s, d)
+        .select(col("source").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"),
+          (h % 2).as("w"))
+        .localCheckpoint()
+      HhStore.initStore(toks.filter(col("w") === 0), name, "grp", "item", k = 20)
+      HhStore.applyBatch(toks.filter(col("w") === 1), name, "grp", "item", 1L)
+      HhStore.topHitters(s, name, n = 10)
+        .orderBy(col("grp"), col("rank"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -7773,6 +7856,58 @@ object SparkEntry {
            ('sample_store_eq_fresh', 1),
            ('sketch_est_eq_fresh', 1)) t(component, val)
          ORDER BY component""",
+    // q246: MG guarantee bits (deterministic, verified in-engine
+    // against the exact fixture-scale recompute) + the mirrored
+    // group count
+    "q246_hh_store" ->
+      """SELECT * FROM (VALUES
+           ('counters_le_k', 1),
+           ('est_le_true', 1),
+           ('heavies_all_present', 1),
+           ('n_groups', (SELECT count(DISTINCT source) FROM documents)),
+           ('n_tracked_exact', 1),
+           ('undercount_within_bound', 1)) t(component, val)
+         ORDER BY component""",
+    // q247: the Misra-Gries state replayed wave-for-wave — exact
+    // counts per wave, rank with item tiebreak, (k+1)-th-largest
+    // offset subtraction, re-merge, re-compress, top-10 serve with
+    // the n/(k+1) error envelope. Pure integer arithmetic end to end.
+    "q247_hh_serve" ->
+      """WITH t AS (
+           SELECT doc_id, source AS grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM documents),
+         w1 AS (SELECT grp, item, count(*)::BIGINT AS cnt FROM t
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 2 = 0
+           GROUP BY grp, item),
+         w2 AS (SELECT grp, item, count(*)::BIGINT AS cnt FROM t
+           WHERE (doc_id % 1000003 * 2654435761) % 4294967296 % 2 = 1
+           GROUP BY grp, item),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY cnt DESC, item) AS rk FROM w1),
+         o1 AS (SELECT grp, cnt AS off FROM r1 WHERE rk = 21),
+         c1 AS (SELECT r1.grp, r1.item,
+             r1.cnt - coalesce(o1.off, 0) AS cnt
+           FROM r1 LEFT JOIN o1 USING (grp)
+           WHERE r1.rk <= 20 AND r1.cnt - coalesce(o1.off, 0) > 0),
+         m AS (SELECT grp, item, sum(cnt)::BIGINT AS cnt
+           FROM (SELECT * FROM c1 UNION ALL SELECT * FROM w2)
+           GROUP BY grp, item),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY cnt DESC, item) AS rk FROM m),
+         o2 AS (SELECT grp, cnt AS off FROM r2 WHERE rk = 21),
+         c2 AS (SELECT r2.grp, r2.item,
+             r2.cnt - coalesce(o2.off, 0) AS cnt
+           FROM r2 LEFT JOIN o2 USING (grp)
+           WHERE r2.rk <= 20 AND r2.cnt - coalesce(o2.off, 0) > 0),
+         n AS (SELECT grp, count(*)::BIGINT AS n FROM t GROUP BY grp),
+         serve AS (SELECT grp, item, cnt,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY cnt DESC, item) AS rank FROM c2)
+         SELECT s.grp, CAST(s.rank AS INT) AS rank, s.item, s.cnt,
+           (s.cnt + n.n // 21)::BIGINT AS cnt_hi
+         FROM serve s JOIN n USING (grp)
+         WHERE s.rank <= 10 ORDER BY grp, rank""",
     // q213: constant-truth hierarchy bits (recall floors measured
     // in-engine vs exact; equalities exact by construction)
     "q213_nsw_hier" ->

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CountStore, HhStore}
+
+/** Per-group Misra-Gries heavy-hitters store: hand-computed merge
+  * algebra, the published guarantees (underestimate, bounded
+  * undercount, no false dropouts among true heavies), the exact-when-
+  * uncompressed degeneration, and the ledger skip. */
+class HhStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(name: String): Unit = {
+    for (t <- Seq(s"${name}_hh", s"${name}_hh_n", s"${name}_hh_params",
+        s"${name}_applied"))
+      graft.sources.Sinks.dropTable(spark, t)
+    CountStore.setBuilding(spark, name, on = false)
+  }
+
+  private def items(xs: (String, Int)*) =
+    xs.flatMap { case (it, n) => Seq.fill(n)(("g", it)) }
+      .toDF("grp", "item")
+
+  test("merge algebra matches the hand-computed Misra-Gries trace (k=2)") {
+    clean("hh_t1")
+    // wave 1: a×5 b×3 c×2 -> counts (a5 b3 c2); (k+1)=3rd largest is
+    // c's 2 -> compress leaves {a:3, b:1}
+    HhStore.initStore(items("a" -> 5, "b" -> 3, "c" -> 2), "hh_t1",
+      "grp", "item", k = 2)
+    val s1 = spark.table("hh_t1_hh").as[(String, String, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(s1 === Map("a" -> 3L, "b" -> 1L))
+    // wave 2: c×4 b×1 -> summed {a:3, b:2, c:4}; 3rd largest is b's 2
+    // -> compress leaves {c:2, a:1}
+    assert(HhStore.applyBatch(items("c" -> 4, "b" -> 1), "hh_t1",
+      "grp", "item", batchId = 1L))
+    val s2 = spark.table("hh_t1_hh").as[(String, String, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(s2 === Map("c" -> 2L, "a" -> 1L))
+    // guarantees vs the true totals (a5 b4 c6, n=15, bound n/(k+1)=5):
+    // every estimate undercounts, undercount <= 5, and every item with
+    // true > 5 (just c) is present
+    assert(s2("c") <= 6 && 6 - s2("c") <= 5)
+    assert(s2("a") <= 5 && 5 - s2("a") <= 5)
+    assert(spark.table("hh_t1_hh_n").head().getLong(1) === 15L)
+  }
+
+  test("k covering the distinct items degenerates to exact counts across waves") {
+    clean("hh_t2")
+    HhStore.initStore(items("a" -> 5, "b" -> 3, "c" -> 2), "hh_t2",
+      "grp", "item", k = 10)
+    HhStore.applyBatch(items("c" -> 4, "b" -> 1, "d" -> 2), "hh_t2",
+      "grp", "item", batchId = 1L)
+    val got = spark.table("hh_t2_hh").as[(String, String, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(got === Map("a" -> 5L, "b" -> 4L, "c" -> 6L, "d" -> 2L))
+  }
+
+  test("re-delivered batch id is skipped (ledger)") {
+    clean("hh_t3")
+    HhStore.initStore(items("a" -> 2), "hh_t3", "grp", "item", k = 4)
+    assert(HhStore.applyBatch(items("a" -> 1), "hh_t3", "grp", "item", 7L))
+    assert(!HhStore.applyBatch(items("a" -> 1), "hh_t3", "grp", "item", 7L))
+    val got = spark.table("hh_t3_hh").as[(String, String, Long)].collect()
+    assert(got.toSeq === Seq(("g", "a", 3L)))
+  }
+
+  test("topHitters serves rank + error envelope; counters bounded by k") {
+    clean("hh_t4")
+    // two groups, k=2: group h never compresses (2 items)
+    val df = items("a" -> 5, "b" -> 3, "c" -> 2)
+      .unionByName(Seq.fill(4)(("h", "x")).toDF("grp", "item"))
+      .unionByName(Seq.fill(2)(("h", "y")).toDF("grp", "item"))
+    HhStore.initStore(df, "hh_t4", "grp", "item", k = 2)
+    val perGroup = spark.table("hh_t4_hh").groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ <= 2))
+    val top = HhStore.topHitters(spark, "hh_t4", n = 1)
+      .as[(String, Int, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // g: n=10, bound floor(10/3)=3 -> a: est 3, hi 6; h: n=6, bound 2
+    assert(top("g") === (("g", 1, "a", 3L, 6L)))
+    assert(top("h") === (("h", 1, "x", 4L, 6L)))
+  }
+
+  test("guarantees hold on fixture n-grams (randomized-shape corpus)") {
+    clean("hh_t5")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val grams = docs.select(col("source").as("grp"),
+        explode(expr(
+          """transform(sequence(1, greatest(size(split(lower(trim(text)), '\\s+')) - 2, 1)),
+             i -> concat_ws(' ', slice(split(lower(trim(text)), '\\s+'), i, 3)))"""))
+          .as("item"))
+      .localCheckpoint()
+    val w1 = grams.filter(xxhash64(col("item")) % 2 === 0)
+    val w2 = grams.filter(xxhash64(col("item")) % 2 =!= 0)
+    val k = 30
+    HhStore.initStore(w1, "hh_t5", "grp", "item", k)
+    HhStore.applyBatch(w2, "hh_t5", "grp", "item", 1L)
+    val truth = grams.groupBy("grp", "item").agg(count(lit(1)).as("t"))
+    val n = grams.groupBy("grp").agg(count(lit(1)).as("n"))
+    val joined = spark.table("hh_t5_hh")
+      .join(truth, Seq("grp", "item")).join(n, Seq("grp"))
+      .select(col("cnt"), col("t"), floor(col("n") / (k + 1)).as("bound"))
+      .localCheckpoint()
+    assert(joined.filter(col("cnt") > col("t")).isEmpty, "overestimate")
+    assert(joined.filter(col("t") - col("cnt") > col("bound")).isEmpty,
+      "undercount beyond n/(k+1)")
+    // no false dropouts: every true heavy is in the store
+    val heavies = truth.join(n, Seq("grp"))
+      .filter(col("t") > floor(col("n") / (k + 1)))
+    assert(heavies.join(spark.table("hh_t5_hh"), Seq("grp", "item"),
+      "left_anti").isEmpty, "a true heavy dropped out")
+  }
+}
