@@ -149,6 +149,18 @@ object GraftSession {
     reg.createOrReplaceTempFunction("hilbert_d3",
       es => graft.functions.HilbertIndex3(es(0), es(1), es(2),
         longArg(es, 3).toInt), "built-in")
+    // KLL quantile-sketch SQL faces (round 11): raw AggregateFunction
+    // expressions resolve like built-in aggregates (the analyzer wraps
+    // them); kll_quantile/kll_n are plain scalars over the sketch blob.
+    reg.createOrReplaceTempFunction("kll_sketch_agg",
+      es => graft.functions.KllSketchAgg(es(0), longArg(es, 1).toInt),
+      "built-in")
+    reg.createOrReplaceTempFunction("kll_merge_agg",
+      es => graft.functions.KllMergeAgg(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("kll_quantile",
+      es => graft.functions.KllQuantile(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("kll_n",
+      es => graft.functions.KllN(es(0)), "built-in")
   }
 
   /** Local session for tests / ad-hoc runs. */

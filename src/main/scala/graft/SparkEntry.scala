@@ -3675,6 +3675,98 @@ object SparkEntry {
         .orderBy(col("grp"), col("rank"))
     }),
 
+    // q248: the QUANTILE sketch store (round-10 verdict #6) —
+    // per-group KLL under the CountStore lifecycle: standing
+    // length-distribution tracking (the Drift surface's feed). KLL
+    // compaction is randomized, so the gate pins the PUBLISHED
+    // guarantee instead of sketch bytes (declared statistical-oracle
+    // policy, the ANN recall discipline): each served percentile's
+    // realized rank window must intersect [p ± 3ε(k)] in every group
+    // (tie-aware: the strict-below and inclusive ranks bracket the
+    // returned value), while the tracked n stays EXACT and the group
+    // count is oracle-mirrored.
+    "q248_quantile_store" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{CountStore, QuantileStore}
+      val name = "graft_q248_kll"
+      for (t <- Seq(name + "_kll", name + "_kll_params", name + "_applied"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, name, on = false)
+      val k = 200
+      val eps = graft.functions.KllSketch.normalizedRankError(k)
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L))
+      val docs = Tables.documents(s, d)
+        .select(col("source").as("grp"),
+          col("n_chars").cast("double").as("v"), (h % 2).as("w"))
+        .localCheckpoint()
+      QuantileStore.initStore(docs.filter(col("w") === 0), name, "grp", "v", k)
+      QuantileStore.applyBatch(docs.filter(col("w") === 1), name, "grp", "v", 1L)
+      val served = QuantileStore.quantiles(s, name, Seq(0.1, 0.5, 0.9))
+      val aggCols: Seq[org.apache.spark.sql.Column] =
+        Seq(count(lit(1)).as("n_true"), first(col("n")).as("n_served")) ++
+          Seq(0.1, 0.5, 0.9).flatMap { p =>
+            val q = col(s"p${(p * 100).round}")
+            Seq((sum(when(col("v") < q, 1).otherwise(0)) / count(lit(1)))
+                .as(s"lo${(p * 100).round}"),
+              (sum(when(col("v") <= q, 1).otherwise(0)) / count(lit(1)))
+                .as(s"hi${(p * 100).round}"))
+          }
+      val joined = docs.join(served, Seq("grp"))
+        .groupBy(col("grp"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint()
+      def rankOk(p: Double): Boolean = {
+        val pct = (p * 100).round
+        joined.filter(col(s"lo$pct") > p + 3 * eps ||
+          col(s"hi$pct") < p - 3 * eps).isEmpty
+      }
+      val nExact = joined.filter(col("n_true") =!= col("n_served")).isEmpty
+      Seq(
+        ("n_exact", if (nExact) 1L else 0L),
+        ("n_groups", served.count()),
+        ("rank_within_eps_p10", if (rankOk(0.1)) 1L else 0L),
+        ("rank_within_eps_p50", if (rankOk(0.5)) 1L else 0L),
+        ("rank_within_eps_p90", if (rankOk(0.9)) 1L else 0L))
+        .toDF("component", "val").orderBy(col("component"))
+    }),
+
+    // q249: the quantile store's SQL serve face — a SQL-only user
+    // reads the standing sketch table with the registered
+    // kll_n/kll_quantile scalars. The EXACT leg (per-group n) is
+    // hash-matched against DuckDB's count; the quantile leg is an
+    // in-engine equality bit (SQL-served ≡ Column-served over the
+    // SAME stored sketch — deterministic given the sketch, the only
+    // honest cross-surface check for a randomized summary). Store
+    // shared with q248's schedule via StoreCache (the q209 serve
+    // pattern).
+    "q249_sql_quantile_serve" -> ((s, d) => {
+      import graft.operators.{CountStore, QuantileStore}
+      GraftSession.registerFunctions(s)
+      val name = "graft_q249_kll"
+      graft.sources.StoreCache.table(s, name, s"kll|200|r11|$d",
+        Seq(name + "_kll", name + "_kll_params")) {
+        for (t <- Seq(name + "_kll", name + "_kll_params", name + "_applied"))
+          graft.sources.Sinks.dropTable(s, t)
+        CountStore.setBuilding(s, name, on = false)
+        QuantileStore.initStore(
+          Tables.documents(s, d).select(col("source").as("grp"),
+            col("n_chars").cast("double").as("v")),
+          name, "grp", "v", k = 200)
+      }
+      val viaSql = s.sql(
+        s"""SELECT grp, kll_n(sk) AS n, kll_quantile(sk, 0.5d) AS med
+            FROM ${name}_kll""")
+      val viaCol = s.table(name + "_kll")
+        .select(col("grp"), QuantileStore.kllN(col("sk")).as("n"),
+          QuantileStore.kllQuantile(col("sk"), lit(0.5)).as("med"))
+      val eqBit = viaSql.exceptAll(viaCol)
+        .unionAll(viaCol.exceptAll(viaSql)).isEmpty
+      viaSql.select(col("grp"), col("n"),
+          lit(if (eqBit) 1 else 0).as("sql_eq_df"))
+        .orderBy(col("grp"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -7908,6 +8000,21 @@ object SparkEntry {
            (s.cnt + n.n // 21)::BIGINT AS cnt_hi
          FROM serve s JOIN n USING (grp)
          WHERE s.rank <= 10 ORDER BY grp, rank""",
+    // q248: KLL guarantee bits (statistical-oracle policy — realized
+    // rank error checked in-engine vs the exact recompute) + the
+    // mirrored group count; n is exact by the KLL structure
+    "q248_quantile_store" ->
+      """SELECT * FROM (VALUES
+           ('n_exact', 1),
+           ('n_groups', (SELECT count(DISTINCT source) FROM documents)),
+           ('rank_within_eps_p10', 1),
+           ('rank_within_eps_p50', 1),
+           ('rank_within_eps_p90', 1)) t(component, val)
+         ORDER BY component""",
+    // q249: the exact leg (per-group n) + the SQL≡DataFrame serve bit
+    "q249_sql_quantile_serve" ->
+      """SELECT source AS grp, count(*)::BIGINT AS n, 1 AS sql_eq_df
+         FROM documents GROUP BY source ORDER BY grp""",
     // q213: constant-truth hierarchy bits (recall floors measured
     // in-engine vs exact; equalities exact by construction)
     "q213_nsw_hier" ->

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** STANDING QUANTILE SKETCHES — per-group KLL (Karnin-Lang-Liberty
+  * 2016, via the native [[graft.functions.KllSketchAgg]] family)
+  * maintained across ingest waves under the CountStore lifecycle:
+  * the distribution-drift twin of [[SketchStore]] (distinct counts →
+  * HLL; length/score DISTRIBUTIONS → KLL). "Has the p95 document
+  * length of domain X moved this week?" is a groups-sized read of a
+  * standing table instead of a corpus-scale percentile job —
+  * [[Drift.scala]]'s surface consumes exactly this shape.
+  *
+  * Why a sketch store is the 100 TB shape for quantiles: exact
+  * percentiles need a per-group SORT of the data (corpus-scale every
+  * time the question is asked); the KLL summary keeps O(k) values per
+  * group, maintenance is one partial-agg pass + a groups-sized merge
+  * per wave, and any rank query answers within the published ε(k)
+  * envelope (~1.65% at k=200, 99% confidence). KLL merge is exactly
+  * the operation Spark's partial aggregation already performs on the
+  * per-partition sketches, so the wave split is the same operation at
+  * a coarser grain — but NOT bit-deterministic (KLL compaction
+  * coin-flips), so gates pin realized rank error against exact
+  * recomputes (the declared statistical-oracle policy), while the
+  * tracked item counts (`kll_n`) stay EXACT and hash-gateable.
+  *
+  * Store layout: `<name>_kll` (grp string, sk binary — one row per
+  * group), `<name>_kll_params` (k). TAKEDOWN LIMITATION (stated, the
+  * SketchStore clause): KLL summaries are union-only — takedown
+  * semantics = [[initStore]] over the retained corpus. */
+object QuantileStore {
+
+  /** Column faces of the native KLL expressions (usable in any
+    * DataFrame aggregation; SQL faces are registered by
+    * GraftSession.registerFunctions). */
+  def kllSketchAgg(c: Column, k: Int = 200): Column =
+    GraftBridge.column(graft.functions.KllSketchAgg(
+      GraftBridge.expression(c), k).toAggregateExpression())
+  def kllMergeAgg(c: Column): Column =
+    GraftBridge.column(graft.functions.KllMergeAgg(
+      GraftBridge.expression(c)).toAggregateExpression())
+  def kllQuantile(sk: Column, p: Column): Column =
+    GraftBridge.column(graft.functions.KllQuantile(
+      GraftBridge.expression(sk), GraftBridge.expression(p)))
+  def kllN(sk: Column): Column =
+    GraftBridge.column(graft.functions.KllN(GraftBridge.expression(sk)))
+
+  def initStore(docs: DataFrame, name: String, grpCol: String,
+      valCol: String, k: Int = 200): Unit = {
+    require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+    val spark = docs.sparkSession
+    CountStore.setBuilding(spark, name, on = true)
+    CountStore.dropLedger(spark, name)
+    graft.sources.Sinks.parquetTable(
+      sketched(docs, grpCol, valCol, k), s"${name}_kll")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(k).as("k")), s"${name}_kll_params")
+    CountStore.setBuilding(spark, name, on = false)
+  }
+
+  /** One wave: sketch the batch per group, merge into the store (full
+    * outer union-agg keeps groups first seen in either side). Returns
+    * false on a re-delivered batch id. */
+  def applyBatch(batch: DataFrame, name: String, grpCol: String,
+      valCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    if (CountStore.alreadyApplied(spark, name, batchId)) false
+    else {
+      val merged = mergedWith(batch, name, grpCol, valCol)
+      CountStore.applyOnce(spark, name, batchId) {
+        graft.sources.Sinks.parquetTable(merged, s"${name}_kll")
+      }
+    }
+  }
+
+  /** Ledger-FREE merge — the admission-fold-style put op. */
+  def mergeDocs(batch: DataFrame, name: String, grpCol: String,
+      valCol: String): Unit = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    graft.sources.Sinks.parquetTable(
+      mergedWith(batch, name, grpCol, valCol), s"${name}_kll")
+  }
+
+  private def mergedWith(batch: DataFrame, name: String, grpCol: String,
+      valCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val k = kOf(spark, name)
+    spark.table(s"${name}_kll")
+      .unionByName(sketched(batch, grpCol, valCol, k))
+      .groupBy(col("grp"))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+      .localCheckpoint() // settle BEFORE overwriting what we read
+  }
+
+  def maintainStream(docs: DataFrame, name: String, grpCol: String,
+      valCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch, name, grpCol, valCol, batchId); ()
+        }
+      }
+
+  /** Serve (grp, n, one column per requested percentile). Groups-sized
+    * scan; n is EXACT (KLL tracks it), quantiles carry ε(k). */
+  def quantiles(spark: SparkSession, name: String,
+      probs: Seq[Double]): DataFrame = {
+    CountStore.requireServable(spark, name)
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    val cols = probs.map(p =>
+      kllQuantile(col("sk"), lit(p)).as(s"p${(p * 100).round}"))
+    spark.table(s"${name}_kll")
+      .select(col("grp") +: kllN(col("sk")).as("n") +: cols: _*)
+  }
+
+  /** Operational introspection (the describeStore discipline). */
+  def describeStore(spark: SparkSession, name: String): DataFrame =
+    CountStore.describe(spark, name, Map(
+      "n_groups" -> (s"${name}_kll", count(lit(1))),
+      "sketch_bytes" -> (s"${name}_kll", sum(length(col("sk")))),
+      "n_items_total" -> (s"${name}_kll", coalesce(sum(kllN(col("sk"))), lit(0L))),
+      "k" -> (s"${name}_kll_params", sum(col("k")))))
+
+  private def kOf(spark: SparkSession, name: String): Int =
+    spark.table(s"${name}_kll_params").head().getAs[Int]("k")
+
+  private def sketched(df: DataFrame, grpCol: String, valCol: String,
+      k: Int): DataFrame =
+    df.select(col(grpCol).cast("string").as("grp"),
+        col(valCol).cast("double").as("v"))
+      .groupBy(col("grp"))
+      .agg(kllSketchAgg(col("v"), k).as("sk"))
+}

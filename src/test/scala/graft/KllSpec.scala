@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CountStore, QuantileStore}
+
+/** Native KLL quantile sketches + the standing quantile store:
+  * exact-n tracking, realized rank error inside the published ε(k)
+  * envelope, partial-aggregation merge correctness, the store
+  * lifecycle, and the SQL faces. Rank-error checks use 3ε margins —
+  * the declared statistical-oracle policy (KLL compaction is
+  * randomized; ε(200) ≈ 1.65% at 99% confidence). */
+class KllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 200
+  private val eps = graft.functions.KllSketch.normalizedRankError(k)
+
+  test("kll_n is exact and the median lands within the rank-error envelope") {
+    val n = 100000
+    val df = spark.range(n).select(col("id").cast("double").as("v"),
+      lit("g").as("grp")).repartition(16)
+    val sk = df.groupBy("grp")
+      .agg(QuantileStore.kllSketchAgg(col("v"), k).as("sk"))
+    val row = sk.select(QuantileStore.kllN(col("sk")).as("n"),
+      QuantileStore.kllQuantile(col("sk"), lit(0.5)).as("med")).head()
+    assert(row.getLong(0) === n.toLong)
+    // uniform 0..n-1: value at true rank p is ~p*n; realized rank of
+    // the estimate must sit within 3 eps of 0.5
+    val realizedRank = row.getDouble(1) / n
+    assert(math.abs(realizedRank - 0.5) <= 3 * eps,
+      s"median rank $realizedRank vs 0.5 (eps $eps)")
+  }
+
+  test("merge of partial sketches preserves n and the envelope (kll_merge_agg)") {
+    val parts = spark.range(50000)
+      .select(col("id").cast("double").as("v"), (col("id") % 4).as("part"))
+      .groupBy("part")
+      .agg(QuantileStore.kllSketchAgg(col("v"), k).as("sk"))
+    val merged = parts.agg(QuantileStore.kllMergeAgg(col("sk")).as("sk"))
+      .select(QuantileStore.kllN(col("sk")).as("n"),
+        QuantileStore.kllQuantile(col("sk"), lit(0.9)).as("p90")).head()
+    assert(merged.getLong(0) === 50000L)
+    assert(math.abs(merged.getDouble(1) / 50000 - 0.9) <= 3 * eps)
+  }
+
+  test("nulls are skipped; an empty group serves null quantiles") {
+    val df = Seq((Some(1.0), "a"), (None, "a"), (None, "b"))
+      .toDF("v", "grp")
+    val out = df.groupBy("grp")
+      .agg(QuantileStore.kllSketchAgg(col("v"), k).as("sk"))
+      .select(col("grp"), QuantileStore.kllN(col("sk")).as("n"),
+        QuantileStore.kllQuantile(col("sk"), lit(0.5)).as("med"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 1L && out("a").getDouble(2) === 1.0)
+    assert(out("b").getLong(1) === 0L && out("b").isNullAt(2))
+  }
+
+  test("store lifecycle: waves fold, n exact, ledger skips re-delivery") {
+    val name = "kll_t1"
+    for (t <- Seq(s"${name}_kll", s"${name}_kll_params", s"${name}_applied"))
+      graft.sources.Sinks.dropTable(spark, t)
+    CountStore.setBuilding(spark, name, on = false)
+    def wave(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select((col("id") % 3).cast("string").as("g"),
+        col("id").cast("double").as("v"))
+    QuantileStore.initStore(wave(0, 30000), name, "g", "v", k)
+    assert(QuantileStore.applyBatch(wave(30000, 60000), name, "g", "v", 1L))
+    assert(!QuantileStore.applyBatch(wave(30000, 60000), name, "g", "v", 1L))
+    val served = QuantileStore.quantiles(spark, name, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(served.size === 3)
+    for ((_, r) <- served) {
+      assert(r.getLong(1) === 20000L) // n exact per group
+      // uniform ids mod 3: per-group values are ~uniform over 0..60000
+      for ((p, i) <- Seq(0.1, 0.5, 0.9).zipWithIndex)
+        assert(math.abs(r.getDouble(2 + i) / 60000 - p) <= 3 * eps + 0.001,
+          s"p$p served ${r.getDouble(2 + i)}")
+    }
+  }
+
+  test("SQL faces mirror the Column faces over the same stored sketch") {
+    GraftSession.registerFunctions(spark)
+    val name = "kll_t1" // built by the previous test
+    spark.sql(
+      s"""SELECT grp, kll_n(sk) AS n, kll_quantile(sk, 0.5d) AS med
+          FROM ${name}_kll""").createOrReplaceTempView("kll_sql_serve")
+    val viaSql = spark.table("kll_sql_serve")
+    val viaCol = spark.table(s"${name}_kll")
+      .select(col("grp"), QuantileStore.kllN(col("sk")).as("n"),
+        QuantileStore.kllQuantile(col("sk"), lit(0.5)).as("med"))
+    assert(viaSql.exceptAll(viaCol).unionAll(viaCol.exceptAll(viaSql)).isEmpty)
+    // and a SQL-side aggregation build works end to end
+    val sqlAgg = spark.sql(
+      """SELECT kll_n(kll_merge_agg(sk)) AS n FROM kll_t1_kll""").head()
+    assert(sqlAgg.getLong(0) === 60000L)
+  }
+}
