@@ -66,6 +66,117 @@ object CountStore {
     write(table, prepareSigned(table, delta, keyCols, cntCols, sign),
       buckets, bucketCols)
 
+  // ---- prefix-pruned layout (v2) ----
+  // The plain merge rewrites the WHOLE model table per delta —
+  // model-sized, flat in the corpus (ProbeR15), but at a real 100 TB
+  // vocabulary the rewrite itself is GB-scale per wave. Layout v2
+  // Hive-partitions the model on `tok_pfx = pmod(xxhash64(firstKey),
+  // P)` (the fingerprint-log discipline applied to the MODEL) so a
+  // delta merge reads and dynamically overwrites ONLY the partitions
+  // the delta's keys touch: merge cost scales with delta-touched
+  // prefixes, not model size. Honest caveat (measured, ProbeR15X):
+  // natural-text deltas carry Zipf-common tokens that touch most
+  // prefixes, so the win is largest for rare-key deltas (tail
+  // vocabulary, id-keyed models) and bounded for common-token text.
+
+  /** The partition expression — one place, so store and probe can't
+    * drift. */
+  def pfxCol(keyCol: String, prefixes: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(prefixes))
+
+  /** Create a prefix-partitioned model table from a fresh count. */
+  def writePrefixedInit(table: String, counts: DataFrame,
+      keyCol: String, prefixes: Int): Unit = {
+    require(prefixes > 1, s"prefixes must be > 1, got $prefixes")
+    val spark = counts.sparkSession
+    graft.sources.Sinks.dropTable(spark, table)
+    counts.withColumn("tok_pfx", pfxCol(keyCol, prefixes))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("tok_pfx").saveAsTable(table)
+  }
+
+  /** How many prefixes a store's v2 layout declared (0 = plain
+    * layout). The declaration lives in `<name>_layout`, written once
+    * by the prefixed initStore — deriving P from anything else would
+    * let a mismatched merge hash keys into the WRONG partitions while
+    * the stale ones keep serving. */
+  def layoutPrefixes(spark: org.apache.spark.sql.SparkSession,
+      name: String): Int =
+    if (spark.catalog.tableExists(s"${name}_layout"))
+      spark.table(s"${name}_layout").head().getAs[Int]("prefixes")
+    else 0
+
+  private[operators] def writeLayout(spark: org.apache.spark.sql.SparkSession,
+      name: String, prefixes: Int): Unit = {
+    graft.sources.Sinks.dropTable(spark, s"${name}_layout")
+    if (prefixes > 0)
+      graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(prefixes).as("prefixes")),
+        s"${name}_layout")
+  }
+
+  /** Prefix-pruned prepare: settle + validate ONLY the delta-touched
+    * partitions (untouched ones cannot change, so non-negativity over
+    * the touched slice is the whole check). Returns the surviving
+    * rows plus the touched prefix set for [[writePrefixed]] — split
+    * like [[prepareSigned]]/[[write]] so multi-table stores validate
+    * EVERY table before writing ANY. */
+  def preparePrefixed(table: String, delta: DataFrame,
+      keyCols: Seq[String], cntCols: Seq[String], sign: Long,
+      prefixes: Int): (DataFrame, Seq[Long]) = {
+    val spark = delta.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"count store table '$table' does not exist — run initStore first")
+    require(spark.table(table).columns.contains("tok_pfx"),
+      s"$table is not prefix-partitioned — use prepareSigned for the " +
+        "plain layout")
+    val signed = delta.select(
+        keyCols.map(col) ++ cntCols.map(c => (col(c) * sign).as(c)): _*)
+      .withColumn("tok_pfx", pfxCol(keyCols.head, prefixes))
+      .localCheckpoint()
+    val touched = signed.select(col("tok_pfx")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val merged = spark.table(table)
+      .filter(col("tok_pfx").isin(touched: _*))
+      .unionByName(signed)
+      .groupBy((keyCols.map(col) :+ col("tok_pfx")): _*)
+      .agg(sum(col(cntCols.head)).as(cntCols.head),
+        cntCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .localCheckpoint() // settle BEFORE overwriting what we read
+    val neg = merged.filter(
+      cntCols.map(c => col(c) < 0).reduce(_ || _)).count()
+    require(neg == 0,
+      s"$table: $neg rows went negative — the removal was never " +
+        "(fully) appended; store unchanged, nothing written")
+    (merged.filter(cntCols.map(c => col(c) =!= 0).reduce(_ || _))
+      .localCheckpoint(), touched)
+  }
+
+  /** Commit a prepared prefixed merge: dynamically overwrite exactly
+    * the touched partitions. A touched prefix whose rows all cancel
+    * to zero is dropped via ALTER TABLE (dynamic overwrite only
+    * replaces partitions PRESENT in the written data — without the
+    * drop, fully-cancelled partitions would serve stale rows). */
+  def writePrefixed(table: String, live: DataFrame,
+      touched: Seq[Long]): Unit = {
+    val spark = live.sparkSession
+    val surviving = live.select(col("tok_pfx")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // insertInto is positional: order columns as the table stores
+      // them (data columns first, the partition column last)
+      live.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally mode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    for (p <- touched if !surviving.contains(p))
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (tok_pfx=$p)")
+  }
+
   // ---- torn-write marker + streaming idempotence ledger ----
   // A count-store commit spans several table rewrites; a crash between
   // them leaves tables from two model states. The Bm25 discipline

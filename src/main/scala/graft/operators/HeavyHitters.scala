@@ -63,22 +63,40 @@ object HhStore {
     CountStore.requireServable(spark, name)
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val k = kOf(spark, name)
-      val bc = counts(batch, grpCol, itemCol).localCheckpoint()
-      val merged = compress(
-        spark.table(s"${name}_hh").unionByName(bc)
-          .groupBy(col("grp"), col("item"))
-          .agg(sum(col("cnt")).as("cnt")), k)
-        .localCheckpoint() // settle BEFORE overwriting what we read
-      val n = spark.table(s"${name}_hh_n")
-        .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n")))
-        .groupBy(col("grp")).agg(sum(col("n")).as("n"))
-        .localCheckpoint()
+      val (merged, n) = mergedWith(batch, name, grpCol, itemCol)
       CountStore.applyOnce(spark, name, batchId) {
         graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
         graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
       }
     }
+  }
+
+  /** Ledger-FREE merge — the admission fold's put-side op (the fold
+    * carries its own batch ledger). */
+  def mergeDocs(batch: DataFrame, name: String, grpCol: String,
+      itemCol: String): Unit = {
+    val spark = batch.sparkSession
+    CountStore.requireServable(spark, name)
+    val (merged, n) = mergedWith(batch, name, grpCol, itemCol)
+    graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
+    graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+  }
+
+  private def mergedWith(batch: DataFrame, name: String, grpCol: String,
+      itemCol: String): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val k = kOf(spark, name)
+    val bc = counts(batch, grpCol, itemCol).localCheckpoint()
+    val merged = compress(
+      spark.table(s"${name}_hh").unionByName(bc)
+        .groupBy(col("grp"), col("item"))
+        .agg(sum(col("cnt")).as("cnt")), k)
+      .localCheckpoint() // settle BEFORE overwriting what we read
+    val n = spark.table(s"${name}_hh_n")
+      .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n")))
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    (merged, n)
   }
 
   def maintainStream(items: DataFrame, name: String, grpCol: String,

@@ -141,16 +141,29 @@ object NbClassifier {
   * zeros, so the store always equals SOME corpus's fresh fit. */
 object NbStore {
 
+  /** `prefixes > 0` selects the PREFIX-PARTITIONED layout (v2): the
+    * counts table is Hive-partitioned on pmod(xxhash64(token), P), so
+    * every later merge rewrites only the delta-touched partitions
+    * instead of the whole model — the 100 TB-vocabulary lever
+    * (CountStore scaladoc; ProbeR15X measures both layouts, including
+    * the honest Zipf caveat). The class table stays plain (it is
+    * class-count-sized). Layout choice is recorded in
+    * `<name>_layout`; merges auto-detect it. */
   def initStore(train: DataFrame, name: String, buckets: Int = 32,
-      textCol: String = "text", labelCol: String = "label"): Unit = {
+      textCol: String = "text", labelCol: String = "label",
+      prefixes: Int = 0): Unit = {
     val spark = train.sparkSession
     val (cc, byClass) = NbClassifier.modelFrames(train, textCol, labelCol)
     // a rebuild clears a torn-commit marker (this IS the repair path)
     // and the stream-idempotence ledger (new model, new stream state)
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
-    graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts", buckets,
-      Seq("token"), Seq("token"))
+    CountStore.writeLayout(spark, name, prefixes)
+    if (prefixes > 0)
+      CountStore.writePrefixedInit(s"${name}_counts", cc, "token", prefixes)
+    else
+      graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts", buckets,
+        Seq("token"), Seq("token"))
     graft.sources.Sinks.parquetTable(byClass, s"${name}_class")
     CountStore.setBuilding(spark, name, on = false)
   }
@@ -171,11 +184,26 @@ object NbStore {
       textCol: String, labelCol: String, sign: Long): Unit = {
     val spark = docs.sparkSession
     CountStore.requireServable(spark, name)
-    val (cc, by) = prepared(docs, name, textCol, labelCol, sign)
-    CountStore.setBuilding(spark, name, on = true)
-    CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
-    CountStore.write(s"${name}_class", by, 0, Nil)
-    CountStore.setBuilding(spark, name, on = false)
+    val pfx = CountStore.layoutPrefixes(spark, name)
+    if (pfx > 0) {
+      val (dcc, dby) = NbClassifier.modelFrames(docs, textCol, labelCol)
+      // validate BOTH merges before writing EITHER (the prepared()
+      // contract, kept across layouts)
+      val (cc, touched) = CountStore.preparePrefixed(s"${name}_counts",
+        dcc, Seq("token", "label"), Seq("cnt"), sign, pfx)
+      val by = CountStore.prepareSigned(s"${name}_class", dby,
+        Seq("label"), Seq("n_c", "t_c"), sign)
+      CountStore.setBuilding(spark, name, on = true)
+      CountStore.writePrefixed(s"${name}_counts", cc, touched)
+      CountStore.write(s"${name}_class", by, 0, Nil)
+      CountStore.setBuilding(spark, name, on = false)
+    } else {
+      val (cc, by) = prepared(docs, name, textCol, labelCol, sign)
+      CountStore.setBuilding(spark, name, on = true)
+      CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
+      CountStore.write(s"${name}_class", by, 0, Nil)
+      CountStore.setBuilding(spark, name, on = false)
+    }
   }
 
   /** BOTH merges validated (non-negativity, settled) before EITHER
@@ -223,10 +251,23 @@ object NbStore {
     // batch must skip without paying the merge computation
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val (cc, by) = prepared(batch, name, textCol, labelCol, sign = 1L)
-      CountStore.applyOnce(spark, name, batchId) {
-        CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
-        CountStore.write(s"${name}_class", by, 0, Nil)
+      val pfx = CountStore.layoutPrefixes(spark, name)
+      if (pfx > 0) {
+        val (dcc, dby) = NbClassifier.modelFrames(batch, textCol, labelCol)
+        val (cc, touched) = CountStore.preparePrefixed(s"${name}_counts",
+          dcc, Seq("token", "label"), Seq("cnt"), sign = 1L, pfx)
+        val by = CountStore.prepareSigned(s"${name}_class", dby,
+          Seq("label"), Seq("n_c", "t_c"), sign = 1L)
+        CountStore.applyOnce(spark, name, batchId) {
+          CountStore.writePrefixed(s"${name}_counts", cc, touched)
+          CountStore.write(s"${name}_class", by, 0, Nil)
+        }
+      } else {
+        val (cc, by) = prepared(batch, name, textCol, labelCol, sign = 1L)
+        CountStore.applyOnce(spark, name, batchId) {
+          CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
+          CountStore.write(s"${name}_class", by, 0, Nil)
+        }
       }
     }
   }
@@ -237,7 +278,10 @@ object NbStore {
       docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     CountStore.requireServable(spark, name)
-    NbClassifier.scoreWith(docs, spark.table(s"${name}_counts"),
+    // drop is a no-op on the plain layout; on v2 it hides the
+    // partition scaffolding from the scorer
+    NbClassifier.scoreWith(docs,
+      spark.table(s"${name}_counts").drop("tok_pfx"),
       spark.table(s"${name}_class"), idCol, textCol)
   }
 

@@ -268,19 +268,31 @@ object UnigramLm {
   * merging deltas of MODEL size instead of recounting the corpus. */
 object LmStore {
 
+  /** `prefixes > 0` selects the prefix-partitioned layout (v2) for
+    * all three n-gram tables (hash keys p1 / prev / token) — merges
+    * then rewrite only delta-touched partitions (the NbStore.initStore
+    * clause; ProbeR15X measures it). Recorded in `<name>_layout`. */
   def initStore(reference: DataFrame, name: String, buckets: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      prefixes: Int = 0): Unit = {
     val spark = reference.sparkSession
     val (tc, bc, uc) = UnigramLm.trigramFrames(reference, idCol, textCol)
     // rebuild = the torn-commit repair path; also resets stream state
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
-    graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
-      Seq("p1"), Seq("p1"))
-    graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
-      Seq("prev"), Seq("prev"))
-    graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
-      Seq("token"), Seq("token"))
+    CountStore.writeLayout(spark, name, prefixes)
+    if (prefixes > 0) {
+      CountStore.writePrefixedInit(s"${name}_tri", tc, "p1", prefixes)
+      CountStore.writePrefixedInit(s"${name}_bi", bc, "prev", prefixes)
+      CountStore.writePrefixedInit(s"${name}_uni", uc, "token", prefixes)
+    } else {
+      graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
+        Seq("p1"), Seq("p1"))
+      graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
+        Seq("prev"), Seq("prev"))
+      graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
+        Seq("token"), Seq("token"))
+    }
     CountStore.setBuilding(spark, name, on = false)
   }
 
@@ -300,6 +312,22 @@ object LmStore {
     val spark = docs.sparkSession
     CountStore.requireServable(spark, name)
     val (dtc, dbc, duc) = UnigramLm.trigramFrames(docs, idCol, textCol)
+    val pfx = CountStore.layoutPrefixes(spark, name)
+    if (pfx > 0) {
+      // validate ALL THREE merges before writing ANY table
+      val (tri, tT) = CountStore.preparePrefixed(s"${name}_tri", dtc,
+        Seq("p1", "p2", "cur"), Seq("c3"), sign, pfx)
+      val (bi, bT) = CountStore.preparePrefixed(s"${name}_bi", dbc,
+        Seq("prev", "cur"), Seq("cb"), sign, pfx)
+      val (uni, uT) = CountStore.preparePrefixed(s"${name}_uni", duc,
+        Seq("token"), Seq("cu"), sign, pfx)
+      CountStore.setBuilding(spark, name, on = true)
+      CountStore.writePrefixed(s"${name}_tri", tri, tT)
+      CountStore.writePrefixed(s"${name}_bi", bi, bT)
+      CountStore.writePrefixed(s"${name}_uni", uni, uT)
+      CountStore.setBuilding(spark, name, on = false)
+      return
+    }
     // validate ALL THREE merges before writing ANY table
     val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
       Seq("p1", "p2", "cur"), Seq("c3"), sign)
@@ -320,8 +348,10 @@ object LmStore {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       alpha: Double = 0.4): DataFrame = {
     CountStore.requireServable(spark, name)
-    UnigramLm.trigramScoreWith(docs, spark.table(s"${name}_tri"),
-      spark.table(s"${name}_bi"), spark.table(s"${name}_uni"),
+    UnigramLm.trigramScoreWith(docs,
+      spark.table(s"${name}_tri").drop("tok_pfx"),
+      spark.table(s"${name}_bi").drop("tok_pfx"),
+      spark.table(s"${name}_uni").drop("tok_pfx"),
       idCol, textCol, alpha)
   }
 
@@ -337,8 +367,10 @@ object LmStore {
       textCol: String = "text", wBigram: Double = 0.7,
       wUnigram: Double = 0.3): DataFrame = {
     CountStore.requireServable(spark, name)
-    UnigramLm.bigramScoreWith(docs, spark.table(s"${name}_bi"),
-      spark.table(s"${name}_uni"), idCol, textCol, wBigram, wUnigram)
+    UnigramLm.bigramScoreWith(docs,
+      spark.table(s"${name}_bi").drop("tok_pfx"),
+      spark.table(s"${name}_uni").drop("tok_pfx"),
+      idCol, textCol, wBigram, wUnigram)
   }
 
   /** Unigram scoring off the standing `_uni` table (the q73 form). */
@@ -382,16 +414,31 @@ object LmStore {
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
       val (dtc, dbc, duc) = UnigramLm.trigramFrames(batch, idCol, textCol)
-      val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
-        Seq("p1", "p2", "cur"), Seq("c3"), sign = 1L)
-      val bi = CountStore.prepareSigned(s"${name}_bi", dbc,
-        Seq("prev", "cur"), Seq("cb"), sign = 1L)
-      val uni = CountStore.prepareSigned(s"${name}_uni", duc,
-        Seq("token"), Seq("cu"), sign = 1L)
-      CountStore.applyOnce(spark, name, batchId) {
-        CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
-        CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
-        CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+      val pfx = CountStore.layoutPrefixes(spark, name)
+      if (pfx > 0) {
+        val (tri, tT) = CountStore.preparePrefixed(s"${name}_tri", dtc,
+          Seq("p1", "p2", "cur"), Seq("c3"), sign = 1L, pfx)
+        val (bi, bT) = CountStore.preparePrefixed(s"${name}_bi", dbc,
+          Seq("prev", "cur"), Seq("cb"), sign = 1L, pfx)
+        val (uni, uT) = CountStore.preparePrefixed(s"${name}_uni", duc,
+          Seq("token"), Seq("cu"), sign = 1L, pfx)
+        CountStore.applyOnce(spark, name, batchId) {
+          CountStore.writePrefixed(s"${name}_tri", tri, tT)
+          CountStore.writePrefixed(s"${name}_bi", bi, bT)
+          CountStore.writePrefixed(s"${name}_uni", uni, uT)
+        }
+      } else {
+        val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
+          Seq("p1", "p2", "cur"), Seq("c3"), sign = 1L)
+        val bi = CountStore.prepareSigned(s"${name}_bi", dbc,
+          Seq("prev", "cur"), Seq("cb"), sign = 1L)
+        val uni = CountStore.prepareSigned(s"${name}_uni", duc,
+          Seq("token"), Seq("cu"), sign = 1L)
+        CountStore.applyOnce(spark, name, batchId) {
+          CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
+          CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
+          CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+        }
       }
     }
   }

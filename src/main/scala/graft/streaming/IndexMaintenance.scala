@@ -682,20 +682,25 @@ object IndexMaintenance {
     *  - HLL sketch: arrivals register-max merge; any departure forces
     *    the documented union-only takedown (one-pass re-init over the
     *    post-batch live corpus — stated, not hidden).
+    *  - Heavy-hitters (MG) and quantile (KLL) stores: the same
+    *    union-only clause — arrivals merge through their batch
+    *    bodies, departures re-init over the live corpus.
     *
     * Costs: NB/LM merges are model-sized; sample merges are
     * store+batch-sized, its refits group-bounded over one live pass;
-    * sketch re-inits are one live pass. Nothing here ever rescans the
-    * corpus on a pure-add batch. */
+    * sketch/HH/KLL re-inits are one live pass. Nothing here ever
+    * rescans the corpus on a pure-add batch. */
   def countStoreFold(spark: SparkSession,
       nbStore: Option[(String, String)] = None,
       lmStore: Option[String] = None,
       sampleStore: Option[(String, String, String)] = None,
       sampleK: Int = 5,
       sketchStore: Option[(String, String)] = None,
+      hhStore: Option[(String, String, Int)] = None,
+      quantileStore: Option[(String, String, String)] = None,
       buckets: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DocFold = (gone, put, live) => {
-    import graft.operators.{LmStore, NbStore, SampleStore, SketchStore}
+    import graft.operators.{HhStore, LmStore, NbStore, QuantileStore, SampleStore, SketchStore}
     nbStore.foreach { case (name, labelCol) =>
       if (!spark.catalog.tableExists(s"${name}_class")) {
         if (!put.isEmpty)
@@ -737,6 +742,32 @@ object IndexMaintenance {
         SketchStore.initStore(live(), name, grpCol, idCol)
       } else if (!put.isEmpty) {
         SketchStore.mergeDocs(put, name, grpCol, idCol)
+      }
+    }
+    // the round-11 sketch families ride the same union-only clause as
+    // the HLL store: arrivals merge, any departure re-inits over the
+    // post-batch live corpus (stated, not hidden). HH items are the
+    // whitespace tokens of textCol — the per-domain n-gram feed's
+    // unigram base case (callers wanting shingles pre-explode their
+    // own item frame through HhStore directly).
+    hhStore.foreach { case (name, grpCol, k) =>
+      def items(df: DataFrame) = df.select(col(grpCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("item"))
+      if (!spark.catalog.tableExists(s"${name}_hh")) {
+        if (!put.isEmpty) HhStore.initStore(items(put), name, "grp", "item", k)
+      } else if (!gone.isEmpty) {
+        HhStore.initStore(items(live()), name, "grp", "item", k)
+      } else if (!put.isEmpty) {
+        HhStore.mergeDocs(items(put), name, "grp", "item")
+      }
+    }
+    quantileStore.foreach { case (name, grpCol, valCol) =>
+      if (!spark.catalog.tableExists(s"${name}_kll")) {
+        if (!put.isEmpty) QuantileStore.initStore(put, name, grpCol, valCol)
+      } else if (!gone.isEmpty) {
+        QuantileStore.initStore(live(), name, grpCol, valCol)
+      } else if (!put.isEmpty) {
+        QuantileStore.mergeDocs(put, name, grpCol, valCol)
       }
     }
   }

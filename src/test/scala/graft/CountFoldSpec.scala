@@ -39,27 +39,38 @@ class CountFoldSpec extends SparkSpec {
     lang = if (i % 2 == 0) "en" else "de",
     src = s"s${i % 3}", w = (10 + i).toLong)
 
+  private val hh = "cf_hh"; private val kll = "cf_kll"
+
   private def cleanAll(): Unit = {
     IndexMaintenance.initStores(spark, idx)
     IngestDedup.initStore(spark, sig)
     graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
     for (t <- Seq(log, log + "_applied",
-        nb + "_counts", nb + "_class", nb + "_applied",
-        lm + "_tri", lm + "_bi", lm + "_uni", lm + "_applied",
+        nb + "_counts", nb + "_class", nb + "_applied", nb + "_layout",
+        lm + "_tri", lm + "_bi", lm + "_uni", lm + "_applied", lm + "_layout",
         smp + "_sample", smp + "_sample_params", smp + "_applied",
         hll + "_hll", hll + "_hll_params", hll + "_applied",
-        "cff_nb_counts", "cff_nb_class", "cff_lm_tri", "cff_lm_bi",
-        "cff_lm_uni", "cff_smp_sample", "cff_smp_sample_params",
-        "cff_hll_hll", "cff_hll_hll_params"))
+        hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_applied",
+        kll + "_kll", kll + "_kll_params", kll + "_applied",
+        "cff_nb_counts", "cff_nb_class", "cff_nb_layout",
+        "cff_lm_tri", "cff_lm_bi",
+        "cff_lm_uni", "cff_lm_layout", "cff_smp_sample",
+        "cff_smp_sample_params",
+        "cff_hll_hll", "cff_hll_hll_params",
+        "cff_hh_hh", "cff_hh_hh_n", "cff_hh_hh_params",
+        "cff_kll_kll", "cff_kll_kll_params"))
       graft.sources.Sinks.dropTable(spark, t)
-    for (n <- Seq(log, nb, lm, smp, hll, "cff_nb", "cff_lm", "cff_smp", "cff_hll"))
+    for (n <- Seq(log, nb, lm, smp, hll, hh, kll, "cff_nb", "cff_lm",
+        "cff_smp", "cff_hll", "cff_hh", "cff_kll"))
       CountStore.setBuilding(spark, n, on = false)
   }
 
   private def fold = IndexMaintenance.countStoreFold(spark,
     nbStore = Some((nb, "lang")), lmStore = Some(lm),
     sampleStore = Some((smp, "src", "w")), sampleK = 3,
-    sketchStore = Some((hll, "lang")), buckets = 4)
+    sketchStore = Some((hll, "lang")),
+    hhStore = Some((hh, "src", 10)),
+    quantileStore = Some((kll, "src", "w")), buckets = 4)
 
   private def apply(batch: DataFrame, ver: Long): DataFrame =
     IndexMaintenance.applyGatedUpserts(spark, idx, sig, batch, ver = ver,
@@ -121,6 +132,24 @@ class CountFoldSpec extends SparkSpec {
     val b = SketchStore.estimate(spark, "cff_hll")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "sketch estimates diverged")
+
+    // HH and KLL ride the union-only clause: the takedown wave
+    // re-inited both over the post-batch live corpus, so they must
+    // equal fresh inits over the same rows — HH exactly (the MG build
+    // is deterministic), KLL on served values (every group here holds
+    // ≤ k values, the sketch's exact regime — no compaction fired, so
+    // the randomized path never ran)
+    import graft.operators.{HhStore, QuantileStore}
+    def hhItems(df: DataFrame) = df.select(col("src").as("grp"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+    HhStore.initStore(hhItems(liveDf), "cff_hh", "grp", "item", k = 10)
+    assert(tablesEq(hh + "_hh", "cff_hh_hh"), "hh counters diverged")
+    assert(tablesEq(hh + "_hh_n", "cff_hh_hh_n"), "hh totals diverged")
+    QuantileStore.initStore(liveDf, "cff_kll", "src", "w")
+    val qa = QuantileStore.quantiles(spark, kll, Seq(0.1, 0.5, 0.9))
+    val qb = QuantileStore.quantiles(spark, "cff_kll", Seq(0.1, 0.5, 0.9))
+    assert(qa.exceptAll(qb).unionAll(qb.exceptAll(qa)).isEmpty,
+      "kll served quantiles diverged")
 
     // the rejected near-dup never reached any store
     assert(spark.table(smp + "_sample").filter(col("id") === 25L).isEmpty)
