@@ -91,7 +91,7 @@ object ProbeR15X {
           s"${name}_applied"))
         graft.sources.Sinks.dropTable(spark, t)
       graft.operators.CountStore.setBuilding(spark, name, on = false)
-      time(s"[big $layout] init 30M docs") {
+      time(s"[big $layout] init 15M docs") {
         graft.operators.NbStore.initStore(big, name, prefixes = pfx)
       }
       println(s"[big $layout] model rows: " +
