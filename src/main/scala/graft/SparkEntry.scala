@@ -2411,7 +2411,11 @@ object SparkEntry {
       graft.streaming.IndexMaintenance.initStores(s, "graft_q169_idx")
       graft.streaming.IngestDedup.initStore(s, "graft_q169_sigs")
       graft.sources.Sinks.dropTable(s, "graft_q169_sigs_pending_rm")
-      val n = 3
+      // TWO waves (bootstrap + append-into-existing): the admitted set
+      // (hence the oracle) is wave-count-independent — admission is
+      // order-independent — so the third wave bought no coverage, only
+      // gate wall (the r10 verdict's wall-time item)
+      val n = 2
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val step = (maxId + n) / n
       for (k <- 0 until n)
@@ -2451,7 +2455,11 @@ object SparkEntry {
         .join(Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
         .localCheckpoint()
-      val n = 3
+      // TWO add waves + the edit/takedown wave: the admitted set (hence
+      // the oracle counts) is wave-count-independent, so this keeps the
+      // bootstrap, fold-append and edit/takedown coverage one gated
+      // wave cheaper (the r10 verdict's wall-time item)
+      val n = 2
       val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
       val step = (maxId + n) / n
       def wave(k: Int) = corpus
@@ -2508,8 +2516,8 @@ object SparkEntry {
         .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
       val storeIds = model.corpusBuckets
         .select(col("neighbor_id").as("doc_id")).distinct().localCheckpoint()
-      val idsOk = storeIds.exceptAll(liveIds).isEmpty &&
-        liveIds.exceptAll(storeIds).isEmpty
+      val idsOk = storeIds.exceptAll(liveIds)
+        .unionAll(liveIds.exceptAll(storeIds)).isEmpty
       // euclidean model: __cvec is the raw vector — bit-exact against
       // the source embeddings for every stored id
       val vecsOk = model.corpusBuckets
@@ -2532,14 +2540,14 @@ object SparkEntry {
       // saveStore of the live vectors under the same frozen quantizer
       val ivfIds = s.table(ivfStore)
         .select(col("neighbor_id").as("doc_id")).distinct().localCheckpoint()
-      val ivfIdsOk = ivfIds.exceptAll(liveIds).isEmpty &&
-        liveIds.exceptAll(ivfIds).isEmpty
+      val ivfIdsOk = ivfIds.exceptAll(liveIds)
+        .unionAll(liveIds.exceptAll(ivfIds)).isEmpty
       ivf.saveStore(corpus.join(liveIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("embedding")),
         ivfStore + "_rebuilt", buckets = 8,
         corpusId = "doc_id", corpusVec = "embedding")
       val ivfA = s.table(ivfStore); val ivfB = s.table(ivfStore + "_rebuilt")
-      val ivfEq = ivfA.exceptAll(ivfB).isEmpty && ivfB.exceptAll(ivfA).isEmpty
+      val ivfEq = ivfA.exceptAll(ivfB).unionAll(ivfB.exceptAll(ivfA)).isEmpty
       Seq(
         ("ann_recall_ok", if (recallOk) 1L else 0L),
         ("ivf_ids_eq_index", if (ivfIdsOk) 1L else 0L),
@@ -3390,7 +3398,10 @@ object SparkEntry {
         .join(Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
         .localCheckpoint()
-      val n = 3
+      // TWO add waves (the q169/q171/q245 trim): the admitted set is
+      // wave-count-independent, the NSW fold still sees bootstrap,
+      // upsert-into-existing, edits and takedowns
+      val n = 2
       val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
       val step = (maxId + n) / n
       def wave(k: Int) = corpus
@@ -3434,7 +3445,7 @@ object SparkEntry {
       val freshModel = nsw.fit(liveCorpus, "doc_id", "embedding")
       graft.ann.NswStore.saveStore(freshModel, freshT)
       val a = s.table(store); val b = s.table(freshT)
-      val storeEq = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val storeEq = a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
       val storeIds = a.select(col("node_id").as("doc_id")).distinct()
         .localCheckpoint()
       val idsSubset = storeIds.exceptAll(liveIds).isEmpty
@@ -3452,7 +3463,7 @@ object SparkEntry {
       val sv = keyed(graft.ann.NswStore.knnJoinStore(s, store, queries,
         topK = 5, ef = 64))
       val fv = keyed(freshModel.knnJoin(queries, topK = 5, ef = 64))
-      val serveEq = sv.exceptAll(fv).isEmpty && fv.exceptAll(sv).isEmpty
+      val serveEq = sv.exceptAll(fv).unionAll(fv.exceptAll(sv)).isEmpty
       Seq(
         ("n_edited", nEdited),
         ("n_live", liveIds.count()),
