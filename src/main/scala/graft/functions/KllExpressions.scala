@@ -33,11 +33,16 @@ object KllSketch {
   def normalizedRankError(k: Int): Double =
     org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
 
-  /** Neutral k for an EMPTY merge buffer: KLL merge adopts the
-    * SMALLER k of the two sides, so starting from the maximum means
-    * the buffer always takes on the incoming sketches' k instead of
-    * degrading them. */
-  val MaxK: Int = 65535
+  /** Minimal placeholder k for an EMPTY merge buffer. The merge
+    * aggregate never merges INTO an empty buffer (it ADOPTS the first
+    * incoming sketch instead — see KllMergeAgg), so the placeholder's
+    * k never constrains accuracy; it exists only because the buffer
+    * type must be a sketch. Keeping it at the legal minimum matters at
+    * scale: a KLL heap sketch allocates its k-sized item array up
+    * front, so a large-k empty buffer would cost ~8·k bytes PER GROUP
+    * during the aggregation — half a megabyte per group at the 65535
+    * maximum, which is real memory at millions of groups. */
+  val PlaceholderK: Int = 8
 
   private[functions] def numeric(v: Any): Double = v match {
     case d: Double => d
@@ -109,21 +114,25 @@ case class KllMergeAgg(child: Expression,
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a binary sketch column, got ${other.simpleString}")
     }
-  // the buffer starts as a neutral minimal sketch; merging adopts the
-  // incoming sketches' k (KLL merge keeps the smaller k's accuracy
-  // envelope, per the library's documented semantics)
+  // ADOPT-FIRST buffer discipline: the empty buffer is a tiny
+  // placeholder that is REPLACED by the first incoming sketch (so the
+  // result carries the incoming k exactly — KLL merge keeps the
+  // SMALLER k, and a fixed-k neutral buffer would either degrade
+  // accuracy (small k) or allocate ~8·k bytes per group (large k));
+  // only non-empty buffers merge in place.
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(KllSketch.MaxK)
+    KllDoublesSketch.newHeapInstance(KllSketch.PlaceholderK)
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(
-        Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    buf
+    if (v == null) buf
+    else {
+      val in = KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (buf.isEmpty) in else { buf.merge(in); buf }
+    }
   }
-  override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
-    b.merge(o); b
-  }
+  override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch =
+    if (b.isEmpty) o else if (o.isEmpty) b else { b.merge(o); b }
   override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
   override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch =

@@ -44,6 +44,22 @@ class KllSpec extends SparkSpec {
     assert(math.abs(merged.getDouble(1) / 50000 - 0.9) <= 3 * eps)
   }
 
+  test("merge ADOPTS the incoming k (placeholder buffer never degrades accuracy)") {
+    // the merge buffer starts as a k=8 placeholder; if it were merged
+    // into (instead of replaced by) the first sketch, the result would
+    // carry k=8's ~13% rank error instead of k=200's ~1.65%
+    val parts = spark.range(20000)
+      .select(col("id").cast("double").as("v"), (col("id") % 8).as("part"))
+      .groupBy("part")
+      .agg(QuantileStore.kllSketchAgg(col("v"), k).as("sk"))
+    val bytes = parts.agg(QuantileStore.kllMergeAgg(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val merged = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(merged.getK === k, s"merge degraded k to ${merged.getK}")
+    assert(merged.getN === 20000L)
+  }
+
   test("nulls are skipped; an empty group serves null quantiles") {
     val df = Seq((Some(1.0), "a"), (None, "a"), (None, "b"))
       .toDF("v", "grp")
