@@ -227,17 +227,26 @@ object CountStore {
   def applyOnce(spark: org.apache.spark.sql.SparkSession, name: String,
       batchId: Long)(writes: => Unit): Boolean = {
     requireServable(spark, name)
-    import spark.implicits._
-    val ledger = s"${name}_applied"
     if (alreadyApplied(spark, name, batchId)) false
     else {
       setBuilding(spark, name, on = true)
       writes
-      Seq(batchId).toDF("batch_id")
-        .write.mode("append").format("parquet").saveAsTable(ledger)
+      markApplied(spark, name, batchId)
       setBuilding(spark, name, on = false)
       true
     }
+  }
+
+  /** Commit `batchId` to the `<name>_applied` ledger — the closing
+    * half of an exactly-once window for callers that must open the
+    * marker EARLIER than [[applyOnce]] would (the gated-batch fold
+    * opens it before the text index mutates, so a tear anywhere in
+    * the composed batch is loud). */
+  private[graft] def markApplied(spark: org.apache.spark.sql.SparkSession,
+      name: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_applied")
   }
 
   /** A rebuild resets stream state: drop the idempotence ledger so a

@@ -108,14 +108,26 @@ object QuantileStore {
       }
 
   /** Serve (grp, n, one column per requested percentile). Groups-sized
-    * scan; n is EXACT (KLL tracks it), quantiles carry ε(k). */
+    * scan; n is EXACT (KLL tracks it), quantiles carry ε(k). Integer
+    * percents name as `p50`; fractional ones name in basis points
+    * (`p9950bp` for 0.995) — rounding fractional percents into the
+    * integer namespace would COLLIDE (0.995 and 1.0 both "p100") or
+    * silently mislabel (0.125 as "p13"), and a report column lying
+    * about its percentile is worse than an unusual name. Duplicate
+    * probs are rejected for the same reason. */
   def quantiles(spark: SparkSession, name: String,
       probs: Seq[Double]): DataFrame = {
     CountStore.requireServable(spark, name)
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probs must be in [0, 1], got $probs")
-    val cols = probs.map(p =>
-      kllQuantile(col("sk"), lit(p)).as(s"p${(p * 100).round}"))
+    require(probs.distinct.size == probs.size,
+      s"duplicate probs: $probs")
+    val cols = probs.map { p =>
+      val pct = p * 100
+      val nm = if (pct == math.round(pct).toDouble) s"p${math.round(pct)}"
+        else s"p${math.round(p * 10000)}bp"
+      kllQuantile(col("sk"), lit(p)).as(nm)
+    }
     spark.table(s"${name}_kll")
       .select(col("grp") +: kllN(col("sk")).as("n") +: cols: _*)
   }

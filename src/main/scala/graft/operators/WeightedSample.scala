@@ -42,13 +42,13 @@ object WeightedSample {
     * ascending-id order, breaking the ES inclusion-∝-weight claim.)
     * Every intermediate product is < 2^63, so the arithmetic is EXACT
     * integer math any engine mirrors without overflow hops. */
-  def portableHash(id: Column): Column = {
-    val k1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
-      lit(2147483647L))
-    val k2 = pmod(pmod(id, lit(2147483629L)) * lit(2246822519L),
-      lit(2147483629L))
-    k1 * lit(2147483629L) + k2
-  }
+  def portableHash(id: Column): Column =
+    // DELEGATED, not re-typed: the four CRT constants live in exactly
+    // one home (EpochShuffle.epochKey — at epoch 0 the additive
+    // shifts vanish and the construction reduces to this hash), so a
+    // future constant revision cannot silently de-sync the two
+    // "identical" keys and the oracles that mirror them.
+    graft.operators.EpochShuffle.epochKey(id, lit(0L))
 
   /** Uniform in (0, p1·p2/2^62] ⊂ (0, 1) from [[portableHash]]. The
     * divisor is 2^62 — a power of two, EXACTLY representable as a

@@ -115,9 +115,15 @@ object CorpusLog {
   /** Fold the append-only log to one row per live id (latest ver kept,
     * markers and superseded versions drop) — run on the same
     * maintenance cadence as compactFingerprints; also folds the
-    * per-batch file accumulation inside each prefix. */
+    * per-batch file accumulation inside each prefix. The rewrite runs
+    * under the log's `__building` marker (the compactLedger
+    * discipline): the log is the system's ONLY retention of admitted
+    * payloads, so a torn drop-and-rewrite must refuse every later
+    * serve/fold loudly instead of silently losing the corpus — a
+    * localCheckpoint alone is executor-block state, not durability. */
   def compact(spark: SparkSession, name: String, idCol: String): Unit = {
     if (!spark.catalog.tableExists(name)) return
+    graft.operators.CountStore.requireServable(spark, name)
     val t = spark.table(name)
     val pc = payloadCols(t, idCol)
     val latest = t.groupBy(col(idCol))
@@ -128,8 +134,10 @@ object CorpusLog {
       .filter(!col("__deleted"))
       .withColumn("__pfx", pfx(idCol))
       .localCheckpoint()
+    graft.operators.CountStore.setBuilding(spark, name, on = true)
     graft.sources.Sinks.dropTable(spark, name)
     latest.write.mode("append").format("parquet")
       .partitionBy("__pfx").saveAsTable(name)
+    graft.operators.CountStore.setBuilding(spark, name, on = false)
   }
 }

@@ -448,6 +448,19 @@ object IndexMaintenance {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     val delta = classifyUpserts(spark, name, b, idCol, textCol)
+    // open the COUNT-FOLD torn-batch window BEFORE any store mutates:
+    // a crash between the index commit and the fold ledger would
+    // otherwise re-deliver as an all-unchanged classification that
+    // silently skips the fold forever. With the marker down, the
+    // replay fails loud at this requireServable instead. A batch whose
+    // ver is already in the fold ledger (completed replay) skips the
+    // window entirely.
+    val foldArmed = docFold.filter { case (logName, _) =>
+      !graft.operators.CountStore.alreadyApplied(spark, logName, ver) }
+    foldArmed.foreach { case (logName, _) =>
+      graft.operators.CountStore.requireServable(spark, logName)
+      graft.operators.CountStore.setBuilding(spark, logName, on = true)
+    }
     def withStatus(s: String) = b.join(
       delta.filter(col("status") === s).select(col(idCol)),
       Seq(idCol), "left_semi")
@@ -484,12 +497,16 @@ object IndexMaintenance {
       applied, idCol, vecCol, annRef, vecFold)
     // the COUNT-MODEL fold (round-11): the same classification and
     // admission decision also maintains the count-shaped model stores
-    // (NB / LM / weighted sample / HLL) — see [[countStoreFold]]
-    docFold.foreach { case (logName, f) =>
+    // (NB / LM / weighted sample / HLL / MG / KLL) — see
+    // [[countStoreFold]]. Ledger + marker close the window opened
+    // above: exactly-once or loud across the WHOLE gated batch.
+    foldArmed.foreach { case (logName, f) =>
       foldCountStores(spark,
         batch.select((col(idCol).cast("long").as(idCol) +: batch.columns
           .filterNot(c => c == idCol || c == vecCol).map(col).toIndexedSeq): _*),
         applied, logName, idCol, ver, f)
+      graft.operators.CountStore.markApplied(spark, logName, ver)
+      graft.operators.CountStore.setBuilding(spark, logName, on = false)
     }
     sweepSignatures(spark, sigName, bands, compactRatio)
     applied
@@ -636,34 +653,50 @@ object IndexMaintenance {
   type DocFold = (DataFrame, DataFrame, () => DataFrame) => Unit
 
   /** The fold driver: resolve old payloads, update the corpus log,
-    * run the fold — all inside ONE exactly-once-or-loud ledger window
-    * keyed by the log name (the CountStore.applyOnce discipline): a
-    * re-delivered batch either finds its ledger row (everything —
-    * log appends AND store merges — skipped as a unit) or finds the
-    * marker (fails loud, rebuild). The old-payload lookup happens
-    * BEFORE the log append (it must see the pre-batch versions) and is
-    * settled, so the append cannot leak into it. */
+    * run the fold. The exactly-once-or-loud window is OPENED BY THE
+    * CALLER before the text index mutates (applyGatedUpserts sets the
+    * log's `__building` marker right after classification) and closed
+    * here with the ledger commit — so a crash ANYWHERE between the
+    * index commit and the fold ledger leaves the marker down and the
+    * re-delivered batch fails LOUD instead of classifying
+    * all-unchanged and silently skipping the fold forever (the
+    * one-sided-commit hazard of composing two stores). Recovery from
+    * a torn gated batch = rebuild the count stores and the corpus log
+    * from the upstream corpus (their initStore paths) — the torn
+    * batch's payload never reached the log, so nothing shorter is
+    * honest. The old-payload lookup happens BEFORE the log append (it
+    * must see the pre-batch versions) and is settled; every departing
+    * id MUST resolve to a logged live row — a missing row means a
+    * departure was never logged and its signed subtraction would
+    * silently skip, so the driver fails loud instead. */
   private def foldCountStores(spark: SparkSession, batch: DataFrame,
       applied: DataFrame, logName: String, idCol: String, ver: Long,
       fold: DocFold): Unit = {
-    import graft.operators.CountStore
-    if (CountStore.alreadyApplied(spark, logName, ver)) return
     val putDocs = batch
       .join(applied.filter(col("status").isin("added", "changed"))
         .select(col(idCol)), Seq(idCol), "left_semi")
       .localCheckpoint()
     val goneIds = applied.filter(col("status").isin("changed", "removed"))
-      .select(col(idCol))
+      .select(col(idCol)).localCheckpoint()
+    val nGone = goneIds.count()
     val oldGone =
-      if (spark.catalog.tableExists(logName))
-        CorpusLog.lookup(spark, logName, goneIds, idCol)
-      else putDocs.limit(0).localCheckpoint()
+      if (nGone == 0) putDocs.limit(0).localCheckpoint()
+      else {
+        require(spark.catalog.tableExists(logName),
+          s"corpus log '$logName' missing but the batch carries " +
+            "departures — the fold must be attached from the stores' birth")
+        val r = CorpusLog.lookup(spark, logName, goneIds, idCol)
+        val nFound = r.count()
+        require(nFound == nGone,
+          s"corpus log '$logName' resolved $nFound of $nGone departing " +
+            "ids — a departure was never logged, its signed subtraction " +
+            "would silently skip; rebuild the stores and the log")
+        r
+      }
     val removedOnly = applied.filter(col("status") === "removed")
       .select(col(idCol))
-    CountStore.applyOnce(spark, logName, ver) {
-      CorpusLog.append(spark, logName, putDocs, removedOnly, idCol, ver)
-      fold(oldGone, putDocs, () => CorpusLog.live(spark, logName, idCol))
-    }
+    CorpusLog.append(spark, logName, putDocs, removedOnly, idCol, ver)
+    fold(oldGone, putDocs, () => CorpusLog.live(spark, logName, idCol))
   }
 
   /** The standard [[DocFold]]: route the admission decision into any
@@ -701,46 +734,51 @@ object IndexMaintenance {
       buckets: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DocFold = (gone, put, live) => {
     import graft.operators.{HhStore, LmStore, NbStore, QuantileStore, SampleStore, SketchStore}
+    // both frames are settled by the driver; probe each ONCE (an
+    // isEmpty is a job submission — six families would otherwise pay
+    // up to twelve of them per micro-batch)
+    val goneEmpty = gone.isEmpty
+    val putEmpty = put.isEmpty
     nbStore.foreach { case (name, labelCol) =>
       if (!spark.catalog.tableExists(s"${name}_class")) {
-        if (!put.isEmpty)
+        if (!putEmpty)
           NbStore.initStore(put, name, buckets, textCol, labelCol)
       } else {
-        if (!gone.isEmpty)
+        if (!goneEmpty)
           NbStore.removeDocs(gone, name, buckets, textCol, labelCol)
-        if (!put.isEmpty)
+        if (!putEmpty)
           NbStore.appendDocs(put, name, buckets, textCol, labelCol)
       }
     }
     lmStore.foreach { name =>
       if (!spark.catalog.tableExists(s"${name}_uni")) {
-        if (!put.isEmpty) LmStore.initStore(put, name, buckets, idCol, textCol)
+        if (!putEmpty) LmStore.initStore(put, name, buckets, idCol, textCol)
       } else {
-        if (!gone.isEmpty) LmStore.removeDocs(gone, name, buckets, idCol, textCol)
-        if (!put.isEmpty) LmStore.appendDocs(put, name, buckets, idCol, textCol)
+        if (!goneEmpty) LmStore.removeDocs(gone, name, buckets, idCol, textCol)
+        if (!putEmpty) LmStore.appendDocs(put, name, buckets, idCol, textCol)
       }
     }
     sampleStore.foreach { case (name, grpCol, weightCol) =>
       if (!spark.catalog.tableExists(s"${name}_sample")) {
-        if (!put.isEmpty)
+        if (!putEmpty)
           SampleStore.initStore(put, name, grpCol, idCol, weightCol, sampleK)
       } else {
-        if (!gone.isEmpty)
+        if (!goneEmpty)
           SampleStore.dropDocs(spark, name, gone.select(col(idCol)), live(),
             grpCol, idCol, weightCol)
-        if (!put.isEmpty)
+        if (!putEmpty)
           SampleStore.mergeDocs(put, name, grpCol, idCol, weightCol)
       }
     }
     sketchStore.foreach { case (name, grpCol) =>
       if (!spark.catalog.tableExists(s"${name}_hll")) {
-        if (!put.isEmpty) SketchStore.initStore(put, name, grpCol, idCol)
-      } else if (!gone.isEmpty) {
+        if (!putEmpty) SketchStore.initStore(put, name, grpCol, idCol)
+      } else if (!goneEmpty) {
         // union-only takedown: re-init over the post-batch live corpus
         // (markers already logged, so live() excludes the departures
         // and includes this batch's arrivals)
         SketchStore.initStore(live(), name, grpCol, idCol)
-      } else if (!put.isEmpty) {
+      } else if (!putEmpty) {
         SketchStore.mergeDocs(put, name, grpCol, idCol)
       }
     }
@@ -754,19 +792,19 @@ object IndexMaintenance {
       def items(df: DataFrame) = df.select(col(grpCol).as("grp"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("item"))
       if (!spark.catalog.tableExists(s"${name}_hh")) {
-        if (!put.isEmpty) HhStore.initStore(items(put), name, "grp", "item", k)
-      } else if (!gone.isEmpty) {
+        if (!putEmpty) HhStore.initStore(items(put), name, "grp", "item", k)
+      } else if (!goneEmpty) {
         HhStore.initStore(items(live()), name, "grp", "item", k)
-      } else if (!put.isEmpty) {
+      } else if (!putEmpty) {
         HhStore.mergeDocs(items(put), name, "grp", "item")
       }
     }
     quantileStore.foreach { case (name, grpCol, valCol) =>
       if (!spark.catalog.tableExists(s"${name}_kll")) {
-        if (!put.isEmpty) QuantileStore.initStore(put, name, grpCol, valCol)
-      } else if (!gone.isEmpty) {
+        if (!putEmpty) QuantileStore.initStore(put, name, grpCol, valCol)
+      } else if (!goneEmpty) {
         QuantileStore.initStore(live(), name, grpCol, valCol)
-      } else if (!put.isEmpty) {
+      } else if (!putEmpty) {
         QuantileStore.mergeDocs(put, name, grpCol, valCol)
       }
     }

@@ -194,6 +194,48 @@ class CountFoldSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("a torn gated batch is LOUD on re-delivery (marker spans index + fold)") {
+    // simulate the crash window: the fold marker went down before the
+    // index mutated and never came back up. The re-delivered batch
+    // must fail at the window-open requireServable — the silent
+    // alternative (classify-all-unchanged, skip the fold, commit the
+    // ledger) would desync every store forever.
+    CountStore.setBuilding(spark, log, on = true)
+    try {
+      intercept[IllegalArgumentException] {
+        apply(mkDf(Seq(doc(900, "torn batch probe text", "en", "s0", 5L))),
+          ver = 9L)
+      }
+    } finally CountStore.setBuilding(spark, log, on = false)
+  }
+
+  test("departures that were never logged fail loud (no silent skipped subtraction)") {
+    // a fresh index+sig universe WITHOUT the fold, so content exists
+    // that the corpus log never saw; attaching the fold and editing
+    // that content must throw, not silently skip the subtraction
+    val idx2 = "cf2_idx"; val sig2 = "cf2_sigs"; val log2 = "cf2_log"
+    IndexMaintenance.initStores(spark, idx2)
+    IngestDedup.initStore(spark, sig2)
+    graft.sources.Sinks.dropTable(spark, sig2 + "_pending_rm")
+    for (t <- Seq(log2, log2 + "_applied", "cf2_nb_counts", "cf2_nb_class"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log2, "cf2_nb")) CountStore.setBuilding(spark, n, on = false)
+    // wave 1: UNFOLDED — the index learns doc 1, the log does not
+    IndexMaintenance.applyGatedUpserts(spark, idx2, sig2,
+      mkDf(Seq(doc(1, "original text here", "en", "s0", 5L))), ver = 1L,
+      buckets = 4)
+    // wave 2: fold attached, doc 1 edited -> its old payload is not in
+    // the log -> loud
+    val f2 = IndexMaintenance.countStoreFold(spark,
+      nbStore = Some(("cf2_nb", "lang")), buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.applyGatedUpserts(spark, idx2, sig2,
+        mkDf(Seq(doc(1, "edited text here", "en", "s0", 5L))), ver = 2L,
+        buckets = 4, docFold = Some((log2, f2)))
+    }
+    assert(e.getMessage.contains("departures"))
+  }
+
   test("payload schema drift fails loud") {
     intercept[IllegalArgumentException] {
       CorpusLog.append(spark, log,

@@ -90,14 +90,14 @@ class PrefixedStoreSpec extends SparkSpec {
   test("merge rewrites ONLY touched partitions (untouched files untouched)") {
     clean("pfx_nb3")
     NbStore.initStore(train, "pfx_nb3", prefixes = 16)
-    val before = spark.table("pfx_nb3_counts")
+    def filesByPfx(): Map[Long, Set[String]] = spark.table("pfx_nb3_counts")
       .select(input_file_name().as("f"), col("tok_pfx")).distinct()
-      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+      .collect().groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
+    val before = filesByPfx()
     // a delta touching ONE token ("alpha") touches exactly its prefix
     NbStore.appendDocs(docs((7L, "alpha", "a")), "pfx_nb3")
-    val after = spark.table("pfx_nb3_counts")
-      .select(input_file_name().as("f"), col("tok_pfx")).distinct()
-      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val after = filesByPfx()
     val changed = before.keySet.filter(p => after.get(p) != before.get(p))
     assert(changed.size <= 1,
       s"a 1-token delta rewrote ${changed.size} partitions")
