@@ -84,6 +84,34 @@ class HhStoreSpec extends SparkSpec {
     assert(top("h") === (("h", 1, "x", 4L, 6L)))
   }
 
+  test("stream-fed store equals the one-shot build (exact regime; ledger wired)") {
+    clean("hh_s1"); clean("hh_s1f")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    val all = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("h", "x"),
+      ("g", "c"), ("h", "x"), ("h", "y"), ("g", "a"))
+    def write(rows: Seq[(String, String)]) =
+      rows.toDF("grp", "item").repartition(1)
+        .write.mode("append").parquet(dir)
+    write(all.slice(0, 3))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    HhStore.initStore(spark.range(0).selectExpr("'g' AS grp", "'z' AS item")
+      .filter("1=0"), "hh_s1", "grp", "item", k = 10)
+    val q = HhStore.maintainStream(stream, "hh_s1", "grp", "item").start()
+    q.processAllAvailable()
+    write(all.slice(3, 6)); q.processAllAvailable()
+    write(all.slice(6, 8)); q.processAllAvailable()
+    q.stop()
+    // k covers the distincts, so wave-split MG == exact == one-shot
+    HhStore.initStore(all.toDF("grp", "item"), "hh_s1f", "grp", "item", k = 10)
+    for (t <- Seq("_hh", "_hh_n")) {
+      val m = spark.table("hh_s1" + t); val f = spark.table("hh_s1f" + t)
+      assert(m.exceptAll(f).unionAll(f.exceptAll(m)).isEmpty,
+        s"stream-fed $t diverged")
+    }
+  }
+
   test("guarantees hold on fixture n-grams (randomized-shape corpus)") {
     clean("hh_t5")
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -95,6 +95,37 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("stream-fed quantile store: exact n per group, served ranks in envelope") {
+    val name = "kll_s1"
+    for (t <- Seq(s"${name}_kll", s"${name}_kll_params", s"${name}_applied"))
+      graft.sources.Sinks.dropTable(spark, t)
+    CountStore.setBuilding(spark, name, on = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    def write(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select((col("id") % 2).cast("string").as("g"),
+        col("id").cast("double").as("v"))
+      .repartition(1).write.mode("append").parquet(dir)
+    write(0, 10000)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    QuantileStore.initStore(
+      spark.range(0).selectExpr("'x' AS g", "CAST(0 AS DOUBLE) AS v")
+        .filter("1=0"), name, "g", "v", k)
+    val q = QuantileStore.maintainStream(stream, name, "g", "v").start()
+    q.processAllAvailable()
+    write(10000, 30000); q.processAllAvailable()
+    q.stop()
+    val served = QuantileStore.quantiles(spark, name, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the init'd empty group "x" may linger with n=0; both streamed
+    // groups carry exactly their fed counts and a mid-envelope median
+    for (g <- Seq("0", "1")) {
+      assert(served(g).getLong(1) === 15000L, s"group $g n")
+      assert(math.abs(served(g).getDouble(2) / 30000 - 0.5) <= 3 * eps + 0.01)
+    }
+  }
+
   test("SQL faces mirror the Column faces over the same stored sketch") {
     GraftSession.registerFunctions(spark)
     val name = "kll_t1" // built by the previous test
