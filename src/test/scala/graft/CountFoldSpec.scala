@@ -236,6 +236,45 @@ class CountFoldSpec extends SparkSpec {
     assert(e.getMessage.contains("departures"))
   }
 
+  test("LIVE-STREAM face: maintainStreamDeduped with the docFold equals the batch replay") {
+    // the headline as the user actually deploys it — a real file
+    // stream through maintainStreamDeduped carrying the fold; the
+    // stream-maintained NB store must equal a fresh fit of the live
+    // admitted corpus, exactly like the batch-replay gate (q245)
+    val idx3 = "cf3_idx"; val sig3 = "cf3_sigs"; val log3 = "cf3_log"
+    IndexMaintenance.initStores(spark, idx3)
+    IngestDedup.initStore(spark, sig3)
+    graft.sources.Sinks.dropTable(spark, sig3 + "_pending_rm")
+    for (t <- Seq(log3, log3 + "_applied", "cf3_nb_counts", "cf3_nb_class",
+        "cf3f_nb_counts", "cf3f_nb_class"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log3, "cf3_nb", "cf3f_nb"))
+      CountStore.setBuilding(spark, n, on = false)
+    val f3 = IndexMaintenance.countStoreFold(spark,
+      nbStore = Some(("cf3_nb", "lang")), buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cf_stream").toString
+    def write(df: DataFrame) = df.repartition(1).write.mode("append").parquet(dir)
+    write(mkDf((100 until 110).map(baseDoc)))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = IndexMaintenance.maintainStreamDeduped(stream, idx3, sig3,
+        (_, _) => (), buckets = 4, docFold = Some((log3, f3)))
+      .start()
+    q.processAllAvailable()
+    // wave 2: new docs + an edit + a takedown of streamed content
+    write(mkDf((110 until 115).map(baseDoc) :+
+      doc(102, baseText(102) + " v2", "en", "s0", 999L) :+ doc(105)))
+    q.processAllAvailable()
+    q.stop()
+    val live = ((100 until 115).filterNot(_ == 105).filterNot(_ == 102)
+      .map(baseDoc)) :+ doc(102, baseText(102) + " v2", "en", "s0", 999L)
+    NbStore.initStore(mkDf(live), "cf3f_nb", buckets = 4, labelCol = "lang")
+    assert(tablesEq("cf3_nb_counts", "cf3f_nb_counts"),
+      "stream-maintained nb counts diverged from the fresh fit")
+    assert(tablesEq("cf3_nb_class", "cf3f_nb_class"))
+  }
+
   test("payload schema drift fails loud") {
     intercept[IllegalArgumentException] {
       CorpusLog.append(spark, log,
