@@ -112,6 +112,21 @@ object CorpusLog {
       .filter(!col("__deleted")).drop("__deleted")
   }
 
+  /** Backlog-triggered [[compact]]: fold the log once it accumulates
+    * more than `maxFilesPerPrefix` files per prefix on average — each
+    * batch drops at least one file into every touched prefix, so
+    * without a trigger a long-lived stream degrades every lookup's
+    * file pruning. The policy CHECK is a driver-side file listing (no
+    * Spark job) — the same priced-policy discipline as
+    * tombstoneBacklog / sweepSignatures. Wired into the gated-batch
+    * fold; callers on their own cadence can call [[compact]] directly. */
+  def maybeCompact(spark: SparkSession, name: String, idCol: String,
+      maxFilesPerPrefix: Int = 8): Unit =
+    if (spark.catalog.tableExists(name) &&
+        spark.table(name).inputFiles.length >
+          maxFilesPerPrefix.toLong * Prefixes)
+      compact(spark, name, idCol)
+
   /** Fold the append-only log to one row per live id (latest ver kept,
     * markers and superseded versions drop) — run on the same
     * maintenance cadence as compactFingerprints; also folds the

@@ -507,6 +507,9 @@ object IndexMaintenance {
         applied, logName, idCol, ver, f)
       graft.operators.CountStore.markApplied(spark, logName, ver)
       graft.operators.CountStore.setBuilding(spark, logName, on = false)
+      // fold the log's per-batch file accumulation once the backlog
+      // passes the priced policy check (driver-side listing, no job)
+      CorpusLog.maybeCompact(spark, logName, idCol)
     }
     sweepSignatures(spark, sigName, bands, compactRatio)
     applied

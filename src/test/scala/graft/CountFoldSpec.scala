@@ -194,6 +194,20 @@ class CountFoldSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("maybeCompact: priced trigger fires only past the backlog threshold") {
+    val files = spark.table(log).inputFiles.length
+    // far above the current backlog: must be a no-op
+    CorpusLog.maybeCompact(spark, log, "doc_id",
+      maxFilesPerPrefix = 1000000)
+    assert(spark.table(log).inputFiles.length === files)
+    // threshold 0: must compact (and shrink the file set — the
+    // previous test's compact left one file per live prefix, so the
+    // no-op assertion above is what guarantees we measure THIS call)
+    val before = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    CorpusLog.maybeCompact(spark, log, "doc_id", maxFilesPerPrefix = 0)
+    assert(CorpusLog.live(spark, log, "doc_id").collect().toSet === before)
+  }
+
   test("a torn gated batch is LOUD on re-delivery (marker spans index + fold)") {
     // simulate the crash window: the fold marker went down before the
     // index mutated and never came back up. The re-delivered batch
