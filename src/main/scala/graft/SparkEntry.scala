@@ -3398,14 +3398,11 @@ object SparkEntry {
         .join(Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
         .localCheckpoint()
-      // TWO add waves (the q169/q171/q245 trim): the admitted set is
-      // wave-count-independent, the NSW fold still sees bootstrap,
-      // upsert-into-existing, edits and takedowns
-      val n = 2
-      val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
-      val step = (maxId + n) / n
-      def wave(k: Int) = corpus
-        .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      // ONE add wave (r12 trim — was two): the admitted set is
+      // wave-count-independent, and the NSW fold still sees bootstrap
+      // (wave 1), upsert-into-existing (the edit wave's put side runs
+      // upsertStore's touched-shard rebuild), edits and takedowns.
+      // NswStoreSpec drives the multi-add-wave schedule in full.
       // the HIERARCHICAL backend under the fold (q213's HNSW stack —
       // the best-recall config is the one a real pipeline maintains;
       // levels reproduce from ids, so the exact equality bits hold
@@ -3413,11 +3410,8 @@ object SparkEntry {
       val nsw = graft.ann.NswGraph(m = 8, efConstruction = 32,
         numShards = 4, seed = 7L, hierarchy = true)
       val fold = IndexMaintenance.nswStoreFold(s, nsw, store)
-      // three add waves (the fold bootstraps the store from the first
-      // admitted arrivals), then edits + takedowns over the live set
-      for (k <- 0 until n)
-        IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
-          ver = k + 1L, buckets = 8, vecFold = Some(fold))
+      IndexMaintenance.applyGatedUpserts(s, idx, sig, corpus,
+        ver = 1L, buckets = 8, vecFold = Some(fold))
       val live3 = s.table(idx + "_doclens").select(col("doc_id")).localCheckpoint()
       val edits = corpus.join(live3, Seq("doc_id"), "left_semi")
         .filter(pmod(col("doc_id"), lit(10)) === 1)
@@ -3477,64 +3471,61 @@ object SparkEntry {
     }),
 
     // q245: the COUNT-MODEL stores under the gated-ingest fold
-    // (round-10 verdict #1, the round's headline) — ONE admission
-    // decision now maintains the text index AND the NB classifier,
-    // trigram LM, weighted sample and HLL sketch stores, through
-    // `countStoreFold` + the CorpusLog (departing docs' OLD payload
-    // resolved from the prefix-pruned log for the signed
-    // subtractions). Waves replay q171/q208's schedule, so the
-    // deterministic halves reuse its admitted-CTE oracle counts
-    // verbatim; the store halves are EXACT equality bits — count
-    // additivity makes maintained ≡ fresh-fit-of-the-live-set hold
-    // bit-for-bit (the q218/q219 equality, now under the admission
-    // gate), the sample equality holds by the dropDocs superset
-    // argument, and the sketch estimates match because the takedown
-    // wave re-inits over the same live rows a fresh build reads.
+    // (round-10 verdict #1) — ONE admission decision now maintains
+    // the text index AND the NB classifier, trigram LM and weighted
+    // sample stores, through `countStoreFold` + the CorpusLog
+    // (departing docs' OLD payload resolved from the prefix-pruned
+    // log for the signed subtractions). Waves replay q171/q208's
+    // schedule, so the deterministic halves reuse its admitted-CTE
+    // oracle counts verbatim; the store halves are EXACT equality
+    // bits — count additivity makes maintained ≡
+    // fresh-fit-of-the-live-set hold bit-for-bit (the q218/q219
+    // equality, now under the admission gate), and the sample
+    // equality holds by the dropDocs superset argument. The
+    // union-only sketch families (HLL/HH/KLL) moved to q252's
+    // deferred-takedown gate in round 12 (the r11 gate-wall trim:
+    // their legs here re-paid a corpus pass q252 now gates more
+    // strongly, with deferral).
     "q245_store_fold" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{CorpusLog, IndexMaintenance, IngestDedup}
-      import graft.operators.{CountStore, LmStore, NbStore, SampleStore, SketchStore}
+      import graft.operators.{CountStore, LmStore, NbStore, SampleStore}
       val idx = "graft_q245_idx"; val sig = "graft_q245_sigs"
       val log = "graft_q245_log"
       val nb = "graft_q245_nb"; val lm = "graft_q245_lm"
-      val smp = "graft_q245_smp"; val hll = "graft_q245_hll"
-      val (fnb, flm, fsmp, fhll) = ("graft_q245_fnb", "graft_q245_flm",
-        "graft_q245_fsmp", "graft_q245_fhll")
+      val smp = "graft_q245_smp"
+      val (fnb, flm, fsmp) = ("graft_q245_fnb", "graft_q245_flm",
+        "graft_q245_fsmp")
       IndexMaintenance.initStores(s, idx)
       IngestDedup.initStore(s, sig)
       graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
       for (t <- Seq(log, log + "_applied",
           nb + "_counts", nb + "_class", lm + "_tri", lm + "_bi", lm + "_uni",
-          smp + "_sample", smp + "_sample_params", hll + "_hll",
-          hll + "_hll_params",
+          smp + "_sample", smp + "_sample_params",
+          "graft_q245_hll_hll", "graft_q245_hll_hll_params",
           fnb + "_counts", fnb + "_class", flm + "_tri", flm + "_bi",
-          flm + "_uni", fsmp + "_sample", fsmp + "_sample_params",
-          fhll + "_hll", fhll + "_hll_params"))
+          flm + "_uni", fsmp + "_sample", fsmp + "_sample_params"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, nb, lm, smp, hll, fnb, flm, fsmp, fhll))
+      for (n <- Seq(log, nb, lm, smp, fnb, flm, fsmp))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .localCheckpoint()
-      // TWO add waves (bootstrap + append-into-existing), then the
-      // edit/takedown wave — the admitted set (hence the oracle
-      // counts) is wave-count-independent because admission is
-      // order-independent; q208 keeps the three-wave replay, so this
-      // gate buys the same coverage one full fold-wave cheaper (the
-      // r10 verdict's gate-wall-time item)
-      val n = 2
-      val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
-      val step = (maxId + n) / n
-      def wave(k: Int) = corpus
-        .filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      // ONE add wave (r12 trim — was two): the admitted set (hence
+      // the oracle counts) is wave-count-independent because
+      // admission is order-independent, and every fold path a second
+      // add wave exercised is still exercised — bootstrap by wave 1,
+      // append-INTO-EXISTING by the edit wave's put side (signed
+      // "+new" merges into standing NB/LM tables, sample top-k
+      // combine), signed removal by the edit/takedown wave.
+      // CountFoldSpec drives the multi-add-wave schedule in full.
       val fold = IndexMaintenance.countStoreFold(s,
         nbStore = Some((nb, "lang")), lmStore = Some(lm),
         sampleStore = Some((smp, "source", "n_chars")), sampleK = 5,
-        sketchStore = Some((hll, "lang")), buckets = 8)
-      for (k <- 0 until n)
-        IndexMaintenance.applyGatedUpserts(s, idx, sig, wave(k),
-          ver = k + 1L, buckets = 8, docFold = Some((log, fold)))
+        buckets = 8)
+      IndexMaintenance.applyGatedUpserts(s, idx, sig, corpus,
+        ver = 1L, buckets = 8, docFold = Some((log, fold)))
       val live3 = s.table(idx + "_doclens").select(col("doc_id")).localCheckpoint()
       // wave 4: edits (%10==1 — new text AND heavier weight, so the
       // sample's max-weight stale-claim path is exercised) + takedowns
@@ -3582,14 +3573,11 @@ object SparkEntry {
       NbStore.initStore(liveCorpus, fnb, buckets = 8, labelCol = "lang")
       LmStore.initStore(liveCorpus, flm, buckets = 8)
       SampleStore.initStore(liveCorpus, fsmp, "source", "doc_id", "n_chars", k = 5)
-      SketchStore.initStore(liveCorpus, fhll, "lang", "doc_id")
       def eq(a: String, b: String) = symEq(s.table(a), s.table(b))
       val nbOk = eq(nb + "_counts", fnb + "_counts") && eq(nb + "_class", fnb + "_class")
       val lmOk = eq(lm + "_tri", flm + "_tri") && eq(lm + "_bi", flm + "_bi") &&
         eq(lm + "_uni", flm + "_uni")
       val smpOk = eq(smp + "_sample", fsmp + "_sample")
-      val hllOk = symEq(SketchStore.estimate(s, hll),
-        SketchStore.estimate(s, fhll))
       Seq(
         ("lm_store_eq_fresh", if (lmOk) 1L else 0L),
         ("log_live_eq_expected", if (logOk) 1L else 0L),
@@ -3597,8 +3585,7 @@ object SparkEntry {
         ("n_live", liveIds.count()),
         ("n_removed", nRemoved),
         ("nb_store_eq_fresh", if (nbOk) 1L else 0L),
-        ("sample_store_eq_fresh", if (smpOk) 1L else 0L),
-        ("sketch_est_eq_fresh", if (hllOk) 1L else 0L))
+        ("sample_store_eq_fresh", if (smpOk) 1L else 0L))
         .toDF("component", "val")
         .orderBy(col("component"))
     }),
@@ -3609,16 +3596,24 @@ object SparkEntry {
     // group), the standing feed the q139 decontamination path wants.
     // The MG guarantees are deterministic, so the gate pins them as
     // exact bits against a full fixture-scale recompute: estimates
-    // never overcount, undercount ≤ n_grp/(k+1), every true heavy
-    // above the bound is present, the group totals fold exactly, and
-    // no group exceeds k counters. n_groups is the oracle-mirrored
-    // deterministic count.
+    // never overcount, undercount ≤ the exactly-tracked cumulative
+    // offset d (which itself must sit under the classic n_grp/(k+1)
+    // envelope while no removal ran), every true heavy above d is
+    // present, the group totals fold exactly, and no group exceeds k
+    // counters. Round-12 adds the NON-HEAVY TAKEDOWN wave: a
+    // departure whose (grp, item) pairs are all untracked is removed
+    // EXACTLY in place (one n subtraction, no corpus pass —
+    // removeDocsExact), after which the reduced-corpus truth must
+    // still satisfy every guarantee under the UNCHANGED d bound (the
+    // soundness argument the r11 verdict asked to be proven: n
+    // shrank, d did not, and d is the bound that survives).
+    // n_groups is the oracle-mirrored deterministic count.
     "q246_hh_store" -> ((s, d) => {
       import s.implicits._
       import graft.operators.{CountStore, HhStore}
       val name = "graft_q246_hh"
       for (t <- Seq(name + "_hh", name + "_hh_n", name + "_hh_params",
-          name + "_applied"))
+          name + "_applied", name + "_stale"))
         graft.sources.Sinks.dropTable(s, t)
       CountStore.setBuilding(s, name, on = false)
       val grams = Tables.documents(s, d)
@@ -3635,26 +3630,71 @@ object SparkEntry {
         name, "grp", "item", batchId = 1L)
       val truth = grams.groupBy("grp", "item").agg(count(lit(1)).as("t"))
       val n = grams.groupBy("grp").agg(count(lit(1)).as("n"))
-      val store = s.table(name + "_hh")
-      val joined = store.join(truth, Seq("grp", "item")).join(n, Seq("grp"))
-        .select(col("cnt"), col("t"), floor(col("n") / (k + 1)).as("bound"))
+      val store = s.table(name + "_hh").localCheckpoint()
+      val nTbl = s.table(name + "_hh_n")
+      val joined = store.join(truth, Seq("grp", "item"))
+        .join(n, Seq("grp"))
+        .join(nTbl.select(col("grp"), col("d")), Seq("grp"))
+        .select(col("cnt"), col("t"), col("d"),
+          floor(col("n") / (k + 1)).as("bound"))
         .localCheckpoint()
       val estLe = joined.filter(col("cnt") > col("t")).isEmpty
-      val underOk = joined.filter(col("t") - col("cnt") > col("bound")).isEmpty
-      val heaviesOk = truth.join(n, Seq("grp"))
-        .filter(col("t") > floor(col("n") / (k + 1)))
+      val underOk = joined.filter(col("t") - col("cnt") > col("d")).isEmpty
+      // d ≤ floor(n/(k+1)): the exact bound never exceeds the classic
+      // one while the store is removal-free
+      val dLeClassic = nTbl.join(n, Seq("grp"))
+        .filter(col("d") > floor(n("n") / (k + 1))).isEmpty
+      val heaviesOk = truth
+        .join(nTbl.select(col("grp"), col("d")), Seq("grp"))
+        .filter(col("t") > col("d"))
         .join(store, Seq("grp", "item"), "left_anti").isEmpty
-      val nExact = s.table(name + "_hh_n")
+      val nExact = nTbl
         .join(n, Seq("grp"))
-        .filter(s.table(name + "_hh_n")("n") =!= n("n")).isEmpty
+        .filter(nTbl("n") =!= n("n")).isEmpty
       val boundedK = store.groupBy("grp").count()
         .filter(col("count") > k).isEmpty
+      // --- the NON-HEAVY takedown wave (round-12) ---
+      // departures = every occurrence of a deterministic slice of the
+      // UNTRACKED (grp, item) pairs; all their occurrences leave, so
+      // the reduced-corpus truth is the original truth minus those
+      // pairs entirely
+      val goneItems = grams
+        .join(store.select(col("grp"), col("item")),
+          Seq("grp", "item"), "left_anti")
+        .filter(xxhash64(col("grp"), col("item")) % 5 === 0)
+        .localCheckpoint()
+      val tookExact = HhStore.removeDocsExact(goneItems, name, "grp", "item")
+      val truth2 = truth.join(goneItems.select("grp", "item").distinct(),
+        Seq("grp", "item"), "left_anti")
+      val n2 = grams.join(goneItems.select("grp", "item").distinct(),
+        Seq("grp", "item"), "left_anti")
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      val nTbl2 = s.table(name + "_hh_n")
+      val postNExact = nTbl2.join(n2, Seq("grp"))
+        .filter(nTbl2("n") =!= n2("n")).isEmpty
+      val postJoined = s.table(name + "_hh")
+        .join(truth2, Seq("grp", "item"))
+        .join(nTbl2.select(col("grp"), col("d")), Seq("grp"))
+        .select(col("cnt"), col("t"), col("d"))
+        .localCheckpoint()
+      val postEstLe = postJoined.filter(col("cnt") > col("t")).isEmpty
+      val postUnderOk = postJoined.filter(col("t") - col("cnt") > col("d")).isEmpty
+      val postHeaviesOk = truth2
+        .join(nTbl2.select(col("grp"), col("d")), Seq("grp"))
+        .filter(col("t") > col("d"))
+        .join(s.table(name + "_hh"), Seq("grp", "item"), "left_anti").isEmpty
       Seq(
         ("counters_le_k", if (boundedK) 1L else 0L),
+        ("d_le_classic_bound", if (dLeClassic) 1L else 0L),
         ("est_le_true", if (estLe) 1L else 0L),
         ("heavies_all_present", if (heaviesOk) 1L else 0L),
         ("n_groups", s.table(name + "_hh_n").count()),
         ("n_tracked_exact", if (nExact) 1L else 0L),
+        ("takedown_exact_applied", if (tookExact) 1L else 0L),
+        ("takedown_post_est_le_true", if (postEstLe) 1L else 0L),
+        ("takedown_post_heavies_present", if (postHeaviesOk) 1L else 0L),
+        ("takedown_post_n_exact", if (postNExact) 1L else 0L),
+        ("takedown_post_under_le_d", if (postUnderOk) 1L else 0L),
         ("undercount_within_bound", if (underOk) 1L else 0L))
         .toDF("component", "val").orderBy(col("component"))
     }),
@@ -3828,7 +3868,7 @@ object SparkEntry {
     // q251: the heavy-hitters store served from PLAIN SQL (the q225
     // discipline — the store is ordinary catalog tables, so a SQL-only
     // user replays the serve: rank window over the ≤k counters + the
-    // n/(k+1) envelope join), sharing q247's wave schedule via
+    // exact-d envelope join), sharing q247's wave schedule via
     // StoreCache and its full MG-replay oracle VERBATIM.
     "q251_sql_hh_serve" -> ((s, d) => {
       import graft.operators.{CountStore, HhStore}
@@ -3856,9 +3896,276 @@ object SparkEntry {
                 PARTITION BY grp ORDER BY cnt DESC, item) AS rank
               FROM ${name}_hh)
             SELECT r.grp, CAST(r.rank AS INT) AS rank, r.item, r.cnt,
-              CAST(r.cnt + floor(n.n / 21) AS BIGINT) AS cnt_hi
+              CAST(r.cnt + n.d AS BIGINT) AS cnt_hi
             FROM ranked r JOIN ${name}_hh_n n USING (grp)
             WHERE r.rank <= 10 ORDER BY grp, rank""")
+    }),
+
+    // q252: DEFERRED union-only takedowns under the gated fold (the
+    // r11 verdict's TOP item) — a trickle of takedown batches used to
+    // cost one live-corpus re-init PER BATCH for EACH attached
+    // non-invertible family (HLL + HH + KLL = up to three corpus
+    // passes per wave); with `refitBacklog` = 3, departure batches
+    // mark the stores stale and the re-init fires ONCE when the
+    // backlog crosses the bound — N takedown batches, one live pass
+    // per family. Three takedown waves hit the threshold: exactly one
+    // refit, proven by the stores sitting bit-still through the first
+    // two waves and the exact n landing after the third. Final states
+    // must equal fresh fits of the live admitted corpus: HLL on
+    // estimates, HH exactly (k ≫ distinct items — the exact regime,
+    // so every departure touches tracked items and the deferral
+    // clause, not the exact-remove shortcut, is what's exercised),
+    // KLL on its exactly-tracked n. The second trigger
+    // (refreshCountStores, serve-with-guarantee) is CountFoldSpec's
+    // deferral case — a fifth gated wave here would re-pay the
+    // fixed per-wave cost for coverage the spec already pins.
+    "q252_fold_deferred_takedown" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{IndexMaintenance, IngestDedup}
+      import graft.operators.{CountStore, HhStore, QuantileStore, SketchStore}
+      val idx = "graft_q252_idx"; val sig = "graft_q252_sigs"
+      val log = "graft_q252_log"
+      val hll = "graft_q252_hll"; val hh = "graft_q252_hh"
+      val kll = "graft_q252_kll"
+      val (fhll, fhh) = ("graft_q252_fhll", "graft_q252_fhh")
+      IndexMaintenance.initStores(s, idx)
+      IngestDedup.initStore(s, sig)
+      graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
+      for (t <- Seq(log, log + "_applied",
+          hll + "_hll", hll + "_hll_params", hll + "_stale",
+          hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
+          kll + "_kll", kll + "_kll_params", kll + "_stale",
+          fhll + "_hll", fhll + "_hll_params",
+          fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      for (n <- Seq(log, hll, hh, kll, fhll, fhh))
+        CountStore.setBuilding(s, n, on = false)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint()
+      val hhK = 100000
+      val fold = IndexMaintenance.countStoreFold(s,
+        sketchStore = Some((hll, "lang")),
+        hhStore = Some((hh, "source", hhK)),
+        quantileStore = Some((kll, "source", "n_chars")),
+        buckets = 8, refitBacklog = 3)
+      def applyW(batch: org.apache.spark.sql.DataFrame, ver: Long) =
+        IndexMaintenance.applyGatedUpserts(s, idx, sig, batch, ver = ver,
+          buckets = 8, docFold = Some((log, fold)))
+      def dels(r: Int) = corpus.filter(col("doc_id") % 20 === r)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+      def symEq(x: org.apache.spark.sql.DataFrame,
+          y: org.apache.spark.sql.DataFrame) =
+        x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty
+      // wave 1: the whole (admitted) corpus bootstraps all stores
+      applyW(corpus, ver = 1L)
+      val hhSnap = s.table(hh + "_hh").localCheckpoint()
+      val hllSnap = SketchStore.estimate(s, hll).localCheckpoint()
+      // waves 2-4: takedown-only batches; 2 and 3 must DEFER (stores
+      // bit-still, backlog counting up), 4 crosses the threshold
+      applyW(dels(4), ver = 2L)
+      val deferredT1 = symEq(s.table(hh + "_hh"), hhSnap) &&
+        symEq(SketchStore.estimate(s, hll), hllSnap) &&
+        CountStore.stalePending(s, hll)._1 == 1
+      applyW(dels(8), ver = 3L)
+      val staleT2 = CountStore.stalePending(s, hll)._1
+      val stillDeferred = symEq(s.table(hh + "_hh"), hhSnap)
+      applyW(dels(12), ver = 4L)
+      val refitCleared = CountStore.stalePending(s, hll)._1 == 0 &&
+        CountStore.stalePending(s, hh)._1 == 0 &&
+        CountStore.stalePending(s, kll)._1 == 0
+      // final states ≡ fresh fits of the live admitted corpus (the
+      // one threshold-triggered re-init settled all three pending
+      // waves at once)
+      val tomb =
+        if (s.catalog.tableExists(idx + "_tombstones"))
+          s.table(idx + "_tombstones").select(col("doc_id"))
+        else s.range(0).select(col("id").as("doc_id"))
+      val liveFinal = corpus.join(
+          s.table(idx + "_doclens").select(col("doc_id"))
+            .join(tomb, Seq("doc_id"), "left_anti"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val tokensPerSrc = liveFinal.select(col("source").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val refitNExact = symEq(
+        s.table(hh + "_hh_n").select(col("grp"), col("n")), tokensPerSrc)
+      SketchStore.initStore(liveFinal, fhll, "lang", "doc_id")
+      HhStore.initStore(liveFinal.select(col("source").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
+        fhh, "grp", "item", hhK)
+      val hllEq = symEq(SketchStore.estimate(s, hll),
+        SketchStore.estimate(s, fhll))
+      val hhEq = symEq(s.table(hh + "_hh"), s.table(fhh + "_hh")) &&
+        symEq(s.table(hh + "_hh_n"), s.table(fhh + "_hh_n"))
+      val kllNEq = symEq(
+        s.table(kll + "_kll").select(col("grp"),
+          QuantileStore.kllN(col("sk")).as("n")),
+        liveFinal.groupBy(col("source").as("grp")).agg(count(lit(1)).as("n")))
+      Seq(
+        ("deferred_after_t1", if (deferredT1) 1L else 0L),
+        ("deferred_after_t2", if (stillDeferred) 1L else 0L),
+        ("final_hh_eq_fresh", if (hhEq) 1L else 0L),
+        ("final_hll_eq_fresh", if (hllEq) 1L else 0L),
+        ("final_kll_n_exact", if (kllNEq) 1L else 0L),
+        ("n_live", liveFinal.count()),
+        ("refit_cleared_at_threshold", if (refitCleared) 1L else 0L),
+        ("refit_n_exact_at_threshold", if (refitNExact) 1L else 0L),
+        ("stale_after_t2", staleT2))
+        .toDF("component", "val").orderBy(col("component"))
+    }),
+
+    // q253: QUANTILE columns in the ANALYZE report (r11 verdict #4) —
+    // `kll_sketch_agg` + `kll_quantile` compose into approxProfile's
+    // one-pass agg: p50/p95 per NUMERIC column, null for the rest
+    // (the min/max discipline applied to percentiles), still no
+    // Expand (PlanSpec pins it). The exact legs (n, n_null, min/max,
+    // plus the exact-profile n_distinct joined in, the q240 shape)
+    // hash-match DuckDB; the served quantiles ride the q248
+    // rank-window policy (KLL compaction is randomized): each
+    // reported value's realized rank window must intersect
+    // [p ± 3ε(200)], and a non-numeric column must serve null —
+    // one ok-bit per row.
+    "q253_profile_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq("doc_id", "lang", "n_chars", "source")
+      val docs = Tables.documents(s, d).localCheckpoint()
+      val eps = graft.functions.KllSketch.normalizedRankError(200)
+      val rep = graft.operators.Profile.approxProfile(docs, cols,
+        rsd = 0.05, quantiles = Seq(0.5, 0.95)).localCheckpoint()
+      val exact = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_distinct"))
+      // rank windows for the served quantiles — the report is
+      // columns-sized, so the driver-side read is bounded by |cols|
+      val served = rep.select("col_name", "p50", "p95").collect()
+        .map { r => r.getString(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))) }
+        .toMap
+      def rankOk(c: String, p: Double, v: Option[Double]): Boolean =
+        v.forall { x =>
+          val r = docs.agg(
+            (sum(when(col(c).cast("double") < x, 1).otherwise(0)) /
+              count(lit(1))).as("lo"),
+            (sum(when(col(c).cast("double") <= x, 1).otherwise(0)) /
+              count(lit(1))).as("hi")).head()
+          r.getDouble(0) <= p + 3 * eps && r.getDouble(1) >= p - 3 * eps
+        }
+      val bits = cols.map { c =>
+        val (v50, v95) = served(c)
+        val isNum = docs.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val ok = (v50.isDefined == isNum) && (v95.isDefined == isNum) &&
+          rankOk(c, 0.5, v50) && rankOk(c, 0.95, v95)
+        (c, if (ok) 1 else 0)
+      }.toDF("col_name", "q_rank_ok")
+      rep.join(exact, Seq("col_name")).join(bits, Seq("col_name"))
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"), col("q_rank_ok"))
+        .orderBy(col("col_name"))
+    }),
+
+    // q254: the 3-D Hilbert WRITER face (r11 verdict #7) —
+    // Sinks.parquetHilbert3 lays the events table out along the
+    // no-jump curve (ProbeR17X3D: faster to write than zorder3 AND
+    // half the blind-spot footprint, so it is the default curve for
+    // entity × time × shard); the gate round-trips the layout — write
+    // curve-ordered, read back, recompute d from the read rows — and
+    // must hash-match q244's generated step-by-step oracle VERBATIM
+    // (one truth: the curve; three surfaces: Column face q244, SQL
+    // face q243's sibling, writer face here).
+    "q254_hilbert3_write" -> ((s, d) => {
+      import graft.operators.ZOrder
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q254_hilbert3").getAbsolutePath
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"),
+          pmod(col("event_id"), lit(1024L)).as("shard"))
+      graft.sources.Sinks.parquetHilbert3(ev, path,
+        x = ("user_id", 0L, 99999L),
+        y = ("sec", 1704067200L, 1735689599L),
+        z = ("shard", 0L, 1023L), bits = 10)
+      s.read.parquet(path)
+        .select(col("event_id"),
+          ZOrder.hilbertIndex3(
+            ZOrder.bucket(col("user_id"), 0L, 99999L, 10),
+            ZOrder.bucket(col("sec"), 1704067200L, 1735689599L, 10),
+            ZOrder.bucket(col("shard"), 0L, 1023L, 10), 10).as("d"))
+        .orderBy(col("d"), col("event_id"))
+    }),
+
+    // q255: the count-model store layer's BENCH entry (r11 verdict
+    // #3) — a lean two-wave fold lifecycle (bootstrap, then a
+    // takedown wave that immediately re-inits all three union-only
+    // families at refitBacklog = 1, the dominant maintenance cost)
+    // sized so min-of-3 benching stays affordable; q252 gates the
+    // full deferral schedule. Still ORACLE-GATED: after the refit
+    // every served total is an exact function of the live admitted
+    // set — HH's n (token counts), KLL's n (doc counts), HLL's group
+    // count — so DuckDB mirrors all of them through the admission
+    // CTE.
+    "q255_store_maintenance" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{IndexMaintenance, IngestDedup}
+      import graft.operators.{CountStore, QuantileStore}
+      val idx = "graft_q255_idx"; val sig = "graft_q255_sigs"
+      val log = "graft_q255_log"
+      val hll = "graft_q255_hll"; val hh = "graft_q255_hh"
+      val kll = "graft_q255_kll"
+      IndexMaintenance.initStores(s, idx)
+      IngestDedup.initStore(s, sig)
+      graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
+      for (t <- Seq(log, log + "_applied",
+          hll + "_hll", hll + "_hll_params", hll + "_stale",
+          hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
+          kll + "_kll", kll + "_kll_params", kll + "_stale"))
+        graft.sources.Sinks.dropTable(s, t)
+      for (n <- Seq(log, hll, hh, kll))
+        CountStore.setBuilding(s, n, on = false)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint()
+      val fold = IndexMaintenance.countStoreFold(s,
+        sketchStore = Some((hll, "lang")),
+        hhStore = Some((hh, "source", 100000)),
+        quantileStore = Some((kll, "source", "n_chars")),
+        buckets = 8)
+      IndexMaintenance.applyGatedUpserts(s, idx, sig, corpus, ver = 1L,
+        buckets = 8, docFold = Some((log, fold)))
+      IndexMaintenance.applyGatedUpserts(s, idx, sig,
+        corpus.filter(col("doc_id") % 16 === 8)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(null).cast("string").as("lang"),
+            lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("n_chars")),
+        ver = 2L, buckets = 8, docFold = Some((log, fold)))
+      val tomb =
+        if (s.catalog.tableExists(idx + "_tombstones"))
+          s.table(idx + "_tombstones").select(col("doc_id"))
+        else s.range(0).select(col("id").as("doc_id"))
+      val nLive = s.table(idx + "_doclens").select(col("doc_id"))
+        .join(tomb, Seq("doc_id"), "left_anti").count()
+      val hhItems = s.table(hh + "_hh_n")
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      val kllN = s.table(kll + "_kll")
+        .agg(coalesce(sum(QuantileStore.kllN(col("sk"))), lit(0L)))
+        .head().getLong(0)
+      val hllGroups = s.table(hll + "_hll").count()
+      Seq(
+        ("hh_items_total", hhItems),
+        ("hll_groups", hllGroups),
+        ("kll_n_total", kllN),
+        ("n_live", nLive))
+        .toDF("component", "val").orderBy(col("component"))
     }),
 
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
@@ -5790,7 +6097,22 @@ object SparkEntry {
     "q236_sql_range_anti",
     // round 11: the 3-D Hilbert curve, tracked from ITS birth round
     // (pure compute — the Skilling kernel inside whole-stage codegen)
-    "q244_hilbert3_curve")
+    "q244_hilbert3_curve",
+    // round 12: the 3-D Hilbert WRITER face — the write-path cost of
+    // the default entity×time×shard layout, tracked from its birth
+    "q254_hilbert3_write")
+
+  /** Seventh bench group (round 12, r11 verdict #3): the COUNT-MODEL
+    * STORE layer — the gated-fold maintenance lifecycle (a lean
+    * bootstrap + takedown-refit schedule, q255; the full deferral
+    * schedule is q252's correctness gate, too many waves for a
+    * min-of-3 sweep), the Misra-Gries heavy-hitters serve (q247
+    * shape) and the KLL quantile SQL serve (q249 shape). Tracked
+    * from the layer's birth round like layout and model were: a
+    * regression in fold or store-merge cost was previously invisible
+    * until the full gate's wall moved. */
+  val benchStoreQueries: Seq[String] = Seq(
+    "q255_store_maintenance", "q247_hh_serve", "q249_sql_quantile_serve")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
@@ -6073,12 +6395,16 @@ object SparkEntry {
          FROM r2 LEFT JOIN o2 USING (grp)
          WHERE r2.rk <= 20 AND r2.cnt - coalesce(o2.off, 0) > 0),
        n AS (SELECT grp, count(*)::BIGINT AS n FROM t GROUP BY grp),
+       d AS (SELECT n.grp,
+           coalesce(o1.off, 0) + coalesce(o2.off, 0) AS d
+         FROM n LEFT JOIN o1 ON n.grp = o1.grp
+           LEFT JOIN o2 ON n.grp = o2.grp),
        serve AS (SELECT grp, item, cnt,
            row_number() OVER (PARTITION BY grp
              ORDER BY cnt DESC, item) AS rank FROM c2)
        SELECT s.grp, CAST(s.rank AS INT) AS rank, s.item, s.cnt,
-         (s.cnt + n.n // 21)::BIGINT AS cnt_hi
-       FROM serve s JOIN n USING (grp)
+         (s.cnt + d.d)::BIGINT AS cnt_hi
+       FROM serve s JOIN d USING (grp)
        WHERE s.rank <= 10 ORDER BY grp, rank"""
 
   /** q229's oracle — the 2-D Morton dilation replayed shift-for-shift;
@@ -8054,7 +8380,7 @@ object SparkEntry {
     // count-model store halves as in-engine EXACT equality bits
     // (maintained ≡ fresh fit of the live admitted set — count
     // additivity for NB/LM, the dropDocs superset argument for the
-    // sample, re-init-over-the-same-rows for the sketch)
+    // sample; the union-only sketch families moved to q252)
     "q245_store_fold" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
@@ -8078,29 +8404,97 @@ object SparkEntry {
            ('n_live', (SELECT count(*) FROM adm WHERE doc_id % 10 <> 2)),
            ('n_removed', (SELECT count(*) FROM adm WHERE doc_id % 10 = 2)),
            ('nb_store_eq_fresh', 1),
-           ('sample_store_eq_fresh', 1),
-           ('sketch_est_eq_fresh', 1)) t(component, val)
+           ('sample_store_eq_fresh', 1)) t(component, val)
          ORDER BY component""",
     // q246: MG guarantee bits (deterministic, verified in-engine
     // against the exact fixture-scale recompute) + the mirrored
-    // group count
+    // group count; round-12 adds the exact-d bound bits and the
+    // non-heavy-takedown wave's post-removal guarantees
     "q246_hh_store" ->
       """SELECT * FROM (VALUES
            ('counters_le_k', 1),
+           ('d_le_classic_bound', 1),
            ('est_le_true', 1),
            ('heavies_all_present', 1),
            ('n_groups', (SELECT count(DISTINCT source) FROM documents)),
            ('n_tracked_exact', 1),
+           ('takedown_exact_applied', 1),
+           ('takedown_post_est_le_true', 1),
+           ('takedown_post_heavies_present', 1),
+           ('takedown_post_n_exact', 1),
+           ('takedown_post_under_le_d', 1),
            ('undercount_within_bound', 1)) t(component, val)
          ORDER BY component""",
     // q247: the Misra-Gries state replayed wave-for-wave — exact
     // counts per wave, rank with item tiebreak, (k+1)-th-largest
     // offset subtraction, re-merge, re-compress, top-10 serve with
-    // the n/(k+1) error envelope. Pure integer arithmetic end to end.
+    // the exact-d error envelope (d = Σ offsets, replayed from the
+    // same o1/o2 CTEs). Pure integer arithmetic end to end.
     // Shared VERBATIM by q251 (the SQL serve face over the same
     // schedule — one truth, two engine surfaces).
     "q247_hh_serve" -> hhServeOracleSql,
     "q251_sql_hh_serve" -> hhServeOracleSql,
+    // q252: deferral bits + staleness counts are in-engine constants
+    // (the waves are scripted); n_live mirrors the admission CTE over
+    // the even-id subset minus the four takedown slices
+    "q252_fold_deferred_takedown" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents WHERE doc_id % 4 = 0),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         adm AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT doc_id FROM rej))
+         SELECT * FROM (VALUES
+           ('deferred_after_t1', 1),
+           ('deferred_after_t2', 1),
+           ('final_hh_eq_fresh', 1),
+           ('final_hll_eq_fresh', 1),
+           ('final_kll_n_exact', 1),
+           ('n_live', (SELECT count(*) FROM adm
+              WHERE doc_id % 20 NOT IN (4, 8, 12))),
+           ('refit_cleared_at_threshold', 1),
+           ('refit_n_exact_at_threshold', 1),
+           ('stale_after_t2', 2)) t(component, val)
+         ORDER BY component""",
+    // q255: every served total is an exact function of the live
+    // admitted set after the takedown-wave refit — mirrored through
+    // the admission CTE over the even-eighth subset
+    "q255_store_maintenance" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+             i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
+                  coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
+           FROM documents WHERE doc_id % 8 = 0),
+         rej AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         live AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents
+           WHERE doc_id % 8 = 0
+             AND doc_id % 16 <> 8
+             AND doc_id NOT IN (SELECT doc_id FROM rej))
+         SELECT * FROM (VALUES
+           ('hh_items_total', (SELECT coalesce(sum(
+              len(regexp_split_to_array(lower(trim(text)), '\s+'))), 0)
+              FROM live)),
+           ('hll_groups', (SELECT count(DISTINCT lang) FROM live)),
+           ('kll_n_total', (SELECT count(n_chars) FROM live)),
+           ('n_live', (SELECT count(*) FROM live))) t(component, val)
+         ORDER BY component""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle
@@ -8459,6 +8853,29 @@ object SparkEntry {
              COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
              CAST(MAX(text) AS VARCHAR) FROM documents)
          SELECT *, 1 AS ok_rel FROM p ORDER BY col_name""",
+    // q253: the q240 exact legs over the four profiled columns; the
+    // served quantiles are in-engine rank-window bits (randomized
+    // KLL, the declared statistical-oracle policy)
+    "q253_profile_quantiles" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+             COUNT(*) - COUNT(doc_id) AS n_null,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+             CAST(MAX(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+             CAST(MAX(n_chars) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+             COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+             CAST(MAX(source) AS VARCHAR) FROM documents)
+         SELECT *, 1 AS q_rank_ok FROM p ORDER BY col_name""",
     // q236: the original NOT EXISTS SQL, evaluated DuckDB's own way
     "q236_sql_range_anti" ->
       """WITH ev AS (
@@ -8484,6 +8901,9 @@ object SparkEntry {
     // q242/q244: the zvalue3 SQL face and the 3-D Hilbert curve
     "q242_sql_zorder3" -> oracleSqlShared235,
     "q244_hilbert3_curve" -> hilbert3OracleSql(10),
+    // q254: the writer face round-trips the same curve — q244's
+    // generated oracle VERBATIM
+    "q254_hilbert3_write" -> hilbert3OracleSql(10),
     // q243: the hilbert_d SQL face shares q233's generated oracle
     "q243_sql_hilbert" -> hilbertOracleSql(16),
     // q214: term-for-term replay of trigramStupidBackoff — raw

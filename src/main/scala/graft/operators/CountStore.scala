@@ -148,6 +148,20 @@ object CountStore {
     require(neg == 0,
       s"$table: $neg rows went negative — the removal was never " +
         "(fully) appended; store unchanged, nothing written")
+    // layout-drift guard (r11 advice): nothing else verifies that the
+    // DECLARED prefix count matches how the table's rows were actually
+    // hashed — a hand-restored warehouse where `_layout` and the data
+    // disagree would hash delta keys into the wrong partitions while
+    // stale ones keep serving. Recomputing the prefix on the (settled,
+    // delta-touched-sized) merged slice catches both a wrong P and
+    // mis-placed rows, at no extra scan beyond the slice the merge
+    // already read.
+    val drifted = merged.filter(
+      pfxCol(keyCols.head, prefixes) =!= col("tok_pfx")).count()
+    require(drifted == 0,
+      s"$table: $drifted rows sit in partitions that do not match the " +
+        s"declared prefix count $prefixes — the `_layout` declaration and " +
+        "the table's physical layout have drifted; rebuild via initStore")
     (merged.filter(cntCols.map(c => col(c) =!= 0).reduce(_ || _))
       .localCheckpoint(), touched)
   }
@@ -200,6 +214,16 @@ object CountStore {
     val (fs, p) = marker(spark, name)
     if (on) fs.create(p, true).close()
     else fs.delete(p, false)
+  }
+
+  /** Is the torn-write marker currently down? Used by recovery paths
+    * that can PROVE the prior commit completed (its ledger row exists)
+    * and may therefore clear the marker instead of demanding a
+    * rebuild. */
+  private[graft] def isBuilding(spark: org.apache.spark.sql.SparkSession,
+      name: String): Boolean = {
+    val (fs, p) = marker(spark, name)
+    fs.exists(p)
   }
 
   def requireServable(spark: org.apache.spark.sql.SparkSession,
@@ -276,11 +300,51 @@ object CountStore {
     }
   }
 
+  // ---- staleness ledger (deferred union-only takedowns) ----
+  // The union-only sketch families (HLL, MG, KLL) cannot subtract a
+  // departure in place; their takedown semantics is a re-init over the
+  // live corpus. Firing that re-init PER DEPARTURE BATCH makes a
+  // trickle of takedowns cost one corpus pass each (the r11 verdict's
+  // top item) — so the fold can instead MARK the store stale and let
+  // the re-init fire once the backlog crosses a declared bound (the
+  // CorpusLog-compaction discipline). While stale, served estimates
+  // may still count the pending departures — the ledger records how
+  // many batches and documents are pending so a consumer can decide
+  // to refresh first; [[describe]] surfaces it as `stale_batches`.
+
+  /** Record one departure batch (`nGone` departing docs) against the
+    * store's staleness backlog. Append-only, one tiny row per batch. */
+  private[graft] def markStale(spark: org.apache.spark.sql.SparkSession,
+      name: String, nGone: Long): Unit =
+    spark.range(1)
+      .select(lit(1L).as("batches"), lit(nGone).as("docs"))
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_stale")
+
+  /** (pending departure batches, pending departed docs) — (0, 0) when
+    * the store is fresh. Backlog-sized read. */
+  def stalePending(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Long, Long) =
+    if (!spark.catalog.tableExists(s"${name}_stale")) (0L, 0L)
+    else {
+      val r = spark.table(s"${name}_stale")
+        .agg(coalesce(sum(col("batches")), lit(0L)),
+          coalesce(sum(col("docs")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** Clear the backlog — called by the re-init that settled it (every
+    * store family's initStore runs this, so a rebuild always starts
+    * fresh). */
+  private[graft] def clearStale(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Sinks.dropTable(spark, s"${name}_stale")
+
   /** (metric, value) introspection report: one UNION of 1-row
     * aggregates over the named tables (metric → (table, aggregate)),
     * plus `applied_batches` from the streaming ledger (0 when no
-    * stream ever fed the store). Declarative end to end — the
-    * Bm25.describeIndex shape for count stores. */
+    * stream ever fed the store) and `stale_batches` from the
+    * staleness ledger. Declarative end to end — the Bm25.describeIndex
+    * shape for count stores. */
   private[operators] def describe(spark: org.apache.spark.sql.SparkSession,
       name: String, metrics: Map[String, (String, Column)]): DataFrame = {
     requireServable(spark, name)
@@ -288,11 +352,14 @@ object CountStore {
       spark.table(table).agg(agg.cast("long").as("value"))
         .select(lit(m).as("metric"), col("value"))
     }
-    val ledger =
-      (if (spark.catalog.tableExists(s"${name}_applied"))
-        spark.table(s"${name}_applied").agg(count(lit(1)).as("value"))
+    def oneRow(metric: String, table: String, agg: Column) =
+      (if (spark.catalog.tableExists(table))
+        spark.table(table).agg(agg.cast("long").as("value"))
       else spark.range(1).agg(lit(0L).as("value")))
-        .select(lit("applied_batches").as("metric"), col("value").cast("long"))
-    (rows :+ ledger).reduce(_.unionByName(_)).orderBy(col("metric"))
+        .select(lit(metric).as("metric"), col("value").cast("long"))
+    val ledger = oneRow("applied_batches", s"${name}_applied", count(lit(1)))
+    val stale = oneRow("stale_batches", s"${name}_stale",
+      coalesce(sum(col("batches")), lit(0L)))
+    (rows :+ ledger :+ stale).reduce(_.unionByName(_)).orderBy(col("metric"))
   }
 }

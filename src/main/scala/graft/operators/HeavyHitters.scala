@@ -32,22 +32,55 @@ import org.apache.spark.sql.functions._
   * full DuckDB oracle.
   *
   * Store layout: `<name>_hh` (grp string, item string, cnt long —
-  * ≤ k rows per group), `<name>_hh_n` (grp, n — exact, additive),
-  * `<name>_hh_params` (k). TAKEDOWN LIMITATION (stated, the
-  * SketchStore clause): MG counters are not invertible — takedown
-  * semantics = [[initStore]] over the retained corpus. */
+  * ≤ k rows per group), `<name>_hh_n` (grp, n, d — n the exact
+  * additive item total; d the EXACT cumulative compress offset, the
+  * true MG error bound: every tracked estimate undercounts by at most
+  * d, and Σ offsets ≤ n/(k+1) whenever no removal ever ran, so d is
+  * always at least as tight as the classic envelope),
+  * `<name>_hh_params` (k).
+  *
+  * TAKEDOWN (round-12): MG counters are not invertible in general —
+  * but a departure whose items are ALL absent from the group's
+  * summary provably cannot change it (tracked items' true counts are
+  * untouched; untracked items' true counts only shrink below the d
+  * they were already under), so [[removeDocsExact]] handles that case
+  * with one exact n subtraction and NO corpus pass. The d bound stays
+  * valid across such removals — which is exactly why the serve
+  * envelope uses d, not n/(k+1): n shrinks on removal, d does not,
+  * and the classic n-based bound silently under-covers after one.
+  * A departure touching a TRACKED item still needs the union-only
+  * clause ([[initStore]] over the retained corpus — immediate or
+  * deferred via the fold's staleness backlog). */
 object HhStore {
 
+  /** `prefixes > 0` selects the PREFIX-PARTITIONED layout (v2, the
+    * NbStore discipline extended to the sketch families): `_hh` and
+    * `_hh_n` are Hive-partitioned on pmod(xxhash64(grp), P), so a
+    * wave's merge rewrites only the partitions holding the batch's
+    * GROUPS instead of the whole model — the lever for a store
+    * tracking many domains where each wave touches few. Layout is
+    * recorded in `<name>_layout`; merges auto-detect it. */
   def initStore(items: DataFrame, name: String, grpCol: String,
-      itemCol: String, k: Int): Unit = {
+      itemCol: String, k: Int, prefixes: Int = 0): Unit = {
     require(k > 0, s"k must be positive, got $k")
     val spark = items.sparkSession
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
+    CountStore.clearStale(spark, name)
+    CountStore.writeLayout(spark, name, prefixes)
     val c = counts(items, grpCol, itemCol).localCheckpoint()
-    graft.sources.Sinks.parquetTable(compress(c, k), s"${name}_hh")
-    graft.sources.Sinks.parquetTable(
-      c.groupBy(col("grp")).agg(sum(col("cnt")).as("n")), s"${name}_hh_n")
+    val (hh, off) = compressWithOffsets(c, k)
+    val n = c.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      .join(off, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("__off"), lit(0L)).as("d"))
+    if (prefixes > 0) {
+      CountStore.writePrefixedInit(s"${name}_hh", hh, "grp", prefixes)
+      CountStore.writePrefixedInit(s"${name}_hh_n", n, "grp", prefixes)
+    } else {
+      graft.sources.Sinks.parquetTable(hh, s"${name}_hh")
+      graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+    }
     graft.sources.Sinks.parquetTable(
       spark.range(1).select(lit(k).as("k")), s"${name}_hh_params")
     CountStore.setBuilding(spark, name, on = false)
@@ -63,10 +96,9 @@ object HhStore {
     CountStore.requireServable(spark, name)
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val (merged, n) = mergedWith(batch, name, grpCol, itemCol)
+      val (merged, n, pfx, touched) = mergedWith(batch, name, grpCol, itemCol)
       CountStore.applyOnce(spark, name, batchId) {
-        graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
-        graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+        writeTables(spark, name, merged, n, pfx, touched)
       }
     }
   }
@@ -77,26 +109,109 @@ object HhStore {
       itemCol: String): Unit = {
     val spark = batch.sparkSession
     CountStore.requireServable(spark, name)
-    val (merged, n) = mergedWith(batch, name, grpCol, itemCol)
-    graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
-    graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+    val (merged, n, pfx, touched) = mergedWith(batch, name, grpCol, itemCol)
+    writeTables(spark, name, merged, n, pfx, touched)
   }
 
+  private def writeTables(spark: SparkSession, name: String,
+      merged: DataFrame, n: DataFrame, pfx: Int, touched: Seq[Long]): Unit =
+    if (pfx > 0) {
+      CountStore.writePrefixed(s"${name}_hh", merged, touched)
+      CountStore.writePrefixed(s"${name}_hh_n", n, touched)
+    } else {
+      graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
+      graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+    }
+
+  /** The wave merge, layout-aware: on the v2 layout only the
+    * partitions holding the batch's groups are read and re-written
+    * (untouched groups provably cannot change — a merge only moves
+    * groups the batch carries). */
   private def mergedWith(batch: DataFrame, name: String, grpCol: String,
-      itemCol: String): (DataFrame, DataFrame) = {
+      itemCol: String): (DataFrame, DataFrame, Int, Seq[Long]) = {
     val spark = batch.sparkSession
     val k = kOf(spark, name)
+    val pfx = CountStore.layoutPrefixes(spark, name)
     val bc = counts(batch, grpCol, itemCol).localCheckpoint()
-    val merged = compress(
-      spark.table(s"${name}_hh").unionByName(bc)
+    val touched: Seq[Long] =
+      if (pfx > 0)
+        bc.select(CountStore.pfxCol("grp", pfx).as("p")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+      else Nil
+    def slice(t: String): DataFrame =
+      if (pfx > 0)
+        spark.table(t).filter(col("tok_pfx").isin(touched: _*)).drop("tok_pfx")
+      else spark.table(t)
+    def withPfx(df: DataFrame): DataFrame =
+      if (pfx > 0) df.withColumn("tok_pfx", CountStore.pfxCol("grp", pfx))
+      else df
+    val (merged0, off) = compressWithOffsets(
+      slice(s"${name}_hh").select(col("grp"), col("item"), col("cnt"))
+        .unionByName(bc)
         .groupBy(col("grp"), col("item"))
         .agg(sum(col("cnt")).as("cnt")), k)
+    val merged = withPfx(merged0)
       .localCheckpoint() // settle BEFORE overwriting what we read
-    val n = spark.table(s"${name}_hh_n")
-      .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n")))
-      .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    // n folds additively; d grows by THIS compress's offset (the
+    // mergeable-summaries bound: d_merged = d_old + o_merge; the
+    // batch side is a fresh exact count, so its own d is 0)
+    val n = withPfx(slice(s"${name}_hh_n")
+      .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+        .withColumn("d", lit(0L)))
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+      .join(off, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        (col("d") + coalesce(col("__off"), lit(0L))).as("d")))
       .localCheckpoint()
-    (merged, n)
+    (merged, n, pfx, touched)
+  }
+
+  /** EXACT takedown for departures whose items are all untracked: if
+    * any departing (grp, item) is present in the summary, does nothing
+    * and returns false (the caller falls back to the union-only
+    * re-init clause); otherwise subtracts the departing counts from
+    * the exact group totals — a groups-sized write, no corpus pass —
+    * and returns true. Soundness (specced): tracked items' true
+    * counts are untouched, so est ≤ true and undercount ≤ d survive;
+    * an untracked item's true count only shrinks, so it stays under
+    * d; hence every item with true > d is still present. d itself is
+    * NOT reduced (the decrements it records already happened). */
+  def removeDocsExact(items: DataFrame, name: String, grpCol: String,
+      itemCol: String): Boolean = {
+    val spark = items.sparkSession
+    CountStore.requireServable(spark, name)
+    val pfx = CountStore.layoutPrefixes(spark, name)
+    val bc = counts(items, grpCol, itemCol).localCheckpoint()
+    val touched: Seq[Long] =
+      if (pfx > 0)
+        bc.select(CountStore.pfxCol("grp", pfx).as("p")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+      else Nil
+    def slice(t: String): DataFrame =
+      if (pfx > 0)
+        spark.table(t).filter(col("tok_pfx").isin(touched: _*)).drop("tok_pfx")
+      else spark.table(t)
+    val touchesTracked = !bc
+      .join(slice(s"${name}_hh").select(col("grp"), col("item")),
+        Seq("grp", "item"), "left_semi")
+      .isEmpty
+    if (touchesTracked) false
+    else {
+      val n0 = slice(s"${name}_hh_n")
+        .unionByName(bc.groupBy(col("grp"))
+          .agg((-sum(col("cnt"))).as("n")).withColumn("d", lit(0L)))
+        .groupBy(col("grp")).agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+      val n = (if (pfx > 0)
+        n0.withColumn("tok_pfx", CountStore.pfxCol("grp", pfx)) else n0)
+        .localCheckpoint()
+      val neg = n.filter(col("n") < 0).count()
+      require(neg == 0,
+        s"$name: $neg group totals went negative — a departure was " +
+          "removed that was never added; store unchanged")
+      if (pfx > 0) CountStore.writePrefixed(s"${name}_hh_n", n, touched)
+      else graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
+      true
+    }
   }
 
   def maintainStream(items: DataFrame, name: String, grpCol: String,
@@ -111,17 +226,20 @@ object HhStore {
       }
 
   /** Serve the top `n` heavies per group with the per-item error
-    * envelope: est ≤ true ≤ est + floor(n_grp/(k+1)). Store-sized. */
+    * envelope: est ≤ true ≤ est + d, where d is the exactly-tracked
+    * cumulative compress offset — always ≤ the classic
+    * floor(n_grp/(k+1)) bound (Σ offsets removes ≥ (k+1)·offset of
+    * counted mass each compress), and unlike it STAYS valid after
+    * [[removeDocsExact]] shrank n. Store-sized. */
   def topHitters(spark: SparkSession, name: String, n: Int): DataFrame = {
     CountStore.requireServable(spark, name)
-    val k = kOf(spark, name)
     graft.plans.TopKPerKey.rankedTopKMulti(
         spark.table(s"${name}_hh").withColumn("__neg", -col("cnt")),
         Seq("grp"), Seq("__neg", "item"), n)
       .drop("__neg")
       .join(spark.table(s"${name}_hh_n"), Seq("grp"))
       .select(col("grp"), col("rank"), col("item"), col("cnt"),
-        (col("cnt") + floor(col("n") / (k + 1)).cast("long")).as("cnt_hi"))
+        (col("cnt") + col("d")).as("cnt_hi"))
   }
 
   /** Operational introspection (the describeStore discipline). */
@@ -147,18 +265,24 @@ object HhStore {
     * (O(items log k), only k+1 rows per group survive the shuffle —
     * never a full per-group sort), then one groups-sized join back;
     * ties break on item so the state is deterministic (and therefore
-    * oracle-able). */
-  private[operators] def compress(c: DataFrame, k: Int): DataFrame = {
+    * oracle-able). Also returns the per-group offsets (grp, __off;
+    * groups that never compressed are absent) — the exact error-bound
+    * increments the d tracking folds. */
+  private[operators] def compressWithOffsets(c: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
     val ranked = graft.plans.TopKPerKey.rankedTopKMulti(
         c.withColumn("__neg", -col("cnt")), Seq("grp"),
         Seq("__neg", "item"), k + 1)
       .drop("__neg")
     val offsets = ranked.filter(col("rank") === k + 1)
       .select(col("grp"), col("cnt").as("__off"))
-    ranked.filter(col("rank") <= k)
+    (ranked.filter(col("rank") <= k)
       .join(offsets, Seq("grp"), "left")
       .select(col("grp"), col("item"),
         (col("cnt") - coalesce(col("__off"), lit(0L))).as("cnt"))
-      .filter(col("cnt") > 0)
+      .filter(col("cnt") > 0), offsets)
   }
+
+  private[operators] def compress(c: DataFrame, k: Int): DataFrame =
+    compressWithOffsets(c, k)._1
 }

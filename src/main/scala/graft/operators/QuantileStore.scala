@@ -47,14 +47,25 @@ object QuantileStore {
   def kllN(sk: Column): Column =
     GraftBridge.column(graft.functions.KllN(GraftBridge.expression(sk)))
 
+  /** `prefixes > 0` selects the PREFIX-PARTITIONED layout (v2, the
+    * NbStore/HhStore discipline): `_kll` is Hive-partitioned on
+    * pmod(xxhash64(grp), P), so a wave's merge rewrites only the
+    * partitions holding the batch's groups instead of the whole
+    * model table. Recorded in `<name>_layout`; merges auto-detect. */
   def initStore(docs: DataFrame, name: String, grpCol: String,
-      valCol: String, k: Int = 200): Unit = {
+      valCol: String, k: Int = 200, prefixes: Int = 0): Unit = {
     require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
     val spark = docs.sparkSession
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
-    graft.sources.Sinks.parquetTable(
-      sketched(docs, grpCol, valCol, k), s"${name}_kll")
+    CountStore.clearStale(spark, name)
+    CountStore.writeLayout(spark, name, prefixes)
+    if (prefixes > 0)
+      CountStore.writePrefixedInit(s"${name}_kll",
+        sketched(docs, grpCol, valCol, k), "grp", prefixes)
+    else
+      graft.sources.Sinks.parquetTable(
+        sketched(docs, grpCol, valCol, k), s"${name}_kll")
     graft.sources.Sinks.parquetTable(
       spark.range(1).select(lit(k).as("k")), s"${name}_kll_params")
     CountStore.setBuilding(spark, name, on = false)
@@ -69,9 +80,9 @@ object QuantileStore {
     CountStore.requireServable(spark, name)
     if (CountStore.alreadyApplied(spark, name, batchId)) false
     else {
-      val merged = mergedWith(batch, name, grpCol, valCol)
+      val (merged, pfx, touched) = mergedWith(batch, name, grpCol, valCol)
       CountStore.applyOnce(spark, name, batchId) {
-        graft.sources.Sinks.parquetTable(merged, s"${name}_kll")
+        writeKll(name, merged, pfx, touched)
       }
     }
   }
@@ -81,19 +92,42 @@ object QuantileStore {
       valCol: String): Unit = {
     val spark = batch.sparkSession
     CountStore.requireServable(spark, name)
-    graft.sources.Sinks.parquetTable(
-      mergedWith(batch, name, grpCol, valCol), s"${name}_kll")
+    val (merged, pfx, touched) = mergedWith(batch, name, grpCol, valCol)
+    writeKll(name, merged, pfx, touched)
   }
 
+  private def writeKll(name: String, merged: DataFrame, pfx: Int,
+      touched: Seq[Long]): Unit =
+    if (pfx > 0) CountStore.writePrefixed(s"${name}_kll", merged, touched)
+    else graft.sources.Sinks.parquetTable(merged, s"${name}_kll")
+
+  /** The wave merge, layout-aware: on the v2 layout only the
+    * partitions holding the batch's groups are read and re-written
+    * (a merge only moves groups the batch carries). */
   private def mergedWith(batch: DataFrame, name: String, grpCol: String,
-      valCol: String): DataFrame = {
+      valCol: String): (DataFrame, Int, Seq[Long]) = {
     val spark = batch.sparkSession
     val k = kOf(spark, name)
-    spark.table(s"${name}_kll")
-      .unionByName(sketched(batch, grpCol, valCol, k))
+    val pfx = CountStore.layoutPrefixes(spark, name)
+    val bc = sketched(batch, grpCol, valCol, k).localCheckpoint()
+    val touched: Seq[Long] =
+      if (pfx > 0)
+        bc.select(CountStore.pfxCol("grp", pfx).as("p")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+      else Nil
+    val store =
+      if (pfx > 0)
+        spark.table(s"${name}_kll")
+          .filter(col("tok_pfx").isin(touched: _*)).drop("tok_pfx")
+      else spark.table(s"${name}_kll")
+    val merged0 = store.unionByName(bc)
       .groupBy(col("grp"))
       .agg(kllMergeAgg(col("sk")).as("sk"))
+    val merged = (if (pfx > 0)
+        merged0.withColumn("tok_pfx", CountStore.pfxCol("grp", pfx))
+      else merged0)
       .localCheckpoint() // settle BEFORE overwriting what we read
+    (merged, pfx, touched)
   }
 
   def maintainStream(docs: DataFrame, name: String, grpCol: String,
@@ -122,14 +156,31 @@ object QuantileStore {
       s"probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size,
       s"duplicate probs: $probs")
-    val cols = probs.map { p =>
-      val pct = p * 100
-      val nm = if (pct == math.round(pct).toDouble) s"p${math.round(pct)}"
-        else s"p${math.round(p * 10000)}bp"
+    // tolerance-rounded integer-percent test: p = 0.29 makes p*100 =
+    // 28.999999999999996, which an exact == against its round would
+    // misclassify into the basis-point namespace (r11 advice); and the
+    // duplicate guard must run on the DERIVED names, not the raw probs —
+    // two distinct probs within 5e-5 of each other round to the same
+    // basis-point name.
+    val names = probs.map(quantileName)
+    require(names.distinct.size == names.size,
+      s"probs $probs collide in the derived column names $names — " +
+        "space them at least 1 basis point apart")
+    val cols = probs.zip(names).map { case (p, nm) =>
       kllQuantile(col("sk"), lit(p)).as(nm)
     }
     spark.table(s"${name}_kll")
       .select(col("grp") +: kllN(col("sk")).as("n") +: cols: _*)
+  }
+
+  /** The served column name for probability `p` — one place, shared
+    * with [[Profile]]'s quantile columns so the two faces cannot
+    * drift. */
+  private[operators] def quantileName(p: Double): String = {
+    val pct = p * 100
+    if (math.abs(pct - math.round(pct).toDouble) < 1e-9)
+      s"p${math.round(pct)}"
+    else s"p${math.round(p * 10000)}bp"
   }
 
   /** Operational introspection (the describeStore discipline). */

@@ -52,6 +52,7 @@ object SketchStore {
     val spark = docs.sparkSession
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
+    CountStore.clearStale(spark, name)
     graft.sources.Sinks.parquetTable(
       sketched(docs, grpCol, idCol, lgK), s"${name}_hll")
     graft.sources.Sinks.parquetTable(

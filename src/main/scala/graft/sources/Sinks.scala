@@ -289,6 +289,37 @@ object Sinks {
      else w).parquet(path)
   }
 
+  /** HILBERT-3D-ordered parquet (round-12) — the writer face of
+    * [[graft.operators.ZOrder.hilbertIndex3]], and the DEFAULT curve
+    * for an entity × time × shard layout: ProbeR17X3D measured
+    * hilbert3 writes at 3.0 s vs zorder3's 4.2 s for the same 10M
+    * rows AND half the mixed-box blind-spot footprint (the no-jump
+    * curve keeps each output file's (x, y, z) bounding box tight, so
+    * parquet row-group stats prune range filters on ANY of the three
+    * dimensions). Same declared-range discipline as the curve itself
+    * (caller-declared [min, max] per dimension — deterministic and
+    * append-stable, never data quantiles), same one-exchange cost
+    * shape as [[parquetZOrdered]]: a single range-partitioned sort
+    * paid once at write. */
+  def parquetHilbert3(df: DataFrame, path: String,
+      x: (String, Long, Long), y: (String, Long, Long),
+      z: (String, Long, Long), bits: Int = 10,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ZOrder
+    val w = df
+      .withColumn("__h", ZOrder.hilbertIndex3(
+        ZOrder.bucket(col(x._1), x._2, x._3, bits),
+        ZOrder.bucket(col(y._1), y._2, y._3, bits),
+        ZOrder.bucket(col(z._1), z._2, z._3, bits), bits))
+      .orderBy(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else w).parquet(path)
+  }
+
   /** Single-header CSV export (driver-friendly small results). */
   def csv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

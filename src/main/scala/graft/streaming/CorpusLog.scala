@@ -64,8 +64,17 @@ object CorpusLog {
       // old warehouse), the standing-store discipline
       graft.sources.Sinks.dropTable(spark, name)
     } else {
-      val have = payloadCols(spark.table(name), idCol).sorted
-      val got = payloadCols(puts, idCol).sorted
+      // (name, type) pairs, not names alone: a payload column whose TYPE
+      // changed would pass a name-only check and either fail later inside
+      // unionByName or silently widen via implicit cast, corrupting the
+      // "old payload" the signed subtractions rely on (r11 advice).
+      def shape(t: DataFrame) = {
+        val pc = payloadCols(t, idCol).toSet
+        t.schema.fields.filter(f => pc(f.name))
+          .map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+      }
+      val have = shape(spark.table(name))
+      val got = shape(puts)
       require(have == got,
         s"corpus log '$name': payload schema changed ($have -> $got) — " +
           "rebuild the log (and the stores it feeds) before continuing")
@@ -130,29 +139,42 @@ object CorpusLog {
   /** Fold the append-only log to one row per live id (latest ver kept,
     * markers and superseded versions drop) — run on the same
     * maintenance cadence as compactFingerprints; also folds the
-    * per-batch file accumulation inside each prefix. The rewrite runs
-    * under the log's `__building` marker (the compactLedger
-    * discipline): the log is the system's ONLY retention of admitted
-    * payloads, so a torn drop-and-rewrite must refuse every later
-    * serve/fold loudly instead of silently losing the corpus — a
-    * localCheckpoint alone is executor-block state, not durability. */
+    * per-batch file accumulation inside each prefix.
+    *
+    * DURABILITY (r11 advice, medium): the log is the system's ONLY
+    * retention of admitted payloads, and [[maybeCompact]] auto-fires
+    * this in the hot streaming fold — so the fold is written to a
+    * DURABLE staging table FIRST, while the original log is still
+    * intact; only then does the marker-guarded swap (drop + recreate
+    * from staging) run. At every instant a durable on-disk copy of
+    * the corpus exists: a crash before the swap loses nothing (the
+    * original serves, staging is garbage-collected on the next
+    * compact), a crash inside the swap window leaves the marker down
+    * (loud) with the complete fold sitting in `<name>__staging` —
+    * recovery is re-creating the log from staging, not a full
+    * upstream re-ingest. The earlier localCheckpoint-then-rewrite
+    * held the only copy in executor block state mid-rewrite. */
   def compact(spark: SparkSession, name: String, idCol: String): Unit = {
     if (!spark.catalog.tableExists(name)) return
     graft.operators.CountStore.requireServable(spark, name)
+    val staging = s"${name}__staging"
+    graft.sources.Sinks.dropTable(spark, staging)
     val t = spark.table(name)
     val pc = payloadCols(t, idCol)
-    val latest = t.groupBy(col(idCol))
+    t.groupBy(col(idCol))
       .agg(max_by(struct((pc.map(col) :+ col("__deleted") :+ col("__ver")): _*),
         col("__ver")).as("s"))
       .select(col(idCol) +: pc.map(c => col(s"s.$c").as(c))
         :+ col("s.__deleted").as("__deleted") :+ col("s.__ver").as("__ver"): _*)
       .filter(!col("__deleted"))
       .withColumn("__pfx", pfx(idCol))
-      .localCheckpoint()
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("__pfx").saveAsTable(staging)
     graft.operators.CountStore.setBuilding(spark, name, on = true)
     graft.sources.Sinks.dropTable(spark, name)
-    latest.write.mode("append").format("parquet")
+    spark.table(staging).write.mode("append").format("parquet")
       .partitionBy("__pfx").saveAsTable(name)
+    graft.sources.Sinks.dropTable(spark, staging)
     graft.operators.CountStore.setBuilding(spark, name, on = false)
   }
 }

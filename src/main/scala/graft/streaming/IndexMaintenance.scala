@@ -84,21 +84,45 @@ object IndexMaintenance {
       s"applyUpserts: batch has $nRows rows over $nIds distinct ids — dedupe first")
     val live = b.filter(col(textCol).isNotNull)
 
-    if (!spark.catalog.tableExists(s"${name}_doclens")) {
-      // bootstrap: the first batch IS the corpus
-      Bm25.buildIndex(live, name, buckets, idCol, textCol)
-      graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
-      logFingerprints(spark, name, idCol,
-        live.select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver")))
-      maintainChampions.foreach(c =>
-        Bm25.buildChampions(spark, name, c, buckets, idCol))
-      return live.select(col(idCol), lit("added").as("status")).localCheckpoint()
-    }
+    if (!spark.catalog.tableExists(s"${name}_doclens"))
+      return bootstrapIndex(spark, name, live, ver, buckets, idCol, textCol,
+        maintainChampions)
 
     val prior = priorFingerprints(spark, name, b, idCol)
+    val delta = classifyAgainst(prior, live, idCol, textCol)
+    applyClassified(spark, name, live, prior, delta, ver, buckets,
+      idCol, textCol, compactRatio, maintainChampions)
+  }
+
+  /** Bootstrap: the first batch IS the corpus. */
+  private def bootstrapIndex(spark: SparkSession, name: String,
+      live: DataFrame, ver: Long, buckets: Int, idCol: String,
+      textCol: String, maintainChampions: Option[Int]): DataFrame = {
+    Bm25.buildIndex(live, name, buckets, idCol, textCol)
+    graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
+    logFingerprints(spark, name, idCol,
+      live.select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver")))
+    maintainChampions.foreach(c =>
+      Bm25.buildChampions(spark, name, c, buckets, idCol))
+    live.select(col(idCol), lit("added").as("status")).localCheckpoint()
+  }
+
+  /** [[applyUpserts]]'s back half, taking an ALREADY-COMPUTED
+    * classification: `live` the batch's non-marker rows, `prior` the
+    * batch ids' latest fingerprints, `delta` the settled
+    * (id, status) classification of exactly the rows to apply. Split
+    * out in round 12 so [[applyGatedUpserts]] can classify ONCE and
+    * feed both the admission gate and the index apply — the inner
+    * re-classification (a second fingerprint probe + diff + settle
+    * per wave) was a measured ~2 s of every gated wave's ~6 s fixed
+    * floor (ProbeGateCost). */
+  private def applyClassified(spark: SparkSession, name: String,
+      live: DataFrame, prior: DataFrame, delta: DataFrame, ver: Long,
+      buckets: Int, idCol: String, textCol: String,
+      compactRatio: Double,
+      maintainChampions: Option[Int]): DataFrame = {
     val maxPrior = prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
       .head().getLong(0)
-    val delta = classifyAgainst(prior, live, idCol, textCol)
     if (maxPrior >= ver) {
       // foreachBatch is AT-LEAST-ONCE: a restarted stream re-delivers
       // its last batch. A COMPLETED replay classifies as all-unchanged
@@ -447,7 +471,20 @@ object IndexMaintenance {
       docFold: Option[(String, DocFold)] = None): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    val delta = classifyUpserts(spark, name, b, idCol, textCol)
+    // classification ONCE, shared by the fold arming, the admission
+    // gate AND the index apply (applyClassified below) — the inner
+    // re-classification the old applyUpserts(gated) call performed (a
+    // second fingerprint probe + diff + settle) was a measured ~2 s of
+    // every gated wave's ~6 s fixed floor (ProbeGateCost).
+    val exists = spark.catalog.tableExists(s"${name}_doclens")
+    val liveB = b.filter(col(textCol).isNotNull)
+    val priorOpt =
+      if (exists) Some(priorFingerprints(spark, name, b, idCol)) else None
+    val delta = priorOpt match {
+      case Some(p) => classifyAgainst(p, liveB, idCol, textCol)
+      case None =>
+        liveB.select(col(idCol), lit("added").as("status")).localCheckpoint()
+    }
     // open the COUNT-FOLD torn-batch window BEFORE any store mutates:
     // a crash between the index commit and the fold ledger would
     // otherwise re-deliver as an all-unchanged classification that
@@ -455,6 +492,18 @@ object IndexMaintenance {
     // replay fails loud at this requireServable instead. A batch whose
     // ver is already in the fold ledger (completed replay) skips the
     // window entirely.
+    // false-positive recovery (r11 advice): a crash between
+    // markApplied(ver) and setBuilding(off) leaves a CONSISTENT store
+    // with the marker still down — the ledger row is written strictly
+    // after every store mutation, so its presence proves the prior
+    // delivery completed; clear the marker instead of demanding a full
+    // rebuild. A genuinely torn batch never reached markApplied, so it
+    // still fails loud at the requireServable below.
+    docFold.foreach { case (logName, _) =>
+      if (graft.operators.CountStore.alreadyApplied(spark, logName, ver) &&
+          graft.operators.CountStore.isBuilding(spark, logName))
+        graft.operators.CountStore.setBuilding(spark, logName, on = false)
+    }
     val foldArmed = docFold.filter { case (logName, _) =>
       !graft.operators.CountStore.alreadyApplied(spark, logName, ver) }
     foldArmed.foreach { case (logName, _) =>
@@ -464,27 +513,52 @@ object IndexMaintenance {
     def withStatus(s: String) = b.join(
       delta.filter(col("status") === s).select(col(idCol)),
       Seq(idCol), "left_semi")
-    val changed = withStatus("changed").localCheckpoint()
-    if (!changed.isEmpty) {
+    // ONE status-count job routes the whole batch: waves without
+    // changes skip the signature refresh, delete-only waves skip the
+    // admission machinery entirely, add-only waves skip the
+    // pending-removal write — each skipped branch was 2-5 job
+    // submissions of fixed per-wave cost (ProbeGateCost)
+    val outerCounts = delta.groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changed = withStatus("changed")
+    if (outerCounts.getOrElse("changed", 0L) > 0) {
       // physical refresh first: admissions below judge against v2
       IngestDedup.removeFromStore(spark, sigName, changed.select(col(idCol)))
       IngestDedup.appendSignatures(changed, sigName, idCol, textCol,
         ngram, numHashes, bands, seed, ver = ver)
     }
-    val admitted = IngestDedup.admitBatch(
-      withStatus("added"), sigName, idCol, textCol,
-      ngram, numHashes, bands, threshold, seed,
-      excludeIds = Some(pendingRm(spark, sigName)), ver = ver)
-      .localCheckpoint()
-    markPendingRm(spark, sigName,
-      delta.filter(col("status") === "removed").select(col(idCol)), ver)
+    val admitted =
+      if (outerCounts.getOrElse("added", 0L) > 0)
+        IngestDedup.admitBatch(
+          withStatus("added"), sigName, idCol, textCol,
+          ngram, numHashes, bands, threshold, seed,
+          excludeIds = Some(pendingRm(spark, sigName)), ver = ver)
+          .localCheckpoint()
+      else spark.range(0).select(col("id"))
+    if (outerCounts.getOrElse("removed", 0L) > 0)
+      markPendingRm(spark, sigName,
+        delta.filter(col("status") === "removed").select(col(idCol)), ver)
     val gated = withStatus("added")
       .join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
       .unionByName(changed)
       .unionByName(b.filter(col(textCol).isNull))
       .localCheckpoint()
-    val applied = applyUpserts(spark, name, gated, ver,
-      buckets, idCol, textCol, compactRatio, maintainChampions)
+    // the index apply REUSES the classification above, restricted to
+    // the gated ids (the admission gate only ever removes rejected
+    // adds, and the store has not moved since the probe) — no second
+    // classification pass
+    val applied = priorOpt match {
+      case None =>
+        bootstrapIndex(spark, name, gated.filter(col(textCol).isNotNull),
+          ver, buckets, idCol, textCol, maintainChampions)
+      case Some(prior) =>
+        applyClassified(spark, name,
+          liveB.join(gated.select(col(idCol)), Seq(idCol), "left_semi"),
+          prior,
+          delta.join(gated.select(col(idCol)), Seq(idCol), "left_semi")
+            .localCheckpoint(),
+          ver, buckets, idCol, textCol, compactRatio, maintainChampions)
+    }
     // fold the ANN/vector store(s) from the SAME classification and
     // admission decision (r8 verdict #1): admitted adds append their
     // vectors, changes remove + append, takedowns remove. A rejected
@@ -715,17 +789,39 @@ object IndexMaintenance {
     *    combiner; departures refit only the groups whose SAMPLED rows
     *    left (below-k departures provably change nothing —
     *    [[graft.operators.SampleStore.dropDocs]]).
-    *  - HLL sketch: arrivals register-max merge; any departure forces
-    *    the documented union-only takedown (one-pass re-init over the
-    *    post-batch live corpus — stated, not hidden).
-    *  - Heavy-hitters (MG) and quantile (KLL) stores: the same
-    *    union-only clause — arrivals merge through their batch
-    *    bodies, departures re-init over the live corpus.
+    *  - HLL sketch and quantile (KLL) stores: arrivals merge
+    *    (register-max / sketch-union); any departure takes the
+    *    union-only takedown clause — re-init over the post-batch
+    *    live corpus, IMMEDIATE at `refitBacklog` = 1 (the default) or
+    *    DEFERRED behind the staleness backlog (below).
+    *  - Heavy-hitters (MG): arrivals merge through the batch body;
+    *    a departure whose items are all UNTRACKED is handled exactly
+    *    in place ([[graft.operators.HhStore.removeDocsExact]] — a
+    *    groups-sized n subtraction, no corpus pass, guarantees
+    *    preserved via the exact d bound); only a departure touching a
+    *    tracked item falls back to the union-only clause.
+    *
+    * DEFERRED re-inits (`refitBacklog` > 1, the r11 verdict's top
+    * item): firing a re-init per departure batch makes a TRICKLE of
+    * takedowns cost one corpus pass each — and with three attached
+    * sketch families, three. Instead each departure batch marks the
+    * affected store stale ([[graft.operators.CountStore.markStale]]);
+    * the re-init fires once a store's pending backlog reaches
+    * `refitBacklog`, so N takedown batches cost ONE live pass per
+    * family instead of N. While stale, a store's estimates may still
+    * count the pending departures — the staleness is VISIBLE
+    * (describeStore's `stale_batches`, [[graft.operators.CountStore.stalePending]])
+    * and a serve-with-guarantee caller forces the refresh first via
+    * [[refreshCountStores]]. Arrivals keep merging while stale
+    * (union-only merges are correct for arrivals regardless), and the
+    * eventual re-init reads the CorpusLog's live view, which already
+    * excludes every pending departure — one pass settles them all.
     *
     * Costs: NB/LM merges are model-sized; sample merges are
     * store+batch-sized, its refits group-bounded over one live pass;
-    * sketch/HH/KLL re-inits are one live pass. Nothing here ever
-    * rescans the corpus on a pure-add batch. */
+    * sketch/HH/KLL re-inits are one live pass per REFIT (not per
+    * departure batch, when deferral is on). Nothing here ever rescans
+    * the corpus on a pure-add batch. */
   def countStoreFold(spark: SparkSession,
       nbStore: Option[(String, String)] = None,
       lmStore: Option[String] = None,
@@ -735,13 +831,40 @@ object IndexMaintenance {
       hhStore: Option[(String, String, Int)] = None,
       quantileStore: Option[(String, String, String)] = None,
       buckets: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DocFold = (gone, put, live) => {
-    import graft.operators.{HhStore, LmStore, NbStore, QuantileStore, SampleStore, SketchStore}
+      textCol: String = "text",
+      refitBacklog: Int = 1): DocFold = (gone, put, live) => {
+    import graft.operators.{CountStore, HhStore, LmStore, NbStore, QuantileStore, SampleStore, SketchStore}
+    require(refitBacklog >= 1, s"refitBacklog must be >= 1, got $refitBacklog")
     // both frames are settled by the driver; probe each ONCE (an
     // isEmpty is a job submission — six families would otherwise pay
-    // up to twelve of them per micro-batch)
-    val goneEmpty = gone.isEmpty
+    // up to twelve of them per micro-batch). gone is counted, not
+    // isEmpty-probed — the staleness ledger wants the doc count.
+    val nGone = gone.count()
+    val goneEmpty = nGone == 0
     val putEmpty = put.isEmpty
+    // the shared union-only deferral clause: departure -> immediate
+    // re-init (backlog 1, no ledger IO) or mark-stale + threshold
+    // check. The re-init covers this batch's arrivals too (live()
+    // includes them — markers were logged before the fold ran), so
+    // merge is skipped when it fires.
+    def unionOnly(name: String, tableExists: Boolean)(
+        init: () => Unit, reinitLive: () => Unit, merge: () => Unit,
+        departureNeedsReinit: Boolean = true): Unit =
+      if (!tableExists) { if (!putEmpty) init() }
+      else {
+        var refit = false
+        if (!goneEmpty && departureNeedsReinit) {
+          if (refitBacklog <= 1) refit = true
+          else {
+            CountStore.markStale(spark, name, nGone)
+            if (CountStore.stalePending(spark, name)._1 >= refitBacklog)
+              refit = true
+          }
+        }
+        if (refit) {
+          reinitLive() // initStore clears the staleness ledger
+        } else if (!putEmpty) merge()
+      }
     nbStore.foreach { case (name, labelCol) =>
       if (!spark.catalog.tableExists(s"${name}_class")) {
         if (!putEmpty)
@@ -774,42 +897,73 @@ object IndexMaintenance {
       }
     }
     sketchStore.foreach { case (name, grpCol) =>
-      if (!spark.catalog.tableExists(s"${name}_hll")) {
-        if (!putEmpty) SketchStore.initStore(put, name, grpCol, idCol)
-      } else if (!goneEmpty) {
-        // union-only takedown: re-init over the post-batch live corpus
-        // (markers already logged, so live() excludes the departures
-        // and includes this batch's arrivals)
-        SketchStore.initStore(live(), name, grpCol, idCol)
-      } else if (!putEmpty) {
-        SketchStore.mergeDocs(put, name, grpCol, idCol)
-      }
+      unionOnly(name, spark.catalog.tableExists(s"${name}_hll"))(
+        init = () => SketchStore.initStore(put, name, grpCol, idCol),
+        reinitLive = () => SketchStore.initStore(live(), name, grpCol, idCol),
+        merge = () => SketchStore.mergeDocs(put, name, grpCol, idCol))
     }
-    // the round-11 sketch families ride the same union-only clause as
-    // the HLL store: arrivals merge, any departure re-inits over the
-    // post-batch live corpus (stated, not hidden). HH items are the
-    // whitespace tokens of textCol — the per-domain n-gram feed's
-    // unigram base case (callers wanting shingles pre-explode their
-    // own item frame through HhStore directly).
+    // HH items are the whitespace tokens of textCol — the per-domain
+    // n-gram feed's unigram base case (callers wanting shingles
+    // pre-explode their own item frame through HhStore directly). A
+    // departure first tries the EXACT in-place path (all departing
+    // items untracked — a groups-sized n subtraction, guarantees
+    // preserved by the d bound); only a departure touching a tracked
+    // item takes the union-only clause.
     hhStore.foreach { case (name, grpCol, k) =>
-      def items(df: DataFrame) = df.select(col(grpCol).as("grp"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("item"))
-      if (!spark.catalog.tableExists(s"${name}_hh")) {
-        if (!putEmpty) HhStore.initStore(items(put), name, "grp", "item", k)
-      } else if (!goneEmpty) {
-        HhStore.initStore(items(live()), name, "grp", "item", k)
-      } else if (!putEmpty) {
-        HhStore.mergeDocs(items(put), name, "grp", "item")
-      }
+      val exists = spark.catalog.tableExists(s"${name}_hh")
+      val heavyTouched = !goneEmpty && exists &&
+        !HhStore.removeDocsExact(hhItems(gone, grpCol, textCol),
+          name, "grp", "item")
+      unionOnly(name, exists)(
+        init = () => HhStore.initStore(
+          hhItems(put, grpCol, textCol), name, "grp", "item", k),
+        reinitLive = () => HhStore.initStore(
+          hhItems(live(), grpCol, textCol), name, "grp", "item", k),
+        merge = () => HhStore.mergeDocs(
+          hhItems(put, grpCol, textCol), name, "grp", "item"),
+        departureNeedsReinit = heavyTouched)
     }
     quantileStore.foreach { case (name, grpCol, valCol) =>
-      if (!spark.catalog.tableExists(s"${name}_kll")) {
-        if (!putEmpty) QuantileStore.initStore(put, name, grpCol, valCol)
-      } else if (!goneEmpty) {
-        QuantileStore.initStore(live(), name, grpCol, valCol)
-      } else if (!putEmpty) {
-        QuantileStore.mergeDocs(put, name, grpCol, valCol)
-      }
+      unionOnly(name, spark.catalog.tableExists(s"${name}_kll"))(
+        init = () => QuantileStore.initStore(put, name, grpCol, valCol),
+        reinitLive = () => QuantileStore.initStore(live(), name, grpCol, valCol),
+        merge = () => QuantileStore.mergeDocs(put, name, grpCol, valCol))
+    }
+  }
+
+  /** The HH fold's item derivation — whitespace tokens of the text
+    * column, one place so the fold's merge, exact-takedown, re-init
+    * and [[refreshCountStores]] faces cannot drift. */
+  private def hhItems(df: DataFrame, grpCol: String,
+      textCol: String): DataFrame =
+    df.select(col(grpCol).as("grp"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("item"))
+
+  /** SERVE-WITH-GUARANTEE: force the deferred union-only re-inits NOW.
+    * For each attached store with a pending staleness backlog, one
+    * re-init over the CorpusLog's live corpus (which already excludes
+    * every pending departure); fresh stores are untouched. Call before
+    * a serve that must not overcount pending takedowns — the second
+    * trigger the deferral contract names (the first being the fold's
+    * own `refitBacklog` threshold). The store params mirror
+    * [[countStoreFold]]'s. */
+  def refreshCountStores(spark: SparkSession, logName: String,
+      sketchStore: Option[(String, String)] = None,
+      hhStore: Option[(String, String, Int)] = None,
+      quantileStore: Option[(String, String, String)] = None,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.operators.{CountStore, HhStore, QuantileStore, SketchStore}
+    def stale(name: String) = CountStore.stalePending(spark, name)._1 > 0
+    lazy val live = CorpusLog.live(spark, logName, idCol).localCheckpoint()
+    sketchStore.foreach { case (name, grpCol) =>
+      if (stale(name)) SketchStore.initStore(live, name, grpCol, idCol)
+    }
+    hhStore.foreach { case (name, grpCol, k) =>
+      if (stale(name))
+        HhStore.initStore(hhItems(live, grpCol, textCol), name, "grp", "item", k)
+    }
+    quantileStore.foreach { case (name, grpCol, valCol) =>
+      if (stale(name)) QuantileStore.initStore(live, name, grpCol, valCol)
     }
   }
 

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CountStore
+import graft.streaming.{IndexMaintenance, IngestDedup}
+
+/** Round-12 verdict #1 measurement: a TRICKLE of takedown batches
+  * against the gated fold with three union-only sketch families
+  * attached (HLL + HH + KLL). At `refitBacklog` = 1 (the r11
+  * semantics) every departure batch re-inits all three stores over
+  * the live corpus — N batches, 3·N corpus passes. With the deferral
+  * (`refitBacklog` > N) each batch only appends a one-row staleness
+  * mark; ONE `refreshCountStores` at the end settles everything —
+  * N batches, 3 corpus passes total. The probe times both schedules
+  * on the same corpus; the per-batch wall of the deferred run should
+  * sit near the no-store-attached floor (the gated batch's own
+  * classification/index cost) and stay FLAT in N, while the immediate
+  * run carries the corpus-sized re-init tax every batch. */
+object ProbeFoldTakedown {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32)
+    val nDocs = 100000L
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(12)),
+          i => concat(lit("w"), pmod(col("id") * i * lit(2654435761L),
+            lit(50000L))))).as("text"),
+        concat(lit("l"), pmod(col("id"), lit(8))).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(5))).as("source"),
+        (pmod(col("id") * lit(37L), lit(4000L)) + 20L).as("n_chars"))
+      .localCheckpoint()
+    val nBatches = 5
+    def takedown(k: Int) = corpus
+      .filter(col("doc_id") % 1000 === k) // ~100 docs per batch
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"))
+      .localCheckpoint()
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-52s $s%7.1f s")
+      s
+    }
+    for ((mode, backlog) <- Seq(("immediate (refitBacklog=1)", 1),
+        ("deferred (refitBacklog>N + one refresh)", 1000))) {
+      val tag = s"probe_ftd_$backlog"
+      val idx = tag + "_idx"; val sig = tag + "_sigs"; val log = tag + "_log"
+      val hll = tag + "_hll"; val hh = tag + "_hh"; val kll = tag + "_kll"
+      IndexMaintenance.initStores(spark, idx)
+      IngestDedup.initStore(spark, sig)
+      graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
+      for (t <- Seq(log, log + "_applied",
+          hll + "_hll", hll + "_hll_params", hll + "_stale",
+          hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
+          kll + "_kll", kll + "_kll_params", kll + "_stale"))
+        graft.sources.Sinks.dropTable(spark, t)
+      for (n <- Seq(log, hll, hh, kll))
+        CountStore.setBuilding(spark, n, on = false)
+      val fold = IndexMaintenance.countStoreFold(spark,
+        sketchStore = Some((hll, "lang")),
+        hhStore = Some((hh, "source", 200)),
+        quantileStore = Some((kll, "source", "n_chars")),
+        buckets = 32, refitBacklog = backlog)
+      time(s"[$mode] bootstrap ${nDocs} docs") {
+        IndexMaintenance.applyGatedUpserts(spark, idx, sig, corpus,
+          ver = 1L, buckets = 32, docFold = Some((log, fold)))
+      }
+      var total = 0.0
+      for (k <- 1 to nBatches)
+        total += time(s"[$mode] takedown batch $k (~100 docs)") {
+          IndexMaintenance.applyGatedUpserts(spark, idx, sig, takedown(k),
+            ver = k + 1L, buckets = 32, docFold = Some((log, fold)))
+        }
+      if (backlog > 1)
+        total += time(s"[$mode] refreshCountStores (settles all $nBatches)") {
+          IndexMaintenance.refreshCountStores(spark, log,
+            sketchStore = Some((hll, "lang")),
+            hhStore = Some((hh, "source", 200)),
+            quantileStore = Some((kll, "source", "n_chars")))
+        }
+      println(f"[$mode] takedown phase total: $total%7.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -109,6 +109,36 @@ object ProbeR15X {
         graft.operators.NbStore.appendDocs(fifty, name)
       }
     }
+    // phase 3 (round-12): the v2 layout reaching the GRP-KEYED sketch
+    // families — an HhStore tracking many domains where each wave
+    // touches FEW. 50k groups × ~40 counters; a one-group wave should
+    // read+rewrite ~1/P of the model under v2 and all of it plain.
+    val P3 = 64
+    val groups = 50000L
+    val hhBase = spark.range(groups * 40)
+      .select(concat(lit("dom"), pmod(col("id"), lit(groups))).as("grp"),
+        concat(lit("w"), pmod(col("id") * lit(2654435761L),
+          lit(200000L))).as("item"))
+      .localCheckpoint()
+    val oneGrpWave = spark.range(500)
+      .select(lit("dom123").as("grp"),
+        concat(lit("w"), pmod(col("id") * lit(7919L), lit(200000L))).as("item"))
+      .localCheckpoint()
+    for ((layout, pfx) <- Seq(("plain", 0), (s"prefixed P=$P3", P3))) {
+      val name = s"probe_r15x_hh_${pfx}"
+      for (t <- Seq(s"${name}_hh", s"${name}_hh_n", s"${name}_hh_params",
+          s"${name}_layout", s"${name}_applied", s"${name}_stale"))
+        graft.sources.Sinks.dropTable(spark, t)
+      graft.operators.CountStore.setBuilding(spark, name, on = false)
+      time(s"[hh $layout] init ${groups} groups") {
+        graft.operators.HhStore.initStore(hhBase, name, "grp", "item",
+          k = 20, prefixes = pfx)
+      }
+      graft.operators.HhStore.mergeDocs(oneGrpWave, name, "grp", "item") // warm-up
+      time(s"[hh $layout] one-group wave (1/$P3 of prefixes)") {
+        graft.operators.HhStore.mergeDocs(oneGrpWave, name, "grp", "item")
+      }
+    }
     spark.stop()
   }
 }

@@ -49,9 +49,10 @@ class CountFoldSpec extends SparkSpec {
         nb + "_counts", nb + "_class", nb + "_applied", nb + "_layout",
         lm + "_tri", lm + "_bi", lm + "_uni", lm + "_applied", lm + "_layout",
         smp + "_sample", smp + "_sample_params", smp + "_applied",
-        hll + "_hll", hll + "_hll_params", hll + "_applied",
+        hll + "_hll", hll + "_hll_params", hll + "_applied", hll + "_stale",
         hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_applied",
-        kll + "_kll", kll + "_kll_params", kll + "_applied",
+        hh + "_stale",
+        kll + "_kll", kll + "_kll_params", kll + "_applied", kll + "_stale",
         "cff_nb_counts", "cff_nb_class", "cff_nb_layout",
         "cff_lm_tri", "cff_lm_bi",
         "cff_lm_uni", "cff_lm_layout", "cff_smp_sample",
@@ -133,18 +134,40 @@ class CountFoldSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "sketch estimates diverged")
 
-    // HH and KLL ride the union-only clause: the takedown wave
-    // re-inited both over the post-batch live corpus, so they must
-    // equal fresh inits over the same rows — HH exactly (the MG build
-    // is deterministic), KLL on served values (every group here holds
-    // ≤ k values, the sketch's exact regime — no compaction fired, so
-    // the randomized path never ran)
-    import graft.operators.{HhStore, QuantileStore}
+    // HH rode the EXACT takedown path in wave 3 (this schedule's
+    // departing tokens are all untracked — every per-group count is 1,
+    // so the summaries were empty when the departures arrived):
+    // maintained state is a VALID MG summary of the live corpus with
+    // EXACT totals, but NOT bit-equal to a fresh fit — MG is
+    // history-dependent, and only a re-init (the deferral clause,
+    // q252's gate) forces equality. So assert the served CONTRACT
+    // against the live-corpus truth: n exact, every stored item real,
+    // est ≤ true, undercount ≤ the exact d, no heavy (true > d)
+    // missing. KLL rides the union-only re-init (no exact path), so
+    // its served values still equal a fresh fit (exact regime here —
+    // ≤ k values per group, compaction never fired).
+    import graft.operators.QuantileStore
     def hhItems(df: DataFrame) = df.select(col("src").as("grp"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
-    HhStore.initStore(hhItems(liveDf), "cff_hh", "grp", "item", k = 10)
-    assert(tablesEq(hh + "_hh", "cff_hh_hh"), "hh counters diverged")
-    assert(tablesEq(hh + "_hh_n", "cff_hh_hh_n"), "hh totals diverged")
+    val hhTruth = hhItems(liveDf).groupBy("grp", "item")
+      .agg(count(lit(1)).as("t")).localCheckpoint()
+    val hhN = spark.table(hh + "_hh_n").localCheckpoint()
+    val liveN = hhItems(liveDf).groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(hhN.select("grp", "n").exceptAll(liveN)
+      .unionAll(liveN.exceptAll(hhN.select("grp", "n"))).isEmpty,
+      "hh totals not exact after the exact-takedown path")
+    val hhStore = spark.table(hh + "_hh").localCheckpoint()
+    assert(hhStore.join(hhTruth, Seq("grp", "item"), "left_anti").isEmpty,
+      "a stored item is absent from the live corpus (est > true = 0)")
+    val hhJ = hhStore.join(hhTruth, Seq("grp", "item"))
+      .join(hhN.select(col("grp"), col("d")), Seq("grp"))
+    assert(hhJ.filter(col("cnt") > col("t")).isEmpty, "hh overestimate")
+    assert(hhJ.filter(col("t") - col("cnt") > col("d")).isEmpty,
+      "hh undercount beyond the exact d")
+    assert(hhTruth.join(hhN.select(col("grp"), col("d")), Seq("grp"))
+      .filter(col("t") > col("d"))
+      .join(hhStore, Seq("grp", "item"), "left_anti").isEmpty,
+      "a true heavy (true > d) dropped out")
     QuantileStore.initStore(liveDf, "cff_kll", "src", "w")
     val qa = QuantileStore.quantiles(spark, kll, Seq(0.1, 0.5, 0.9))
     val qb = QuantileStore.quantiles(spark, "cff_kll", Seq(0.1, 0.5, 0.9))
@@ -295,5 +318,136 @@ class CountFoldSpec extends SparkSpec {
         Seq((999L, "x")).toDF("doc_id", "text"),
         spark.range(0).select(col("id").as("doc_id")), "doc_id", ver = 99L)
     }
+  }
+
+  test("payload TYPE drift fails loud (name-equal, type-changed column)") {
+    // same column names as the standing log, but w long -> string:
+    // the (name, type) guard must reject it BEFORE unionByName can
+    // widen it into a corrupted 'old payload'
+    intercept[IllegalArgumentException] {
+      CorpusLog.append(spark, log,
+        Seq((999L, "x", "en", "s0", "not-a-long"))
+          .toDF("doc_id", "text", "lang", "src", "w"),
+        spark.range(0).select(col("id").as("doc_id")), "doc_id", ver = 99L)
+    }
+  }
+
+  private val idx4 = "cf4_idx"; private val sig4 = "cf4_sigs"
+  private val log4 = "cf4_log"; private val hll4 = "cf4_hll"
+
+  test("deferred union-only takedowns: N departure batches cost ONE re-init") {
+    IndexMaintenance.initStores(spark, idx4)
+    IngestDedup.initStore(spark, sig4)
+    graft.sources.Sinks.dropTable(spark, sig4 + "_pending_rm")
+    for (t <- Seq(log4, log4 + "_applied", hll4 + "_hll",
+        hll4 + "_hll_params", hll4 + "_stale", "cf4f_hll", "cf4f_hll_params"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log4, hll4, "cf4f")) CountStore.setBuilding(spark, n, on = false)
+    val f4 = IndexMaintenance.countStoreFold(spark,
+      sketchStore = Some((hll4, "lang")), refitBacklog = 2)
+    def app(batch: DataFrame, ver: Long) =
+      IndexMaintenance.applyGatedUpserts(spark, idx4, sig4, batch, ver = ver,
+        buckets = 4, docFold = Some((log4, f4)))
+    app(mkDf((200 until 210).map(baseDoc)), ver = 1L)
+    val snap = SketchStore.estimate(spark, hll4).localCheckpoint()
+    // departure batch 1: DEFERRED — store bit-still, backlog = 1
+    app(mkDf(Seq(doc(200))), ver = 2L)
+    assert(SketchStore.estimate(spark, hll4).exceptAll(snap).isEmpty,
+      "a deferred takedown mutated the store")
+    assert(CountStore.stalePending(spark, hll4) === ((1L, 1L)))
+    // departure batch 2 crosses refitBacklog = 2: ONE re-init settles
+    // both pending departures, backlog cleared
+    app(mkDf(Seq(doc(201))), ver = 3L)
+    assert(CountStore.stalePending(spark, hll4) === ((0L, 0L)))
+    import graft.operators.SketchStore
+    SketchStore.initStore(mkDf((202 until 210).map(baseDoc)), "cf4f",
+      "lang", "doc_id")
+    val a = SketchStore.estimate(spark, hll4)
+    val b = SketchStore.estimate(spark, "cf4f")
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty,
+      "post-threshold re-init diverged from a fresh fit of the live set")
+    // one more deferred departure; refreshCountStores (the
+    // serve-with-guarantee trigger) settles it without a threshold
+    app(mkDf(Seq(doc(202))), ver = 4L)
+    assert(CountStore.stalePending(spark, hll4)._1 === 1L)
+    IndexMaintenance.refreshCountStores(spark, log4,
+      sketchStore = Some((hll4, "lang")))
+    assert(CountStore.stalePending(spark, hll4) === ((0L, 0L)))
+    SketchStore.initStore(mkDf((203 until 210).map(baseDoc)), "cf4f",
+      "lang", "doc_id")
+    val a2 = SketchStore.estimate(spark, hll4)
+    val b2 = SketchStore.estimate(spark, "cf4f")
+    assert(a2.exceptAll(b2).unionAll(b2.exceptAll(a2)).isEmpty,
+      "refreshCountStores diverged from a fresh fit")
+  }
+
+  test("marker down + ledger committed = repaired on re-delivery, not a rebuild demand") {
+    // simulate the crash window between markApplied(ver) and
+    // setBuilding(off): the prior test left ver 4 committed; put the
+    // marker back down and re-deliver ver 4 — the arming logic must
+    // clear the marker (the ledger row proves completion) and no-op
+    CountStore.setBuilding(spark, log4, on = true)
+    val f4 = IndexMaintenance.countStoreFold(spark,
+      sketchStore = Some((hll4, "lang")), refitBacklog = 2)
+    IndexMaintenance.applyGatedUpserts(spark, idx4, sig4,
+      mkDf(Seq(doc(202))), ver = 4L, buckets = 4,
+      docFold = Some((log4, f4)))
+    assert(!CountStore.isBuilding(spark, log4),
+      "the completed-batch marker was not cleared")
+  }
+
+  test("a fold torn BETWEEN family writes is loud on re-delivery; rebuild recovers") {
+    val idx5 = "cf5_idx"; val sig5 = "cf5_sigs"; val log5 = "cf5_log"
+    def cleanUniverse(): Unit = {
+      IndexMaintenance.initStores(spark, idx5)
+      IngestDedup.initStore(spark, sig5)
+      graft.sources.Sinks.dropTable(spark, sig5 + "_pending_rm")
+      for (t <- Seq(log5, log5 + "_applied", "cf5_nb_counts", "cf5_nb_class",
+          "cf5_lm_tri", "cf5_lm_bi", "cf5_lm_uni", "cf5f_nb_counts",
+          "cf5f_nb_class"))
+        graft.sources.Sinks.dropTable(spark, t)
+      for (n <- Seq(log5, "cf5_nb", "cf5_lm", "cf5f_nb"))
+        CountStore.setBuilding(spark, n, on = false)
+    }
+    cleanUniverse()
+    val goodFold = IndexMaintenance.countStoreFold(spark,
+      nbStore = Some(("cf5_nb", "lang")), lmStore = Some("cf5_lm"),
+      buckets = 4)
+    val nbOnly = IndexMaintenance.countStoreFold(spark,
+      nbStore = Some(("cf5_nb", "lang")), buckets = 4)
+    // a fold that dies after the NB family wrote but before LM did —
+    // the multi-store analog of a torn CountStore commit
+    val tornFold: IndexMaintenance.DocFold = (gone, put, live) => {
+      nbOnly(gone, put, live)
+      throw new RuntimeException("simulated crash between family writes")
+    }
+    val batch = mkDf((300 until 310).map(baseDoc))
+    intercept[RuntimeException] {
+      IndexMaintenance.applyGatedUpserts(spark, idx5, sig5, batch, ver = 1L,
+        buckets = 4, docFold = Some((log5, tornFold)))
+    }
+    // NB exists, LM does not — a torn multi-family state; the marker
+    // is still down and the ledger has no ver 1, so the re-delivered
+    // batch must fail LOUD at the window-open guard (a silent replay
+    // would double-fold NB)
+    assert(spark.catalog.tableExists("cf5_nb_counts"))
+    assert(!spark.catalog.tableExists("cf5_lm_uni"))
+    assert(CountStore.isBuilding(spark, log5))
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.applyGatedUpserts(spark, idx5, sig5, batch, ver = 1L,
+        buckets = 4, docFold = Some((log5, goodFold)))
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // documented recovery: rebuild stores + log from the upstream
+    // corpus (the initStore paths) — then the replay completes and the
+    // stores equal fresh fits
+    cleanUniverse()
+    IndexMaintenance.applyGatedUpserts(spark, idx5, sig5, batch, ver = 1L,
+      buckets = 4, docFold = Some((log5, goodFold)))
+    NbStore.initStore(batch, "cf5f_nb", buckets = 4, labelCol = "lang")
+    assert(tablesEq("cf5_nb_counts", "cf5f_nb_counts"),
+      "rebuilt-and-replayed NB diverged from a fresh fit")
+    assert(spark.catalog.tableExists("cf5_lm_uni"),
+      "the LM family did not complete after recovery")
   }
 }

@@ -13,7 +13,7 @@ class HhStoreSpec extends SparkSpec {
 
   private def clean(name: String): Unit = {
     for (t <- Seq(s"${name}_hh", s"${name}_hh_n", s"${name}_hh_params",
-        s"${name}_applied"))
+        s"${name}_applied", s"${name}_stale"))
       graft.sources.Sinks.dropTable(spark, t)
     CountStore.setBuilding(spark, name, on = false)
   }
@@ -38,12 +38,46 @@ class HhStoreSpec extends SparkSpec {
     val s2 = spark.table("hh_t1_hh").as[(String, String, Long)]
       .collect().map(r => r._2 -> r._3).toMap
     assert(s2 === Map("c" -> 2L, "a" -> 1L))
-    // guarantees vs the true totals (a5 b4 c6, n=15, bound n/(k+1)=5):
-    // every estimate undercounts, undercount <= 5, and every item with
-    // true > 5 (just c) is present
-    assert(s2("c") <= 6 && 6 - s2("c") <= 5)
-    assert(s2("a") <= 5 && 5 - s2("a") <= 5)
-    assert(spark.table("hh_t1_hh_n").head().getLong(1) === 15L)
+    // guarantees vs the true totals (a5 b4 c6, n=15): the exact d
+    // bound is the sum of the two compress offsets (2 + 2 = 4, under
+    // the classic floor(15/3) = 5); every estimate undercounts,
+    // undercount <= d, and every item with true > d (c and a) is
+    // present
+    assert(s2("c") <= 6 && 6 - s2("c") <= 4)
+    assert(s2("a") <= 5 && 5 - s2("a") <= 4)
+    val nRow = spark.table("hh_t1_hh_n").head()
+    assert(nRow.getLong(1) === 15L)
+    assert(nRow.getLong(2) === 4L, "d must be the exact offset sum")
+  }
+
+  test("removeDocsExact: untracked departures subtract n in place; tracked ones refuse") {
+    clean("hh_r1")
+    // k=2 over a5 b3 c2: summary {a:3, b:1}, n=10, d=2; c is untracked
+    HhStore.initStore(items("a" -> 5, "b" -> 3, "c" -> 2), "hh_r1",
+      "grp", "item", k = 2)
+    // a departure touching tracked item a must do nothing and refuse
+    assert(!HhStore.removeDocsExact(items("a" -> 1), "hh_r1", "grp", "item"))
+    assert(spark.table("hh_r1_hh_n").head().getLong(1) === 10L)
+    // removing both c occurrences (untracked) succeeds: n 10 -> 8,
+    // d unchanged, summary untouched
+    assert(HhStore.removeDocsExact(items("c" -> 2), "hh_r1", "grp", "item"))
+    val nRow = spark.table("hh_r1_hh_n").head()
+    assert(nRow.getLong(1) === 8L)
+    assert(nRow.getLong(2) === 2L)
+    val s = spark.table("hh_r1_hh").as[(String, String, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(s === Map("a" -> 3L, "b" -> 1L))
+    // SOUNDNESS on the reduced corpus (a5 b3): est <= true,
+    // undercount <= d, every item with true > d present — note the
+    // CLASSIC bound floor(8/3) = 2 would also still cover here, but d
+    // is what the serve promises and what provably survives removal
+    assert(s("a") <= 5 && 5 - s("a") <= 2)
+    assert(s("b") <= 3 && 3 - s("b") <= 2)
+    // a departure that was never added fails loud (n would go negative)
+    intercept[IllegalArgumentException] {
+      HhStore.removeDocsExact(
+        Seq.fill(9)(("g2", "zz")).toDF("grp", "item"), "hh_r1", "grp", "item")
+    }
   }
 
   test("k covering the distinct items degenerates to exact counts across waves") {
@@ -79,9 +113,11 @@ class HhStoreSpec extends SparkSpec {
     val top = HhStore.topHitters(spark, "hh_t4", n = 1)
       .as[(String, Int, String, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    // g: n=10, bound floor(10/3)=3 -> a: est 3, hi 6; h: n=6, bound 2
-    assert(top("g") === (("g", 1, "a", 3L, 6L)))
-    assert(top("h") === (("h", 1, "x", 4L, 6L)))
+    // the envelope is the EXACT d, not floor(n/(k+1)): g compressed
+    // once with offset 2 (d=2 < floor(10/3)=3) -> a: est 3, hi 5;
+    // h never compressed (d=0) -> x is served EXACT: est 4, hi 4
+    assert(top("g") === (("g", 1, "a", 3L, 5L)))
+    assert(top("h") === (("h", 1, "x", 4L, 4L)))
   }
 
   test("stream-fed store equals the one-shot build (exact regime; ledger wired)") {

@@ -158,9 +158,12 @@ class NbStoreSpec extends SparkSpec {
     NbStore.initStore(train, "nbspec_desc", buckets = 4)
     val m = NbStore.describeStore(spark, "nbspec_desc").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // pairs: (x,a)(x,b)(y,c) = 3; vocab 3; 2 classes; 2 docs; 5 tokens
+    // pairs: (x,a)(x,b)(y,c) = 3; vocab 3; 2 classes; 2 docs; 5 tokens;
+    // stale_batches joined the report in r12 (the deferral ledger — 0
+    // for a store no takedown ever deferred against)
     assert(m === Map("applied_batches" -> 0L, "n_class_token_pairs" -> 3L,
-      "n_classes" -> 2L, "n_docs" -> 2L, "n_tokens" -> 5L, "vocab" -> 3L))
+      "n_classes" -> 2L, "n_docs" -> 2L, "n_tokens" -> 5L, "vocab" -> 3L,
+      "stale_batches" -> 0L))
     NbStore.applyBatch(labeled((3L, "b", "x")), "nbspec_desc", 4,
       "text", "label", batchId = 7L)
     val m2 = NbStore.describeStore(spark, "nbspec_desc").collect()
@@ -173,7 +176,8 @@ class NbStoreSpec extends SparkSpec {
     val lm = LmStore.describeStore(spark, "lmspec_desc").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(lm === Map("applied_batches" -> 0L, "n_bigrams" -> 2L,
-      "n_trigrams" -> 1L, "total_tokens" -> 3L, "vocab" -> 3L))
+      "n_trigrams" -> 1L, "total_tokens" -> 3L, "vocab" -> 3L,
+      "stale_batches" -> 0L))
   }
 
   test("LM store: a removal that passes one table but not all writes NOTHING") {

@@ -567,6 +567,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("union"), "per-column scans would union:\n" + p)
   }
 
+  test("approxProfile with quantiles: STILL no Expand, one pass (r12)") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = graft.operators.Profile.approxProfile(docs,
+        Seq("doc_id", "lang", "n_chars", "source", "text"),
+        quantiles = Seq(0.5, 0.95))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      "KLL quantile columns must not reintroduce the Expand:\n" + p)
+    assert(!p.toLowerCase.contains("union"), "per-column scans would union:\n" + p)
+  }
+
   test("q222 collocations: global top-k plans as TakeOrdered, no vocabulary-wide sort") {
     val p = planOf("q222_collocations")
     assert(p.contains("TakeOrderedAndProject"),

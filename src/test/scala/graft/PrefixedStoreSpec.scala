@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CountStore, LmStore, NbStore}
+import graft.operators.{CountStore, HhStore, LmStore, NbStore, QuantileStore, SampleStore}
 
 /** The prefix-partitioned count-store layout (v2): same CONTENT as
   * the plain layout under any merge history — only the rewrite scope
@@ -102,6 +102,92 @@ class PrefixedStoreSpec extends SparkSpec {
     assert(changed.size <= 1,
       s"a 1-token delta rewrote ${changed.size} partitions")
     assert((after.keySet -- before.keySet).size <= 1)
+  }
+
+  private def cleanFam(names: String*): Unit = {
+    for (n <- names) {
+      for (suf <- Seq("_hh", "_hh_n", "_hh_params", "_kll", "_kll_params",
+          "_sample", "_sample_params", "_layout", "_applied", "_stale"))
+        graft.sources.Sinks.dropTable(spark, n + suf)
+      CountStore.setBuilding(spark, n, on = false)
+    }
+  }
+
+  private def hhItems(xs: (String, String, Int)*) =
+    xs.flatMap { case (g, it, n) => Seq.fill(n)((g, it)) }.toDF("grp", "item")
+
+  test("HH: prefixed layout tracks the plain layout through init+merge+exact-remove; serve parity") {
+    cleanFam("pfx_hh", "plain_hh")
+    val w1 = hhItems(("g", "a", 5), ("g", "b", 3), ("g", "c", 2),
+      ("h", "x", 4), ("h", "y", 2))
+    val w2 = hhItems(("g", "c", 4), ("g", "b", 1), ("h", "y", 3))
+    HhStore.initStore(w1, "pfx_hh", "grp", "item", k = 2, prefixes = 8)
+    HhStore.initStore(w1, "plain_hh", "grp", "item", k = 2)
+    for (n <- Seq("pfx_hh", "plain_hh")) {
+      HhStore.mergeDocs(w2, n, "grp", "item")
+      assert(HhStore.removeDocsExact(hhItems(("h", "zz", 1)), n,
+        "grp", "item"))
+    }
+    assert(eqT("pfx_hh_hh", "plain_hh_hh"))
+    assert(eqT("pfx_hh_hh_n", "plain_hh_hh_n"))
+    val a = HhStore.topHitters(spark, "pfx_hh", n = 2)
+    val b = HhStore.topHitters(spark, "plain_hh", n = 2)
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty,
+      "prefixed serve diverged from plain")
+  }
+
+  test("KLL: prefixed layout tracks the plain layout on served values (exact regime)") {
+    cleanFam("pfx_kll", "plain_kll")
+    val w1 = (1 to 40).map(i => (s"g${i % 3}", i.toDouble)).toDF("grp", "v")
+    val w2 = (41 to 60).map(i => (s"g${i % 3}", i.toDouble)).toDF("grp", "v")
+    QuantileStore.initStore(w1, "pfx_kll", "grp", "v", k = 200, prefixes = 8)
+    QuantileStore.initStore(w1, "plain_kll", "grp", "v", k = 200)
+    for (n <- Seq("pfx_kll", "plain_kll"))
+      QuantileStore.mergeDocs(w2, n, "grp", "v")
+    // ≤ k values per group: the sketch's exact regime, so served
+    // quantiles are deterministic and must match across layouts
+    val a = QuantileStore.quantiles(spark, "pfx_kll", Seq(0.1, 0.5, 0.9))
+    val b = QuantileStore.quantiles(spark, "plain_kll", Seq(0.1, 0.5, 0.9))
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty,
+      "prefixed KLL serve diverged from plain")
+  }
+
+  test("Sample: prefixed layout tracks the plain layout through merge+dropDocs; serve parity") {
+    cleanFam("pfx_smp", "plain_smp")
+    def rows(xs: (String, Long, Long)*) = xs.toDF("grp", "doc_id", "w")
+    val w1 = rows(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L),
+      ("g", 4L, 40L), ("h", 5L, 5L), ("h", 6L, 6L))
+    val w2 = rows(("g", 7L, 70L), ("h", 8L, 8L))
+    val live = w1.unionByName(w2).filter(col("doc_id") =!= 3L)
+    for ((n, p) <- Seq(("pfx_smp", 8), ("plain_smp", 0))) {
+      SampleStore.initStore(w1, n, "grp", "doc_id", "w", k = 3, prefixes = p)
+      SampleStore.mergeDocs(w2, n, "grp", "doc_id", "w")
+      // id 3 is sampled in g -> its group refits from the live set
+      SampleStore.dropDocs(spark, n, Seq(3L).toDF("id"), live,
+        "grp", "doc_id", "w")
+    }
+    assert(eqT("pfx_smp_sample", "plain_smp_sample"))
+    val a = SampleStore.sample(spark, "pfx_smp")
+    val b = SampleStore.sample(spark, "plain_smp")
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty,
+      "prefixed sample serve diverged from plain")
+  }
+
+  test("HH v2: a wave touching one group rewrites at most its partitions") {
+    cleanFam("pfx_hh3")
+    val base = hhItems(("g0", "a", 3), ("g1", "b", 3), ("g2", "c", 3),
+      ("g3", "dd", 3), ("g4", "e", 3), ("g5", "f", 3))
+    HhStore.initStore(base, "pfx_hh3", "grp", "item", k = 4, prefixes = 16)
+    def filesByPfx(t: String): Map[Long, Set[String]] = spark.table(t)
+      .select(input_file_name().as("f"), col("tok_pfx")).distinct()
+      .collect().groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
+    val before = filesByPfx("pfx_hh3_hh")
+    HhStore.mergeDocs(hhItems(("g1", "b", 2)), "pfx_hh3", "grp", "item")
+    val after = filesByPfx("pfx_hh3_hh")
+    val changed = before.keySet.filter(p => after.get(p) != before.get(p))
+    assert(changed.size <= 1,
+      s"a one-group wave rewrote ${changed.size} partitions")
   }
 
   test("prefixed prepare on a plain store fails loud (and vice-versa guard)") {

@@ -39,6 +39,31 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("quantile columns: numeric get sketched percentiles in the rank window, non-numeric null (r12)") {
+    val df = graft.sources.Tables.documents(spark, sf0001)
+    val eps = graft.functions.KllSketch.normalizedRankError(200)
+    val rep = Profile.approxProfile(df, Seq("n_chars", "lang"),
+      quantiles = Seq(0.5, 0.95)).collect().map(r => r.getString(0) -> r).toMap
+    // non-numeric: both quantile columns null (the min/max discipline)
+    assert(rep("lang").isNullAt(6) && rep("lang").isNullAt(7))
+    // numeric: realized rank of the served value within p ± 3ε
+    val n = df.count().toDouble
+    for ((p, i) <- Seq(0.5 -> 6, 0.95 -> 7)) {
+      val v = rep("n_chars").getDouble(i)
+      val lo = df.filter(s"n_chars < $v").count() / n
+      val hi = df.filter(s"n_chars <= $v").count() / n
+      assert(lo <= p + 3 * eps && hi >= p - 3 * eps,
+        s"p$p served $v with rank window [$lo, $hi]")
+    }
+    // the quantile-free call keeps the original 6-column schema
+    assert(Profile.approxProfile(df, Seq("n_chars")).columns.length === 6)
+    // colliding derived names fail loud
+    intercept[IllegalArgumentException] {
+      Profile.approxProfile(df, Seq("n_chars"),
+        quantiles = Seq(0.50001, 0.500001))
+    }
+  }
+
   test("approxProfile: exact columns identical to profile, estimate within rsd") {
     val df = graft.sources.Tables.documents(spark, sf0001)
     val cols = Seq("doc_id", "lang", "n_chars", "source")

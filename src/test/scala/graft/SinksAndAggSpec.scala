@@ -157,6 +157,34 @@ class SinksAndAggSpec extends SparkSpec {
     assert(back.columns.toSet === df.columns.toSet)
   }
 
+  test("parquetHilbert3 writes a readable lossless layout with tight per-file boxes (r12)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_h3").toString
+    val df = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"),
+        pmod(col("event_id"), lit(1024L)).as("shard"))
+      .localCheckpoint()
+    Sinks.parquetHilbert3(df, s"$dir/ev_h3",
+      x = ("user_id", 0L, 99999L),
+      y = ("sec", 1704067200L, 1735689599L),
+      z = ("shard", 0L, 1023L), bits = 10, maxRecordsPerFile = 200L)
+    val back = spark.read.parquet(s"$dir/ev_h3")
+    assert(back.count() === df.count())
+    assert(back.exceptAll(df).unionAll(df.exceptAll(back)).isEmpty,
+      "layout write must be lossless")
+    // the whole point of the curve: each output file's bucketed
+    // bounding box is tighter than the data's full range on at least
+    // the leading dimensions (a linear sort would leave two of three
+    // spans at full width)
+    val spans = back
+      .select(input_file_name().as("f"),
+        graft.operators.ZOrder.bucket(col("user_id"), 0L, 99999L, 10).as("bx"))
+      .groupBy(col("f")).agg((max(col("bx")) - min(col("bx"))).as("sx"))
+      .agg(max(col("sx"))).head().getLong(0)
+    assert(spans < 1023L, s"per-file x-span $spans is the full range")
+  }
+
   test("JSONL roundtrip is lossless on hostile strings; corrupt lines quarantine, not crash") {
     import graft.sources.JsonlSource
     import spark.implicits._
