@@ -4168,6 +4168,71 @@ object SparkEntry {
         .toDF("component", "val").orderBy(col("component"))
     }),
 
+    // q256: QUANTILE DRIFT across two standing stores (round 12) —
+    // the Drift-surface consumer the KLL store was built to feed:
+    // "has this domain's p50/p90 length moved between snapshot A and
+    // snapshot B?" served as a groups-sized full-outer join of two
+    // standing tables, no corpus read on either side. The exact legs
+    // (per-group n on both sides) hash-match DuckDB over the
+    // portable-hash split; the served quantiles ride the q248
+    // rank-window policy against each side's OWN values (one ok-bit
+    // per row covering both sides and both percentiles).
+    "q256_quantile_drift" -> ((s, d) => {
+      import graft.operators.{CountStore, QuantileStore}
+      val a = "graft_q256_a"; val b = "graft_q256_b"
+      val k = 200
+      val eps = graft.functions.KllSketch.normalizedRankError(k)
+      // the split must put every source on BOTH sides: the fixture's
+      // source is doc_id-mod-keyed, so a parity-shaped hash would give
+      // each source a single side (an empty drift report) — alternate
+      // WITHIN each source's id stride instead
+      val docs = Tables.documents(s, d)
+        .select(col("source").as("grp"),
+          col("n_chars").cast("double").as("v"),
+          expr("(doc_id div 20) % 2").as("w"))
+        .localCheckpoint()
+      for (n <- Seq(a, b)) {
+        graft.sources.StoreCache.table(s, n, s"klldrift|$n|r12b|$d",
+          Seq(n + "_kll", n + "_kll_params")) {
+          for (t <- Seq(n + "_kll", n + "_kll_params", n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          QuantileStore.initStore(
+            docs.filter(col("w") === (if (n == a) 0 else 1)),
+            n, "grp", "v", k)
+        }
+      }
+      val served = QuantileStore.drift(s, a, b, Seq(0.5, 0.9))
+        .localCheckpoint()
+      // rank windows per side: each served percentile must sit inside
+      // p ± 3ε of its OWN side's distribution
+      def rankBits(suf: String, wVal: Int) = {
+        val aggCols: Seq[org.apache.spark.sql.Column] =
+          Seq(0.5, 0.9).flatMap { p =>
+            val q = col(s"p${(p * 100).round}$suf")
+            Seq((sum(when(col("v") < q, 1).otherwise(0)) / count(lit(1)))
+                .as(s"lo${(p * 100).round}"),
+              (sum(when(col("v") <= q, 1).otherwise(0)) / count(lit(1)))
+                .as(s"hi${(p * 100).round}"))
+          }
+        docs.filter(col("w") === wVal).join(served, Seq("grp"))
+          .groupBy(col("grp"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(col("grp"),
+            Seq(0.5, 0.9).map { p =>
+              val pct = (p * 100).round
+              (col(s"lo$pct") <= p + 3 * eps &&
+                col(s"hi$pct") >= p - 3 * eps).cast("int").as(s"ok$pct")
+            }.reduce(_ * _).as(s"ok$suf"))
+      }
+      served
+        .join(rankBits("_a", 0), Seq("grp"))
+        .join(rankBits("_b", 1), Seq("grp"))
+        .select(col("grp"), col("n_a"), col("n_b"),
+          (col("ok_a") * col("ok_b")).as("drift_rank_ok"))
+        .orderBy(col("grp"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -8495,6 +8560,22 @@ object SparkEntry {
            ('kll_n_total', (SELECT count(n_chars) FROM live)),
            ('n_live', (SELECT count(*) FROM live))) t(component, val)
          ORDER BY component""",
+    // q256: exact per-group n on both sides of the portable-hash
+    // split; quantile legs are in-engine rank-window bits (randomized
+    // KLL, the declared statistical-oracle policy)
+    "q256_quantile_drift" ->
+      """WITH h AS (
+           SELECT source AS grp, n_chars,
+             (doc_id // 20) % 2 AS w
+           FROM documents)
+         SELECT grp,
+           count(CASE WHEN w = 0 THEN n_chars END)::BIGINT AS n_a,
+           count(CASE WHEN w = 1 THEN n_chars END)::BIGINT AS n_b,
+           1 AS drift_rank_ok
+         FROM h GROUP BY grp
+         HAVING count(CASE WHEN w = 0 THEN n_chars END) > 0
+            AND count(CASE WHEN w = 1 THEN n_chars END) > 0
+         ORDER BY grp""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle

@@ -183,6 +183,27 @@ object QuantileStore {
     else s"p${math.round(p * 10000)}bp"
   }
 
+  /** DISTRIBUTION DRIFT across two standing quantile stores (round
+    * 12 — the Drift-surface consumer the store was built to feed):
+    * per group, both sides' exact n and each requested percentile,
+    * plus the signed delta. "Has domain X's p95 length moved between
+    * snapshot A and snapshot B?" becomes a groups-sized full-outer
+    * join of two standing tables — no corpus read on either side.
+    * Groups present on one side only keep the other side's columns
+    * null (a new or vanished domain IS drift signal). */
+  def drift(spark: SparkSession, nameA: String, nameB: String,
+      probs: Seq[Double]): DataFrame = {
+    val names = probs.map(quantileName)
+    def side(name: String, suf: String) =
+      quantiles(spark, name, probs)
+        .select(col("grp") +: col("n").as(s"n$suf") +:
+          names.map(nm => col(nm).as(s"$nm$suf")): _*)
+    side(nameA, "_a").join(side(nameB, "_b"), Seq("grp"), "full_outer")
+      .select(col("grp") +: col("n_a") +: col("n_b") +:
+        names.flatMap(nm => Seq(col(s"${nm}_a"), col(s"${nm}_b"),
+          (col(s"${nm}_b") - col(s"${nm}_a")).as(s"${nm}_delta"))): _*)
+  }
+
   /** Operational introspection (the describeStore discipline). */
   def describeStore(spark: SparkSession, name: String): DataFrame =
     CountStore.describe(spark, name, Map(

@@ -20,7 +20,7 @@ import graft.streaming.{IndexMaintenance, IngestDedup}
 object ProbeFoldTakedown {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32)
-    val nDocs = 100000L
+    val nDocs = sys.env.getOrElse("PFT_DOCS", "500000").toLong
     val corpus = spark.range(nDocs)
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(1), lit(12)),
@@ -32,7 +32,7 @@ object ProbeFoldTakedown {
       .localCheckpoint()
     val nBatches = 5
     def takedown(k: Int) = corpus
-      .filter(col("doc_id") % 1000 === k) // ~100 docs per batch
+      .filter(col("doc_id") % (nDocs / 100) === k) // ~100 docs per batch
       .select(col("doc_id"), lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"),
         lit(null).cast("string").as("source"),
@@ -45,8 +45,18 @@ object ProbeFoldTakedown {
       println(f"$label%-52s $s%7.1f s")
       s
     }
-    for ((mode, backlog) <- Seq(("immediate (refitBacklog=1)", 1),
-        ("deferred (refitBacklog>N + one refresh)", 1000))) {
+    // one mode per JVM (PFT_MODE=immediate|deferred) for clean
+    // comparisons — the second universe in a shared JVM inherits the
+    // first's cached blocks and GC pressure, which at 500k docs
+    // swamped the effect being measured
+    val modes = Seq(("immediate (refitBacklog=1)", 1),
+      ("deferred (refitBacklog>N + one refresh)", 1000))
+    val selected = sys.env.get("PFT_MODE") match {
+      case Some("immediate") => modes.take(1)
+      case Some("deferred") => modes.drop(1)
+      case _ => modes
+    }
+    for ((mode, backlog) <- selected) {
       val tag = s"probe_ftd_$backlog"
       val idx = tag + "_idx"; val sig = tag + "_sigs"; val log = tag + "_log"
       val hll = tag + "_hll"; val hh = tag + "_hh"; val kll = tag + "_kll"

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
 object ProbeR15X {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32)
-    val P = 1024
+    // phase filter: no args = all phases; "nb" / "big" / "hh" select one
+    val phases: Set[String] =
+      if (args.isEmpty) Set("nb", "big", "hh") else args.toSet
     def synth(n: Long, off: Long, universe: Long) = {
       spark.range(n)
         .select((col("id") + off).as("doc_id"),
@@ -34,7 +36,6 @@ object ProbeR15X {
         .localCheckpoint()
     }
     val n = 2000000L
-    val corpus = synth(n, 0L, 2000000L)
     // deltas on a DISJOINT tail key space sized to sweep the touched-
     // prefix fraction: 5 docs ≈ 100 keys (~10% of P), 50 docs ≈ 1k
     // keys (~60%), 2000 docs ≈ 40k keys (saturated)
@@ -52,6 +53,9 @@ object ProbeR15X {
     def touched(delta: org.apache.spark.sql.DataFrame, p: Int): Long =
       delta.select(explode(split(col("text"), " ")).as("token"))
         .select(graft.operators.CountStore.pfxCol("token", p)).distinct().count()
+    if (phases("nb")) {
+    val P = 1024
+    val corpus = synth(n, 0L, 2000000L)
     for ((layout, pfx) <- Seq(("plain", 0), (s"prefixed P=$P", P))) {
       val name = s"probe_r15x_${pfx}"
       for (t <- Seq(s"${name}_counts", s"${name}_class", s"${name}_layout",
@@ -76,6 +80,8 @@ object ProbeR15X {
         }
       }
     }
+    }
+    if (phases("big")) {
     // phase 2 — the crossover: a model big enough that REWRITE BYTES
     // dominate file overhead (15M docs -> ~4·10^7 count rows), P sized
     // so partitions are MBs not KBs, and a single-doc takedown (the
@@ -109,6 +115,8 @@ object ProbeR15X {
         graft.operators.NbStore.appendDocs(fifty, name)
       }
     }
+    }
+    if (phases("hh")) {
     // phase 3 (round-12): the v2 layout reaching the GRP-KEYED sketch
     // families — an HhStore tracking many domains where each wave
     // touches FEW. 50k groups × ~40 counters; a one-group wave should
@@ -138,6 +146,7 @@ object ProbeR15X {
       time(s"[hh $layout] one-group wave (1/$P3 of prefixes)") {
         graft.operators.HhStore.mergeDocs(oneGrpWave, name, "grp", "item")
       }
+    }
     }
     spark.stop()
   }

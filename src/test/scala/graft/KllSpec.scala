@@ -142,4 +142,33 @@ class KllSpec extends SparkSpec {
       """SELECT kll_n(kll_merge_agg(sk)) AS n FROM kll_t1_kll""").head()
     assert(sqlAgg.getLong(0) === 60000L)
   }
+
+  test("drift across two stores: exact n both sides, deltas track the known shift (r12)") {
+    import spark.implicits._
+    for (n <- Seq("kll_da", "kll_db"))
+      for (t <- Seq(n + "_kll", n + "_kll_params", n + "_applied",
+          n + "_layout", n + "_stale"))
+        graft.sources.Sinks.dropTable(spark, t)
+    // snapshot A: g uniform 1..1000, h uniform 1..1000
+    // snapshot B: g shifted +500, h unchanged; B also adds group i
+    def mk(rows: Seq[(String, Double)], name: String) =
+      QuantileStore.initStore(rows.toDF("grp", "v"), name, "grp", "v")
+    val g1k = (1 to 1000).map(i => ("g", i.toDouble))
+    val h1k = (1 to 1000).map(i => ("h", i.toDouble))
+    mk(g1k ++ h1k, "kll_da")
+    mk(g1k.map { case (g, v) => (g, v + 500) } ++ h1k ++
+      (1 to 50).map(i => ("i", i.toDouble)), "kll_db")
+    val d = QuantileStore.drift(spark, "kll_da", "kll_db", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact n on both sides; the vanished/new group keeps nulls
+    assert(d("g").getLong(1) === 1000L && d("g").getLong(2) === 1000L)
+    assert(d("i").isNullAt(1) && d("i").getLong(2) === 50L)
+    // g's median moved ~+500, h's ~0 (3ε envelope each side -> the
+    // delta is within ~2·3ε·range of the true shift)
+    val eps = graft.functions.KllSketch.normalizedRankError(200)
+    val tol = 2 * 3 * eps * 1000 + 1
+    assert(math.abs(d("g").getDouble(5) - 500.0) <= tol,
+      s"g median delta ${d("g").getDouble(5)}")
+    assert(math.abs(d("h").getDouble(5)) <= tol)
+  }
 }
