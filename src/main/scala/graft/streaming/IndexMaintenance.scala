@@ -353,7 +353,11 @@ object IndexMaintenance {
     * given and the batch carries `vecCol`) folding the same delta into
     * the ANN model — remove(changed ∪ removed) then append(added ∪
     * changed), settled per batch, so both stores stay current from ONE
-    * classification. The per-batch delta frame goes to `sink`. */
+    * classification. `docFold` (round 12) attaches the count-model
+    * fold on this UNGATED face too — [[applyUpsertsFolded]]'s window —
+    * so pipelines without near-dup admission still get
+    * one-classification-maintains-everything. The per-batch delta
+    * frame goes to `sink`. */
   def maintainStream(docs: DataFrame, name: String,
       sink: (DataFrame, Long) => Unit,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
@@ -363,7 +367,8 @@ object IndexMaintenance {
       compactRatio: Double = 0.2,
       verBase: Long = 1L,
       vecFold: Option[VecFold] = None,
-      maintainChampions: Option[Int] = None)
+      maintainChampions: Option[Int] = None,
+      docFold: Option[(String, DocFold)] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
@@ -372,8 +377,16 @@ object IndexMaintenance {
           val spark = batch.sparkSession
           // verBase lets a stream resume past versions already written
           // by a batch-mode seed (bootstrap build + model fit)
-          val delta = applyUpserts(spark, name, batch, ver = batchId + verBase,
-            buckets, idCol, textCol, compactRatio, maintainChampions)
+          val ver = batchId + verBase
+          val delta = docFold match {
+            case Some((logName, f)) =>
+              applyUpsertsFolded(spark, name, batch, ver, logName, f,
+                buckets, idCol, textCol, compactRatio, maintainChampions,
+                vecCol)
+            case None =>
+              applyUpserts(spark, name, batch, ver,
+                buckets, idCol, textCol, compactRatio, maintainChampions)
+          }
           foldVectorStores(batch, delta, idCol, vecCol, annRef, vecFold)
           sink(delta, batchId)
         }
@@ -492,24 +505,7 @@ object IndexMaintenance {
     // replay fails loud at this requireServable instead. A batch whose
     // ver is already in the fold ledger (completed replay) skips the
     // window entirely.
-    // false-positive recovery (r11 advice): a crash between
-    // markApplied(ver) and setBuilding(off) leaves a CONSISTENT store
-    // with the marker still down — the ledger row is written strictly
-    // after every store mutation, so its presence proves the prior
-    // delivery completed; clear the marker instead of demanding a full
-    // rebuild. A genuinely torn batch never reached markApplied, so it
-    // still fails loud at the requireServable below.
-    docFold.foreach { case (logName, _) =>
-      if (graft.operators.CountStore.alreadyApplied(spark, logName, ver) &&
-          graft.operators.CountStore.isBuilding(spark, logName))
-        graft.operators.CountStore.setBuilding(spark, logName, on = false)
-    }
-    val foldArmed = docFold.filter { case (logName, _) =>
-      !graft.operators.CountStore.alreadyApplied(spark, logName, ver) }
-    foldArmed.foreach { case (logName, _) =>
-      graft.operators.CountStore.requireServable(spark, logName)
-      graft.operators.CountStore.setBuilding(spark, logName, on = true)
-    }
+    val foldArmed = armFold(spark, docFold, ver)
     def withStatus(s: String) = b.join(
       delta.filter(col("status") === s).select(col(idCol)),
       Seq(idCol), "left_semi")
@@ -574,18 +570,73 @@ object IndexMaintenance {
     // (NB / LM / weighted sample / HLL / MG / KLL) — see
     // [[countStoreFold]]. Ledger + marker close the window opened
     // above: exactly-once or loud across the WHOLE gated batch.
-    foldArmed.foreach { case (logName, f) =>
-      foldCountStores(spark,
-        batch.select((col(idCol).cast("long").as(idCol) +: batch.columns
-          .filterNot(c => c == idCol || c == vecCol).map(col).toIndexedSeq): _*),
-        applied, logName, idCol, ver, f)
+    closeFold(spark, foldArmed,
+      batch.select((col(idCol).cast("long").as(idCol) +: batch.columns
+        .filterNot(c => c == idCol || c == vecCol).map(col).toIndexedSeq): _*),
+      applied, idCol, ver)
+    sweepSignatures(spark, sigName, bands, compactRatio)
+    applied
+  }
+
+  /** Open the fold's exactly-once-or-loud window: repair a
+    * marker-down-but-ledger-committed store (the crash between
+    * markApplied and setBuilding(off) left a CONSISTENT store — the
+    * ledger row is written strictly after every store mutation, so
+    * its presence proves the prior delivery completed; r11 advice),
+    * skip an already-applied version, and put the marker down for the
+    * rest. A genuinely torn batch never reached markApplied, so it
+    * still fails loud at the requireServable here. */
+  private def armFold(spark: SparkSession,
+      docFold: Option[(String, DocFold)],
+      ver: Long): Option[(String, DocFold)] = {
+    docFold.foreach { case (logName, _) =>
+      if (graft.operators.CountStore.alreadyApplied(spark, logName, ver) &&
+          graft.operators.CountStore.isBuilding(spark, logName))
+        graft.operators.CountStore.setBuilding(spark, logName, on = false)
+    }
+    val armed = docFold.filter { case (logName, _) =>
+      !graft.operators.CountStore.alreadyApplied(spark, logName, ver) }
+    armed.foreach { case (logName, _) =>
+      graft.operators.CountStore.requireServable(spark, logName)
+      graft.operators.CountStore.setBuilding(spark, logName, on = true)
+    }
+    armed
+  }
+
+  /** Close the window [[armFold]] opened: run the fold over the
+    * applied delta, commit the ledger, lift the marker, and fold the
+    * log's file accumulation once the backlog passes the priced
+    * policy check (driver-side listing, no job). */
+  private def closeFold(spark: SparkSession,
+      armed: Option[(String, DocFold)], payload: DataFrame,
+      applied: DataFrame, idCol: String, ver: Long): Unit =
+    armed.foreach { case (logName, f) =>
+      foldCountStores(spark, payload, applied, logName, idCol, ver, f)
       graft.operators.CountStore.markApplied(spark, logName, ver)
       graft.operators.CountStore.setBuilding(spark, logName, on = false)
-      // fold the log's per-batch file accumulation once the backlog
-      // passes the priced policy check (driver-side listing, no job)
       CorpusLog.maybeCompact(spark, logName, idCol)
     }
-    sweepSignatures(spark, sigName, bands, compactRatio)
+
+  /** [[applyUpserts]] + the COUNT-MODEL fold, WITHOUT the dedup gate —
+    * the batch face behind [[maintainStream]]'s `docFold` parameter
+    * (round 12): pipelines that don't run near-dup admission still
+    * get one-classification-maintains-everything for the count-model
+    * stores, under the same armFold/closeFold exactly-once-or-loud
+    * window as the gated face. Every live row is "admitted" here, so
+    * the CorpusLog records the full upsert stream. */
+  def applyUpsertsFolded(spark: SparkSession, name: String,
+      batch: DataFrame, ver: Long, logName: String, fold: DocFold,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      compactRatio: Double = 0.2,
+      maintainChampions: Option[Int] = None,
+      vecCol: String = "embedding"): DataFrame = {
+    val armed = armFold(spark, Some((logName, fold)), ver)
+    val applied = applyUpserts(spark, name, batch, ver, buckets, idCol,
+      textCol, compactRatio, maintainChampions)
+    closeFold(spark, armed,
+      batch.select(col(idCol).cast("long").as(idCol) +: batch.columns
+        .filterNot(c => c == idCol || c == vecCol).map(col).toIndexedSeq: _*),
+      applied, idCol, ver)
     applied
   }
 

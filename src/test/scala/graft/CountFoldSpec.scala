@@ -312,6 +312,46 @@ class CountFoldSpec extends SparkSpec {
     assert(tablesEq("cf3_nb_class", "cf3f_nb_class"))
   }
 
+  test("UNGATED stream face (r12): maintainStream with docFold equals the fresh fit") {
+    // the count-model fold without the dedup gate — applyUpsertsFolded
+    // under maintainStream: every live row is admitted, the same
+    // armFold/closeFold exactly-once window applies
+    val idx6 = "cf6_idx"; val log6 = "cf6_log"
+    IndexMaintenance.initStores(spark, idx6)
+    for (t <- Seq(log6, log6 + "_applied", "cf6_nb_counts", "cf6_nb_class",
+        "cf6f_nb_counts", "cf6f_nb_class"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log6, "cf6_nb", "cf6f_nb"))
+      CountStore.setBuilding(spark, n, on = false)
+    val f6 = IndexMaintenance.countStoreFold(spark,
+      nbStore = Some(("cf6_nb", "lang")), buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cf6_stream").toString
+    def write(df: DataFrame) = df.repartition(1).write.mode("append").parquet(dir)
+    write(mkDf((400 until 410).map(baseDoc)))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = IndexMaintenance.maintainStream(stream, idx6,
+        (_, _) => (), buckets = 4, docFold = Some((log6, f6)))
+      .start()
+    q.processAllAvailable()
+    write(mkDf((410 until 415).map(baseDoc) :+
+      doc(402, baseText(402) + " v2", "en", "s0", 999L) :+ doc(405)))
+    q.processAllAvailable()
+    q.stop()
+    val live = ((400 until 415).filterNot(_ == 405).filterNot(_ == 402)
+      .map(baseDoc)) :+ doc(402, baseText(402) + " v2", "en", "s0", 999L)
+    NbStore.initStore(mkDf(live), "cf6f_nb", buckets = 4, labelCol = "lang")
+    assert(tablesEq("cf6_nb_counts", "cf6f_nb_counts"),
+      "ungated stream-maintained nb counts diverged from the fresh fit")
+    assert(tablesEq("cf6_nb_class", "cf6f_nb_class"))
+    // the log's live view is the full upsert stream's live set
+    val logLive = CorpusLog.live(spark, log6, "doc_id")
+      .select("doc_id", "text", "lang", "src", "w")
+    val liveDf = mkDf(live)
+    assert(logLive.exceptAll(liveDf).isEmpty && liveDf.exceptAll(logLive).isEmpty)
+  }
+
   test("payload schema drift fails loud") {
     intercept[IllegalArgumentException] {
       CorpusLog.append(spark, log,
