@@ -1230,14 +1230,18 @@ object SparkEntry {
         pmod(col("doc_id"), lit(5)) === 0
       val deleted = pmod(col("doc_id"), lit(3)) === 0 &&
         pmod(col("doc_id"), lit(7)) === 0 && pmod(col("doc_id"), lit(5)) =!= 0
+      // TWO waves (r12 trim — was three): the edited/deleted ids are
+      // all ≡ 0 mod 3, so folding the former third add wave into the
+      // first leaves the schedule semantics (adds before their edits/
+      // deletes) and the final index state — hence the oracle —
+      // unchanged, one applyUpserts wave cheaper
       val waves = Seq(
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 1),
         docs.filter(pmod(col("doc_id"), lit(3)) === 1)
           .unionByName(docs.filter(changed)
             .withColumn("text", concat(col("text"), lit(" v2"))))
           .unionByName(docs.filter(deleted)
-            .withColumn("text", lit(null).cast("string"))),
-        docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+            .withColumn("text", lit(null).cast("string"))))
       graft.streaming.IndexMaintenance.initStores(s, "graft_q160_idx")
       waves.zipWithIndex.foreach { case (b, k) =>
         graft.streaming.IndexMaintenance.applyUpserts(
@@ -2455,10 +2459,14 @@ object SparkEntry {
         .join(Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
         .localCheckpoint()
-      // TWO add waves + the edit/takedown wave: the admitted set (hence
-      // the oracle counts) is wave-count-independent, so this keeps the
-      // bootstrap, fold-append and edit/takedown coverage one gated
-      // wave cheaper (the r10 verdict's wall-time item)
+      // TWO add waves + the edit/takedown wave: unlike q245/q208 this
+      // schedule is NOT trimmable to one add wave — the forest model
+      // is fitted on the wave-1 seed and then GROWN by the fold's
+      // appends, and that seed-then-append shape is exactly what the
+      // recall gate certifies (a fit over the full corpus packs the
+      // fixed-depth leaves tighter and legitimately serves fewer
+      // candidates; measured: the 0.70 floor fails). The admitted set
+      // (hence the oracle counts) stays wave-count-independent.
       val n = 2
       val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
       val step = (maxId + n) / n
@@ -3908,17 +3916,18 @@ object SparkEntry {
     // passes per wave); with `refitBacklog` = 3, departure batches
     // mark the stores stale and the re-init fires ONCE when the
     // backlog crosses the bound — N takedown batches, one live pass
-    // per family. Three takedown waves hit the threshold: exactly one
+    // per family. Two takedown waves hit the threshold: exactly one
     // refit, proven by the stores sitting bit-still through the first
-    // two waves and the exact n landing after the third. Final states
+    // wave and the exact n landing after the second. Final states
     // must equal fresh fits of the live admitted corpus: HLL on
     // estimates, HH exactly (k ≫ distinct items — the exact regime,
     // so every departure touches tracked items and the deferral
     // clause, not the exact-remove shortcut, is what's exercised),
     // KLL on its exactly-tracked n. The second trigger
-    // (refreshCountStores, serve-with-guarantee) is CountFoldSpec's
-    // deferral case — a fifth gated wave here would re-pay the
-    // fixed per-wave cost for coverage the spec already pins.
+    // (refreshCountStores, serve-with-guarantee) and longer backlogs
+    // are CountFoldSpec's deferral case — more gated waves here would
+    // re-pay the fixed per-wave cost for coverage the spec already
+    // pins (the r12 gate-wall discipline).
     "q252_fold_deferred_takedown" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{IndexMaintenance, IngestDedup}
@@ -3950,7 +3959,7 @@ object SparkEntry {
         sketchStore = Some((hll, "lang")),
         hhStore = Some((hh, "source", hhK)),
         quantileStore = Some((kll, "source", "n_chars")),
-        buckets = 8, refitBacklog = 3)
+        buckets = 8, refitBacklog = 2)
       def applyW(batch: org.apache.spark.sql.DataFrame, ver: Long) =
         IndexMaintenance.applyGatedUpserts(s, idx, sig, batch, ver = ver,
           buckets = 8, docFold = Some((log, fold)))
@@ -3966,16 +3975,13 @@ object SparkEntry {
       applyW(corpus, ver = 1L)
       val hhSnap = s.table(hh + "_hh").localCheckpoint()
       val hllSnap = SketchStore.estimate(s, hll).localCheckpoint()
-      // waves 2-4: takedown-only batches; 2 and 3 must DEFER (stores
-      // bit-still, backlog counting up), 4 crosses the threshold
+      // waves 2-3: takedown-only batches; 2 must DEFER (stores
+      // bit-still, backlog = 1), 3 crosses the threshold
       applyW(dels(4), ver = 2L)
       val deferredT1 = symEq(s.table(hh + "_hh"), hhSnap) &&
         symEq(SketchStore.estimate(s, hll), hllSnap) &&
         CountStore.stalePending(s, hll)._1 == 1
       applyW(dels(8), ver = 3L)
-      val staleT2 = CountStore.stalePending(s, hll)._1
-      val stillDeferred = symEq(s.table(hh + "_hh"), hhSnap)
-      applyW(dels(12), ver = 4L)
       val refitCleared = CountStore.stalePending(s, hll)._1 == 0 &&
         CountStore.stalePending(s, hh)._1 == 0 &&
         CountStore.stalePending(s, kll)._1 == 0
@@ -4010,14 +4016,12 @@ object SparkEntry {
         liveFinal.groupBy(col("source").as("grp")).agg(count(lit(1)).as("n")))
       Seq(
         ("deferred_after_t1", if (deferredT1) 1L else 0L),
-        ("deferred_after_t2", if (stillDeferred) 1L else 0L),
         ("final_hh_eq_fresh", if (hhEq) 1L else 0L),
         ("final_hll_eq_fresh", if (hllEq) 1L else 0L),
         ("final_kll_n_exact", if (kllNEq) 1L else 0L),
         ("n_live", liveFinal.count()),
         ("refit_cleared_at_threshold", if (refitCleared) 1L else 0L),
-        ("refit_n_exact_at_threshold", if (refitNExact) 1L else 0L),
-        ("stale_after_t2", staleT2))
+        ("refit_n_exact_at_threshold", if (refitNExact) 1L else 0L))
         .toDF("component", "val").orderBy(col("component"))
     }),
 
@@ -4130,7 +4134,7 @@ object SparkEntry {
       for (n <- Seq(log, hll, hh, kll))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
-        .filter(col("doc_id") % 8 === 0)
+        .filter(col("doc_id") % 16 === 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .localCheckpoint()
@@ -4142,7 +4146,7 @@ object SparkEntry {
       IndexMaintenance.applyGatedUpserts(s, idx, sig, corpus, ver = 1L,
         buckets = 8, docFold = Some((log, fold)))
       IndexMaintenance.applyGatedUpserts(s, idx, sig,
-        corpus.filter(col("doc_id") % 16 === 8)
+        corpus.filter(col("doc_id") % 32 === 16)
           .select(col("doc_id"), lit(null).cast("string").as("text"),
             lit(null).cast("string").as("lang"),
             lit(null).cast("string").as("source"),
@@ -8521,15 +8525,13 @@ object SparkEntry {
              AND doc_id NOT IN (SELECT doc_id FROM rej))
          SELECT * FROM (VALUES
            ('deferred_after_t1', 1),
-           ('deferred_after_t2', 1),
            ('final_hh_eq_fresh', 1),
            ('final_hll_eq_fresh', 1),
            ('final_kll_n_exact', 1),
            ('n_live', (SELECT count(*) FROM adm
-              WHERE doc_id % 20 NOT IN (4, 8, 12))),
+              WHERE doc_id % 20 NOT IN (4, 8))),
            ('refit_cleared_at_threshold', 1),
-           ('refit_n_exact_at_threshold', 1),
-           ('stale_after_t2', 2)) t(component, val)
+           ('refit_n_exact_at_threshold', 1)) t(component, val)
          ORDER BY component""",
     // q255: every served total is an exact function of the live
     // admitted set after the takedown-wave refit — mirrored through
@@ -8541,7 +8543,7 @@ object SparkEntry {
              i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
                   coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
                   coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
-           FROM documents WHERE doc_id % 8 = 0),
+           FROM documents WHERE doc_id % 16 = 0),
          rej AS (
            SELECT DISTINCT b.doc_id
            FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -8549,8 +8551,8 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
          live AS (
            SELECT doc_id, text, lang, source, n_chars FROM documents
-           WHERE doc_id % 8 = 0
-             AND doc_id % 16 <> 8
+           WHERE doc_id % 16 = 0
+             AND doc_id % 32 <> 16
              AND doc_id NOT IN (SELECT doc_id FROM rej))
          SELECT * FROM (VALUES
            ('hh_items_total', (SELECT coalesce(sum(
