@@ -96,10 +96,20 @@ object Bench {
         Thread.sleep(wait + (if (loadBad) 20000 else 0))
       }
     }
+    // Prefer the best GATE-CLEAN attempt outright (r12 verdict #5:
+    // BENCH_r12 was committed with steal 1870 vs its own gate of 50 —
+    // the first artifact to fail its own meter); only when NO attempt
+    // ever passed both gates does the quietest dirty one get reported,
+    // and the stamp below marks it unusable for round-over-round diffs.
+    def clean(a: Sweep): Boolean =
+      !(a.steal >= 0 && a.steal > gate) &&
+        !(a.loadPre >= 0 && a.loadPre > loadGate)
     val best = attempts.minBy { a =>
-      (if (a.steal < 0) Long.MaxValue else a.steal,
+      (!clean(a),
+        if (a.steal < 0) Long.MaxValue else a.steal,
         if (a.loadPre < 0) Double.MaxValue else a.loadPre)
     }
+    val gateClean = clean(best)
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.head.values.filter(_ >= 0).sum
@@ -111,7 +121,7 @@ object Bench {
     val storesTotal = best.stores.values.filter(_ >= 0).sum
     // Both load samples stay in the artifact so a recording that
     // somehow slips both gates is still self-identifying.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"model_total":$modelTotal,"model_queries":${fmt(best.model)},"layout_total":$layoutTotal,"layout_queries":${fmt(best.layout)},"stores_total":$storesTotal,"stores_queries":${fmt(best.stores)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"model_total":$modelTotal,"model_queries":${fmt(best.model)},"layout_total":$layoutTotal,"layout_queries":${fmt(best.layout)},"stores_total":$storesTotal,"stores_queries":${fmt(best.stores)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length},"gate_clean":$gateClean}""")
     spark.stop()
   }
 

@@ -43,8 +43,24 @@ object Verify {
         // per-query wall on stderr: the gate-cost ledger (which queries
         // pay for the wall-time budget) without touching the contract
         // the driver reads (output dir + oracle json)
+        //
+        // TINY-OUTPUT queries additionally print their actual row
+        // VALUES (r12 verdict #1): CORRECTNESS records only the hash
+        // bit, so when the driver's compare flags a mismatch on a
+        // ≤10-row query (the unreproduced q255_r12 flake), this line in
+        // the driver's stderr log names the diverging component without
+        // needing a repro run. The count is parquet-footer metadata and
+        // the collect is ≤10 rows — no extra scan of anything large.
+        val written = spark.read.parquet(s"$outDir/$name")
+        val rowDump =
+          if (written.count() <= 10)
+            " rows=[" + written.collect()
+              .map(_.toSeq.map(String.valueOf).mkString(","))
+              .sorted.mkString(" | ") + "]"
+          else ""
         System.err.println(
-          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+            rowDump)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"

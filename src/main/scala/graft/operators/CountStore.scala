@@ -332,9 +332,36 @@ object CountStore {
       (r.getLong(0), r.getLong(1))
     }
 
-  /** Clear the backlog — called by the re-init that settled it (every
-    * store family's initStore runs this, so a rebuild always starts
-    * fresh). */
+  /** The serve-with-staleness-bound gate (r12 verdict #4): a consumer
+    * used to have to KNOW to check `stale_batches` before trusting a
+    * served estimate under the deferral. This makes the guarantee a
+    * one-call contract — if the pending backlog exceeds `maxStale`
+    * departure batches, run `refresh` (typically a closure over
+    * [[graft.streaming.IndexMaintenance.refreshCountStores]]) first,
+    * and fail LOUD if it did not settle this store (a refresh thunk
+    * not wired to this store would otherwise serve silently stale
+    * under a face named "guaranteed"). maxStale = 0 = never serve
+    * stale. Backlog-sized reads only; a fresh store never pays the
+    * refresh. */
+  private[graft] def serveWithin(spark: org.apache.spark.sql.SparkSession,
+      name: String, maxStale: Int, refresh: () => Unit): Unit = {
+    require(maxStale >= 0, s"maxStale must be >= 0, got $maxStale")
+    if (stalePending(spark, name)._1 > maxStale) {
+      refresh()
+      val still = stalePending(spark, name)._1
+      require(still <= maxStale,
+        s"count store '$name': $still departure batches still pending " +
+          "after the refresh — the refresh thunk does not cover this store")
+    }
+  }
+
+  /** Clear the backlog — called by the re-init that settled it. Every
+    * family that can MARK stale clears here on initStore (HLL / MG /
+    * KLL directly; the sample store via its clearStaleAll, which also
+    * drops its `_stale_ids` id ledger), so a rebuild always starts
+    * fresh. NB/LM never mark stale (their takedowns subtract exactly
+    * in place), so their init paths have nothing to clear (r12
+    * advice). */
   private[graft] def clearStale(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
     graft.sources.Sinks.dropTable(spark, s"${name}_stale")

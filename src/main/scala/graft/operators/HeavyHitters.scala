@@ -230,16 +230,38 @@ object HhStore {
     * cumulative compress offset — always ≤ the classic
     * floor(n_grp/(k+1)) bound (Σ offsets removes ≥ (k+1)·offset of
     * counted mass each compress), and unlike it STAYS valid after
-    * [[removeDocsExact]] shrank n. Store-sized. */
+    * [[removeDocsExact]] shrank n. Store-sized.
+    *
+    * Pre-r12 warehouses: a `_hh_n` table written before d tracking
+    * landed has no d column — serve the classic floor(n/(k+1))
+    * envelope instead of an unresolved-column AnalysisException (r12
+    * advice, low). That bound is valid there by construction: a
+    * d-less store predates [[removeDocsExact]], so no removal ever
+    * shrank its n. */
   def topHitters(spark: SparkSession, name: String, n: Int): DataFrame = {
     CountStore.requireServable(spark, name)
+    val nTbl = spark.table(s"${name}_hh_n")
+    val envelope =
+      if (nTbl.columns.contains("d")) col("d")
+      else floor(col("n") / (kOf(spark, name) + 1)).cast("long")
     graft.plans.TopKPerKey.rankedTopKMulti(
         spark.table(s"${name}_hh").withColumn("__neg", -col("cnt")),
         Seq("grp"), Seq("__neg", "item"), n)
       .drop("__neg")
-      .join(spark.table(s"${name}_hh_n"), Seq("grp"))
+      .join(nTbl, Seq("grp"))
       .select(col("grp"), col("rank"), col("item"), col("cnt"),
-        (col("cnt") + col("d")).as("cnt_hi"))
+        (col("cnt") + envelope).as("cnt_hi"))
+  }
+
+  /** Serve-with-staleness-bound (r12 verdict #4): refresh-then-serve
+    * when the deferred-takedown backlog exceeds `maxStale` batches —
+    * the one-call form of "check `stale_batches`, maybe
+    * [[graft.streaming.IndexMaintenance.refreshCountStores]], then
+    * serve". */
+  def topHitters(spark: SparkSession, name: String, n: Int, maxStale: Int,
+      refresh: () => Unit): DataFrame = {
+    CountStore.serveWithin(spark, name, maxStale, refresh)
+    topHitters(spark, name, n)
   }
 
   /** Operational introspection (the describeStore discipline). */
@@ -250,7 +272,7 @@ object HhStore {
       "n_items_total" -> (s"${name}_hh_n", coalesce(sum(col("n")), lit(0L))),
       "k" -> (s"${name}_hh_params", sum(col("k")))))
 
-  private def kOf(spark: SparkSession, name: String): Int =
+  private[graft] def kOf(spark: SparkSession, name: String): Int =
     spark.table(s"${name}_hh_params").head().getAs[Int]("k")
 
   private def counts(df: DataFrame, grpCol: String, itemCol: String): DataFrame =

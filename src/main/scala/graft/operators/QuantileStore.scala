@@ -173,6 +173,14 @@ object QuantileStore {
       .select(col("grp") +: kllN(col("sk")).as("n") +: cols: _*)
   }
 
+  /** Serve-with-staleness-bound (r12 verdict #4): refresh-then-serve
+    * when the deferred-takedown backlog exceeds `maxStale` batches. */
+  def quantiles(spark: SparkSession, name: String, probs: Seq[Double],
+      maxStale: Int, refresh: () => Unit): DataFrame = {
+    CountStore.serveWithin(spark, name, maxStale, refresh)
+    quantiles(spark, name, probs)
+  }
+
   /** The served column name for probability `p` — one place, shared
     * with [[Profile]]'s quantile columns so the two faces cannot
     * drift. */
@@ -212,7 +220,7 @@ object QuantileStore {
       "n_items_total" -> (s"${name}_kll", coalesce(sum(kllN(col("sk"))), lit(0L))),
       "k" -> (s"${name}_kll_params", sum(col("k")))))
 
-  private def kOf(spark: SparkSession, name: String): Int =
+  private[graft] def kOf(spark: SparkSession, name: String): Int =
     spark.table(s"${name}_kll_params").head().getAs[Int]("k")
 
   private def sketched(df: DataFrame, grpCol: String, valCol: String,

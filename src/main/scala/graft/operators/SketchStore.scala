@@ -116,6 +116,14 @@ object SketchStore {
         hll_sketch_estimate(col("sk")).as("n_distinct_est"))
   }
 
+  /** Serve-with-staleness-bound (r12 verdict #4): refresh-then-serve
+    * when the deferred-takedown backlog exceeds `maxStale` batches. */
+  def estimate(spark: SparkSession, name: String, maxStale: Int,
+      refresh: () => Unit): DataFrame = {
+    CountStore.serveWithin(spark, name, maxStale, refresh)
+    estimate(spark, name)
+  }
+
   /** Operational introspection (the describeStore discipline). */
   def describeStore(spark: SparkSession, name: String): DataFrame =
     CountStore.describe(spark, name, Map(
@@ -123,7 +131,7 @@ object SketchStore {
       "sketch_bytes" -> (s"${name}_hll", sum(length(col("sk")))),
       "lg_k" -> (s"${name}_hll_params", sum(col("lg_k")))))
 
-  private def lgKOf(spark: SparkSession, name: String): Int =
+  private[graft] def lgKOf(spark: SparkSession, name: String): Int =
     spark.table(s"${name}_hll_params").head().getAs[Int]("lg_k")
 
   private def sketched(df: DataFrame, grpCol: String, idCol: String,

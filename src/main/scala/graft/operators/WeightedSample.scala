@@ -221,6 +221,7 @@ object SampleStore {
     val spark = docs.sparkSession
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
+    clearStaleAll(spark, name)
     CountStore.writeLayout(spark, name, prefixes)
     if (prefixes > 0)
       CountStore.writePrefixedInit(s"${name}_sample",
@@ -348,6 +349,51 @@ object SampleStore {
     }
   }
 
+  // ---- deferred departures (r12 verdict #2) ----
+  // dropDocs pays one live-corpus read per departure batch that hits a
+  // sampled row — the last per-batch live read in the count-model
+  // fold. Under a deferral backlog the fold instead records the
+  // departing IDS here (takedown-sized, append-only) plus one row in
+  // the shared CountStore staleness ledger, and [[refitStale]] settles
+  // every pending wave with ONE live pass: the union of pending ids
+  // drives the same stored-sample membership probe dropDocs uses, so
+  // only groups that actually lost a sampled row (or hold an edited
+  // id's stale max-weight claim) are refit. While stale the served
+  // sample may still hold departed rows — visible via describeStore's
+  // `stale_batches`, same contract as the union-only sketch families.
+
+  /** Record one deferred departure wave: ids into `<name>_stale_ids`,
+    * one (batches, docs) row into the staleness ledger. */
+  private[graft] def markStale(spark: SparkSession, name: String,
+      goneIds: DataFrame, nGone: Long): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_stale_ids"))
+      graft.sources.Sinks.dropTable(spark, s"${name}_stale_ids")
+    goneIds.select(col(goneIds.columns.head).cast("long").as("id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${name}_stale_ids")
+    CountStore.markStale(spark, name, nGone)
+  }
+
+  /** Settle the whole pending-departure backlog in one group-pruned
+    * pass: the accumulated pending ids route through [[dropDocs]]
+    * (membership probe → hit groups → refit from `liveDocs`), then
+    * both ledgers clear. A pending id re-admitted since its departure
+    * is harmless — its group refits from live, which includes it. */
+  def refitStale(spark: SparkSession, name: String, liveDocs: => DataFrame,
+      grpCol: String, idCol: String, weightCol: String): Unit = {
+    if (spark.catalog.tableExists(s"${name}_stale_ids")) {
+      val pending = spark.table(s"${name}_stale_ids").distinct()
+        .localCheckpoint()
+      dropDocs(spark, name, pending, liveDocs, grpCol, idCol, weightCol)
+    }
+    clearStaleAll(spark, name)
+  }
+
+  private def clearStaleAll(spark: SparkSession, name: String): Unit = {
+    graft.sources.Sinks.dropTable(spark, s"${name}_stale_ids")
+    CountStore.clearStale(spark, name)
+  }
+
   def maintainStream(docs: DataFrame, name: String, grpCol: String,
       idCol: String, weightCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -367,6 +413,14 @@ object SampleStore {
     // drop hides the v2 partition scaffolding (no-op on plain layout)
     WeightedSample.perKey(spark.table(s"${name}_sample").drop("tok_pfx"),
       "grp", "id", "w", k)
+  }
+
+  /** Serve-with-staleness-bound (r12 verdict #4): refresh-then-serve
+    * when the deferred-departure backlog exceeds `maxStale` batches. */
+  def sample(spark: SparkSession, name: String, maxStale: Int,
+      refresh: () => Unit): DataFrame = {
+    CountStore.serveWithin(spark, name, maxStale, refresh)
+    sample(spark, name)
   }
 
   /** Operational introspection (the Bm25.describeIndex discipline). */

@@ -42,6 +42,59 @@ object CorpusLog {
     t.columns.filterNot(c =>
       c == idCol || c == "__ver" || c == "__deleted" || c == "__pfx").toSeq
 
+  // ---- compact-swap marker (r12 advice, HIGH) ----
+  // compact's drop/recreate swap used to run under the fold's OWN
+  // `__building` marker — but that marker doubles as the fold's
+  // exactly-once signal, and armFold REPAIRS it (clears it) whenever
+  // the batch ledger proves the fold committed. compact runs AFTER
+  // that commit (closeFold: markApplied → marker up → maybeCompact),
+  // so a crash inside the swap left exactly the state the repair
+  // clears: ledger committed, marker down, log table GONE — and the
+  // next batch's append would silently recreate an empty log while
+  // the entire admitted corpus sat in `__staging`, lost to every later
+  // signed subtraction. The swap now runs under its OWN marker, which
+  // armFold never touches, and every CorpusLog entry point first
+  // REDOES a torn swap idempotently from the durable staging copy
+  // (the swap is a pure function of staging, so replaying it is safe
+  // from any crash point).
+
+  private def compactMarker(name: String) = s"${name}__compact"
+
+  /** Heal a swap the compact marker proves was torn. Every read/write
+    * entry point runs this — deliberately NOT the fold's `__building`
+    * guard (append runs INSIDE the fold's own marker window); the
+    * marker probe is one fs.exists, the heal path only ever runs
+    * after a real crash. */
+  private def recoverCompact(spark: SparkSession, name: String): Unit = {
+    if (graft.operators.CountStore.isBuilding(spark, compactMarker(name))) {
+      val staging = s"${name}__staging"
+      if (spark.catalog.tableExists(staging)) {
+        // the swap never finished — staging holds the complete fold
+        // (it is written in full BEFORE the marker goes down), so
+        // replay the swap: drop whatever partial log exists, recreate
+        // from staging, clear.
+        graft.sources.Sinks.dropTable(spark, name)
+        spark.table(staging).write.mode("append").format("parquet")
+          .partitionBy("__pfx").saveAsTable(name)
+        graft.sources.Sinks.dropTable(spark, staging)
+        graft.operators.CountStore.setBuilding(spark, compactMarker(name),
+          on = false)
+      } else if (spark.catalog.tableExists(name)) {
+        // swap completed (staging already dropped); only the marker
+        // lift was lost — clear it.
+        graft.operators.CountStore.setBuilding(spark, compactMarker(name),
+          on = false)
+      } else {
+        // neither staging nor the log: not a state compact can produce
+        // — refuse loudly rather than let append recreate from scratch.
+        throw new IllegalStateException(
+          s"corpus log '$name': compact marker is down but neither the " +
+            "log nor its staging copy exists — rebuild the log (and the " +
+            "stores it feeds) from the upstream corpus")
+      }
+    }
+  }
+
   /** Append one batch's upserts: `puts` (full payload rows — admitted
     * adds and new versions of edits) plus delete markers for
     * `removedIds` (same schema, null payload, __deleted = true), all
@@ -50,6 +103,7 @@ object CorpusLog {
     * subtraction). */
   def append(spark: SparkSession, name: String, puts: DataFrame,
       removedIds: DataFrame, idCol: String, ver: Long): Unit = {
+    recoverCompact(spark, name)
     val markers = removedIds
       .select(col(removedIds.columns.head).cast("long").as(idCol))
       .select(col(idCol) +: puts.schema.fields.filterNot(_.name == idCol)
@@ -90,6 +144,7 @@ object CorpusLog {
     * plan would re-read the log post-append). */
   def lookup(spark: SparkSession, name: String, ids: DataFrame,
       idCol: String): DataFrame = {
+    recoverCompact(spark, name)
     require(spark.catalog.tableExists(name),
       s"corpus log '$name' does not exist — the log must be attached " +
         "from the fold's first batch")
@@ -106,6 +161,7 @@ object CorpusLog {
     * out) — deliberately corpus-sized; consumed only by the stated
     * full-pass paths (sketch re-init, sample group refit). */
   def live(spark: SparkSession, name: String, idCol: String): DataFrame = {
+    recoverCompact(spark, name)
     require(spark.catalog.tableExists(name),
       s"corpus log '$name' does not exist")
     latestWins(spark.table(name), idCol)
@@ -130,11 +186,13 @@ object CorpusLog {
     * tombstoneBacklog / sweepSignatures. Wired into the gated-batch
     * fold; callers on their own cadence can call [[compact]] directly. */
   def maybeCompact(spark: SparkSession, name: String, idCol: String,
-      maxFilesPerPrefix: Int = 8): Unit =
+      maxFilesPerPrefix: Int = 8): Unit = {
+    recoverCompact(spark, name)
     if (spark.catalog.tableExists(name) &&
         spark.table(name).inputFiles.length >
           maxFilesPerPrefix.toLong * Prefixes)
       compact(spark, name, idCol)
+  }
 
   /** Fold the append-only log to one row per live id (latest ver kept,
     * markers and superseded versions drop) — run on the same
@@ -149,13 +207,21 @@ object CorpusLog {
     * from staging) run. At every instant a durable on-disk copy of
     * the corpus exists: a crash before the swap loses nothing (the
     * original serves, staging is garbage-collected on the next
-    * compact), a crash inside the swap window leaves the marker down
-    * (loud) with the complete fold sitting in `<name>__staging` —
-    * recovery is re-creating the log from staging, not a full
-    * upstream re-ingest. The earlier localCheckpoint-then-rewrite
-    * held the only copy in executor block state mid-rewrite. */
+    * compact), a crash inside the swap window leaves the COMPACT
+    * marker down with the complete fold sitting in `<name>__staging` —
+    * and every CorpusLog entry point replays the swap from staging
+    * automatically ([[recoverCompact]]), so recovery costs one
+    * staging-sized rewrite, never an upstream re-ingest. The swap
+    * marker is DISTINCT from the fold's `__building` marker (r12
+    * advice, high — see [[recoverCompact]]'s scaladoc for why reusing
+    * the fold marker silently lost the log). The earlier
+    * localCheckpoint-then-rewrite held the only copy in executor
+    * block state mid-rewrite. */
   def compact(spark: SparkSession, name: String, idCol: String): Unit = {
+    recoverCompact(spark, name)
     if (!spark.catalog.tableExists(name)) return
+    // a log whose FOLD marker is down is mid-batch or torn — folding
+    // it would mask the loud state the marker exists to preserve
     graft.operators.CountStore.requireServable(spark, name)
     val staging = s"${name}__staging"
     graft.sources.Sinks.dropTable(spark, staging)
@@ -170,11 +236,11 @@ object CorpusLog {
       .withColumn("__pfx", pfx(idCol))
       .write.mode("overwrite").format("parquet")
       .partitionBy("__pfx").saveAsTable(staging)
-    graft.operators.CountStore.setBuilding(spark, name, on = true)
+    graft.operators.CountStore.setBuilding(spark, compactMarker(name), on = true)
     graft.sources.Sinks.dropTable(spark, name)
     spark.table(staging).write.mode("append").format("parquet")
       .partitionBy("__pfx").saveAsTable(name)
     graft.sources.Sinks.dropTable(spark, staging)
-    graft.operators.CountStore.setBuilding(spark, name, on = false)
+    graft.operators.CountStore.setBuilding(spark, compactMarker(name), on = false)
   }
 }

@@ -839,7 +839,12 @@ object IndexMaintenance {
     *  - Weighted sample: arrivals merge via the associative top-k
     *    combiner; departures refit only the groups whose SAMPLED rows
     *    left (below-k departures provably change nothing —
-    *    [[graft.operators.SampleStore.dropDocs]]).
+    *    [[graft.operators.SampleStore.dropDocs]]), IMMEDIATE at
+    *    `refitBacklog` = 1 or DEFERRED behind the staleness backlog
+    *    with the departing ids accumulated in `_stale_ids`
+    *    ([[graft.operators.SampleStore.refitStale]] settles them all
+    *    in one group-pruned live pass — r12 verdict #2, the fold's
+    *    last per-batch live read).
     *  - HLL sketch and quantile (KLL) stores: arrivals merge
     *    (register-max / sketch-union); any departure takes the
     *    union-only takedown clause — re-init over the post-batch
@@ -853,26 +858,33 @@ object IndexMaintenance {
     *    tracked item falls back to the union-only clause.
     *
     * DEFERRED re-inits (`refitBacklog` > 1, the r11 verdict's top
-    * item): firing a re-init per departure batch makes a TRICKLE of
-    * takedowns cost one corpus pass each — and with three attached
-    * sketch families, three. Instead each departure batch marks the
-    * affected store stale ([[graft.operators.CountStore.markStale]]);
-    * the re-init fires once a store's pending backlog reaches
-    * `refitBacklog`, so N takedown batches cost ONE live pass per
-    * family instead of N. While stale, a store's estimates may still
-    * count the pending departures — the staleness is VISIBLE
-    * (describeStore's `stale_batches`, [[graft.operators.CountStore.stalePending]])
+    * item; the sample family joined in r12): firing a re-init per
+    * departure batch makes a TRICKLE of takedowns cost one corpus
+    * pass each — and with four attached live-reading families, four.
+    * Instead each departure batch marks the affected store stale
+    * ([[graft.operators.CountStore.markStale]]; the sample store also
+    * records the departing IDS); the re-init fires once a store's
+    * pending backlog reaches `refitBacklog`, so N takedown batches
+    * cost ONE live pass per family instead of N. The bound is EXACT:
+    * the threshold check runs on every departure wave even when that
+    * wave's own departure took HH's exact in-place path (r12 verdict
+    * #6). While stale, a store's estimates may still count the
+    * pending departures — the staleness is VISIBLE (describeStore's
+    * `stale_batches`, [[graft.operators.CountStore.stalePending]])
     * and a serve-with-guarantee caller forces the refresh first via
-    * [[refreshCountStores]]. Arrivals keep merging while stale
-    * (union-only merges are correct for arrivals regardless), and the
-    * eventual re-init reads the CorpusLog's live view, which already
-    * excludes every pending departure — one pass settles them all.
+    * [[refreshCountStores]] (or serves through the stores' `maxStale`
+    * faces, which compose the refresh into one call). Arrivals keep
+    * merging while stale (union-only merges are correct for arrivals
+    * regardless; the sample's max-weight combiner is
+    * order-independent), and the eventual re-init reads the
+    * CorpusLog's live view, which already excludes every pending
+    * departure — one pass settles them all.
     *
     * Costs: NB/LM merges are model-sized; sample merges are
-    * store+batch-sized, its refits group-bounded over one live pass;
-    * sketch/HH/KLL re-inits are one live pass per REFIT (not per
-    * departure batch, when deferral is on). Nothing here ever rescans
-    * the corpus on a pure-add batch. */
+    * store+batch-sized, its refits group-bounded over one live pass
+    * per backlog WINDOW (not per departure batch, when deferral is
+    * on); sketch/HH/KLL re-inits are one live pass per REFIT.
+    * Nothing here ever rescans the corpus on a pure-add batch. */
   def countStoreFold(spark: SparkSession,
       nbStore: Option[(String, String)] = None,
       lmStore: Option[String] = None,
@@ -897,17 +909,23 @@ object IndexMaintenance {
     // re-init (backlog 1, no ledger IO) or mark-stale + threshold
     // check. The re-init covers this batch's arrivals too (live()
     // includes them — markers were logged before the fold ran), so
-    // merge is skipped when it fires.
+    // merge is skipped when it fires. The threshold check runs on
+    // EVERY departure wave, marking or not (r12 verdict #6): an HH
+    // wave whose departure took the exact in-place path must still
+    // settle a backlog already sitting at the bound, or the refit
+    // lands one wave later than the declared `refitBacklog` — the
+    // bound is exact, not "exact except after exact-path waves".
     def unionOnly(name: String, tableExists: Boolean)(
         init: () => Unit, reinitLive: () => Unit, merge: () => Unit,
         departureNeedsReinit: Boolean = true): Unit =
       if (!tableExists) { if (!putEmpty) init() }
       else {
         var refit = false
-        if (!goneEmpty && departureNeedsReinit) {
-          if (refitBacklog <= 1) refit = true
+        if (!goneEmpty) {
+          if (refitBacklog <= 1) refit = departureNeedsReinit
           else {
-            CountStore.markStale(spark, name, nGone)
+            if (departureNeedsReinit)
+              CountStore.markStale(spark, name, nGone)
             if (CountStore.stalePending(spark, name)._1 >= refitBacklog)
               refit = true
           }
@@ -935,14 +953,38 @@ object IndexMaintenance {
         if (!putEmpty) LmStore.appendDocs(put, name, buckets, idCol, textCol)
       }
     }
+    // SAMPLE deferral (r12 verdict #2 — the last per-batch live read
+    // in the fold): at refitBacklog = 1 a departure pays the
+    // group-pruned live refit immediately (dropDocs); deferred, the
+    // departing IDS accumulate in the store's `_stale_ids` ledger
+    // (takedown-sized) and ONE refitStale settles every pending wave
+    // with a single live pass once the backlog crosses the bound.
+    // Correctness while stale rests on the same superset argument
+    // dropDocs documents: a departed id not in the stored sample
+    // cannot change the top-k (per-row priorities — removals never
+    // promote), and every departed id that IS stored (including the
+    // old-weight claim of an edit — same id) lands in the pending set
+    // and refits its group from live. Arrivals keep merging while
+    // stale (the max-weight combiner is order-independent), and
+    // re-merging a batch whose rows the refit already read is
+    // idempotent — so maintained ≡ fresh-fit holds after ANY deferred
+    // schedule (CountFoldSpec's sample-deferral case).
     sampleStore.foreach { case (name, grpCol, weightCol) =>
       if (!spark.catalog.tableExists(s"${name}_sample")) {
         if (!putEmpty)
           SampleStore.initStore(put, name, grpCol, idCol, weightCol, sampleK)
       } else {
-        if (!goneEmpty)
-          SampleStore.dropDocs(spark, name, gone.select(col(idCol)), live(),
-            grpCol, idCol, weightCol)
+        if (!goneEmpty) {
+          if (refitBacklog <= 1)
+            SampleStore.dropDocs(spark, name, gone.select(col(idCol)), live(),
+              grpCol, idCol, weightCol)
+          else {
+            SampleStore.markStale(spark, name, gone.select(col(idCol)), nGone)
+            if (CountStore.stalePending(spark, name)._1 >= refitBacklog)
+              SampleStore.refitStale(spark, name, live(),
+                grpCol, idCol, weightCol)
+          }
+        }
         if (!putEmpty)
           SampleStore.mergeDocs(put, name, grpCol, idCol, weightCol)
       }
@@ -950,7 +992,11 @@ object IndexMaintenance {
     sketchStore.foreach { case (name, grpCol) =>
       unionOnly(name, spark.catalog.tableExists(s"${name}_hll"))(
         init = () => SketchStore.initStore(put, name, grpCol, idCol),
-        reinitLive = () => SketchStore.initStore(live(), name, grpCol, idCol),
+        // re-inits preserve the store's own lgK (r12 advice, medium —
+        // an externally-built store must not be silently rebuilt at
+        // the default on its first takedown refit)
+        reinitLive = () => SketchStore.initStore(live(), name, grpCol, idCol,
+          lgK = SketchStore.lgKOf(spark, name)),
         merge = () => SketchStore.mergeDocs(put, name, grpCol, idCol))
     }
     // HH items are the whitespace tokens of textCol — the per-domain
@@ -968,16 +1014,25 @@ object IndexMaintenance {
       unionOnly(name, exists)(
         init = () => HhStore.initStore(
           hhItems(put, grpCol, textCol), name, "grp", "item", k),
+        // re-init preserves the store's declared v2 prefix layout (r12
+        // advice, medium: a prefix-partitioned store silently rewritten
+        // plain on its first takedown refit discards the partition
+        // pruning the layout was declared for)
         reinitLive = () => HhStore.initStore(
-          hhItems(live(), grpCol, textCol), name, "grp", "item", k),
+          hhItems(live(), grpCol, textCol), name, "grp", "item", k,
+          prefixes = CountStore.layoutPrefixes(spark, name)),
         merge = () => HhStore.mergeDocs(
           hhItems(put, grpCol, textCol), name, "grp", "item"),
         departureNeedsReinit = heavyTouched)
     }
     quantileStore.foreach { case (name, grpCol, valCol) =>
-      unionOnly(name, spark.catalog.tableExists(s"${name}_kll"))(
+      val exists = spark.catalog.tableExists(s"${name}_kll")
+      unionOnly(name, exists)(
         init = () => QuantileStore.initStore(put, name, grpCol, valCol),
-        reinitLive = () => QuantileStore.initStore(live(), name, grpCol, valCol),
+        // preserves both the store's own k and its declared layout
+        reinitLive = () => QuantileStore.initStore(live(), name, grpCol,
+          valCol, k = QuantileStore.kOf(spark, name),
+          prefixes = CountStore.layoutPrefixes(spark, name)),
         merge = () => QuantileStore.mergeDocs(put, name, grpCol, valCol))
     }
   }
@@ -1002,19 +1057,33 @@ object IndexMaintenance {
       sketchStore: Option[(String, String)] = None,
       hhStore: Option[(String, String, Int)] = None,
       quantileStore: Option[(String, String, String)] = None,
+      sampleStore: Option[(String, String, String)] = None,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    import graft.operators.{CountStore, HhStore, QuantileStore, SketchStore}
+    import graft.operators.{CountStore, HhStore, QuantileStore, SampleStore, SketchStore}
     def stale(name: String) = CountStore.stalePending(spark, name)._1 > 0
     lazy val live = CorpusLog.live(spark, logName, idCol).localCheckpoint()
+    // re-inits preserve each store's own params and declared prefix
+    // layout (r12 advice, medium) — same as the fold's threshold refit
     sketchStore.foreach { case (name, grpCol) =>
-      if (stale(name)) SketchStore.initStore(live, name, grpCol, idCol)
+      if (stale(name)) SketchStore.initStore(live, name, grpCol, idCol,
+        lgK = SketchStore.lgKOf(spark, name))
     }
     hhStore.foreach { case (name, grpCol, k) =>
       if (stale(name))
-        HhStore.initStore(hhItems(live, grpCol, textCol), name, "grp", "item", k)
+        HhStore.initStore(hhItems(live, grpCol, textCol), name, "grp", "item",
+          k, prefixes = CountStore.layoutPrefixes(spark, name))
     }
     quantileStore.foreach { case (name, grpCol, valCol) =>
-      if (stale(name)) QuantileStore.initStore(live, name, grpCol, valCol)
+      if (stale(name)) QuantileStore.initStore(live, name, grpCol, valCol,
+        k = QuantileStore.kOf(spark, name),
+        prefixes = CountStore.layoutPrefixes(spark, name))
+    }
+    // the sample family refits only the groups its pending departed
+    // ids touch (group-pruned, not a full rebuild — refitStale reads
+    // live once and rewrites only hit groups)
+    sampleStore.foreach { case (name, grpCol, weightCol) =>
+      if (stale(name))
+        SampleStore.refitStale(spark, name, live, grpCol, idCol, weightCol)
     }
   }
 

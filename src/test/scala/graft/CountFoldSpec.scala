@@ -217,6 +217,53 @@ class CountFoldSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("a compact torn inside the swap window heals from staging (r12 advice, high)") {
+    // The crash the old design lost the corpus to: compact's swap ran
+    // under the fold's own __building marker, which armFold REPAIRS
+    // once the batch ledger proves the fold committed — so a crash
+    // after drop-log left ledger-committed + marker-cleared + log
+    // GONE, and the next append silently recreated an empty log while
+    // the corpus sat in __staging. The swap now has its own marker and
+    // every entry point replays a torn swap from staging.
+    val before = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    // simulate the torn window: staging holds the complete fold, the
+    // compact marker is down, the log table was already dropped
+    val folded = spark.table(log).localCheckpoint()
+    graft.sources.Sinks.dropTable(spark, log + "__staging")
+    folded.write.mode("overwrite").format("parquet")
+      .partitionBy("__pfx").saveAsTable(log + "__staging")
+    CountStore.setBuilding(spark, log + "__compact", on = true)
+    graft.sources.Sinks.dropTable(spark, log)
+    // the next read heals: live view identical, marker lifted, staging gone
+    val after = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    assert(after === before, "healed live view diverged")
+    assert(!CountStore.isBuilding(spark, log + "__compact"))
+    assert(!spark.catalog.tableExists(log + "__staging"))
+    // and the healed log keeps accepting appends (the lost-corpus
+    // symptom was append recreating from scratch)
+    assert(spark.catalog.tableExists(log))
+  }
+
+  test("compact marker down with the swap already complete = marker lifted, nothing rewritten") {
+    CountStore.setBuilding(spark, log + "__compact", on = true)
+    val before = CorpusLog.live(spark, log, "doc_id").collect().toSet
+    assert(before.nonEmpty)
+    assert(!CountStore.isBuilding(spark, log + "__compact"),
+      "a completed swap's marker must clear on first entry")
+  }
+
+  test("compact marker down with neither log nor staging fails LOUD") {
+    val ghost = "cf_ghost_log"
+    graft.sources.Sinks.dropTable(spark, ghost)
+    graft.sources.Sinks.dropTable(spark, ghost + "__staging")
+    CountStore.setBuilding(spark, ghost + "__compact", on = true)
+    try {
+      intercept[IllegalStateException] {
+        CorpusLog.live(spark, ghost, "doc_id")
+      }
+    } finally CountStore.setBuilding(spark, ghost + "__compact", on = false)
+  }
+
   test("maybeCompact: priced trigger fires only past the backlog threshold") {
     val files = spark.table(log).inputFiles.length
     // far above the current backlog: must be a no-op
@@ -419,6 +466,117 @@ class CountFoldSpec extends SparkSpec {
     val b2 = SketchStore.estimate(spark, "cf4f")
     assert(a2.exceptAll(b2).unionAll(b2.exceptAll(a2)).isEmpty,
       "refreshCountStores diverged from a fresh fit")
+  }
+
+  test("SAMPLE deferral: N departure batches cost ONE group-pruned refit; maintained ≡ fresh fit") {
+    // the r12 verdict's #2: the sample store was the one fold family
+    // still paying a live read per departure batch — it now rides the
+    // same refitBacklog machinery, with the departing IDS accumulated
+    // so the eventual refit stays group-pruned
+    val idx7 = "cf7_idx"; val sig7 = "cf7_sigs"; val log7 = "cf7_log"
+    val smp7 = "cf7_smp"
+    IndexMaintenance.initStores(spark, idx7)
+    IngestDedup.initStore(spark, sig7)
+    graft.sources.Sinks.dropTable(spark, sig7 + "_pending_rm")
+    for (t <- Seq(log7, log7 + "_applied", smp7 + "_sample",
+        smp7 + "_sample_params", smp7 + "_stale", smp7 + "_stale_ids",
+        smp7 + "_layout",
+        "cf7f_smp_sample", "cf7f_smp_sample_params", "cf7f_smp_layout"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log7, smp7, "cf7f_smp"))
+      CountStore.setBuilding(spark, n, on = false)
+    val f7 = IndexMaintenance.countStoreFold(spark,
+      sampleStore = Some((smp7, "src", "w")), sampleK = 2, refitBacklog = 2)
+    def app(batch: DataFrame, ver: Long) =
+      IndexMaintenance.applyGatedUpserts(spark, idx7, sig7, batch, ver = ver,
+        buckets = 4, docFold = Some((log7, f7)))
+    app(mkDf((500 until 512).map(baseDoc)), ver = 1L)
+    // pick a SAMPLED id to take down — the departure that must
+    // eventually force its group's refit (a below-k departure would
+    // pass vacuously)
+    val sampledId = SampleStore.sample(spark, smp7)
+      .orderBy(col("id")).head().getAs[Long]("id")
+    val snap = spark.table(smp7 + "_sample").localCheckpoint()
+    // departure batch 1: DEFERRED — store bit-still, backlog (1, 1)
+    app(mkDf(Seq(doc(sampledId.toInt))), ver = 2L)
+    assert(spark.table(smp7 + "_sample").exceptAll(snap).isEmpty,
+      "a deferred sample departure mutated the store")
+    assert(CountStore.stalePending(spark, smp7) === ((1L, 1L)))
+    // departure batch 2 crosses refitBacklog = 2: ONE refit settles
+    // both pending departures and clears both ledgers
+    val gone2 = (500 until 512).map(_.toLong)
+      .filterNot(_ == sampledId).head
+    app(mkDf(Seq(doc(gone2.toInt))), ver = 3L)
+    assert(CountStore.stalePending(spark, smp7) === ((0L, 0L)))
+    assert(!spark.catalog.tableExists(smp7 + "_stale_ids"),
+      "the pending-id ledger must clear with the refit")
+    val live7 = mkDf((500 until 512).map(baseDoc)
+      .filterNot(r => r._1 == sampledId || r._1 == gone2))
+    SampleStore.initStore(live7, "cf7f_smp", "src", "doc_id", "w", k = 2)
+    assert(tablesEq(smp7 + "_sample", "cf7f_smp_sample"),
+      "deferred-refit sample diverged from a fresh fit of the live set")
+    // one more deferred departure; the serve-with-guarantee face
+    // (sample(maxStale = 0, refresh)) settles it at serve time and the
+    // served rows equal the fresh fit's serve
+    val sampled2 = SampleStore.sample(spark, smp7)
+      .orderBy(col("id")).head().getAs[Long]("id")
+    app(mkDf(Seq(doc(sampled2.toInt))), ver = 4L)
+    assert(CountStore.stalePending(spark, smp7)._1 === 1L)
+    val served = SampleStore.sample(spark, smp7, maxStale = 0,
+      refresh = () => IndexMaintenance.refreshCountStores(spark, log7,
+        sampleStore = Some((smp7, "src", "w"))))
+    assert(CountStore.stalePending(spark, smp7) === ((0L, 0L)))
+    SampleStore.initStore(live7.filter(col("doc_id") =!= sampled2),
+      "cf7f_smp", "src", "doc_id", "w", k = 2)
+    val freshServe = SampleStore.sample(spark, "cf7f_smp")
+    assert(served.exceptAll(freshServe).unionAll(freshServe.exceptAll(served))
+      .isEmpty, "maxStale serve diverged from the fresh fit's serve")
+  }
+
+  test("exact-path HH wave still settles a backlog at the bound (the bound is exact)") {
+    // r12 verdict #6: a departure that rides removeDocsExact does not
+    // MARK — but if the store already sits at the threshold, the refit
+    // must fire on this wave, not one wave later
+    val idx8 = "cf8_idx"; val sig8 = "cf8_sigs"; val log8 = "cf8_log"
+    val hh8 = "cf8_hh"
+    IndexMaintenance.initStores(spark, idx8)
+    IngestDedup.initStore(spark, sig8)
+    graft.sources.Sinks.dropTable(spark, sig8 + "_pending_rm")
+    for (t <- Seq(log8, log8 + "_applied", hh8 + "_hh", hh8 + "_hh_n",
+        hh8 + "_hh_params", hh8 + "_stale", hh8 + "_layout",
+        "cf8f_hh_hh", "cf8f_hh_hh_n", "cf8f_hh_hh_params", "cf8f_hh_layout"))
+      graft.sources.Sinks.dropTable(spark, t)
+    for (n <- Seq(log8, hh8, "cf8f_hh"))
+      CountStore.setBuilding(spark, n, on = false)
+    // k = 2 with 6 distinct tokens per doc: per-group counts are all 1
+    // at bootstrap, compress leaves (almost) nothing tracked — so a
+    // later single-doc departure's tokens are all UNTRACKED and ride
+    // the exact path
+    val f8 = IndexMaintenance.countStoreFold(spark,
+      hhStore = Some((hh8, "src", 2)), refitBacklog = 2)
+    def app(batch: DataFrame, ver: Long) =
+      IndexMaintenance.applyGatedUpserts(spark, idx8, sig8, batch, ver = ver,
+        buckets = 4, docFold = Some((log8, f8)))
+    app(mkDf((600 until 612).map(baseDoc)), ver = 1L)
+    // force the backlog TO the bound without a departure wave (the
+    // two-folds-one-store / lowered-bound scenario)
+    CountStore.markStale(spark, hh8, 1L)
+    CountStore.markStale(spark, hh8, 1L)
+    assert(CountStore.stalePending(spark, hh8)._1 === 2L)
+    // the exact-path departure wave: all of doc 600's tokens are
+    // untracked, removeDocsExact succeeds — and the threshold check
+    // must STILL fire the refit this wave
+    app(mkDf(Seq(doc(600))), ver = 2L)
+    assert(CountStore.stalePending(spark, hh8) === ((0L, 0L)),
+      "an exact-path wave skipped the threshold check at the bound")
+    // and the refit left a state ≡ fresh fit of the live set
+    import graft.operators.HhStore
+    val live8 = mkDf((601 until 612).map(baseDoc))
+    HhStore.initStore(live8.select(col("src").as("grp"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
+      "cf8f_hh", "grp", "item", k = 2)
+    assert(tablesEq(hh8 + "_hh", "cf8f_hh_hh"), "hh diverged post-refit")
+    assert(tablesEq(hh8 + "_hh_n", "cf8f_hh_hh_n"), "hh_n diverged post-refit")
   }
 
   test("marker down + ledger committed = repaired on re-delivery, not a rebuild demand") {

@@ -120,6 +120,24 @@ class HhStoreSpec extends SparkSpec {
     assert(top("h") === (("h", 1, "x", 4L, 4L)))
   }
 
+  test("pre-r12 store without a d column serves the classic envelope, not an AnalysisException") {
+    clean("hh_t5")
+    // a5 b3 c2 at k=2: n=10, one compress with offset 2
+    HhStore.initStore(items("a" -> 5, "b" -> 3, "c" -> 2), "hh_t5",
+      "grp", "item", k = 2)
+    // simulate a warehouse written before d tracking landed: same
+    // table, d column dropped
+    val legacy = spark.table("hh_t5_hh_n").select("grp", "n").localCheckpoint()
+    graft.sources.Sinks.parquetTable(legacy, "hh_t5_hh_n")
+    val top = HhStore.topHitters(spark, "hh_t5", n = 1).head()
+    // classic bound floor(10/(2+1)) = 3 (the exact d would be 2) —
+    // valid here because a d-less store predates removeDocsExact, so
+    // no removal ever shrank its n
+    assert(top.getAs[String]("item") === "a")
+    assert(top.getAs[Long]("cnt") === 3L)
+    assert(top.getAs[Long]("cnt_hi") === 6L)
+  }
+
   test("stream-fed store equals the one-shot build (exact regime; ledger wired)") {
     clean("hh_s1"); clean("hh_s1f")
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
