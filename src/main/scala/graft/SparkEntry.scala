@@ -3910,33 +3910,40 @@ object SparkEntry {
     }),
 
     // q252: DEFERRED union-only takedowns under the gated fold (the
-    // r11 verdict's TOP item) — a trickle of takedown batches used to
-    // cost one live-corpus re-init PER BATCH for EACH attached
-    // non-invertible family (HLL + HH + KLL = up to three corpus
-    // passes per wave); with `refitBacklog` = 3, departure batches
-    // mark the stores stale and the re-init fires ONCE when the
-    // backlog crosses the bound — N takedown batches, one live pass
-    // per family. Two takedown waves hit the threshold: exactly one
-    // refit, proven by the stores sitting bit-still through the first
-    // wave and the exact n landing after the second. Final states
-    // must equal fresh fits of the live admitted corpus: HLL on
-    // estimates, HH exactly (k ≫ distinct items — the exact regime,
-    // so every departure touches tracked items and the deferral
-    // clause, not the exact-remove shortcut, is what's exercised),
-    // KLL on its exactly-tracked n. The second trigger
-    // (refreshCountStores, serve-with-guarantee) and longer backlogs
-    // are CountFoldSpec's deferral case — more gated waves here would
-    // re-pay the fixed per-wave cost for coverage the spec already
-    // pins (the r12 gate-wall discipline).
+    // r11 verdict's TOP item; sample family added r13) — a trickle of
+    // takedown batches used to cost one live-corpus pass PER BATCH
+    // for EACH attached non-invertible-or-live-reading family (HLL +
+    // HH + KLL re-inits, the sample's departure refit = up to four
+    // corpus passes per wave); with `refitBacklog` = 2, departure
+    // batches mark the stores stale and the settle fires ONCE when
+    // the backlog crosses the bound — N takedown batches, one live
+    // pass per family. Two takedown waves hit the threshold: exactly
+    // one refit, proven by the stores sitting bit-still through the
+    // first wave and the exact n landing after the second. Final
+    // states must equal fresh fits of the live admitted corpus: HLL
+    // on estimates, HH exactly (k ≫ distinct items — the exact
+    // regime, so every departure touches tracked items and the
+    // deferral clause, not the exact-remove shortcut, is what's
+    // exercised), KLL on its exactly-tracked n, the SAMPLE bit-exact
+    // (deterministic per-row priorities). The second trigger
+    // (refreshCountStores / the maxStale serve faces) and longer
+    // backlogs are CountFoldSpec's deferral cases — more gated waves
+    // here would re-pay the fixed per-wave cost for coverage the
+    // spec already pins. The corpus slice is %16 (was %4 — r12
+    // verdict #3's gate-wall trim: q255 already gates the same
+    // machinery on %16; the deferral SCHEDULE, not the corpus size,
+    // is what this gate certifies, and the three gated waves' fixed
+    // cost — not the slice — dominates the wall anyway).
     "q252_fold_deferred_takedown" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{IndexMaintenance, IngestDedup}
-      import graft.operators.{CountStore, HhStore, QuantileStore, SketchStore}
+      import graft.operators.{CountStore, HhStore, QuantileStore, SampleStore, SketchStore}
       val idx = "graft_q252_idx"; val sig = "graft_q252_sigs"
       val log = "graft_q252_log"
       val hll = "graft_q252_hll"; val hh = "graft_q252_hh"
-      val kll = "graft_q252_kll"
-      val (fhll, fhh) = ("graft_q252_fhll", "graft_q252_fhh")
+      val kll = "graft_q252_kll"; val smp = "graft_q252_smp"
+      val (fhll, fhh, fsmp) = ("graft_q252_fhll", "graft_q252_fhh",
+        "graft_q252_fsmp")
       IndexMaintenance.initStores(s, idx)
       IngestDedup.initStore(s, sig)
       graft.sources.Sinks.dropTable(s, sig + "_pending_rm")
@@ -3944,13 +3951,16 @@ object SparkEntry {
           hll + "_hll", hll + "_hll_params", hll + "_stale",
           hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
           kll + "_kll", kll + "_kll_params", kll + "_stale",
+          smp + "_sample", smp + "_sample_params", smp + "_stale",
+          smp + "_stale_ids", smp + "_layout",
           fhll + "_hll", fhll + "_hll_params",
-          fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params"))
+          fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params",
+          fsmp + "_sample", fsmp + "_sample_params", fsmp + "_layout"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, hll, hh, kll, fhll, fhh))
+      for (n <- Seq(log, hll, hh, kll, smp, fhll, fhh, fsmp))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
-        .filter(col("doc_id") % 4 === 0)
+        .filter(col("doc_id") % 16 === 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .localCheckpoint()
@@ -3959,6 +3969,7 @@ object SparkEntry {
         sketchStore = Some((hll, "lang")),
         hhStore = Some((hh, "source", hhK)),
         quantileStore = Some((kll, "source", "n_chars")),
+        sampleStore = Some((smp, "lang", "n_chars")), sampleK = 5,
         buckets = 8, refitBacklog = 2)
       def applyW(batch: org.apache.spark.sql.DataFrame, ver: Long) =
         IndexMaintenance.applyGatedUpserts(s, idx, sig, batch, ver = ver,
@@ -3975,16 +3986,21 @@ object SparkEntry {
       applyW(corpus, ver = 1L)
       val hhSnap = s.table(hh + "_hh").localCheckpoint()
       val hllSnap = SketchStore.estimate(s, hll).localCheckpoint()
+      val smpSnap = s.table(smp + "_sample").localCheckpoint()
       // waves 2-3: takedown-only batches; 2 must DEFER (stores
       // bit-still, backlog = 1), 3 crosses the threshold
       applyW(dels(4), ver = 2L)
       val deferredT1 = symEq(s.table(hh + "_hh"), hhSnap) &&
         symEq(SketchStore.estimate(s, hll), hllSnap) &&
-        CountStore.stalePending(s, hll)._1 == 1
+        symEq(s.table(smp + "_sample"), smpSnap) &&
+        CountStore.stalePending(s, hll)._1 == 1 &&
+        CountStore.stalePending(s, smp)._1 == 1
       applyW(dels(8), ver = 3L)
       val refitCleared = CountStore.stalePending(s, hll)._1 == 0 &&
         CountStore.stalePending(s, hh)._1 == 0 &&
-        CountStore.stalePending(s, kll)._1 == 0
+        CountStore.stalePending(s, kll)._1 == 0 &&
+        CountStore.stalePending(s, smp)._1 == 0 &&
+        !s.catalog.tableExists(smp + "_stale_ids")
       // final states ≡ fresh fits of the live admitted corpus (the
       // one threshold-triggered re-init settled all three pending
       // waves at once)
@@ -4006,6 +4022,8 @@ object SparkEntry {
       HhStore.initStore(liveFinal.select(col("source").as("grp"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
         fhh, "grp", "item", hhK)
+      SampleStore.initStore(liveFinal, fsmp, "lang", "doc_id", "n_chars",
+        k = 5)
       val hllEq = symEq(SketchStore.estimate(s, hll),
         SketchStore.estimate(s, fhll))
       val hhEq = symEq(s.table(hh + "_hh"), s.table(fhh + "_hh")) &&
@@ -4014,11 +4032,13 @@ object SparkEntry {
         s.table(kll + "_kll").select(col("grp"),
           QuantileStore.kllN(col("sk")).as("n")),
         liveFinal.groupBy(col("source").as("grp")).agg(count(lit(1)).as("n")))
+      val smpEq = symEq(s.table(smp + "_sample"), s.table(fsmp + "_sample"))
       Seq(
         ("deferred_after_t1", if (deferredT1) 1L else 0L),
         ("final_hh_eq_fresh", if (hhEq) 1L else 0L),
         ("final_hll_eq_fresh", if (hllEq) 1L else 0L),
         ("final_kll_n_exact", if (kllNEq) 1L else 0L),
+        ("final_sample_eq_fresh", if (smpEq) 1L else 0L),
         ("n_live", liveFinal.count()),
         ("refit_cleared_at_threshold", if (refitCleared) 1L else 0L),
         ("refit_n_exact_at_threshold", if (refitNExact) 1L else 0L))
@@ -4052,14 +4072,27 @@ object SparkEntry {
           ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
             if (r.isNullAt(2)) None else Some(r.getDouble(2)))) }
         .toMap
+      // ONE corpus agg for every (column × percentile) lo/hi rank sum
+      // (r12 verdict #6: the per-pair loop was 8 driver-side jobs —
+      // the q240-family shape the gate-cost discipline exists to kill)
+      val probes = cols.flatMap { c =>
+        Seq((c, 0.5, served(c)._1), (c, 0.95, served(c)._2))
+      }.collect { case (c, p, Some(x)) => (c, p, x) }
+      val aggCols = probes.flatMap { case (c, p, x) =>
+        val pct = (p * 100).round
+        Seq((sum(when(col(c).cast("double") < x, 1).otherwise(0)) /
+            count(lit(1))).as(s"lo_${c}_$pct"),
+          (sum(when(col(c).cast("double") <= x, 1).otherwise(0)) /
+            count(lit(1))).as(s"hi_${c}_$pct"))
+      }
+      val rankRow =
+        if (aggCols.isEmpty) null
+        else docs.agg(aggCols.head, aggCols.tail: _*).head()
       def rankOk(c: String, p: Double, v: Option[Double]): Boolean =
-        v.forall { x =>
-          val r = docs.agg(
-            (sum(when(col(c).cast("double") < x, 1).otherwise(0)) /
-              count(lit(1))).as("lo"),
-            (sum(when(col(c).cast("double") <= x, 1).otherwise(0)) /
-              count(lit(1))).as("hi")).head()
-          r.getDouble(0) <= p + 3 * eps && r.getDouble(1) >= p - 3 * eps
+        v.forall { _ =>
+          val pct = (p * 100).round
+          rankRow.getAs[Double](s"lo_${c}_$pct") <= p + 3 * eps &&
+            rankRow.getAs[Double](s"hi_${c}_$pct") >= p - 3 * eps
         }
       val bits = cols.map { c =>
         val (v50, v95) = served(c)
@@ -4235,6 +4268,65 @@ object SparkEntry {
         .select(col("grp"), col("n_a"), col("n_b"),
           (col("ok_a") * col("ok_b")).as("drift_rank_ok"))
         .orderBy(col("grp"))
+    }),
+
+    // q257: SERVE-WITH-STALENESS-BOUND (r12 verdict #4) — the
+    // deferral made staleness a VISIBLE state a consumer had to know
+    // to check; the maxStale serve faces make the guarantee a
+    // one-call contract. A deferred takedown wave leaves the HH store
+    // stale (backlog 1 < refitBacklog 3); serving through
+    // topHitters(maxStale = 0, refresh) auto-refreshes first, and the
+    // served rows hash-match a full DuckDB replay of the live corpus
+    // (exact MG regime: k ≫ distinct items, so the post-refresh serve
+    // is the exact top-10 with a zero envelope). Ungated fold face
+    // (applyUpsertsFolded), so the oracle needs no admission CTE —
+    // the lifecycle bits (stale before, settled after, store ≡ fresh
+    // fit) ride the lifecycle_ok column.
+    "q257_serve_max_stale" -> ((s, d) => {
+      import org.apache.spark.sql.DataFrame
+      import graft.streaming.IndexMaintenance
+      import graft.operators.{CountStore, HhStore}
+      val idx = "graft_q257_idx"; val log = "graft_q257_log"
+      val hh = "graft_q257_hh"; val fhh = "graft_q257_fhh"
+      IndexMaintenance.initStores(s, idx)
+      for (t <- Seq(log, log + "_applied",
+          hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
+          fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      for (n <- Seq(log, hh, fhh)) CountStore.setBuilding(s, n, on = false)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .localCheckpoint()
+      val hhStore = Some((hh, "source", 100000))
+      val fold = IndexMaintenance.countStoreFold(s, hhStore = hhStore,
+        buckets = 8, refitBacklog = 3)
+      def applyW(batch: DataFrame, ver: Long): Unit =
+        IndexMaintenance.applyUpsertsFolded(s, idx, batch, ver, log, fold,
+          buckets = 8)
+      applyW(corpus, 1L)
+      applyW(corpus.filter(col("doc_id") % 32 === 16)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source")), 2L)
+      // the takedown wave DEFERRED — the raw store still counts the
+      // departed docs; the guaranteed face must settle that first
+      val preStale = CountStore.stalePending(s, hh)._1
+      val served = HhStore.topHitters(s, hh, n = 10, maxStale = 0,
+        refresh = () => IndexMaintenance.refreshCountStores(s, log,
+          hhStore = hhStore)).localCheckpoint()
+      val postStale = CountStore.stalePending(s, hh)._1
+      val live = corpus.filter(col("doc_id") % 32 =!= 16)
+      HhStore.initStore(live.select(col("source").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
+        fhh, "grp", "item", 100000)
+      def symEq(x: DataFrame, y: DataFrame) =
+        x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty
+      val ok = preStale == 1 && postStale == 0 &&
+        symEq(s.table(hh + "_hh"), s.table(fhh + "_hh")) &&
+        symEq(s.table(hh + "_hh_n"), s.table(fhh + "_hh_n"))
+      served.withColumn("lifecycle_ok", lit(if (ok) 1 else 0))
+        .orderBy(col("grp"), col("rank"))
     }),
 
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
@@ -6181,7 +6273,11 @@ object SparkEntry {
     * regression in fold or store-merge cost was previously invisible
     * until the full gate's wall moved. */
   val benchStoreQueries: Seq[String] = Seq(
-    "q255_store_maintenance", "q247_hh_serve", "q249_sql_quantile_serve")
+    "q255_store_maintenance", "q247_hh_serve", "q249_sql_quantile_serve",
+    // round 13: the serve-with-staleness-bound face — the cost of the
+    // one-call guarantee (deferred takedown + refresh-at-serve),
+    // tracked from its birth round
+    "q257_serve_max_stale")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
@@ -8513,7 +8609,7 @@ object SparkEntry {
              i -> regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
                   coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+2], '') || ' ' ||
                   coalesce(regexp_split_to_array(lower(trim(text)), '\s+')[i+3], ''))) AS sh
-           FROM documents WHERE doc_id % 4 = 0),
+           FROM documents WHERE doc_id % 16 = 0),
          rej AS (
            SELECT DISTINCT b.doc_id
            FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -8521,13 +8617,14 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
          adm AS (
            SELECT doc_id FROM documents
-           WHERE doc_id % 4 = 0
+           WHERE doc_id % 16 = 0
              AND doc_id NOT IN (SELECT doc_id FROM rej))
          SELECT * FROM (VALUES
            ('deferred_after_t1', 1),
            ('final_hh_eq_fresh', 1),
            ('final_hll_eq_fresh', 1),
            ('final_kll_n_exact', 1),
+           ('final_sample_eq_fresh', 1),
            ('n_live', (SELECT count(*) FROM adm
               WHERE doc_id % 20 NOT IN (4, 8))),
            ('refit_cleared_at_threshold', 1),
@@ -8578,6 +8675,29 @@ object SparkEntry {
          HAVING count(CASE WHEN w = 0 THEN n_chars END) > 0
             AND count(CASE WHEN w = 1 THEN n_chars END) > 0
          ORDER BY grp""",
+    // q257: the maxStale serve face — the post-refresh store is in
+    // MG's exact regime, so the served top-10 is the exact per-source
+    // token top-10 over the live slice with a zero error envelope;
+    // the lifecycle bits (stale → refreshed → ≡ fresh fit) are
+    // in-engine constants
+    "q257_serve_max_stale" ->
+      """WITH live AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id % 16 = 0 AND doc_id % 32 <> 16),
+         toks AS (
+           SELECT source AS grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM live),
+         cnts AS (
+           SELECT grp, item, count(*)::BIGINT AS cnt
+           FROM toks GROUP BY grp, item),
+         ranked AS (
+           SELECT grp, item, cnt, row_number() OVER (
+             PARTITION BY grp ORDER BY cnt DESC, item) AS rank
+           FROM cnts)
+         SELECT grp, CAST(rank AS INT) AS rank, item, cnt,
+           cnt AS cnt_hi, 1 AS lifecycle_ok
+         FROM ranked WHERE rank <= 10 ORDER BY grp, rank""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle
