@@ -287,6 +287,20 @@ object CountStore {
     * re-admit a duplicate silently). Run it on the maintenance cadence
     * of any log-structured store here (FreqStream's compact, Bm25's
     * compactIndex); skip-behavior is unchanged — specced. */
+  /** Priced trigger for [[compactLedger]] — the CorpusLog.maybeCompact
+    * discipline applied to the ledger: a driver-side file listing (no
+    * job), compact only past the backlog threshold. Wired into the
+    * gated fold's closeFold (r13) so a long-lived stream's ledger
+    * stops degrading every alreadyApplied probe; callers on their own
+    * cadence can still call [[compactLedger]] directly. */
+  def maybeCompactLedger(spark: org.apache.spark.sql.SparkSession,
+      name: String, maxFiles: Int = 64): Unit = {
+    val ledger = s"${name}_applied"
+    if (spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).inputFiles.length > maxFiles)
+      compactLedger(spark, name)
+  }
+
   def compactLedger(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     val ledger = s"${name}_applied"

@@ -615,6 +615,10 @@ object IndexMaintenance {
       graft.operators.CountStore.markApplied(spark, logName, ver)
       graft.operators.CountStore.setBuilding(spark, logName, on = false)
       CorpusLog.maybeCompact(spark, logName, idCol)
+      // the fold ledger accrues one file per batch and armFold LISTS
+      // them all on every delivery — fold its backlog on the same
+      // priced cadence as the log's (r13; driver-side listing, no job)
+      graft.operators.CountStore.maybeCompactLedger(spark, logName)
     }
 
   /** [[applyUpserts]] + the COUNT-MODEL fold, WITHOUT the dedup gate —

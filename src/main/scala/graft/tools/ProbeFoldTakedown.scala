@@ -5,18 +5,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.CountStore
 import graft.streaming.{IndexMaintenance, IngestDedup}
 
-/** Round-12 verdict #1 measurement: a TRICKLE of takedown batches
-  * against the gated fold with three union-only sketch families
-  * attached (HLL + HH + KLL). At `refitBacklog` = 1 (the r11
-  * semantics) every departure batch re-inits all three stores over
-  * the live corpus — N batches, 3·N corpus passes. With the deferral
+/** Round-12 verdict #1 measurement, extended to FOUR families in
+  * r13 (verdict #2): a TRICKLE of takedown batches against the gated
+  * fold with the three union-only sketch families (HLL + HH + KLL)
+  * plus the weighted SAMPLE store attached. At `refitBacklog` = 1
+  * (the r11 semantics) every departure batch re-inits the sketch
+  * stores over the live corpus AND pays the sample's dropDocs live
+  * read — N batches, 4·N corpus passes. With the deferral
   * (`refitBacklog` > N) each batch only appends a one-row staleness
-  * mark; ONE `refreshCountStores` at the end settles everything —
-  * N batches, 3 corpus passes total. The probe times both schedules
-  * on the same corpus; the per-batch wall of the deferred run should
-  * sit near the no-store-attached floor (the gated batch's own
-  * classification/index cost) and stay FLAT in N, while the immediate
-  * run carries the corpus-sized re-init tax every batch. */
+  * mark (plus the sample's takedown-sized pending-id rows); ONE
+  * `refreshCountStores` at the end settles everything — N batches,
+  * 4 corpus passes total. The probe times both schedules on the same
+  * corpus; the per-batch wall of the deferred run should sit near the
+  * no-store-attached floor (the gated batch's own classification /
+  * index cost) and stay FLAT in N, while the immediate run carries
+  * the corpus-sized tax every batch. */
 object ProbeFoldTakedown {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32)
@@ -60,37 +63,59 @@ object ProbeFoldTakedown {
       val tag = s"probe_ftd_$backlog"
       val idx = tag + "_idx"; val sig = tag + "_sigs"; val log = tag + "_log"
       val hll = tag + "_hll"; val hh = tag + "_hh"; val kll = tag + "_kll"
+      val smp = tag + "_smp"
       IndexMaintenance.initStores(spark, idx)
       IngestDedup.initStore(spark, sig)
       graft.sources.Sinks.dropTable(spark, sig + "_pending_rm")
       for (t <- Seq(log, log + "_applied",
           hll + "_hll", hll + "_hll_params", hll + "_stale",
           hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
-          kll + "_kll", kll + "_kll_params", kll + "_stale"))
+          kll + "_kll", kll + "_kll_params", kll + "_stale",
+          smp + "_sample", smp + "_sample_params", smp + "_stale",
+          smp + "_stale_ids", smp + "_layout"))
         graft.sources.Sinks.dropTable(spark, t)
-      for (n <- Seq(log, hll, hh, kll))
+      for (n <- Seq(log, hll, hh, kll, smp))
         CountStore.setBuilding(spark, n, on = false)
       val fold = IndexMaintenance.countStoreFold(spark,
         sketchStore = Some((hll, "lang")),
         hhStore = Some((hh, "source", 200)),
         quantileStore = Some((kll, "source", "n_chars")),
+        sampleStore = Some((smp, "lang", "n_chars")), sampleK = 10,
         buckets = 32, refitBacklog = backlog)
       time(s"[$mode] bootstrap ${nDocs} docs") {
         IndexMaintenance.applyGatedUpserts(spark, idx, sig, corpus,
           ver = 1L, buckets = 32, docFold = Some((log, fold)))
       }
       var total = 0.0
-      for (k <- 1 to nBatches)
-        total += time(s"[$mode] takedown batch $k (~100 docs)") {
-          IndexMaintenance.applyGatedUpserts(spark, idx, sig, takedown(k),
+      for (k <- 1 to nBatches) {
+        // make each batch HIT a sampled row (otherwise dropDocs'
+        // group-pruned refit — and its live read — never fires and the
+        // immediate mode undercounts the sample family's cost); the
+        // rank-k row is live in both modes (deferred: store bit-still;
+        // immediate: refits never resurrect removed ids). The lookup
+        // runs OUTSIDE the timed window.
+        val hitId = graft.operators.SampleStore.sample(spark, smp)
+          .filter(col("rank") === k).orderBy(col("grp")).limit(1)
+          .head().getAs[Long]("id")
+        val batch = takedown(k).unionByName(
+          corpus.filter(col("doc_id") === hitId)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              lit(null).cast("string").as("lang"),
+              lit(null).cast("string").as("source"),
+              lit(null).cast("long").as("n_chars")))
+          .distinct().localCheckpoint()
+        total += time(s"[$mode] takedown batch $k (~100 docs + 1 sampled)") {
+          IndexMaintenance.applyGatedUpserts(spark, idx, sig, batch,
             ver = k + 1L, buckets = 32, docFold = Some((log, fold)))
         }
+      }
       if (backlog > 1)
         total += time(s"[$mode] refreshCountStores (settles all $nBatches)") {
           IndexMaintenance.refreshCountStores(spark, log,
             sketchStore = Some((hll, "lang")),
             hhStore = Some((hh, "source", 200)),
-            quantileStore = Some((kll, "source", "n_chars")))
+            quantileStore = Some((kll, "source", "n_chars")),
+            sampleStore = Some((smp, "lang", "n_chars")))
         }
       println(f"[$mode] takedown phase total: $total%7.1f s")
     }

@@ -133,6 +133,16 @@ class NbStoreSpec extends SparkSpec {
       "text", "label", batchId = 3L))
     assert(NbStore.applyBatch(labeled((99L, "z", "x")), "nbspec_led", 2,
       "text", "label", batchId = 6L))
+    // the PRICED trigger (r13, the fold's cadence): below the file
+    // threshold it is a no-op; above, it compacts with identical skip
+    // behavior
+    val files = spark.table("nbspec_led_applied").inputFiles.length
+    CountStore.maybeCompactLedger(spark, "nbspec_led", maxFiles = 1000)
+    assert(spark.table("nbspec_led_applied").inputFiles.length === files)
+    CountStore.maybeCompactLedger(spark, "nbspec_led", maxFiles = 0)
+    assert(spark.table("nbspec_led_applied").inputFiles.length === 1)
+    assert(!NbStore.applyBatch(labeled((99L, "z", "x")), "nbspec_led", 2,
+      "text", "label", batchId = 6L))
   }
 
   test("a torn commit (marker present) refuses serve and merge loudly; initStore repairs") {
