@@ -3514,7 +3514,7 @@ object SparkEntry {
           fnb + "_counts", fnb + "_class", flm + "_tri", flm + "_bi",
           flm + "_uni", fsmp + "_sample", fsmp + "_sample_params"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, nb, lm, smp, fnb, flm, fsmp))
+      for (n <- Seq(log, log + "__compact", nb, lm, smp, fnb, flm, fsmp))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -3957,7 +3957,8 @@ object SparkEntry {
           fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params",
           fsmp + "_sample", fsmp + "_sample_params", fsmp + "_layout"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, hll, hh, kll, smp, fhll, fhh, fsmp))
+      for (n <- Seq(log, log + "__compact", hll, hh, kll, smp, fhll, fhh,
+          fsmp))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 16 === 0)
@@ -4164,7 +4165,7 @@ object SparkEntry {
           hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
           kll + "_kll", kll + "_kll_params", kll + "_stale"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, hll, hh, kll))
+      for (n <- Seq(log, log + "__compact", hll, hh, kll))
         CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 16 === 0)
@@ -4293,7 +4294,8 @@ object SparkEntry {
           hh + "_hh", hh + "_hh_n", hh + "_hh_params", hh + "_stale",
           fhh + "_hh", fhh + "_hh_n", fhh + "_hh_params"))
         graft.sources.Sinks.dropTable(s, t)
-      for (n <- Seq(log, hh, fhh)) CountStore.setBuilding(s, n, on = false)
+      for (n <- Seq(log, log + "__compact", hh, fhh))
+        CountStore.setBuilding(s, n, on = false)
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 16 === 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))

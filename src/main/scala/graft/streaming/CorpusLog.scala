@@ -157,10 +157,17 @@ object CorpusLog {
       .localCheckpoint()
   }
 
+  /** Count of [[live]] calls this JVM — the fold's "live passes" are
+    * exactly these, so probes can report the STRUCTURAL deferral win
+    * (live-pass count per schedule) independent of host steal, which
+    * regularly contaminates wall clocks on this class of machine. */
+  val liveReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The full LIVE corpus (latest-wins over every id, markers drop
     * out) — deliberately corpus-sized; consumed only by the stated
     * full-pass paths (sketch re-init, sample group refit). */
   def live(spark: SparkSession, name: String, idCol: String): DataFrame = {
+    liveReads.incrementAndGet()
     recoverCompact(spark, name)
     require(spark.catalog.tableExists(name),
       s"corpus log '$name' does not exist")

@@ -87,6 +87,7 @@ object ProbeFoldTakedown {
           ver = 1L, buckets = 32, docFold = Some((log, fold)))
       }
       var total = 0.0
+      val liveReads0 = graft.streaming.CorpusLog.liveReads.get()
       for (k <- 1 to nBatches) {
         // make each batch HIT a sampled row (otherwise dropDocs'
         // group-pruned refit — and its live read — never fires and the
@@ -118,6 +119,10 @@ object ProbeFoldTakedown {
             sampleStore = Some((smp, "lang", "n_chars")))
         }
       println(f"[$mode] takedown phase total: $total%7.1f s")
+      // the STRUCTURAL claim, steal-immune: live-corpus passes paid by
+      // the takedown phase (bootstrap pays none in either mode)
+      println(s"[$mode] live-corpus passes in takedown phase: " +
+        (graft.streaming.CorpusLog.liveReads.get() - liveReads0))
     }
     spark.stop()
   }

@@ -61,7 +61,8 @@ class CountFoldSpec extends SparkSpec {
         "cff_hh_hh", "cff_hh_hh_n", "cff_hh_hh_params",
         "cff_kll_kll", "cff_kll_kll_params"))
       graft.sources.Sinks.dropTable(spark, t)
-    for (n <- Seq(log, nb, lm, smp, hll, hh, kll, "cff_nb", "cff_lm",
+    for (n <- Seq(log, log + "__compact", nb, lm, smp, hll, hh, kll,
+        "cff_nb", "cff_lm",
         "cff_smp", "cff_hll", "cff_hh", "cff_kll"))
       CountStore.setBuilding(spark, n, on = false)
   }

@@ -138,6 +138,30 @@ class HhStoreSpec extends SparkSpec {
     assert(top.getAs[Long]("cnt_hi") === 6L)
   }
 
+  test("maxStale serve: fresh store never pays the refresh; an unwired refresh thunk fails LOUD") {
+    clean("hh_t6")
+    HhStore.initStore(items("a" -> 5, "b" -> 3), "hh_t6", "grp", "item", k = 4)
+    // fresh store: the refresh thunk must NOT run
+    var refreshed = false
+    val top = HhStore.topHitters(spark, "hh_t6", n = 1, maxStale = 0,
+      refresh = () => { refreshed = true })
+    assert(top.count() === 1 && !refreshed)
+    // stale store + a thunk that does not actually settle THIS store:
+    // serving silently stale under a "guaranteed" face is the failure
+    // mode serveWithin exists to kill
+    CountStore.markStale(spark, "hh_t6", 2L)
+    val e = intercept[IllegalArgumentException] {
+      HhStore.topHitters(spark, "hh_t6", n = 1, maxStale = 0,
+        refresh = () => { refreshed = true })
+    }
+    assert(refreshed, "the thunk must be attempted before failing")
+    assert(e.getMessage.contains("refresh"))
+    // a thunk that DOES settle it serves fine
+    val top2 = HhStore.topHitters(spark, "hh_t6", n = 1, maxStale = 0,
+      refresh = () => CountStore.clearStale(spark, "hh_t6"))
+    assert(top2.count() === 1)
+  }
+
   test("stream-fed store equals the one-shot build (exact regime; ledger wired)") {
     clean("hh_s1"); clean("hh_s1f")
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
