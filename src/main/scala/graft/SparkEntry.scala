@@ -4331,6 +4331,44 @@ object SparkEntry {
         .orderBy(col("grp"), col("rank"))
     }),
 
+    // q258: FEDERATED store merge (round 13) — the mergeable-summaries
+    // property lifted to store⊕store: two disjoint corpus slices ("two
+    // crawls on two clusters") are sketched into two standing HH
+    // stores; HhStore.mergeStores combines them at the coordinator in
+    // groups-sized work with NO corpus read, and the merged serve must
+    // hash-match a full DuckDB token-count replay of the UNION slice.
+    // Exact regime on both sides AND in the merge (k ≫ union
+    // distincts): d_a = d_b = o_merge = 0, so the served envelope is
+    // exactly the true counts (cnt_hi = cnt). The compressed-regime
+    // contract, parameter-mismatch loudness, and the other three
+    // families' merges (HLL / KLL / sample — the sample merge is
+    // EXACT by the associative-combiner argument) are
+    // StoreFederationSpec's cases.
+    "q258_store_federation" -> ((s, d) => {
+      import graft.operators.{CountStore, HhStore}
+      val (a, b, out) = ("graft_q258_a", "graft_q258_b", "graft_q258_fed")
+      def toks(m: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 32 === m)
+        .select(col("source").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+      for ((n, m) <- Seq((a, 0), (b, 8))) {
+        graft.sources.StoreCache.table(s, n, s"hhfed32|$n|r13|$d",
+          Seq(n + "_hh", n + "_hh_n", n + "_hh_params")) {
+          for (t <- Seq(n + "_hh", n + "_hh_n", n + "_hh_params",
+              n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          HhStore.initStore(toks(m), n, "grp", "item", k = 100000)
+        }
+      }
+      for (t <- Seq(out + "_hh", out + "_hh_n", out + "_hh_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, out, on = false)
+      HhStore.mergeStores(s, a, b, out)
+      HhStore.topHitters(s, out, n = 10)
+        .orderBy(col("grp"), col("rank"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -8699,6 +8737,26 @@ object SparkEntry {
            FROM cnts)
          SELECT grp, CAST(rank AS INT) AS rank, item, cnt,
            cnt AS cnt_hi, 1 AS lifecycle_ok
+         FROM ranked WHERE rank <= 10 ORDER BY grp, rank""",
+    // q258: the merged store is in the exact regime end to end
+    // (d_a = d_b = o_merge = 0), so the federated serve is the exact
+    // per-source token top-10 over the UNION of the two slices with a
+    // zero envelope
+    "q258_store_federation" ->
+      """WITH toks AS (
+           SELECT source AS grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM documents
+           WHERE doc_id % 32 = 0 OR doc_id % 32 = 8),
+         cnts AS (
+           SELECT grp, item, count(*)::BIGINT AS cnt
+           FROM toks GROUP BY grp, item),
+         ranked AS (
+           SELECT grp, item, cnt, row_number() OVER (
+             PARTITION BY grp ORDER BY cnt DESC, item) AS rank
+           FROM cnts)
+         SELECT grp, CAST(rank AS INT) AS rank, item, cnt,
+           cnt AS cnt_hi
          FROM ranked WHERE rank <= 10 ORDER BY grp, rank""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;

@@ -214,6 +214,64 @@ object HhStore {
     }
   }
 
+  /** FEDERATED store merge (round 13): combine two STANDING stores
+    * into a third with NO corpus read anywhere — the mergeable-
+    * summaries property (Agarwal et al. 2012) lifted from batch⊕store
+    * to store⊕store. The 100 TB shape this exists for: two crawls
+    * sketched on two clusters (or two time windows sketched on two
+    * cadences) meet at a coordinator as groups-sized tables; the merge
+    * is counter-pointwise addition + one compress — never a re-scan
+    * of either corpus. Guarantees compose exactly as the fold's wave
+    * merge: n_c = n_a + n_b (exact), d_c = d_a + d_b + o_merge (every
+    * estimate in the merged summary undercounts its true union count
+    * by at most d_c), and when k covers the union's distinct items no
+    * compress fires, so the merged store IS the exact union count
+    * table (the q258 gate rides this regime under a full DuckDB
+    * oracle). Sides must share k — a mixed-k merge would need the
+    * looser k to bound both sides and silently weaken the tighter
+    * side's declared envelope; loud beats subtle. */
+  def mergeStores(spark: SparkSession, a: String, b: String,
+      out: String, prefixes: Int = 0): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    val (ka, kb) = (kOf(spark, a), kOf(spark, b))
+    require(ka == kb,
+      s"mergeStores: k differs ($a has $ka, $b has $kb) — summaries " +
+        "with different compression bounds do not merge soundly")
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    CountStore.clearStale(spark, out)
+    CountStore.writeLayout(spark, out, prefixes)
+    def side(t: String) = spark.table(t).drop("tok_pfx")
+    // legacy (pre-d) side: bake the classic floor(n/(k+1)) in as its d
+    // — valid there by the topHitters argument (no removal ever ran on
+    // a d-less store), and a sum of valid bounds is a valid bound
+    def sideN(t: String) = {
+      val df = side(t)
+      if (df.columns.contains("d")) df
+      else df.withColumn("d", floor(col("n") / (ka + 1)).cast("long"))
+    }
+    val summed = side(s"${a}_hh").unionByName(side(s"${b}_hh"))
+      .groupBy(col("grp"), col("item"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val (hh, off) = compressWithOffsets(summed, ka)
+    val n = sideN(s"${a}_hh_n").unionByName(sideN(s"${b}_hh_n"))
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+      .join(off, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        (col("d") + coalesce(col("__off"), lit(0L))).as("d"))
+    if (prefixes > 0) {
+      CountStore.writePrefixedInit(s"${out}_hh", hh, "grp", prefixes)
+      CountStore.writePrefixedInit(s"${out}_hh_n", n, "grp", prefixes)
+    } else {
+      graft.sources.Sinks.parquetTable(hh, s"${out}_hh")
+      graft.sources.Sinks.parquetTable(n, s"${out}_hh_n")
+    }
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(ka).as("k")), s"${out}_hh_params")
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   def maintainStream(items: DataFrame, name: String, grpCol: String,
       itemCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -130,6 +130,35 @@ object QuantileStore {
     (merged, pfx, touched)
   }
 
+  /** FEDERATED store merge (round 13, the HhStore.mergeStores
+    * discipline): two standing KLL stores → one via `kll_merge_agg`
+    * over the groups-sized sketch tables — NO corpus read. KLL merge
+    * is the same operation Spark's partial aggregation performs per
+    * wave; the merged sketch's n is EXACT (n_c = n_a + n_b) and rank
+    * queries keep the published ε(k) envelope (merge preserves it —
+    * Karnin-Lang-Liberty 2016). Sides must share k. */
+  def mergeStores(spark: SparkSession, a: String, b: String,
+      out: String, prefixes: Int = 0): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    val (ka, kb) = (kOf(spark, a), kOf(spark, b))
+    require(ka == kb, s"mergeStores: k differs ($a has $ka, $b has $kb)")
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    CountStore.clearStale(spark, out)
+    CountStore.writeLayout(spark, out, prefixes)
+    val merged = spark.table(s"${a}_kll").drop("tok_pfx")
+      .unionByName(spark.table(s"${b}_kll").drop("tok_pfx"))
+      .groupBy(col("grp"))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+    if (prefixes > 0)
+      CountStore.writePrefixedInit(s"${out}_kll", merged, "grp", prefixes)
+    else graft.sources.Sinks.parquetTable(merged, s"${out}_kll")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(ka).as("k")), s"${out}_kll_params")
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   def maintainStream(docs: DataFrame, name: String, grpCol: String,
       valCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -97,6 +97,35 @@ object SketchStore {
       .localCheckpoint() // settle BEFORE overwriting what we read
   }
 
+  /** FEDERATED store merge (round 13, the HhStore.mergeStores
+    * discipline): two standing HLL stores → one, via register-wise
+    * max over the groups-sized sketch tables — NO corpus read on
+    * either side. HLL union is exactly what Spark's partial
+    * aggregation already does per wave, so merged-at-the-coordinator
+    * ≡ sketched-on-one-cluster at the REGISTER level; the served
+    * estimates carry the documented sparse/dense HIP-vs-composite
+    * asymmetry (scaladoc above). Sides must share lgK (a mixed-lgK
+    * union silently downgrades the finer side). */
+  def mergeStores(spark: SparkSession, a: String, b: String,
+      out: String): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    val (la, lb) = (lgKOf(spark, a), lgKOf(spark, b))
+    require(la == lb,
+      s"mergeStores: lgK differs ($a has $la, $b has $lb)")
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    CountStore.clearStale(spark, out)
+    graft.sources.Sinks.parquetTable(
+      spark.table(s"${a}_hll").unionByName(spark.table(s"${b}_hll"))
+        .groupBy(col("grp"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk")),
+      s"${out}_hll")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(la).as("lg_k")), s"${out}_hll_params")
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   def maintainStream(docs: DataFrame, name: String, grpCol: String,
       idCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

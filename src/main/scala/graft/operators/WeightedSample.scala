@@ -394,6 +394,37 @@ object SampleStore {
     CountStore.clearStale(spark, name)
   }
 
+  /** FEDERATED store merge (round 13, the HhStore.mergeStores
+    * discipline): two standing samples → one via the SAME associative
+    * top-k combiner the wave merge uses — topk(topk(A) ∪ topk(B)) =
+    * topk(A ∪ B) under per-row deterministic priorities, so unlike
+    * the sketch merges this one is EXACT: the merged store is
+    * bit-identical to a one-shot sample of the union corpus (and a
+    * shared (grp, id) claims max weight across sides, the wave
+    * merge's dedup rule). Groups-sized, NO corpus read. Sides must
+    * share k. */
+  def mergeStores(spark: SparkSession, a: String, b: String,
+      out: String, prefixes: Int = 0): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    def kOf(n: String) =
+      spark.table(s"${n}_sample_params").head().getAs[Int]("k")
+    val (ka, kb) = (kOf(a), kOf(b))
+    require(ka == kb, s"mergeStores: k differs ($a has $ka, $b has $kb)")
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    clearStaleAll(spark, out)
+    CountStore.writeLayout(spark, out, prefixes)
+    val merged = topK(spark.table(s"${a}_sample").drop("tok_pfx")
+      .unionByName(spark.table(s"${b}_sample").drop("tok_pfx")), ka)
+    if (prefixes > 0)
+      CountStore.writePrefixedInit(s"${out}_sample", merged, "grp", prefixes)
+    else graft.sources.Sinks.parquetTable(merged, s"${out}_sample")
+    graft.sources.Sinks.parquetTable(
+      spark.range(1).select(lit(ka).as("k")), s"${out}_sample_params")
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   def maintainStream(docs: DataFrame, name: String, grpCol: String,
       idCol: String, weightCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
