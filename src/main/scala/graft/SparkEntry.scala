@@ -8693,7 +8693,7 @@ object SparkEntry {
              AND doc_id NOT IN (SELECT doc_id FROM rej))
          SELECT * FROM (VALUES
            ('hh_items_total', (SELECT coalesce(sum(
-              len(regexp_split_to_array(lower(trim(text)), '\s+'))), 0)
+              len(regexp_split_to_array(lower(trim(text)), '\s+'))), 0)::BIGINT
               FROM live)),
            ('hll_groups', (SELECT count(DISTINCT lang) FROM live)),
            ('kll_n_total', (SELECT count(n_chars) FROM live)),

@@ -369,6 +369,30 @@ object CountStore {
     }
   }
 
+  /** Federation × staleness (r13 advice, medium): a federated merge
+    * must not LAUNDER staleness — merging a side with pending deferred
+    * takedowns used to clearStale the output, so departed docs were
+    * baked into the merged counters while `stale_batches` read 0,
+    * silently dropping the visible-staleness contract serveWithin
+    * relies on. Contract now: **the merged store INHERITS the union
+    * backlog** — both sides' `_stale` ledgers are summed into `out`'s,
+    * so describe(out).stale_batches = a's + b's and a maxStale-bounded
+    * serve on the merged store refreshes (or fails loud) exactly as it
+    * would have on the stale side. Fresh ⊕ fresh still yields a fresh
+    * store; the id-ledger families (sample) additionally union their
+    * `_stale_ids`. The union is settled (localCheckpoint) before
+    * `out`'s ledger drops, so merging INTO one of the sides is safe. */
+  private[operators] def mergeStale(spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String, out: String): Unit = {
+    val union = Seq(a, b).map(n => s"${n}_stale")
+      .filter(spark.catalog.tableExists)
+      .map(spark.table)
+      .reduceOption(_.unionByName(_)).map(_.localCheckpoint())
+    clearStale(spark, out)
+    union.foreach(_.write.mode("append").format("parquet")
+      .saveAsTable(s"${out}_stale"))
+  }
+
   /** Clear the backlog — called by the re-init that settled it. Every
     * family that can MARK stale clears here on initStore (HLL / MG /
     * KLL directly; the sample store via its clearStaleAll, which also

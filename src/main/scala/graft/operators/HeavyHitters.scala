@@ -227,7 +227,12 @@ object HhStore {
     * by at most d_c), and when k covers the union's distinct items no
     * compress fires, so the merged store IS the exact union count
     * table (the q258 gate rides this regime under a full DuckDB
-    * oracle). Sides must share k — a mixed-k merge would need the
+    * oracle). Staleness contract (r13 advice, medium): the merged
+    * store INHERITS the union of both sides' pending-departure
+    * backlogs ([[CountStore.mergeStale]]) — a stale side cannot
+    * launder its backlog through a merge; serve the merged store
+    * through a maxStale face to force the settle.
+    * Sides must share k — a mixed-k merge would need the
     * looser k to bound both sides and silently weaken the tighter
     * side's declared envelope; loud beats subtle. */
   def mergeStores(spark: SparkSession, a: String, b: String,
@@ -240,7 +245,7 @@ object HhStore {
         "with different compression bounds do not merge soundly")
     CountStore.setBuilding(spark, out, on = true)
     CountStore.dropLedger(spark, out)
-    CountStore.clearStale(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
     CountStore.writeLayout(spark, out, prefixes)
     def side(t: String) = spark.table(t).drop("tok_pfx")
     // legacy (pre-d) side: bake the classic floor(n/(k+1)) in as its d

@@ -218,6 +218,56 @@ object NbStore {
         keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign))
   }
 
+  /** FEDERATED model merge (round 14, the HhStore.mergeStores
+    * discipline reaching the model families): two standing NB models
+    * → one, via counter-pointwise ADDITION over the model-sized
+    * tables — NO corpus read on either side. Unlike the sketch
+    * families this merge is EXACT with no envelope at all: NB counts
+    * are plain additive integers, so merged ≡ a one-shot
+    * [[initStore]] of the two training corpora concatenated,
+    * bit-identical counts hence identical scores (the q218 equality
+    * algebra, lifted store⊕store). The 100 TB shape: two clusters
+    * label two crawl shards, the coordinator merges two vocab-sized
+    * count tables. Sides are DISJOINT corpora by contract — a doc
+    * indexed on both sides counts twice, exactly as appending the
+    * same batch twice would (additive semantics; there are no
+    * tunable summary parameters to mismatch, so unlike the
+    * sketch merges there is no k/lgK guard). Staleness: NB never
+    * defers takedowns (subtraction is exact in-place), so there is
+    * no backlog to inherit; [[CountStore.mergeStale]] still runs for
+    * uniformity (a no-op on fresh sides). */
+  def mergeStores(spark: org.apache.spark.sql.SparkSession, a: String,
+      b: String, out: String, buckets: Int = 32,
+      prefixes: Int = 0): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
+    CountStore.writeLayout(spark, out, prefixes)
+    def side(t: String) = spark.table(t).drop("tok_pfx")
+    // explicit key shuffle — Spark 4.1 plans a union of two
+    // identically-bucketed scans + groupBy WITHOUT the merging
+    // exchange, leaving per-side partials unmerged (duplicate groups;
+    // BucketedUnionHazardSpec pins the repro). The repartition is the
+    // shuffle a correct plan needs anyway, so it costs nothing extra.
+    val cc = side(s"${a}_counts").unionByName(side(s"${b}_counts"))
+      .repartition(col("label"), col("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byClass = spark.table(s"${a}_class")
+      .unionByName(spark.table(s"${b}_class"))
+      .groupBy(col("label"))
+      .agg(sum(col("n_c")).as("n_c"), sum(col("t_c")).as("t_c"))
+    if (prefixes > 0)
+      CountStore.writePrefixedInit(s"${out}_counts", cc, "token", prefixes)
+    else
+      graft.sources.Sinks.parquetBucketed(cc, s"${out}_counts", buckets,
+        Seq("token"), Seq("token"))
+    graft.sources.Sinks.parquetTable(byClass, s"${out}_class")
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   /** Streaming maintenance: `foreachBatch` over a labeled doc stream,
     * folding each micro-batch's counts into the standing model —
     * online NB learning with the exactness the algebra gives batch

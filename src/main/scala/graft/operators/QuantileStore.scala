@@ -136,7 +136,10 @@ object QuantileStore {
     * is the same operation Spark's partial aggregation performs per
     * wave; the merged sketch's n is EXACT (n_c = n_a + n_b) and rank
     * queries keep the published ε(k) envelope (merge preserves it —
-    * Karnin-Lang-Liberty 2016). Sides must share k. */
+    * Karnin-Lang-Liberty 2016). Sides must share k. Staleness
+    * contract (r13 advice): the merged store INHERITS the union
+    * backlog ([[CountStore.mergeStale]]) — no laundering through a
+    * merge. */
   def mergeStores(spark: SparkSession, a: String, b: String,
       out: String, prefixes: Int = 0): Unit = {
     CountStore.requireServable(spark, a)
@@ -145,7 +148,7 @@ object QuantileStore {
     require(ka == kb, s"mergeStores: k differs ($a has $ka, $b has $kb)")
     CountStore.setBuilding(spark, out, on = true)
     CountStore.dropLedger(spark, out)
-    CountStore.clearStale(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
     CountStore.writeLayout(spark, out, prefixes)
     val merged = spark.table(s"${a}_kll").drop("tok_pfx")
       .unionByName(spark.table(s"${b}_kll").drop("tok_pfx"))

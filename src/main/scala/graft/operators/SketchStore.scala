@@ -105,7 +105,9 @@ object SketchStore {
     * ≡ sketched-on-one-cluster at the REGISTER level; the served
     * estimates carry the documented sparse/dense HIP-vs-composite
     * asymmetry (scaladoc above). Sides must share lgK (a mixed-lgK
-    * union silently downgrades the finer side). */
+    * union silently downgrades the finer side). Staleness contract
+    * (r13 advice): the merged store INHERITS the union backlog
+    * ([[CountStore.mergeStale]]) — no laundering through a merge. */
   def mergeStores(spark: SparkSession, a: String, b: String,
       out: String): Unit = {
     CountStore.requireServable(spark, a)
@@ -115,7 +117,7 @@ object SketchStore {
       s"mergeStores: lgK differs ($a has $la, $b has $lb)")
     CountStore.setBuilding(spark, out, on = true)
     CountStore.dropLedger(spark, out)
-    CountStore.clearStale(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
     graft.sources.Sinks.parquetTable(
       spark.table(s"${a}_hll").unionByName(spark.table(s"${b}_hll"))
         .groupBy(col("grp"))

@@ -383,6 +383,56 @@ object LmStore {
       idCol, textCol)
   }
 
+  /** FEDERATED model merge (round 14, the NbStore.mergeStores
+    * discipline): two standing trigram LMs → one, via counter-
+    * pointwise ADDITION over all three n-gram tables — NO corpus
+    * read. N-gram counts are plain additive integers, so the merge
+    * is EXACT: merged ≡ a one-shot [[initStore]] of the two
+    * reference corpora concatenated, bit-identical counts hence
+    * identical stupid-backoff / bigram / unigram scores (the q219
+    * equality algebra, lifted store⊕store). Sides are DISJOINT
+    * corpora by contract (a shared doc counts twice — additive
+    * semantics); no tunable summary parameters exist to mismatch.
+    * Staleness: LM takedowns subtract exactly in place, so there is
+    * no backlog to inherit; [[CountStore.mergeStale]] runs for
+    * uniformity (a no-op on fresh sides). */
+  def mergeStores(spark: org.apache.spark.sql.SparkSession, a: String,
+      b: String, out: String, buckets: Int = 32,
+      prefixes: Int = 0): Unit = {
+    CountStore.requireServable(spark, a)
+    CountStore.requireServable(spark, b)
+    CountStore.setBuilding(spark, out, on = true)
+    CountStore.dropLedger(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
+    CountStore.writeLayout(spark, out, prefixes)
+    // explicit key shuffle — the bucketed-union hazard (see
+    // NbStore.mergeStores / BucketedUnionHazardSpec): a union of two
+    // identically-bucketed scans + groupBy plans without the merging
+    // exchange, leaving per-side partials unmerged
+    def summed(suffix: String, keys: Seq[String], cnt: String) =
+      spark.table(s"${a}_$suffix").drop("tok_pfx")
+        .unionByName(spark.table(s"${b}_$suffix").drop("tok_pfx"))
+        .repartition(keys.map(col): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(cnt)).as(cnt))
+    val tri = summed("tri", Seq("p1", "p2", "cur"), "c3")
+    val bi = summed("bi", Seq("prev", "cur"), "cb")
+    val uni = summed("uni", Seq("token"), "cu")
+    if (prefixes > 0) {
+      CountStore.writePrefixedInit(s"${out}_tri", tri, "p1", prefixes)
+      CountStore.writePrefixedInit(s"${out}_bi", bi, "prev", prefixes)
+      CountStore.writePrefixedInit(s"${out}_uni", uni, "token", prefixes)
+    } else {
+      graft.sources.Sinks.parquetBucketed(tri, s"${out}_tri", buckets,
+        Seq("p1"), Seq("p1"))
+      graft.sources.Sinks.parquetBucketed(bi, s"${out}_bi", buckets,
+        Seq("prev"), Seq("prev"))
+      graft.sources.Sinks.parquetBucketed(uni, s"${out}_uni", buckets,
+        Seq("token"), Seq("token"))
+    }
+    CountStore.setBuilding(spark, out, on = false)
+  }
+
   /** Streaming maintenance of the reference corpus: `foreachBatch`
     * appends each micro-batch's n-gram counts under the same
     * exactly-once-or-loud ledger as [[NbStore.maintainStream]]. */

@@ -394,6 +394,21 @@ object SampleStore {
     CountStore.clearStale(spark, name)
   }
 
+  /** The `_stale_ids` half of the inherit-the-backlog merge contract:
+    * union both sides' pending-departure id ledgers into `out`'s
+    * (settled before the drop, so out ∈ {a, b} is safe). */
+  private def mergeStaleIds(spark: SparkSession, a: String, b: String,
+      out: String): Unit = {
+    val union = Seq(a, b).map(n => s"${n}_stale_ids")
+      .filter(spark.catalog.tableExists)
+      .map(spark.table)
+      .reduceOption(_.unionByName(_))
+      .map(_.distinct().localCheckpoint())
+    graft.sources.Sinks.dropTable(spark, s"${out}_stale_ids")
+    union.foreach(_.write.mode("append").format("parquet")
+      .saveAsTable(s"${out}_stale_ids"))
+  }
+
   /** FEDERATED store merge (round 13, the HhStore.mergeStores
     * discipline): two standing samples → one via the SAME associative
     * top-k combiner the wave merge uses — topk(topk(A) ∪ topk(B)) =
@@ -402,7 +417,12 @@ object SampleStore {
     * bit-identical to a one-shot sample of the union corpus (and a
     * shared (grp, id) claims max weight across sides, the wave
     * merge's dedup rule). Groups-sized, NO corpus read. Sides must
-    * share k. */
+    * share k. Staleness contract (r13 advice, medium): the merged
+    * store INHERITS both sides' pending-departure backlogs — the
+    * `_stale` ledgers sum ([[CountStore.mergeStale]]) and the
+    * `_stale_ids` id ledgers UNION into `out`, so a departed row
+    * riding a stale side's sample stays visibly pending and the next
+    * [[refitStale]] (over the union corpus) prunes it. */
   def mergeStores(spark: SparkSession, a: String, b: String,
       out: String, prefixes: Int = 0): Unit = {
     CountStore.requireServable(spark, a)
@@ -413,7 +433,8 @@ object SampleStore {
     require(ka == kb, s"mergeStores: k differs ($a has $ka, $b has $kb)")
     CountStore.setBuilding(spark, out, on = true)
     CountStore.dropLedger(spark, out)
-    clearStaleAll(spark, out)
+    CountStore.mergeStale(spark, a, b, out)
+    mergeStaleIds(spark, a, b, out)
     CountStore.writeLayout(spark, out, prefixes)
     val merged = topK(spark.table(s"${a}_sample").drop("tok_pfx")
       .unionByName(spark.table(s"${b}_sample").drop("tok_pfx")), ka)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CountStore, HhStore, QuantileStore, SampleStore, SketchStore}
+import graft.operators.{CountStore, HhStore, LmStore, NbStore, QuantileStore, SampleStore, SketchStore}
 
 /** FEDERATED store merges (round 13): two standing stores — two
   * crawls, two clusters, two time windows — combine into one with NO
@@ -21,6 +21,7 @@ class StoreFederationSpec extends SparkSpec {
   private def clean(names: String*): Unit = {
     for (n <- names; suf <- Seq("_hh", "_hh_n", "_hh_params", "_hll",
         "_hll_params", "_kll", "_kll_params", "_sample", "_sample_params",
+        "_counts", "_class", "_tri", "_bi", "_uni",
         "_applied", "_stale", "_stale_ids", "_layout"))
       graft.sources.Sinks.dropTable(spark, n + suf)
     names.foreach(n => CountStore.setBuilding(spark, n, on = false))
@@ -127,6 +128,95 @@ class StoreFederationSpec extends SparkSpec {
     val y = QuantileStore.quantiles(spark, "fed_qf", Seq(0.1, 0.5, 0.9))
     assert(x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty,
       "merged quantiles/n diverged from the union fit (exact regime)")
+  }
+
+  test("staleness inheritance (r13 advice, medium): merged store carries the union backlog") {
+    clean("fed_ta", "fed_tb", "fed_tc", "fed_ua", "fed_ub", "fed_uc")
+    HhStore.initStore(items(("g", "a", 3)), "fed_ta", "grp", "item", k = 10)
+    HhStore.initStore(items(("g", "b", 2)), "fed_tb", "grp", "item", k = 10)
+    CountStore.markStale(spark, "fed_ta", nGone = 5L)
+    CountStore.markStale(spark, "fed_ta", nGone = 2L)
+    CountStore.markStale(spark, "fed_tb", nGone = 1L)
+    HhStore.mergeStores(spark, "fed_ta", "fed_tb", "fed_tc")
+    assert(CountStore.stalePending(spark, "fed_tc") === ((3L, 8L)),
+      "merged store must inherit both sides' backlogs, not launder them")
+    // fresh ⊕ fresh still yields a fresh store
+    HhStore.initStore(items(("g", "a", 1)), "fed_ua", "grp", "item", k = 10)
+    HhStore.initStore(items(("g", "b", 1)), "fed_ub", "grp", "item", k = 10)
+    HhStore.mergeStores(spark, "fed_ua", "fed_ub", "fed_uc")
+    assert(CountStore.stalePending(spark, "fed_uc") === ((0L, 0L)))
+  }
+
+  test("sample federation inherits _stale_ids; one refitStale settles the merged store") {
+    clean("fed_va", "fed_vb", "fed_vc")
+    // disjoint GROUPS so group g's merged sample is exactly side a's —
+    // the departed row provably rides the stale side into the merge
+    val a = (0 until 12).map(i => ("g", i.toLong, (100 + i).toLong))
+      .toDF("grp", "id", "w")
+    val b = (12 until 24).map(i => ("h", i.toLong, (10 + i).toLong))
+      .toDF("grp", "id", "w")
+    SampleStore.initStore(a, "fed_va", "grp", "id", "w", k = 4)
+    SampleStore.initStore(b, "fed_vb", "grp", "id", "w", k = 4)
+    // side a records a deferred departure of one of its SAMPLED ids
+    val gone = SampleStore.sample(spark, "fed_va")
+      .select("id").as[Long].head()
+    SampleStore.markStale(spark, "fed_va", Seq(gone).toDF("id"), nGone = 1L)
+    SampleStore.mergeStores(spark, "fed_va", "fed_vb", "fed_vc")
+    assert(CountStore.stalePending(spark, "fed_vc") === ((1L, 1L)))
+    assert(spark.table("fed_vc_stale_ids").as[Long].collect().toSet === Set(gone))
+    assert(SampleStore.sample(spark, "fed_vc")
+      .filter(col("id") === gone).count() === 1L,
+      "precondition: the departed id rides the stale side's sample into the merge")
+    val live = a.unionByName(b).filter(col("id") =!= gone)
+    SampleStore.refitStale(spark, "fed_vc", live, "grp", "id", "w")
+    assert(CountStore.stalePending(spark, "fed_vc") === ((0L, 0L)))
+    assert(SampleStore.sample(spark, "fed_vc").filter(col("id") === gone).isEmpty,
+      "refitStale over the union-live corpus must prune the inherited departure")
+  }
+
+  // NB/LM federation (round 14): counts are plain additive integers,
+  // so the merge is EXACT with no envelope — and there are no summary
+  // parameters (k/lgK) to mismatch; a wrong-family merge fails loud at
+  // the table read. NB/LM never defer takedowns (exact in-place
+  // subtraction), so there is no staleness to inherit.
+  test("NB federation: merged model ≡ one-shot fit of the concatenated corpora") {
+    clean("fed_na", "fed_nb", "fed_nc", "fed_nf")
+    val a = Seq((1L, "the cat sat", "en"), (2L, "le chat noir", "fr"),
+      (3L, "cat and dog ran", "en")).toDF("doc_id", "text", "label")
+    val b = Seq((4L, "der hund lief", "de"), (5L, "the dog ran fast", "en"),
+      (6L, "chat et chien", "fr")).toDF("doc_id", "text", "label")
+    NbStore.initStore(a, "fed_na", buckets = 2)
+    NbStore.initStore(b, "fed_nb", buckets = 2)
+    NbStore.mergeStores(spark, "fed_na", "fed_nb", "fed_nc", buckets = 2)
+    NbStore.initStore(a.unionByName(b), "fed_nf", buckets = 2)
+    assert(tablesEq("fed_nc_counts", "fed_nf_counts"), "count tables diverged")
+    assert(tablesEq("fed_nc_class", "fed_nf_class"), "class tables diverged")
+    val docs = Seq((10L, "the cat ran"), (11L, "chat chien"),
+      (12L, "hund lief")).toDF("doc_id", "text")
+    val x = NbStore.classifyFromStore(spark, "fed_nc", docs)
+    val y = NbStore.classifyFromStore(spark, "fed_nf", docs)
+    assert(x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty,
+      "merged-store classifications diverged from the union fit's")
+  }
+
+  test("LM federation: merged trigram LM ≡ one-shot fit; identical backoff scores") {
+    clean("fed_ga", "fed_gb", "fed_gc", "fed_gf")
+    val a = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val b = Seq((3L, "a cat and a dog ran"),
+      (4L, "the cat ran on the mat")).toDF("doc_id", "text")
+    LmStore.initStore(a, "fed_ga", buckets = 2)
+    LmStore.initStore(b, "fed_gb", buckets = 2)
+    LmStore.mergeStores(spark, "fed_ga", "fed_gb", "fed_gc", buckets = 2)
+    LmStore.initStore(a.unionByName(b), "fed_gf", buckets = 2)
+    for (suf <- Seq("_tri", "_bi", "_uni"))
+      assert(tablesEq("fed_gc" + suf, "fed_gf" + suf), s"$suf diverged")
+    val probe = Seq((10L, "the cat ran on the rug"),
+      (11L, "a dog sat")).toDF("doc_id", "text")
+    val x = LmStore.scoreFromStore(spark, "fed_gc", probe)
+    val y = LmStore.scoreFromStore(spark, "fed_gf", probe)
+    assert(x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty,
+      "merged-store backoff scores diverged from the union fit's")
   }
 
   test("sample federation is EXACT: merged ≡ one-shot fit of the union; shared ids claim max weight") {

@@ -6,6 +6,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Loads every <verifyOutDir>/<name>/ parquet result, runs the matching SQL
 from oracle_sql.json in DuckDB (tables = <sfDir>/*.parquet registered by
 stem), sorts columns by name + rows by all columns, and diffs values.
+
+Dtype fidelity (r13 lesson): the driver's hash normalizes integer WIDTH
+(int32 vs int64) and timestamp PRECISION (ns vs us) but does NOT coerce
+across dtype classes — an int Spark column vs a float oracle column hash-
+mismatches even when every value compares equal under pandas `==` (q255:
+DuckDB sum(INT) is HUGEINT, pandas materializes HUGEINT as float64, so
+862 hashed != 862.0). So after the value diff we compare dtype CLASSES:
+class mismatch (int vs float, numeric vs string, ...) is a FAIL even when
+values match; same-class width/precision drift is a WARN (driver-
+normalized, see ARCHITECTURE "Oracle dtype fidelity").
 """
 import json, sys, glob, os
 import duckdb
@@ -16,6 +26,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
+
+def dtype_class(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's hash distinguishes."""
+    k = getattr(dt, "kind", "O")
+    if k in "iu": return "int"
+    if k == "f":  return "float"
+    if k == "b":  return "bool"
+    if k == "M":  return "datetime"
+    if k == "m":  return "timedelta"
+    return "object"  # strings, arrays, structs, decimals-as-object
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -54,10 +74,23 @@ def main(sf_dir, out_dir):
             if not eq.all():
                 i = (~eq).idxmax()
                 diffs.append(f"col {c} row {i}: {a[i]!r} != {b[i]!r} ({(~eq).sum()} diffs)")
+        warns = []
+        for c in got.columns:
+            ga, wa = got[c].dtype, want[c].dtype
+            if ga == wa:
+                continue
+            gc, wc = dtype_class(ga), dtype_class(wa)
+            if gc != wc:
+                diffs.append(f"col {c} dtype-class {gc}({ga}) != {wc}({wa})"
+                             " [driver hash does NOT coerce across classes]")
+            else:
+                warns.append(f"col {c} {ga} vs {wa} (width/precision only,"
+                             " driver-normalized)")
         if diffs:
             print(f"FAIL {name}: " + "; ".join(diffs)); n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            w = ("; WARN " + "; ".join(warns)) if warns else ""
+            print(f"PASS {name} ({len(got)} rows){w}"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
