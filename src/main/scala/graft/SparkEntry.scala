@@ -4369,6 +4369,84 @@ object SparkEntry {
         .orderBy(col("grp"), col("rank"))
     }),
 
+    // q259: NB model FEDERATION (round 14, r13 verdict #4) — the q258
+    // discipline reaching the model families: two disjoint corpus
+    // slices are fit into two standing NB models on "two clusters";
+    // NbStore.mergeStores combines them in model-sized work with NO
+    // corpus read, and the merged model's serve surface (top-5 tokens
+    // per label + the per-class n_c/t_c mass) must hash-match a full
+    // DuckDB token-count replay of the UNION slice. NB counts are
+    // plain additive integers, so unlike q258's exact-regime argument
+    // this holds with no envelope at all — merged ≡ one-shot fit,
+    // bit for bit (StoreFederationSpec proves the score face too).
+    "q259_nb_federation" -> ((s, d) => {
+      import graft.operators.{CountStore, NbStore}
+      val (a, b, out) = ("graft_q259_a", "graft_q259_b", "graft_q259_fed")
+      def slice(m: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === m)
+        .select(col("doc_id"), col("text"), col("lang").as("label"))
+      for ((n, m) <- Seq((a, 1), (b, 9))) {
+        graft.sources.StoreCache.table(s, n, s"nbfed16|$n|r14|$d",
+          Seq(n + "_counts", n + "_class")) {
+          for (t <- Seq(n + "_counts", n + "_class", n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          NbStore.initStore(slice(m), n, buckets = 8)
+        }
+      }
+      for (t <- Seq(out + "_counts", out + "_class"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, out, on = false)
+      NbStore.mergeStores(s, a, b, out, buckets = 8)
+      graft.plans.TopKPerKey.rankedTopKMulti(
+          s.table(out + "_counts").withColumn("__neg", -col("cnt")),
+          Seq("label"), Seq("__neg", "token"), 5)
+        .drop("__neg")
+        .join(s.table(out + "_class"), Seq("label"))
+        .select(col("label"), col("rank"), col("token"), col("cnt"),
+          col("n_c"), col("t_c"))
+        .orderBy(col("label"), col("rank"))
+    }),
+
+    // q260: trigram-LM FEDERATION (round 14, r13 verdict #4) — two
+    // standing LMs over disjoint slices merge with NO corpus read;
+    // the merged model's n-gram surface (top-20 trigrams under a
+    // total-order tiebreak, plus all three tables' count masses) must
+    // hash-match a full DuckDB n-gram replay of the UNION slice.
+    // Additive integer counts: merged ≡ one-shot fit, no envelope.
+    "q260_lm_federation" -> ((s, d) => {
+      import graft.operators.{CountStore, LmStore}
+      val (a, b, out) = ("graft_q260_a", "graft_q260_b", "graft_q260_fed")
+      def slice(m: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === m)
+        .select(col("doc_id"), col("text"))
+      for ((n, m) <- Seq((a, 3), (b, 11))) {
+        graft.sources.StoreCache.table(s, n, s"lmfed16|$n|r14|$d",
+          Seq(n + "_tri", n + "_bi", n + "_uni")) {
+          for (t <- Seq(n + "_tri", n + "_bi", n + "_uni", n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          LmStore.initStore(slice(m), n, buckets = 8)
+        }
+      }
+      for (t <- Seq(out + "_tri", out + "_bi", out + "_uni"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, out, on = false)
+      LmStore.mergeStores(s, a, b, out, buckets = 8)
+      val totals = s.table(out + "_tri")
+        .agg(coalesce(sum(col("c3")), lit(0L)).as("tri_total"))
+        .crossJoin(s.table(out + "_bi")
+          .agg(coalesce(sum(col("cb")), lit(0L)).as("bi_total")))
+        .crossJoin(s.table(out + "_uni")
+          .agg(coalesce(sum(col("cu")), lit(0L)).as("uni_total")))
+      s.table(out + "_tri")
+        .orderBy(col("c3").desc, col("p1"), col("p2"), col("cur"))
+        .limit(20)
+        .crossJoin(broadcast(totals))
+        .select(col("p1"), col("p2"), col("cur"), col("c3"),
+          col("tri_total"), col("bi_total"), col("uni_total"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -8758,6 +8836,61 @@ object SparkEntry {
          SELECT grp, CAST(rank AS INT) AS rank, item, cnt,
            cnt AS cnt_hi
          FROM ranked WHERE rank <= 10 ORDER BY grp, rank""",
+    // q259: merged NB model ≡ a token-count replay of the union slice
+    // — additive integers, no envelope; n_c/t_c are the per-class doc
+    // and token masses of the union
+    "q259_nb_federation" ->
+      """WITH sl AS (
+           SELECT lang AS label, text FROM documents
+           WHERE doc_id % 16 = 1 OR doc_id % 16 = 9),
+         toks AS (
+           SELECT label,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM sl),
+         cnts AS (
+           SELECT label, token, count(*)::BIGINT AS cnt
+           FROM toks GROUP BY label, token),
+         cls AS (
+           SELECT label, count(*)::BIGINT AS n_c,
+             sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::BIGINT
+               AS t_c
+           FROM sl GROUP BY label),
+         ranked AS (
+           SELECT label, token, cnt, row_number() OVER (
+             PARTITION BY label ORDER BY cnt DESC, token) AS rank
+           FROM cnts)
+         SELECT r.label, CAST(r.rank AS INT) AS rank, r.token, r.cnt,
+           c.n_c, c.t_c
+         FROM ranked r JOIN cls c USING (label)
+         WHERE r.rank <= 5 ORDER BY r.label, r.rank""",
+    // q260: merged trigram LM ≡ an n-gram replay of the union slice;
+    // docs under 3 (resp. 2) tokens contribute no trigrams (bigrams),
+    // mirroring the engine's sequence guard
+    "q260_lm_federation" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE doc_id % 16 = 3 OR doc_id % 16 = 11),
+         tri AS (
+           SELECT struct_extract(g, 'p1') AS p1,
+             struct_extract(g, 'p2') AS p2,
+             struct_extract(g, 'cur') AS cur
+           FROM (SELECT unnest(list_transform(range(len(tk) - 2),
+             i -> struct_pack(p1 := tk[i+1], p2 := tk[i+2],
+               cur := tk[i+3]))) AS g
+             FROM t WHERE len(tk) >= 3)),
+         cnts AS (
+           SELECT p1, p2, cur, count(*)::BIGINT AS c3
+           FROM tri GROUP BY p1, p2, cur),
+         tots AS (
+           SELECT
+             coalesce(sum(greatest(len(tk) - 2, 0)), 0)::BIGINT AS tri_total,
+             coalesce(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1
+               ELSE 0 END), 0)::BIGINT AS bi_total,
+             coalesce(sum(len(tk)), 0)::BIGINT AS uni_total
+           FROM t)
+         SELECT p1, p2, cur, c3, tri_total, bi_total, uni_total
+         FROM cnts CROSS JOIN tots
+         ORDER BY c3 DESC, p1, p2, cur LIMIT 20""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle
