@@ -243,6 +243,7 @@ object CountStore {
   /** Has `batchId` already committed to `<name>_applied`? */
   def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
       name: String, batchId: Long): Boolean = {
+    recoverLedgerCompact(spark, name)
     val ledger = s"${name}_applied"
     spark.catalog.tableExists(ledger) &&
       !spark.table(ledger).filter(col("batch_id") === batchId).isEmpty
@@ -274,10 +275,15 @@ object CountStore {
   }
 
   /** A rebuild resets stream state: drop the idempotence ledger so a
-    * re-seeded store does not skip batches meant for the new model. */
+    * re-seeded store does not skip batches meant for the new model.
+    * Also clears any in-flight compact state (staging + marker) — the
+    * rebuild supersedes whatever the torn compact was preserving. */
   private[operators] def dropLedger(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit =
+      name: String): Unit = {
     graft.sources.Sinks.dropTable(spark, s"${name}_applied")
+    graft.sources.Sinks.dropTable(spark, s"${name}_applied__staging")
+    setBuilding(spark, ledgerCompactMarker(name), on = false)
+  }
 
   /** The append-mode ledger grows ONE FILE PER BATCH — a week-long
     * minutely stream is ~10k tiny files and every `alreadyApplied`
@@ -295,22 +301,69 @@ object CountStore {
     * cadence can still call [[compactLedger]] directly. */
   def maybeCompactLedger(spark: org.apache.spark.sql.SparkSession,
       name: String, maxFiles: Int = 64): Unit = {
+    recoverLedgerCompact(spark, name)
     val ledger = s"${name}_applied"
     if (spark.catalog.tableExists(ledger) &&
         spark.table(ledger).inputFiles.length > maxFiles)
       compactLedger(spark, name)
   }
 
+  /** The exactly-once ledger is load-bearing state: losing it makes
+    * the next stream delivery demand a full rebuild. So the rewrite
+    * runs under the CorpusLog.compact discipline (r13 advice, low),
+    * not the fold's shared `__building` marker with in-memory ids:
+    * the distinct ids land in a DURABLE staging table first, then the
+    * swap (drop + recreate-from-staging) runs under its own
+    * `_applied__compact` marker, and [[recoverLedgerCompact]] —
+    * wired into every ledger entry point — replays a torn swap
+    * idempotently from staging (the swap is a pure function of
+    * staging, so replay is safe from any crash point). */
   def compactLedger(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
+    recoverLedgerCompact(spark, name)
     val ledger = s"${name}_applied"
     if (spark.catalog.tableExists(ledger)) {
       requireServable(spark, name)
-      val ids = spark.table(ledger).distinct()
-        .coalesce(1).localCheckpoint()
-      setBuilding(spark, name, on = true)
-      graft.sources.Sinks.parquetTable(ids, ledger)
-      setBuilding(spark, name, on = false)
+      val staging = s"${ledger}__staging"
+      graft.sources.Sinks.dropTable(spark, staging)
+      // staging is written IN FULL before the marker goes down
+      spark.table(ledger).distinct().coalesce(1)
+        .write.mode("overwrite").format("parquet").saveAsTable(staging)
+      setBuilding(spark, ledgerCompactMarker(name), on = true)
+      graft.sources.Sinks.dropTable(spark, ledger)
+      spark.table(staging).write.mode("append").format("parquet")
+        .saveAsTable(ledger)
+      graft.sources.Sinks.dropTable(spark, staging)
+      setBuilding(spark, ledgerCompactMarker(name), on = false)
+    }
+  }
+
+  private def ledgerCompactMarker(name: String) = s"${name}_applied__compact"
+
+  /** Heal a ledger swap the compact marker proves was torn — the
+    * CorpusLog.recoverCompact shape on the `_applied` ledger. One
+    * fs.exists on the hot path; the heal body only runs after a real
+    * crash. */
+  private def recoverLedgerCompact(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    if (isBuilding(spark, ledgerCompactMarker(name))) {
+      val ledger = s"${name}_applied"
+      val staging = s"${ledger}__staging"
+      if (spark.catalog.tableExists(staging)) {
+        graft.sources.Sinks.dropTable(spark, ledger)
+        spark.table(staging).write.mode("append").format("parquet")
+          .saveAsTable(ledger)
+        graft.sources.Sinks.dropTable(spark, staging)
+        setBuilding(spark, ledgerCompactMarker(name), on = false)
+      } else if (spark.catalog.tableExists(ledger)) {
+        // swap completed; only the marker lift was lost
+        setBuilding(spark, ledgerCompactMarker(name), on = false)
+      } else {
+        throw new IllegalStateException(
+          s"count store '$name': ledger-compact marker is down but " +
+            "neither the ledger nor its staging copy exists — rebuild " +
+            "the store via initStore (stream state is lost)")
+      }
     }
   }
 
@@ -356,7 +409,22 @@ object CountStore {
     * not wired to this store would otherwise serve silently stale
     * under a face named "guaranteed"). maxStale = 0 = never serve
     * stale. Backlog-sized reads only; a fresh store never pays the
-    * refresh. */
+    * refresh.
+    *
+    * Evaluation-time contract (r13 advice, low): the bound is checked
+    * AT CALL TIME and the serve faces return lazy DataFrames — a
+    * departure marked between this check and the frame's evaluation
+    * is not re-checked. This is sound, not just documented-away: a
+    * mark-stale never mutates the served tables (it only appends to
+    * the backlog ledger), and the only table swap a concurrent
+    * maintenance pass can perform is a REFRESH — so a late evaluation
+    * reads data that is the same as, or fresher than, what a call-time
+    * localCheckpoint would have pinned. The staleness NUMBER can grow
+    * after the check; the CONTENT served never degrades past it. The
+    * count-model maintenance schedule is single-driver by design
+    * (folds and refits run as driver-side calls), so callers wanting
+    * a hard call-time snapshot can localCheckpoint the returned
+    * frame themselves. */
   private[graft] def serveWithin(spark: org.apache.spark.sql.SparkSession,
       name: String, maxStale: Int, refresh: () => Unit): Unit = {
     require(maxStale >= 0, s"maxStale must be >= 0, got $maxStale")

@@ -88,16 +88,29 @@ object ProbeFoldTakedown {
       }
       var total = 0.0
       val liveReads0 = graft.streaming.CorpusLog.liveReads.get()
+      val sliceMod = nDocs / 100
+      var hitIds = List.empty[Long]
       for (k <- 1 to nBatches) {
         // make each batch HIT a sampled row (otherwise dropDocs'
         // group-pruned refit — and its live read — never fires and the
-        // immediate mode undercounts the sample family's cost); the
-        // rank-k row is live in both modes (deferred: store bit-still;
-        // immediate: refits never resurrect removed ids). The lookup
-        // runs OUTSIDE the timed window.
-        val hitId = graft.operators.SampleStore.sample(spark, smp)
-          .filter(col("rank") === k).orderBy(col("grp")).limit(1)
-          .head().getAs[Long]("id")
+        // immediate mode undercounts the sample family's cost). The
+        // row must be VERIFIED STILL LIVE (r13 advice, low): earlier
+        // slices and earlier hit ids have already departed, and in
+        // deferred mode the bit-still store still LISTS them — hitting
+        // a departed id would silently void the premise. headOption +
+        // loud message when the sample runs shallower than nBatches.
+        // The lookup runs OUTSIDE the timed window.
+        val live = graft.operators.SampleStore.sample(spark, smp)
+          .filter(!(col("id") % sliceMod >= 1 && col("id") % sliceMod < k))
+          .filter(if (hitIds.isEmpty) lit(true)
+            else !col("id").isin(hitIds: _*))
+          .orderBy(col("rank"), col("grp")).limit(1)
+          .collect().headOption
+        val hitId = live.map(_.getAs[Long]("id")).getOrElse(sys.error(
+          s"[$mode] batch $k: no live sampled row left to hit — the " +
+            s"sample is shallower than nBatches ($nBatches); raise " +
+            "sampleK or lower nBatches"))
+        hitIds ::= hitId
         val batch = takedown(k).unionByName(
           corpus.filter(col("doc_id") === hitId)
             .select(col("doc_id"), lit(null).cast("string").as("text"),

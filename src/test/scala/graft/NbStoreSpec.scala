@@ -145,6 +145,48 @@ class NbStoreSpec extends SparkSpec {
       "text", "label", batchId = 6L))
   }
 
+  test("ledger compact is crash-safe: torn swap heals from durable staging at every entry point") {
+    import graft.operators.CountStore
+    def mkStore(): Unit = {
+      NbStore.initStore(labeled((1L, "a", "x")), "nbspec_led2", buckets = 2)
+      (1L to 3L).foreach(b => NbStore.applyBatch(
+        labeled((10L + b, "b", "x")), "nbspec_led2", 2, "text", "label", b))
+    }
+    val marker = "nbspec_led2_applied__compact"
+    val staging = "nbspec_led2_applied__staging"
+    // crash point 1: staging written in full, marker down, ledger
+    // dropped — the mid-swap window that used to lose the ledger
+    mkStore()
+    spark.table("nbspec_led2_applied").distinct().coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(staging)
+    CountStore.setBuilding(spark, marker, on = true)
+    graft.sources.Sinks.dropTable(spark, "nbspec_led2_applied")
+    // any ledger read heals: applied ids are intact, skips unchanged
+    assert(CountStore.alreadyApplied(spark, "nbspec_led2", 2L),
+      "heal-from-staging must preserve the applied set")
+    assert(!CountStore.alreadyApplied(spark, "nbspec_led2", 9L))
+    assert(!spark.catalog.tableExists(staging), "staging must clear after heal")
+    assert(!NbStore.applyBatch(labeled((99L, "z", "x")), "nbspec_led2", 2,
+      "text", "label", batchId = 3L), "healed ledger must still skip")
+    // crash point 2: swap completed, only the marker lift was lost
+    CountStore.setBuilding(spark, marker, on = true)
+    assert(CountStore.alreadyApplied(spark, "nbspec_led2", 1L))
+    // marker cleared — a fresh compact runs clean end to end
+    CountStore.compactLedger(spark, "nbspec_led2")
+    assert(spark.table("nbspec_led2_applied").inputFiles.length === 1)
+    // crash point 3: marker down with NEITHER ledger nor staging — not
+    // a state compact can produce; refuse loudly
+    graft.sources.Sinks.dropTable(spark, "nbspec_led2_applied")
+    CountStore.setBuilding(spark, marker, on = true)
+    val e = intercept[IllegalStateException] {
+      CountStore.alreadyApplied(spark, "nbspec_led2", 1L)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // initStore is the repair path: clears compact state wholesale
+    mkStore()
+    assert(CountStore.alreadyApplied(spark, "nbspec_led2", 1L))
+  }
+
   test("a torn commit (marker present) refuses serve and merge loudly; initStore repairs") {
     import graft.operators.CountStore
     NbStore.initStore(labeled((1L, "a a", "x")), "nbspec_torn", buckets = 4)
