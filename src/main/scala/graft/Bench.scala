@@ -39,7 +39,7 @@ object Bench {
     final case class Sweep(head: Map[String, Double], cur: Map[String, Double],
         asset: Map[String, Double], serving: Map[String, Double],
         model: Map[String, Double], layout: Map[String, Double],
-        stores: Map[String, Double],
+        stores: Map[String, Double], lifecycle: Map[String, Double],
         steal: Long, loadPre: Double, loadPost: Double)
     def sweep(): Sweep = {
       val l0 = loadAvg1m()
@@ -51,8 +51,11 @@ object Bench {
       val model = minOf3(SparkEntry.benchModelQueries)
       val layout = minOf3(SparkEntry.benchLayoutQueries)
       val stores = minOf3(SparkEntry.benchStoreQueries)
+      // build-dominated lifecycle entries, split from the serve groups
+      // (r13 verdict #6) so each total reads unambiguously
+      val lifecycle = minOf3(SparkEntry.benchLifecycleQueries)
       val s1 = stealTicks()
-      Sweep(head, cur, asset, serving, model, layout, stores,
+      Sweep(head, cur, asset, serving, model, layout, stores, lifecycle,
         if (s0 < 0 || s1 < 0) -1L else s1 - s0, l0, loadAvg1m())
     }
     // Contention GATES: rounds 6 and 7 committed recordings contaminated
@@ -119,9 +122,10 @@ object Bench {
     val modelTotal = best.model.values.filter(_ >= 0).sum
     val layoutTotal = best.layout.values.filter(_ >= 0).sum
     val storesTotal = best.stores.values.filter(_ >= 0).sum
+    val lifecycleTotal = best.lifecycle.values.filter(_ >= 0).sum
     // Both load samples stay in the artifact so a recording that
     // somehow slips both gates is still self-identifying.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"model_total":$modelTotal,"model_queries":${fmt(best.model)},"layout_total":$layoutTotal,"layout_queries":${fmt(best.layout)},"stores_total":$storesTotal,"stores_queries":${fmt(best.stores)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length},"gate_clean":$gateClean}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best.head)},"curation_total":$curTotal,"curation_queries":${fmt(best.cur)},"asset_total":$assetTotal,"asset_queries":${fmt(best.asset)},"serving_total":$servingTotal,"serving_queries":${fmt(best.serving)},"model_total":$modelTotal,"model_queries":${fmt(best.model)},"layout_total":$layoutTotal,"layout_queries":${fmt(best.layout)},"stores_total":$storesTotal,"stores_queries":${fmt(best.stores)},"lifecycle_total":$lifecycleTotal,"lifecycle_queries":${fmt(best.lifecycle)},"sf":"$sfDir","load_avg_1m":${best.loadPost},"load_avg_pre":${best.loadPre},"load_gate":$loadGate,"steal_ticks":${best.steal},"steal_gate":$gate,"sweep_attempts":${attempts.length},"gate_clean":$gateClean}""")
     spark.stop()
   }
 

@@ -4447,6 +4447,37 @@ object SparkEntry {
           col("tri_total"), col("bi_total"), col("uni_total"))
     }),
 
+    // q261: BM25 index FEDERATION (round 14) — the q259 discipline on
+    // the retrieval layer: two disjoint slices indexed as two standing
+    // BM25 indexes on "two clusters"; Bm25.mergeIndexes combines them
+    // in INDEX-sized work (postings/doclens union as physical facts,
+    // df and stats add exactly under the loud doc-disjointness check),
+    // and the merged serve must hash-match a full DuckDB BM25 replay
+    // of the UNION slice (the q78 arithmetic). Tombstone inheritance,
+    // derived-tier rules, and table-level equality to the one-shot
+    // union build are Bm25FederationSpec's cases.
+    "q261_bm25_federation" -> ((s, d) => {
+      val (a, b, out) = ("graft_q261_a", "graft_q261_b", "graft_q261_fed")
+      def sl(m: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === m)
+        .select(col("doc_id"), col("text"))
+      for ((n, m) <- Seq((a, 5), (b, 13))) {
+        graft.sources.StoreCache.table(s, n, s"bm25fed16|$n|r14|$d",
+          Seq(n + "_postings", n + "_terms", n + "_doclens", n + "_stats")) {
+          graft.operators.Bm25.buildIndex(sl(m), n, buckets = 8)
+        }
+      }
+      graft.operators.Bm25.mergeIndexes(s, a, b, out, buckets = 8)
+      val terms = Tables.documents(s, d).filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5))
+          .as("term"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.scoreIndexed(s, out, terms)
+        .select(col("doc_id"), col("n_matched"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -6382,20 +6413,31 @@ object SparkEntry {
     "q254_hilbert3_write")
 
   /** Seventh bench group (round 12, r11 verdict #3): the COUNT-MODEL
-    * STORE layer — the gated-fold maintenance lifecycle (a lean
-    * bootstrap + takedown-refit schedule, q255; the full deferral
-    * schedule is q252's correctness gate, too many waves for a
-    * min-of-3 sweep), the Misra-Gries heavy-hitters serve (q247
-    * shape) and the KLL quantile SQL serve (q249 shape). Tracked
-    * from the layer's birth round like layout and model were: a
-    * regression in fold or store-merge cost was previously invisible
-    * until the full gate's wall moved. */
+    * STORE layer's SERVE costs — the Misra-Gries heavy-hitters serve
+    * (q247 shape) and the KLL quantile SQL serve (q249 shape).
+    * Round 14 (r13 verdict #6): the build-dominated lifecycle entries
+    * that used to sit here moved to [[benchLifecycleQueries]] so this
+    * group reads as what serving costs, not what building costs —
+    * q255 + q257 were 26 s of a ~46 s bench and min-of-3 multiplied
+    * them into the serve story. */
   val benchStoreQueries: Seq[String] = Seq(
-    "q255_store_maintenance", "q247_hh_serve", "q249_sql_quantile_serve",
-    // round 13: the serve-with-staleness-bound face — the cost of the
-    // one-call guarantee (deferred takedown + refresh-at-serve),
-    // tracked from its birth round
-    "q257_serve_max_stale")
+    "q247_hh_serve", "q249_sql_quantile_serve")
+
+  /** Eighth bench group (round 14, r13 verdict #6): store LIFECYCLE
+    * costs — real builds by design (bootstrap + takedown + refresh
+    * schedules), reported as their own total so the query-serving
+    * groups stay readable while the maintenance story keeps its
+    * round-over-round regression tracking. q255/q257 keep their full
+    * histories (tracked from rounds 12/13 in the stores group).
+    * q260 (LM federation) stays out with the q199/q203 rationale:
+    * same merge algebra as q259 across three tables, and its
+    * fit-dominated wall (~11 s × min-of-3) would triple this group
+    * for no extra signal; its cost story lives in the query catalog. */
+  val benchLifecycleQueries: Seq[String] = Seq(
+    "q255_store_maintenance", "q257_serve_max_stale",
+    // round 14: NB model federation — two fits + the coordinator
+    // merge, tracked from its birth round
+    "q259_nb_federation")
 
   /** q204's oracle, shared verbatim by q205 (the SQL-frontend face of
     * the same audio near-dup pipeline): one truth, two engine-side
@@ -8891,6 +8933,33 @@ object SparkEntry {
          SELECT p1, p2, cur, c3, tri_total, bi_total, uni_total
          FROM cnts CROSS JOIN tots
          ORDER BY c3 DESC, p1, p2, cur LIMIT 20""",
+    // q261: merged BM25 index ≡ the q78 replay over the union slice —
+    // df/stats additivity under doc-disjointness makes the merged
+    // weights bit-identical to a one-shot index of the union
+    "q261_bm25_federation" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+')[1:5]) AS term
+           FROM documents WHERE doc_id = 0),
+         live AS (SELECT * FROM documents
+           WHERE doc_id % 16 = 5 OR doc_id % 16 = 13),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM live),
+         dl AS (
+           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+           FROM live),
+         stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM toks JOIN terms ON token = term GROUP BY doc_id, token),
+         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, count(*) AS n_matched,
+           round(sum(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+         GROUP BY tf.doc_id ORDER BY doc_id""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle

@@ -249,6 +249,87 @@ object Bm25 {
       .write.mode("append").format("parquet").saveAsTable(s"${name}_tombstones")
   }
 
+  /** FEDERATED index merge (round 14, the NbStore.mergeStores
+    * discipline reaching the retrieval layer): two standing BM25
+    * indexes over DISJOINT corpora → one, in INDEX-sized work — no
+    * corpus re-scan, no re-tokenization. The 100 TB shape: two crawl
+    * shards indexed on two clusters meet at a coordinator as postings
+    * tables. Exactness per table: postings / doclens / positions rows
+    * are per-(doc, term) physical facts, so a doc-disjoint union IS
+    * the one-shot index's table; df_c = df_a + df_b and the stats
+    * sums add exactly (doc-disjointness makes every count additive) —
+    * the merged serve is bit-identical to an index built over the
+    * concatenated corpora (Bm25FederationSpec: table equality AND
+    * serve equality; q261 hash-matches a DuckDB BM25 replay of the
+    * union slice). Doc-disjointness is REQUIRED and checked loudly
+    * against the doclens tables (doc-sized, the cheapest sound
+    * witness) — an overlapping doc would double-count df and corpus
+    * stats silently. Tombstones INHERIT (the r14 staleness-inheritance
+    * contract): the union tombstone set rides into `out`, serves
+    * adjust exactly as each side would have, and [[compactIndex]]
+    * settles them as usual. Derived tiers: `_positions` merges when
+    * BOTH sides built it (physical rows — exact) and is absent
+    * otherwise (positional serving fails loud on the missing table,
+    * never silently over half the corpus); `_champions` is always
+    * DROPPED — champion lists are weight-ordered under each side's
+    * global (df, avgdl), which the merge changes, so they are not
+    * merge-stable; rebuild via [[buildChampions]] on the settled
+    * merged index (index-sized). */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession, a: String,
+      b: String, out: String, buckets: Int = 32,
+      idCol: String = "doc_id"): Unit = {
+    requireServable(spark, a)
+    requireServable(spark, b)
+    require(out != a && out != b,
+      s"mergeIndexes: output '$out' must be a third index — merging " +
+        "into a side would overwrite tables while reading them")
+    val overlap = spark.table(s"${a}_doclens").select(col(idCol))
+      .join(spark.table(s"${b}_doclens").select(col(idCol)), Seq(idCol))
+      .count()
+    require(overlap == 0,
+      s"mergeIndexes: $overlap doc ids present in BOTH '$a' and '$b' — " +
+        "federation requires doc-disjoint sides (an overlapping doc " +
+        "would double-count df and corpus stats)")
+    setBuilding(spark, out, on = true)
+    graft.sources.Sinks.dropTable(spark, s"${out}_tombstones")
+    graft.sources.Sinks.dropTable(spark, s"${out}_positions")
+    graft.sources.Sinks.dropTable(spark, s"${out}_champions")
+    def both(suffix: String) =
+      spark.table(s"$a$suffix").unionByName(spark.table(s"$b$suffix"))
+    graft.sources.Sinks.parquetBucketed(both("_postings"),
+      s"${out}_postings", buckets, Seq("term"), Seq("term"))
+    // df summed via a FULL-OUTER co-bucketed join, NOT union+groupBy:
+    // a union of two co-bucketed scans + groupBy on the bucket key is
+    // planned without the merging exchange (and a .repartition(key)
+    // workaround is ELIDED when shuffle.partitions matches the bucket
+    // count) — BucketedUnionHazardSpec pins both. The join is the
+    // legitimate co-bucketed path: same-index buckets pair up, zero
+    // shuffle, per-term sums exact.
+    val at = spark.table(s"${a}_terms").withColumnRenamed("df", "df_a")
+    val bt = spark.table(s"${b}_terms").withColumnRenamed("df", "df_b")
+    graft.sources.Sinks.parquetBucketed(
+      at.join(bt, Seq("term"), "full_outer")
+        .select(col("term"), (coalesce(col("df_a"), lit(0L)) +
+          coalesce(col("df_b"), lit(0L))).as("df")),
+      s"${out}_terms", buckets, Seq("term"), Seq("term"))
+    graft.sources.Sinks.parquetTable(both("_doclens"), s"${out}_doclens")
+    graft.sources.Sinks.parquetTable(
+      both("_stats").agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl")),
+      s"${out}_stats")
+    Seq(a, b).map(n => s"${n}_tombstones")
+      .filter(spark.catalog.tableExists)
+      .map(spark.table(_).select(col(idCol)))
+      .reduceOption(_.unionByName(_)).map(_.distinct().localCheckpoint())
+      .foreach(_.write.mode("append").format("parquet")
+        .saveAsTable(s"${out}_tombstones"))
+    if (spark.catalog.tableExists(s"${a}_positions") &&
+        spark.catalog.tableExists(s"${b}_positions"))
+      graft.sources.Sinks.parquetBucketed(both("_positions"),
+        s"${out}_positions", buckets, Seq("term"), Seq("term"))
+    setBuilding(spark, out, on = false)
+  }
+
   /** Incremental index maintenance: fold NEW documents into a standing
     * index without touching the standing postings — the other half of
     * the delete story ([[removeDocs]]/[[compactIndex]]), and what a

@@ -246,15 +246,19 @@ object NbStore {
     CountStore.mergeStale(spark, a, b, out)
     CountStore.writeLayout(spark, out, prefixes)
     def side(t: String) = spark.table(t).drop("tok_pfx")
-    // explicit key shuffle — Spark 4.1 plans a union of two
-    // identically-bucketed scans + groupBy WITHOUT the merging
-    // exchange, leaving per-side partials unmerged (duplicate groups;
-    // BucketedUnionHazardSpec pins the repro). The repartition is the
-    // shuffle a correct plan needs anyway, so it costs nothing extra.
-    val cc = side(s"${a}_counts").unionByName(side(s"${b}_counts"))
-      .repartition(col("label"), col("token"))
-      .groupBy(col("label"), col("token"))
-      .agg(sum(col("cnt")).as("cnt"))
+    // counts summed via a FULL-OUTER co-bucketed join, NOT
+    // union+groupBy: a union of two co-bucketed scans + groupBy on
+    // keys containing the bucket key plans without the merging
+    // exchange, and a .repartition(keys) workaround is ELIDED whenever
+    // shuffle.partitions matches the bucket count
+    // (BucketedUnionHazardSpec pins both). The join is the legitimate
+    // co-bucketed path: same-index buckets pair, zero shuffle.
+    val cc = side(s"${a}_counts").withColumnRenamed("cnt", "__ca")
+      .join(side(s"${b}_counts").withColumnRenamed("cnt", "__cb"),
+        Seq("label", "token"), "full_outer")
+      .select(col("label"), col("token"),
+        (coalesce(col("__ca"), lit(0L)) +
+          coalesce(col("__cb"), lit(0L))).as("cnt"))
     val byClass = spark.table(s"${a}_class")
       .unionByName(spark.table(s"${b}_class"))
       .groupBy(col("label"))

@@ -405,16 +405,22 @@ object LmStore {
     CountStore.dropLedger(spark, out)
     CountStore.mergeStale(spark, a, b, out)
     CountStore.writeLayout(spark, out, prefixes)
-    // explicit key shuffle — the bucketed-union hazard (see
-    // NbStore.mergeStores / BucketedUnionHazardSpec): a union of two
-    // identically-bucketed scans + groupBy plans without the merging
-    // exchange, leaving per-side partials unmerged
-    def summed(suffix: String, keys: Seq[String], cnt: String) =
-      spark.table(s"${a}_$suffix").drop("tok_pfx")
-        .unionByName(spark.table(s"${b}_$suffix").drop("tok_pfx"))
-        .repartition(keys.map(col): _*)
-        .groupBy(keys.map(col): _*)
-        .agg(sum(col(cnt)).as(cnt))
+    // counts summed via FULL-OUTER co-bucketed joins, NOT
+    // union+groupBy: a union of two co-bucketed scans + groupBy on
+    // keys containing the bucket key plans without the merging
+    // exchange, and a .repartition(keys) workaround is ELIDED whenever
+    // shuffle.partitions matches the bucket count
+    // (BucketedUnionHazardSpec pins both). The join is the legitimate
+    // co-bucketed path: same-index buckets pair, zero shuffle.
+    def summed(suffix: String, keys: Seq[String], cnt: String) = {
+      val x = spark.table(s"${a}_$suffix").drop("tok_pfx")
+        .withColumnRenamed(cnt, "__ca")
+      val y = spark.table(s"${b}_$suffix").drop("tok_pfx")
+        .withColumnRenamed(cnt, "__cb")
+      x.join(y, keys, "full_outer")
+        .select(keys.map(col) :+ (coalesce(col("__ca"), lit(0L)) +
+          coalesce(col("__cb"), lit(0L))).as(cnt): _*)
+    }
     val tri = summed("tri", Seq("p1", "p2", "cur"), "c3")
     val bi = summed("bi", Seq("prev", "cur"), "cb")
     val uni = summed("uni", Seq("token"), "cu")

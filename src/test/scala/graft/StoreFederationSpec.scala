@@ -175,6 +175,10 @@ class StoreFederationSpec extends SparkSpec {
   }
 
   // NB/LM federation (round 14): counts are plain additive integers,
+  // buckets = 8 everywhere below = spark.sql.shuffle.partitions — the
+  // conf where the bucketed-union hazard's repartition workaround is
+  // elided (BucketedUnionHazardSpec), so these cases certify the
+  // full-outer-join merges under the hazardous regime,
   // so the merge is EXACT with no envelope — and there are no summary
   // parameters (k/lgK) to mismatch; a wrong-family merge fails loud at
   // the table read. NB/LM never defer takedowns (exact in-place
@@ -185,10 +189,10 @@ class StoreFederationSpec extends SparkSpec {
       (3L, "cat and dog ran", "en")).toDF("doc_id", "text", "label")
     val b = Seq((4L, "der hund lief", "de"), (5L, "the dog ran fast", "en"),
       (6L, "chat et chien", "fr")).toDF("doc_id", "text", "label")
-    NbStore.initStore(a, "fed_na", buckets = 2)
-    NbStore.initStore(b, "fed_nb", buckets = 2)
-    NbStore.mergeStores(spark, "fed_na", "fed_nb", "fed_nc", buckets = 2)
-    NbStore.initStore(a.unionByName(b), "fed_nf", buckets = 2)
+    NbStore.initStore(a, "fed_na", buckets = 8)
+    NbStore.initStore(b, "fed_nb", buckets = 8)
+    NbStore.mergeStores(spark, "fed_na", "fed_nb", "fed_nc", buckets = 8)
+    NbStore.initStore(a.unionByName(b), "fed_nf", buckets = 8)
     assert(tablesEq("fed_nc_counts", "fed_nf_counts"), "count tables diverged")
     assert(tablesEq("fed_nc_class", "fed_nf_class"), "class tables diverged")
     val docs = Seq((10L, "the cat ran"), (11L, "chat chien"),
@@ -205,10 +209,10 @@ class StoreFederationSpec extends SparkSpec {
       (2L, "the dog sat on the rug")).toDF("doc_id", "text")
     val b = Seq((3L, "a cat and a dog ran"),
       (4L, "the cat ran on the mat")).toDF("doc_id", "text")
-    LmStore.initStore(a, "fed_ga", buckets = 2)
-    LmStore.initStore(b, "fed_gb", buckets = 2)
-    LmStore.mergeStores(spark, "fed_ga", "fed_gb", "fed_gc", buckets = 2)
-    LmStore.initStore(a.unionByName(b), "fed_gf", buckets = 2)
+    LmStore.initStore(a, "fed_ga", buckets = 8)
+    LmStore.initStore(b, "fed_gb", buckets = 8)
+    LmStore.mergeStores(spark, "fed_ga", "fed_gb", "fed_gc", buckets = 8)
+    LmStore.initStore(a.unionByName(b), "fed_gf", buckets = 8)
     for (suf <- Seq("_tri", "_bi", "_uni"))
       assert(tablesEq("fed_gc" + suf, "fed_gf" + suf), s"$suf diverged")
     val probe = Seq((10L, "the cat ran on the rug"),
