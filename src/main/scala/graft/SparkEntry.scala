@@ -4478,6 +4478,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q262: HH DRIFT across two standing stores (round 14) — the
+    // monitoring consumer the federation layer feeds: "which tokens
+    // became heavy between crawl A and crawl B" as a summaries-sized
+    // full-outer join (HhStore.drift), no corpus read on either side.
+    // Exact regime here (k ≫ distincts, d = 0 both sides), so the MG
+    // drift envelope collapses (delta_lo = delta_est = delta_hi) and
+    // the whole served report — per-lang top-10 by delta, one-sided
+    // items flagged new/vanished — hash-matches a full DuckDB replay
+    // of both slices' token counts. The compressed-regime envelope
+    // (true delta ∈ [delta_lo, delta_hi]) is HhStoreSpec's case.
+    "q262_hh_drift" -> ((s, d) => {
+      import graft.operators.{CountStore, HhStore}
+      val (a, b) = ("graft_q262_a", "graft_q262_b")
+      def toks(m: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 16 === m)
+        .select(col("lang").as("grp"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+      for ((n, m) <- Seq((a, 7), (b, 15))) {
+        graft.sources.StoreCache.table(s, n, s"hhdrift16|$n|r14|$d",
+          Seq(n + "_hh", n + "_hh_n", n + "_hh_params")) {
+          for (t <- Seq(n + "_hh", n + "_hh_n", n + "_hh_params",
+              n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          HhStore.initStore(toks(m), n, "grp", "item", k = 100000)
+        }
+      }
+      graft.plans.TopKPerKey.rankedTopKMulti(
+          HhStore.drift(s, a, b).withColumn("__negd", -col("delta_est")),
+          Seq("grp"), Seq("__negd", "item"), 10)
+        .drop("__negd")
+        .select(col("grp"), col("rank"), col("item"), col("est_a"),
+          col("est_b"), col("n_a"), col("n_b"), col("delta_est"),
+          col("delta_lo"), col("delta_hi"), col("status"))
+        .orderBy(col("grp"), col("rank"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -8960,6 +8997,47 @@ object SparkEntry {
                  + 0.75::DOUBLE * dl / avgdl))), 4) AS bm25
          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
          GROUP BY tf.doc_id ORDER BY doc_id""",
+    // q262: exact-regime HH drift ≡ a full-outer token-count replay of
+    // both slices; envelope degenerate (d = 0 both sides)
+    "q262_hh_drift" ->
+      """WITH ta AS (
+           SELECT lang AS grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM documents WHERE doc_id % 16 = 7),
+         tb AS (
+           SELECT lang AS grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+           FROM documents WHERE doc_id % 16 = 15),
+         ca AS (SELECT grp, item, count(*)::BIGINT AS est_a
+                FROM ta GROUP BY grp, item),
+         cb AS (SELECT grp, item, count(*)::BIGINT AS est_b
+                FROM tb GROUP BY grp, item),
+         na AS (SELECT grp, count(*)::BIGINT AS n_a FROM ta GROUP BY grp),
+         nb AS (SELECT grp, count(*)::BIGINT AS n_b FROM tb GROUP BY grp),
+         j AS (
+           SELECT coalesce(ca.grp, cb.grp) AS grp,
+             coalesce(ca.item, cb.item) AS item,
+             coalesce(est_a, 0)::BIGINT AS est_a,
+             coalesce(est_b, 0)::BIGINT AS est_b,
+             CASE WHEN ca.item IS NULL THEN 'new'
+                  WHEN cb.item IS NULL THEN 'vanished'
+                  ELSE 'both' END AS status
+           FROM ca FULL JOIN cb ON ca.grp = cb.grp AND ca.item = cb.item),
+         w AS (
+           SELECT j.grp, j.item, j.est_a, j.est_b,
+             coalesce(n_a, 0)::BIGINT AS n_a,
+             coalesce(n_b, 0)::BIGINT AS n_b,
+             (j.est_b - j.est_a)::BIGINT AS delta_est, j.status
+           FROM j LEFT JOIN na ON na.grp = j.grp
+           LEFT JOIN nb ON nb.grp = j.grp),
+         r AS (
+           SELECT w.*, row_number() OVER (
+             PARTITION BY grp ORDER BY delta_est DESC, item) AS rank
+           FROM w)
+         SELECT grp, CAST(rank AS INT) AS rank, item, est_a, est_b,
+           n_a, n_b, delta_est, delta_est AS delta_lo,
+           delta_est AS delta_hi, status
+         FROM r WHERE rank <= 10 ORDER BY grp, rank""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle

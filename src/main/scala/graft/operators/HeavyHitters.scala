@@ -327,6 +327,54 @@ object HhStore {
     topHitters(spark, name, n)
   }
 
+  /** HH DRIFT across two standing stores (round 14 — the
+    * QuantileStore.drift twin for the heavy-hitter family, and the
+    * monitoring consumer federation was built to feed): "which items
+    * became heavy between crawl A and crawl B" as a groups×items-sized
+    * full-outer join of two standing summaries — no corpus read on
+    * either side. Per (grp, item) in the union of the tracked sets:
+    * both sides' MG estimates (absence coalesces to 0 — the MG lower
+    * bound; a group absent from a side truly has n = 0, so its d is
+    * 0, not unknown), both totals, the signed estimate delta, and the
+    * HONEST drift envelope the MG bounds compose to:
+    * `delta_lo = est_b − est_a − d_a ≤ true_b − true_a ≤
+    * est_b − est_a + d_b = delta_hi` (est ≤ true ≤ est + d per side).
+    * In the exact regime (k covers distincts, d = 0 both sides) the
+    * envelope collapses to the exact delta — the q262 gate rides that
+    * under a full DuckDB replay. `status` marks one-sided items
+    * ('new' / 'vanished' / 'both') — appearing or disappearing from a
+    * tracked set IS the drift signal (the q256 discipline). Legacy
+    * d-less sides serve the classic floor(n/(k+1)) envelope. */
+  def drift(spark: SparkSession, nameA: String, nameB: String): DataFrame = {
+    CountStore.requireServable(spark, nameA)
+    CountStore.requireServable(spark, nameB)
+    def hh(n: String, suf: String) = spark.table(s"${n}_hh").drop("tok_pfx")
+      .select(col("grp"), col("item"), col("cnt").as(s"cnt$suf"))
+    def nd(n: String, suf: String) = {
+      val t = spark.table(s"${n}_hh_n").drop("tok_pfx")
+      val d = if (t.columns.contains("d")) col("d")
+        else floor(col("n") / (kOf(spark, n) + 1)).cast("long")
+      t.select(col("grp"), col("n").as(s"n$suf"), d.as(s"d$suf"))
+    }
+    hh(nameA, "_a").join(hh(nameB, "_b"), Seq("grp", "item"), "full_outer")
+      .join(nd(nameA, "_a"), Seq("grp"), "left")
+      .join(nd(nameB, "_b"), Seq("grp"), "left")
+      .select(col("grp"), col("item"),
+        coalesce(col("cnt_a"), lit(0L)).as("est_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("est_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("cnt_b"), lit(0L)) -
+          coalesce(col("cnt_a"), lit(0L))).as("delta_est"),
+        (coalesce(col("cnt_b"), lit(0L)) - coalesce(col("cnt_a"), lit(0L)) -
+          coalesce(col("d_a"), lit(0L))).as("delta_lo"),
+        (coalesce(col("cnt_b"), lit(0L)) - coalesce(col("cnt_a"), lit(0L)) +
+          coalesce(col("d_b"), lit(0L))).as("delta_hi"),
+        when(col("cnt_a").isNull, lit("new"))
+          .when(col("cnt_b").isNull, lit("vanished"))
+          .otherwise(lit("both")).as("status"))
+  }
+
   /** Operational introspection (the describeStore discipline). */
   def describeStore(spark: SparkSession, name: String): DataFrame =
     CountStore.describe(spark, name, Map(

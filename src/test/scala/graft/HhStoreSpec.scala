@@ -219,4 +219,40 @@ class HhStoreSpec extends SparkSpec {
     assert(heavies.join(spark.table("hh_t5_hh"), Seq("grp", "item"),
       "left_anti").isEmpty, "a true heavy dropped out")
   }
+
+  test("drift, exact regime: deltas exact, envelope degenerate, new/vanished flagged") {
+    for (n <- Seq("hh_da", "hh_db")) clean(n)
+    HhStore.initStore(items("a" -> 5, "b" -> 3, "c" -> 2), "hh_da",
+      "grp", "item", k = 100)
+    HhStore.initStore(items("a" -> 1, "b" -> 7, "d" -> 4), "hh_db",
+      "grp", "item", k = 100)
+    val rows = HhStore.drift(spark, "hh_da", "hh_db")
+      .orderBy(col("item")).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getString(9)))).toMap
+    assert(rows("a") === ((5L, 1L, -4L, -4L, -4L, "both")))
+    assert(rows("b") === ((3L, 7L, 4L, 4L, 4L, "both")))
+    assert(rows("c") === ((2L, 0L, -2L, -2L, -2L, "vanished")))
+    assert(rows("d") === ((0L, 4L, 4L, 4L, 4L, "new")))
+  }
+
+  test("drift, compressed regime: envelope contains the true delta for every union item") {
+    for (n <- Seq("hh_ea", "hh_eb")) clean(n)
+    val a = items("a" -> 9, "b" -> 4, "c" -> 2, "e" -> 1)
+    val b = items("a" -> 3, "d" -> 8, "e" -> 5, "c" -> 1)
+    HhStore.initStore(a, "hh_ea", "grp", "item", k = 2)
+    HhStore.initStore(b, "hh_eb", "grp", "item", k = 2)
+    val ta = a.groupBy("item").agg(count(lit(1)).as("ta"))
+    val tb = b.groupBy("item").agg(count(lit(1)).as("tb"))
+    val truth = ta.join(tb, Seq("item"), "full_outer")
+      .select(col("item"), (coalesce(col("tb"), lit(0L)) -
+        coalesce(col("ta"), lit(0L))).as("td"))
+    val bad = HhStore.drift(spark, "hh_ea", "hh_eb")
+      .join(truth, Seq("item"))
+      .filter(col("td") < col("delta_lo") || col("td") > col("delta_hi"))
+    assert(bad.isEmpty, "true delta escaped the composed MG envelope")
+    // a group on one side only: its absent-side totals read 0, not null
+    val oneSided = HhStore.drift(spark, "hh_ea", "hh_eb")
+    assert(oneSided.filter(col("n_a").isNull || col("n_b").isNull).isEmpty)
+  }
 }
