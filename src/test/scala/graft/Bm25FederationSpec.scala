@@ -89,6 +89,25 @@ class Bm25FederationSpec extends SparkSpec {
     }
   }
 
+  test("a merged index is a first-class index: appendDocs folds a delta exactly") {
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val b = docs.filter($"doc_id" % 3 === 1)
+    val delta = docs.filter($"doc_id" % 3 === 2).limit(20).localCheckpoint()
+    Bm25.buildIndex(a, "graft_fed_pa", buckets = 8)
+    Bm25.buildIndex(b, "graft_fed_pb", buckets = 8)
+    Bm25.mergeIndexes(spark, "graft_fed_pa", "graft_fed_pb",
+      "graft_fed_pc", buckets = 8)
+    Bm25.appendDocs(spark, "graft_fed_pc", delta, buckets = 8)
+    Bm25.buildIndex(a.unionByName(b).unionByName(delta),
+      "graft_fed_pf", buckets = 8)
+    for (t <- Seq("_postings", "_terms", "_doclens", "_stats")) {
+      val x = spark.table("graft_fed_pc" + t)
+      val y = spark.table("graft_fed_pf" + t)
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+        s"append-on-merged $t diverged from the one-shot build")
+    }
+  }
+
   test("derived tiers: champions always dropped; positions merge iff both sides have them") {
     val a = docs.filter($"doc_id" % 3 === 0)
     val b = docs.filter($"doc_id" % 3 === 1)

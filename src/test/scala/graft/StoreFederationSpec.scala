@@ -147,6 +147,30 @@ class StoreFederationSpec extends SparkSpec {
     assert(CountStore.stalePending(spark, "fed_uc") === ((0L, 0L)))
   }
 
+  test("inherited backlog composes with serveWithin: maxStale = 0 on a merged store forces the settle") {
+    clean("fed_wa", "fed_wb", "fed_wc")
+    val liveA = items(("g", "a", 4), ("g", "b", 2))
+    val liveB = items(("g", "c", 3))
+    HhStore.initStore(liveA, "fed_wa", "grp", "item", k = 100)
+    HhStore.initStore(liveB, "fed_wb", "grp", "item", k = 100)
+    // side a defers a takedown wave — backlog 1 rides into the merge
+    CountStore.markStale(spark, "fed_wa", nGone = 2L)
+    HhStore.mergeStores(spark, "fed_wa", "fed_wb", "fed_wc")
+    assert(CountStore.stalePending(spark, "fed_wc")._1 === 1L)
+    // an unwired refresh fails LOUD — inheritance keeps the contract teeth
+    intercept[IllegalArgumentException] {
+      HhStore.topHitters(spark, "fed_wc", n = 3, maxStale = 0,
+        refresh = () => ()).collect()
+    }
+    // the real refresh (re-init over the union live corpus) settles it
+    val served = HhStore.topHitters(spark, "fed_wc", n = 3, maxStale = 0,
+      refresh = () => HhStore.initStore(liveA.unionByName(liveB),
+        "fed_wc", "grp", "item", k = 100)).collect()
+    assert(CountStore.stalePending(spark, "fed_wc") === ((0L, 0L)))
+    assert(served.map(r => (r.getString(2), r.getLong(3))).toSet ===
+      Set(("a", 4L), ("c", 3L), ("b", 2L)))
+  }
+
   test("sample federation inherits _stale_ids; one refitStale settles the merged store") {
     clean("fed_va", "fed_vb", "fed_vc")
     // disjoint GROUPS so group g's merged sample is exactly side a's —
