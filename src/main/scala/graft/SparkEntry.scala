@@ -4515,6 +4515,36 @@ object SparkEntry {
         .orderBy(col("grp"), col("rank"))
     }),
 
+    // q263: FEDERATED vector-search serve (round 14) — top-k across
+    // two standing IVF shards with INDEPENDENTLY-FIT quantizers
+    // (different seeds — the quantizers genuinely differ): queries fan
+    // out to each shard's index serve, per-shard top-k lists merge by
+    // (dist, id). IVF quantizers are NOT mergeable summaries (two
+    // k-means fits share no cell structure), so ANN federates at
+    // SERVE time — scatter-gather, |q|·k rows to the coordinator —
+    // unlike the count families' store⊕store merges (AnnFederation
+    // scaladoc carries the full argument). Exact regime here
+    // (nprobe = nlist on both shards): each shard serves its slice's
+    // true top-k, the merge is the true union top-k, and the gate
+    // rides a full DuckDB distance replay (the q22 arithmetic).
+    // Production-nprobe recall carry-over is AnnFederationSpec.
+    "q263_ann_federation" -> ((s, d) => {
+      import graft.ann.{AnnFederation, IvfIndex}
+      val e = Tables.embeddings(s, d)
+      def sl(m: Int) = e.filter(col("vec_id") % 16 === m)
+      val queries = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val shards = Seq((1, "graft_q263_a", 101L), (9, "graft_q263_b", 202L))
+        .map { case (m, t, seed) =>
+          val model = IvfIndex(nlist = 8, nprobe = 8, seed = seed).fit(sl(m))
+          model.saveStore(sl(m), t, buckets = 8)
+          (model, t)
+        }
+      AnnFederation.knnAcrossIvfStores(s, shards, queries, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q209: the NSW STANDING-STORE serve (round-10 verdict #3) — the
     // graph lives as a shard-bucketed catalog table and top-k serves
     // straight off it (no fit, no model checkpoint): the IvfIndex
@@ -9038,6 +9068,19 @@ object SparkEntry {
            n_a, n_b, delta_est, delta_est AS delta_lo,
            delta_est AS delta_hi, status
          FROM r WHERE rank <= 10 ORDER BY grp, rank""",
+    // q263: exact-regime federated IVF serve ≡ the true top-10 of the
+    // union slice (the q22 distance arithmetic; squared-vs-plain
+    // euclidean orderings coincide)
+    "q263_ann_federation" ->
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_distance(CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])), e.vec_id) AS rank
+           FROM (SELECT * FROM embeddings
+                 WHERE vec_id % 16 = 1 OR vec_id % 16 = 9) e
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle
