@@ -207,6 +207,46 @@ class StoreFederationSpec extends SparkSpec {
   // parameters (k/lgK) to mismatch; a wrong-family merge fails loud at
   // the table read. NB/LM never defer takedowns (exact in-place
   // subtraction), so there is no staleness to inherit.
+  test("merge is associative: merge(merge(a,b),c) ≡ one-shot fit of a∪b∪c (exact families)") {
+    clean("fed_3a", "fed_3b", "fed_3c", "fed_3ab", "fed_3abc", "fed_3f")
+    val a = items(("g", "a", 5), ("h", "x", 2))
+    val b = items(("g", "b", 3), ("h", "y", 1))
+    val c = items(("g", "a", 2), ("g", "c", 4))
+    HhStore.initStore(a, "fed_3a", "grp", "item", k = 100)
+    HhStore.initStore(b, "fed_3b", "grp", "item", k = 100)
+    HhStore.initStore(c, "fed_3c", "grp", "item", k = 100)
+    HhStore.mergeStores(spark, "fed_3a", "fed_3b", "fed_3ab")
+    HhStore.mergeStores(spark, "fed_3ab", "fed_3c", "fed_3abc")
+    HhStore.initStore(a.unionByName(b).unionByName(c), "fed_3f",
+      "grp", "item", k = 100)
+    assert(tablesEq("fed_3abc_hh", "fed_3f_hh"), "3-way HH summaries diverged")
+    assert(tablesEq("fed_3abc_hh_n", "fed_3f_hh_n"), "3-way n/d diverged")
+  }
+
+  test("a merged NB model is a first-class store: applyBatch folds a stream batch exactly") {
+    clean("fed_ya", "fed_yb", "fed_yc", "fed_yf")
+    val a = Seq((1L, "the cat sat", "en"), (2L, "le chat", "fr"))
+      .toDF("doc_id", "text", "label")
+    val b = Seq((3L, "der hund", "de"), (4L, "the dog ran", "en"))
+      .toDF("doc_id", "text", "label")
+    val batch = Seq((5L, "cat and dog", "en"), (6L, "chien noir", "fr"))
+      .toDF("doc_id", "text", "label")
+    NbStore.initStore(a, "fed_ya", buckets = 8)
+    NbStore.initStore(b, "fed_yb", buckets = 8)
+    NbStore.mergeStores(spark, "fed_ya", "fed_yb", "fed_yc", buckets = 8)
+    assert(NbStore.applyBatch(batch, "fed_yc", 8, "text", "label",
+      batchId = 0L), "merged store must accept a stream batch")
+    NbStore.initStore(a.unionByName(b).unionByName(batch), "fed_yf",
+      buckets = 8)
+    assert(tablesEq("fed_yc_counts", "fed_yf_counts"),
+      "stream-fed merged model diverged from the one-shot fit")
+    assert(tablesEq("fed_yc_class", "fed_yf_class"))
+    // the merge reset the ledger: the batch landed exactly once and a
+    // re-delivery is skipped
+    assert(!NbStore.applyBatch(batch, "fed_yc", 8, "text", "label",
+      batchId = 0L), "re-delivered batch must skip on the merged store")
+  }
+
   test("NB federation: merged model ≡ one-shot fit of the concatenated corpora") {
     clean("fed_na", "fed_nb", "fed_nc", "fed_nf")
     val a = Seq((1L, "the cat sat", "en"), (2L, "le chat noir", "fr"),
