@@ -108,6 +108,23 @@ class Bm25FederationSpec extends SparkSpec {
     }
   }
 
+  test("empty-side merge is the identity: a shard that indexed nothing yet") {
+    val a = docs.filter($"doc_id" % 3 === 0)
+    Bm25.buildIndex(a, "graft_fed_ea", buckets = 8)
+    Bm25.buildIndex(a.limit(0), "graft_fed_eb", buckets = 8)
+    Bm25.mergeIndexes(spark, "graft_fed_ea", "graft_fed_eb",
+      "graft_fed_ec", buckets = 8)
+    for (t <- Seq("_postings", "_terms", "_doclens", "_stats")) {
+      val x = spark.table("graft_fed_ec" + t)
+      val y = spark.table("graft_fed_ea" + t)
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+        s"empty ⊕ x diverged from x at $t")
+    }
+    val merged = rounded(Bm25.scoreIndexed(spark, "graft_fed_ec", probe))
+    assert(merged === rounded(Bm25.scoreIndexed(spark, "graft_fed_ea", probe)))
+    assert(merged.nonEmpty)
+  }
+
   test("derived tiers: champions always dropped; positions merge iff both sides have them") {
     val a = docs.filter($"doc_id" % 3 === 0)
     val b = docs.filter($"doc_id" % 3 === 1)

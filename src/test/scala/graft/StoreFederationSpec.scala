@@ -247,6 +247,26 @@ class StoreFederationSpec extends SparkSpec {
       batchId = 0L), "re-delivered batch must skip on the merged store")
   }
 
+  test("empty-side federation: a shard that indexed nothing merges as the identity") {
+    clean("fed_za", "fed_zb", "fed_zc")
+    val a = items(("g", "a", 5), ("h", "x", 2))
+    val empty = items().limit(0)
+    HhStore.initStore(a, "fed_za", "grp", "item", k = 100)
+    HhStore.initStore(empty, "fed_zb", "grp", "item", k = 100)
+    HhStore.mergeStores(spark, "fed_za", "fed_zb", "fed_zc")
+    assert(tablesEq("fed_zc_hh", "fed_za_hh"),
+      "empty ⊕ x must serve x's summaries")
+    assert(tablesEq("fed_zc_hh_n", "fed_za_hh_n"))
+    // NB: an empty labeled corpus is a valid (empty) model side
+    clean("fed_zna", "fed_znb", "fed_znc")
+    val docs = Seq((1L, "the cat", "en")).toDF("doc_id", "text", "label")
+    NbStore.initStore(docs, "fed_zna", buckets = 8)
+    NbStore.initStore(docs.limit(0), "fed_znb", buckets = 8)
+    NbStore.mergeStores(spark, "fed_zna", "fed_znb", "fed_znc", buckets = 8)
+    assert(tablesEq("fed_znc_counts", "fed_zna_counts"))
+    assert(tablesEq("fed_znc_class", "fed_zna_class"))
+  }
+
   test("NB federation: merged model ≡ one-shot fit of the concatenated corpora") {
     clean("fed_na", "fed_nb", "fed_nc", "fed_nf")
     val a = Seq((1L, "the cat sat", "en"), (2L, "le chat noir", "fr"),
