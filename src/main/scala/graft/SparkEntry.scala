@@ -6496,10 +6496,13 @@ object SparkEntry {
     * groups stay readable while the maintenance story keeps its
     * round-over-round regression tracking. q255/q257 keep their full
     * histories (tracked from rounds 12/13 in the stores group).
-    * q260 (LM federation) stays out with the q199/q203 rationale:
-    * same merge algebra as q259 across three tables, and its
-    * fit-dominated wall (~11 s × min-of-3) would triple this group
-    * for no extra signal; its cost story lives in the query catalog. */
+    * q260-q263 stay out with the q199/q203 rationale: their walls are
+    * side-FIT-dominated (LM = the q259 algebra across three tables;
+    * BM25/drift/ANN likewise pay two builds to exercise one
+    * model-sized merge or summaries-sized join), so benching them
+    * would triple this group while measuring the same build class
+    * q259 already tracks; ProbeFederation carries the measured
+    * merge-vs-refit separation instead. */
   val benchLifecycleQueries: Seq[String] = Seq(
     "q255_store_maintenance", "q257_serve_max_stale",
     // round 14: NB model federation — two fits + the coordinator
