@@ -3873,6 +3873,54 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // q264: FEDERATED decontamination (round 14) — a merged store
+    // making a real curation DECISION, the consumer capstone on
+    // q258's federation: two benchmark shards (%32 ∈ {2, 18} — "two
+    // eval suites maintained on two teams' clusters") are
+    // shingle-sketched into two standing per-lang HH stores;
+    // mergeStores combines them at the coordinator (exact regime,
+    // groups-sized, no benchmark re-scan), and the corpus drops every
+    // doc containing a MERGED top-20 shingle — q250's composition
+    // riding a federated asset. The oracle replays the whole
+    // composition (union benchmark counts → tie-broken top-20 →
+    // containment → per-lang keep/drop) in DuckDB.
+    "q264_federated_decontaminate" -> ((s, d) => {
+      import graft.operators.{CountStore, HhStore}
+      val (a, b, out) = ("graft_q264_a", "graft_q264_b", "graft_q264_fed")
+      val docs = Tables.documents(s, d).localCheckpoint()
+      val shingleExpr = expr(
+        """transform(sequence(1, greatest(size(split(lower(trim(text)), '\\s+')) - 2, 1)),
+           i -> concat_ws(' ', slice(split(lower(trim(text)), '\\s+'), i, 3)))""")
+      for ((n, m) <- Seq((a, 2), (b, 18))) {
+        graft.sources.StoreCache.table(s, n, s"hhdecfed32|$n|r14|$d",
+          Seq(n + "_hh", n + "_hh_n", n + "_hh_params")) {
+          for (t <- Seq(n + "_hh", n + "_hh_n", n + "_hh_params",
+              n + "_applied"))
+            graft.sources.Sinks.dropTable(s, t)
+          CountStore.setBuilding(s, n, on = false)
+          HhStore.initStore(docs.filter(col("doc_id") % 32 === m)
+              .select(col("lang").as("grp"), explode(shingleExpr).as("item")),
+            n, "grp", "item", k = 50000)
+        }
+      }
+      for (t <- Seq(out + "_hh", out + "_hh_n", out + "_hh_params"))
+        graft.sources.Sinks.dropTable(s, t)
+      CountStore.setBuilding(s, out, on = false)
+      HhStore.mergeStores(s, a, b, out)
+      val flagged = HhStore.topHitters(s, out, n = 20)
+        .select(col("grp").as("lang"), col("item"))
+      val contaminated = docs
+        .select(col("doc_id"), col("lang"), explode(shingleExpr).as("item"))
+        .join(flagged, Seq("lang", "item"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs
+        .join(contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__c").isNotNull, 1).otherwise(0)).as("n_dropped"))
+        .orderBy(col("lang"))
+    }),
+
     // q251: the heavy-hitters store served from PLAIN SQL (the q225
     // discipline — the store is ordinary catalog tables, so a SQL-only
     // user replays the serve: rank window over the ≤k counters + the
@@ -9084,6 +9132,41 @@ object SparkEntry {
                  WHERE vec_id % 16 = 1 OR vec_id % 16 = 9) e
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q264: the federated decontamination replayed whole — union
+    // benchmark shingle counts (exact regime on both sides and in the
+    // merge), tie-broken top-20 per lang, containment, keep/drop
+    "q264_federated_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(
+               range(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1)),
+               i -> CASE
+                 WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+                   THEN regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        regexp_split_to_array(lower(trim(text)), '\s+')[i+2] || ' ' ||
+                        regexp_split_to_array(lower(trim(text)), '\s+')[i+3]
+                 WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 2
+                   THEN regexp_split_to_array(lower(trim(text)), '\s+')[1] || ' ' ||
+                        regexp_split_to_array(lower(trim(text)), '\s+')[2]
+                 ELSE regexp_split_to_array(lower(trim(text)), '\s+')[1]
+               END)) AS item
+           FROM documents),
+         bench AS (
+           SELECT lang, item, count(*)::BIGINT AS cnt FROM sh
+           WHERE doc_id % 32 = 2 OR doc_id % 32 = 18 GROUP BY lang, item),
+         top AS (
+           SELECT lang, item FROM (
+             SELECT lang, item, row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, item) AS rk FROM bench) t
+           WHERE rk <= 20),
+         contam AS (
+           SELECT DISTINCT s.doc_id FROM sh s
+           JOIN top t ON s.lang = t.lang AND s.item = t.item)
+         SELECT d.lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped
+         FROM documents d LEFT JOIN contam c USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang""",
     // q250: the decontamination composition mirrored exactly — the
     // store is in MG's exact regime at the fixture (no compression;
     // the wave split is invisible to additive counts), so the oracle
