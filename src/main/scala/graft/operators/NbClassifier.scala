@@ -241,6 +241,9 @@ object NbStore {
       prefixes: Int = 0): Unit = {
     CountStore.requireServable(spark, a)
     CountStore.requireServable(spark, b)
+    require(out != a && out != b,
+      s"mergeStores: output '$out' must be a third store — merging " +
+        "into a side would overwrite tables while reading them")
     CountStore.setBuilding(spark, out, on = true)
     CountStore.dropLedger(spark, out)
     CountStore.mergeStale(spark, a, b, out)

@@ -144,6 +144,9 @@ object QuantileStore {
       out: String, prefixes: Int = 0): Unit = {
     CountStore.requireServable(spark, a)
     CountStore.requireServable(spark, b)
+    require(out != a && out != b,
+      s"mergeStores: output '$out' must be a third store — merging " +
+        "into a side would overwrite tables while reading them")
     val (ka, kb) = (kOf(spark, a), kOf(spark, b))
     require(ka == kb, s"mergeStores: k differs ($a has $ka, $b has $kb)")
     CountStore.setBuilding(spark, out, on = true)

@@ -112,6 +112,9 @@ object SketchStore {
       out: String): Unit = {
     CountStore.requireServable(spark, a)
     CountStore.requireServable(spark, b)
+    require(out != a && out != b,
+      s"mergeStores: output '$out' must be a third store — merging " +
+        "into a side would overwrite tables while reading them")
     val (la, lb) = (lgKOf(spark, a), lgKOf(spark, b))
     require(la == lb,
       s"mergeStores: lgK differs ($a has $la, $b has $lb)")

@@ -427,6 +427,9 @@ object SampleStore {
       out: String, prefixes: Int = 0): Unit = {
     CountStore.requireServable(spark, a)
     CountStore.requireServable(spark, b)
+    require(out != a && out != b,
+      s"mergeStores: output '$out' must be a third store — merging " +
+        "into a side would overwrite tables while reading them")
     def kOf(n: String) =
       spark.table(s"${n}_sample_params").head().getAs[Int]("k")
     val (ka, kb) = (kOf(a), kOf(b))

@@ -100,6 +100,15 @@ class StoreFederationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SampleStore.mergeStores(spark, "fed_ma", "fed_mb", "fed_mc")
     }
+    // merging INTO a side refuses on every family (overwrite-while-
+    // reading — the Bm25.mergeIndexes guard, uniform since round 14)
+    val e = intercept[IllegalArgumentException] {
+      HhStore.mergeStores(spark, "fed_ma", "fed_mb", "fed_ma")
+    }
+    assert(e.getMessage.contains("third store"))
+    intercept[IllegalArgumentException] {
+      NbStore.mergeStores(spark, "fed_ma", "fed_mb", "fed_mb")
+    }
   }
 
   test("HLL federation: merged estimates ≡ one-shot union fit (sparse regime)") {
