@@ -158,6 +158,35 @@ object SketchStore {
     estimate(spark, name)
   }
 
+  /** DISTINCT-COUNT drift across two standing stores (round 14 — the
+    * third member of the drift trio beside [[QuantileStore.drift]] and
+    * [[HhStore.drift]]): "did domain X's distinct-user/URL count move
+    * between snapshot A and snapshot B" as a groups-sized full-outer
+    * join of two standing sketch tables — no corpus read on either
+    * side. Serves both estimates and the signed delta; groups present
+    * on one side only keep the other side's columns NULL (a new or
+    * vanished domain IS drift signal — the q256 convention; unlike
+    * [[HhStore.drift]]'s counters there is no exact-zero reading of an
+    * absent HLL sketch, so null is the honest value). Estimates carry
+    * the HLL error envelope (sparse-regime exactness / dense ~1.6% at
+    * lgK 12, scaladoc above), which is why this face has no hash gate:
+    * the family's estimate-vs-exact policy is q168/q231's 5% bits and
+    * the spec pins drift ≡ estimate(b) − estimate(a) pointwise. */
+  def drift(spark: SparkSession, nameA: String, nameB: String): DataFrame = {
+    CountStore.requireServable(spark, nameA)
+    CountStore.requireServable(spark, nameB)
+    val a = estimate(spark, nameA)
+      .withColumnRenamed("n_distinct_est", "est_a")
+    val b = estimate(spark, nameB)
+      .withColumnRenamed("n_distinct_est", "est_b")
+    a.join(b, Seq("grp"), "full_outer")
+      .select(col("grp"), col("est_a"), col("est_b"),
+        (col("est_b") - col("est_a")).as("delta_est"),
+        when(col("est_a").isNull, lit("new"))
+          .when(col("est_b").isNull, lit("vanished"))
+          .otherwise(lit("both")).as("status"))
+  }
+
   /** Operational introspection (the describeStore discipline). */
   def describeStore(spark: SparkSession, name: String): DataFrame =
     CountStore.describe(spark, name, Map(

@@ -125,6 +125,35 @@ class StoreFederationSpec extends SparkSpec {
       "merged estimates diverged from the union fit")
   }
 
+  test("HLL drift: delta ≡ estimate(b) − estimate(a); one-sided groups flagged, not zeroed") {
+    clean("fed_dla", "fed_dlb")
+    val a = ((0 until 100).map(i => ("g1", i.toLong)) ++
+      (0 until 40).map(i => ("g2", i.toLong))).toDF("grp", "id")
+    val b = ((0 until 150).map(i => ("g1", i.toLong)) ++
+      (0 until 25).map(i => ("g3", i.toLong))).toDF("grp", "id")
+    SketchStore.initStore(a, "fed_dla", "grp", "id")
+    SketchStore.initStore(b, "fed_dlb", "grp", "id")
+    val d = SketchStore.drift(spark, "fed_dla", "fed_dlb")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getString(4)))).toMap
+    // sparse regime: estimates are exact here, so deltas read exactly
+    assert(d("g1") === ((Some(100.0), Some(150.0), Some(50.0), "both")))
+    assert(d("g2")._2.isEmpty && d("g2")._4 === "vanished")
+    assert(d("g3")._1.isEmpty && d("g3")._4 === "new")
+    // pointwise identity vs the serve faces, whatever the regime
+    val ests = (SketchStore.estimate(spark, "fed_dla")
+      .withColumnRenamed("n_distinct_est", "ea"))
+      .join(SketchStore.estimate(spark, "fed_dlb")
+        .withColumnRenamed("n_distinct_est", "eb"), Seq("grp"), "full_outer")
+    val mismatch = SketchStore.drift(spark, "fed_dla", "fed_dlb")
+      .join(ests, Seq("grp"))
+      .filter(!(col("est_a") <=> col("ea")) ||
+        !(col("est_b") <=> col("eb")) ||
+        !(col("delta_est") <=> (col("eb") - col("ea"))))
+    assert(mismatch.isEmpty, "drift diverged from the serve faces")
+  }
+
   test("KLL federation: exact n per group; exact-regime quantiles ≡ union fit") {
     clean("fed_qa", "fed_qb", "fed_qc", "fed_qf")
     val a = (0 until 40).map(i => (s"g${i % 2}", i.toDouble)).toDF("grp", "v")
