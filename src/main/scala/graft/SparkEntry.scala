@@ -4238,14 +4238,17 @@ object SparkEntry {
         if (s.catalog.tableExists(idx + "_tombstones"))
           s.table(idx + "_tombstones").select(col("doc_id"))
         else s.range(0).select(col("id").as("doc_id"))
-      val nLive = s.table(idx + "_doclens").select(col("doc_id"))
-        .join(tomb, Seq("doc_id"), "left_anti").count()
-      val hhItems = s.table(hh + "_hh_n")
-        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-      val kllN = s.table(kll + "_kll")
-        .agg(coalesce(sum(QuantileStore.kllN(col("sk"))), lit(0L)))
-        .head().getLong(0)
-      val hllGroups = s.table(hll + "_hll").count()
+      // four independent store-sized probe actions — run concurrently
+      // (r14 optimization, guide §2.6)
+      val Seq(nLive, hhItems, kllN, hllGroups) = graft.util.Par.eval(Seq(
+        () => s.table(idx + "_doclens").select(col("doc_id"))
+          .join(tomb, Seq("doc_id"), "left_anti").count(),
+        () => s.table(hh + "_hh_n")
+          .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0),
+        () => s.table(kll + "_kll")
+          .agg(coalesce(sum(QuantileStore.kllN(col("sk"))), lit(0L)))
+          .head().getLong(0),
+        () => s.table(hll + "_hll").count()))
       Seq(
         ("hh_items_total", hhItems),
         ("hll_groups", hllGroups),
@@ -4362,19 +4365,32 @@ object SparkEntry {
       // the takedown wave DEFERRED — the raw store still counts the
       // departed docs; the guaranteed face must settle that first
       val preStale = CountStore.stalePending(s, hh)._1
-      val served = HhStore.topHitters(s, hh, n = 10, maxStale = 0,
-        refresh = () => IndexMaintenance.refreshCountStores(s, log,
-          hhStore = hhStore)).localCheckpoint()
-      val postStale = CountStore.stalePending(s, hh)._1
       val live = corpus.filter(col("doc_id") % 32 =!= 16)
-      HhStore.initStore(live.select(col("source").as("grp"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
-        fhh, "grp", "item", 100000)
+      // the guaranteed serve (refresh → topHitters → settle → backlog
+      // re-read) and the fresh-fit CONTROL build touch disjoint stores
+      // (hh + log vs fhh) and read independent settled inputs — overlap
+      // the two multi-job chains (r14 optimization, guide §2.6)
+      val Seq(servedAny, _) = graft.util.Par.eval[Any](Seq(
+        () => {
+          val sv = HhStore.topHitters(s, hh, n = 10, maxStale = 0,
+            refresh = () => IndexMaintenance.refreshCountStores(s, log,
+              hhStore = hhStore)).localCheckpoint()
+          (sv, CountStore.stalePending(s, hh)._1)
+        },
+        () => HhStore.initStore(live.select(col("source").as("grp"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("item")),
+          fhh, "grp", "item", 100000)))
+      val (served, postStale) =
+        servedAny.asInstanceOf[(org.apache.spark.sql.DataFrame, Long)]
       def symEq(x: DataFrame, y: DataFrame) =
         x.exceptAll(y).unionAll(y.exceptAll(x)).isEmpty
-      val ok = preStale == 1 && postStale == 0 &&
-        symEq(s.table(hh + "_hh"), s.table(fhh + "_hh")) &&
-        symEq(s.table(hh + "_hh_n"), s.table(fhh + "_hh_n"))
+      // the two table-equality probes are independent one-job actions —
+      // overlap them (r14, guide §2.6); && over the results is
+      // order-insensitive
+      val eqBits = graft.util.Par.eval(Seq(
+        () => symEq(s.table(hh + "_hh"), s.table(fhh + "_hh")),
+        () => symEq(s.table(hh + "_hh_n"), s.table(fhh + "_hh_n"))))
+      val ok = preStale == 1 && postStale == 0 && eqBits.forall(identity)
       served.withColumn("lifecycle_ok", lit(if (ok) 1 else 0))
         .orderBy(col("grp"), col("rank"))
     }),
@@ -5664,8 +5680,14 @@ object SparkEntry {
     // segment bits and the pair Hamming entirely in SQL.
     "q204_audio_neardup" -> ((s, d) => {
       import graft.operators.Multimodal
+      // fingerprint ONCE (r14, guide §1.2): simhashPairsBandedFp
+      // consumes the fp frame on up to four plan sides (both band-join
+      // sides + two verify joins) — left lazy, the PCM decode replayed
+      // on each, the exact recompute hazard q140 already pins with its
+      // checkpoint ("fingerprint once; decode is the dominant cost")
       val fp = audioClips(s, d).select(col("id"),
         Multimodal.audioFingerprint(col("payload")).as("fp"))
+        .localCheckpoint()
       TextDedup.simhashPairsBandedFp(fp, maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
     }),

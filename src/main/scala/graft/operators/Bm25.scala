@@ -116,22 +116,48 @@ object Bm25 {
     // snapshots; re-run buildPositional/buildChampions for the new one
     graft.sources.Sinks.dropTable(spark, s"${name}_positions")
     graft.sources.Sinks.dropTable(spark, s"${name}_champions")
+    // r14 optimization (guide §1.2 — don't recompute what a written
+    // table already holds): the original build derived `_terms` from
+    // the same lazy `postings` frame it had just written, re-running
+    // the corpus tokenize + (doc, term) aggregation a SECOND time, and
+    // recomputed per-doc lengths for `_postings`, `_doclens` AND
+    // `_stats` — at 100 TB that is two full corpus tokenizations and
+    // three tokenCount scans for one index. Now: `_doclens` first (the
+    // one tokenCount scan), `_postings` joins the WRITTEN doclens (one
+    // tokenize scan), then `_terms` aggregates the WRITTEN postings —
+    // bucketed on term, so the df groupBy plans with NO Exchange — and
+    // `_stats` aggregates the written doclens. Corpus scans: 2 (was 5
+    // subtree evaluations); the derived-table writes are index-sized
+    // reads. `_terms` ∥ `_stats` overlap (guide §2.6) — disjoint
+    // outputs, disjoint (already-written) inputs.
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    graft.sources.Sinks.parquetTable(dl, s"${name}_doclens")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
     val postings = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .join(dl, idCol)
+      .join(spark.table(s"${name}_doclens"), idCol)
     graft.sources.Sinks.parquetBucketed(
       postings, s"${name}_postings", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetBucketed(
-      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetTable(dl, s"${name}_doclens")
-    graft.sources.Sinks.parquetTable(
-      dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
-      s"${name}_stats")
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetBucketed(
+        spark.table(s"${name}_postings")
+          .groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"${name}_terms", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetTable(
+        spark.table(s"${name}_doclens").agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+        s"${name}_stats"))
+    // drop this session's cached relations for the tables read back
+    // above: session CLONES (streaming foreachBatch) have their OWN
+    // relation cache, so a later clone-side rewrite (compactIndex in a
+    // micro-batch) cannot invalidate entries cached here — a stale
+    // cached file listing in the building session would then serve
+    // FILE_NOT_EXIST after the stream compacts. buildIndex leaves no
+    // cached entries behind, exactly as the pre-r14 (no read-back)
+    // build did.
+    spark.catalog.refreshTable(s"${name}_postings")
+    spark.catalog.refreshTable(s"${name}_doclens")
     setBuilding(spark, name, on = false)
   }
 
@@ -365,19 +391,23 @@ object Bm25 {
     // physical, so the serving anti-join would hide the new rows too);
     // the doclens overlap check below catches exactly that case,
     // because tombstoned ids stay in doclens until compactIndex.
-    val dup = docs.select(col(idCol))
-      .join(spark.table(s"${name}_doclens").select(col(idCol)), Seq(idCol))
-      .count()
-    require(dup == 0,
+    // the two precondition probes are independent batch-bounded
+    // actions — overlap them (r14, guide §2.6)
+    val Seq(dup, uniq) = graft.util.Par.eval[Any](Seq(
+      () => docs.select(col(idCol))
+        .join(spark.table(s"${name}_doclens").select(col(idCol)), Seq(idCol))
+        .count(),
+      () => {
+        val r = docs.agg(count(lit(1)), count_distinct(col(idCol))).head()
+        (r.getLong(0), r.getLong(1))
+      }))
+    require(dup.asInstanceOf[Long] == 0,
       s"appendDocs: $dup ids already physically indexed (live or " +
         "tombstoned) — removeDocs + compactIndex first")
     // the batch itself must be id-unique too: an upstream join fan-out
     // would otherwise double-index silently (doubled tf, inflated df,
     // double-counted doclens) with no error anywhere downstream
-    val (nRows, nIds) = {
-      val r = docs.agg(count(lit(1)), count_distinct(col(idCol))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    val (nRows, nIds) = uniq.asInstanceOf[(Long, Long)]
     require(nRows == nIds,
       s"appendDocs: batch has $nRows rows over $nIds distinct ids — dedupe first")
     // bucket-spec mismatches must fail BEFORE any write: the positions
@@ -400,25 +430,32 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
       .join(dl2, idCol)
     val pCols = spark.table(s"${name}_postings").columns
-    p2.select(pCols.toIndexedSeq.map(col): _*)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "term").sortBy("term")
-      .saveAsTable(s"${name}_postings")
     val dCols = spark.table(s"${name}_doclens").columns
-    dl2.select(dCols.toIndexedSeq.map(col): _*)
-      .write.mode("append").format("parquet").saveAsTable(s"${name}_doclens")
-    // a positional table rides the same append discipline: the batch's
-    // ids are disjoint from the standing index (checked above), so new
-    // (term, doc, positions) rows just append into the bucketed layout —
-    // no merge, no rewrite of standing rows
-    if (spark.catalog.tableExists(s"${name}_positions")) {
-      val posRows = positionRows(docs, idCol, textCol)
-      val posCols = spark.table(s"${name}_positions").columns
-      posRows.select(posCols.toIndexedSeq.map(col): _*)
+    val posCols =
+      if (spark.catalog.tableExists(s"${name}_positions"))
+        Some(spark.table(s"${name}_positions").columns)
+      else None
+    // r14 (guide §2.6): the three delta appends land in DISJOINT tables
+    // and none of them feeds the derived-table merge plans below (which
+    // read only the standing `_terms`/`_stats` plus the delta frames) —
+    // overlap the appends instead of paying three fixed job latencies
+    graft.util.Par.run(Seq(
+      () => p2.select(pCols.toIndexedSeq.map(col): _*)
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "term").sortBy("term")
-        .saveAsTable(s"${name}_positions")
-    }
+        .saveAsTable(s"${name}_postings"),
+      () => dl2.select(dCols.toIndexedSeq.map(col): _*)
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${name}_doclens")) ++
+      // a positional table rides the same append discipline: the
+      // batch's ids are disjoint from the standing index (checked
+      // above), so new (term, doc, positions) rows just append into
+      // the bucketed layout — no merge, no rewrite of standing rows
+      posCols.map(pc => () => positionRows(docs, idCol, textCol)
+        .select(pc.toIndexedSeq.map(col): _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "term").sortBy("term")
+        .saveAsTable(s"${name}_positions")): _*)
     // the champion tier does NOT survive an append: every weight input
     // (df, avgdl, N) moved, so the per-term top-c may differ — drop it
     // and fail the next tiered serve loudly (see buildChampions)
@@ -436,11 +473,14 @@ object Bm25 {
     // be overwritten while derived from its own previous contents
     // (same hazard compactIndex documents).
     val (mTerms, mStats) = appendMergePlans(spark, name, p2, dl2)
-    val mergedTerms = mTerms.localCheckpoint()
-    val mergedStats = mStats.localCheckpoint()
-    graft.sources.Sinks.parquetBucketed(
-      mergedTerms, s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetTable(mergedStats, s"${name}_stats")
+    // settle both merge plans, then rewrite both tables — each phase's
+    // two actions are independent (r14, guide §2.6)
+    val Seq(mergedTerms, mergedStats) = graft.util.Par.eval(Seq(
+      () => mTerms.localCheckpoint(), () => mStats.localCheckpoint()))
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetBucketed(
+        mergedTerms, s"${name}_terms", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetTable(mergedStats, s"${name}_stats"))
     setBuilding(spark, name, on = false)
   }
 
@@ -482,26 +522,34 @@ object Bm25 {
     val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
     // the rewrite is a build: marker down while the tables are torn
     setBuilding(spark, name, on = true)
-    val postings = spark.table(s"${name}_postings")
-      .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
-    val doclens = spark.table(s"${name}_doclens")
-      .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
-    graft.sources.Sinks.parquetBucketed(
-      postings, s"${name}_postings", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetBucketed(
-      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      s"${name}_terms", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetTable(doclens, s"${name}_doclens")
-    graft.sources.Sinks.parquetTable(
-      doclens.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
-      s"${name}_stats")
-    if (spark.catalog.tableExists(s"${name}_positions")) {
-      val posKeep = spark.table(s"${name}_positions")
-        .join(tomb, Seq(idCol), "left_anti").localCheckpoint()
-      graft.sources.Sinks.parquetBucketed(
-        posKeep, s"${name}_positions", buckets, Seq("term"), Seq("term"))
-    }
+    // r14 (guide §2.6): the two survivor materializations are
+    // independent reads, and the four (five with positions) table
+    // rewrites that follow are disjoint outputs over the settled
+    // checkpoints — overlap each phase instead of serializing six
+    // fixed-cost jobs
+    val Seq(postings, doclens) = graft.util.Par.eval(Seq(
+      () => spark.table(s"${name}_postings")
+        .join(tomb, Seq(idCol), "left_anti").localCheckpoint(),
+      () => spark.table(s"${name}_doclens")
+        .join(tomb, Seq(idCol), "left_anti").localCheckpoint()))
+    val posKeep =
+      if (spark.catalog.tableExists(s"${name}_positions"))
+        Some(spark.table(s"${name}_positions")
+          .join(tomb, Seq(idCol), "left_anti").localCheckpoint())
+      else None
+    graft.util.Par.run(Seq(
+      () => graft.sources.Sinks.parquetBucketed(
+        postings, s"${name}_postings", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetBucketed(
+        postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"${name}_terms", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetTable(doclens, s"${name}_doclens"),
+      () => graft.sources.Sinks.parquetTable(
+        doclens.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+        s"${name}_stats")) ++
+      posKeep.map(pk => () => graft.sources.Sinks.parquetBucketed(
+        pk, s"${name}_positions", buckets, Seq("term"), Seq("term"))): _*)
     graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     setBuilding(spark, name, on = false)
   }

@@ -166,6 +166,10 @@ object CountStore {
       .localCheckpoint(), touched)
   }
 
+  /** Serializes the partitionOverwriteMode set/write/restore window in
+    * [[writePrefixed]] across Par threads. */
+  private val overwriteModeLock = new Object
+
   /** Commit a prepared prefixed merge: dynamically overwrite exactly
     * the touched partitions. A touched prefix whose rows all cancel
     * to zero is dropped via ALTER TABLE (dynamic overwrite only
@@ -176,16 +180,32 @@ object CountStore {
     val spark = live.sparkSession
     val surviving = live.select(col("tok_pfx")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // insertInto is positional: order columns as the table stores
-      // them (data columns first, the partition column last)
-      live.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(table)
-    } finally mode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // The dynamic-overwrite toggle is a SESSION conf (the writer-level
+    // `option("partitionOverwriteMode", ...)` is honored by path
+    // writes like Sinks.shardedRefresh but NOT by insertInto — r14
+    // verified: with only the option, the insert fell back to static
+    // and rewrote every partition). Store mutations now overlap
+    // (guide §2.6 / Par), so the set/write/restore runs under a
+    // global lock to keep two concurrent prefixed writes from
+    // corrupting each other's saved value. A concurrent NON-prefixed
+    // engine write observing the temporary dynamic mode is harmless:
+    // unpartitioned overwrites and bucketed saveAsTable ignore the
+    // mode, appends ignore overwrite semantics entirely, and fresh
+    // partitioned creates have no existing partitions to preserve.
+    overwriteModeLock.synchronized {
+      val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // insertInto is positional: order columns as the table stores
+        // them (data columns first, the partition column last)
+        live.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(table)
+      } finally mode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     for (p <- touched if !surviving.contains(p))
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (tok_pfx=$p)")

@@ -74,15 +74,17 @@ object HhStore {
       .join(off, Seq("grp"), "left")
       .select(col("grp"), col("n"),
         coalesce(col("__off"), lit(0L)).as("d"))
-    if (prefixes > 0) {
-      CountStore.writePrefixedInit(s"${name}_hh", hh, "grp", prefixes)
-      CountStore.writePrefixedInit(s"${name}_hh_n", n, "grp", prefixes)
-    } else {
-      graft.sources.Sinks.parquetTable(hh, s"${name}_hh")
-      graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
-    }
-    graft.sources.Sinks.parquetTable(
-      spark.range(1).select(lit(k).as("k")), s"${name}_hh_params")
+    // three disjoint output tables from settled/pinned inputs — write
+    // them concurrently (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${name}_hh", hh, "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(hh, s"${name}_hh"),
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${name}_hh_n", n, "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(n, s"${name}_hh_n"),
+      () => graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(k).as("k")), s"${name}_hh_params"))
     CountStore.setBuilding(spark, name, on = false)
   }
 
@@ -115,13 +117,13 @@ object HhStore {
 
   private def writeTables(spark: SparkSession, name: String,
       merged: DataFrame, n: DataFrame, pfx: Int, touched: Seq[Long]): Unit =
-    if (pfx > 0) {
-      CountStore.writePrefixed(s"${name}_hh", merged, touched)
-      CountStore.writePrefixed(s"${name}_hh_n", n, touched)
-    } else {
-      graft.sources.Sinks.parquetTable(merged, s"${name}_hh")
-      graft.sources.Sinks.parquetTable(n, s"${name}_hh_n")
-    }
+    // both frames are checkpoint-settled by mergedWith; the two tables
+    // are disjoint — overwrite them concurrently (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (pfx > 0) CountStore.writePrefixed(s"${name}_hh", merged, touched)
+        else graft.sources.Sinks.parquetTable(merged, s"${name}_hh"),
+      () => if (pfx > 0) CountStore.writePrefixed(s"${name}_hh_n", n, touched)
+        else graft.sources.Sinks.parquetTable(n, s"${name}_hh_n"))
 
   /** The wave merge, layout-aware: on the v2 layout only the
     * partitions holding the batch's groups are read and re-written
@@ -150,19 +152,24 @@ object HhStore {
         .unionByName(bc)
         .groupBy(col("grp"), col("item"))
         .agg(sum(col("cnt")).as("cnt")), k)
-    val merged = withPfx(merged0)
-      .localCheckpoint() // settle BEFORE overwriting what we read
     // n folds additively; d grows by THIS compress's offset (the
     // mergeable-summaries bound: d_merged = d_old + o_merge; the
-    // batch side is a fresh exact count, so its own d is 0)
-    val n = withPfx(slice(s"${name}_hh_n")
-      .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
-        .withColumn("d", lit(0L)))
-      .groupBy(col("grp")).agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
-      .join(off, Seq("grp"), "left")
-      .select(col("grp"), col("n"),
-        (col("d") + coalesce(col("__off"), lit(0L))).as("d")))
-      .localCheckpoint()
+    // batch side is a fresh exact count, so its own d is 0).
+    // Both settles read only the standing tables + the pinned batch
+    // counts — independent, so they overlap (r14, guide §2.6; the
+    // shared compress subtree evaluates on each side, same total work
+    // as the sequential settles, half the wall).
+    val Seq(merged, n) = graft.util.Par.eval(Seq(
+      () => withPfx(merged0)
+        .localCheckpoint(), // settle BEFORE overwriting what we read
+      () => withPfx(slice(s"${name}_hh_n")
+        .unionByName(bc.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+          .withColumn("d", lit(0L)))
+        .groupBy(col("grp")).agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+        .join(off, Seq("grp"), "left")
+        .select(col("grp"), col("n"),
+          (col("d") + coalesce(col("__off"), lit(0L))).as("d")))
+        .localCheckpoint()))
     (merged, n, pfx, touched)
   }
 

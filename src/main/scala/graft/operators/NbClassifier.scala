@@ -159,12 +159,14 @@ object NbStore {
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
     CountStore.writeLayout(spark, name, prefixes)
-    if (prefixes > 0)
-      CountStore.writePrefixedInit(s"${name}_counts", cc, "token", prefixes)
-    else
-      graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts", buckets,
-        Seq("token"), Seq("token"))
-    graft.sources.Sinks.parquetTable(byClass, s"${name}_class")
+    // disjoint outputs — write counts and class tables concurrently
+    // (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${name}_counts", cc, "token", prefixes)
+        else graft.sources.Sinks.parquetBucketed(cc, s"${name}_counts",
+          buckets, Seq("token"), Seq("token")),
+      () => graft.sources.Sinks.parquetTable(byClass, s"${name}_class"))
     CountStore.setBuilding(spark, name, on = false)
   }
 
@@ -194,14 +196,18 @@ object NbStore {
       val by = CountStore.prepareSigned(s"${name}_class", dby,
         Seq("label"), Seq("n_c", "t_c"), sign)
       CountStore.setBuilding(spark, name, on = true)
-      CountStore.writePrefixed(s"${name}_counts", cc, touched)
-      CountStore.write(s"${name}_class", by, 0, Nil)
+      // both frames settled by prepare — disjoint tables, write
+      // concurrently (r14, guide §2.6)
+      graft.util.Par.run(
+        () => CountStore.writePrefixed(s"${name}_counts", cc, touched),
+        () => CountStore.write(s"${name}_class", by, 0, Nil))
       CountStore.setBuilding(spark, name, on = false)
     } else {
       val (cc, by) = prepared(docs, name, textCol, labelCol, sign)
       CountStore.setBuilding(spark, name, on = true)
-      CountStore.write(s"${name}_counts", cc, buckets, Seq("token"))
-      CountStore.write(s"${name}_class", by, 0, Nil)
+      graft.util.Par.run(
+        () => CountStore.write(s"${name}_counts", cc, buckets, Seq("token")),
+        () => CountStore.write(s"${name}_class", by, 0, Nil))
       CountStore.setBuilding(spark, name, on = false)
     }
   }
@@ -212,10 +218,13 @@ object NbStore {
   private def prepared(docs: DataFrame, name: String, textCol: String,
       labelCol: String, sign: Long): (DataFrame, DataFrame) = {
     val (dcc, dby) = NbClassifier.modelFrames(docs, textCol, labelCol)
-    (CountStore.prepareSigned(s"${name}_counts", dcc,
-      keyCols = Seq("label", "token"), cntCols = Seq("cnt"), sign = sign),
-      CountStore.prepareSigned(s"${name}_class", dby,
-        keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign))
+    // two independent settle+validate actions — overlap (r14, §2.6)
+    val Seq(cc, by) = graft.util.Par.eval(Seq(
+      () => CountStore.prepareSigned(s"${name}_counts", dcc,
+        keyCols = Seq("label", "token"), cntCols = Seq("cnt"), sign = sign),
+      () => CountStore.prepareSigned(s"${name}_class", dby,
+        keyCols = Seq("label"), cntCols = Seq("n_c", "t_c"), sign = sign)))
+    (cc, by)
   }
 
   /** FEDERATED model merge (round 14, the HhStore.mergeStores

@@ -60,14 +60,16 @@ object QuantileStore {
     CountStore.dropLedger(spark, name)
     CountStore.clearStale(spark, name)
     CountStore.writeLayout(spark, name, prefixes)
-    if (prefixes > 0)
-      CountStore.writePrefixedInit(s"${name}_kll",
-        sketched(docs, grpCol, valCol, k), "grp", prefixes)
-    else
-      graft.sources.Sinks.parquetTable(
-        sketched(docs, grpCol, valCol, k), s"${name}_kll")
-    graft.sources.Sinks.parquetTable(
-      spark.range(1).select(lit(k).as("k")), s"${name}_kll_params")
+    // disjoint outputs — overlap the sketch write with the 1-row
+    // params write (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${name}_kll",
+            sketched(docs, grpCol, valCol, k), "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(
+          sketched(docs, grpCol, valCol, k), s"${name}_kll"),
+      () => graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(k).as("k")), s"${name}_kll_params"))
     CountStore.setBuilding(spark, name, on = false)
   }
 

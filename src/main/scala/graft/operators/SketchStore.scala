@@ -53,10 +53,13 @@ object SketchStore {
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
     CountStore.clearStale(spark, name)
-    graft.sources.Sinks.parquetTable(
-      sketched(docs, grpCol, idCol, lgK), s"${name}_hll")
-    graft.sources.Sinks.parquetTable(
-      spark.range(1).select(lit(lgK).as("lg_k")), s"${name}_hll_params")
+    // disjoint outputs — overlap the sketch write with the 1-row
+    // params write (r14, guide §2.6)
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetTable(
+        sketched(docs, grpCol, idCol, lgK), s"${name}_hll"),
+      () => graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(lgK).as("lg_k")), s"${name}_hll_params"))
     CountStore.setBuilding(spark, name, on = false)
   }
 

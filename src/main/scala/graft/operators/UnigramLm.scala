@@ -281,18 +281,21 @@ object LmStore {
     CountStore.setBuilding(spark, name, on = true)
     CountStore.dropLedger(spark, name)
     CountStore.writeLayout(spark, name, prefixes)
-    if (prefixes > 0) {
-      CountStore.writePrefixedInit(s"${name}_tri", tc, "p1", prefixes)
-      CountStore.writePrefixedInit(s"${name}_bi", bc, "prev", prefixes)
-      CountStore.writePrefixedInit(s"${name}_uni", uc, "token", prefixes)
-    } else {
-      graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
-        Seq("p1"), Seq("p1"))
-      graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
-        Seq("prev"), Seq("prev"))
-      graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
-        Seq("token"), Seq("token"))
-    }
+    // three disjoint n-gram tables — write them concurrently (r14,
+    // guide §2.6)
+    if (prefixes > 0)
+      graft.util.Par.run(
+        () => CountStore.writePrefixedInit(s"${name}_tri", tc, "p1", prefixes),
+        () => CountStore.writePrefixedInit(s"${name}_bi", bc, "prev", prefixes),
+        () => CountStore.writePrefixedInit(s"${name}_uni", uc, "token", prefixes))
+    else
+      graft.util.Par.run(
+        () => graft.sources.Sinks.parquetBucketed(tc, s"${name}_tri", buckets,
+          Seq("p1"), Seq("p1")),
+        () => graft.sources.Sinks.parquetBucketed(bc, s"${name}_bi", buckets,
+          Seq("prev"), Seq("prev")),
+        () => graft.sources.Sinks.parquetBucketed(uc, s"${name}_uni", buckets,
+          Seq("token"), Seq("token")))
     CountStore.setBuilding(spark, name, on = false)
   }
 
@@ -313,32 +316,37 @@ object LmStore {
     CountStore.requireServable(spark, name)
     val (dtc, dbc, duc) = UnigramLm.trigramFrames(docs, idCol, textCol)
     val pfx = CountStore.layoutPrefixes(spark, name)
+    // validate ALL THREE merges before writing ANY table; the three
+    // prepares are independent settles and the three commits land in
+    // disjoint tables — overlap each phase (r14, guide §2.6)
     if (pfx > 0) {
-      // validate ALL THREE merges before writing ANY table
-      val (tri, tT) = CountStore.preparePrefixed(s"${name}_tri", dtc,
-        Seq("p1", "p2", "cur"), Seq("c3"), sign, pfx)
-      val (bi, bT) = CountStore.preparePrefixed(s"${name}_bi", dbc,
-        Seq("prev", "cur"), Seq("cb"), sign, pfx)
-      val (uni, uT) = CountStore.preparePrefixed(s"${name}_uni", duc,
-        Seq("token"), Seq("cu"), sign, pfx)
+      val Seq((tri, tT), (bi, bT), (uni, uT)) = graft.util.Par.eval(Seq(
+        () => CountStore.preparePrefixed(s"${name}_tri", dtc,
+          Seq("p1", "p2", "cur"), Seq("c3"), sign, pfx),
+        () => CountStore.preparePrefixed(s"${name}_bi", dbc,
+          Seq("prev", "cur"), Seq("cb"), sign, pfx),
+        () => CountStore.preparePrefixed(s"${name}_uni", duc,
+          Seq("token"), Seq("cu"), sign, pfx)))
       CountStore.setBuilding(spark, name, on = true)
-      CountStore.writePrefixed(s"${name}_tri", tri, tT)
-      CountStore.writePrefixed(s"${name}_bi", bi, bT)
-      CountStore.writePrefixed(s"${name}_uni", uni, uT)
+      graft.util.Par.run(
+        () => CountStore.writePrefixed(s"${name}_tri", tri, tT),
+        () => CountStore.writePrefixed(s"${name}_bi", bi, bT),
+        () => CountStore.writePrefixed(s"${name}_uni", uni, uT))
       CountStore.setBuilding(spark, name, on = false)
       return
     }
-    // validate ALL THREE merges before writing ANY table
-    val tri = CountStore.prepareSigned(s"${name}_tri", dtc,
-      Seq("p1", "p2", "cur"), Seq("c3"), sign)
-    val bi = CountStore.prepareSigned(s"${name}_bi", dbc,
-      Seq("prev", "cur"), Seq("cb"), sign)
-    val uni = CountStore.prepareSigned(s"${name}_uni", duc,
-      Seq("token"), Seq("cu"), sign)
+    val Seq(tri, bi, uni) = graft.util.Par.eval(Seq(
+      () => CountStore.prepareSigned(s"${name}_tri", dtc,
+        Seq("p1", "p2", "cur"), Seq("c3"), sign),
+      () => CountStore.prepareSigned(s"${name}_bi", dbc,
+        Seq("prev", "cur"), Seq("cb"), sign),
+      () => CountStore.prepareSigned(s"${name}_uni", duc,
+        Seq("token"), Seq("cu"), sign)))
     CountStore.setBuilding(spark, name, on = true)
-    CountStore.write(s"${name}_tri", tri, buckets, Seq("p1"))
-    CountStore.write(s"${name}_bi", bi, buckets, Seq("prev"))
-    CountStore.write(s"${name}_uni", uni, buckets, Seq("token"))
+    graft.util.Par.run(
+      () => CountStore.write(s"${name}_tri", tri, buckets, Seq("p1")),
+      () => CountStore.write(s"${name}_bi", bi, buckets, Seq("prev")),
+      () => CountStore.write(s"${name}_uni", uni, buckets, Seq("token")))
     CountStore.setBuilding(spark, name, on = false)
   }
 

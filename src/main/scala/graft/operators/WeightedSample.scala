@@ -223,15 +223,17 @@ object SampleStore {
     CountStore.dropLedger(spark, name)
     clearStaleAll(spark, name)
     CountStore.writeLayout(spark, name, prefixes)
-    if (prefixes > 0)
-      CountStore.writePrefixedInit(s"${name}_sample",
-        topK(canon(docs, grpCol, idCol, weightCol), k), "grp", prefixes)
-    else
-      graft.sources.Sinks.parquetTable(
-        topK(canon(docs, grpCol, idCol, weightCol), k),
-        s"${name}_sample")
-    graft.sources.Sinks.parquetTable(
-      spark.range(1).select(lit(k).as("k")), s"${name}_sample_params")
+    // disjoint outputs — overlap the sample write with the 1-row
+    // params write (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${name}_sample",
+            topK(canon(docs, grpCol, idCol, weightCol), k), "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(
+          topK(canon(docs, grpCol, idCol, weightCol), k),
+          s"${name}_sample"),
+      () => graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(k).as("k")), s"${name}_sample_params"))
     CountStore.setBuilding(spark, name, on = false)
   }
 

@@ -98,10 +98,14 @@ object IndexMaintenance {
   private def bootstrapIndex(spark: SparkSession, name: String,
       live: DataFrame, ver: Long, buckets: Int, idCol: String,
       textCol: String, maintainChampions: Option[Int]): DataFrame = {
-    Bm25.buildIndex(live, name, buckets, idCol, textCol)
+    // index build and fingerprint-log seed read the same settled batch
+    // and write disjoint tables — overlap them (r14, guide §2.6)
     graft.sources.Sinks.dropTable(spark, s"${name}_fplog")
-    logFingerprints(spark, name, idCol,
-      live.select(col(idCol), xxhash64(col(textCol)).as("h"), lit(ver).as("ver")))
+    graft.util.Par.run(
+      () => Bm25.buildIndex(live, name, buckets, idCol, textCol),
+      () => logFingerprints(spark, name, idCol,
+        live.select(col(idCol), xxhash64(col(textCol)).as("h"),
+          lit(ver).as("ver"))))
     maintainChampions.foreach(c =>
       Bm25.buildChampions(spark, name, c, buckets, idCol))
     live.select(col(idCol), lit("added").as("status")).localCheckpoint()
@@ -121,8 +125,15 @@ object IndexMaintenance {
       buckets: Int, idCol: String, textCol: String,
       compactRatio: Double,
       maintainChampions: Option[Int]): DataFrame = {
-    val maxPrior = prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
-      .head().getLong(0)
+    // both probes read settled frames; overlap them (r14, guide §2.6 —
+    // the status counts are only CONSUMED on the non-replay path, and
+    // computing them during a replay is a read-only batch-sized job)
+    val Seq(maxPriorAny, statusCountsAny) = graft.util.Par.eval[Any](Seq(
+      () => prior.agg(coalesce(max(col("ver")), lit(Long.MinValue)))
+        .head().getLong(0),
+      () => delta.groupBy(col("status")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
+    val maxPrior = maxPriorAny.asInstanceOf[Long]
     if (maxPrior >= ver) {
       // foreachBatch is AT-LEAST-ONCE: a restarted stream re-delivers
       // its last batch. A COMPLETED replay classifies as all-unchanged
@@ -140,8 +151,7 @@ object IndexMaintenance {
           "arrive with strictly increasing versions")
       return delta
     }
-    val statusCounts = delta.groupBy(col("status")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statusCounts = statusCountsAny.asInstanceOf[Map[String, Long]]
 
     val changed = delta.filter(col("status") === "changed").select(col(idCol))
     val removed = delta.filter(col("status") === "removed").select(col(idCol))
@@ -804,12 +814,15 @@ object IndexMaintenance {
   private def foldCountStores(spark: SparkSession, batch: DataFrame,
       applied: DataFrame, logName: String, idCol: String, ver: Long,
       fold: DocFold): Unit = {
-    val putDocs = batch
-      .join(applied.filter(col("status").isin("added", "changed"))
-        .select(col(idCol)), Seq(idCol), "left_semi")
-      .localCheckpoint()
-    val goneIds = applied.filter(col("status").isin("changed", "removed"))
-      .select(col(idCol)).localCheckpoint()
+    // the two settles are independent batch-bounded jobs — overlap
+    // them (r14, guide §2.6)
+    val Seq(putDocs, goneIds) = graft.util.Par.eval(Seq(
+      () => batch
+        .join(applied.filter(col("status").isin("added", "changed"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+        .localCheckpoint(),
+      () => applied.filter(col("status").isin("changed", "removed"))
+        .select(col(idCol)).localCheckpoint()))
     val nGone = goneIds.count()
     val oldGone =
       if (nGone == 0) putDocs.limit(0).localCheckpoint()
@@ -909,6 +922,16 @@ object IndexMaintenance {
     val nGone = gone.count()
     val goneEmpty = nGone == 0
     val putEmpty = put.isEmpty
+    // ONE live pass per fold wave (r14 optimization, guide §1.2 —
+    // remove unnecessary passes): with several union-only families
+    // attached, a takedown wave used to call live() once PER FAMILY —
+    // at refitBacklog = 1 that is up to three corpus-sized reads (HLL
+    // + HH + KLL re-inits each re-reading the log) where
+    // refreshCountStores already shares one. Lazy so pure-add waves
+    // never build it; checkpoint-settled so every family re-init reads
+    // the same materialized live view (thread-safe: lazy-val init is
+    // synchronized, so concurrent family branches share one job).
+    lazy val liveOnce: DataFrame = live().localCheckpoint()
     // the shared union-only deferral clause: departure -> immediate
     // re-init (backlog 1, no ledger IO) or mark-stale + threshold
     // check. The re-init covers this batch's arrivals too (live()
@@ -938,7 +961,15 @@ object IndexMaintenance {
           reinitLive() // initStore clears the staleness ledger
         } else if (!putEmpty) merge()
       }
-    nbStore.foreach { case (name, labelCol) =>
+    // The family branches below mutate DISJOINT table sets, so they run
+    // CONCURRENTLY (r14 optimization, guide §2.6 — overlap independent
+    // jobs): a fold wave with several attached stores is a chain of
+    // small fixed-cost jobs per family, and serializing them leaves the
+    // executors idle between jobs. Failure semantics are unchanged in
+    // class: any family's require/throw propagates and the caller's
+    // armFold marker window stays down (loud), exactly as a mid-chain
+    // sequential failure left earlier families written.
+    val nbT = nbStore.map { case (name, labelCol) => () =>
       if (!spark.catalog.tableExists(s"${name}_class")) {
         if (!putEmpty)
           NbStore.initStore(put, name, buckets, textCol, labelCol)
@@ -949,7 +980,7 @@ object IndexMaintenance {
           NbStore.appendDocs(put, name, buckets, textCol, labelCol)
       }
     }
-    lmStore.foreach { name =>
+    val lmT = lmStore.map { name => () =>
       if (!spark.catalog.tableExists(s"${name}_uni")) {
         if (!putEmpty) LmStore.initStore(put, name, buckets, idCol, textCol)
       } else {
@@ -973,19 +1004,19 @@ object IndexMaintenance {
     // re-merging a batch whose rows the refit already read is
     // idempotent — so maintained ≡ fresh-fit holds after ANY deferred
     // schedule (CountFoldSpec's sample-deferral case).
-    sampleStore.foreach { case (name, grpCol, weightCol) =>
+    val sampleT = sampleStore.map { case (name, grpCol, weightCol) => () =>
       if (!spark.catalog.tableExists(s"${name}_sample")) {
         if (!putEmpty)
           SampleStore.initStore(put, name, grpCol, idCol, weightCol, sampleK)
       } else {
         if (!goneEmpty) {
           if (refitBacklog <= 1)
-            SampleStore.dropDocs(spark, name, gone.select(col(idCol)), live(),
+            SampleStore.dropDocs(spark, name, gone.select(col(idCol)), liveOnce,
               grpCol, idCol, weightCol)
           else {
             SampleStore.markStale(spark, name, gone.select(col(idCol)), nGone)
             if (CountStore.stalePending(spark, name)._1 >= refitBacklog)
-              SampleStore.refitStale(spark, name, live(),
+              SampleStore.refitStale(spark, name, liveOnce,
                 grpCol, idCol, weightCol)
           }
         }
@@ -993,13 +1024,13 @@ object IndexMaintenance {
           SampleStore.mergeDocs(put, name, grpCol, idCol, weightCol)
       }
     }
-    sketchStore.foreach { case (name, grpCol) =>
+    val sketchT = sketchStore.map { case (name, grpCol) => () =>
       unionOnly(name, spark.catalog.tableExists(s"${name}_hll"))(
         init = () => SketchStore.initStore(put, name, grpCol, idCol),
         // re-inits preserve the store's own lgK (r12 advice, medium —
         // an externally-built store must not be silently rebuilt at
         // the default on its first takedown refit)
-        reinitLive = () => SketchStore.initStore(live(), name, grpCol, idCol,
+        reinitLive = () => SketchStore.initStore(liveOnce, name, grpCol, idCol,
           lgK = SketchStore.lgKOf(spark, name)),
         merge = () => SketchStore.mergeDocs(put, name, grpCol, idCol))
     }
@@ -1010,7 +1041,7 @@ object IndexMaintenance {
     // items untracked — a groups-sized n subtraction, guarantees
     // preserved by the d bound); only a departure touching a tracked
     // item takes the union-only clause.
-    hhStore.foreach { case (name, grpCol, k) =>
+    val hhT = hhStore.map { case (name, grpCol, k) => () =>
       val exists = spark.catalog.tableExists(s"${name}_hh")
       val heavyTouched = !goneEmpty && exists &&
         !HhStore.removeDocsExact(hhItems(gone, grpCol, textCol),
@@ -1023,22 +1054,25 @@ object IndexMaintenance {
         // plain on its first takedown refit discards the partition
         // pruning the layout was declared for)
         reinitLive = () => HhStore.initStore(
-          hhItems(live(), grpCol, textCol), name, "grp", "item", k,
+          hhItems(liveOnce, grpCol, textCol), name, "grp", "item", k,
           prefixes = CountStore.layoutPrefixes(spark, name)),
         merge = () => HhStore.mergeDocs(
           hhItems(put, grpCol, textCol), name, "grp", "item"),
         departureNeedsReinit = heavyTouched)
     }
-    quantileStore.foreach { case (name, grpCol, valCol) =>
+    val quantileT = quantileStore.map { case (name, grpCol, valCol) => () =>
       val exists = spark.catalog.tableExists(s"${name}_kll")
       unionOnly(name, exists)(
         init = () => QuantileStore.initStore(put, name, grpCol, valCol),
         // preserves both the store's own k and its declared layout
-        reinitLive = () => QuantileStore.initStore(live(), name, grpCol,
+        reinitLive = () => QuantileStore.initStore(liveOnce, name, grpCol,
           valCol, k = QuantileStore.kOf(spark, name),
           prefixes = CountStore.layoutPrefixes(spark, name)),
         merge = () => QuantileStore.mergeDocs(put, name, grpCol, valCol))
     }
+    graft.util.Par.run(
+      (nbT :: lmT :: sampleT :: sketchT :: hhT :: quantileT :: Nil)
+        .flatten: _*)
   }
 
   /** The HH fold's item derivation — whitespace tokens of the text

@@ -210,14 +210,17 @@ object IngestDedup {
       bandRows: DataFrame, shingles: DataFrame, ver: Long): Unit = {
     if (!spark.catalog.tableExists(s"${name}_bands"))
       initStore(spark, name)
-    bandRows.withColumn("ver", lit(ver))
-      .write.mode("append").format("parquet")
-      .bucketBy(8, "band_key").sortBy("band_key")
-      .saveAsTable(s"${name}_bands")
-    shingles.withColumn("ver", lit(ver))
-      .write.mode("append").format("parquet")
-      .bucketBy(8, "id")
-      .saveAsTable(s"${name}_shingles")
+    // two disjoint table appends from the same settled batch — overlap
+    // them (r14, guide §2.6)
+    graft.util.Par.run(
+      () => bandRows.withColumn("ver", lit(ver))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "band_key").sortBy("band_key")
+        .saveAsTable(s"${name}_bands"),
+      () => shingles.withColumn("ver", lit(ver))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "id")
+        .saveAsTable(s"${name}_shingles"))
   }
 
   /** Remove documents from the standing signature store: lookalikes of

@@ -649,4 +649,46 @@ class CountFoldSpec extends SparkSpec {
     assert(spark.catalog.tableExists("cf5_lm_uni"),
       "the LM family did not complete after recovery")
   }
+
+  test("a multi-family takedown wave reads the live corpus EXACTLY ONCE (r14: shared fold live pass)") {
+    cleanAll()
+    // every doc carries a COMMON token so the HH summaries TRACK the
+    // departing doc's items — forcing HH onto the union-only re-init
+    // clause (not the exact in-place path); HLL and KLL re-init on any
+    // departure, and the sample family's dropDocs reads live too. At
+    // refitBacklog = 1 (this fold's default) the wave used to cost one
+    // corpus-sized live() read PER FAMILY; the shared lazy pass makes
+    // it exactly one, counted by CorpusLog.liveReads (steal-immune,
+    // the ProbeFoldTakedown discipline).
+    def cDoc(i: Int) = doc(i, text = "common " + baseText(i),
+      lang = if (i % 2 == 0) "en" else "de", src = s"s${i % 3}",
+      w = (10 + i).toLong)
+    apply(mkDf((400 until 412).map(cDoc)), ver = 1L)
+    val reads0 = CorpusLog.liveReads.get()
+    val d = apply(mkDf(Seq(doc(403)) ++ Seq(doc(406))), ver = 2L)
+    assert(d.filter(col("status") === "removed").count() === 2)
+    val reads = CorpusLog.liveReads.get() - reads0
+    assert(reads === 1,
+      s"takedown wave cost $reads live passes — the fold's families " +
+        "must share ONE materialized live view")
+    // and the shared pass still settles every family: the maintained
+    // stores match fresh fits of the retained corpus (the suite's
+    // headline equality, re-checked on this schedule for the two
+    // families whose refit path the shared pass rewired)
+    val liveDf = mkDf((400 until 412).filterNot(i => i == 403 || i == 406)
+      .map(cDoc))
+    SketchStore.initStore(liveDf, "cff_hll", "lang", "doc_id")
+    val a = SketchStore.estimate(spark, hll)
+    val b = SketchStore.estimate(spark, "cff_hll")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sketch estimates diverged after the shared-pass refit")
+    def hhFeed(df: DataFrame) = df.select(col("src").as("grp"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+    graft.operators.HhStore.initStore(hhFeed(liveDf), "cff_hh",
+      "grp", "item", k = 10)
+    assert(tablesEq(hh + "_hh", "cff_hh_hh"),
+      "hh summary diverged after the shared-pass re-init")
+    assert(tablesEq(hh + "_hh_n", "cff_hh_hh_n"),
+      "hh totals diverged after the shared-pass re-init")
+  }
 }
