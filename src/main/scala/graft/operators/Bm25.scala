@@ -322,8 +322,6 @@ object Bm25 {
     graft.sources.Sinks.dropTable(spark, s"${out}_champions")
     def both(suffix: String) =
       spark.table(s"$a$suffix").unionByName(spark.table(s"$b$suffix"))
-    graft.sources.Sinks.parquetBucketed(both("_postings"),
-      s"${out}_postings", buckets, Seq("term"), Seq("term"))
     // df summed via a FULL-OUTER co-bucketed join, NOT union+groupBy:
     // a union of two co-bucketed scans + groupBy on the bucket key is
     // planned without the merging exchange (and a .repartition(key)
@@ -333,26 +331,33 @@ object Bm25 {
     // shuffle, per-term sums exact.
     val at = spark.table(s"${a}_terms").withColumnRenamed("df", "df_a")
     val bt = spark.table(s"${b}_terms").withColumnRenamed("df", "df_b")
-    graft.sources.Sinks.parquetBucketed(
-      at.join(bt, Seq("term"), "full_outer")
-        .select(col("term"), (coalesce(col("df_a"), lit(0L)) +
-          coalesce(col("df_b"), lit(0L))).as("df")),
-      s"${out}_terms", buckets, Seq("term"), Seq("term"))
-    graft.sources.Sinks.parquetTable(both("_doclens"), s"${out}_doclens")
-    graft.sources.Sinks.parquetTable(
-      both("_stats").agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_dl")).cast("long").as("sum_dl")),
-      s"${out}_stats")
-    Seq(a, b).map(n => s"${n}_tombstones")
-      .filter(spark.catalog.tableExists)
-      .map(spark.table(_).select(col(idCol)))
-      .reduceOption(_.unionByName(_)).map(_.distinct().localCheckpoint())
-      .foreach(_.write.mode("append").format("parquet")
-        .saveAsTable(s"${out}_tombstones"))
-    if (spark.catalog.tableExists(s"${a}_positions") &&
-        spark.catalog.tableExists(s"${b}_positions"))
-      graft.sources.Sinks.parquetBucketed(both("_positions"),
-        s"${out}_positions", buckets, Seq("term"), Seq("term"))
+    // every output table is disjoint and reads only the two sides'
+    // standing tables — overlap all six writes (r14, guide §2.6)
+    graft.util.Par.run(Seq(
+      () => graft.sources.Sinks.parquetBucketed(both("_postings"),
+        s"${out}_postings", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetBucketed(
+        at.join(bt, Seq("term"), "full_outer")
+          .select(col("term"), (coalesce(col("df_a"), lit(0L)) +
+            coalesce(col("df_b"), lit(0L))).as("df")),
+        s"${out}_terms", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetTable(both("_doclens"),
+        s"${out}_doclens"),
+      () => graft.sources.Sinks.parquetTable(
+        both("_stats").agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_dl")).cast("long").as("sum_dl")),
+        s"${out}_stats"),
+      () => Seq(a, b).map(n => s"${n}_tombstones")
+        .filter(spark.catalog.tableExists)
+        .map(spark.table(_).select(col(idCol)))
+        .reduceOption(_.unionByName(_)).map(_.distinct().localCheckpoint())
+        .foreach(_.write.mode("append").format("parquet")
+          .saveAsTable(s"${out}_tombstones"))) ++
+      (if (spark.catalog.tableExists(s"${a}_positions") &&
+          spark.catalog.tableExists(s"${b}_positions"))
+        Seq(() => graft.sources.Sinks.parquetBucketed(both("_positions"),
+          s"${out}_positions", buckets, Seq("term"), Seq("term")))
+      else Nil): _*)
     setBuilding(spark, out, on = false)
   }
 
@@ -513,8 +518,21 @@ object Bm25 {
     * (postings/terms/doclens/stats all recomputed from the surviving
     * rows) and drop the tombstone table. Serving cost returns to the
     * tombstone-free path; scores are unchanged (same surviving
-    * inputs). localCheckpoint severs lineage so each table can be
-    * overwritten while derived from its own previous contents. */
+    * inputs).
+    *
+    * r14 (guide §5 — the driver/executors should not hold corpus-sized
+    * state): the old rewrite localCheckpointed the surviving POSTINGS
+    * (corpus-sized) into executor block memory so the table could be
+    * overwritten while derived from its own contents — at 100 TB that
+    * materialization is the job's memory wall. The survivors now STAGE
+    * to durable `__new` tables (reading the live tables, writing
+    * elsewhere — no self-read, no checkpoint) and swap in via catalog
+    * RENAME (metadata + directory move, no data job); `_terms` derives
+    * from the STAGED bucketed postings (groupBy on the bucket key — no
+    * exchange, no second corpus pass), `_stats` from the staged
+    * doclens. Stage writes overlap (§2.6). Crash contract unchanged:
+    * the marker spans the whole window, a torn compact refuses to
+    * serve and demands buildIndex — exactly as the overwrite did. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       buckets: Int = 32, idCol: String = "doc_id"): Unit = {
     requireServable(spark, name)
@@ -522,34 +540,40 @@ object Bm25 {
     val tomb = spark.table(s"${name}_tombstones").select(col(idCol)).distinct()
     // the rewrite is a build: marker down while the tables are torn
     setBuilding(spark, name, on = true)
-    // r14 (guide §2.6): the two survivor materializations are
-    // independent reads, and the four (five with positions) table
-    // rewrites that follow are disjoint outputs over the settled
-    // checkpoints — overlap each phase instead of serializing six
-    // fixed-cost jobs
-    val Seq(postings, doclens) = graft.util.Par.eval(Seq(
-      () => spark.table(s"${name}_postings")
-        .join(tomb, Seq(idCol), "left_anti").localCheckpoint(),
-      () => spark.table(s"${name}_doclens")
-        .join(tomb, Seq(idCol), "left_anti").localCheckpoint()))
-    val posKeep =
-      if (spark.catalog.tableExists(s"${name}_positions"))
-        Some(spark.table(s"${name}_positions")
-          .join(tomb, Seq(idCol), "left_anti").localCheckpoint())
-      else None
+    val hasPos = spark.catalog.tableExists(s"${name}_positions")
+    val staged = Seq(s"${name}_postings", s"${name}_doclens") ++
+      (if (hasPos) Seq(s"${name}_positions") else Nil)
+    val derived = Seq(s"${name}_terms", s"${name}_stats")
     graft.util.Par.run(Seq(
       () => graft.sources.Sinks.parquetBucketed(
-        postings, s"${name}_postings", buckets, Seq("term"), Seq("term")),
-      () => graft.sources.Sinks.parquetBucketed(
-        postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
-        s"${name}_terms", buckets, Seq("term"), Seq("term")),
-      () => graft.sources.Sinks.parquetTable(doclens, s"${name}_doclens"),
+        spark.table(s"${name}_postings").join(tomb, Seq(idCol), "left_anti"),
+        s"${name}_postings__new", buckets, Seq("term"), Seq("term")),
       () => graft.sources.Sinks.parquetTable(
-        doclens.agg(count(lit(1)).as("n_docs"),
+        spark.table(s"${name}_doclens").join(tomb, Seq(idCol), "left_anti"),
+        s"${name}_doclens__new")) ++
+      (if (hasPos) Seq(() => graft.sources.Sinks.parquetBucketed(
+        spark.table(s"${name}_positions").join(tomb, Seq(idCol), "left_anti"),
+        s"${name}_positions__new", buckets, Seq("term"), Seq("term")))
+      else Nil): _*)
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetBucketed(
+        spark.table(s"${name}_postings__new")
+          .groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"${name}_terms__new", buckets, Seq("term"), Seq("term")),
+      () => graft.sources.Sinks.parquetTable(
+        spark.table(s"${name}_doclens__new").agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
-        s"${name}_stats")) ++
-      posKeep.map(pk => () => graft.sources.Sinks.parquetBucketed(
-        pk, s"${name}_positions", buckets, Seq("term"), Seq("term"))): _*)
+        s"${name}_stats__new"))
+    // swap: drop the live tables, rename the staged ones in — catalog
+    // metadata + directory moves, no data jobs; bucket specs ride the
+    // table metadata through the rename
+    for (t <- staged ++ derived) {
+      graft.sources.Sinks.dropTable(spark, t)
+      spark.sql(s"ALTER TABLE `${t}__new` RENAME TO `$t`")
+      // leave no cached relation for either name (the clone-session
+      // cache discipline buildIndex documents)
+      spark.catalog.refreshTable(t)
+    }
     graft.sources.Sinks.dropTable(spark, s"${name}_tombstones")
     setBuilding(spark, name, on = false)
   }

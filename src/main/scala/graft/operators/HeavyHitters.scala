@@ -275,15 +275,16 @@ object HhStore {
       .join(off, Seq("grp"), "left")
       .select(col("grp"), col("n"),
         (col("d") + coalesce(col("__off"), lit(0L))).as("d"))
-    if (prefixes > 0) {
-      CountStore.writePrefixedInit(s"${out}_hh", hh, "grp", prefixes)
-      CountStore.writePrefixedInit(s"${out}_hh_n", n, "grp", prefixes)
-    } else {
-      graft.sources.Sinks.parquetTable(hh, s"${out}_hh")
-      graft.sources.Sinks.parquetTable(n, s"${out}_hh_n")
-    }
-    graft.sources.Sinks.parquetTable(
-      spark.range(1).select(lit(ka).as("k")), s"${out}_hh_params")
+    // disjoint outputs — overlap the three writes (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${out}_hh", hh, "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(hh, s"${out}_hh"),
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${out}_hh_n", n, "grp", prefixes)
+        else graft.sources.Sinks.parquetTable(n, s"${out}_hh_n"),
+      () => graft.sources.Sinks.parquetTable(
+        spark.range(1).select(lit(ka).as("k")), s"${out}_hh_params"))
     CountStore.setBuilding(spark, out, on = false)
   }
 

@@ -275,12 +275,13 @@ object NbStore {
       .unionByName(spark.table(s"${b}_class"))
       .groupBy(col("label"))
       .agg(sum(col("n_c")).as("n_c"), sum(col("t_c")).as("t_c"))
-    if (prefixes > 0)
-      CountStore.writePrefixedInit(s"${out}_counts", cc, "token", prefixes)
-    else
-      graft.sources.Sinks.parquetBucketed(cc, s"${out}_counts", buckets,
-        Seq("token"), Seq("token"))
-    graft.sources.Sinks.parquetTable(byClass, s"${out}_class")
+    // disjoint outputs — overlap the two writes (r14, guide §2.6)
+    graft.util.Par.run(
+      () => if (prefixes > 0)
+          CountStore.writePrefixedInit(s"${out}_counts", cc, "token", prefixes)
+        else graft.sources.Sinks.parquetBucketed(cc, s"${out}_counts",
+          buckets, Seq("token"), Seq("token")),
+      () => graft.sources.Sinks.parquetTable(byClass, s"${out}_class"))
     CountStore.setBuilding(spark, out, on = false)
   }
 

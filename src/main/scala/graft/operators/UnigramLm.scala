@@ -435,18 +435,20 @@ object LmStore {
     val tri = summed("tri", Seq("p1", "p2", "cur"), "c3")
     val bi = summed("bi", Seq("prev", "cur"), "cb")
     val uni = summed("uni", Seq("token"), "cu")
-    if (prefixes > 0) {
-      CountStore.writePrefixedInit(s"${out}_tri", tri, "p1", prefixes)
-      CountStore.writePrefixedInit(s"${out}_bi", bi, "prev", prefixes)
-      CountStore.writePrefixedInit(s"${out}_uni", uni, "token", prefixes)
-    } else {
-      graft.sources.Sinks.parquetBucketed(tri, s"${out}_tri", buckets,
-        Seq("p1"), Seq("p1"))
-      graft.sources.Sinks.parquetBucketed(bi, s"${out}_bi", buckets,
-        Seq("prev"), Seq("prev"))
-      graft.sources.Sinks.parquetBucketed(uni, s"${out}_uni", buckets,
-        Seq("token"), Seq("token"))
-    }
+    // disjoint outputs — overlap the three writes (r14, guide §2.6)
+    if (prefixes > 0)
+      graft.util.Par.run(
+        () => CountStore.writePrefixedInit(s"${out}_tri", tri, "p1", prefixes),
+        () => CountStore.writePrefixedInit(s"${out}_bi", bi, "prev", prefixes),
+        () => CountStore.writePrefixedInit(s"${out}_uni", uni, "token", prefixes))
+    else
+      graft.util.Par.run(
+        () => graft.sources.Sinks.parquetBucketed(tri, s"${out}_tri", buckets,
+          Seq("p1"), Seq("p1")),
+        () => graft.sources.Sinks.parquetBucketed(bi, s"${out}_bi", buckets,
+          Seq("prev"), Seq("prev")),
+        () => graft.sources.Sinks.parquetBucketed(uni, s"${out}_uni", buckets,
+          Seq("token"), Seq("token")))
     CountStore.setBuilding(spark, out, on = false)
   }
 

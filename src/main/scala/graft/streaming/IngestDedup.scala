@@ -242,14 +242,18 @@ object IngestDedup {
   def removeFromStore(spark: SparkSession, name: String, ids: DataFrame): Unit = {
     if (!spark.catalog.tableExists(s"${name}_bands")) return
     val gone = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
-    val bands = spark.table(s"${name}_bands")
-      .join(gone, Seq("id"), "left_anti").localCheckpoint()
-    val shingles = spark.table(s"${name}_shingles")
-      .join(gone, Seq("id"), "left_anti").localCheckpoint()
-    graft.sources.Sinks.parquetBucketed(
-      bands, s"${name}_bands", 8, Seq("band_key"), Seq("band_key"))
-    graft.sources.Sinks.parquetBucketed(
-      shingles, s"${name}_shingles", 8, Seq("id"))
+    // r14 (guide §2.6): the two settle+rewrite chains touch disjoint
+    // tables and read-only inputs — run them concurrently instead of
+    // paying four fixed job latencies in sequence.
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetBucketed(
+        spark.table(s"${name}_bands")
+          .join(gone, Seq("id"), "left_anti").localCheckpoint(),
+        s"${name}_bands", 8, Seq("band_key"), Seq("band_key")),
+      () => graft.sources.Sinks.parquetBucketed(
+        spark.table(s"${name}_shingles")
+          .join(gone, Seq("id"), "left_anti").localCheckpoint(),
+        s"${name}_shingles", 8, Seq("id")))
   }
 
   /** Physical sweep of SUPERSEDED generations: drop rows whose
@@ -266,12 +270,14 @@ object IngestDedup {
     def sweep(df: DataFrame): DataFrame =
       df.join(p, df("id") === p("__xid") && df("ver") <= p("__xver"),
         "left_anti").localCheckpoint()
-    val bands = sweep(spark.table(s"${name}_bands"))
-    val shingles = sweep(spark.table(s"${name}_shingles"))
-    graft.sources.Sinks.parquetBucketed(
-      bands, s"${name}_bands", 8, Seq("band_key"), Seq("band_key"))
-    graft.sources.Sinks.parquetBucketed(
-      shingles, s"${name}_shingles", 8, Seq("id"))
+    // disjoint tables, settle-per-thread (r14, guide §2.6)
+    graft.util.Par.run(
+      () => graft.sources.Sinks.parquetBucketed(
+        sweep(spark.table(s"${name}_bands")),
+        s"${name}_bands", 8, Seq("band_key"), Seq("band_key")),
+      () => graft.sources.Sinks.parquetBucketed(
+        sweep(spark.table(s"${name}_shingles")),
+        s"${name}_shingles", 8, Seq("id")))
   }
 
   /** Batch-mode replay: feed `docs` through [[admitBatch]] in
